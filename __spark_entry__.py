@@ -3,36 +3,78 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in ``etl_gcp_function_tmabrasil_spark``; this file
+is the thin adapter the driver imports.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_gcp_function_tmabrasil_spark.queries import all_oracle_sql, all_queries
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The reference's pipeline made real (``/root/reference/main.py:5-17``):
+    a null-safe conjunctive filter over an event stream (R4 semantics)
+    followed by the aggregation its placeholder implies — per-type event
+    rollups with revenue and distinct-user counts.
+    """
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, SMOKE_SF_DIR, "events")
+    return (
+        ev.filter(
+            F.col("event_type").isNotNull()
+            & (F.col("value") > 0)
+            & ~F.col("event_type").startswith("err")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _pin_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Pin the session timezone to UTC before building each query.
+
+    Timestamp rendering (date_format) and instant conversions are
+    session-TZ-dependent in Spark; the DuckDB oracle is TZ-naive. Pinning
+    UTC at the contract boundary makes results identical under any driver
+    session configuration (verified: a America/Sao_Paulo session shifts
+    all rendered timestamps without this).
+    """
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    return wrapped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: _pin_utc(fn) for name, fn in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin of each query (omitted only for
+    genuinely non-SQL-expressible operators → rows-only check)."""
+    return all_oracle_sql()

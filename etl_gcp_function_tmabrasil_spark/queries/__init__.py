@@ -1,0 +1,58 @@
+"""Query registry — the SURVEY.md §2.2 operator inventory, one entry per
+operator, each with a Spark implementation and (where SQL-expressible) a
+DuckDB oracle twin.
+
+Each submodule exports ``QUERIES: dict[str, Callable[[SparkSession, str],
+DataFrame]]`` and ``ORACLE: dict[str, str]``; this package merges them.
+Names are stable contract keys checked by the driver
+(``__spark_entry__.py``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_gcp_function_tmabrasil_spark.queries import (
+    aggregates,
+    dedup_approx,
+    events_json,
+    joins,
+    relational,
+    scalar_funcs,
+    setops_dedup,
+    similarity,
+    text_analysis,
+    windows,
+)
+
+_MODULES = [
+    relational,
+    joins,
+    aggregates,
+    windows,
+    setops_dedup,
+    scalar_funcs,
+    events_json,
+    text_analysis,
+    dedup_approx,
+    similarity,
+]
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in _MODULES:
+        overlap = out.keys() & m.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(m.ORACLE)
+    return out

@@ -1,0 +1,209 @@
+"""Aggregation surface (SURVEY.md §2.2 "Aggregation"): distinct aggs,
+approx distinct (HLL), percentiles, rollup/cube/grouping sets,
+collect_list/set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from etl_gcp_function_tmabrasil_spark.catalog import load_table
+from etl_gcp_function_tmabrasil_spark.queries._util import dsum
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates per order status.
+
+    Scale notes: countDistinct expands to a two-phase plan (partial
+    distinct per partition, then re-agg) — Catalyst handles it; for very
+    high cardinality switch to approx_count_distinct (see agg_approx).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_distinct_custs"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_DISTINCT_SQL = """
+SELECT o_orderstatus,
+  COUNT(DISTINCT o_custkey) AS n_distinct_custs,
+  COUNT(DISTINCT o_orderpriority) AS n_priorities,
+  COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approx distinct parts per return flag. No oracle: Spark's
+    HLL++ and DuckDB's approx_count_distinct use different sketches, so
+    estimates differ by design; correctness is bounded-error, checked in
+    unit tests against the exact count (rsd 0.01 ⇒ ~±3%)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"))
+        .orderBy("l_returnflag")
+    )
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median/p90) of order totalprice per priority.
+
+    Uses exact `percentile` (linear interpolation — same definition as
+    DuckDB's quantile_cont). At 100 TB scale, swap to percentile_approx
+    (t-digest-style mergeable sketch); exact percentile requires
+    collecting per-group sorted values.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+            F.round(F.min("o_totalprice"), 4).alias("min_price"),
+            F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT o_orderpriority,
+  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+  ROUND(MIN(o_totalprice), 4) AS min_price,
+  ROUND(MAX(o_totalprice), 4) AS max_price
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotals + grand total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity").alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+_ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(l_linestatus, 'ALL') AS linestatus,
+  COUNT(*) AS n_rows,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (mktsegment, nation-of-customer) with broadcast dim."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .cube("c_mktsegment", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("mktsegment"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_customers",
+        )
+        .orderBy("mktsegment", "nation")
+    )
+
+
+_CUBE_SQL = """
+SELECT COALESCE(c_mktsegment, 'ALL') AS mktsegment,
+  COALESCE(n_name, 'ALL') AS nation,
+  COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE (c_mktsegment, n_name)
+ORDER BY mktsegment, nation
+"""
+
+
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set rendered deterministically: sorted, comma-joined.
+
+    Scale notes: collect_* materializes the whole group in memory — only
+    safe on bounded-cardinality groups (here: priorities per status, ≤5).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias(
+                "priorities"
+            )
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_COLLECT_SQL = """
+SELECT o_orderstatus,
+  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via SQL (per-flag and per-status totals)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, '-') AS returnflag,
+               COALESCE(l_linestatus, '-') AS linestatus,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY returnflag, linestatus
+        """
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT COALESCE(l_returnflag, '-') AS returnflag,
+  COALESCE(l_linestatus, '-') AS linestatus,
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+ORDER BY returnflag, linestatus
+"""
+
+
+QUERIES = {
+    "agg_distinct": agg_distinct,
+    "agg_approx_distinct": agg_approx_distinct,
+    "agg_percentiles": agg_percentiles,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "agg_collect": agg_collect,
+    "agg_grouping_sets": agg_grouping_sets,
+}
+
+ORACLE = {
+    "agg_distinct": _DISTINCT_SQL,
+    "agg_percentiles": _PERCENTILES_SQL,
+    "agg_rollup": _ROLLUP_SQL,
+    "agg_cube": _CUBE_SQL,
+    "agg_collect": _COLLECT_SQL,
+    "agg_grouping_sets": _GROUPING_SETS_SQL,
+    # agg_approx_distinct: intentionally no oracle (sketches differ across
+    # engines); bounded-error invariant is unit-tested instead.
+}

@@ -1,0 +1,357 @@
+"""Near-duplicate detection over `documents` (SURVEY.md §2.2 + the
+driver's north star: "dedup … each as a queries() entry with an oracle"):
+
+- exact dedup via md5 fingerprint groups,
+- n-gram (word 3-shingle) Jaccard pairs with source/lang blocking,
+- MinHash + LSH banding (shingle→minhash→band→bucket-join→verify),
+- SimHash (32-bit) values + near-pair detection via Hamming distance.
+
+Every operator here is expressed with built-in column functions over an
+engine-reproducible md5-based hash (``_util.hash60``), so even the
+sketch-based paths have exact DuckDB oracle twins.
+
+Scale design: sketches (signatures, band hashes, simhash) are computed
+row-local with zero shuffles — higher-order array functions, no explode
+of the token stream. The only shuffles are the LSH bucket join (keyed on
+band hash — the whole point of LSH is that this key is selective) and
+the final verify join on candidate doc_ids. Blocking keys (lang, source)
+bound the quadratic verify stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from etl_gcp_function_tmabrasil_spark.catalog import load_table
+from etl_gcp_function_tmabrasil_spark.queries._util import SQL_HASH60
+
+N_MINHASH = 16  # signature length
+N_BANDS = 4  # LSH bands (r = 4 rows/band) → s-curve threshold ~0.55
+SIMHASH_BITS = 32
+JACCARD_THRESHOLD = 0.5
+
+
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by md5 fingerprint of normalized text:
+    keeper (min doc_id) + duplicate count per group with >1 member."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    return (
+        docs.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .orderBy("keeper_doc_id")
+    )
+
+
+_EXACT_SQL = """
+SELECT md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fingerprint,
+  MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY fingerprint
+HAVING COUNT(*) > 1
+ORDER BY keeper_doc_id
+"""
+
+
+def _shingles(toks: Column) -> Column:
+    """Word 3-shingles (1-based indexing, matching DuckDB lists)."""
+    return F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array(F.col("text")))
+
+
+_SHINGLES_SQL = """
+CASE WHEN len(toks) >= 3
+     THEN list_transform(generate_series(1, len(toks) - 2),
+                         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+     ELSE [text] END
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs, blocked by (lang, source).
+
+    Jaccard over distinct word-3-shingle sets; pairs above threshold.
+    The blocking keys bound the pair space; at corpus scale the unblocked
+    variant is dedup_minhash_lsh below (LSH *is* the blocking).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_sh = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(_shingles(F.split("text", " "))).alias("sh"),
+    )
+    a, b = with_sh.alias("a"), with_sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc1", "doc2")
+    )
+
+
+_NGRAM_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, lang, source,
+    list_distinct({_SHINGLES_SQL.strip()}) AS sh
+  FROM (SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks
+        FROM documents) t
+)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+      >= {JACCARD_THRESHOLD}
+ORDER BY doc1, doc2
+"""
+
+
+#: Spark-SQL expression strings (used via F.expr) — NOTE: built as SQL
+#: text, not Column lambdas, because PySpark's Python-lambda binding
+#: mis-resolves multiple same-shaped transform() lambdas that differ only
+#: in a captured literal within one projection (verified empirically:
+#: array_min(transform(...)) returned wrong values for ALL seeds when 4+
+#: such columns shared a select). expr() parses each lambda independently.
+_SPARK_HASH60 = "cast(conv(substring(md5({expr}),1,15),16,10) as bigint)"
+
+
+def _sig_expr(i: int) -> str:
+    h = _SPARK_HASH60.format(expr=f"concat('{i}:', t)")
+    return f"array_min(transform(sh, t -> {h}))"
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs: 3-shingle → 16 minhashes → 4 bands →
+    bucket join → exact-Jaccard verify.
+
+    Scale design: signatures and band hashes are computed row-local (no
+    explode of the token stream, no shuffle); candidate generation is an
+    equi-join on (band, band_hash) — selective by construction; only
+    surviving candidates pay the exact verify. This is the 100 TB dedup
+    path; the banding s-curve (r=4, b=4) centers near Jaccard ≈ 0.55.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.array_distinct(_shingles(F.split("text", " "))).alias("sh")
+    )
+    sigs = base.select(
+        "doc_id", "sh", *[F.expr(_sig_expr(i)).alias(f"s{i}") for i in range(N_MINHASH)]
+    )
+    r = N_MINHASH // N_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(",", *[F.col(f"s{b * r + j}").cast("string") for j in range(r)])
+            ).alias("bh"),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bh").alias("bh"))
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2"))
+        .distinct()
+    )
+    t1 = base.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
+    t2 = base.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    return (
+        cand.join(t1, "doc1")
+        .join(t2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc1", "doc2")
+    )
+
+
+def _minhash_sql() -> str:
+    sig_exprs = ",\n    ".join(
+        "list_min(list_transform(sh, t -> {h})) AS s{i}".format(
+            h=SQL_HASH60.format(expr=f"concat('{i}:', t)"), i=i
+        )
+        for i in range(N_MINHASH)
+    )
+    r = N_MINHASH // N_BANDS
+    band_rows = "\n  UNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bh FROM sigs".format(
+            b=b, cols=", ".join(f"s{b * r + j}::VARCHAR" for j in range(r))
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL.strip()}) AS sh
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents) t0
+),
+sigs AS (
+  SELECT doc_id, sh,
+    {sig_exprs}
+  FROM base
+),
+bands AS (
+  {band_rows}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+)
+SELECT doc1, doc2,
+  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+FROM cand JOIN base a ON cand.doc1 = a.doc_id
+          JOIN base b ON cand.doc2 = b.doc_id
+WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+      >= {JACCARD_THRESHOLD}
+ORDER BY doc1, doc2
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash over the token multiset.
+
+    Each bit b of the fingerprint is the sign of sum(±1) across token
+    hashes' bit b. Row-local computation, no shuffle; downstream near-dup
+    = small Hamming distance (see dedup_simhash_pairs).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = _SPARK_HASH60.format(expr="t")
+    bits = " + ".join(
+        f"(case when aggregate(h, 0, (acc, x) -> acc + "
+        f"(case when (x & {1 << b}L) != 0 then 1 else -1 end)) > 0 "
+        f"then {2**b}L else 0L end)"
+        for b in range(SIMHASH_BITS)
+    )
+    return (
+        docs.withColumn("h", F.expr(f"transform(split(text, ' '), t -> {h})"))
+        .select("doc_id", F.expr(bits).alias("simhash32"))
+        .orderBy("doc_id")
+    )
+
+
+def _simhash_sql() -> str:
+    h = SQL_HASH60.format(expr="t")
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(h, x -> CASE WHEN (x >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {2**b}::BIGINT ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_transform(string_split(text, ' '), t -> {h}) AS h
+  FROM documents
+)
+SELECT doc_id, {bits} AS simhash32
+FROM t ORDER BY doc_id
+"""
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ 6, blocked by
+    (lang, source). At corpus scale, replace blocking with byte-banding
+    over the fingerprint (pigeonhole: d ≤ 6 over 4 bands ⇒ one exact
+    band match) — same join shape as MinHash-LSH."""
+    sims = dedup_simhash(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    s = sims.join(docs, "doc_id").select("doc_id", "lang", "source", "simhash32")
+    a, b = s.alias("a"), s.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash32").bitwiseXOR(F.col("b.simhash32"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .orderBy("doc1", "doc2")
+    )
+
+
+def _simhash_pairs_sql() -> str:
+    h = SQL_HASH60.format(expr="t")
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(h, x -> CASE WHEN (x >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {2**b}::BIGINT ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+    list_transform(string_split(text, ' '), t -> {h}) AS h
+  FROM documents
+),
+s AS (SELECT doc_id, lang, source, {bits} AS simhash32 FROM t)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+  CAST(bit_count(xor(a.simhash32, b.simhash32)) AS INT) AS hamming
+FROM s a JOIN s b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 6
+ORDER BY doc1, doc2
+"""
+
+
+QUERIES = {
+    "dedup_exact_fingerprint": dedup_exact_fingerprint,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+}
+
+ORACLE = {
+    "dedup_exact_fingerprint": _EXACT_SQL,
+    "dedup_ngram_jaccard": _NGRAM_SQL,
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "dedup_simhash_pairs": _simhash_pairs_sql(),
+}

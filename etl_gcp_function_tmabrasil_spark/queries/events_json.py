@@ -1,0 +1,218 @@
+"""Semi-structured + time-series surface over `events` (SURVEY.md §2.2
+"Array fns", "Map fns", "JSON fns", plus batch-mode twins of the
+streaming windows — tumbling/sliding/session aggregation).
+
+The `events` table mirrors the reference's CloudEvent payload model: a
+semi-structured `props` JSON column accessed defensively
+(``/root/reference/main.py:6-9``), plus event-time for windowing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from etl_gcp_function_tmabrasil_spark.catalog import load_table
+from etl_gcp_function_tmabrasil_spark.queries._util import dsum
+
+
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json + get_json_object over the semi-structured props column —
+    the columnar twin of the reference's `data.get(...)` projection
+    (``main.py:7-9``), including the null-default (`or {}`, ``main.py:6``)."""
+    ev = load_table(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType(), True)])
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_path"),
+        F.from_json("props", schema).getField("k").alias("k_struct"),
+        F.coalesce(F.from_json("props", schema).getField("k"), F.lit(-1)).alias(
+            "k_defaulted"
+        ),
+    ).orderBy("event_id")
+
+
+_JSON_SQL = """
+SELECT event_id,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
+  COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k_defaulted
+FROM events ORDER BY event_id
+"""
+
+
+def json_agg_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate on an extracted JSON field (bucket props.k by decade)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select((k - k % 10).alias("k_decade"), "value")
+        .groupBy("k_decade")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .orderBy("k_decade")
+    )
+
+
+_JSON_AGG_SQL = """
+SELECT k - k % 10 AS k_decade, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value FROM events) t
+GROUP BY k_decade ORDER BY k_decade
+"""
+
+
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction / explode / higher-order functions.
+
+    Builds a per-order array of its line quantities, then uses
+    size/contains/transform/filter/aggregate — the built-in higher-order
+    functions that keep array math JVM-side (no Python UDF).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list(F.col("l_quantity").cast("int"))).alias("qtys"))
+        .select(
+            "l_orderkey",
+            F.size("qtys").alias("n_lines"),
+            F.array_contains("qtys", 25).cast("int").alias("has_qty25"),
+            F.aggregate("qtys", F.lit(0), lambda acc, x: acc + x).alias("total_qty"),
+            F.size(F.filter("qtys", lambda x: x > 25)).alias("n_big"),
+            F.array_join(F.transform("qtys", lambda x: (x * 2).cast("string")), ",").alias(
+                "doubled_csv"
+            ),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+_ARRAY_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey, list_sort(list(CAST(l_quantity AS INT))) AS qtys
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+  CAST(len(qtys) AS INT) AS n_lines,
+  CAST(list_contains(qtys, 25) AS INT) AS has_qty25,
+  CAST(list_sum(qtys) AS INT) AS total_qty,
+  CAST(len(list_filter(qtys, x -> x > 25)) AS INT) AS n_big,
+  array_to_string(list_transform(qtys, x -> CAST(x * 2 AS VARCHAR)), ',') AS doubled_csv
+FROM per_order ORDER BY l_orderkey
+"""
+
+
+def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + explode: per-status counts as a map column,
+    exploded back to rows (map_keys/map_values/explode on maps)."""
+    orders = load_table(spark, sf_dir, "orders")
+    # aggregate duplicate keys first: count per (custkey,status), then map
+    per = orders.groupBy("o_custkey", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = per.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("o_orderstatus", "n")))
+        ).alias("status_map")
+    )
+    exploded = m.select(
+        "o_custkey", F.explode("status_map").alias("status", "n_orders")
+    )
+    return exploded.select(
+        "o_custkey",
+        "status",
+        "n_orders",
+    ).orderBy("o_custkey", "status")
+
+
+_MAP_SQL = """
+SELECT o_custkey, o_orderstatus AS status, COUNT(*) AS n_orders
+FROM orders GROUP BY o_custkey, o_orderstatus
+ORDER BY o_custkey, status
+"""
+
+
+def window_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6-hour event-time windows (batch twin of the streaming
+    windowed agg — same `F.window` expression works under readStream with
+    a watermark; see streaming/windows.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+_TUMBLING_SQL = """
+SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
+def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-minute inactivity gap) in batch mode
+    via `session_window` — oracled by the classic gaps-and-islands SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              > INTERVAL '30 minutes'
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+QUERIES = {
+    "json_extract_props": json_extract_props,
+    "json_agg_by_key": json_agg_by_key,
+    "array_ops": array_ops,
+    "map_ops": map_ops,
+    "window_tumbling_batch": window_tumbling_batch,
+    "window_session_batch": window_session_batch,
+}
+
+ORACLE = {
+    "json_extract_props": _JSON_SQL,
+    "json_agg_by_key": _JSON_AGG_SQL,
+    "array_ops": _ARRAY_SQL,
+    "map_ops": _MAP_SQL,
+    "window_tumbling_batch": _TUMBLING_SQL,
+    "window_session_batch": _SESSION_SQL,
+}

@@ -1,0 +1,295 @@
+"""Join operator surface (SURVEY.md §2.2 "Joins"): broadcast, semi, anti,
+outer, cross, theta/range, and the as-of join pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from etl_gcp_function_tmabrasil_spark.catalog import load_table
+from etl_gcp_function_tmabrasil_spark.queries._util import dsum
+
+
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer counts per region: fact joined through two broadcast dims.
+
+    Scale notes: region (5 rows) and nation (25 rows) are broadcast, so
+    the customer scan streams through two map-side hash joins with zero
+    shuffle before the final agg.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+_BROADCAST_SQL = """
+SELECT r_name, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers that placed at least one URGENT order (EXISTS semantics).
+
+    Scale notes: left_semi keeps only join keys from the right side —
+    Spark dedups the right side during the build, no fact-side fanout.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders at all (NOT EXISTS / anti-join)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order rollup preserving order-less customers.
+
+    Scale notes: aggregate orders BEFORE the outer join (one row per
+    custkey) so the join input is pre-shrunk — at 100 TB this turns a
+    fact-sized shuffle into a key-sized one.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_spent"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("total_spent", F.lit(0.0)).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_LEFT_OUTER_SQL = """
+SELECT c_custkey, c_name,
+  COALESCE(n_orders, 0) AS n_orders,
+  COALESCE(total_spent, 0.0) AS total_spent
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent
+  FROM orders GROUP BY o_custkey
+) po ON c_custkey = po.o_custkey
+ORDER BY c_custkey
+"""
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations appearing on the customer vs supplier side (FULL OUTER)."""
+    cust_n = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp_n = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        cust_n.join(supp_n, cust_n.c_nationkey == supp_n.s_nationkey, "full_outer")
+        .select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+_FULL_OUTER_SQL = """
+SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+  COALESCE(c.n_customers, 0) AS n_customers,
+  COALESCE(s.n_suppliers, 0) AS n_suppliers
+FROM (SELECT c_nationkey, COUNT(*) AS n_customers FROM customer GROUP BY c_nationkey) c
+FULL OUTER JOIN (SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY s_nationkey) s
+  ON c.c_nationkey = s.s_nationkey
+ORDER BY nationkey
+"""
+
+
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All region pairs (cross join of a bounded dim with itself)."""
+    r1 = load_table(spark, sf_dir, "region").select(F.col("r_name").alias("r1"))
+    r2 = load_table(spark, sf_dir, "region").select(F.col("r_name").alias("r2"))
+    return r1.crossJoin(r2).filter(F.col("r1") < F.col("r2")).orderBy("r1", "r2")
+
+
+_CROSS_SQL = """
+SELECT a.r_name AS r1, b.r_name AS r2
+FROM region a CROSS JOIN region b
+WHERE a.r_name < b.r_name
+ORDER BY r1, r2
+"""
+
+
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join: classify parts into price bands.
+
+    Scale notes: the band table is tiny and broadcast, so the non-equi
+    condition evaluates as a broadcast nested-loop join — the only
+    scalable shape for pure theta joins; for band joins at 100 TB, the
+    equivalent equi rewrite is `width_bucket`-style bucketing (see the
+    oracle, which is the declarative twin).
+    """
+    bands = spark.createDataFrame(
+        [(0.0, 500.0, "LOW"), (500.0, 1200.0, "MID"), (1200.0, 1e9, "HIGH")],
+        "lo double, hi double, band string",
+    )
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_parts"), dsum("p_retailprice").alias("total_price"))
+        .orderBy("band")
+    )
+
+
+_RANGE_SQL = """
+SELECT band, COUNT(*) AS n_parts,
+  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM part
+JOIN (VALUES (0.0, 500.0, 'LOW'), (500.0, 1200.0, 'MID'), (1200.0, 1e9, 'HIGH'))
+  AS bands(lo, hi, band)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band ORDER BY band
+"""
+
+
+def join_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each click event, the latest purchase by the same
+    user at-or-before the click time (SURVEY.md §2.2 as-of pattern).
+
+    Implemented as union + window (last_value of purchase attrs over time
+    order) — one shuffle on user_id, no per-row lookups. This is the
+    Spark-native as-of shape; pandas `merge_asof` inside applyInPandas is
+    the fallback when the frame logic can't express the semantics.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", F.lit(None).cast("double").alias("p_value")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"), "ts", "user_id",
+        F.col("value").alias("p_value"),
+    )
+    # Purchases sort before clicks at identical (user_id, ts) so an exact-tie
+    # purchase is visible to the click ("at-or-before"). is_click: purchase=0.
+    unioned = clicks.unionByName(purchases).withColumn(
+        "is_click", (F.col("event_id").isNotNull()).cast("int")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_click")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        unioned.withColumn("last_purchase_value", F.last("p_value", ignorenulls=True).over(w))
+        .filter(F.col("is_click") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            F.coalesce("last_purchase_value", F.lit(-1.0)).alias("last_purchase_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_ASOF_SQL = """
+WITH u AS (
+  SELECT event_id, ts, user_id, NULL::DOUBLE AS p_value, 1 AS is_click
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT NULL::BIGINT, ts, user_id, value, 0
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT event_id, user_id,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+  COALESCE(
+    LAST_VALUE(p_value IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, is_click
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    -1.0) AS last_purchase_value
+FROM u
+QUALIFY is_click = 1
+ORDER BY event_id
+"""
+
+
+QUERIES = {
+    "join_broadcast_dims": join_broadcast_dims,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_left_outer": join_left_outer,
+    "join_full_outer": join_full_outer,
+    "join_cross": join_cross,
+    "join_range_bands": join_range_bands,
+    "join_asof_purchase": join_asof_purchase,
+}
+
+ORACLE = {
+    "join_broadcast_dims": _BROADCAST_SQL,
+    "join_semi": _SEMI_SQL,
+    "join_anti": _ANTI_SQL,
+    "join_left_outer": _LEFT_OUTER_SQL,
+    "join_full_outer": _FULL_OUTER_SQL,
+    "join_cross": _CROSS_SQL,
+    "join_range_bands": _RANGE_SQL,
+    "join_asof_purchase": _ASOF_SQL,
+}

@@ -1,0 +1,268 @@
+"""Embedding similarity search over `embeddings` (SURVEY.md §2.2
+"Similarity search"): brute-force cosine top-k as the correctness
+baseline, random-hyperplane LSH bucketing as the scale path, vector
+stats, and embedding-cosine near-dup.
+
+Vector math stays JVM-side via higher-order array functions
+(`zip_with` + `aggregate`) — no Python UDF in the hot path. Cosines are
+rounded to 4 decimals *before* ranking, with vec_id tiebreaks, so
+Spark and the DuckDB oracle select identical top-k sets regardless of
+floating-point summation order.
+
+Scale design: the brute-force path broadcasts the (small) query set and
+scans candidates once — linear, shuffle-free, but O(Q·N); the LSH path
+assigns each vector to a 12-bit bucket row-locally and joins within
+buckets, cutting candidate pairs by ~2^12 — that is the 100 TB shape
+(plus IVF/cell-probe variants on the same skeleton).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F, Window as W
+
+from etl_gcp_function_tmabrasil_spark.catalog import load_table
+
+N_QUERIES = 8  # brute-force query set: vec_id < 8
+TOP_K = 3
+N_PLANES = 12  # LSH hyperplanes → 2^12 buckets
+DIM = 64
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic random hyperplanes (seed 42), rounded to 6 decimals
+    so the same literals embed exactly in both Spark and the SQL oracle."""
+    rng = np.random.RandomState(42)
+    return [[round(float(v), 6) for v in row] for row in rng.randn(N_PLANES, DIM)]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential double dot product via zip_with + aggregate (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+_SQL_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
+)
+_SQL_NORM = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
+
+
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: for each query vector (vec_id < 8), the 3
+    nearest neighbors by cosine similarity (excluding itself)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cos = _dot(F.col("qe"), F.col("e")) / (_norm(F.col("qe")) * _norm(F.col("e")))
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(cos, 4).alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "rn", F.col("vec_id").alias("neighbor_id"), "cosine")
+        .orderBy("query_id", "rn")
+    )
+
+
+def _knn_sql() -> str:
+    dot = _SQL_DOT.format(a="q.e", b="c.e")
+    na = _SQL_NORM.format(a="q.e")
+    nb = _SQL_NORM.format(a="c.e")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+    ROUND({dot} / ({na} * {nb}), 4) AS cosine
+  FROM e c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, rn, vec_id AS neighbor_id, cosine FROM (
+  SELECT query_id, vec_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM scored
+) t WHERE rn <= {TOP_K}
+ORDER BY query_id, rn
+"""
+
+
+def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH: 12 sign bits → bucket;
+    nearest bucketmate per vector by cosine.
+
+    Bucket assignment is row-local (12 dot products against broadcast
+    literal hyperplanes); the only shuffle is the within-bucket
+    self-join. Recall vs brute force is unit-tested at sf0.001.
+    """
+    planes = _hyperplanes()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    bucket = None
+    for i, p in enumerate(planes):
+        lit = F.array(*[F.lit(v) for v in p])
+        bit = F.when(F.round(_dot(F.col("e"), lit), 6) > 0, F.lit(2**i)).otherwise(
+            F.lit(0)
+        )
+        bucket = bit if bucket is None else bucket + bit
+    b = emb.select("vec_id", "e", bucket.alias("bucket"))
+    x, y = b.alias("x"), b.alias("y")
+    cos = _dot(F.col("x.e"), F.col("y.e")) / (
+        _norm(F.col("x.e")) * _norm(F.col("y.e"))
+    )
+    scored = (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") != F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("query_id"),
+            F.col("x.bucket").alias("bucket"),
+            F.col("y.vec_id").alias("neighbor_id"),
+            F.round(cos, 4).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "bucket", "neighbor_id", "cosine")
+        .orderBy("query_id")
+    )
+
+
+def _ann_sql() -> str:
+    planes = _hyperplanes()
+    bits = []
+    for i, p in enumerate(planes):
+        lit = "([" + ", ".join(str(v) for v in p) + "]::DOUBLE[])"
+        dot = _SQL_DOT.format(a="e", b=lit)
+        bits.append(f"(CASE WHEN ROUND({dot}, 6) > 0 THEN {2**i} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    cos = "{dot} / ({nx} * {ny})".format(
+        dot=_SQL_DOT.format(a="x.e", b="y.e"),
+        nx=_SQL_NORM.format(a="x.e"),
+        ny=_SQL_NORM.format(a="y.e"),
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (SELECT vec_id, e, {bucket} AS bucket FROM e),
+scored AS (
+  SELECT x.vec_id AS query_id, x.bucket AS bucket, y.vec_id AS neighbor_id,
+    ROUND({cos}, 4) AS cosine
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+)
+SELECT query_id, bucket, neighbor_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored
+) t WHERE rn = 1
+ORDER BY query_id
+"""
+
+
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column stats per label: count + L2-norm distribution."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    norm = F.round(_norm(F.col("e")), 6)
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("norm").cast("decimal(18,6)")).cast("double").alias("sum_norm"),
+            F.min("norm").alias("min_norm"),
+            F.max("norm").alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+def _emb_stats_sql() -> str:
+    norm = _SQL_NORM.format(a="e")
+    return f"""
+WITH e AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+n AS (SELECT label, ROUND({norm}, 6) AS norm FROM e)
+SELECT label, COUNT(*) AS n,
+  CAST(SUM(CAST(norm AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm,
+  MIN(norm) AS min_norm,
+  MAX(norm) AS max_norm
+FROM n GROUP BY label ORDER BY label
+"""
+
+
+def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.95 within label blocks.
+
+    The embedding-space twin of text near-dup; at scale the label block
+    is replaced by LSH buckets (ann_lsh_cosine's assignment)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    x, y = emb.alias("x"), emb.alias("y")
+    cos = _dot(F.col("x.e"), F.col("y.e")) / (
+        _norm(F.col("x.e")) * _norm(F.col("y.e"))
+    )
+    return (
+        x.join(
+            y,
+            (F.col("x.label") == F.col("y.label"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec1"),
+            F.col("y.vec_id").alias("vec2"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.95)
+        .orderBy("vec1", "vec2")
+    )
+
+
+def _emb_dedup_sql() -> str:
+    cos = "{dot} / ({nx} * {ny})".format(
+        dot=_SQL_DOT.format(a="x.e", b="y.e"),
+        nx=_SQL_NORM.format(a="x.e"),
+        ny=_SQL_NORM.format(a="y.e"),
+    )
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT x.vec_id AS vec1, y.vec_id AS vec2, ROUND({cos}, 4) AS cosine
+FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+WHERE ROUND({cos}, 4) >= 0.95
+ORDER BY vec1, vec2
+"""
+
+
+QUERIES = {
+    "knn_bruteforce_cosine": knn_bruteforce_cosine,
+    "ann_lsh_cosine": ann_lsh_cosine,
+    "embedding_stats": embedding_stats,
+    "embedding_cosine_dedup": embedding_cosine_dedup,
+}
+
+ORACLE = {
+    "knn_bruteforce_cosine": _knn_sql(),
+    "ann_lsh_cosine": _ann_sql(),
+    "embedding_stats": _emb_stats_sql(),
+    "embedding_cosine_dedup": _emb_dedup_sql(),
+}

@@ -1,0 +1,263 @@
+"""Text-analysis operators over `documents` (SURVEY.md §2.2 "LLM-data-
+pipeline operators"): stats, token counting, language-ID heuristic,
+quality scoring, document fingerprinting.
+
+All hot-path expressions are built-in column functions (JVM-side,
+codegen'd) — no Python UDFs. Fingerprints use md5 so the oracle can
+reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from etl_gcp_function_tmabrasil_spark.catalog import load_table
+from etl_gcp_function_tmabrasil_spark.queries._util import davg, dsum
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Deliberately small so the CASE-expression oracle twin stays
+#: readable; real pipelines would ship a broadcast lexicon.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de"],
+    "fr": ["le", "la", "et"],
+    "de": ["der", "die", "und"],
+}
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rollup per (lang, source): doc counts, char stats, token
+    totals. One shuffle on a bounded key — safe at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            davg("n_chars").alias("avg_chars"),
+            F.sum(n_tokens.cast("long")).alias("total_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_STATS_SQL = """
+SELECT lang, source, COUNT(*) AS n_docs,
+  SUM(n_chars) AS total_chars,
+  CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_chars,
+  SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+  MIN(n_chars) AS min_chars,
+  MAX(n_chars) AS max_chars
+FROM documents GROUP BY lang, source ORDER BY lang, source
+"""
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token accounting: whitespace tokens, distinct tokens,
+    type-token ratio, plus a BPE-ish subword proxy (4-char shingle count
+    = ceil(len/4) per token) — all as built-in expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("type_token_ratio"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("int")
+        ).alias("n_subwords"),
+    ).orderBy("doc_id")
+
+
+_TOKENS_SQL = """
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
+  ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' ')), 6) AS type_token_ratio,
+  CAST(list_sum(list_transform(string_split(text, ' '),
+                               t -> CAST(CEIL(len(t) / 4.0) AS INT))) AS INT) AS n_subwords
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language-ID heuristic: score each doc per language
+    by marker-token hits, predict argmax (deterministic tie order), and
+    report confusion counts vs the labeled lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scores = [
+        F.size(F.filter(toks, lambda t: t.isin(ws))).alias(f"score_{lang}")
+        for lang, ws in _LANG_MARKERS.items()
+    ]
+    scored = docs.select("doc_id", "lang", *scores)
+    # argmax with deterministic preference order en > es > fr > de on ties
+    pred = (
+        F.when(
+            (F.col("score_en") >= F.col("score_es"))
+            & (F.col("score_en") >= F.col("score_fr"))
+            & (F.col("score_en") >= F.col("score_de"))
+            & (F.col("score_en") > 0),
+            "en",
+        )
+        .when(
+            (F.col("score_es") >= F.col("score_fr"))
+            & (F.col("score_es") >= F.col("score_de"))
+            & (F.col("score_es") > 0),
+            "es",
+        )
+        .when(
+            (F.col("score_fr") >= F.col("score_de")) & (F.col("score_fr") > 0), "fr"
+        )
+        .when(F.col("score_de") > 0, "de")
+        .otherwise("unknown")
+    )
+    return (
+        scored.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+def _langid_sql() -> str:
+    score = {
+        lang: f"len(list_filter(string_split(text, ' '), t -> t IN ({', '.join(repr(w) for w in ws)})))"
+        for lang, ws in _LANG_MARKERS.items()
+    }
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+    {score['en']} AS score_en,
+    {score['es']} AS score_es,
+    {score['fr']} AS score_fr,
+    {score['de']} AS score_de
+  FROM documents
+)
+SELECT lang,
+  CASE WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de
+            AND score_en > 0 THEN 'en'
+       WHEN score_es >= score_fr AND score_es >= score_de AND score_es > 0 THEN 'es'
+       WHEN score_fr >= score_de AND score_fr > 0 THEN 'fr'
+       WHEN score_de > 0 THEN 'de'
+       ELSE 'unknown' END AS predicted,
+  COUNT(*) AS n
+FROM scored GROUP BY lang, predicted ORDER BY lang, predicted
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length, mean word length, stopword
+    ratio, repetition ratio — the standard cheap pretraining filters."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop = ["the", "and", "of", "a", "in", "to"]
+    n_tok = F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(stop))).cast("double") / n_tok
+    rep_ratio = 1.0 - F.size(F.array_distinct(toks)).cast("double") / n_tok
+    mean_wlen = (F.col("n_chars") - (n_tok - 1)).cast("double") / n_tok
+    quality = (
+        F.when(F.col("n_chars") < 50, 0.1).otherwise(0.5)
+        + F.when(stop_ratio > 0.05, 0.25).otherwise(0.0)
+        + F.when(rep_ratio < 0.8, 0.25).otherwise(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(rep_ratio, 6).alias("repetition_ratio"),
+        F.round(quality, 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, n_chars,
+    string_split(text, ' ') AS toks,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars, n_tok,
+    CAST(len(list_filter(toks, x -> x IN ('the','and','of','a','in','to'))) AS DOUBLE)
+      / n_tok AS stop_ratio,
+    1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / n_tok AS rep_ratio,
+    CAST(n_chars - (n_tok - 1) AS DOUBLE) / n_tok AS mean_wlen
+  FROM t
+)
+SELECT doc_id, n_chars,
+  ROUND(mean_wlen, 6) AS mean_word_len,
+  ROUND(stop_ratio, 6) AS stopword_ratio,
+  ROUND(rep_ratio, 6) AS repetition_ratio,
+  ROUND(CASE WHEN n_chars < 50 THEN 0.1 ELSE 0.5 END
+        + CASE WHEN stop_ratio > 0.05 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN rep_ratio < 0.8 THEN 0.25 ELSE 0.0 END, 6) AS quality
+FROM m ORDER BY doc_id
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized text plus
+    a 60-bit integer fingerprint (hex prefix) — engine-reproducible, the
+    key for exact dedup at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim("text"), r"\s+", " ")
+    fp = F.md5(norm)
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fingerprint60"),
+    ).orderBy("doc_id")
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id,
+  md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fingerprint,
+  ('0x' || substr(md5(regexp_replace(trim(text), '\\s+', ' ', 'g')), 1, 15))::BIGINT
+    AS fingerprint60
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-length histogram in 100-char buckets per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("n_chars") - F.col("n_chars") % 100).alias("char_bucket")
+    return (
+        docs.groupBy("lang", bucket)
+        .agg(F.count(F.lit(1)).alias("n_docs"), dsum("n_chars").alias("bucket_chars"))
+        .orderBy("lang", "char_bucket")
+    )
+
+
+_HISTOGRAM_SQL = """
+SELECT lang, n_chars - n_chars % 100 AS char_bucket, COUNT(*) AS n_docs,
+  CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) AS bucket_chars
+FROM documents GROUP BY lang, char_bucket ORDER BY lang, char_bucket
+"""
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "text_token_count": text_token_count,
+    "text_lang_id": text_lang_id,
+    "text_quality_score": text_quality_score,
+    "text_fingerprint": text_fingerprint,
+    "text_length_histogram": text_length_histogram,
+}
+
+ORACLE = {
+    "text_stats": _STATS_SQL,
+    "text_token_count": _TOKENS_SQL,
+    "text_lang_id": _langid_sql(),
+    "text_quality_score": _QUALITY_SQL,
+    "text_fingerprint": _FINGERPRINT_SQL,
+    "text_length_histogram": _HISTOGRAM_SQL,
+}

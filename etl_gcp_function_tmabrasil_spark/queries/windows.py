@@ -1,0 +1,178 @@
+"""Window-function surface (SURVEY.md §2.2 "Window functions"): ranking,
+analytic (lag/lead), frames (running aggregates), per-group top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from etl_gcp_function_tmabrasil_spark.catalog import load_table
+from etl_gcp_function_tmabrasil_spark.queries._util import day
+
+
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank of orders per customer by price.
+
+    Scale notes: one shuffle on the partition key (o_custkey); the sort is
+    per-partition. Skewed customers are handled by AQE; there is no global
+    sort.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+_RANK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER w AS rn,
+    RANK() OVER w AS rnk,
+    DENSE_RANK() OVER w AS drnk
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+) t WHERE rn <= 3
+ORDER BY o_custkey, rn
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order timeline: previous/next order price + day gap."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        day("o_orderdate").alias("orderdate"),
+        F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)).alias("prev_price"),
+        F.coalesce(F.lead("o_totalprice").over(w), F.lit(0.0)).alias("next_price"),
+        F.coalesce(
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)), F.lit(-1)
+        ).alias("days_since_prev"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+_LAG_SQL = """
+SELECT o_custkey, o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+  COALESCE(LAG(o_totalprice) OVER w, 0.0) AS prev_price,
+  COALESCE(LEAD(o_totalprice) OVER w, 0.0) AS next_price,
+  COALESCE(CAST(date_diff('day', LAG(o_orderdate) OVER w, o_orderdate) AS INT), -1)
+    AS days_since_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer over order time (frame: unbounded
+    preceding → current row). Decimal accumulation keeps the running sum
+    exact and engine-invariant."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double")
+        .alias("running_total"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_total,
+  COUNT(*) OVER w AS running_n
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 parts by retail price within each part type (per-group top-k
+    via row_number — the scalable pattern: no global sort, one shuffle)."""
+    part = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_type").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("p_type", "rn", "p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_type", "rn")
+    )
+
+
+_TOPK_GROUP_SQL = """
+SELECT p_type, rn, p_partkey, p_name, p_retailprice FROM (
+  SELECT p_type, p_partkey, p_name, p_retailprice,
+    ROW_NUMBER() OVER (PARTITION BY p_type ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+  FROM part
+) t WHERE rn <= 2
+ORDER BY p_type, rn
+"""
+
+
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartiles of customers by account balance (global ntile).
+
+    Scale notes: a global ntile implies a total order; at 100 TB replace
+    with percent_rank over range-partitioned data or approx quantile
+    cutoffs. Kept here as the semantic reference implementation.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.select("c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 4).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 4).alias("max_bal"),
+        )
+        .orderBy("quartile")
+    )
+
+
+_NTILE_SQL = """
+SELECT quartile, COUNT(*) AS n,
+  ROUND(MIN(c_acctbal), 4) AS min_bal,
+  ROUND(MAX(c_acctbal), 4) AS max_bal
+FROM (
+  SELECT c_custkey, c_acctbal,
+    NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+  FROM customer
+) t GROUP BY quartile ORDER BY quartile
+"""
+
+
+QUERIES = {
+    "window_rank_orders": window_rank_orders,
+    "window_lag_lead": window_lag_lead,
+    "window_running_sum": window_running_sum,
+    "window_topk_per_group": window_topk_per_group,
+    "window_ntile": window_ntile,
+}
+
+ORACLE = {
+    "window_rank_orders": _RANK_SQL,
+    "window_lag_lead": _LAG_SQL,
+    "window_running_sum": _RUNNING_SQL,
+    "window_topk_per_group": _TOPK_GROUP_SQL,
+    "window_ntile": _NTILE_SQL,
+}
