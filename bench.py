@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is measured with the `noop` sink (full plan runs, rows are
+discarded) — no driver-side collect in the timed path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_gcp_function_tmabrasil_spark.queries import all_queries
+from etl_gcp_function_tmabrasil_spark.session import get_spark
+
+#: Headline queries: one per major operator family (SURVEY.md §2.2).
+HEADLINE = [
+    "q1_pricing_summary",       # scan-heavy groupBy agg
+    "q3_shipping_priority",     # 3-way join + topk
+    "q5_local_supplier_volume", # snowflake join w/ broadcast dims
+    "q6_forecast_revenue",      # pushdown filter + scalar agg
+    "q10_returned_items",       # join + group + topk
+    "window_rank_orders",       # window functions
+    "window_running_sum",       # running frames
+    "dedup_pick_latest",        # keep-latest dedup
+    "json_agg_by_key",          # JSON extraction + agg
+    "window_tumbling_batch",    # event-time windows
+    "text_token_count",         # text analysis (higher-order fns)
+    "dedup_minhash_lsh",        # minhash LSH near-dup
+    "knn_bruteforce_cosine",    # vector similarity
+    "join_asof_purchase",       # as-of join pattern
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = sf_dir
+    spark = get_spark(app_name="bench")
+    queries = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -158,12 +158,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     path; the banding s-curve (r=4, b=4) centers near Jaccard ≈ 0.55.
     """
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
+    # Repartition before the hash-heavy row-local stage: a small parquet
+    # loads as one partition, which would serialize all the md5 work; at
+    # cluster scale the scan's natural partitioning already spreads it.
+    par = spark.sparkContext.defaultParallelism
+    base = docs.repartition(par, "doc_id").select(
         "doc_id", F.array_distinct(_shingles(F.split("text", " "))).alias("sh")
     )
+    # Persist signatures: both the band self-join and the verify join
+    # re-read them; without this the 16-hash sketch pipeline re-runs once
+    # per branch (measured 4x cost at bench scale).
     sigs = base.select(
         "doc_id", "sh", *[F.expr(_sig_expr(i)).alias(f"s{i}") for i in range(N_MINHASH)]
-    )
+    ).persist()
     r = N_MINHASH // N_BANDS
     band_structs = [
         F.struct(
@@ -188,8 +195,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2"))
         .distinct()
     )
-    t1 = base.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
-    t2 = base.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
+    t1 = sigs.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
+    t2 = sigs.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2"))
     union = F.size("sh1") + F.size("sh2") - inter
     return (
