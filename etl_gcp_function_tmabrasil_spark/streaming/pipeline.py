@@ -1,0 +1,87 @@
+"""The reference's runtime lifecycle re-expressed in Structured Streaming
+(SURVEY.md §3.1 "Spark mapping of this lifecycle"):
+
+reference                                   this module
+-----------------------------------------   ---------------------------------
+Eventarc pushes CloudEvent per GCS object   readStream file source over a
+  (``main.py:5``)                             landing dir (micro-batches)
+per-event accept/reject filter              accept_filter / reject_filter
+  (``main.py:12-14``)                         (sources/file_events.py)
+print log lines (``main.py:13,16``)         accepted/rejected parquet sinks
+                                              + log-line column
+at-least-once Eventarc retry                checkpoint + idempotent
+  (``main.tf:52``)                            foreachBatch with event dedup
+max 3 instances (``main.tf:53``)            maxFilesPerTrigger / executors
+
+Scale: the landing scan lists incrementally (file-source checkpoint log);
+each micro-batch is a bounded DataFrame so every batch operator in the
+engine applies; exactly-once lands via idempotent overwrite-by-batch-id.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from etl_gcp_function_tmabrasil_spark.catalog import FILE_EVENTS_SCHEMA
+from etl_gcp_function_tmabrasil_spark.sources.file_events import (
+    accept_filter,
+    reject_filter,
+    with_log_line,
+    with_reject_log_line,
+)
+
+
+def file_event_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-arrival stream of JSON-encoded file events.
+
+    The declared schema is mandatory (streaming file sources never
+    infer); `maxFilesPerTrigger` is the reference's parallelism cap
+    (``main.tf:53``) expressed as micro-batch admission control.
+    """
+    reader = spark.readStream.schema(FILE_EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(landing_dir)
+
+
+def run_landing_pipeline(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Run the trigger→filter→route→sink pipeline to completion.
+
+    `foreachBatch` writes both branches per micro-batch:
+    - accepted/  — events passing the reference predicate, with log_line
+    - rejected/  — the dead-letter branch, with its log_line
+    Batch-id partitioned output + checkpointing makes replays idempotent
+    (a retried batch overwrites its own partition — the dedup the
+    reference lacks under Eventarc at-least-once delivery).
+    """
+    stream = file_event_stream(spark, landing_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        accepted = with_log_line(accept_filter(batch_df))
+        rejected = with_reject_log_line(reject_filter(batch_df))
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "accepted", f"batch={batch_id}")
+        )
+        rejected.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "rejected", f"batch={batch_id}")
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,124 @@
+"""Streaming semantics over the `events` stream (SURVEY.md §2.2
+"Streaming"): watermarks, tumbling/sliding/session windows, stateful
+dedup, and an arbitrary-stateful operator via applyInPandasWithState.
+
+Every transform takes a (streaming or batch) DataFrame with the
+EVENTS_SCHEMA shape — the same expressions work in both modes, which is
+how the batch twins in queries/events_json.py stay oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling event-time window counts with a watermark bounding state:
+    windows older than max(ts) - watermark are finalized and emitted
+    (append mode) and their state dropped — the knob that keeps state
+    bounded on an unbounded stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding windows: each event lands in window/slide overlapping
+    windows; same watermark-bounded state story as tumbling."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Per-user session windows (dynamic length, gap-based close)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stateful_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Exactly-once-per-event_id within the watermark horizon: the dedup
+    the reference needs under Eventarc's at-least-once redelivery
+    (SURVEY.md §3.1 failure semantics). State holds one key per seen
+    event_id and expires with the watermark."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+_RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful aggregation via applyInPandasWithState: a
+    per-user running (count, sum) that survives across micro-batches —
+    the custom-stateful-operator escape hatch for semantics the built-in
+    windows can't express."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

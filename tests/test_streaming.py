@@ -1,0 +1,188 @@
+"""Streaming semantics tests: file-arrival landing pipeline (the
+reference's trigger lifecycle), watermarked windows, stateful dedup, and
+arbitrary state — invariant-checked against batch computation (no SQL
+oracle exists for streaming state; SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_gcp_function_tmabrasil_spark.catalog import load_table
+from etl_gcp_function_tmabrasil_spark.streaming.pipeline import run_landing_pipeline
+from etl_gcp_function_tmabrasil_spark.streaming.windows import (
+    session_counts,
+    sliding_counts,
+    stateful_dedup,
+    tumbling_counts,
+    user_running_totals,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def event_chunks_dir(tmp_path_factory):
+    """events (sf0.001) split into 3 time-ordered parquet chunks so the
+    watermark advances across micro-batches."""
+    out = tmp_path_factory.mktemp("event_chunks")
+    tbl = pq.read_table(os.path.join(SF_SMOKE, "events.parquet"))
+    df = tbl.to_pandas().sort_values("ts").reset_index(drop=True)
+    df["ts"] = df["ts"].astype("datetime64[us]")  # ns → µs for Spark
+    n = len(df)
+    for i in range(3):
+        chunk = df.iloc[i * n // 3 : (i + 1) * n // 3]
+        pq.write_table(pa.Table.from_pandas(chunk), out / f"chunk_{i}.parquet")
+        time.sleep(0.05)  # distinct mtimes → deterministic file order
+    return str(out)
+
+
+def _events_stream(spark, chunks_dir):
+    from etl_gcp_function_tmabrasil_spark.catalog import EVENTS_SCHEMA
+
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunks_dir)
+    )
+
+
+def _run_to_memory(df, name, output_mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_watermark_matches_batch(spark, event_chunks_dir):
+    stream_df = tumbling_counts(_events_stream(spark, event_chunks_dir))
+    _run_to_memory(stream_df, "tumbling_out", "append")
+    got = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    # batch truth over the same data
+    ev = spark.read.parquet(event_chunks_dir)
+    batch = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+        .collect()
+    }
+    assert got, "append-mode stream emitted nothing (watermark never advanced)"
+    # every emitted (finalized) window must exactly match batch truth
+    for k, v in got.items():
+        assert batch[k][0] == v[0] and abs(batch[k][1] - v[1]) < 1e-9, k
+    # windows can only be missing from `got` if not yet finalized — i.e.
+    # they end after (global max ts - watermark)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    for (start, etype), (n, _) in batch.items():
+        if (max_ts - start).total_seconds() > 3600 * 12:  # comfortably old
+            assert (start, etype) in got, f"old window missing: {start} {etype}"
+
+
+def test_sliding_and_session_run(spark, event_chunks_dir):
+    _run_to_memory(
+        sliding_counts(_events_stream(spark, event_chunks_dir)), "sliding_out", "append"
+    )
+    n_sliding = spark.sql("SELECT count(*) FROM sliding_out").collect()[0][0]
+    assert n_sliding > 0
+    _run_to_memory(
+        session_counts(_events_stream(spark, event_chunks_dir)), "session_out", "append"
+    )
+    n_sessions = spark.sql("SELECT count(*) FROM session_out").collect()[0][0]
+    assert n_sessions > 0
+
+
+def test_stateful_dedup_drops_redelivery(spark, tmp_path, event_chunks_dir):
+    """Replay each chunk twice (Eventarc at-least-once) → every event_id
+    must come out exactly once."""
+    dup_dir = tmp_path / "dup_chunks"
+    dup_dir.mkdir()
+    chunks = sorted(os.listdir(event_chunks_dir))
+    for i, c in enumerate(chunks):
+        t = pq.read_table(os.path.join(event_chunks_dir, c))
+        pq.write_table(t, dup_dir / f"chunk_{i}a.parquet")
+        pq.write_table(t, dup_dir / f"chunk_{i}b.parquet")
+        time.sleep(0.05)
+    stream = stateful_dedup(_events_stream(spark, str(dup_dir)))
+    _run_to_memory(stream, "dedup_out", "append")
+    ids = [r.event_id for r in spark.sql("SELECT event_id FROM dedup_out").collect()]
+    assert len(ids) == len(set(ids)), "duplicates survived stateful dedup"
+    n_distinct_src = spark.read.parquet(str(dup_dir)).select("event_id").distinct().count()
+    assert len(ids) == n_distinct_src
+
+
+def test_user_running_totals_state(spark, event_chunks_dir):
+    """Final state per user == batch count/sum over the whole stream."""
+    stream = user_running_totals(_events_stream(spark, event_chunks_dir))
+    _run_to_memory(stream, "running_out", "update")
+    # update mode: last emitted row per user is the final state
+    final = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql(
+            """SELECT user_id, n_events, total_value FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+                 FROM running_out) WHERE rn = 1"""
+        ).collect()
+    }
+    batch = {
+        r.user_id: (r.n, r.s)
+        for r in spark.read.parquet(event_chunks_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert final.keys() == batch.keys()
+    for u in batch:
+        assert final[u][0] == batch[u][0], u
+        assert abs(final[u][1] - batch[u][1]) < 1e-6, u
+
+
+def test_landing_pipeline_reference_semantics(spark, tmp_path):
+    """End-to-end trigger→filter→route→sink run with the reference's
+    accept/reject semantics (main.py:12-16), including null names."""
+    landing = tmp_path / "landing"
+    out = tmp_path / "out"
+    landing.mkdir()
+    rows = [
+        {"bucket": "b", "name": "minha-pasta/a.xlsx", "size": 10, "ts": "2024-01-01T00:00:00Z"},
+        {"bucket": "b", "name": "minha-pasta/sub/b.xlsx", "size": 20, "ts": "2024-01-01T00:01:00Z"},
+        {"bucket": "b", "name": "minha-pasta/c.csv", "size": 30, "ts": "2024-01-01T00:02:00Z"},
+        {"bucket": "b", "name": "outra/d.xlsx", "size": 40, "ts": "2024-01-01T00:03:00Z"},
+        {"bucket": "b", "name": None, "size": 50, "ts": "2024-01-01T00:04:00Z"},
+        {"bucket": None, "size": 60, "ts": "2024-01-01T00:05:00Z"},  # absent name
+    ]
+    with open(landing / "events.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    q = run_landing_pipeline(spark, str(landing), str(out))
+    q.awaitTermination(120)
+    accepted = spark.read.parquet(str(out / "accepted")).collect()
+    rejected = spark.read.parquet(str(out / "rejected")).collect()
+    assert sorted(r.name for r in accepted) == [
+        "minha-pasta/a.xlsx",
+        "minha-pasta/sub/b.xlsx",
+    ]
+    assert len(rejected) == 4
+    logs = {r.log_line for r in accepted}
+    assert "Novo XLSX: gs://b/minha-pasta/a.xlsx (size=10)" in logs
+    rlogs = {r.log_line for r in rejected}
+    assert "Ignorando objeto: outra/d.xlsx" in rlogs
+    # redelivery: running the pipeline again over the same landing dir
+    # with the same checkpoint must be a no-op (idempotent)
+    q2 = run_landing_pipeline(spark, str(landing), str(out))
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(out / "accepted")).count() == 2
