@@ -1,0 +1,73 @@
+"""BigQuery-shaped sink (the driver's north star: "DataFrame ops +
+BigQuery write"). On a real cluster this is the spark-bigquery-connector
+(`df.write.format("bigquery")`); locally — where the connector jar and a
+GCP project don't exist — the same call shape lands partitioned parquet
+under a warehouse dir, keeping every pipeline testable end-to-end.
+
+The interface is intentionally minimal and connector-agnostic: table
+identity + write mode + optional partition column, exactly the knobs the
+BigQuery connector exposes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+class BigQuerySink:
+    """Write DataFrames to BigQuery, or to a local parquet warehouse when
+    the connector isn't on the classpath (local tests)."""
+
+    def __init__(self, project: str | None = None, warehouse_dir: str | None = None):
+        self.project = project
+        self.warehouse_dir = warehouse_dir or os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"
+        )
+
+    def _connector_available(self, df: DataFrame) -> bool:
+        try:
+            jvm = df.sparkSession._jvm
+            jvm.Class.forName(
+                "com.google.cloud.spark.bigquery.BigQueryRelationProvider"
+            )
+            return True
+        except Exception:
+            return False
+
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "append",
+        partition_by: str | None = None,
+    ) -> str:
+        """Write `df` to `table` ("dataset.table"). Returns the sink URI.
+
+        Scale notes: with the real connector, prefer the DIRECT write
+        method (BigQuery Storage Write API — no GCS staging hop) and let
+        `partition_by` map to time-partitioned tables so BigQuery prunes
+        on query; the parquet fallback mirrors that with directory
+        partitioning.
+        """
+        if self._connector_available(df):
+            writer = df.write.format("bigquery").mode(mode).option(
+                "writeMethod", "direct"
+            )
+            if self.project:
+                writer = writer.option("parentProject", self.project)
+            if partition_by:
+                writer = writer.option("partitionField", partition_by)
+            writer.save(table)
+            return f"bigquery://{self.project or 'default'}/{table}"
+        path = os.path.join(self.warehouse_dir, *table.split("."))
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(path)
+        return path
+
+    def read(self, spark, table: str) -> DataFrame:
+        """Read back a table written by the parquet fallback."""
+        return spark.read.parquet(os.path.join(self.warehouse_dir, *table.split(".")))

@@ -85,3 +85,47 @@ def run_landing_pipeline(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_xlsx_etl_pipeline(
+    spark: SparkSession,
+    landing_dir: str,
+    data_root: str,
+    sink,
+    table: str,
+    columns: list[str],
+    schema_ddl: str,
+) -> StreamingQuery:
+    """The reference's complete intended lifecycle, end-to-end
+    (``main.py:5-17`` with the placeholder body filled in):
+
+    file-event stream → accept filter (``main.py:12``) → distributed
+    XLSX parse of the referenced objects → typed cast → load to the
+    BigQuery-shaped sink.
+
+    `data_root` plays the role of the GCS bucket: accepted event `name`s
+    are resolved under it. Each micro-batch reads only the files named
+    by its accepted events (per-object ingest, like the reference), and
+    the sink append is driven from a checkpointed query.
+    """
+    from etl_gcp_function_tmabrasil_spark.sources.xlsx import read_xlsx
+
+    stream = file_event_stream(spark, landing_dir)
+
+    def etl(batch_df: DataFrame, batch_id: int) -> None:
+        accepted = accept_filter(batch_df).select("name").collect()
+        if not accepted:
+            return
+        # per-batch file list → one binaryFile scan over exactly those
+        # objects (names are validated by the accept predicate)
+        names = [r.name for r in accepted]
+        paths = [os.path.join(data_root, n) for n in names]
+        parsed = read_xlsx(spark, paths, columns, schema_ddl=schema_ddl)
+        sink.write(parsed, table, mode="append")
+
+    return (
+        stream.writeStream.foreachBatch(etl)
+        .option("checkpointLocation", os.path.join(data_root, "_etl_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,67 @@
+"""The reference's complete intended pipeline, end-to-end: xlsx files
+land in a bucket dir, CloudEvents land in a landing dir, the streaming
+ETL ingests exactly the accepted objects and loads them into the
+BigQuery-shaped sink (parquet fallback locally)."""
+
+from __future__ import annotations
+
+import json
+
+from etl_gcp_function_tmabrasil_spark.catalog import load_table
+from etl_gcp_function_tmabrasil_spark.sinks.bigquery import BigQuerySink
+from etl_gcp_function_tmabrasil_spark.sources.xlsx import write_minimal_xlsx
+from etl_gcp_function_tmabrasil_spark.streaming.pipeline import run_xlsx_etl_pipeline
+from tests.conftest import SF_SMOKE
+
+COLS = ["event_id", "user_id", "event_type", "value"]
+DDL = "event_id long, user_id long, event_type string, value double"
+
+
+def test_xlsx_etl_to_sink(spark, tmp_path):
+    bucket = tmp_path / "bucket"
+    (bucket / "minha-pasta").mkdir(parents=True)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(*COLS)
+        .orderBy("event_id")
+        .limit(60)
+        .collect()
+    )
+    # two accepted workbooks + one decoy outside the prefix
+    write_minimal_xlsx(
+        str(bucket / "minha-pasta" / "a.xlsx"),
+        COLS,
+        [[r.event_id, r.user_id, r.event_type, r.value] for r in ev[:30]],
+    )
+    write_minimal_xlsx(
+        str(bucket / "minha-pasta" / "b.xlsx"),
+        COLS,
+        [[r.event_id, r.user_id, r.event_type, r.value] for r in ev[30:]],
+    )
+    write_minimal_xlsx(
+        str(bucket / "decoy.xlsx"), COLS, [[999999, 1, "bad", 1.0]]
+    )
+    events = [
+        {"bucket": "bucket", "name": "minha-pasta/a.xlsx", "size": 1, "ts": "2024-01-01T00:00:00Z"},
+        {"bucket": "bucket", "name": "minha-pasta/b.xlsx", "size": 1, "ts": "2024-01-01T00:01:00Z"},
+        {"bucket": "bucket", "name": "decoy.xlsx", "size": 1, "ts": "2024-01-01T00:02:00Z"},
+        {"bucket": "bucket", "name": None, "size": 1, "ts": "2024-01-01T00:03:00Z"},
+    ]
+    with open(landing / "ev.json", "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+    sink = BigQuerySink(warehouse_dir=str(tmp_path / "warehouse"))
+    q = run_xlsx_etl_pipeline(
+        spark, str(landing), str(bucket), sink, "analytics.events_ingested", COLS, DDL
+    )
+    q.awaitTermination(120)
+
+    loaded = sink.read(spark, "analytics.events_ingested")
+    got = {r.event_id: (r.user_id, r.event_type, r.value) for r in loaded.collect()}
+    want = {r.event_id: (r.user_id, r.event_type, r.value) for r in ev}
+    assert got == want, "sink content != accepted workbook rows"
+    assert 999999 not in got, "decoy outside minha-pasta/ was ingested"
+    assert dict(loaded.dtypes)["value"] == "double"
