@@ -20,15 +20,18 @@ from etl_gcp_function_tmabrasil_spark.queries import (
     events_json,
     joins,
     relational,
+    relational2,
     scalar_funcs,
     setops_dedup,
     similarity,
     text_analysis,
+    tfidf_udf,
     windows,
 )
 
 _MODULES = [
     relational,
+    relational2,
     joins,
     aggregates,
     windows,
@@ -38,6 +41,7 @@ _MODULES = [
     text_analysis,
     dedup_approx,
     similarity,
+    tfidf_udf,
 ]
 
 

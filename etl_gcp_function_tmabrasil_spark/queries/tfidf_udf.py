@@ -1,0 +1,173 @@
+"""TF-IDF features (DataFrame-native) and the Python-UDF operator
+surface (SURVEY.md §2.2 "UDF surface"): vectorized pandas UDF and
+grouped-map applyInPandas — each with an exact SQL oracle twin so the
+UDF path itself is correctness-gated.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from etl_gcp_function_tmabrasil_spark.catalog import load_table
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF over `documents`, pure DataFrame ops (explode → term/doc
+    freq → idf join), top-3 terms per doc for the first 50 docs.
+
+    Scale notes: one explode of the token stream, one groupBy per
+    (doc, term), one tiny idf dimension broadcast back. This is the
+    declarative twin of MLlib's HashingTF+IDF (which trades exactness
+    for a fixed-width feature vector; use MLlib when feeding models,
+    this when feeding humans or joins).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar dimension for idf; one job, cached by Spark
+    terms = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "rn", "term", "tfidf")
+        .orderBy("doc_id", "rn")
+    )
+
+
+_TFIDF_SQL = """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+df_ AS (SELECT term, COUNT(*) AS df
+        FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.term AS term,
+    ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN df_ ON tf.term = df_.term CROSS JOIN n
+  WHERE doc_id < 50
+)
+SELECT doc_id, rn, term, tfidf FROM (
+  SELECT doc_id, term, tfidf,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+) t WHERE rn <= 3
+ORDER BY doc_id, rn
+"""
+
+
+def udf_pandas_scaled_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDF (Arrow-batched): log1p-scale event values.
+
+    The UDF body is numpy over a whole Arrow batch — the only acceptable
+    Python-UDF shape in a hot path (row-at-a-time @udf is banned in this
+    engine). Oracle: the same expression in SQL.
+    """
+
+    @F.pandas_udf("double")
+    def log1p_scaled(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(pd.array(np.log1p(v.to_numpy()))).round(6)
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", log1p_scaled(F.col("value")).alias("value_log1p")
+    ).orderBy("event_id")
+
+
+_UDF_PANDAS_SQL = """
+SELECT event_id, ROUND(LN(1.0 + value), 6) AS value_log1p
+FROM events ORDER BY event_id
+"""
+
+
+def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-event-type z-scores computed with
+    pandas inside each group. Oracle: window-function twin in SQL
+    (population stddev; ddof=0 to match).
+    """
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=0)
+        z = (pdf["value"] - mu) / sd if sd and not math.isnan(sd) else pdf["value"] * 0.0
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "event_type": pdf["event_type"], "z": z.round(4)}
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .applyInPandas(zscore, schema="event_id long, event_type string, z double")
+        .orderBy("event_id")
+    )
+
+
+_UDF_ZSCORE_SQL = """
+SELECT event_id, event_type,
+  ROUND((value - AVG(value) OVER w) / stddev_pop(value) OVER w, 4) AS z
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+ORDER BY event_id
+"""
+
+
+def udf_grouped_agg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (UDAF surface): value range per user."""
+
+    @F.pandas_udf("double")
+    def val_range(v: pd.Series) -> float:
+        return float(v.max() - v.min())
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.round(val_range(F.col("value")), 6).alias("value_range"))
+        .orderBy("user_id")
+    )
+
+
+_UDF_RANGE_SQL = """
+SELECT user_id, ROUND(MAX(value) - MIN(value), 6) AS value_range
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+QUERIES = {
+    "tfidf_top_terms": tfidf_top_terms,
+    "udf_pandas_scaled_value": udf_pandas_scaled_value,
+    "udf_grouped_zscore": udf_grouped_zscore,
+    "udf_grouped_agg_range": udf_grouped_agg_range,
+}
+
+ORACLE = {
+    "tfidf_top_terms": _TFIDF_SQL,
+    "udf_pandas_scaled_value": _UDF_PANDAS_SQL,
+    "udf_grouped_zscore": _UDF_ZSCORE_SQL,
+    "udf_grouped_agg_range": _UDF_RANGE_SQL,
+}

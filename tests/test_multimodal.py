@@ -1,0 +1,97 @@
+"""Multimodal plumbing tests: schema, decode, resize, frame sampling —
+hermetic via the deterministic FakeCodec; the real-codec seam must raise
+cleanly when its library is absent."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_gcp_function_tmabrasil_spark.operators.multimodal import (
+    FakeCodec,
+    PillowCodec,
+    decode_media_meta,
+    encode_fake_media,
+    resize_media,
+    sample_frames,
+    synth_media_table,
+)
+
+
+def test_decode_meta(spark):
+    media = synth_media_table(spark, 30)
+    decoded = decode_media_meta(media)
+    rows = {r.media_id: r for r in decoded.collect()}
+    assert len(rows) == 30
+    for i, r in rows.items():
+        assert r.width == 64 + i % 8 * 16
+        assert r.height == 48 + i % 5 * 16
+        assert r.n_frames == 1 + i % 7
+        assert r.content_length == 10 + 12 + r.n_frames  # magic+header+body
+    assert "content" not in decoded.columns, "raw bytes must not pass through"
+
+
+def test_resize_rewrites_dims_only(spark):
+    media = synth_media_table(spark, 12)
+    resized = resize_media(media, 0.5)
+    assert resized.schema == media.schema
+    before = {r.media_id: r for r in decode_media_meta(media).collect()}
+    after = {r.media_id: r for r in decode_media_meta(resized).collect()}
+    for i in before:
+        assert after[i].width == max(1, before[i].width // 2)
+        assert after[i].n_frames == before[i].n_frames  # payload untouched
+
+
+def test_sample_frames_explodes_rows(spark):
+    media = synth_media_table(spark, 9)
+    frames = sample_frames(media, every_k=2)
+    got = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    want = {i: (1 + i % 7 + 1) // 2 for i in range(9)}
+    assert {r.media_id: r.n for r in got} == want
+    # frame values are the deterministic synthetic bytes
+    v = {(r.media_id, r.frame_index): r.frame_value for r in frames.collect()}
+    assert v[(3, 0)] == (3 * 31) % 251
+
+
+def test_corrupt_payload_fails_loudly(spark):
+    df = spark.createDataFrame(
+        [(0, "image", b"garbage", ("s", 7))],
+        "media_id long, kind string, content binary, meta struct<source:string,content_length:bigint>",
+    )
+    with pytest.raises(Exception):
+        decode_media_meta(df).collect()
+
+
+def test_real_codec_seam_is_marked():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow unexpectedly present")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        PillowCodec()
+
+
+def test_arrow_batch_bound(spark):
+    """Batch size honors arrow.maxRecordsPerBatch (memory-bounding knob
+    for multi-MB payloads)."""
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        media = synth_media_table(spark, 64).coalesce(1)
+        import pandas as pd
+
+        sizes = []
+
+        def record(batches):
+            for pdf in batches:
+                sizes.append(len(pdf))
+                yield pd.DataFrame({"n": [len(pdf)]})
+
+        media.mapInPandas(record, schema="n int").collect()
+        # sizes observed on executors aren't visible here; assert via output
+        out = media.mapInPandas(record, schema="n int").collect()
+        assert max(r.n for r in out) <= 8
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
