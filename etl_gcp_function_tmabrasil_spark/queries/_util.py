@@ -47,15 +47,7 @@ def second(col: Column | str) -> Column:
     return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
 
 
-def hash60(col: Column, seed: int | None = None) -> Column:
-    """Engine-reproducible 60-bit hash: first 15 hex chars of md5, as a
-    signed BIGINT (fits: 2^60-1 < 2^63). Used by MinHash/SimHash so the
-    DuckDB oracle can replicate sketches bit-for-bit (SQL twin:
-    ``SQL_HASH60``). Spark's native xxhash64 is faster but not
-    cross-engine; swap via this one indirection point if oracle parity is
-    not needed."""
-    inp = F.concat(F.lit(f"{seed}:"), col) if seed is not None else col
-    return F.conv(F.substring(F.md5(inp), 1, 15), 16, 10).cast("long")
+from etl_gcp_function_tmabrasil_spark.functions.text import hash60  # noqa: F401  (re-export)
 
 
 #: DuckDB twin of :func:`hash60` — format with the input SQL expression.

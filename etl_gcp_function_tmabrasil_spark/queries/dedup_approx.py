@@ -55,20 +55,7 @@ ORDER BY keeper_doc_id
 """
 
 
-def _shingles(toks: Column) -> Column:
-    """Word 3-shingles (1-based indexing, matching DuckDB lists)."""
-    return F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        ),
-    ).otherwise(F.array(F.col("text")))
+from etl_gcp_function_tmabrasil_spark.functions.text import word_shingles as _shingles
 
 
 _SHINGLES_SQL = """

@@ -37,17 +37,7 @@ def _hyperplanes() -> list[list[float]]:
     return [[round(float(v), 6) for v in row] for row in rng.randn(N_PLANES, DIM)]
 
 
-def _dot(a: Column, b: Column) -> Column:
-    """Sequential double dot product via zip_with + aggregate (JVM-side)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
+from etl_gcp_function_tmabrasil_spark.functions.vector import dot as _dot, l2norm as _norm
 
 
 _SQL_DOT = (

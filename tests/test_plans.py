@@ -1,0 +1,59 @@
+"""Plan-shape guardrails: pin the physical-plan properties that make the
+headline queries survive a 100 TB scale-up. A change that loses pushdown,
+de-broadcasts a dim, or adds a shuffle fails here even if results stay
+correct."""
+
+from __future__ import annotations
+
+from etl_gcp_function_tmabrasil_spark.plans.inspect import (
+    count_exchanges,
+    explain_str,
+    has_broadcast_hash_join,
+    has_take_ordered,
+    pushed_filters,
+    scan_read_schema,
+)
+from etl_gcp_function_tmabrasil_spark.queries.relational import (
+    q1_pricing_summary,
+    q5_local_supplier_volume,
+    q6_forecast_revenue,
+)
+from etl_gcp_function_tmabrasil_spark.queries.setops_dedup import sort_topk_orders
+from etl_gcp_function_tmabrasil_spark.queries.windows import window_topk_per_group
+
+
+def test_q6_filters_reach_scan(spark, sf_dir):
+    q6 = q6_forecast_revenue(spark, sf_dir)
+    pushed = " ".join(pushed_filters(q6))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"filter on {col} not pushed to parquet scan"
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    cols = set(scan_read_schema(q6_forecast_revenue(spark, sf_dir)))
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}, (
+        "scan reads more columns than the query needs"
+    )
+
+
+def test_q1_single_aggregation_shuffle(spark, sf_dir):
+    # partial+final agg: exactly one hash exchange (plus the output sort's
+    # range exchange) — the fact stream must not shuffle twice
+    n = count_exchanges(q1_pricing_summary(spark, sf_dir))
+    assert n <= 2, f"q1 pays {n} shuffles; expected agg + final sort only"
+
+
+def test_q5_dims_broadcast(spark, sf_dir):
+    q5 = q5_local_supplier_volume(spark, sf_dir)
+    assert has_broadcast_hash_join(q5), "q5 dims did not broadcast"
+
+
+def test_global_topk_avoids_sort(spark, sf_dir):
+    assert has_take_ordered(sort_topk_orders(spark, sf_dir)), (
+        "orderBy+limit did not compile to TakeOrderedAndProject"
+    )
+
+
+def test_grouped_topk_single_shuffle(spark, sf_dir):
+    df = window_topk_per_group(spark, sf_dir)
+    assert count_exchanges(df) <= 2, "per-group top-k should shuffle once on the group key (+1 for final order)"
