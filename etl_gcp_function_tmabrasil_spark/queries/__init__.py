@@ -21,6 +21,7 @@ from etl_gcp_function_tmabrasil_spark.queries import (
     joins,
     relational,
     relational2,
+    relational3,
     scalar_funcs,
     setops_dedup,
     similarity,
@@ -32,6 +33,7 @@ from etl_gcp_function_tmabrasil_spark.queries import (
 _MODULES = [
     relational,
     relational2,
+    relational3,
     joins,
     aggregates,
     windows,

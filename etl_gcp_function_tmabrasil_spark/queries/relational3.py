@@ -1,0 +1,486 @@
+"""Third relational wave — the remaining hard TPC-H plan shapes
+(SURVEY.md §2.2 "Joins", "Aggregation"; build order §7.1 step 2).
+
+These realize the reference's unimplemented processing body
+(``/root/reference/main.py:17``) with the query shapes the first two
+waves did not cover: bidirectional nation-pair joins (Q7), conditional
+market-share ratios (Q8), multi-way profit rollups (Q9),
+HAVING-with-scalar-subquery (Q11), outer-join count histograms (Q13),
+top-by-global-max (Q15), count-distinct behind a null-aware NOT IN
+(Q16), correlated scalar subqueries (Q17), correlated EXISTS /
+NOT EXISTS over the same fact table (Q21), and anti-join +
+scalar-average gating (Q22). All adapted to the driver's star schema
+(FIXTURES.md — no partsupp / c_phone / l_commitdate columns).
+
+Scale notes (100 TB discipline): every query keeps dims broadcast,
+pushes its filters to the parquet scan, and decorrelates subqueries
+into joins Catalyst can plan (scalar aggregates become 1-row
+broadcasts; EXISTS/NOT IN become semi/anti joins) — no collect(), no
+driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from etl_gcp_function_tmabrasil_spark.catalog import load_table
+from etl_gcp_function_tmabrasil_spark.queries._util import dsum
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
+
+    Scale notes: both nation joins broadcast; the disjunctive pair
+    predicate is applied after the joins so it rides the fact shuffle
+    (orders⨝lineitem on orderkey) without extra exchanges.
+    """
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    n1 = F.broadcast(load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        supp.join(li, supp.s_suppkey == li.l_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(_rev(), 6).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  EXTRACT(YEAR FROM l_shipdate) AS l_year,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY n1.n_name, n2.n_name, EXTRACT(YEAR FROM l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional PROMO volume per
+    year — conditional numerator over an unconditional denominator.
+
+    Scale notes: numerator and denominator come out of ONE aggregation
+    pass (conditional decimal sums), so the ratio costs no second scan;
+    region/nation/part-side dims broadcast.
+    """
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA"))
+    n_cust = F.broadcast(load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")))
+    n_supp = F.broadcast(load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    vol = _rev().cast("decimal(18,6)")
+    target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0).cast("decimal(18,6)"))
+    return (
+        part.join(li, part.p_partkey == li.l_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n_cust, F.col("c_nationkey") == F.col("c_nk"))
+        .join(region, F.col("c_rk") == F.col("r_regionkey"))
+        .join(n_supp, F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(target).cast("double") / F.sum(vol).cast("double")).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q8_SQL = """
+SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+  CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+    AS mkt_share,
+  COUNT(*) AS n_rows
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY EXTRACT(YEAR FROM o_orderdate)
+ORDER BY o_year
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation × year, substring part
+    filter (p_retailprice stands in for ps_supplycost — no partsupp in
+    the driver schema, FIXTURES.md).
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    profit = _rev() - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    return (
+        part.join(li, part.p_partkey == li.l_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(profit, 6).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      - p_retailprice * l_quantity * 0.1 AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part supplied value with HAVING above a
+    fraction of the global total (scalar subquery in HAVING).
+
+    Scale notes: the global total is a 1-row aggregate broadcast into
+    the filter — Spark plans the cross join as BroadcastNestedLoopJoin
+    over one row, which is free; the per-part agg is the only shuffle.
+    """
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2))
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        nation.join(supp, nation.n_nationkey == supp.s_nationkey)
+        .join(li, supp.s_suppkey == li.l_suppkey)
+        .select(F.col("l_partkey"), _rev().cast("decimal(18,6)").alias("val"))
+    )
+    per_part = base.groupBy("l_partkey").agg(F.sum("val").cast("double").alias("part_value"))
+    total = base.agg((F.sum("val") * F.lit(0.001)).cast("double").alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+_Q11_SQL = """
+WITH base AS (
+  SELECT l_partkey, CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS val
+  FROM nation
+  JOIN supplier ON n_nationkey = s_nationkey
+  JOIN lineitem ON s_suppkey = l_suppkey
+  WHERE n_regionkey = 2
+)
+SELECT l_partkey, CAST(SUM(val) AS DOUBLE) AS part_value
+FROM base
+GROUP BY l_partkey
+HAVING CAST(SUM(val) AS DOUBLE) > (SELECT CAST(SUM(val) * 0.001 AS DOUBLE) FROM base)
+ORDER BY part_value DESC, l_partkey ASC
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count histogram over a left outer join
+    with a join-side (not WHERE-side) predicate — customers with zero
+    orders must survive with c_count = 0.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) whose quarterly revenue equals the
+    global max (revenue view + scalar-max subquery).
+
+    Determinism: revenues are exact decimal sums cast to double, so the
+    max-equality compare is bit-identical across engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(_rev(), 6).alias("total_revenue"))
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(revenue, supp.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+      AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per part attribute
+    triple, excluding suppliers from a null-aware NOT IN subquery
+    (→ left-anti join in Spark).
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 500).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#3'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery — lineitems below
+    half their part's average quantity; decorrelated into a per-part
+    aggregate joined back to the fact.
+
+    Determinism: the per-part average is an exact decimal sum / count,
+    so the `<` gate decides identically in Spark and DuckDB.
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+         / F.count(F.lit(1))).alias("avg_qty"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(per_part_avg, li.l_partkey == per_part_avg.pk)
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(
+            (dsum("l_extendedprice", 4) / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_Q17_SQL = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+  COUNT(*) AS n_rows
+FROM lineitem l1
+JOIN part ON l1.l_partkey = p_partkey
+WHERE p_brand = 'Brand#5'
+  AND l_quantity < 0.5 * (
+    SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: correlated EXISTS + NOT EXISTS against the same
+    fact table — suppliers who alone returned items in multi-supplier
+    finalized orders (l_returnflag='R' stands in for the missing
+    receipt/commit dates, FIXTURES.md).
+
+    Scale notes: EXISTS → left-semi, NOT EXISTS → left-anti, both on
+    l_orderkey, so all three lineitem passes shuffle on the same key
+    and AQE can reuse the exchange partitioning.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = load_table(spark, sf_dir, "supplier")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").alias("l3")
+    exists_other = (F.col("l2.l_orderkey") == F.col("l1.l_orderkey")) & (
+        F.col("l2.l_suppkey") != F.col("l1.l_suppkey"))
+    not_exists_other_r = (F.col("l3.l_orderkey") == F.col("l1.l_orderkey")) & (
+        F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
+    return (
+        l1.join(l2, exists_other, "left_semi")
+        .join(l3, not_exists_other_r, "left_anti")
+        .join(orders, F.col("l1.l_orderkey") == orders.o_orderkey)
+        .join(supp, F.col("l1.l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+_Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: high-balance customers with no orders —
+    scalar-average gate + NOT EXISTS anti join, grouped by segment
+    (c_mktsegment stands in for the missing c_phone country code).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+         / F.count(F.lit(1))).alias("avg_bal"))
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", 4).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_Q22_SQL = """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+    FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+QUERIES = {
+    "q7_nation_volume": q7_nation_volume,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_part_value": q11_important_part_value,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_idle_customers": q22_idle_customers,
+}
+
+ORACLE = {
+    "q7_nation_volume": _Q7_SQL,
+    "q8_market_share": _Q8_SQL,
+    "q9_product_profit": _Q9_SQL,
+    "q11_important_part_value": _Q11_SQL,
+    "q13_customer_distribution": _Q13_SQL,
+    "q15_top_supplier": _Q15_SQL,
+    "q16_supplier_part_counts": _Q16_SQL,
+    "q17_small_quantity_revenue": _Q17_SQL,
+    "q21_waiting_suppliers": _Q21_SQL,
+    "q22_idle_customers": _Q22_SQL,
+}
