@@ -129,9 +129,32 @@ ORDER BY doc1, doc2
 _SPARK_HASH60 = "cast(conv(substring(md5({expr}),1,15),16,10) as bigint)"
 
 
+#: MinHash via ONE md5 per shingle + affine permutations (a*h+b) mod p.
+#: The naive alternative — md5(concat(i, ':', t)) per signature position —
+#: costs N_MINHASH md5 calls per shingle (measured ~4x whole-query cost at
+#: bench scale); the permutation family needs exactly one. p = 2^31-1
+#: (Mersenne); h is reduced mod p first so a*h+b stays well inside int64.
+_MINHASH_P = (1 << 31) - 1
+#: Deterministic Knuth-style multiplicative constants (no runtime RNG).
+_MINHASH_PERMS = [
+    ((2654435761 * (i + 1)) % _MINHASH_P or 1, (40503 * (i + 7)) % _MINHASH_P)
+    for i in range(N_MINHASH)
+]
+
+#: One 32-bit-ish base hash per shingle, pre-reduced mod p.
+_SPARK_SHINGLE_HASH = (
+    "transform(sh, t -> cast(conv(substring(md5(t),1,8),16,10) as bigint)"
+    f" % {_MINHASH_P}L)"
+)
+_SQL_SHINGLE_HASH = (
+    "list_transform(sh, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT"
+    f" % {_MINHASH_P})"
+)
+
+
 def _sig_expr(i: int) -> str:
-    h = _SPARK_HASH60.format(expr=f"concat('{i}:', t)")
-    return f"array_min(transform(sh, t -> {h}))"
+    a, b = _MINHASH_PERMS[i]
+    return f"array_min(transform(shh, x -> ({a}L * x + {b}L) % {_MINHASH_P}L))"
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,9 +178,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persist signatures: both the band self-join and the verify join
     # re-read them; without this the 16-hash sketch pipeline re-runs once
     # per branch (measured 4x cost at bench scale).
-    sigs = base.select(
-        "doc_id", "sh", *[F.expr(_sig_expr(i)).alias(f"s{i}") for i in range(N_MINHASH)]
-    ).persist()
+    sigs = (
+        base.select("doc_id", "sh", F.expr(_SPARK_SHINGLE_HASH).alias("shh"))
+        .select(
+            "doc_id",
+            "sh",
+            *[F.expr(_sig_expr(i)).alias(f"s{i}") for i in range(N_MINHASH)],
+        )
+        .persist()
+    )
     r = N_MINHASH // N_BANDS
     band_structs = [
         F.struct(
@@ -201,8 +230,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql() -> str:
     sig_exprs = ",\n    ".join(
-        "list_min(list_transform(sh, t -> {h})) AS s{i}".format(
-            h=SQL_HASH60.format(expr=f"concat('{i}:', t)"), i=i
+        "list_min(list_transform(shh, x -> ({a} * x + {b}) % {p})) AS s{i}".format(
+            a=_MINHASH_PERMS[i][0], b=_MINHASH_PERMS[i][1], p=_MINHASH_P, i=i
         )
         for i in range(N_MINHASH)
     )
@@ -218,10 +247,13 @@ WITH base AS (
   SELECT doc_id, list_distinct({_SHINGLES_SQL.strip()}) AS sh
   FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents) t0
 ),
+hashed AS (
+  SELECT doc_id, sh, {_SQL_SHINGLE_HASH} AS shh FROM base
+),
 sigs AS (
   SELECT doc_id, sh,
     {sig_exprs}
-  FROM base
+  FROM hashed
 ),
 bands AS (
   {band_rows}
