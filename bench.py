@@ -48,6 +48,14 @@ def main() -> None:
         sf = sf_dir
     spark = get_spark(app_name="bench")
     queries = all_queries()
+    # Untimed warmup: exercise JVM JIT, codegen, parquet reader, and the
+    # noop-sink path once so the first timed query isn't charged for them.
+    spark.range(1_000_000).selectExpr("sum(id) as s").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    queries["q6_forecast_revenue"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = queries[name](spark, sf_dir)

@@ -168,6 +168,115 @@ ORDER BY query_id
 """
 
 
+N_CELLS = 16  # IVF coarse cells
+N_PROBE = 4  # cells probed per query
+
+
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via IVF cell-probe: assign every vector to its
+    nearest coarse centroid (the inverted file), then answer each query
+    by scanning only its N_PROBE nearest cells.
+
+    Centroids here are the first N_CELLS vectors (deterministic stand-in
+    for a k-means codebook — the plumbing, not the training, is the
+    operator). Assignment is a broadcast cross join against 16 centroids
+    + a per-vector argmax — row-local work, no big shuffle; the probe
+    join is keyed on cell_id, so the candidate scan touches
+    N_PROBE/N_CELLS of the corpus — that fraction holds at 100 TB.
+    Cosines are rounded before ranking (6dp assign / 4dp score) with id
+    tiebreaks so Spark and DuckDB pick identical cells and neighbors.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    cent = F.broadcast(
+        emb.filter(F.col("vec_id") < N_CELLS).select(
+            F.col("vec_id").alias("cell_id"), F.col("e").alias("ce")
+        )
+    )
+    acos = F.round(
+        _dot(F.col("e"), F.col("ce")) / (_norm(F.col("e")) * _norm(F.col("ce"))), 6
+    )
+    wa = W.partitionBy("vec_id").orderBy(F.desc("acos"), F.asc("cell_id"))
+    assigned = (
+        emb.crossJoin(cent)
+        .select("vec_id", "e", "cell_id", acos.alias("acos"))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", "cell_id")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    qcos = F.round(
+        _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))), 6
+    )
+    wp = W.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cell_id"))
+    probes = (
+        q.crossJoin(cent)
+        .select("query_id", "qe", "cell_id", qcos.alias("qcos"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "qe", "cell_id")
+    )
+    cos = _dot(F.col("qe"), F.col("e")) / (_norm(F.col("qe")) * _norm(F.col("e")))
+    wk = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(probes)
+        .join(assigned, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "rn", "neighbor_id", "cosine")
+        .orderBy("query_id", "rn")
+    )
+
+
+def _ivf_sql() -> str:
+    def cos(a: str, b: str, nd: int) -> str:
+        return "ROUND({dot} / ({na} * {nb}), {nd})".format(
+            dot=_SQL_DOT.format(a=a, b=b),
+            na=_SQL_NORM.format(a=a),
+            nb=_SQL_NORM.format(a=b),
+            nd=nd,
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent AS (SELECT vec_id AS cell_id, e AS ce FROM e WHERE vec_id < {N_CELLS}),
+assigned AS (
+  SELECT vec_id, e, cell_id FROM (
+    SELECT e.vec_id, e.e, cent.cell_id,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY {cos("e.e", "cent.ce", 6)} DESC, cent.cell_id ASC) AS rn
+    FROM e CROSS JOIN cent
+  ) t WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qe, cell_id FROM (
+    SELECT q.vec_id AS query_id, q.e AS qe, cent.cell_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                         ORDER BY {cos("q.e", "cent.ce", 6)} DESC, cent.cell_id ASC) AS rn
+    FROM e q CROSS JOIN cent WHERE q.vec_id < {N_QUERIES}
+  ) t WHERE rn <= {N_PROBE}
+)
+SELECT query_id, rn, neighbor_id, cosine FROM (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+    {cos("p.qe", "a.e", 4)} AS cosine,
+    ROW_NUMBER() OVER (PARTITION BY p.query_id
+                       ORDER BY {cos("p.qe", "a.e", 4)} DESC, a.vec_id ASC) AS rn
+  FROM probes p JOIN assigned a ON p.cell_id = a.cell_id
+  WHERE a.vec_id <> p.query_id
+) t WHERE rn <= {TOP_K}
+ORDER BY query_id, rn
+"""
+
+
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-column stats per label: count + L2-norm distribution."""
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -246,6 +355,7 @@ ORDER BY vec1, vec2
 QUERIES = {
     "knn_bruteforce_cosine": knn_bruteforce_cosine,
     "ann_lsh_cosine": ann_lsh_cosine,
+    "ann_ivf_cosine": ann_ivf_cosine,
     "embedding_stats": embedding_stats,
     "embedding_cosine_dedup": embedding_cosine_dedup,
 }
@@ -253,6 +363,7 @@ QUERIES = {
 ORACLE = {
     "knn_bruteforce_cosine": _knn_sql(),
     "ann_lsh_cosine": _ann_sql(),
+    "ann_ivf_cosine": _ivf_sql(),
     "embedding_stats": _emb_stats_sql(),
     "embedding_cosine_dedup": _emb_dedup_sql(),
 }

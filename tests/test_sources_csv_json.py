@@ -1,0 +1,86 @@
+"""CSV / JSON batch scans with explicit schemas (SURVEY.md §2.2
+"Sources / sinks": `spark.read.csv/json` with explicit schema) — round
+trip a slice of `events` through both text formats and require exact
+equality with the parquet original.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F, types as T
+
+from etl_gcp_function_tmabrasil_spark.catalog import load_table
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+_COLS = [f.name for f in _SCHEMA.fields]
+
+
+def _slice(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(*_COLS)
+        .filter(F.col("event_id") < 200)
+    )
+
+
+def _assert_roundtrip(spark, original, back):
+    a = sorted(map(tuple, original.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert back.schema == _SCHEMA
+    assert a == b
+
+
+def test_csv_scan_explicit_schema(spark, sf_dir, tmp_path):
+    original = _slice(spark, sf_dir)
+    path = str(tmp_path / "events_csv")
+    original.write.option("header", True).option(
+        "timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ).csv(path)
+    back = (
+        spark.read.schema(_SCHEMA)
+        .option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+    _assert_roundtrip(spark, original, back)
+
+
+def test_json_scan_explicit_schema(spark, sf_dir, tmp_path):
+    original = _slice(spark, sf_dir)
+    path = str(tmp_path / "events_json")
+    original.write.option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").json(path)
+    back = (
+        spark.read.schema(_SCHEMA)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .json(path)
+    )
+    _assert_roundtrip(spark, original, back)
+
+
+def test_csv_malformed_rows_dropped(spark, tmp_path):
+    """Explicit schema + DROPMALFORMED: bad rows are filtered at the
+    scan, mirroring the reference's reject-path semantics
+    (/root/reference/main.py:12-14) at the file-format layer."""
+    p = tmp_path / "raw.csv"
+    p.write_text(
+        "event_id,ts,user_id,event_type,value\n"
+        "1,2024-01-01 00:00:00.000000,7,click,1.5\n"
+        "not-a-number,xxx,yyy,click,zzz\n"
+        "2,2024-01-02 00:00:00.000000,8,view,2.5\n"
+    )
+    back = (
+        spark.read.schema(_SCHEMA)
+        .option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .option("mode", "DROPMALFORMED")
+        .csv(str(p))
+    )
+    assert [r.event_id for r in back.orderBy("event_id").collect()] == [1, 2]
