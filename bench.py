@@ -35,7 +35,11 @@ HEADLINE = [
     "text_token_count",         # text analysis (higher-order fns)
     "dedup_minhash_lsh",        # minhash LSH near-dup
     "knn_bruteforce_cosine",    # vector similarity
+    "ann_ivf_cosine",           # IVF cell-probe ANN (scale path)
     "join_asof_purchase",       # as-of join pattern
+    "q9_product_profit",        # 5-way join + profit rollup
+    "q13_customer_distribution", # outer join + double agg
+    "q21_waiting_suppliers",    # exists/not-exists semi+anti joins
 ]
 
 

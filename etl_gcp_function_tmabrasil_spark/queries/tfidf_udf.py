@@ -158,8 +158,54 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) via LATERAL join: explode each doc's
+    text into (pos, token) rows — the user-defined row-generator surface
+    (SURVEY.md §2.2 "grouped-map UDF / UDTF").
+
+    Scale notes: the UDTF runs per-partition in a Python worker with
+    Arrow transfer; each input row fans out independently, so the
+    operator is embarrassingly parallel with no shuffle. Prefer the
+    built-in posexplode(split(...)) when semantics allow — this entry
+    exists to gate the UDTF machinery itself.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, token: string")
+    class TokenizePositions:
+        def eval(self, text: str):
+            if text:
+                for i, tok in enumerate(text.split(" "), start=1):
+                    yield i, tok
+
+    spark.udtf.register("tokenize_positions", TokenizePositions)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 50
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, t.pos, t.token
+        FROM _udtf_docs, LATERAL tokenize_positions(text) t
+        ORDER BY doc_id, pos
+        """
+    )
+
+
+# DuckDB zips parallel UNNESTs in one select — the lateral-UDTF twin.
+_UDTF_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE doc_id < 50)
+SELECT doc_id,
+  UNNEST(generate_series(1, len(toks))) AS pos,
+  UNNEST(toks) AS token
+FROM t
+ORDER BY doc_id, pos
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
+    "udtf_token_positions": udtf_token_positions,
     "udf_pandas_scaled_value": udf_pandas_scaled_value,
     "udf_grouped_zscore": udf_grouped_zscore,
     "udf_grouped_agg_range": udf_grouped_agg_range,
@@ -167,6 +213,7 @@ QUERIES = {
 
 ORACLE = {
     "tfidf_top_terms": _TFIDF_SQL,
+    "udtf_token_positions": _UDTF_SQL,
     "udf_pandas_scaled_value": _UDF_PANDAS_SQL,
     "udf_grouped_zscore": _UDF_ZSCORE_SQL,
     "udf_grouped_agg_range": _UDF_RANGE_SQL,
