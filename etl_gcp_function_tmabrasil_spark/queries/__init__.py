@@ -19,6 +19,7 @@ from etl_gcp_function_tmabrasil_spark.queries import (
     dedup_approx,
     events_json,
     joins,
+    mllib_lsh,
     relational,
     relational2,
     relational3,
@@ -43,6 +44,7 @@ _MODULES = [
     text_analysis,
     dedup_approx,
     similarity,
+    mllib_lsh,
     tfidf_udf,
 ]
 

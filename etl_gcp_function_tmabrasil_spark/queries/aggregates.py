@@ -187,8 +187,70 @@ ORDER BY returnflag, linestatus
 """
 
 
+def rollup_time_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (hypertable-style continuous
+    aggregate): the same event metrics at hour/day/week grain in one
+    result, each grain tagged by a `resolution` column.
+
+    Scale notes: three independent partial+final aggs over one scan
+    lineage; at 100 TB this materializes as the classic rollup cascade
+    (aggregate the finest grain once, then re-aggregate coarser grains
+    from it — day from hour, week from day) which is how a periodic job
+    would maintain these; here each grain is cheap enough to group
+    directly and Catalyst reuses the scan.
+    """
+    from etl_gcp_function_tmabrasil_spark.queries._util import second
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def grain(res: str) -> DataFrame:
+        return (
+            ev.groupBy(
+                F.lit(res).alias("resolution"),
+                F.date_trunc(res, "ts").alias("bucket"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                dsum("value", 6).alias("sum_value"),
+            )
+        )
+
+    out = grain("hour").unionByName(grain("day")).unionByName(grain("week"))
+    return out.select(
+        "resolution",
+        second("bucket").alias("bucket_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    ).orderBy("resolution", "bucket_start", "event_type")
+
+
+_MULTIRES_SQL = """
+WITH g AS (
+  SELECT 'hour' AS resolution, date_trunc('hour', ts) AS bucket, event_type,
+    COUNT(*) AS n,
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT 'day', date_trunc('day', ts), event_type, COUNT(*),
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+  FROM events GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT 'week', date_trunc('week', ts), event_type, COUNT(*),
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT resolution, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+  event_type, n, sum_value
+FROM g
+ORDER BY resolution, bucket_start, event_type
+"""
+
+
 QUERIES = {
     "agg_distinct": agg_distinct,
+    "rollup_time_multires": rollup_time_multires,
     "agg_approx_distinct": agg_approx_distinct,
     "agg_percentiles": agg_percentiles,
     "agg_rollup": agg_rollup,
@@ -199,6 +261,7 @@ QUERIES = {
 
 ORACLE = {
     "agg_distinct": _DISTINCT_SQL,
+    "rollup_time_multires": _MULTIRES_SQL,
     "agg_percentiles": _PERCENTILES_SQL,
     "agg_rollup": _ROLLUP_SQL,
     "agg_cube": _CUBE_SQL,
