@@ -158,6 +158,48 @@ ORDER BY window_start, event_type
 """
 
 
+def window_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 6-hour windows every 3 hours (batch twin of
+    streaming/windows.sliding_counts): each event lands in exactly
+    window/slide = 2 overlapping windows.
+
+    Scale notes: `F.window` with a slide expands each row to k=2 window
+    memberships before the agg — a bounded row multiplier (k), not a
+    join; the shuffle key is (window, event_type) so partial aggs still
+    collapse map-side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# Sliding = each event expanded to its k=window/slide bucket starts:
+# time_bucket(slide, ts) - i*slide for i in 0..k-1 (start+window > ts
+# holds for all i < k, so no extra filter is needed).
+_SLIDING_SQL = """
+WITH exp AS (
+  SELECT event_type, value,
+    time_bucket(INTERVAL '3 hours', ts) - (o.o * INTERVAL '3 hours') AS window_start
+  FROM events, (SELECT UNNEST([0, 1]) AS o) o
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM exp
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
 def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows (30-minute inactivity gap) in batch mode
     via `session_window` — oracled by the classic gaps-and-islands SQL."""
@@ -205,6 +247,7 @@ QUERIES = {
     "array_ops": array_ops,
     "map_ops": map_ops,
     "window_tumbling_batch": window_tumbling_batch,
+    "window_sliding_batch": window_sliding_batch,
     "window_session_batch": window_session_batch,
 }
 
@@ -214,5 +257,6 @@ ORACLE = {
     "array_ops": _ARRAY_SQL,
     "map_ops": _MAP_SQL,
     "window_tumbling_batch": _TUMBLING_SQL,
+    "window_sliding_batch": _SLIDING_SQL,
     "window_session_batch": _SESSION_SQL,
 }
