@@ -105,6 +105,45 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) frame: per event type, the rolling 1-hour
+    event count and value sum ending at each event's timestamp —
+    rangeBetween over epoch seconds (SURVEY.md §2.2 "frames:
+    rowsBetween / rangeBetween").
+
+    RANGE frames are tie-safe: co-timestamped events share one frame in
+    both engines, so no tiebreaker is needed inside the frame (the
+    output order still carries event_id).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double")
+        .alias("sum_last_hour"),
+    ).orderBy("event_id")
+
+
+# ORDER BY floor-epoch seconds, not raw ts: Spark's unix_timestamp()
+# truncates to whole seconds, so the oracle frame must too (µs-precision
+# interval frames disagree on rows within 1s of the boundary).
+_RANGE_FRAME_SQL = """
+SELECT event_id, event_type,
+  COUNT(*) OVER w AS n_last_hour,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_last_hour
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 parts by retail price within each part type (per-group top-k
     via row_number — the scalable pattern: no global sort, one shuffle)."""
@@ -165,6 +204,7 @@ QUERIES = {
     "window_rank_orders": window_rank_orders,
     "window_lag_lead": window_lag_lead,
     "window_running_sum": window_running_sum,
+    "window_range_frame": window_range_frame,
     "window_topk_per_group": window_topk_per_group,
     "window_ntile": window_ntile,
 }
@@ -173,6 +213,7 @@ ORACLE = {
     "window_rank_orders": _RANK_SQL,
     "window_lag_lead": _LAG_SQL,
     "window_running_sum": _RUNNING_SQL,
+    "window_range_frame": _RANGE_FRAME_SQL,
     "window_topk_per_group": _TOPK_GROUP_SQL,
     "window_ntile": _NTILE_SQL,
 }

@@ -87,6 +87,29 @@ def run_landing_pipeline(
     return writer.start()
 
 
+def run_console_logger(
+    spark: SparkSession,
+    landing_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Console log sink — the reference's accept-side print
+    (``/root/reference/main.py:16``: "Novo XLSX: gs://{bucket}/{name}
+    (size={size})") as a streaming console sink over the accepted
+    branch. Observability only; the durable branches are written by
+    run_landing_pipeline."""
+    stream = with_log_line(accept_filter(file_event_stream(spark, landing_dir)))
+    writer = (
+        stream.select("log_line")
+        .writeStream.format("console")
+        .option("truncate", "false")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_xlsx_etl_pipeline(
     spark: SparkSession,
     landing_dir: str,

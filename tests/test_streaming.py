@@ -186,3 +186,25 @@ def test_landing_pipeline_reference_semantics(spark, tmp_path):
     q2 = run_landing_pipeline(spark, str(landing), str(out))
     q2.awaitTermination(120)
     assert spark.read.parquet(str(out / "accepted")).count() == 2
+
+
+def test_console_logger_runs(spark, tmp_path):
+    """The reference's accept-side log sink (main.py:16) as a streaming
+    console sink: the availableNow run must drain the landing dir and
+    terminate cleanly (output goes to executor stdout)."""
+    from etl_gcp_function_tmabrasil_spark.streaming.pipeline import run_console_logger
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    with open(landing / "events.json", "w") as f:
+        f.write(
+            json.dumps(
+                {"bucket": "b", "name": "minha-pasta/a.xlsx", "size": 10,
+                 "ts": "2024-01-01T00:00:00Z"}
+            )
+            + "\n"
+        )
+    q = run_console_logger(spark, str(landing), str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert not q.isActive
+    assert q.exception() is None
