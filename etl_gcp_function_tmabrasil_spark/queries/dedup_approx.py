@@ -74,11 +74,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant is dedup_minhash_lsh below (LSH *is* the blocking).
     """
     docs = load_table(spark, sf_dir, "documents")
+    # Project tokens as a real column BEFORE shingling: a split() inlined
+    # into the transform() lambda re-evaluates per element (higher-order
+    # fns bypass codegen subexpression elimination; measured ~300 splits
+    # per doc vs 1).
     with_sh = docs.select(
+        "doc_id", "lang", "source", "text", F.split("text", " ").alias("toks")
+    ).select(
         "doc_id",
         "lang",
         "source",
-        F.array_distinct(_shingles(F.split("text", " "))).alias("sh"),
+        F.array_distinct(_shingles(F.col("toks"))).alias("sh"),
     )
     a, b = with_sh.alias("a"), with_sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
@@ -172,8 +178,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # loads as one partition, which would serialize all the md5 work; at
     # cluster scale the scan's natural partitioning already spreads it.
     par = spark.sparkContext.defaultParallelism
-    base = docs.repartition(par, "doc_id").select(
-        "doc_id", F.array_distinct(_shingles(F.split("text", " "))).alias("sh")
+    # toks projected first — see dedup_ngram_jaccard's note on lambda
+    # re-evaluation of inlined split().
+    base = (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", "text", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.array_distinct(_shingles(F.col("toks"))).alias("sh"))
     )
     # Persist signatures: both the band self-join and the verify join
     # re-read them; without this the 16-hash sketch pipeline re-runs once
