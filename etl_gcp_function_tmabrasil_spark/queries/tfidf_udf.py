@@ -27,7 +27,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     this when feeding humans or joins).
     """
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar dimension for idf; one job, cached by Spark
+    # n_docs stays in-plan as a broadcast 1-row aggregate — no eager
+    # .count() job on the driver (the no-collect discipline; at 100 TB an
+    # eager count is a full extra scan serialized before the query).
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     terms = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
@@ -38,11 +41,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tf.join(F.broadcast(df_), "term")
         .filter(F.col("doc_id") < 50)
+        .join(F.broadcast(n_docs))
         .select(
             "doc_id",
             "term",
             F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
             ).alias("tfidf"),
         )
     )
