@@ -57,3 +57,44 @@ def test_global_topk_avoids_sort(spark, sf_dir):
 def test_grouped_topk_single_shuffle(spark, sf_dir):
     df = window_topk_per_group(spark, sf_dir)
     assert count_exchanges(df) <= 2, "per-group top-k should shuffle once on the group key (+1 for final order)"
+
+
+def test_q16_not_in_becomes_broadcast_anti_join(spark, sf_dir):
+    from etl_gcp_function_tmabrasil_spark.queries.relational3 import (
+        q16_supplier_part_counts,
+    )
+
+    plan = explain_str(q16_supplier_part_counts(spark, sf_dir))
+    assert "LeftAnti" in plan, "NOT IN subquery did not plan as an anti join"
+    assert "BroadcastHashJoin" in plan, "small exclusion list did not broadcast"
+
+
+def test_q21_exists_shapes_are_semi_and_anti(spark, sf_dir):
+    from etl_gcp_function_tmabrasil_spark.queries.relational3 import (
+        q21_waiting_suppliers,
+    )
+
+    plan = explain_str(q21_waiting_suppliers(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan, (
+        "EXISTS/NOT EXISTS did not plan as semi/anti joins"
+    )
+
+
+def test_ivf_probe_join_is_selective_key_join(spark, sf_dir):
+    from etl_gcp_function_tmabrasil_spark.queries.similarity import ann_ivf_cosine
+
+    plan = explain_str(ann_ivf_cosine(spark, sf_dir))
+    # candidate scan must be an equi-join on cell_id, never a cartesian
+    # of queries x corpus
+    assert "CartesianProduct" not in plan, "IVF degenerated to a cross join"
+
+
+def test_scalar_subquery_broadcasts_one_row(spark, sf_dir):
+    from etl_gcp_function_tmabrasil_spark.queries.relational3 import (
+        q11_important_part_value,
+    )
+
+    plan = explain_str(q11_important_part_value(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        "global-total threshold did not broadcast"
+    )
