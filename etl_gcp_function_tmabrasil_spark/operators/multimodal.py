@@ -172,3 +172,41 @@ def sample_frames(df: DataFrame, every_k: int, codec=None) -> DataFrame:
             )
 
     return df.mapInPandas(sample, schema=schema)
+
+
+def extract_features(df: DataFrame, dim: int = 16, codec=None) -> DataFrame:
+    """Feature extraction: binary payload → dense `array<float>` embedding.
+
+    The bridge from multimodal columns into the similarity stack
+    (queries/similarity.py operates on exactly this shape): header
+    dimensions + a byte-histogram of the frame payload, L2-normalized —
+    a deterministic stand-in for a real vision/audio encoder behind the
+    same seam (swap the codec + this function's body for CLIP et al.;
+    signature, batching, and output schema stay fixed).
+
+    Scale notes: Arrow-batched mapInPandas, numpy per batch; output is
+    dim floats per row, so the embedding column shuffles cheaply while
+    the raw bytes stay behind in the scan projection.
+    """
+    import numpy as np
+
+    codec = codec or FakeCodec()
+    schema = "media_id long, kind string, embedding array<float>"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for c in pdf["content"]:
+                w, h, n = codec.decode_meta(c)
+                frames = np.frombuffer(codec.frames(c), dtype=np.uint8)
+                hist, _ = np.histogram(frames, bins=dim - 3, range=(0, 256))
+                v = np.concatenate(
+                    [np.array([w, h, n], dtype=np.float64), hist.astype(np.float64)]
+                )
+                norm = np.linalg.norm(v)
+                embs.append((v / norm if norm else v).astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": pdf["kind"], "embedding": embs}
+            )
+
+    return df.mapInPandas(extract, schema=schema)

@@ -95,3 +95,23 @@ def test_arrow_batch_bound(spark):
         assert max(r.n for r in out) <= 8
     finally:
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_extract_features_shape_and_determinism(spark):
+    from etl_gcp_function_tmabrasil_spark.operators.multimodal import (
+        extract_features,
+        synth_media_table,
+    )
+
+    media = synth_media_table(spark, n=32)
+    feats = extract_features(media, dim=16)
+    rows = {r.media_id: r.embedding for r in feats.collect()}
+    assert len(rows) == 32
+    assert all(len(v) == 16 for v in rows.values())
+    # L2-normalized and deterministic across runs
+    import math
+
+    for v in rows.values():
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-5
+    again = {r.media_id: r.embedding for r in extract_features(media, dim=16).collect()}
+    assert rows == again
