@@ -211,6 +211,70 @@ GROUP BY band ORDER BY band
 """
 
 
+def join_range_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact×fact interval join with an equi-bucket prefilter — the
+    100 TB shape for range joins (SURVEY.md §2.2 "theta/range … add
+    equi-bucket prefilter for scale"): pairs of same-user events within
+    30 minutes.
+
+    A naive theta self-join on |t1-t2| <= 30min is a per-user cross
+    product. Instead both sides get a coarse time bucket (width = the
+    range window) and the LATER side is replicated into its own and the
+    previous bucket; the join is then a plain equi-join on
+    (user_id, bucket) — shuffle-partitionable, BNLJ-free — with the
+    exact range predicate applied after. Each qualifying pair matches
+    in exactly one bucket, so no dedup pass is needed.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("epoch")
+    )
+    B = 1800  # bucket width == range window (seconds)
+    early = ev.select(
+        F.col("user_id"),
+        F.col("event_id").alias("event_a"),
+        F.col("epoch").alias("epoch_a"),
+        F.floor(F.col("epoch") / B).alias("bucket"),
+    )
+    late = ev.select(
+        F.col("user_id").alias("user_id_b"),
+        F.col("event_id").alias("event_b"),
+        F.col("epoch").alias("epoch_b"),
+        F.explode(
+            F.array(F.floor(F.col("epoch") / B) - 1, F.floor(F.col("epoch") / B))
+        ).alias("bucket_b"),
+    )
+    ordered = (F.col("epoch_a") < F.col("epoch_b")) | (
+        (F.col("epoch_a") == F.col("epoch_b")) & (F.col("event_a") < F.col("event_b"))
+    )
+    return (
+        early.join(
+            late,
+            (F.col("user_id") == F.col("user_id_b"))
+            & (F.col("bucket") == F.col("bucket_b")),
+        )
+        .filter(ordered & (F.col("epoch_b") - F.col("epoch_a") <= B))
+        .select(
+            "user_id",
+            "event_a",
+            "event_b",
+            (F.col("epoch_b") - F.col("epoch_a")).alias("gap_seconds"),
+        )
+        .orderBy("user_id", "event_a", "event_b")
+    )
+
+
+_RANGE_BUCKETED_SQL = """
+SELECT a.user_id AS user_id, a.event_id AS event_a, b.event_id AS event_b,
+  CAST(FLOOR(epoch(b.ts)) - FLOOR(epoch(a.ts)) AS BIGINT) AS gap_seconds
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND (FLOOR(epoch(a.ts)) < FLOOR(epoch(b.ts))
+      OR (FLOOR(epoch(a.ts)) = FLOOR(epoch(b.ts)) AND a.event_id < b.event_id))
+ AND FLOOR(epoch(b.ts)) - FLOOR(epoch(a.ts)) <= 1800
+ORDER BY user_id, event_a, event_b
+"""
+
+
 def join_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each click event, the latest purchase by the same
     user at-or-before the click time (SURVEY.md §2.2 as-of pattern).
@@ -280,6 +344,7 @@ QUERIES = {
     "join_full_outer": join_full_outer,
     "join_cross": join_cross,
     "join_range_bands": join_range_bands,
+    "join_range_bucketed_pairs": join_range_bucketed_pairs,
     "join_asof_purchase": join_asof_purchase,
 }
 
@@ -291,5 +356,6 @@ ORACLE = {
     "join_full_outer": _FULL_OUTER_SQL,
     "join_cross": _CROSS_SQL,
     "join_range_bands": _RANGE_SQL,
+    "join_range_bucketed_pairs": _RANGE_BUCKETED_SQL,
     "join_asof_purchase": _ASOF_SQL,
 }
