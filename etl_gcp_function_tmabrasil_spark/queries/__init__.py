@@ -26,6 +26,7 @@ from etl_gcp_function_tmabrasil_spark.queries import (
     scalar_funcs,
     setops_dedup,
     similarity,
+    sql_api,
     text_analysis,
     tfidf_udf,
     windows,
@@ -46,6 +47,7 @@ _MODULES = [
     similarity,
     mllib_lsh,
     tfidf_udf,
+    sql_api,
 ]
 
 
