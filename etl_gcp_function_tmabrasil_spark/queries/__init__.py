@@ -20,6 +20,7 @@ from etl_gcp_function_tmabrasil_spark.queries import (
     events_json,
     joins,
     mllib_lsh,
+    multimodal_q,
     relational,
     relational2,
     relational3,
@@ -48,6 +49,7 @@ _MODULES = [
     mllib_lsh,
     tfidf_udf,
     sql_api,
+    multimodal_q,
 ]
 
 
