@@ -309,6 +309,49 @@ FROM n GROUP BY label ORDER BY label
 """
 
 
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension statistics across the whole embedding corpus
+    (posexplode → groupBy(dim)): the column-profile pass a feature-store
+    runs before normalization/quantization.
+
+    Scale notes: posexplode multiplies rows by DIM (bounded, 64) but
+    each exploded row is 12 bytes; the agg shuffles DIM pre-aggregated
+    partials per map task — tiny. Alternative at extreme scale: a
+    treeAggregate-style pandas UDF summing fixed-width vectors; the
+    declarative explode wins until DIM is in the thousands.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim", "v"
+        )
+    )
+    return (
+        emb.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("sum_v"),
+            F.round(F.min("v"), 6).alias("min_v"),
+            F.round(F.max("v"), 6).alias("max_v"),
+        )
+        .orderBy("dim")
+    )
+
+
+# DuckDB zips parallel UNNESTs; generate_series(0, len-1) gives the
+# 0-based dim index matching Spark's posexplode.
+_DIM_PROFILE_SQL = """
+WITH e AS (SELECT embedding::DOUBLE[] AS e FROM embeddings),
+x AS (
+  SELECT UNNEST(generate_series(0, len(e) - 1)) AS dim, UNNEST(e) AS v FROM e
+)
+SELECT dim, COUNT(*) AS n,
+  CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+  ROUND(MIN(v), 6) AS min_v,
+  ROUND(MAX(v), 6) AS max_v
+FROM x GROUP BY dim ORDER BY dim
+"""
+
+
 def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ 0.95 within label blocks.
 
@@ -357,6 +400,7 @@ QUERIES = {
     "ann_lsh_cosine": ann_lsh_cosine,
     "ann_ivf_cosine": ann_ivf_cosine,
     "embedding_stats": embedding_stats,
+    "embedding_dim_profile": embedding_dim_profile,
     "embedding_cosine_dedup": embedding_cosine_dedup,
 }
 
@@ -365,5 +409,6 @@ ORACLE = {
     "ann_lsh_cosine": _ann_sql(),
     "ann_ivf_cosine": _ivf_sql(),
     "embedding_stats": _emb_stats_sql(),
+    "embedding_dim_profile": _DIM_PROFILE_SQL,
     "embedding_cosine_dedup": _emb_dedup_sql(),
 }
