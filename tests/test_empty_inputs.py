@@ -1,0 +1,52 @@
+"""Empty-input robustness: a 100 TB pipeline will hit empty partitions,
+empty dates, and freshly-truncated tables; every operator family must
+return an empty (or well-defined scalar) result, never throw.
+
+Fixtures: a 0-row copy of every driver table, written once per module.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_gcp_function_tmabrasil_spark.catalog import TABLES, load_table, table_path
+
+#: One representative per operator family; scalar-agg queries
+#: legitimately return a single row over empty input.
+_FAMILY_QUERIES = [
+    ("q1_pricing_summary", 0),
+    ("q6_forecast_revenue", 1),  # scalar agg: one row of null/0
+    ("q13_customer_distribution", 0),
+    ("q21_waiting_suppliers", 0),
+    ("window_rank_orders", 0),
+    ("window_range_frame", 0),
+    ("agg_rollup", None),  # rollup over empty: grand-total row semantics
+    ("setop_union_intersect_except", 3),  # one labeled count row per set op
+    ("dedup_minhash_lsh", 0),
+    ("text_token_count", 0),
+    ("knn_bruteforce_cosine", 0),
+    ("ann_ivf_cosine", 0),
+    ("json_agg_by_key", 0),
+    ("window_tumbling_batch", 0),
+    ("join_range_bucketed_pairs", 0),
+    ("sql_segment_status_rollup", 0),
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, sf_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t).limit(0)
+        df.coalesce(1).write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name,expected", _FAMILY_QUERIES)
+def test_queries_survive_empty_tables(spark, empty_sf_dir, name, expected):
+    from etl_gcp_function_tmabrasil_spark.queries import all_queries
+
+    df = all_queries()[name](spark, empty_sf_dir)
+    rows = df.collect()
+    if expected is not None:
+        assert len(rows) == expected, f"{name}: {len(rows)} rows on empty input"
