@@ -1,0 +1,105 @@
+"""The end-to-end training-data curation pipeline — the north-star use
+case composed from the engine's own operator families in ONE declarative
+plan (normalize → quality gate → exact near-dup collapse → per-source
+accounting):
+
+1. normalize: trim + whitespace-collapse the text (scalar string fns),
+2. quality gate: drop docs below a length floor or above a repetition
+   ceiling (text-analysis expressions, queries/text_analysis.py),
+3. dedup: collapse exact duplicates by normalized-text fingerprint,
+   keeping the smallest doc_id (groupBy, the exact-dedup operator from
+   queries/dedup_approx.py),
+4. account: per (lang, source) — kept docs, dropped-by-dedup counts,
+   surviving chars (the rollup a curation run reports).
+
+Every stage is SQL-expressible, so the WHOLE pipeline is oracle-checked
+end-to-end (registered as `pipeline_curate_documents`); the near-dup
+stage (MinHash LSH) and ANN stages chain onto step 3's output in
+production — they keep their own oracle/recall gates in this repo.
+
+Scale notes: stages 1-2 are row-local; stage 3 is one shuffle on the
+fingerprint; stage 4 is one shuffle on a bounded key. Nothing is
+collected, counted eagerly, or iterated driver-side; the curated
+DataFrame feeds `sinks/partitioned.py` or the BigQuery-shaped sink
+unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from etl_gcp_function_tmabrasil_spark.catalog import load_table
+
+MIN_CHARS = 50
+MAX_REPETITION = 0.8
+
+
+def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages 1-3: the surviving documents (doc_id, lang, source,
+    norm_text, n_chars), one keeper per duplicate group."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim("text"), r"\s+", " ")
+    toks = F.split("norm_text", " ")
+    rep_ratio = 1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    staged = (
+        docs.select("doc_id", "lang", "source", norm.alias("norm_text"), "n_chars")
+        .filter(F.col("n_chars") >= MIN_CHARS)
+        .filter(rep_ratio <= MAX_REPETITION)
+    )
+    # keep the min doc_id per exact-duplicate group, count the collapsed
+    dup_key = F.md5("norm_text")
+    keepers = (
+        staged.groupBy(dup_key.alias("fp"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+    return (
+        staged.join(keepers, staged.doc_id == keepers.doc_id)
+        .select(staged.doc_id, "lang", "source", "norm_text", "n_chars", "group_size")
+    )
+
+
+def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage 4: per-(lang, source) accounting of the curation run."""
+    kept = curated_documents(spark, sf_dir)
+    return (
+        kept.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            (F.sum("group_size") - F.count(F.lit(1))).alias("deduped_away"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_REPORT_SQL = f"""
+WITH staged AS (
+  SELECT doc_id, lang, source,
+    regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm_text, n_chars
+  FROM documents
+  WHERE n_chars >= {MIN_CHARS}
+    AND 1.0 - CAST(len(list_distinct(string_split(
+          regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))) AS DOUBLE)
+        / len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))
+        <= {MAX_REPETITION}
+),
+keepers AS (
+  SELECT md5(norm_text) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS group_size
+  FROM staged GROUP BY fp
+),
+kept AS (
+  SELECT s.doc_id, s.lang, s.source, s.n_chars, k.group_size
+  FROM staged s JOIN keepers k ON s.doc_id = k.doc_id
+)
+SELECT lang, source, COUNT(*) AS kept_docs,
+  SUM(group_size) - COUNT(*) AS deduped_away,
+  SUM(n_chars) AS kept_chars
+FROM kept GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+QUERIES = {"pipeline_curate_documents": curation_report}
+ORACLE = {"pipeline_curate_documents": _REPORT_SQL}

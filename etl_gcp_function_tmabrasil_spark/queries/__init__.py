@@ -14,6 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from etl_gcp_function_tmabrasil_spark.pipelines import traindata
 from etl_gcp_function_tmabrasil_spark.queries import (
     aggregates,
     dedup_approx,
@@ -50,6 +51,7 @@ _MODULES = [
     tfidf_udf,
     sql_api,
     multimodal_q,
+    traindata,
 ]
 
 
