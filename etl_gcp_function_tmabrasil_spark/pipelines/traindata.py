@@ -101,5 +101,57 @@ FROM kept GROUP BY lang, source
 ORDER BY lang, source
 """
 
-QUERIES = {"pipeline_curate_documents": curation_report}
-ORACLE = {"pipeline_curate_documents": _REPORT_SQL}
+#: Per-language keep-percentages for the stratified sample (language
+#: rebalancing — the standard pretraining-mix knob).
+SAMPLE_PCT = {"en": 80, "de": 50, "es": 50, "fr": 50, "zh": 25}
+
+
+def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling per language: keep a doc iff
+    hash(doc_id) mod 100 < pct[lang].
+
+    Hash-mod sampling (not `sampleBy`) on purpose: the sample is a pure
+    function of the row, so re-runs, retries, and incremental backfills
+    select the SAME rows — reproducibility a Bernoulli RNG sample can't
+    give — and the DuckDB oracle reproduces it exactly. Row-local, no
+    shuffle until the accounting agg.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "pmod(cast(conv(substring(md5(cast(doc_id as string)),1,15),16,10) as bigint), 100)"
+    )
+    pct = F.coalesce(
+        *[F.when(F.col("lang") == lang, F.lit(p)) for lang, p in SAMPLE_PCT.items()],
+        F.lit(0),
+    )
+    return (
+        docs.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < pct)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("sampled_docs"), F.sum("n_chars").alias("sampled_chars"))
+        .orderBy("lang")
+    )
+
+
+def _sample_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {p}" for lang, p in SAMPLE_PCT.items()
+    )
+    return f"""
+SELECT lang, COUNT(*) AS sampled_docs, SUM(n_chars) AS sampled_chars
+FROM documents
+WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100)
+      < (CASE {cases} ELSE 0 END)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+QUERIES = {
+    "pipeline_curate_documents": curation_report,
+    "sample_stratified_docs": sample_stratified_docs,
+}
+ORACLE = {
+    "pipeline_curate_documents": _REPORT_SQL,
+    "sample_stratified_docs": _sample_sql(),
+}
