@@ -208,3 +208,46 @@ def test_console_logger_runs(spark, tmp_path):
     q.awaitTermination(120)
     assert not q.isActive
     assert q.exception() is None
+
+
+def test_rate_source_windowed_agg(spark):
+    """The rate source (TESTDATA.md: events replayed as a file/rate
+    stream): a synthetic-clock stream through the same windowed-agg
+    transform, proving the operators are source-agnostic."""
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 200)
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            F.col("value").alias("event_id"),
+            (F.col("value") % 7).alias("user_id"),
+            F.when(F.col("value") % 2 == 0, "click").otherwise("view").alias("event_type"),
+            F.col("value").cast("double").alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    )
+    from etl_gcp_function_tmabrasil_spark.streaming.windows import tumbling_counts
+
+    q = (
+        tumbling_counts(stream, window="1 seconds", watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("rate_windows")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        rows = 0
+        while time.time() < deadline:
+            time.sleep(1)
+            rows = spark.sql("SELECT count(*) FROM rate_windows").first()[0]
+            if rows > 0:
+                break
+        assert rows > 0, "rate-source windowed agg emitted nothing in 60s"
+    finally:
+        q.stop()
