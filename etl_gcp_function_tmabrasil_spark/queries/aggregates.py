@@ -248,8 +248,71 @@ ORDER BY resolution, bucket_start, event_type
 """
 
 
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments per return flag — mean, population variance/
+    stddev of extended price, and corr(quantity, price) — derived from
+    EXACT decimal sums (Σx, Σx², Σxy), then combined in double.
+
+    Built-in var_pop/corr accumulate doubles in partition order and so
+    differ across engines at the ulp level; the exact-sums formulation
+    (var = (nΣx² − (Σx)²)/n²) is associative and bit-reproducible —
+    same partial+final aggregation shape, one shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    y = F.col("l_quantity")
+
+    def dsum28(c, scale=8):
+        return F.sum(c.cast(f"decimal(28,{scale})")).cast("double")
+
+    base = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum28(x, 4).alias("sx"),
+        dsum28(x * x).alias("sxx"),
+        dsum28(y, 4).alias("sy"),
+        dsum28(y * y).alias("syy"),
+        dsum28(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    var_x = (n * F.col("sxx") - F.col("sx") * F.col("sx")) / (n * n)
+    var_y = (n * F.col("syy") - F.col("sy") * F.col("sy")) / (n * n)
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (n * n)
+    return base.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        F.round(F.col("sx") / n, 6).alias("mean_price"),
+        F.round(var_x, 6).alias("var_price"),
+        F.round(F.sqrt(var_x), 6).alias("stddev_price"),
+        F.round(cov / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+_STATS_MOMENTS_SQL = """
+WITH base AS (
+  SELECT l_returnflag,
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS syy,
+    CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+  CAST(n AS BIGINT) AS n_rows,
+  ROUND(sx / n, 6) AS mean_price,
+  ROUND((n * sxx - sx * sx) / (n * n), 6) AS var_price,
+  ROUND(SQRT((n * sxx - sx * sx) / (n * n)), 6) AS stddev_price,
+  ROUND(((n * sxy - sx * sy) / (n * n))
+        / SQRT(((n * sxx - sx * sx) / (n * n)) * ((n * syy - sy * sy) / (n * n))), 6)
+    AS corr_qty_price
+FROM base ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "agg_distinct": agg_distinct,
+    "agg_stats_moments": agg_stats_moments,
     "rollup_time_multires": rollup_time_multires,
     "agg_approx_distinct": agg_approx_distinct,
     "agg_percentiles": agg_percentiles,
@@ -261,6 +324,7 @@ QUERIES = {
 
 ORACLE = {
     "agg_distinct": _DISTINCT_SQL,
+    "agg_stats_moments": _STATS_MOMENTS_SQL,
     "rollup_time_multires": _MULTIRES_SQL,
     "agg_percentiles": _PERCENTILES_SQL,
     "agg_rollup": _ROLLUP_SQL,
