@@ -459,7 +459,116 @@ ORDER BY c_mktsegment
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part minimum-cost supplier via a correlated
+    MIN subquery over a multi-dim join (s_acctbal stands in for the
+    missing ps_supplycost; lineitem links suppliers to parts —
+    FIXTURES.md has no partsupp).
+
+    Decorrelation: the per-part MIN becomes a window aggregate over the
+    eligible (part, supplier) set — one shuffle on l_partkey, ties kept
+    like the original query.
+    """
+    sp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    eligible = (
+        sp.join(supp, sp.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("l_partkey", "s_suppkey", "s_name", "n_name", "s_acctbal")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("l_partkey")
+    best = eligible.withColumn("min_bal", F.min("s_acctbal").over(w)).filter(
+        F.col("s_acctbal") == F.col("min_bal")
+    )
+    return (
+        best.join(part, best.l_partkey == part.p_partkey)
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "n_name", "s_acctbal"
+        )
+        .orderBy("p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+_Q2_SQL = """
+WITH sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+eligible AS (
+  SELECT sp.l_partkey, s_suppkey, s_name, n_name, s_acctbal
+  FROM sp
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+)
+SELECT p_partkey, p_name, s_suppkey, s_name, n_name, s_acctbal
+FROM eligible e
+JOIN part ON e.l_partkey = p_partkey
+WHERE p_size < 10
+  AND s_acctbal = (SELECT MIN(e2.s_acctbal) FROM eligible e2
+                   WHERE e2.l_partkey = e.l_partkey)
+ORDER BY p_partkey, s_suppkey
+LIMIT 100
+"""
+
+
+def q20_promo_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN-subquery chain — suppliers (in one
+    region) whose total shipped PROMO quantity clears a threshold; both
+    INs decorrelate to semi joins, the HAVING to a pre-aggregated
+    filter.
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf_dir, "lineitem")
+    heavy = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    nations = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(
+            nations, supp.s_nationkey == nations.n_nationkey, "left_semi"
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q20_SQL = """
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'PROMO'
+    GROUP BY l_suppkey
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 100)
+  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q20_promo_volume_suppliers": q20_promo_volume_suppliers,
     "q7_nation_volume": q7_nation_volume,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
@@ -473,6 +582,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q2_min_cost_supplier": _Q2_SQL,
+    "q20_promo_volume_suppliers": _Q20_SQL,
     "q7_nation_volume": _Q7_SQL,
     "q8_market_share": _Q8_SQL,
     "q9_product_profit": _Q9_SQL,
