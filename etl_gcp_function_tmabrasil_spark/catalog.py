@@ -65,24 +65,94 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+#: Auto-rebalance threshold. Measured at sf0.1 (all tables <= 11 MB):
+#: inserting the round-robin exchange costs more than the parallelism it
+#: buys whenever the table later feeds a broadcast (the exchange then
+#: sits uselessly under a BroadcastExchange), so the guard only fires for
+#: inputs big enough that a handful of scan tasks is catastrophic —
+#: i.e. multi-GB tables written with too-few row groups.
+_REBALANCE_MIN_ROWS = 5_000_000
+
+#: path -> (num_rows, split_units) parquet-footer cache (footers are a
+#: few KB; reading them driver-side is how Spark itself plans the scan).
+_layout_cache: dict[str, tuple[int, int]] = {}
+
+
+def _parquet_layout(path: str) -> tuple[int, int]:
+    """(total rows, parallel split units) for a parquet file or directory.
+
+    A row group is the minimum decode unit: Spark assigns each row group
+    to the input partition containing its midpoint, so a file with one
+    giant row group is read by ONE task no matter how it is byte-split.
+    The split-unit count is therefore the true scan parallelism bound.
+    """
+    if path not in _layout_cache:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        files = (
+            [path]
+            if os.path.isfile(path)
+            else sorted(glob.glob(os.path.join(path, "*.parquet")))
+        )
+        rows = units = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            rows += md.num_rows
+            units += md.num_row_groups
+        _layout_cache[path] = (rows, units)
+    return _layout_cache[path]
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    rebalance: bool | None = None,
+) -> DataFrame:
     """Load one driver table. Plain parquet scan: vectorized read,
     predicate pushdown and column pruning all apply downstream.
+
+    ``rebalance`` inserts an explicit round-robin ``repartition`` to the
+    cluster's core count right above the scan. Default ``None`` decides
+    from the parquet footer: a multi-million-row table whose file layout
+    offers fewer row-group split units than half the cluster's cores
+    would otherwise run its whole pre-shuffle pipeline (decode, filter,
+    partial agg, UDFs) on a handful of tasks. At 100 TB a healthy layout
+    has thousands of row groups and the rebalance never fires; it is a
+    guard against pathological layouts (one giant row group), and
+    filters still push through the repartition to the scan (verified in
+    tests/test_plans.py). Benchmarked at sf0.1: below this size the
+    extra exchange costs more than it buys (notably when the table later
+    feeds a BroadcastExchange), so small/medium tables never rebalance;
+    compute-heavy queries may still pass ``rebalance=True`` explicitly.
 
     The `events` table is written with parquet TIMESTAMP(NANOS), which
     Spark's reader rejects by default; we read nanos as int64 (legacy
     conf) and floor-convert to microsecond timestamps — the same ns→µs
     truncation DuckDB applies, so oracle comparisons agree.
     """
+    path = table_path(sf_dir, name)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
+        df = spark.read.parquet(path)
         from pyspark.sql import functions as F
 
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+    else:
+        df = spark.read.parquet(path)
+    par = spark.sparkContext.defaultParallelism
+    if rebalance is None:
+        try:
+            rows, units = _parquet_layout(path)
+        except Exception:
+            rows, units = 0, par
+        rebalance = rows >= _REBALANCE_MIN_ROWS and units < max(2, par // 2)
+    if rebalance:
+        df = df.repartition(par)
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:

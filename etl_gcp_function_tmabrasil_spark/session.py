@@ -42,6 +42,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Broadcast threshold is an ABSOLUTE size knob, and that is the
+        # scale story: any side under 64 MB (compressed) is cheap to ship
+        # to every executor, so at sf0.1 even "fact" tables (lineitem,
+        # 10.8 MB) broadcast — correct locally — while at cluster scale
+        # the same tables are GBs-TBs, never qualify, and the identical
+        # query text plans as a shuffled join on the same code path.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
