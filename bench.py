@@ -60,12 +60,23 @@ def main() -> None:
     queries["q6_forecast_revenue"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Two measured executions per query, min reported: single-shot local
+    # timings vary ±30% from JIT/GC/codegen-compile noise, and min-of-N
+    # is the standard steady-state estimator (hyperfine/JMH practice).
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = queries[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            # Queries that persist() intermediates would otherwise be
+            # served from cache on the repeat run (Spark's CacheManager
+            # matches canonicalized plans across DataFrame objects) —
+            # clear so every timed run is a cold query.
+            spark.catalog.clearCache()
+            df = queries[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

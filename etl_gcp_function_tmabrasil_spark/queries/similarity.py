@@ -49,11 +49,19 @@ _SQL_NORM = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
 def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: for each query vector (vec_id < 8), the 3
     nearest neighbors by cosine similarity (excluding itself)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # Candidates pay O(Q·DIM) math per row — rebalance so the scan's
+    # partitioning (1 task on a single-row-group file) never serializes
+    # it. The tiny query side stays on a plain scan (it is broadcast).
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("qe"),
+        )
     )
     cos = _dot(F.col("qe"), F.col("e")) / (_norm(F.col("qe")) * _norm(F.col("e")))
     scored = (
@@ -101,7 +109,9 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join. Recall vs brute force is unit-tested at sf0.001.
     """
     planes = _hyperplanes()
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # 12 dot products per row for bucketing — rebalance so the sketch
+    # stage parallelizes regardless of the input file's row-group layout.
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
     bucket = None
@@ -186,12 +196,17 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cosines are rounded before ranking (6dp assign / 4dp score) with id
     tiebreaks so Spark and DuckDB pick identical cells and neighbors.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # Assignment computes N_CELLS cosines per corpus row — rebalance the
+    # corpus side; centroids/queries stay plain scans (broadcast).
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
     cent = F.broadcast(
-        emb.filter(F.col("vec_id") < N_CELLS).select(
-            F.col("vec_id").alias("cell_id"), F.col("e").alias("ce")
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_CELLS)
+        .select(
+            F.col("vec_id").alias("cell_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("ce"),
         )
     )
     acos = F.round(
@@ -205,8 +220,13 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "e", "cell_id")
     )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("qe"),
+        )
     )
     qcos = F.round(
         _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))), 6
@@ -357,7 +377,9 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The embedding-space twin of text near-dup; at scale the label block
     is replaced by LSH buckets (ann_lsh_cosine's assignment)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # Probe side rebalanced: the post-join cosine math inherits the probe
+    # side's partitioning, and a single-row-group scan would serialize it.
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True).select(
         "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
     x, y = emb.alias("x"), emb.alias("y")
