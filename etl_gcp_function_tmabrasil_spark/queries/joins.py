@@ -126,6 +126,50 @@ ORDER BY c_custkey
 """
 
 
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order lines per order preserving line-less orders (RIGHT OUTER).
+
+    The mirror of :func:`join_left_outer` with the fact on the left:
+    lineitem rollup RIGHT JOIN orders keeps every order row. Catalyst
+    canonicalizes right joins to left joins with sides swapped, so the
+    physical plan (and the 100 TB story — pre-aggregated fact side, one
+    key-sized shuffle) is identical to the left-outer case.
+    """
+    per_order = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_quantity").alias("total_qty"),
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey, "right")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("total_qty", F.lit(0.0)).alias("total_qty"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_RIGHT_OUTER_SQL = """
+SELECT o_orderkey, o_orderstatus,
+  COALESCE(n_lines, 0) AS n_lines,
+  COALESCE(total_qty, 0.0) AS total_qty
+FROM (
+  SELECT l_orderkey, COUNT(*) AS n_lines,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+) pl
+RIGHT JOIN orders ON pl.l_orderkey = o_orderkey
+ORDER BY o_orderkey
+"""
+
+
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nations appearing on the customer vs supplier side (FULL OUTER)."""
     cust_n = (
@@ -341,6 +385,7 @@ QUERIES = {
     "join_semi": join_semi,
     "join_anti": join_anti,
     "join_left_outer": join_left_outer,
+    "join_right_outer": join_right_outer,
     "join_full_outer": join_full_outer,
     "join_cross": join_cross,
     "join_range_bands": join_range_bands,
@@ -353,6 +398,7 @@ ORACLE = {
     "join_semi": _SEMI_SQL,
     "join_anti": _ANTI_SQL,
     "join_left_outer": _LEFT_OUTER_SQL,
+    "join_right_outer": _RIGHT_OUTER_SQL,
     "join_full_outer": _FULL_OUTER_SQL,
     "join_cross": _CROSS_SQL,
     "join_range_bands": _RANGE_SQL,

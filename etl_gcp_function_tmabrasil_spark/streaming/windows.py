@@ -1,6 +1,7 @@
 """Streaming semantics over the `events` stream (SURVEY.md §2.2
 "Streaming"): watermarks, tumbling/sliding/session windows, stateful
-dedup, and an arbitrary-stateful operator via applyInPandasWithState.
+dedup, and arbitrary-stateful operators via applyInPandasWithState and
+the Spark 4 transformWithStateInPandas StatefulProcessor API.
 
 Every transform takes a (streaming or batch) DataFrame with the
 EVENTS_SCHEMA shape — the same expressions work in both modes, which is
@@ -14,6 +15,7 @@ from typing import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
@@ -121,4 +123,51 @@ def user_running_totals(events: DataFrame) -> DataFrame:
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+class _RunningTotalsProcessor(StatefulProcessor):
+    """Per-user running (count, sum) as a Spark 4 StatefulProcessor.
+
+    Same semantics as :func:`user_running_totals`, expressed on the
+    transformWithStateInPandas API — typed ValueState in the state store
+    (RocksDB provider required), optional per-key TTL instead of the
+    GroupStateTimeout enum, and multiple named state variables per key
+    if the operator grows. This is the forward-looking arbitrary-state
+    surface; the applyInPandasWithState twin above stays as the
+    widely-deployed fallback.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("running", _STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        n, total = self._state.get() if self._state.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_running_totals_tws(events: DataFrame) -> DataFrame:
+    """user_running_totals on the transformWithStateInPandas API.
+
+    Caller must enable the RocksDB state store provider (the only
+    provider that supports transformWithState):
+    ``spark.sql.streaming.stateStore.providerClass =
+    org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider``.
+    """
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _RunningTotalsProcessor(),
+        outputStructType=_RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )
