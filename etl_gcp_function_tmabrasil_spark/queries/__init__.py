@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from etl_gcp_function_tmabrasil_spark.pipelines import traindata
 from etl_gcp_function_tmabrasil_spark.queries import (
     aggregates,
+    cdc,
     dedup_approx,
     events_json,
     joins,
@@ -40,6 +41,7 @@ _MODULES = [
     relational3,
     joins,
     aggregates,
+    cdc,
     windows,
     setops_dedup,
     scalar_funcs,
