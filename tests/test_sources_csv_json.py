@@ -65,6 +65,32 @@ def test_json_scan_explicit_schema(spark, sf_dir, tmp_path):
     _assert_roundtrip(spark, original, back)
 
 
+def test_orc_scan_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC round trip (the other columnar built-in format) plus the
+    scale guardrail: an equality filter must reach the ORC scan as a
+    pushed filter, same as the parquet path."""
+    from etl_gcp_function_tmabrasil_spark.plans.inspect import pushed_filters
+
+    original = _slice(spark, sf_dir)
+    path = str(tmp_path / "events_orc")
+    original.write.orc(path)
+    back = spark.read.schema(_SCHEMA).orc(path)
+    _assert_roundtrip(spark, original, back)
+    filtered = spark.read.schema(_SCHEMA).orc(path).filter(F.col("event_id") == 7)
+    assert any("event_id" in f for f in pushed_filters(filtered))
+    assert [r.event_id for r in filtered.collect()] == [7]
+
+
+def test_text_line_source(spark, tmp_path):
+    """`spark.read.text` raw-line source: one string column `value`,
+    one row per line — the ingestion edge for log-shaped data."""
+    p = tmp_path / "lines.txt"
+    p.write_text("alpha\nbeta\ngamma\n")
+    df = spark.read.text(str(p))
+    assert df.columns == ["value"]
+    assert sorted(r.value for r in df.collect()) == ["alpha", "beta", "gamma"]
+
+
 def test_csv_malformed_rows_dropped(spark, tmp_path):
     """Explicit schema + DROPMALFORMED: bad rows are filtered at the
     scan, mirroring the reference's reject-path semantics
