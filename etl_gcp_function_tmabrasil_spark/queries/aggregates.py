@@ -24,6 +24,7 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("o_custkey").alias("n_distinct_custs"),
             F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.sum_distinct(F.col("o_custkey")).alias("sum_distinct_custs"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy("o_orderstatus")
@@ -34,6 +35,7 @@ _DISTINCT_SQL = """
 SELECT o_orderstatus,
   COUNT(DISTINCT o_custkey) AS n_distinct_custs,
   COUNT(DISTINCT o_orderpriority) AS n_priorities,
+  SUM(DISTINCT o_custkey) AS sum_distinct_custs,
   COUNT(*) AS n_orders
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """

@@ -40,6 +40,56 @@ FROM events ORDER BY event_id
 """
 
 
+def json_tuple_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_tuple extraction + create_map + explode_outer null-preservation.
+
+    `json_tuple` is the multi-field JSON extractor (one pass per row,
+    unlike N `get_json_object` calls); `create_map` builds a literal-keyed
+    map; `explode_outer` keeps rows whose collection is empty — the
+    null-preserving lateral view, matching the reference's keep-the-
+    rejected-row-visible semantics (``main.py:13``) at the row level.
+    Error events get an empty map and must survive as a NULL tag row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # json_tuple is a generator expression: it must be projected bare
+    # (not nested inside cast/when), then typed in a follow-up select.
+    tagged = ev.select(
+        "event_id",
+        "event_type",
+        F.json_tuple("props", "k").alias("k_str"),
+    ).withColumn("k", F.col("k_str").cast("long")).select(
+        "event_id",
+        F.when(
+            F.col("event_type") != "error",
+            F.create_map(
+                F.lit("type"), F.col("event_type"),
+                F.lit("parity"), F.when(F.col("k") % 2 == 0, F.lit("even")).otherwise(F.lit("odd")),
+            ),
+        ).otherwise(F.create_map().cast("map<string,string>")).alias("tags"),
+    )
+    return tagged.select(
+        "event_id", F.explode_outer("tags").alias("tag_key", "tag_value")
+    ).orderBy("event_id", "tag_key")
+
+
+_JSON_TUPLE_SQL = """
+WITH tagged AS (
+  SELECT event_id, event_type,
+    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+), pairs AS (
+  SELECT event_id, 'type' AS tag_key, event_type AS tag_value
+  FROM tagged WHERE event_type <> 'error'
+  UNION ALL
+  SELECT event_id, 'parity', CASE WHEN k % 2 = 0 THEN 'even' ELSE 'odd' END
+  FROM tagged WHERE event_type <> 'error'
+  UNION ALL
+  SELECT event_id, NULL, NULL FROM tagged WHERE event_type = 'error'
+)
+SELECT * FROM pairs ORDER BY event_id, tag_key
+"""
+
+
 def json_agg_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate on an extracted JSON field (bucket props.k by decade)."""
     ev = load_table(spark, sf_dir, "events")
@@ -243,6 +293,7 @@ ORDER BY user_id, session_start
 
 QUERIES = {
     "json_extract_props": json_extract_props,
+    "json_tuple_explode_outer": json_tuple_explode_outer,
     "json_agg_by_key": json_agg_by_key,
     "array_ops": array_ops,
     "map_ops": map_ops,
@@ -253,6 +304,7 @@ QUERIES = {
 
 ORACLE = {
     "json_extract_props": _JSON_SQL,
+    "json_tuple_explode_outer": _JSON_TUPLE_SQL,
     "json_agg_by_key": _JSON_AGG_SQL,
     "array_ops": _ARRAY_SQL,
     "map_ops": _MAP_SQL,
