@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from etl_gcp_function_tmabrasil_spark.catalog import load_table
-from etl_gcp_function_tmabrasil_spark.queries._util import dsum
+from etl_gcp_function_tmabrasil_spark.queries._util import cavg, csum, dsum
 
 
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,7 +90,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity").alias("sum_qty"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), csum("l_quantity").alias("sum_qty"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
@@ -214,7 +214,7 @@ def rollup_time_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                dsum("value", 6).alias("sum_value"),
+                csum("value").alias("sum_value"),
             )
         )
 

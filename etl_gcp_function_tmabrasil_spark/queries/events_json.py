@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from etl_gcp_function_tmabrasil_spark.catalog import load_table
-from etl_gcp_function_tmabrasil_spark.queries._util import dsum
+from etl_gcp_function_tmabrasil_spark.queries._util import cavg, csum, dsum
 
 
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,7 +97,7 @@ def json_agg_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.select((k - k % 10).alias("k_decade"), "value")
         .groupBy("k_decade")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), csum("value").alias("sum_value"))
         .orderBy("k_decade")
     )
 
@@ -187,7 +187,7 @@ def window_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), csum("value").alias("sum_value"))
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
@@ -221,7 +221,7 @@ def window_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), csum("value").alias("sum_value"))
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
@@ -256,7 +256,7 @@ def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), csum("value").alias("sum_value"))
         .select(
             "user_id",
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from etl_gcp_function_tmabrasil_spark.catalog import load_table
-from etl_gcp_function_tmabrasil_spark.queries._util import dsum
+from etl_gcp_function_tmabrasil_spark.queries._util import cavg, csum, dsum
 
 
 def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -26,7 +26,7 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            dsum("c_acctbal").alias("total_acctbal"),
+            csum("c_acctbal").alias("total_acctbal"),
         )
         .orderBy("r_name")
     )
@@ -98,7 +98,7 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_spent"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), csum("o_totalprice").alias("total_spent"))
     )
     return (
         cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
@@ -140,7 +140,7 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            dsum("l_quantity").alias("total_qty"),
+            csum("l_quantity").alias("total_qty"),
         )
     )
     orders = load_table(spark, sf_dir, "orders")
@@ -239,7 +239,7 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
         )
         .groupBy("band")
-        .agg(F.count(F.lit(1)).alias("n_parts"), dsum("p_retailprice").alias("total_price"))
+        .agg(F.count(F.lit(1)).alias("n_parts"), csum("p_retailprice").alias("total_price"))
         .orderBy("band")
     )
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from etl_gcp_function_tmabrasil_spark.catalog import load_table
-from etl_gcp_function_tmabrasil_spark.queries._util import davg, day, dsum
+from etl_gcp_function_tmabrasil_spark.queries._util import cavg, csum, davg, day, dsum
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -20,7 +20,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: single shuffle on a 6-value grouping key; partial
     aggregation collapses ~all rows map-side, so the exchange moves only
-    n_partitions x 6 pre-aggregated rows regardless of input size.
+    n_partitions x 6 pre-aggregated rows regardless of input size. All
+    aggregates ride the long-cents fast path (csum — see _util.py for
+    the exactness argument): raw money columns at scale 2, the derived
+    products at their true fixed-point scales (4 and 6), removing every
+    per-row double→BigDecimal conversion from the hot loop.
     """
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -29,13 +33,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price, 6).alias("sum_disc_price"),
-            dsum(charge, 6).alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount", 6).alias("avg_disc"),
+            csum("l_quantity").alias("sum_qty"),
+            csum("l_extendedprice").alias("sum_base_price"),
+            csum(disc_price, 4).alias("sum_disc_price"),
+            csum(charge, 6).alias("sum_charge"),
+            cavg("l_quantity").alias("avg_qty"),
+            cavg("l_extendedprice").alias("avg_price"),
+            cavg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -78,7 +82,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+        .agg(csum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
         .select(
             "l_orderkey",
             day("o_orderdate").alias("orderdate"),
@@ -132,7 +136,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, supp.s_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+        .agg(csum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
@@ -171,7 +175,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            dsum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("revenue"),
+            csum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -203,7 +207,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, orders.o_orderkey == li.l_orderkey)
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+        .agg(csum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )

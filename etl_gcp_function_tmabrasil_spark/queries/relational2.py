@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from etl_gcp_function_tmabrasil_spark.catalog import load_table
-from etl_gcp_function_tmabrasil_spark.queries._util import davg, dsum
+from etl_gcp_function_tmabrasil_spark.queries._util import cavg, csum, davg, dsum
 
 
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,7 +123,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(dsum("l_quantity").alias("total_qty"))
+        .agg(csum("l_quantity").alias("total_qty"))
         .filter(F.col("total_qty") > 250)
     )
     return (
@@ -169,7 +169,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_size") >= 8) & (F.col("l_quantity") > 40))
     )
     return joined.filter(cond).agg(
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+        csum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -190,7 +190,7 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery: orders above the global average price (the
     classic decorrelated-scalar shape; Spark broadcasts the 1-row agg)."""
     orders = load_table(spark, sf_dir, "orders")
-    avg_price = orders.agg(davg("o_totalprice").alias("a"))
+    avg_price = orders.agg(cavg("o_totalprice").alias("a"))
     return (
         orders.crossJoin(F.broadcast(avg_price))
         .filter(F.col("o_totalprice") > F.col("a"))

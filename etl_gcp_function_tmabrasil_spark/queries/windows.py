@@ -77,8 +77,9 @@ ORDER BY o_custkey, o_orderkey
 
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running revenue per customer over order time (frame: unbounded
-    preceding → current row). Decimal accumulation keeps the running sum
-    exact and engine-invariant."""
+    preceding → current row). Long-cents accumulation (csum's trick,
+    _util.py) keeps the running sum exact and engine-invariant without
+    per-row decimal conversion inside the frame."""
     orders = load_table(spark, sf_dir, "orders")
     w = (
         W.partitionBy("o_custkey")
@@ -88,7 +89,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w).cast("double")
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w) / 100.0)
         .alias("running_total"),
         F.count(F.lit(1)).over(w).alias("running_n"),
     ).orderBy("o_custkey", "o_orderkey")
