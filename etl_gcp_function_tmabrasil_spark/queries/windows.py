@@ -201,8 +201,42 @@ FROM (
 """
 
 
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value over the full partition frame: each order
+    annotated with its customer's earliest- and latest-dated order price.
+
+    Scale notes: same single shuffle on o_custkey as every window here;
+    the unbounded-following frame needs the whole partition buffered,
+    which is bounded by orders-per-customer (~tens), not table size.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+_FIRST_LAST_SQL = """
+SELECT o_custkey, o_orderkey,
+  FIRST_VALUE(o_totalprice) OVER w AS first_price,
+  LAST_VALUE(o_totalprice) OVER w AS last_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
 QUERIES = {
     "window_rank_orders": window_rank_orders,
+    "window_first_last": window_first_last,
     "window_lag_lead": window_lag_lead,
     "window_running_sum": window_running_sum,
     "window_range_frame": window_range_frame,
@@ -212,6 +246,7 @@ QUERIES = {
 
 ORACLE = {
     "window_rank_orders": _RANK_SQL,
+    "window_first_last": _FIRST_LAST_SQL,
     "window_lag_lead": _LAG_SQL,
     "window_running_sum": _RUNNING_SQL,
     "window_range_frame": _RANGE_FRAME_SQL,
