@@ -20,6 +20,7 @@ from etl_gcp_function_tmabrasil_spark.queries import (
     cdc,
     dedup_approx,
     events_json,
+    ingest_xlsx,
     joins,
     mllib_lsh,
     multimodal_q,
@@ -46,6 +47,7 @@ _MODULES = [
     setops_dedup,
     scalar_funcs,
     events_json,
+    ingest_xlsx,
     text_analysis,
     dedup_approx,
     similarity,
