@@ -312,8 +312,52 @@ FROM base ORDER BY l_returnflag
 """
 
 
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (argmax/argmin) aggregates: per nation, the
+    customer holding the highest / lowest account balance.
+
+    Ties on c_acctbal (2-decimal money) are broken deterministically by
+    encoding the ordering as one exact BIGINT — cents * 1e9 + custkey —
+    so Spark's max_by and DuckDB's arg_max pick the same row. Same
+    single partial→final hash-agg shape as every groupBy here; argmax
+    state is one (key, value) pair per group, so the exchange stays tiny
+    at any scale.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    ordkey = (
+        F.round(F.col("c_acctbal") * 100).cast("long") * F.lit(1_000_000_000)
+        + F.col("c_custkey")
+    )
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max_by("c_name", ordkey).alias("richest_customer"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.min_by("c_name", ordkey).alias("poorest_customer"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_ARGMAX_SQL = """
+SELECT n_name,
+  arg_max(c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 1000000000 + c_custkey)
+    AS richest_customer,
+  ROUND(MAX(c_acctbal), 2) AS max_bal,
+  arg_min(c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) * 1000000000 + c_custkey)
+    AS poorest_customer,
+  ROUND(MIN(c_acctbal), 2) AS min_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 QUERIES = {
     "agg_distinct": agg_distinct,
+    "agg_argmax": agg_argmax,
     "agg_stats_moments": agg_stats_moments,
     "rollup_time_multires": rollup_time_multires,
     "agg_approx_distinct": agg_approx_distinct,
@@ -326,6 +370,7 @@ QUERIES = {
 
 ORACLE = {
     "agg_distinct": _DISTINCT_SQL,
+    "agg_argmax": _ARGMAX_SQL,
     "agg_stats_moments": _STATS_MOMENTS_SQL,
     "rollup_time_multires": _MULTIRES_SQL,
     "agg_percentiles": _PERCENTILES_SQL,
