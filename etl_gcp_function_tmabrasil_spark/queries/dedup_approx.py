@@ -376,8 +376,87 @@ ORDER BY doc1, doc2
 """
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the SimHash near-dup pair graph — the
+    clustering step a dedup pipeline needs to turn pairwise matches into
+    keep-one-per-group decisions. Returns (doc_id, component_id) with
+    component_id = min doc_id reachable, ordered by doc_id.
+
+    Implementation: iterative min-label propagation (the Pregel pattern
+    as plain DataFrame joins — GraphFrames-free). Each round every node
+    takes the min of its own label and its neighbors' labels; converges
+    in O(component diameter) rounds. `localCheckpoint` cuts lineage per
+    round so plans don't grow; the convergence probe is a LIMIT 1 count
+    (stops at the first changed row, no full scan). Near-dup components
+    have small diameter (near-duplication is ~transitive), so rounds
+    stay in single digits; at 100 TB the same loop holds because each
+    round is one shuffle join on (node, label) pairs — for adversarial
+    long-chain graphs swap in the alternating small-star/large-star
+    contraction (same join primitives, O(log n) rounds).
+    """
+    pairs = dedup_simhash_pairs(spark, sf_dir).select("doc1", "doc2")
+    edges = (
+        pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+        .union(pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst")))
+        .localCheckpoint()  # pair generation runs once, not per round
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .select("id", F.col("id").alias("label"))
+    )
+    for _ in range(20):
+        nbr = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                labels.id,
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("component_id")
+    ).orderBy("doc_id")
+
+
+def _components_sql() -> str:
+    pairs = _simhash_pairs_sql()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT doc1 AS src, doc2 AS dst FROM pairs
+  UNION
+  SELECT doc2, doc1 FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_fingerprint": dedup_exact_fingerprint,
+    "dedup_components": dedup_components,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -386,6 +465,7 @@ QUERIES = {
 
 ORACLE = {
     "dedup_exact_fingerprint": _EXACT_SQL,
+    "dedup_components": _components_sql(),
     "dedup_ngram_jaccard": _NGRAM_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_simhash": _simhash_sql(),
