@@ -40,6 +40,17 @@ def _hyperplanes() -> list[list[float]]:
 from etl_gcp_function_tmabrasil_spark.functions.vector import dot as _dot, l2norm as _norm
 
 
+def _with_norm(df: DataFrame, *keep: str) -> DataFrame:
+    """Project (keep..., e: array<double>, nrm: double) with the L2 norm
+    computed once per row. `e` is referenced three times by non-cheap
+    expressions, so CollapseProject keeps the cast-to-double projection
+    materialized instead of inlining it into the norm lambda."""
+    cast = df.select(
+        *keep, F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    return cast.select(*keep, "e", _norm(F.col("e")).alias("nrm"))
+
+
 _SQL_DOT = (
     "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
 )
@@ -52,18 +63,22 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Candidates pay O(Q·DIM) math per row — rebalance so the scan's
     # partitioning (1 task on a single-row-group file) never serializes
     # it. The tiny query side stays on a plain scan (it is broadcast).
-    emb = load_table(spark, sf_dir, "embeddings", rebalance=True).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    # Norms are computed ONCE per row and carried through the join (the
+    # cached value is the same expression on the same input, so cosines
+    # are bit-identical to recomputing per pair — oracle-safe), cutting
+    # interpreted array passes per pair from 6 to 2.
+    emb = _with_norm(
+        load_table(spark, sf_dir, "embeddings", rebalance=True), "vec_id"
     )
-    q = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.transform("embedding", lambda x: x.cast("double")).alias("qe"),
-        )
+    q = _with_norm(
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_QUERIES),
+        "vec_id",
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
     )
-    cos = _dot(F.col("qe"), F.col("e")) / (_norm(F.col("qe")) * _norm(F.col("e")))
+    cos = _dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))
     scored = (
         emb.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -111,8 +126,10 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = _hyperplanes()
     # 12 dot products per row for bucketing — rebalance so the sketch
     # stage parallelizes regardless of the input file's row-group layout.
-    emb = load_table(spark, sf_dir, "embeddings", rebalance=True).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    # Norms ride along from the same projection so the within-bucket
+    # scoring join pays one dot per pair, not three array passes.
+    emb = _with_norm(
+        load_table(spark, sf_dir, "embeddings", rebalance=True), "vec_id"
     )
     bucket = None
     for i, p in enumerate(planes):
@@ -121,11 +138,9 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0)
         )
         bucket = bit if bucket is None else bucket + bit
-    b = emb.select("vec_id", "e", bucket.alias("bucket"))
+    b = emb.select("vec_id", "e", "nrm", bucket.alias("bucket"))
     x, y = b.alias("x"), b.alias("y")
-    cos = _dot(F.col("x.e"), F.col("y.e")) / (
-        _norm(F.col("x.e")) * _norm(F.col("y.e"))
-    )
+    cos = _dot(F.col("x.e"), F.col("y.e")) / (F.col("x.nrm") * F.col("y.nrm"))
     scored = (
         x.join(
             y,
@@ -197,49 +212,49 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreaks so Spark and DuckDB pick identical cells and neighbors.
     """
     # Assignment computes N_CELLS cosines per corpus row — rebalance the
-    # corpus side; centroids/queries stay plain scans (broadcast).
-    emb = load_table(spark, sf_dir, "embeddings", rebalance=True).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    # corpus side; centroids/queries stay plain scans (broadcast). All
+    # three legs carry once-per-row norms (bit-identical to recomputing
+    # per pair) so every cosine is one interpreted dot, not three passes.
+    emb = _with_norm(
+        load_table(spark, sf_dir, "embeddings", rebalance=True), "vec_id"
     )
     cent = F.broadcast(
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < N_CELLS)
-        .select(
+        _with_norm(
+            load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_CELLS),
+            "vec_id",
+        ).select(
             F.col("vec_id").alias("cell_id"),
-            F.transform("embedding", lambda x: x.cast("double")).alias("ce"),
+            F.col("e").alias("ce"),
+            F.col("nrm").alias("cnrm"),
         )
     )
-    acos = F.round(
-        _dot(F.col("e"), F.col("ce")) / (_norm(F.col("e")) * _norm(F.col("ce"))), 6
-    )
+    acos = F.round(_dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm")), 6)
     wa = W.partitionBy("vec_id").orderBy(F.desc("acos"), F.asc("cell_id"))
     assigned = (
         emb.crossJoin(cent)
-        .select("vec_id", "e", "cell_id", acos.alias("acos"))
+        .select("vec_id", "e", "nrm", "cell_id", acos.alias("acos"))
         .withColumn("rn", F.row_number().over(wa))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "e", "cell_id")
+        .select("vec_id", "e", "nrm", "cell_id")
     )
-    q = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.transform("embedding", lambda x: x.cast("double")).alias("qe"),
-        )
+    q = _with_norm(
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_QUERIES),
+        "vec_id",
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
     )
-    qcos = F.round(
-        _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))), 6
-    )
+    qcos = F.round(_dot(F.col("qe"), F.col("ce")) / (F.col("qnrm") * F.col("cnrm")), 6)
     wp = W.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cell_id"))
     probes = (
         q.crossJoin(cent)
-        .select("query_id", "qe", "cell_id", qcos.alias("qcos"))
+        .select("query_id", "qe", "qnrm", "cell_id", qcos.alias("qcos"))
         .withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= N_PROBE)
-        .select("query_id", "qe", "cell_id")
+        .select("query_id", "qe", "qnrm", "cell_id")
     )
-    cos = _dot(F.col("qe"), F.col("e")) / (_norm(F.col("qe")) * _norm(F.col("e")))
+    cos = _dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))
     wk = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         F.broadcast(probes)
@@ -379,13 +394,12 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is replaced by LSH buckets (ann_lsh_cosine's assignment)."""
     # Probe side rebalanced: the post-join cosine math inherits the probe
     # side's partitioning, and a single-row-group scan would serialize it.
-    emb = load_table(spark, sf_dir, "embeddings", rebalance=True).select(
-        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    # Norms carried from the scan projection: one dot per candidate pair.
+    emb = _with_norm(
+        load_table(spark, sf_dir, "embeddings", rebalance=True), "vec_id", "label"
     )
     x, y = emb.alias("x"), emb.alias("y")
-    cos = _dot(F.col("x.e"), F.col("y.e")) / (
-        _norm(F.col("x.e")) * _norm(F.col("y.e"))
-    )
+    cos = _dot(F.col("x.e"), F.col("y.e")) / (F.col("x.nrm") * F.col("y.nrm"))
     return (
         x.join(
             y,
