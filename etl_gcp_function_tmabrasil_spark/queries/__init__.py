@@ -18,6 +18,7 @@ from etl_gcp_function_tmabrasil_spark.pipelines import traindata
 from etl_gcp_function_tmabrasil_spark.queries import (
     aggregates,
     cdc,
+    curation_ops,
     dedup_approx,
     events_json,
     ingest_xlsx,
@@ -50,6 +51,7 @@ _MODULES = [
     ingest_xlsx,
     text_analysis,
     dedup_approx,
+    curation_ops,
     similarity,
     mllib_lsh,
     tfidf_udf,

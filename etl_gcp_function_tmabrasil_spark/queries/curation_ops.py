@@ -1,0 +1,216 @@
+"""Training-data curation operators beyond dedup/similarity (the
+driver's north star mandates the LLM-data-pipeline surface; the
+reference's processing body is the placeholder at
+/root/reference/main.py:17 these ops fill in):
+
+- benchmark decontamination: n-gram containment of corpus docs against
+  a held-out eval split (the train/test-overlap scrub every pretraining
+  pipeline runs),
+- PII masking: digit redaction on `customer.c_phone` keeping the last 4
+  (row-local compliance scrub, pure codegen projection),
+- corpus vocabulary: token -> (term frequency, doc frequency) top-N,
+  the first pass of tokenizer/vocab construction,
+- token-budget packing: assign docs to fixed-size training shards by
+  running token count (sequence-packing's shard-assignment step).
+
+Scale design: decontamination broadcasts only the *eval-split* gram set
+(benchmarks are tiny vs the corpus; the corpus side is explode ->
+map-side broadcast-hash join -> partial-agg, no corpus-wide shuffle).
+Vocabulary is the canonical word-count shape (partial aggregation
+halves the shuffle). Packing uses a global running sum — sequential by
+construction at this output contract; the 100 TB variant computes
+per-partition token subtotals first and adds broadcast prefix offsets
+(two-pass prefix sum), same results, no single-task sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from etl_gcp_function_tmabrasil_spark.catalog import load_table
+from etl_gcp_function_tmabrasil_spark.functions.text import word_shingles as _shingles
+from etl_gcp_function_tmabrasil_spark.queries.dedup_approx import _SHINGLES_SQL
+
+EVAL_MOD = 20  # doc_id % 20 == 0 is the stand-in "benchmark" split
+CONTAMINATION_THRESHOLD = 0.15
+VOCAB_TOP_N = 50
+SHARD_TOKEN_BUDGET = 2048
+
+
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs whose word-3-gram containment against the eval split is
+    >= 0.15: candidates for removal before training.
+
+    Containment (|doc grams ∩ eval grams| / |doc grams|), not Jaccard —
+    a short eval prompt embedded in a long doc must still flag. The
+    eval gram set is distinct-ed then broadcast; the corpus side never
+    shuffles its token stream.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # Project toks before shingling (split() inlined into a lambda
+    # re-evaluates per element — see dedup_approx.dedup_ngram_jaccard).
+    with_sh = docs.select(
+        "doc_id", "text", F.split("text", " ").alias("toks")
+    ).select("doc_id", F.array_distinct(_shingles(F.col("toks"))).alias("sh"))
+    ev = (
+        with_sh.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    corpus = with_sh.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+        "doc_id", F.size("sh").alias("n_grams"), "sh"
+    )
+    hits = (
+        corpus.select("doc_id", F.explode("sh").alias("g"))
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    contamination = F.round(
+        F.coalesce(F.col("hits"), F.lit(0)).cast("double") / F.col("n_grams"), 6
+    )
+    return (
+        corpus.select("doc_id", "n_grams")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            contamination.alias("contamination"),
+        )
+        .filter(F.col("contamination") >= CONTAMINATION_THRESHOLD)
+        .orderBy("doc_id")
+    )
+
+
+_DECONTAM_SQL = f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+sh AS (SELECT doc_id, list_distinct({_SHINGLES_SQL.strip()}) AS sh FROM t),
+ev AS (SELECT DISTINCT UNNEST(sh) AS g FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+corpus AS (SELECT doc_id, len(sh) AS n_grams, sh FROM sh
+           WHERE doc_id % {EVAL_MOD} <> 0),
+hits AS (
+  SELECT c.doc_id, COUNT(*) AS hits
+  FROM (SELECT doc_id, UNNEST(sh) AS g FROM corpus) c
+  JOIN ev ON c.g = ev.g
+  GROUP BY c.doc_id
+)
+SELECT c.doc_id, c.n_grams,
+  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+  ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / c.n_grams, 6) AS contamination
+FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+WHERE ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE) / c.n_grams, 6)
+      >= {CONTAMINATION_THRESHOLD}
+ORDER BY c.doc_id
+"""
+
+
+def pii_mask_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub on `customer`: pseudonymize the key (md5 token —
+    deterministic, join-preserving, irreversible without the key map),
+    mask the numeric id embedded in c_name, and generalize c_acctbal to
+    a 1000-unit band (k-anonymity-style coarsening). Row-local regexp +
+    hash projection — whole-stage codegen, zero shuffles, the shape
+    that streams through 100 TB at scan speed."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.md5(F.col("c_custkey").cast("string")).alias("pseudonym"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("masked_name"),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("long").alias(
+            "acctbal_band"
+        ),
+    ).orderBy("c_custkey")
+
+
+_PII_SQL = """
+SELECT c_custkey,
+  md5(c_custkey::VARCHAR) AS pseudonym,
+  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+  CAST(FLOOR(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_band
+FROM customer ORDER BY c_custkey
+"""
+
+
+def vocab_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-50 tokens by term frequency with doc
+    frequency — the counting pass of tokenizer/vocab construction.
+
+    Canonical word-count shape: explode -> groupBy(token). Catalyst
+    plans partial aggregation before the exchange, so the shuffle
+    carries one row per (task, distinct token), not the token stream;
+    df uses count(distinct doc_id) (two-phase distinct agg)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(VOCAB_TOP_N)
+    )
+
+
+_VOCAB_SQL = f"""
+SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents) t
+GROUP BY token
+ORDER BY tf DESC, token ASC
+LIMIT {VOCAB_TOP_N}
+"""
+
+
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to fixed-budget training shards: shard_id =
+    floor(start_offset / 2048) where start_offset is the running token
+    count over doc_id order (sequence-packing shard assignment)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    d = docs.select("doc_id", n_tok.cast("long").alias("n_tokens"))
+    cum = F.sum("n_tokens").over(w)
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("start_offset"),
+        F.floor((cum - F.col("n_tokens")) / F.lit(SHARD_TOKEN_BUDGET)).alias(
+            "shard_id"
+        ),
+    ).orderBy("doc_id")
+
+
+_PACK_SQL = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+    SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - n_tokens AS start_offset
+  FROM d
+)
+SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+  CAST(FLOOR(start_offset / {SHARD_TOKEN_BUDGET}.0) AS BIGINT) AS shard_id
+FROM c ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "decontaminate_ngram": decontaminate_ngram,
+    "pii_mask_customer": pii_mask_customer,
+    "vocab_doc_frequency": vocab_doc_frequency,
+    "pack_token_budget": pack_token_budget,
+}
+
+ORACLE = {
+    "decontaminate_ngram": _DECONTAM_SQL,
+    "pii_mask_customer": _PII_SQL,
+    "vocab_doc_frequency": _VOCAB_SQL,
+    "pack_token_budget": _PACK_SQL,
+}
