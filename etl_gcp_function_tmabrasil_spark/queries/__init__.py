@@ -21,6 +21,7 @@ from etl_gcp_function_tmabrasil_spark.queries import (
     curation_ops,
     dedup_approx,
     events_json,
+    expr_gaps,
     ingest_xlsx,
     joins,
     mllib_lsh,
@@ -47,6 +48,7 @@ _MODULES = [
     windows,
     setops_dedup,
     scalar_funcs,
+    expr_gaps,
     events_json,
     ingest_xlsx,
     text_analysis,

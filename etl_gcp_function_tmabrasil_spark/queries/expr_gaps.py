@@ -1,0 +1,184 @@
+"""Expression-surface gap fill (SURVEY.md §2.2 scalar/window/agg rows):
+cume_dist distribution windows, JSON encoding (to_json), higher-order
+array predicates (forall/exists/flatten/slice), regexp_extract_all,
+bitwise aggregates, deterministic string aggregation, and try_-prefixed
+error-safe arithmetic.
+
+All row-local expressions here are whole-stage-codegen projections; the
+two aggregating queries use standard partial+final hash aggregation.
+Parity notes: Spark's to_json omits null struct fields, so encoded
+structs are built from non-null columns only; string aggregation is made
+deterministic by sorting (Spark: array_sort(collect_set), DuckDB:
+string_agg(DISTINCT .. ORDER BY)) — never rely on arrival order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from etl_gcp_function_tmabrasil_spark.catalog import load_table
+
+
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: cume_dist and percent_rank of each
+    order's price within its priority class, deterministically ordered
+    by (o_totalprice, o_orderkey)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    ).orderBy("o_orderkey")
+
+
+_CUME_SQL = """
+SELECT o_orderkey, o_orderpriority,
+  ROUND(percent_rank() OVER w, 6) AS pr,
+  ROUND(cume_dist() OVER w, 6) AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+"""
+
+
+def func_json_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON encoding: serialize a projected struct per event with
+    to_json (the write-side twin of events_json's from_json). Fields are
+    non-null (event_type, user_id, rounded value) because Spark's
+    to_json drops null fields while DuckDB renders them."""
+    events = load_table(spark, sf_dir, "events")
+    payload = F.to_json(
+        F.struct(
+            F.col("event_type"),
+            F.col("user_id"),
+            F.round("value", 2).alias("value"),
+        )
+    )
+    return (
+        events.filter(F.col("value").isNotNull())
+        .select("event_id", payload.alias("payload"))
+        .orderBy("event_id")
+    )
+
+
+_JSON_ENCODE_SQL = """
+SELECT event_id,
+  to_json({'event_type': event_type, 'user_id': user_id,
+           'value': ROUND(value, 2)}) AS payload
+FROM events WHERE value IS NOT NULL ORDER BY event_id
+"""
+
+
+def func_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array predicates and nested-array ops per document:
+    forall (every token non-empty), exists (contains 'spark'),
+    flatten+slice (first-2 + last-2 edge gram), and regexp_extract_all
+    match counting. All row-local — scan-speed at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "text", F.split("text", " ").alias("toks"))
+    return d.select(
+        "doc_id",
+        F.forall("toks", lambda t: F.length(t) > 0).alias("all_nonempty"),
+        F.exists("toks", lambda t: t == "spark").alias("has_spark"),
+        F.concat_ws(
+            " ",
+            F.flatten(
+                F.array(F.slice("toks", 1, 2), F.slice(F.col("toks"), -2, 2))
+            ),
+        ).alias("edge_gram"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]*a[a-z]*"), 0)).alias(
+            "n_a_words"
+        ),
+    ).orderBy("doc_id")
+
+
+_ARRAY_PRED_SQL = """
+WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+  len(list_filter(toks, t -> len(t) = 0)) = 0 AS all_nonempty,
+  list_contains(toks, 'spark') AS has_spark,
+  array_to_string(flatten([toks[1:2], toks[-2:]]), ' ') AS edge_gram,
+  CAST(len(regexp_extract_all(text, '[a-z]*a[a-z]*')) AS INT) AS n_a_words
+FROM d ORDER BY doc_id
+"""
+
+
+def agg_bitwise_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_and/bit_or/bit_xor over nation keys) plus
+    deterministic string aggregation (sorted distinct nation-key list)
+    per market segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.bit_and("c_nationkey").alias("nk_and"),
+            F.bit_or("c_nationkey").alias("nk_or"),
+            F.bit_xor("c_nationkey").alias("nk_xor"),
+            F.concat_ws(",", F.array_sort(F.collect_set("c_nationkey"))).alias(
+                "nations_csv"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_BITWISE_SQL = """
+SELECT c_mktsegment,
+  bit_and(c_nationkey) AS nk_and,
+  bit_or(c_nationkey) AS nk_or,
+  bit_xor(c_nationkey) AS nk_xor,
+  array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations_csv
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def func_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic: try_divide returns NULL on zero
+    denominators instead of failing/Inf — per-line discount-unit price
+    with an engineered zero for every 7th row.
+
+    Rounded at 9 decimals, not 4: price(2dp)/quantity quotients can sit
+    exactly on a 4dp half-boundary, where Spark (BigDecimal of the
+    shortest decimal repr, HALF_UP) and DuckDB (binary-value rounding)
+    legitimately disagree by 1ulp; no quotient of this domain terminates
+    exactly on a 9dp half-boundary, so both engines agree there."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    denom = F.when(F.col("l_linenumber") % 7 == 0, F.lit(0.0)).otherwise(
+        F.col("l_quantity")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), denom), 9
+        ).alias("unit_price"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+_TRY_ARITH_SQL = """
+SELECT l_orderkey, l_linenumber,
+  ROUND(l_extendedprice::DOUBLE / NULLIF(
+    CASE WHEN l_linenumber % 7 = 0 THEN 0.0 ELSE l_quantity::DOUBLE END, 0.0), 9)
+    AS unit_price
+FROM lineitem WHERE l_orderkey <= 1000
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+QUERIES = {
+    "window_cume_dist": window_cume_dist,
+    "func_json_encode": func_json_encode,
+    "func_array_predicates": func_array_predicates,
+    "agg_bitwise_stringagg": agg_bitwise_stringagg,
+    "func_try_arithmetic": func_try_arithmetic,
+}
+
+ORACLE = {
+    "window_cume_dist": _CUME_SQL,
+    "func_json_encode": _JSON_ENCODE_SQL,
+    "func_array_predicates": _ARRAY_PRED_SQL,
+    "agg_bitwise_stringagg": _BITWISE_SQL,
+    "func_try_arithmetic": _TRY_ARITH_SQL,
+}
