@@ -98,3 +98,51 @@ def test_scalar_subquery_broadcasts_one_row(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
         "global-total threshold did not broadcast"
     )
+
+
+def test_decontamination_broadcasts_eval_grams(spark, sf_dir):
+    from etl_gcp_function_tmabrasil_spark.queries.curation_ops import (
+        decontaminate_ngram,
+    )
+
+    df = decontaminate_ngram(spark, sf_dir)
+    assert has_broadcast_hash_join(df), "eval gram set did not broadcast"
+    # eval distinct + hits agg + final sort; the corpus token stream must
+    # never shuffle
+    n = count_exchanges(df)
+    assert n <= 3, f"decontamination pays {n} shuffles; corpus side leaked one"
+
+
+def test_pii_mask_is_scan_speed_projection(spark, sf_dir):
+    from etl_gcp_function_tmabrasil_spark.queries.curation_ops import (
+        pii_mask_customer,
+    )
+
+    n = count_exchanges(pii_mask_customer(spark, sf_dir))
+    assert n <= 1, f"PII mask pays {n} shuffles; expected final sort only"
+
+
+def test_vocab_topk_avoids_global_sort(spark, sf_dir):
+    from etl_gcp_function_tmabrasil_spark.queries.curation_ops import (
+        vocab_doc_frequency,
+    )
+
+    assert has_take_ordered(vocab_doc_frequency(spark, sf_dir)), (
+        "vocab top-N did not compile to TakeOrderedAndProject"
+    )
+
+
+def test_array_predicates_row_local(spark, sf_dir):
+    from etl_gcp_function_tmabrasil_spark.queries.expr_gaps import (
+        func_array_predicates,
+    )
+
+    n = count_exchanges(func_array_predicates(spark, sf_dir))
+    assert n <= 1, f"array predicates pay {n} shuffles; expected final sort only"
+
+
+def test_cume_dist_single_window_shuffle(spark, sf_dir):
+    from etl_gcp_function_tmabrasil_spark.queries.expr_gaps import window_cume_dist
+
+    n = count_exchanges(window_cume_dist(spark, sf_dir))
+    assert n <= 2, f"cume_dist pays {n} shuffles; expected window + final sort"
