@@ -40,6 +40,8 @@ HEADLINE = [
     "q9_product_profit",        # 5-way join + profit rollup
     "q13_customer_distribution", # outer join + double agg
     "q21_waiting_suppliers",    # exists/not-exists semi+anti joins
+    "decontaminate_ngram",      # eval-set n-gram scrub (broadcast semi)
+    "vocab_doc_frequency",      # corpus vocab (partial-agg word count)
 ]
 
 

@@ -46,7 +46,10 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval gram set is distinct-ed then broadcast; the corpus side never
     shuffles its token stream.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # Rebalance: shingling is the compute-heavy stage and the test
+    # corpus is a single row group — without it the whole pass runs in
+    # one task (see SCALING.md "Known local-bench artifacts").
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     # Project toks before shingling (split() inlined into a lambda
     # re-evaluates per element — see dedup_approx.dedup_ngram_jaccard).
     with_sh = docs.select(
@@ -54,30 +57,35 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.array_distinct(_shingles(F.col("toks"))).alias("sh"))
     ev = (
         with_sh.filter(F.col("doc_id") % EVAL_MOD == 0)
-        .select(F.explode("sh").alias("g"))
+        .select(F.explode_outer("sh").alias("g"))
         .distinct()
     )
-    corpus = with_sh.filter(F.col("doc_id") % EVAL_MOD != 0).select(
-        "doc_id", F.size("sh").alias("n_grams"), "sh"
+    # Single corpus pass: explode the (distinct) gram set once, LEFT-join
+    # the broadcast eval grams, and read BOTH n_grams (count of exploded
+    # rows — sh is distinct so it equals size(sh)) and hits (matched
+    # rows) off one aggregation. The naive corpus⋈hits re-join costs a
+    # second scan + a second shingling of every document.
+    # explode_outer, not explode: plain explode makes Catalyst infer a
+    # `size(sh) > 0 AND isnotnull(sh)` constraint and push it below the
+    # rebalance exchange — inlining the whole shingling expression into
+    # the scan-side filter, evaluated twice per row in ONE task. sh is
+    # never empty (word_shingles falls back to [text]), so the outer
+    # variant is semantically identical here.
+    exploded = with_sh.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+        "doc_id", F.explode_outer("sh").alias("g")
     )
-    hits = (
-        corpus.select("doc_id", F.explode("sh").alias("g"))
-        .join(F.broadcast(ev), "g")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("hits"))
+    scored = exploded.join(
+        F.broadcast(ev.withColumn("hit", F.lit(1))), "g", "left"
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("hits"),
     )
     contamination = F.round(
-        F.coalesce(F.col("hits"), F.lit(0)).cast("double") / F.col("n_grams"), 6
+        F.col("hits").cast("double") / F.col("n_grams"), 6
     )
     return (
-        corpus.select("doc_id", "n_grams")
-        .join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_grams",
-            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
-            contamination.alias("contamination"),
-        )
+        agg.select("doc_id", "n_grams", "hits", contamination.alias("contamination"))
         .filter(F.col("contamination") >= CONTAMINATION_THRESHOLD)
         .orderBy("doc_id")
     )

@@ -1,0 +1,109 @@
+"""The custom Python DataSource (cloudevent_jsonl) must deliver the
+reference's defensive-parse semantics (/root/reference/main.py:6-9) as
+a first-class spark.read format: malformed lines -> all-null rows,
+absent keys -> nulls, string sizes -> long, one partition per file."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from etl_gcp_function_tmabrasil_spark.sources import cloudevent_source, file_events
+from etl_gcp_function_tmabrasil_spark.sources.cloudevent_source import (
+    parse_event_line,
+)
+
+
+@pytest.fixture(scope="module")
+def feed_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("feed")
+    (d / "events-0.jsonl").write_text(
+        "\n".join(
+            [
+                json.dumps(
+                    {
+                        "bucket": "b1",
+                        "name": "minha-pasta/jan.xlsx",
+                        "size": "2048",
+                        "timeCreated": "2026-01-05T10:00:00Z",
+                    }
+                ),
+                json.dumps({"bucket": "b1", "name": "minha-pasta/raw.csv", "size": "7"}),
+                "{ not valid json",
+            ]
+        )
+    )
+    (d / "events-1.jsonl").write_text(
+        "\n".join(
+            [
+                json.dumps({"name": "outra/fev.xlsx", "size": 9}),
+                json.dumps({"bucket": "b2", "size": "oops"}),
+                json.dumps({"bucket": "b2", "name": "minha-pasta/fev.xlsx", "size": "1"}),
+            ]
+        )
+    )
+    (d / "_SUCCESS").write_text("")  # metadata files must be skipped
+    return d
+
+
+def test_parse_line_defensive():
+    assert parse_event_line("not json") == (None, None, None, None)
+    assert parse_event_line("[1,2]") == (None, None, None, None)
+    assert parse_event_line('{"bucket": 5, "name": null, "size": true}') == (
+        None,
+        None,
+        None,
+        None,
+    )
+    b, n, s, ts = parse_event_line(
+        '{"bucket":"b","name":"x.xlsx","size":"42","timeCreated":"2026-01-01T00:00:00Z"}'
+    )
+    assert (b, n, s) == ("b", "x.xlsx", 42) and ts is not None
+
+
+def test_read_feed_rows_and_nulls(spark, feed_dir):
+    cloudevent_source.register(spark)
+    df = spark.read.format("cloudevent_jsonl").load(str(feed_dir))
+    rows = {(r.bucket, r.name, r.size) for r in df.collect()}
+    assert rows == {
+        ("b1", "minha-pasta/jan.xlsx", 2048),
+        ("b1", "minha-pasta/raw.csv", 7),
+        (None, None, None),  # malformed line -> all-null row
+        (None, "outra/fev.xlsx", 9),  # absent bucket; int size tolerated
+        ("b2", None, None),  # absent name; non-numeric size -> null
+        ("b2", "minha-pasta/fev.xlsx", 1),
+    }
+    assert df.schema.simpleString() == (
+        "struct<bucket:string,name:string,size:bigint,ts:timestamp>"
+    )
+
+
+def test_partition_per_file(spark, feed_dir):
+    cloudevent_source.register(spark)
+    df = spark.read.format("cloudevent_jsonl").load(str(feed_dir))
+    assert df.rdd.getNumPartitions() == 2  # one per data file, _SUCCESS skipped
+
+
+def test_reference_routing_on_source(spark, feed_dir):
+    cloudevent_source.register(spark)
+    df = spark.read.format("cloudevent_jsonl").load(str(feed_dir))
+    accepted = {r.name for r in file_events.accept_filter(df).collect()}
+    rejected = {r.name for r in file_events.reject_filter(df).collect()}
+    assert accepted == {"minha-pasta/jan.xlsx", "minha-pasta/fev.xlsx"}
+    assert rejected == {"minha-pasta/raw.csv", "outra/fev.xlsx", None}
+    # accept + reject partition the feed exactly (main.py:12-16 dichotomy)
+    assert file_events.accept_filter(df).count() + file_events.reject_filter(
+        df
+    ).count() == df.count()
+
+
+def test_glob_filter_limits_files(spark, feed_dir):
+    cloudevent_source.register(spark)
+    df = (
+        spark.read.format("cloudevent_jsonl")
+        .option("pathGlobFilter", "events-0.jsonl")
+        .load(str(feed_dir))
+    )
+    assert df.rdd.getNumPartitions() == 1
+    assert df.count() == 3

@@ -107,10 +107,13 @@ def test_decontamination_broadcasts_eval_grams(spark, sf_dir):
 
     df = decontaminate_ngram(spark, sf_dir)
     assert has_broadcast_hash_join(df), "eval gram set did not broadcast"
-    # eval distinct + hits agg + final sort; the corpus token stream must
-    # never shuffle
+    # Budget: 2 round-robin rebalances of *document rows* (single-row-
+    # group layout guard — these shuffle the tiny pre-explode rows, not
+    # the token stream) + eval distinct + per-doc agg + final sort. The
+    # exploded corpus gram stream itself must never hit an exchange:
+    # it flows scan -> explode -> broadcast join -> partial agg.
     n = count_exchanges(df)
-    assert n <= 3, f"decontamination pays {n} shuffles; corpus side leaked one"
+    assert n <= 5, f"decontamination pays {n} shuffles; corpus grams leaked into one"
 
 
 def test_pii_mask_is_scan_speed_projection(spark, sf_dir):
