@@ -209,11 +209,104 @@ FROM c ORDER BY doc_id
 """
 
 
+CHUNK_TOKENS = 16
+CHUNK_STRIDE = 12
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style chunking: overlapping 16-token windows at stride 12 per
+    document. Row-local explode of per-doc window starts — no shuffle,
+    output rows ≈ tokens/stride; at 100 TB this is a scan-speed map
+    whose only cost is the output volume it intentionally creates."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    # explode_outer: plain explode's inferred size()>0 constraint would
+    # re-inline the sequence into a scan filter (see decontaminate_ngram)
+    ex = d.select("doc_id", "toks", F.explode_outer(starts).alias("start"))
+    chunk = F.slice(F.col("toks"), F.col("start"), F.lit(CHUNK_TOKENS))
+    return ex.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+_CHUNK_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (SELECT doc_id, toks,
+        UNNEST(generate_series(1, GREATEST(len(toks), 1), {CHUNK_STRIDE})) AS start
+      FROM t)
+SELECT doc_id,
+  CAST((start - 1) / {CHUNK_STRIDE} AS INT) AS chunk_id,
+  CAST(len(toks[start:start + {CHUNK_TOKENS - 1}]) AS INT) AS n_chunk_tokens,
+  array_to_string(toks[start:start + {CHUNK_TOKENS - 1}], ' ') AS chunk
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization (min/max affine codebook): the
+    compression pass before shipping embeddings to an ANN index.
+
+    Levels use floor(y + 0.5), not round(y): both engines floor the
+    same binary double, while round() differs at half-boundaries (Spark
+    rounds the shortest decimal repr, DuckDB the binary value). lo and
+    scale are materialized per row — each is referenced twice, which
+    stops CollapseProject from inlining the array_min/array_max into
+    the quantization lambda (re-evaluated per element otherwise)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    m = emb.select(
+        "vec_id",
+        "e",
+        F.array_min("e").alias("lo"),
+        ((F.array_max("e") - F.array_min("e")) / 255.0).alias("scale"),
+    )
+    q = m.select(
+        "vec_id",
+        "lo",
+        "scale",
+        F.expr(
+            "transform(e, x -> coalesce(cast(floor((x - lo) / nullif(scale, 0.0d)"
+            " + 0.5d) as int), 0))"
+        ).alias("q"),
+    )
+    return q.select(
+        "vec_id",
+        F.round("lo", 6).alias("lo"),
+        F.round("scale", 9).alias("scale"),
+        F.array_join(F.slice("q", 1, 8), ",").alias("q_head"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+    ).orderBy("vec_id")
+
+
+_QUANT_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+m AS (SELECT vec_id, e, list_min(e) AS lo,
+        (list_max(e) - list_min(e)) / 255.0 AS scale FROM e),
+q AS (SELECT vec_id, lo, scale,
+        list_transform(e, x -> COALESCE(CAST(FLOOR((x - lo) / NULLIF(scale, 0.0)
+          + 0.5) AS INT), 0)) AS q
+      FROM m)
+SELECT vec_id, ROUND(lo, 6) AS lo, ROUND(scale, 9) AS scale,
+  array_to_string(q[1:8], ',') AS q_head,
+  CAST(list_sum(q) AS BIGINT) AS q_sum
+FROM q ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "decontaminate_ngram": decontaminate_ngram,
     "pii_mask_customer": pii_mask_customer,
     "vocab_doc_frequency": vocab_doc_frequency,
     "pack_token_budget": pack_token_budget,
+    "chunk_documents": chunk_documents,
+    "embedding_quantize_int8": embedding_quantize_int8,
 }
 
 ORACLE = {
@@ -221,4 +314,6 @@ ORACLE = {
     "pii_mask_customer": _PII_SQL,
     "vocab_doc_frequency": _VOCAB_SQL,
     "pack_token_budget": _PACK_SQL,
+    "chunk_documents": _CHUNK_SQL,
+    "embedding_quantize_int8": _QUANT_SQL,
 }
