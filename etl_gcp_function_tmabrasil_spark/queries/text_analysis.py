@@ -203,6 +203,115 @@ FROM m ORDER BY doc_id
 """
 
 
+def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/diversity filters per document: top-token
+    ratio, Gini-Simpson diversity over unigram counts, duplicate-bigram
+    fraction. Stands in for the reference's unimplemented processing
+    body (`/root/reference/main.py:17`) on the text-curation side.
+
+    All ratios are quotients of exact integer aggregates (counts, sums
+    of squared counts), so there is no float-summation-order divergence
+    vs the oracle. Scale story: the unigram counts shuffle on
+    (doc_id, token) with map-side partial aggregation; bigram dedup is a
+    per-row higher-order function (no shuffle); the per-doc bigram
+    scalars ride through both aggregations via first() instead of a
+    third join shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    # bigrams referenced twice (size + distinct-size) so CollapseProject
+    # keeps the zip_with materialized instead of inlining it per use.
+    with_bi = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        "toks",
+        F.expr(
+            "zip_with(slice(toks, 1, size(toks) - 1),"
+            " slice(toks, 2, size(toks) - 1), (a, b) -> concat(a, ' ', b))"
+        ).alias("bigrams"),
+    )
+    per_tok = with_bi.select(
+        "doc_id",
+        F.size("bigrams").alias("n_bigrams"),
+        (F.size("bigrams") - F.size(F.array_distinct("bigrams"))).alias(
+            "dup_bigrams"
+        ),
+        F.explode_outer("toks").alias("tok"),
+    )
+    agg = (
+        per_tok.groupBy("doc_id", "tok")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.first("n_bigrams").alias("n_bigrams"),
+            F.first("dup_bigrams").alias("dup_bigrams"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("sum_sq"),
+            F.max("cnt").alias("max_cnt"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.first("n_bigrams").alias("n_bigrams"),
+            F.first("dup_bigrams").alias("dup_bigrams"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.round(F.col("max_cnt").cast("double") / F.col("n_tokens"), 6).alias(
+            "top_token_ratio"
+        ),
+        F.round(
+            F.lit(1.0)
+            - F.col("sum_sq").cast("double")
+            / (F.col("n_tokens") * F.col("n_tokens")),
+            6,
+        ).alias("simpson_diversity"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.round(F.col("dup_bigrams").cast("double") / F.col("n_bigrams"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+_DIVERSITY_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+bi AS (
+  SELECT doc_id,
+    CAST(len(toks) - 1 AS BIGINT) AS n_bigrams,
+    CAST(len(toks) - 1 AS BIGINT)
+      - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+          i -> toks[i] || ' ' || toks[i + 1]))) AS BIGINT) AS dup_bigrams
+  FROM t
+),
+c AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+  GROUP BY doc_id, tok
+),
+a AS (
+  SELECT doc_id,
+    CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+    CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq,
+    MAX(cnt) AS max_cnt,
+    COUNT(*) AS n_distinct_tokens
+  FROM c GROUP BY doc_id
+)
+SELECT a.doc_id, a.n_tokens, a.n_distinct_tokens,
+  ROUND(CAST(a.max_cnt AS DOUBLE) / a.n_tokens, 6) AS top_token_ratio,
+  ROUND(1.0 - CAST(a.sum_sq AS DOUBLE) / (a.n_tokens * a.n_tokens), 6)
+    AS simpson_diversity,
+  CASE WHEN bi.n_bigrams > 0
+       THEN ROUND(CAST(bi.dup_bigrams AS DOUBLE) / bi.n_bigrams, 6)
+       ELSE 0.0 END AS dup_bigram_frac
+FROM a JOIN bi USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over whitespace-normalized text plus
     a 60-bit integer fingerprint (hex prefix) — engine-reproducible, the
@@ -249,6 +358,7 @@ QUERIES = {
     "text_token_count": text_token_count,
     "text_lang_id": text_lang_id,
     "text_quality_score": text_quality_score,
+    "text_token_diversity": text_token_diversity,
     "text_fingerprint": text_fingerprint,
     "text_length_histogram": text_length_histogram,
 }
@@ -258,6 +368,7 @@ ORACLE = {
     "text_token_count": _TOKENS_SQL,
     "text_lang_id": _langid_sql(),
     "text_quality_score": _QUALITY_SQL,
+    "text_token_diversity": _DIVERSITY_SQL,
     "text_fingerprint": _FINGERPRINT_SQL,
     "text_length_histogram": _HISTOGRAM_SQL,
 }
