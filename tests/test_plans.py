@@ -149,3 +149,18 @@ def test_cume_dist_single_window_shuffle(spark, sf_dir):
 
     n = count_exchanges(window_cume_dist(spark, sf_dir))
     assert n <= 2, f"cume_dist pays {n} shuffles; expected window + final sort"
+
+
+def test_token_diversity_materializes_bigrams_once(spark, sf_dir):
+    # the zip_with bigram build is interpreted (CodegenFallback); the
+    # plan must evaluate it once per row, not re-inline it per use or
+    # into a constraint-derived scan filter (explode would add one).
+    from etl_gcp_function_tmabrasil_spark.queries.text_analysis import (
+        text_token_diversity,
+    )
+
+    df = text_token_diversity(spark, sf_dir)
+    plan = explain_str(df)
+    assert plan.count("zip_with") <= 1, "bigram zip_with duplicated in plan"
+    n = count_exchanges(df)
+    assert n <= 3, f"token diversity pays {n} shuffles; expected 2 aggs + sort"
