@@ -90,6 +90,45 @@ SELECT * FROM pairs ORDER BY event_id, tag_key
 """
 
 
+def json_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema_of_json-driven parse: infer the props schema from a
+    representative payload (Spark requires a foldable sample — at scale
+    you'd sample one row per source at plan-build time), then parse the
+    whole column with from_json using the inferred DDL. Completes the
+    SURVEY §2.2 JSON-function row (from_json / get_json_object /
+    json_tuple / schema_of_json). Constant-folded schema string; one
+    shuffle on the bounded event_type key."""
+    ev = load_table(spark, sf_dir, "events")
+    inferred = F.schema_of_json(F.lit('{"k": 87}'))
+    parsed = ev.select(
+        "event_type",
+        inferred.alias("props_schema"),
+        F.from_json("props", "k BIGINT").getField("k").alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type", "props_schema")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_JSON_SCHEMA_SQL = """
+SELECT event_type, 'STRUCT<k: BIGINT>' AS props_schema,
+  COUNT(*) AS n_events,
+  CAST(SUM(k) AS BIGINT) AS sum_k,
+  MIN(k) AS min_k, MAX(k) AS max_k
+FROM (SELECT event_type,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events) t
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def json_agg_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate on an extracted JSON field (bucket props.k by decade)."""
     ev = load_table(spark, sf_dir, "events")
@@ -294,6 +333,7 @@ ORDER BY user_id, session_start
 QUERIES = {
     "json_extract_props": json_extract_props,
     "json_tuple_explode_outer": json_tuple_explode_outer,
+    "json_schema_inference": json_schema_inference,
     "json_agg_by_key": json_agg_by_key,
     "array_ops": array_ops,
     "map_ops": map_ops,
@@ -305,6 +345,7 @@ QUERIES = {
 ORACLE = {
     "json_extract_props": _JSON_SQL,
     "json_tuple_explode_outer": _JSON_TUPLE_SQL,
+    "json_schema_inference": _JSON_SCHEMA_SQL,
     "json_agg_by_key": _JSON_AGG_SQL,
     "array_ops": _ARRAY_SQL,
     "map_ops": _MAP_SQL,
