@@ -24,6 +24,7 @@ _FAMILY_QUERIES = [
     ("setop_union_intersect_except", 3),  # one labeled count row per set op
     ("dedup_minhash_lsh", 0),
     ("text_token_count", 0),
+    ("text_token_diversity", 0),
     ("knn_bruteforce_cosine", 0),
     ("ann_ivf_cosine", 0),
     ("json_agg_by_key", 0),
