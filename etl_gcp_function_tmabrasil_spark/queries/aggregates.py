@@ -355,8 +355,37 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-(lang, source) Datasketches HLL
+    sketches of distinct tokens, union-merged up to lang with
+    hll_union_agg — the incremental-aggregation backbone at 100 TB:
+    daily/source partitions persist sketch bytes once, and any rollup
+    (day→month, source→lang) is a cheap sketch union with NO rescan of
+    raw data, unlike countDistinct which must always re-shuffle raw
+    values. Estimates are deterministic for a given input set but not
+    reproducible in DuckDB (different HLL impl), so this is a rows-only
+    check; the bounded-error invariant vs exact countDistinct is
+    unit-tested in tests/test_approx_invariants.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "source", F.explode_outer(F.split("text", " ")).alias("tok")
+    )
+    per_source = toks.groupBy("lang", "source").agg(
+        F.hll_sketch_agg("tok").alias("sk")
+    )
+    return (
+        per_source.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sketches"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "agg_distinct": agg_distinct,
+    "agg_hll_mergeable": agg_hll_mergeable,
     "agg_argmax": agg_argmax,
     "agg_stats_moments": agg_stats_moments,
     "rollup_time_multires": rollup_time_multires,
@@ -378,6 +407,7 @@ ORACLE = {
     "agg_cube": _CUBE_SQL,
     "agg_collect": _COLLECT_SQL,
     "agg_grouping_sets": _GROUPING_SETS_SQL,
-    # agg_approx_distinct: intentionally no oracle (sketches differ across
-    # engines); bounded-error invariant is unit-tested instead.
+    # agg_approx_distinct / agg_hll_mergeable: intentionally no oracle
+    # (sketches differ across engines); bounded-error invariants are
+    # unit-tested instead.
 }

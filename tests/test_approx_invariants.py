@@ -29,3 +29,27 @@ def test_approx_distinct_within_error_bound(spark, sf_dir):
         assert abs(approx[k] - ex) <= max(2, 0.05 * ex), (
             f"{k}: estimate {approx[k]} vs exact {ex} outside bound"
         )
+
+
+def test_hll_sketch_union_within_error_bound(spark, sf_dir):
+    # default lgConfigK=12 → ~1.6% relative standard error; allow 4x.
+    from etl_gcp_function_tmabrasil_spark.queries.aggregates import (
+        agg_hll_mergeable,
+    )
+
+    est = {
+        r.lang: r.est_distinct_tokens for r in agg_hll_mergeable(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        r.lang: r.exact
+        for r in docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang")
+        .agg(F.countDistinct("tok").alias("exact"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for lang, e in exact.items():
+        assert abs(est[lang] - e) <= max(2, 0.064 * e), (
+            f"{lang}: sketch estimate {est[lang]} vs exact {e}"
+        )
