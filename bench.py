@@ -42,6 +42,7 @@ HEADLINE = [
     "q21_waiting_suppliers",    # exists/not-exists semi+anti joins
     "decontaminate_ngram",      # eval-set n-gram scrub (broadcast semi)
     "vocab_doc_frequency",      # corpus vocab (partial-agg word count)
+    "text_token_diversity",     # repetition filters (HOF + 2-level agg)
 ]
 
 

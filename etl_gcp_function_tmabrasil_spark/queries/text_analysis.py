@@ -211,47 +211,51 @@ def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All ratios are quotients of exact integer aggregates (counts, sums
     of squared counts), so there is no float-summation-order divergence
-    vs the oracle. Scale story: the unigram counts shuffle on
-    (doc_id, token) with map-side partial aggregation; bigram dedup is a
-    per-row higher-order function (no shuffle); the per-doc bigram
-    scalars ride through both aggregations via first() instead of a
-    third join shuffle."""
+    vs the oracle. Scale story: per-document metrics never shuffle —
+    unigram run-length statistics come from ONE aggregate() pass over
+    the sorted token array (sum of squared run lengths, max run,
+    distinct count), and bigram dedup is array_distinct; the whole
+    query is an embarrassingly-parallel projection plus the output
+    sort. (An earlier explode → groupBy(doc_id, token) formulation
+    shuffled ~1 row per token with near-unique keys — 2.8 s vs 0.3 s
+    at sf0.1, and strictly worse at any scale.)"""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    # bigrams referenced twice (size + distinct-size) so CollapseProject
-    # keeps the zip_with materialized instead of inlining it per use.
+    # bigrams/runs referenced twice so CollapseProject keeps the
+    # interpreted HOFs materialized instead of inlining them per use.
     with_bi = docs.select("doc_id", toks.alias("toks")).select(
         "doc_id",
-        "toks",
+        F.size("toks").alias("n_tokens"),
+        F.expr(
+            "aggregate(array_sort(toks),"
+            " named_struct('prev', cast(null as string), 'run', 0L,"
+            "              'ss', 0L, 'mx', 0L, 'nd', 0L),"
+            " (acc, x) -> if(x <=> acc.prev,"
+            "   named_struct('prev', acc.prev, 'run', acc.run + 1L,"
+            "                'ss', acc.ss, 'mx', acc.mx, 'nd', acc.nd),"
+            "   named_struct('prev', x, 'run', 1L,"
+            "                'ss', acc.ss + acc.run * acc.run,"
+            "                'mx', greatest(acc.mx, acc.run),"
+            "                'nd', acc.nd + 1L)),"
+            " acc -> named_struct('ss', acc.ss + acc.run * acc.run,"
+            "                     'mx', greatest(acc.mx, acc.run),"
+            "                     'nd', acc.nd))"
+        ).alias("runs"),
         F.expr(
             "zip_with(slice(toks, 1, size(toks) - 1),"
             " slice(toks, 2, size(toks) - 1), (a, b) -> concat(a, ' ', b))"
         ).alias("bigrams"),
     )
-    per_tok = with_bi.select(
+    agg = with_bi.select(
         "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("runs.ss").alias("sum_sq"),
+        F.col("runs.mx").alias("max_cnt"),
+        F.col("runs.nd").alias("n_distinct_tokens"),
         F.size("bigrams").alias("n_bigrams"),
         (F.size("bigrams") - F.size(F.array_distinct("bigrams"))).alias(
             "dup_bigrams"
         ),
-        F.explode_outer("toks").alias("tok"),
-    )
-    agg = (
-        per_tok.groupBy("doc_id", "tok")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.first("n_bigrams").alias("n_bigrams"),
-            F.first("dup_bigrams").alias("dup_bigrams"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.sum("cnt").alias("n_tokens"),
-            F.sum(F.col("cnt") * F.col("cnt")).alias("sum_sq"),
-            F.max("cnt").alias("max_cnt"),
-            F.count(F.lit(1)).alias("n_distinct_tokens"),
-            F.first("n_bigrams").alias("n_bigrams"),
-            F.first("dup_bigrams").alias("dup_bigrams"),
-        )
     )
     return agg.select(
         "doc_id",

@@ -163,4 +163,4 @@ def test_token_diversity_materializes_bigrams_once(spark, sf_dir):
     plan = explain_str(df)
     assert plan.count("zip_with") <= 1, "bigram zip_with duplicated in plan"
     n = count_exchanges(df)
-    assert n <= 3, f"token diversity pays {n} shuffles; expected 2 aggs + sort"
+    assert n <= 1, f"token diversity pays {n} shuffles; expected final sort only"
