@@ -73,9 +73,21 @@ def table_path(sf_dir: str, name: str) -> str:
 #: i.e. multi-GB tables written with too-few row groups.
 _REBALANCE_MIN_ROWS = 5_000_000
 
-#: path -> (num_rows, split_units) parquet-footer cache (footers are a
-#: few KB; reading them driver-side is how Spark itself plans the scan).
-_layout_cache: dict[str, tuple[int, int]] = {}
+#: (path, mtime_ns, size) -> (num_rows, split_units) parquet-footer cache
+#: (footers are a few KB; reading them driver-side is how Spark itself
+#: plans the scan). Keying by mtime+size means a table rewritten in
+#: place gets re-read instead of serving a stale layout.
+_layout_cache: dict[str, tuple[tuple, tuple[int, int]]] = {}
+
+
+def _layout_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    import glob
+
+    # Recursive: partitioned directories nest part files under
+    # key=value subdirectories.
+    return sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
 
 
 def _parquet_layout(path: str) -> tuple[int, int]:
@@ -86,23 +98,22 @@ def _parquet_layout(path: str) -> tuple[int, int]:
     giant row group is read by ONE task no matter how it is byte-split.
     The split-unit count is therefore the true scan parallelism bound.
     """
-    if path not in _layout_cache:
-        import glob
+    files = _layout_files(path)
+    stamp = tuple(
+        (f, st.st_mtime_ns, st.st_size) for f in files for st in (os.stat(f),)
+    )
+    cached = _layout_cache.get(path)
+    if cached is not None and cached[0] == stamp:
+        return cached[1]
+    import pyarrow.parquet as pq
 
-        import pyarrow.parquet as pq
-
-        files = (
-            [path]
-            if os.path.isfile(path)
-            else sorted(glob.glob(os.path.join(path, "*.parquet")))
-        )
-        rows = units = 0
-        for f in files:
-            md = pq.ParquetFile(f).metadata
-            rows += md.num_rows
-            units += md.num_row_groups
-        _layout_cache[path] = (rows, units)
-    return _layout_cache[path]
+    rows = units = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        rows += md.num_rows
+        units += md.num_row_groups
+    _layout_cache[path] = (stamp, (rows, units))
+    return rows, units
 
 
 def load_table(

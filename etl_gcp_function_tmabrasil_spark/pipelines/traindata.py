@@ -95,8 +95,8 @@ kept AS (
   FROM staged s JOIN keepers k ON s.doc_id = k.doc_id
 )
 SELECT lang, source, COUNT(*) AS kept_docs,
-  SUM(group_size) - COUNT(*) AS deduped_away,
-  SUM(n_chars) AS kept_chars
+  CAST(SUM(group_size) - COUNT(*) AS BIGINT) AS deduped_away,
+  CAST(SUM(n_chars) AS BIGINT) AS kept_chars
 FROM kept GROUP BY lang, source
 ORDER BY lang, source
 """
@@ -138,7 +138,7 @@ def _sample_sql() -> str:
         f"WHEN lang = '{lang}' THEN {p}" for lang, p in SAMPLE_PCT.items()
     )
     return f"""
-SELECT lang, COUNT(*) AS sampled_docs, SUM(n_chars) AS sampled_chars
+SELECT lang, COUNT(*) AS sampled_docs, CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
 FROM documents
 WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100)
       < (CASE {cases} ELSE 0 END)

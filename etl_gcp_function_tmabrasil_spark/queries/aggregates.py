@@ -35,7 +35,7 @@ _DISTINCT_SQL = """
 SELECT o_orderstatus,
   COUNT(DISTINCT o_custkey) AS n_distinct_custs,
   COUNT(DISTINCT o_orderpriority) AS n_priorities,
-  SUM(DISTINCT o_custkey) AS sum_distinct_custs,
+  CAST(SUM(DISTINCT o_custkey) AS BIGINT) AS sum_distinct_custs,
   COUNT(*) AS n_orders
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """

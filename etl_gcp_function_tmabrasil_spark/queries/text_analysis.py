@@ -46,9 +46,9 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STATS_SQL = """
 SELECT lang, source, COUNT(*) AS n_docs,
-  SUM(n_chars) AS total_chars,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
   CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_chars,
-  SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS total_tokens,
+  CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
   MIN(n_chars) AS min_chars,
   MAX(n_chars) AS max_chars
 FROM documents GROUP BY lang, source ORDER BY lang, source

@@ -50,11 +50,15 @@ def _coerce_ts(v) -> datetime | None:
     if not isinstance(v, str):
         return None
     try:
-        return datetime.fromisoformat(v.replace("Z", "+00:00")).astimezone(
-            timezone.utc
-        )
+        dt = datetime.fromisoformat(v.replace("Z", "+00:00"))
     except ValueError:
         return None
+    # A tz-naive RFC 3339 string must be read as UTC, not the host TZ:
+    # astimezone() on a naive datetime assumes local time, which would
+    # make parsed values machine-dependent.
+    if dt.tzinfo is None:
+        return dt.replace(tzinfo=timezone.utc)
+    return dt.astimezone(timezone.utc)
 
 
 def parse_event_line(line: str) -> tuple:

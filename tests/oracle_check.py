@@ -55,6 +55,18 @@ def compare(spark_df, oracle_df: pd.DataFrame, name: str) -> list[str]:
         return problems
     a, b = _canon(sp), _canon(oracle_df)
     for c in a.columns:
+        # The driver's value-hash is dtype-sensitive: int64 108559452 and
+        # float64 108559452.0 hash differently even though == passes. A
+        # DuckDB HUGEINT (→ float64/object in pandas) vs Spark BIGINT is
+        # therefore a real failure; mirror that strictness here.
+        ak, bk = a[c].dtype.kind, b[c].dtype.kind
+        int_kinds = {"i", "u"}
+        if (ak in int_kinds) != (bk in int_kinds) and {ak, bk} <= int_kinds | {"f", "O"}:
+            problems.append(
+                f"{name}: column {c}: dtype kind mismatch spark={a[c].dtype} "
+                f"oracle={b[c].dtype} (cast the oracle integer agg to BIGINT)"
+            )
+            continue
         av, bv = a[c].tolist(), b[c].tolist()
         bad = [
             (i, x, y) for i, (x, y) in enumerate(zip(av, bv)) if not _values_equal(x, y)
