@@ -47,7 +47,9 @@ def test_auto_rebalance_fires_on_big_single_rowgroup_input(spark, sf_dir, tmp_pa
         os.path.join(fake_dir, "lineitem.parquet"),
     )
     path = catalog.table_path(fake_dir, "lineitem")
-    catalog._layout_cache[path] = (5_000_000, 1)
+    st = os.stat(path)
+    stamp = ((path, st.st_mtime_ns, st.st_size),)
+    catalog._layout_cache[path] = (stamp, (5_000_000, 1))
     try:
         df = catalog.load_table(spark, fake_dir, "lineitem")
         assert _has_roundrobin(df), "guard did not fire on 5M rows / 1 row group"
