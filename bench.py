@@ -63,13 +63,14 @@ def main() -> None:
     queries["q6_forecast_revenue"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
-    # Two measured executions per query, min reported: single-shot local
-    # timings vary ±30% from JIT/GC/codegen-compile noise, and min-of-N
-    # is the standard steady-state estimator (hyperfine/JMH practice).
+    # Three measured executions per query, min reported: single-shot
+    # local timings vary ±30% from JIT/GC/codegen-compile noise (measured:
+    # q1 runs 2.43/1.02/0.66 s back-to-back), and min-of-N is the
+    # standard steady-state estimator (hyperfine/JMH practice).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             # Queries that persist() intermediates would otherwise be
             # served from cache on the repeat run (Spark's CacheManager
             # matches canonicalized plans across DataFrame objects) —
