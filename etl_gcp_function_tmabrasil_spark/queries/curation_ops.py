@@ -17,10 +17,10 @@ Scale design: decontamination broadcasts only the *eval-split* gram set
 (benchmarks are tiny vs the corpus; the corpus side is explode ->
 map-side broadcast-hash join -> partial-agg, no corpus-wide shuffle).
 Vocabulary is the canonical word-count shape (partial aggregation
-halves the shuffle). Packing uses a global running sum — sequential by
-construction at this output contract; the 100 TB variant computes
-per-partition token subtotals first and adds broadcast prefix offsets
-(two-pass prefix sum), same results, no single-task sort.
+halves the shuffle). Packing is a two-pass distributed prefix sum:
+per-bucket token subtotals, exclusive prefix over the tiny bucket
+table, then bucket-partitioned running sums — no O(corpus) rows ever
+pass through a single task.
 """
 
 from __future__ import annotations
@@ -172,23 +172,61 @@ LIMIT {VOCAB_TOP_N}
 """
 
 
+#: Documents per prefix-sum bucket. The bucket table (one row per
+#: bucket) is the only thing that crosses a single-task boundary, so it
+#: must stay tiny relative to the corpus: at 10B docs this is ~2.4M
+#: bucket rows (~40 MB) through one task — bounded and independent of
+#: document sizes.
+PACK_BUCKET_DOCS = 4096
+
+
 def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign documents to fixed-budget training shards: shard_id =
     floor(start_offset / 2048) where start_offset is the running token
-    count over doc_id order (sequence-packing shard assignment)."""
+    count over doc_id order (sequence-packing shard assignment).
+
+    Two-pass distributed prefix sum — a running total over a global
+    order is the canonical single-task trap (``W.orderBy`` with no
+    ``partitionBy`` moves EVERY row through one window task). Instead:
+
+    1. bucket docs by ``doc_id div 4096`` (deterministic, data-independent
+       blocking — no physical-partition dependence, so results are
+       reproducible under any parallelism);
+    2. per-bucket token subtotals (partial agg, one row per bucket);
+    3. exclusive prefix over the *bucket table* — a global-order window,
+       but over O(num_buckets) rows, not O(corpus);
+    4. broadcast the bucket offsets back and finish with a running sum
+       partitioned by bucket: each bucket's rows sort locally in its own
+       task, full cluster parallelism.
+    """
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.split("text", " "))
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    d = docs.select("doc_id", n_tok.cast("long").alias("n_tokens"))
-    cum = F.sum("n_tokens").over(w)
-    return d.select(
+    d = docs.select(
         "doc_id",
-        "n_tokens",
-        (cum - F.col("n_tokens")).alias("start_offset"),
-        F.floor((cum - F.col("n_tokens")) / F.lit(SHARD_TOKEN_BUDGET)).alias(
-            "shard_id"
-        ),
-    ).orderBy("doc_id")
+        n_tok.cast("long").alias("n_tokens"),
+        F.expr(f"doc_id div {PACK_BUCKET_DOCS}").alias("bkt"),
+    )
+    sub = d.groupBy("bkt").agg(F.sum("n_tokens").alias("bkt_tokens"))
+    w_bkt = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    offsets = sub.select(
+        "bkt",
+        F.coalesce(F.sum("bkt_tokens").over(w_bkt), F.lit(0)).alias("bkt_offset"),
+    )
+    w_in = W.partitionBy("bkt").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = F.sum("n_tokens").over(w_in)
+    start = F.col("bkt_offset") + cum - F.col("n_tokens")
+    return (
+        d.join(F.broadcast(offsets), "bkt")
+        .select(
+            "doc_id",
+            "n_tokens",
+            start.alias("start_offset"),
+            F.floor(start / F.lit(SHARD_TOKEN_BUDGET)).alias("shard_id"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 _PACK_SQL = f"""

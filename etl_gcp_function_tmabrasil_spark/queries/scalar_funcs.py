@@ -224,8 +224,8 @@ def func_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("decimal(12,2)").cast("string").alias("value_dec_str"),
         F.col("event_id").cast("double").alias("id_dbl"),
         F.col("ts").cast("date").cast("string").alias("ts_date_str"),
-        # parquet ts is tz-less → TIMESTAMP_NTZ, which has no direct long
-        # cast; NTZ→TIMESTAMP uses the session TZ (pinned UTC) so the
+        # ts is TIMESTAMP_LTZ engine-wide (session.py pins UTC and
+        # disables NTZ inference), so the long cast is direct and the
         # epoch matches DuckDB's epoch() on the same naive value.
         F.col("ts").cast("timestamp").cast("long").alias("ts_epoch"),
         F.lit("42").cast("int").alias("str_to_int"),

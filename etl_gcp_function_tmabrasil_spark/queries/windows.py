@@ -168,17 +168,66 @@ ORDER BY p_type, rn
 """
 
 
+NTILE_N = 4
+
+#: Balance-band width for the distributed global-rank computation. The
+#: band table (one row per band) is the only single-task data; bands are
+#: a monotone function of the sort key, so band order + within-band order
+#: = total order.
+_NTILE_BAND_WIDTH = 100.0
+
+
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartiles of customers by account balance (global ntile).
 
-    Scale notes: a global ntile implies a total order; at 100 TB replace
-    with percent_rank over range-partitioned data or approx quantile
-    cutoffs. Kept here as the semantic reference implementation.
+    A bare ``ntile(4) OVER (ORDER BY ...)`` forces Spark to move every
+    row through ONE window task (global total order). This computes the
+    identical result as a distributed two-pass rank:
+
+    1. band rows by ``floor(-c_acctbal / width)`` — monotone in the sort
+       order (c_acctbal DESC), deterministic, data-independent;
+    2. within-band row_number (shuffle on band key, parallel);
+    3. per-band counts -> exclusive prefix over the tiny band table ->
+       broadcast offsets; global rank r = band_offset + within-band rn;
+    4. exact NTILE arithmetic from r and the broadcast total N: with
+       q = N div n, m = N mod n, the first m tiles hold q+1 rows —
+       tile = (r-1) div (q+1) + 1 for r <= m*(q+1), else
+       m + (r-1-m*(q+1)) div q + 1. Bit-identical to ntile() semantics.
+
+    Skewed balances pile into few bands in step 2; band width is the
+    knob (value-range/width tasks) and AQE skew-split handles residue.
     """
     cust = load_table(spark, sf_dir, "customer")
-    w = W.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    d = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.floor(-F.col("c_acctbal") / _NTILE_BAND_WIDTH).cast("long").alias("bkt"),
+    )
+    w_in = W.partitionBy("bkt").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    ranked = d.withColumn("rn_in", F.row_number().over(w_in))
+    sub = d.groupBy("bkt").agg(F.count(F.lit(1)).alias("n_bkt"))
+    w_b = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    offsets = sub.select(
+        "bkt",
+        F.coalesce(F.sum("n_bkt").over(w_b), F.lit(0)).alias("bkt_offset"),
+    )
+    total = sub.agg(F.sum("n_bkt").alias("n_total"))
+    r = F.col("bkt_offset") + F.col("rn_in")
+    q = F.expr(f"n_total div {NTILE_N}")
+    m = F.col("n_total") % NTILE_N
+    big = (q + 1) * m  # rows covered by the m larger (q+1-row) tiles
+    tile = F.when(
+        r <= big, F.expr(f"(bkt_offset + rn_in - 1) div ((n_total div {NTILE_N}) + 1)") + 1
+    ).otherwise(
+        m + F.expr(
+            f"(bkt_offset + rn_in - 1 - ((n_total div {NTILE_N}) + 1)"
+            f" * (n_total % {NTILE_N})) div (n_total div {NTILE_N})"
+        ) + 1
+    )
     return (
-        cust.select("c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        ranked.join(F.broadcast(offsets), "bkt")
+        .join(F.broadcast(total))
+        .select("c_custkey", "c_acctbal", tile.cast("int").alias("quartile"))
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -40,6 +40,17 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # ONE timestamp semantics engine-wide: TIMESTAMP_LTZ with the
+        # session zone pinned UTC. The driver's parquet declares tz-less
+        # micros; without this conf Spark 4 infers TIMESTAMP_NTZ, which
+        # (a) splits the engine into two timestamp types at the text/ORC
+        # boundary (CSV/JSON writers ignore `timestampFormat` for NTZ) and
+        # (b) would need a value-identical but pushdown-blocking cast to
+        # match the declared LTZ schemas. Reading tz-less parquet directly
+        # as LTZ keeps filters on ts columns pushed to the scan; with the
+        # zone pinned UTC the values are bit-identical to the NTZ reading
+        # and to the timezone-naive DuckDB oracle.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # Broadcast threshold is an ABSOLUTE size knob, and that is the

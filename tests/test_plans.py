@@ -135,6 +135,50 @@ def test_vocab_topk_avoids_global_sort(spark, sf_dir):
     )
 
 
+def test_pack_prefix_sum_only_bucket_table_single_task(spark, sf_dir):
+    # two-pass prefix sum: the only SinglePartition exchange allowed is
+    # the one carrying the per-bucket subtotal table (one row per 4096
+    # docs); corpus rows must flow through bucket-hash exchanges only.
+    from etl_gcp_function_tmabrasil_spark.queries.curation_ops import (
+        pack_token_budget,
+    )
+
+    plan = (
+        pack_token_budget(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    hits = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
+    assert hits, "expected the tiny bucket-table prefix window"
+    for i in hits:
+        below = " ".join(lines[i + 1 : i + 3])
+        assert "HashAggregate" in below, (
+            "corpus rows cross a single-task exchange (prefix sum not two-pass)"
+        )
+    assert "hashpartitioning(bkt" in plan, "running sum not partitioned by bucket"
+
+
+def test_ntile_no_global_single_task_sort(spark, sf_dir):
+    # distributed two-pass rank: customer rows shuffle on the balance
+    # band only; any SinglePartition exchange must carry the tiny
+    # per-band count table (sits directly above a HashAggregate).
+    from etl_gcp_function_tmabrasil_spark.queries.windows import window_ntile
+
+    plan = (
+        window_ntile(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "Exchange SinglePartition" in l:
+            below = " ".join(lines[i + 1 : i + 3])
+            assert "HashAggregate" in below, (
+                "customer rows cross a single-task exchange (global ntile sort)"
+            )
+    assert "hashpartitioning(bkt" in plan, "rank window not band-partitioned"
+
+
 def test_array_predicates_row_local(spark, sf_dir):
     from etl_gcp_function_tmabrasil_spark.queries.expr_gaps import (
         func_array_predicates,
