@@ -324,22 +324,55 @@ FROM t ORDER BY doc_id
 """
 
 
+SIMHASH_HAMMING_MAX = 6
+#: Pigeonhole banding: split the 32-bit fingerprint into 8 bands of 4
+#: bits. If two fingerprints differ in EVERY band, their Hamming
+#: distance is ≥ 8 > 6 — so every qualifying pair (d ≤ 6, in fact any
+#: d ≤ 7) shares at least one exact band. Recall is therefore 1.0 by
+#: construction and the banded rewrite is provably output-identical to
+#: the blocked-quadratic formulation the oracle states. Band count is
+#: the threshold knob: g bands guarantee d ≤ g-1 (a 64-bit fingerprint
+#: at d ≤ 6 would band 7 × 9/10 bits).
+_SIMHASH_PAIR_BANDS = 8
+_SIMHASH_BAND_WIDTH = SIMHASH_BITS // _SIMHASH_PAIR_BANDS
+
+
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ 6, blocked by
-    (lang, source). At corpus scale, replace blocking with byte-banding
-    over the fingerprint (pigeonhole: d ≤ 6 over 4 bands ⇒ one exact
-    band match) — same join shape as MinHash-LSH."""
+    """Near-dup pairs by SimHash Hamming distance ≤ 6 within
+    (lang, source) blocks.
+
+    Candidate generation is a band-keyed equi-join (the MinHash-LSH
+    join shape), not the quadratic within-block self-join: each doc
+    explodes to 8 (band_id, 4-bit band value) rows; candidates collide
+    on (band_id, band_val, lang, source); survivors are exact-verified
+    on full Hamming distance and distinct-ed. Same output (see band
+    pigeonhole note above), but the join fan-out is per-band bucket
+    size, not block², so the shape survives blocks of millions of docs.
+    """
     sims = dedup_simhash(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     s = sims.join(docs, "doc_id").select("doc_id", "lang", "source", "simhash32")
-    a, b = s.alias("a"), s.alias("b")
-    hamming = F.bit_count(
-        F.col("a.simhash32").bitwiseXOR(F.col("b.simhash32"))
+    mask = (1 << _SIMHASH_BAND_WIDTH) - 1
+    bands = [
+        F.shiftrightunsigned(F.col("simhash32"), b * _SIMHASH_BAND_WIDTH)
+        .bitwiseAND(F.lit(mask))
+        for b in range(_SIMHASH_PAIR_BANDS)
+    ]
+    bb = s.select(
+        "doc_id",
+        "lang",
+        "source",
+        "simhash32",
+        F.posexplode(F.array(*bands)).alias("band_id", "band_val"),
     )
+    a, b = bb.alias("a"), bb.alias("b")
+    hamming = F.bit_count(F.col("a.simhash32").bitwiseXOR(F.col("b.simhash32")))
     return (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang"))
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
@@ -348,7 +381,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc2"),
             hamming.alias("hamming"),
         )
-        .filter(F.col("hamming") <= 6)
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .distinct()
         .orderBy("doc1", "doc2")
     )
 

@@ -56,24 +56,68 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMBED_DIM = 16
+_KNN_BANDS = 4
+_KNN_BAND_BITS = 3  # 4 bands x 3 sign bits -> 8 buckets per band
+
+
+def _knn_planes() -> list[list[float]]:
+    """Deterministic hyperplanes for the 16-dim media embeddings
+    (seed 43 — distinct from similarity.py's 64-dim family)."""
+    import numpy as np
+
+    rng = np.random.RandomState(43)
+    return [
+        [round(float(v), 6) for v in row]
+        for row in rng.randn(_KNN_BANDS * _KNN_BAND_BITS, _EMBED_DIM)
+    ]
+
+
 def multimodal_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """binary → feature-extract (embedding column) → cosine nearest
-    neighbor per media item: the full multimodal→similarity bridge on
-    one plan (same kNN shape as queries/similarity.py)."""
+    """binary → feature-extract (embedding column) → approximate cosine
+    nearest neighbor per media item: the full multimodal→similarity
+    bridge on one plan.
+
+    Candidates come from a banded hyperplane-LSH equi-join (4 bands × 3
+    sign bits), NOT an all-pairs non-equi join — the same 100 TB shape
+    as similarity.cosine_dedup_candidates: sketch is row-local, the only
+    shuffle is band-keyed, fan-out is per-bucket size. Items whose every
+    band bucket is a singleton have no candidates and drop out (coverage
+    and recall vs the exact all-pairs answer are pinned in
+    tests/test_multimodal.py)."""
     from pyspark.sql import Window as W
 
     from etl_gcp_function_tmabrasil_spark.functions.vector import dot as _dot
 
     media = synth_media_table(spark, n=_N_MEDIA)
-    emb = extract_features(media, dim=16).select(
+    emb = extract_features(media, dim=_EMBED_DIM).select(
         "media_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
-    x, y = emb.alias("x"), emb.alias("y")
+    bands = []
+    for b in range(_KNN_BANDS):
+        val = None
+        for j in range(_KNN_BAND_BITS):
+            p = _knn_planes()[b * _KNN_BAND_BITS + j]
+            lit = F.array(*[F.lit(v) for v in p])
+            bit = F.when(F.round(_dot(F.col("e"), lit), 6) > 0, F.lit(2**j)).otherwise(
+                F.lit(0)
+            )
+            val = bit if val is None else val + bit
+        bands.append(val)
+    bb = emb.select(
+        "media_id", "e", F.posexplode(F.array(*bands)).alias("band_id", "band_val")
+    )
+    x, y = bb.alias("x"), bb.alias("y")
     # embeddings are L2-normalized by extract_features: cosine == dot
     cos = _dot(F.col("x.e"), F.col("y.e"))
     w = W.partitionBy("media_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        x.join(y, F.col("x.media_id") != F.col("y.media_id"))
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.media_id") != F.col("y.media_id")),
+        )
         .select(
             F.col("x.media_id").alias("media_id"),
             F.col("y.media_id").alias("neighbor_id"),

@@ -387,23 +387,50 @@ FROM x GROUP BY dim ORDER BY dim
 """
 
 
-def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ 0.95 within label blocks.
+DEDUP_COS_MIN = 0.95
+_DEDUP_BANDS = 3
+_DEDUP_BAND_BITS = 4  # 3 bands x 4 bits carved from the 12 hyperplanes
 
-    The embedding-space twin of text near-dup; at scale the label block
-    is replaced by LSH buckets (ann_lsh_cosine's assignment)."""
-    # Probe side rebalanced: the post-join cosine math inherits the probe
-    # side's partitioning, and a single-row-group scan would serialize it.
-    # Norms carried from the scan projection: one dot per candidate pair.
-    emb = _with_norm(
-        load_table(spark, sf_dir, "embeddings", rebalance=True), "vec_id", "label"
+
+def _band_bits(e_col: str, band: int) -> Column:
+    """4-bit band value for `band` from the shared hyperplane family —
+    row-local sign bits, same literals as the SQL oracle."""
+    planes = _hyperplanes()
+    val: Column | None = None
+    for j in range(_DEDUP_BAND_BITS):
+        p = planes[band * _DEDUP_BAND_BITS + j]
+        lit = F.array(*[F.lit(v) for v in p])
+        bit = F.when(
+            F.round(_dot(F.col(e_col), lit), 6) > 0, F.lit(2**j)
+        ).otherwise(F.lit(0))
+        val = bit if val is None else val + bit
+    return val
+
+
+def cosine_dedup_candidates(emb: DataFrame) -> DataFrame:
+    """Banded-LSH near-dup pairs over (vec_id, e: array<double>,
+    nrm: double): generate candidates by equi-joining on (band_id,
+    band_value), exact-verify cosine ≥ 0.95, distinct the survivors.
+
+    The MinHash-LSH construction transplanted to embedding space: a pair
+    at cosine 0.95 (θ≈18°) flips any one sign bit with p≈θ/π≈0.1, so it
+    collides on a 4-bit band with p≈0.65 and on ≥1 of 3 bands with
+    p≈0.96 — while the expected candidate set stays near-linear (each
+    band splits the corpus 16 ways; at real corpus sizes use more/wider
+    bands, the knobs below). Every emitted pair is exact-verified, so
+    precision is 1.0 by construction; banding only affects recall.
+    """
+    bands = [_band_bits("e", b) for b in range(_DEDUP_BANDS)]
+    bb = emb.select(
+        "vec_id", "e", "nrm", F.posexplode(F.array(*bands)).alias("band_id", "band_val")
     )
-    x, y = emb.alias("x"), emb.alias("y")
+    x, y = bb.alias("x"), bb.alias("y")
     cos = _dot(F.col("x.e"), F.col("y.e")) / (F.col("x.nrm") * F.col("y.nrm"))
     return (
         x.join(
             y,
-            (F.col("x.label") == F.col("y.label"))
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
             & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
         .select(
@@ -411,9 +438,36 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y.vec_id").alias("vec2"),
             F.round(cos, 4).alias("cosine"),
         )
-        .filter(F.col("cosine") >= 0.95)
-        .orderBy("vec1", "vec2")
+        .filter(F.col("cosine") >= DEDUP_COS_MIN)
+        .distinct()
     )
+
+
+def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.95 among banded-LSH
+    candidates (the embedding-space twin of MinHash text dedup).
+
+    Blocking is the hyperplane band join — O(corpus) sketch work plus an
+    equi-join whose fan-out is governed by band width, never an
+    all-pairs or label-block quadratic. Planted-near-dup recall is
+    pinned in tests/test_ann_recall.py."""
+    # Rebalanced: the sketch math (12 dots/row) inherits the scan's
+    # partitioning, and a single-row-group layout would serialize it.
+    emb = _with_norm(
+        load_table(spark, sf_dir, "embeddings", rebalance=True), "vec_id"
+    )
+    return cosine_dedup_candidates(emb).orderBy("vec1", "vec2")
+
+
+def _sql_band(band: int) -> str:
+    planes = _hyperplanes()
+    bits = []
+    for j in range(_DEDUP_BAND_BITS):
+        p = planes[band * _DEDUP_BAND_BITS + j]
+        lit = "([" + ", ".join(str(v) for v in p) + "]::DOUBLE[])"
+        dot = _SQL_DOT.format(a="e", b=lit)
+        bits.append(f"(CASE WHEN ROUND({dot}, 6) > 0 THEN {2**j} ELSE 0 END)")
+    return " + ".join(bits)
 
 
 def _emb_dedup_sql() -> str:
@@ -422,11 +476,22 @@ def _emb_dedup_sql() -> str:
         nx=_SQL_NORM.format(a="x.e"),
         ny=_SQL_NORM.format(a="y.e"),
     )
+    branches = []
+    for b in range(_DEDUP_BANDS):
+        branches.append(
+            f"""SELECT x.vec_id AS vec1, y.vec_id AS vec2, ROUND({cos}, 4) AS cosine
+  FROM b x JOIN b y ON x.band{b} = y.band{b} AND x.vec_id < y.vec_id"""
+        )
+    cand = "\n  UNION\n  ".join(branches)
+    band_cols = ", ".join(f"{_sql_band(b)} AS band{b}" for b in range(_DEDUP_BANDS))
     return f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
-SELECT x.vec_id AS vec1, y.vec_id AS vec2, ROUND({cos}, 4) AS cosine
-FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
-WHERE ROUND({cos}, 4) >= 0.95
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (SELECT vec_id, e, {band_cols} FROM e),
+cand AS (
+  {cand}
+)
+SELECT vec1, vec2, cosine FROM cand
+WHERE cosine >= {DEDUP_COS_MIN}
 ORDER BY vec1, vec2
 """
 

@@ -110,6 +110,14 @@ def run_console_logger(
     return writer.start()
 
 
+#: Hard cap on the per-micro-batch accepted-name list that foreachBatch
+#: materializes on the driver (paths for the binaryFile scan MUST live
+#: driver-side — that is how Spark plans file scans). ~100 bytes/name
+#: puts 100k names at ~10 MB of driver heap; failing loudly beyond it
+#: beats an unbounded collect() OOMing the driver.
+MAX_BATCH_FILES = 100_000
+
+
 def run_xlsx_etl_pipeline(
     spark: SparkSession,
     landing_dir: str,
@@ -118,6 +126,7 @@ def run_xlsx_etl_pipeline(
     table: str,
     columns: list[str],
     schema_ddl: str,
+    max_files_per_trigger: int = 1024,
 ) -> StreamingQuery:
     """The reference's complete intended lifecycle, end-to-end
     (``main.py:5-17`` with the placeholder body filled in):
@@ -130,15 +139,32 @@ def run_xlsx_etl_pipeline(
     are resolved under it. Each micro-batch reads only the files named
     by its accepted events (per-object ingest, like the reference), and
     the sink append is driven from a checkpointed query.
+
+    Admission control is ON by default: `max_files_per_trigger` bounds
+    how many landing files each micro-batch admits (pass ``None`` to
+    disable), and the per-batch accepted-name list is additionally
+    capped at MAX_BATCH_FILES — exceeding it raises instead of silently
+    collecting an unbounded list onto the driver (a landing file is one
+    CloudEvent in the reference's shape, but nothing stops a producer
+    from batching events per file, so the row bound is enforced, not
+    assumed).
     """
     from etl_gcp_function_tmabrasil_spark.sources.xlsx import read_xlsx
 
-    stream = file_event_stream(spark, landing_dir)
+    stream = file_event_stream(spark, landing_dir, max_files_per_trigger)
 
     def etl(batch_df: DataFrame, batch_id: int) -> None:
-        accepted = accept_filter(batch_df).select("name").collect()
+        accepted = (
+            accept_filter(batch_df).select("name").limit(MAX_BATCH_FILES + 1).collect()
+        )
         if not accepted:
             return
+        if len(accepted) > MAX_BATCH_FILES:
+            raise RuntimeError(
+                f"micro-batch {batch_id} admitted > {MAX_BATCH_FILES} accepted "
+                "file events; lower max_files_per_trigger or raise "
+                "MAX_BATCH_FILES"
+            )
         # per-batch file list → one binaryFile scan over exactly those
         # objects (names are validated by the accept predicate)
         names = [r.name for r in accepted]

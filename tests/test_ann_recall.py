@@ -19,6 +19,54 @@ def _topk_sets(df):
     return out
 
 
+def test_cosine_dedup_banding_finds_planted_pairs(spark):
+    """The driver corpus has no cosine-0.95 pairs (max ~0.51), so the
+    banded-LSH dedup is exercised on planted near-dups: perturbed copies
+    at cosine ≈ 0.999 must all surface through the band join, and
+    nothing below threshold may appear (exact verify ⇒ precision 1)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_gcp_function_tmabrasil_spark.queries.similarity import (
+        DIM,
+        cosine_dedup_candidates,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, DIM)
+    rows = [(i, [float(v) for v in base[i]]) for i in range(40)]
+    planted = set()
+    for k in range(5):  # 5 near-dup copies of vectors 0..4
+        dup = base[k] + 0.02 * rng.randn(DIM)
+        rows.append((100 + k, [float(v) for v in dup]))
+        planted.add((k, 100 + k))
+    df = spark.createDataFrame(rows, "vec_id: long, e: array<double>")
+    from etl_gcp_function_tmabrasil_spark.functions.vector import l2norm
+
+    emb = df.select("vec_id", "e", l2norm(F.col("e")).alias("nrm"))
+    got = {(r.vec1, r.vec2) for r in cosine_dedup_candidates(emb).collect()}
+    assert planted <= got, f"planted near-dups missed: {planted - got}"
+    extras = got - planted
+    assert not extras, f"sub-threshold pairs leaked (verify broken): {extras}"
+
+
+def test_cosine_dedup_plan_is_band_equi_join(spark, sf_dir):
+    from etl_gcp_function_tmabrasil_spark.queries.similarity import (
+        embedding_cosine_dedup,
+    )
+
+    plan = (
+        embedding_cosine_dedup(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
+        "dedup degenerated to an all-pairs join"
+    )
+    assert "band_val" in plan, "candidate join not keyed on LSH band"
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     exact = _topk_sets(knn_bruteforce_cosine(spark, sf_dir))
     approx = _topk_sets(ann_ivf_cosine(spark, sf_dir))

@@ -65,3 +65,49 @@ def test_xlsx_etl_to_sink(spark, tmp_path):
     assert got == want, "sink content != accepted workbook rows"
     assert 999999 not in got, "decoy outside minha-pasta/ was ingested"
     assert dict(loaded.dtypes)["value"] == "double"
+
+
+def test_xlsx_etl_many_landing_files_batched(spark, tmp_path):
+    """A few hundred single-event landing files under a small
+    maxFilesPerTrigger: multiple micro-batches, each ingesting only its
+    admitted slice, exactly-once overall."""
+    n_files = 300
+    bucket = tmp_path / "bucket"
+    (bucket / "minha-pasta").mkdir(parents=True)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i in range(n_files):
+        write_minimal_xlsx(
+            str(bucket / "minha-pasta" / f"f{i:04d}.xlsx"),
+            COLS,
+            [[i, i % 7, "click", float(i)]],
+        )
+        with open(landing / f"ev{i:04d}.json", "w") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "bucket": "bucket",
+                        "name": f"minha-pasta/f{i:04d}.xlsx",
+                        "size": 1,
+                        "ts": "2024-01-01T00:00:00Z",
+                    }
+                )
+                + "\n"
+            )
+
+    sink = BigQuerySink(warehouse_dir=str(tmp_path / "warehouse"))
+    q = run_xlsx_etl_pipeline(
+        spark,
+        str(landing),
+        str(bucket),
+        sink,
+        "analytics.events_many",
+        COLS,
+        DDL,
+        max_files_per_trigger=64,
+    )
+    q.awaitTermination(300)
+
+    loaded = sink.read(spark, "analytics.events_many")
+    got = sorted(r.event_id for r in loaded.collect())
+    assert got == list(range(n_files)), "not exactly-once across micro-batches"

@@ -115,3 +115,39 @@ def test_extract_features_shape_and_determinism(spark):
         assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-5
     again = {r.media_id: r.embedding for r in extract_features(media, dim=16).collect()}
     assert rows == again
+
+
+def test_embed_knn_banded_lsh_vs_exact(spark):
+    """multimodal_embed_knn routes candidates through a banded
+    hyperplane-LSH equi-join; against the exact all-pairs answer it must
+    keep high coverage and recall, and can never beat the exact best
+    cosine (candidates are a subset of all pairs)."""
+    import numpy as np
+
+    from etl_gcp_function_tmabrasil_spark.operators.multimodal import (
+        extract_features,
+        synth_media_table,
+    )
+    from etl_gcp_function_tmabrasil_spark.queries.multimodal_q import (
+        _N_MEDIA,
+        multimodal_embed_knn,
+    )
+
+    approx = {
+        r.media_id: (r.neighbor_id, r.cosine)
+        for r in multimodal_embed_knn(spark, "unused").collect()
+    }
+    emb = extract_features(synth_media_table(spark, n=_N_MEDIA), dim=16).collect()
+    vecs = {r.media_id: np.array(r.embedding, dtype=float) for r in emb}
+    ids = sorted(vecs)
+    exact = {
+        i: max(
+            (round(float(vecs[i] @ vecs[j]), 4) for j in ids if j != i),
+        )
+        for i in ids
+    }
+    assert len(approx) / len(ids) >= 0.95, "LSH banding lost >5% coverage"
+    hits = sum(1 for i in approx if approx[i][1] == exact[i])
+    assert hits / len(approx) >= 0.8, "recall@1 vs exact all-pairs below 0.8"
+    for i in approx:
+        assert approx[i][1] <= exact[i] + 1e-9, "approx NN beat exact NN"
