@@ -34,7 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """
     from etl_gcp_function_tmabrasil_spark.catalog import load_table
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _pin_session_confs(spark)
     ev = load_table(spark, SMOKE_SF_DIR, "events")
     return (
         ev.filter(
@@ -52,18 +52,29 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-def _pin_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
-    """Pin the session timezone to UTC before building each query.
+def _pin_session_confs(spark: SparkSession) -> None:
+    """Engine timestamp semantics on a session the driver built:
 
-    Timestamp rendering (date_format) and instant conversions are
-    session-TZ-dependent in Spark; the DuckDB oracle is TZ-naive. Pinning
-    UTC at the contract boundary makes results identical under any driver
-    session configuration (verified: a America/Sao_Paulo session shifts
-    all rendered timestamps without this).
+    - session timezone UTC: timestamp rendering (date_format) and
+      instant conversions are session-TZ-dependent in Spark; the DuckDB
+      oracle is TZ-naive. Verified: a America/Sao_Paulo session shifts
+      all rendered timestamps without this.
+    - TIMESTAMP_LTZ everywhere: tz-less parquet reads as LTZ (not
+      inferred NTZ), matching session.py's engine-wide choice — both
+      runtime SQL confs, safe to pin per-session at the contract
+      boundary. Values are identical under the UTC zone either way
+      (both semantics drive green at sf0.01); pinning keeps the driver
+      session and the engine's own sessions on ONE timestamp type.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
+def _pin_utc(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Pin the engine's session confs before building each query."""
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _pin_session_confs(spark)
         return fn(spark, sf_dir)
 
     return wrapped

@@ -43,6 +43,8 @@ HEADLINE = [
     "decontaminate_ngram",      # eval-set n-gram scrub (broadcast semi)
     "vocab_doc_frequency",      # corpus vocab (partial-agg word count)
     "text_token_diversity",     # repetition filters (HOF + 2-level agg)
+    "bpe_merge_pairs",          # tokenizer-training pair counts
+    "embedding_gram_matrix",    # pandas-partial covariance accumulation
 ]
 
 

@@ -35,6 +35,7 @@ from etl_gcp_function_tmabrasil_spark.queries import (
     sql_api,
     text_analysis,
     tfidf_udf,
+    traindata2,
     windows,
 )
 
@@ -60,6 +61,7 @@ _MODULES = [
     sql_api,
     multimodal_q,
     traindata,
+    traindata2,
 ]
 
 

@@ -31,6 +31,13 @@ _FAMILY_QUERIES = [
     ("window_tumbling_batch", 0),
     ("join_range_bucketed_pairs", 0),
     ("sql_segment_status_rollup", 0),
+    ("bpe_merge_pairs", 0),
+    ("embedding_gram_matrix", 0),
+    ("event_funnel_conversion", 3),  # one labeled count row per stage
+    ("pack_token_budget", 0),
+    ("window_ntile", 0),
+    ("dedup_simhash_pairs", 0),
+    ("embedding_cosine_dedup", 0),
 ]
 
 

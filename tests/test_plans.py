@@ -179,6 +179,40 @@ def test_ntile_no_global_single_task_sort(spark, sf_dir):
     assert "hashpartitioning(bkt" in plan, "rank window not band-partitioned"
 
 
+def test_bpe_pairs_topn_avoids_global_sort(spark, sf_dir):
+    from etl_gcp_function_tmabrasil_spark.queries.traindata2 import bpe_merge_pairs
+
+    df = bpe_merge_pairs(spark, sf_dir)
+    assert has_take_ordered(df), "BPE top-N did not compile to TakeOrderedAndProject"
+    n = count_exchanges(df)
+    assert n <= 1, f"BPE pair count pays {n} shuffles; expected the pair agg only"
+
+
+def test_gram_matrix_shuffles_partials_not_corpus(spark, sf_dir):
+    # the shuffle input must be the mapInPandas partial rows (i, j,
+    # partial), never an exploded per-element corpus stream
+    from etl_gcp_function_tmabrasil_spark.queries.traindata2 import (
+        embedding_gram_matrix,
+    )
+
+    df = embedding_gram_matrix(spark, sf_dir)
+    plan = explain_str(df)
+    assert "Generate" not in plan, "gram matrix exploded the corpus declaratively"
+    assert "MapInPandas" in plan
+
+
+def test_funnel_stages_equi_join_on_user(spark, sf_dir):
+    from etl_gcp_function_tmabrasil_spark.queries.traindata2 import (
+        event_funnel_conversion,
+    )
+
+    plan = explain_str(event_funnel_conversion(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # stage predicates must reach the parquet scans
+    pushed = " ".join(pushed_filters(event_funnel_conversion(spark, sf_dir)))
+    assert "event_type" in pushed, "stage filter not pushed to scan"
+
+
 def test_array_predicates_row_local(spark, sf_dir):
     from etl_gcp_function_tmabrasil_spark.queries.expr_gaps import (
         func_array_predicates,
