@@ -9,6 +9,10 @@ training-data pipeline would need"):
   covariance/PCA/whitening of an embedding corpus.
 - Event funnel conversion: staged user-journey counts over the events
   stream (the behavioral-analytics twin of multi-step filtering).
+- BM25 document scoring: the retrieval-relevance pass of a search/RAG
+  index build.
+- Curriculum temperature sampling: deterministic per-source
+  mixture-reweighted corpus sampling (rate ∝ share^(α-1)).
 
 Scale design, per operator, is documented on each function; the gram
 matrix is the repo's canonical example of the "partial aggregate in
@@ -225,3 +229,194 @@ ORACLE = {
     "embedding_gram_matrix": _GRAM_SQL,
     "event_funnel_conversion": _FUNNEL_SQL,
 }
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ["spark", "merge", "window", "vector"]
+BM25_TOP_N = 25
+
+
+def bm25_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed query-term set —
+    the retrieval-scoring pass of a search/RAG index build, entirely
+    declarative.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·len/avglen)),
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Scale notes: the corpus tokenizes once; only rows matching the tiny
+    query-term set survive the filter (pushable into the explode), so
+    the tf aggregation shuffles O(docs·|terms|) rows max. df-per-term
+    and the (N, avglen) scalars are broadcast — at 100 TB the only wide
+    operation is the per-(doc, term) partial+final count. Fixed-point
+    6-dp rounding before the final sum keeps the score addition
+    order-free and engine-exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    lens = d.select("doc_id", F.size("toks").alias("dlen"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("dlen").cast("long")).alias("total_len"),
+    )
+    terms = F.array(*[F.lit(t) for t in BM25_TERMS])
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("t"))
+        .filter(F.array_contains(terms, F.col("t")))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    avglen = F.col("total_len").cast("double") / F.col("n_docs")
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dlen") / avglen
+    )
+    contrib = F.round(idf * F.col("tf") * (BM25_K1 + 1.0) / denom, 6)
+    scored = (
+        tf.join(F.broadcast(df_t), "t")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("c").cast("decimal(18,6)")).cast("double"), 6).alias(
+                "bm25"
+            ),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(BM25_TOP_N)
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+_BM25_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+lens AS (SELECT doc_id, len(toks) AS dlen FROM d),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dlen) AS total_len FROM lens),
+tf AS (
+  SELECT doc_id, t, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(toks) AS t FROM d)
+  WHERE t IN ({_BM25_TERMS_SQL})
+  GROUP BY doc_id, t
+),
+df_t AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+contrib AS (
+  SELECT tf.doc_id,
+    ROUND(
+      ln(1.0 + (stats.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
+      * tf.tf * ({BM25_K1} + 1.0)
+      / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+         + {BM25_B} * lens.dlen / (CAST(stats.total_len AS DOUBLE) / stats.n_docs))),
+      6) AS c
+  FROM tf JOIN df_t USING (t) JOIN lens USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id,
+  ROUND(CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE), 6) AS bm25,
+  COUNT(*) AS n_terms_hit
+FROM contrib GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC LIMIT {BM25_TOP_N}
+"""
+
+
+CURRICULUM_ALPHA = 0.5  # temperature: rate_s ∝ share_s^(α-1), α<1 upweights tails
+CURRICULUM_BUDGET_FRACTION = 0.25  # target fraction of the corpus to keep
+
+_HASH_UNIT = "(cast(conv(substring(md5(cast(doc_id as string)),1,15),16,10) as bigint) % 1000000) / 1000000.0"
+_SQL_HASH_UNIT = "((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000) / 1000000.0)"
+
+
+def curriculum_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted corpus sampling by source — the mixture
+    step of pretraining-data curation: per-source keep-rates ∝
+    share^(α-1) (α=0.5 upweights rare sources), scaled to an overall
+    25% token budget, applied as a DETERMINISTIC per-doc hash test (no
+    rand(): reruns and engines agree row-for-row).
+
+    Scale notes: pass 1 is a per-source count (tiny aggregate →
+    broadcast); pass 2 is a row-local filter `hash_unit(doc_id) <
+    rate(source)` — scan-speed, no shuffle of the corpus. Output is the
+    per-source keep accounting (the sampled doc stream itself would be
+    the same plan minus the final rollup).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    total = counts.agg(F.sum("n_src").alias("n_total"))
+    # unnormalized weight w_s = share^(α-1); rate_s = min(1, budget·w_s/Σ(share·w_s))
+    w = F.pow(F.col("n_src") / F.col("n_total"), CURRICULUM_ALPHA - 1.0)
+    weighted = counts.crossJoin(F.broadcast(total)).select(
+        "source", "n_src", "n_total", w.alias("w")
+    )
+    norm = weighted.agg(
+        F.sum(F.col("w") * F.col("n_src") / F.col("n_total")).alias("z")
+    )
+    rate = F.least(
+        F.lit(1.0), F.round(CURRICULUM_BUDGET_FRACTION * F.col("w") / F.col("z"), 6)
+    )
+    rates = weighted.crossJoin(F.broadcast(norm)).select(
+        "source", "n_src", rate.alias("keep_rate")
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(F.expr(_HASH_UNIT) < F.col("keep_rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_src",
+            "keep_rate",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+_CURRICULUM_SQL = f"""
+WITH docs AS (SELECT doc_id, source FROM documents),
+counts AS (SELECT source, COUNT(*) AS n_src FROM docs GROUP BY source),
+total AS (SELECT SUM(n_src) AS n_total FROM counts),
+weighted AS (
+  SELECT source, n_src, n_total,
+    POW(CAST(n_src AS DOUBLE) / n_total, {CURRICULUM_ALPHA} - 1.0) AS w
+  FROM counts CROSS JOIN total
+),
+norm AS (SELECT SUM(w * n_src / n_total) AS z FROM weighted),
+rates AS (
+  SELECT source, n_src,
+    LEAST(1.0, ROUND({CURRICULUM_BUDGET_FRACTION} * w / z, 6)) AS keep_rate
+  FROM weighted CROSS JOIN norm
+),
+kept AS (
+  SELECT d.source, COUNT(*) AS n_kept
+  FROM docs d JOIN rates r USING (source)
+  WHERE {_SQL_HASH_UNIT} < r.keep_rate
+  GROUP BY d.source
+)
+SELECT source, n_src, keep_rate,
+  COALESCE(kept.n_kept, 0) AS n_kept
+FROM rates LEFT JOIN kept USING (source)
+ORDER BY source
+"""
+
+
+QUERIES.update(
+    {
+        "bm25_score_docs": bm25_score_docs,
+        "curriculum_temperature_sample": curriculum_temperature_sample,
+    }
+)
+
+ORACLE.update(
+    {
+        "bm25_score_docs": _BM25_SQL,
+        "curriculum_temperature_sample": _CURRICULUM_SQL,
+    }
+)

@@ -171,3 +171,40 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def click_purchase_attribution(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to every
+    click by the same user within the preceding `horizon` — the
+    last-touch-attribution primitive (SURVEY.md §2.2 "Streaming").
+
+    Both inputs carry watermarks and the join condition bounds
+    click_ts to [purchase_ts - horizon, purchase_ts], so Spark can
+    expire buffered rows once the other stream's watermark passes the
+    interval: state is O(events within horizon), not O(stream history).
+    At cluster scale this is the canonical two-stream equi-join on
+    user_id with time-range pruning; the same function body works in
+    batch mode (no watermark state, plain interval join), which is how
+    the test cross-checks streaming output against the batch answer.
+    """
+    c = clicks.withWatermark("ts", horizon).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", horizon).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    cond = (
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}"))
+    )
+    return p.join(c, cond, "inner").select(
+        "user_id", "purchase_id", "purchase_ts", "click_id", "click_ts", "value"
+    )

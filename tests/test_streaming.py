@@ -298,3 +298,33 @@ def test_rate_source_windowed_agg(spark):
         assert rows > 0, "rate-source windowed agg emitted nothing in 60s"
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, event_chunks_dir):
+    """click→purchase attribution as a watermarked stream-stream
+    interval join must emit exactly the batch interval-join answer when
+    the backlog is replayed in order (inner join: watermarks govern
+    state expiry, not result membership)."""
+    from etl_gcp_function_tmabrasil_spark.streaming.windows import (
+        click_purchase_attribution,
+    )
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    stream = _events_stream(spark, event_chunks_dir)
+    got_df = click_purchase_attribution(*split(stream))
+    _run_to_memory(got_df, "attribution", "append")
+    got = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM attribution").collect()
+    }
+
+    batch = spark.read.schema(stream.schema).parquet(event_chunks_dir)
+    want_df = click_purchase_attribution(*split(batch))
+    want = {(r.user_id, r.purchase_id, r.click_id) for r in want_df.collect()}
+    assert got == want, "streaming interval join diverged from batch"
+    assert want, "fixture produced no attributed purchases — test is vacuous"
