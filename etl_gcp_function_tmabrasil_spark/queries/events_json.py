@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from etl_gcp_function_tmabrasil_spark.catalog import load_table
-from etl_gcp_function_tmabrasil_spark.queries._util import cavg, csum, dsum
+from etl_gcp_function_tmabrasil_spark.queries._util import cavg, csum, day, dsum
 
 
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,6 +330,73 @@ ORDER BY user_id, session_start
 """
 
 
+def resample_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: per-user daily activity on
+    a dense calendar spine (that user's min→max day), empty days carried
+    forward from the last observed daily total (LOCF) — the
+    regularization pass before any per-entity time-series modeling.
+
+    Scale notes: the spine is generated row-locally per user via
+    `sequence()` (bounded by days-in-range, not corpus size) and every
+    join/window is equi-keyed on user_id — one shuffle partitioning
+    serves the daily rollup, the spine join, and the carry-forward
+    window. No global sort, no driver-side calendar.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("day_value"),
+        )
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"),
+    )
+    j = spine.join(daily, ["user_id", "d"], "left")
+    w = W.partitionBy("user_id").orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        j.select(
+            "user_id",
+            day("d").alias("day"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.round(
+                F.last("day_value", ignorenulls=True).over(w), 4
+            ).alias("filled_value"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+_RESAMPLE_SQL = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS d, COUNT(*) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS day_value
+  FROM events GROUP BY user_id, date_trunc('day', ts)
+),
+bounds AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY user_id),
+spine AS (
+  SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS d FROM bounds
+),
+j AS (
+  SELECT s.user_id, s.d, COALESCE(daily.n_events, 0) AS n_events, daily.day_value
+  FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
+)
+SELECT user_id, strftime(d, '%Y-%m-%d') AS day, n_events,
+  ROUND(last_value(day_value IGNORE NULLS)
+        OVER (PARTITION BY user_id ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+    AS filled_value
+FROM j ORDER BY user_id, day
+"""
+
+
 QUERIES = {
     "json_extract_props": json_extract_props,
     "json_tuple_explode_outer": json_tuple_explode_outer,
@@ -340,6 +407,7 @@ QUERIES = {
     "window_tumbling_batch": window_tumbling_batch,
     "window_sliding_batch": window_sliding_batch,
     "window_session_batch": window_session_batch,
+    "resample_daily_locf": resample_daily_locf,
 }
 
 ORACLE = {
@@ -352,4 +420,5 @@ ORACLE = {
     "window_tumbling_batch": _TUMBLING_SQL,
     "window_sliding_batch": _SLIDING_SQL,
     "window_session_batch": _SESSION_SQL,
+    "resample_daily_locf": _RESAMPLE_SQL,
 }

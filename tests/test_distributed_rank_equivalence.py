@@ -1,0 +1,96 @@
+"""Equivalence of the distributed two-pass rank rewrites against their
+single-task window formulations on adversarial synthetic inputs —
+duplicates (band ties), N smaller than the tile count, skewed bands,
+and sizes that don't divide evenly. The driver tables never hit these
+edges; these fixtures do.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import Window as W, functions as F
+
+
+def _write_customer(spark, tmp_path, balances):
+    rows = [(i, float(b)) for i, b in enumerate(balances)]
+    df = spark.createDataFrame(rows, "c_custkey: long, c_acctbal: double")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    return str(tmp_path)
+
+
+@pytest.mark.parametrize(
+    "case,balances",
+    [
+        ("uniform", np.random.RandomState(0).uniform(-999, 9999, 997)),
+        ("heavy_ties", [100.0] * 37 + [200.0] * 41 + [-5.0] * 29),
+        ("tiny_n_lt_tiles", [7.0, 3.0]),
+        ("single_row", [42.0]),
+        ("one_band_skew", np.random.RandomState(1).uniform(0, 1, 500)),
+    ],
+)
+def test_ntile_two_pass_equals_global_window(spark, tmp_path, case, balances):
+    from etl_gcp_function_tmabrasil_spark.queries.windows import (
+        NTILE_N,
+        window_ntile,
+    )
+
+    sf_dir = _write_customer(spark, tmp_path, balances)
+    got = {tuple(r) for r in window_ntile(spark, sf_dir).collect()}
+    cust = spark.read.parquet(str(tmp_path / "customer.parquet"))
+    w = W.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    want = {
+        tuple(r)
+        for r in (
+            cust.select(
+                "c_acctbal", F.ntile(NTILE_N).over(w).alias("quartile")
+            )
+            .groupBy("quartile")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.min("c_acctbal"), 4).alias("min_bal"),
+                F.round(F.max("c_acctbal"), 4).alias("max_bal"),
+            )
+            .collect()
+        )
+    }
+    assert got == want, f"two-pass ntile diverged from ntile() on case {case}"
+
+
+@pytest.mark.parametrize(
+    "case,token_counts",
+    [
+        ("uniform", np.random.RandomState(2).randint(1, 400, 5000)),
+        ("bucket_boundary", [10] * 4096 * 2),  # exactly 2 full buckets
+        ("single_doc", [17]),
+        ("huge_docs", [100_000] * 7),
+    ],
+)
+def test_pack_two_pass_equals_global_window(spark, tmp_path, case, token_counts):
+    from etl_gcp_function_tmabrasil_spark.queries.curation_ops import (
+        SHARD_TOKEN_BUDGET,
+        pack_token_budget,
+    )
+
+    rows = [(i, " ".join(["t"] * int(n))) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    df.coalesce(4).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = [tuple(r) for r in pack_token_budget(spark, str(tmp_path)).collect()]
+
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = F.sum(F.size(F.split("text", " ")).cast("long")).over(w)
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    want = [
+        tuple(r)
+        for r in docs.select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            (cum - n_tok).alias("start_offset"),
+            F.floor((cum - n_tok) / F.lit(SHARD_TOKEN_BUDGET)).alias("shard_id"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert got == want, f"two-pass prefix sum diverged on case {case}"

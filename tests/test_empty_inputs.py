@@ -38,6 +38,9 @@ _FAMILY_QUERIES = [
     ("window_ntile", 0),
     ("dedup_simhash_pairs", 0),
     ("embedding_cosine_dedup", 0),
+    ("resample_daily_locf", 0),
+    ("bm25_score_docs", 0),
+    ("curriculum_temperature_sample", 0),
 ]
 
 
