@@ -167,12 +167,57 @@ ORDER BY l_orderkey, l_linenumber
 """
 
 
+_PROFILE_COLS = [
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_returnflag",
+    "l_shipdate",
+]
+
+
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profile of `lineitem`: per-column null and
+    exact distinct counts — the validation pass a pipeline runs before
+    trusting a new drop of data.
+
+    Scale notes: ONE scan computes every column's aggregates (Catalyst
+    plans multi-distinct via expand — each distinct column adds one
+    expand branch, still a single partial+final aggregation tree); the
+    wide-to-long pivot of the 1-row result is a `stack` over a handful
+    of scalars, driver-trivial. No per-column rescans.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
+    one = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct" for c in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack})"
+            " as (column, n_nulls, n_distinct)"
+        )
+    ).orderBy("column")
+
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", COUNT(*) - COUNT({c}) AS n_nulls,
+  COUNT(DISTINCT {c}) AS n_distinct FROM lineitem"""
+    for c in _PROFILE_COLS
+) + '\nORDER BY "column"'
+
+
 QUERIES = {
     "window_cume_dist": window_cume_dist,
     "func_json_encode": func_json_encode,
     "func_array_predicates": func_array_predicates,
     "agg_bitwise_stringagg": agg_bitwise_stringagg,
     "func_try_arithmetic": func_try_arithmetic,
+    "profile_columns": profile_columns,
 }
 
 ORACLE = {
@@ -181,4 +226,5 @@ ORACLE = {
     "func_array_predicates": _ARRAY_PRED_SQL,
     "agg_bitwise_stringagg": _BITWISE_SQL,
     "func_try_arithmetic": _TRY_ARITH_SQL,
+    "profile_columns": _PROFILE_SQL,
 }

@@ -41,6 +41,8 @@ _FAMILY_QUERIES = [
     ("resample_daily_locf", 0),
     ("bm25_score_docs", 0),
     ("curriculum_temperature_sample", 0),
+    ("fuzzy_name_match", 0),
+    ("profile_columns", 5),  # one profile row per column, zeros on empty
 ]
 
 
