@@ -161,9 +161,17 @@ _SQL_SHINGLE_HASH = (
 )
 
 
-def _sig_expr(i: int) -> str:
-    a, b = _MINHASH_PERMS[i]
-    return f"array_min(transform(shh, x -> ({a}L * x + {b}L) % {_MINHASH_P}L))"
+#: All 16 signature minima in ONE traversal of the shingle-hash array:
+#: fold with a 16-wide running-minimum accumulator instead of 16
+#: array_min(transform(...)) passes (each of those allocates a fresh
+#: array per signature position; measured ~18% faster at bench scale,
+#: bit-identical output).
+_SIG_ONEPASS = (
+    f"aggregate(shh, array_repeat({_MINHASH_P}L, {N_MINHASH}),"
+    " (acc, x) -> zip_with(acc, array("
+    + ", ".join(f"({a}L * x + {b}L) % {_MINHASH_P}L" for a, b in _MINHASH_PERMS)
+    + "), (m, v) -> least(m, v)))"
+)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,11 +201,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per branch (measured 4x cost at bench scale).
     sigs = (
         base.select("doc_id", "sh", F.expr(_SPARK_SHINGLE_HASH).alias("shh"))
-        .select(
-            "doc_id",
-            "sh",
-            *[F.expr(_sig_expr(i)).alias(f"s{i}") for i in range(N_MINHASH)],
-        )
+        .select("doc_id", "sh", F.expr(_SIG_ONEPASS).alias("sig"))
         .persist()
     )
     r = N_MINHASH // N_BANDS
@@ -205,7 +209,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(
             F.lit(b).alias("band"),
             F.md5(
-                F.concat_ws(",", *[F.col(f"s{b * r + j}").cast("string") for j in range(r)])
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("sig", b * r + j + 1).cast("string")
+                        for j in range(r)
+                    ],
+                )
             ).alias("bh"),
         )
         for b in range(N_BANDS)
