@@ -208,3 +208,23 @@ def click_purchase_attribution(
     return p.join(c, cond, "inner").select(
         "user_id", "purchase_id", "purchase_ts", "click_id", "click_ts", "value"
     )
+
+
+def enrich_stream_with_customer(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: annotate the event stream with the
+    customer dimension (segment, balance band) — the broadcast-dimension
+    pattern inside a streaming query.
+
+    No watermark is needed: the static side is a batch DataFrame that
+    Spark re-plans per micro-batch (picking up dimension updates between
+    batches), and broadcasting it keeps the stream side shuffle-free —
+    each micro-batch is a map-side hash join, the same plan at any
+    corpus size as long as the dimension stays broadcast-sized. Left
+    join: events from unknown users pass through with null enrichment
+    (the reference's null-tolerant R2 semantics)."""
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("long").alias("bal_band"),
+    )
+    return events.join(F.broadcast(dim), "user_id", "left")

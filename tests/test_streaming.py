@@ -328,3 +328,27 @@ def test_stream_stream_interval_join_matches_batch(spark, event_chunks_dir):
     want = {(r.user_id, r.purchase_id, r.click_id) for r in want_df.collect()}
     assert got == want, "streaming interval join diverged from batch"
     assert want, "fixture produced no attributed purchases — test is vacuous"
+
+
+def test_stream_static_enrichment_matches_batch(spark, event_chunks_dir):
+    """Stream-static broadcast enrichment must produce exactly the batch
+    left-join answer over the replayed backlog, nulls included."""
+    from etl_gcp_function_tmabrasil_spark.streaming.windows import (
+        enrich_stream_with_customer,
+    )
+
+    customer = load_table(spark, SF_SMOKE, "customer")
+    stream = _events_stream(spark, event_chunks_dir)
+    _run_to_memory(
+        enrich_stream_with_customer(stream, customer), "enriched", "append"
+    )
+    got = {
+        (r.event_id, r.segment, r.bal_band)
+        for r in spark.sql("SELECT event_id, segment, bal_band FROM enriched").collect()
+    }
+    batch = spark.read.schema(stream.schema).parquet(event_chunks_dir)
+    want = {
+        (r.event_id, r.segment, r.bal_band)
+        for r in enrich_stream_with_customer(batch, customer).collect()
+    }
+    assert got == want and len(got) > 0
