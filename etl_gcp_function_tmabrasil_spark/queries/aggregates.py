@@ -54,22 +54,112 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (median/p90) of order totalprice per priority.
+_PCT_BAND = 1000.0  # value-band width for the two-pass exact quantile
+_PCTS = {"median_price": 0.5, "p90_price": 0.9}
 
-    Uses exact `percentile` (linear interpolation — same definition as
-    DuckDB's quantile_cont). At 100 TB scale, swap to percentile_approx
-    (t-digest-style mergeable sketch); exact percentile requires
-    collecting per-group sorted values.
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (median/p90, linear interpolation — the same
+    definition as Spark's `percentile` and DuckDB's quantile_cont) of
+    order totalprice per priority, computed WITHOUT buffering any
+    group's values.
+
+    Spark's exact `percentile` aggregate collects each group's full
+    value multiset into executor memory — the canonical OOM at 100 TB
+    (percentile_approx fixes memory but changes answers). This is the
+    two-pass banded-rank algorithm instead:
+
+    1. count rows per (group, value-band) — a tiny partial+final agg;
+    2. exclusive prefix over each group's band table gives every band's
+       global rank offset; from the group totals, each percentile needs
+       the values at 0-based ranks floor/ceil((N-1)·p);
+    3. join the (few) needed ranks to the bands that contain them and
+       re-scan ONLY those bands (filter on the broadcast band list —
+       a fraction ~ranks/bands of the input), ranking within band by
+       value: global rank = band offset + within-band row_number − 1;
+    4. interpolate from the ≤4 picked values per group.
+
+    Memory is O(bands) driver/executor-side, never O(group); the wide
+    operations are one band-count agg and one within-band window over a
+    selective subset. Results are bit-identical to `percentile` (same
+    double interpolation arithmetic on the same picked values).
     """
-    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    d = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") / _PCT_BAND).cast("long").alias("band"),
+    )
+    bc = d.groupBy("o_orderpriority", "band").agg(F.count(F.lit(1)).alias("n_band"))
+    w_off = (
+        W.partitionBy("o_orderpriority").orderBy("band").rowsBetween(
+            W.unboundedPreceding, -1
+        )
+    )
+    bands = bc.withColumn(
+        "offset", F.coalesce(F.sum("n_band").over(w_off), F.lit(0))
+    )
+    totals = d.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    rank_exprs = []
+    for p in set(_PCTS.values()):
+        rp = (F.col("n_total") - 1) * F.lit(p)
+        rank_exprs += [F.floor(rp).cast("long"), F.ceil(rp).cast("long")]
+    needed = totals.select(
+        "o_orderpriority",
+        F.explode(F.array_distinct(F.array(*rank_exprs))).alias("rk_needed"),
+    )
+    target_bands = (
+        bands.join(F.broadcast(needed), "o_orderpriority")
+        .filter(
+            (F.col("rk_needed") >= F.col("offset"))
+            & (F.col("rk_needed") < F.col("offset") + F.col("n_band"))
+        )
+        .select("o_orderpriority", "band", "offset")
+        .distinct()
+    )
+    w_in = W.partitionBy("o_orderpriority", "band").orderBy("o_totalprice")
+    ranked = d.join(F.broadcast(target_bands), ["o_orderpriority", "band"]).select(
+        "o_orderpriority",
+        "o_totalprice",
+        (F.col("offset") + F.row_number().over(w_in) - 1).alias("rk"),
+    )
+    nd = needed.select(
+        F.col("o_orderpriority").alias("needed_grp"), "rk_needed"
+    )
+    picked = ranked.join(
+        F.broadcast(nd),
+        (F.col("o_orderpriority") == F.col("needed_grp"))
+        & (F.col("rk") == F.col("rk_needed")),
+    ).select("o_orderpriority", "rk", "o_totalprice")
+    gathered = picked.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("rk", "o_totalprice")))
+        ).alias("vals")
+    )
+    out_cols = []
+    for name, p in _PCTS.items():
+        rp = (F.col("n_total") - 1) * F.lit(p)
+        lo, hi = F.floor(rp).cast("long"), F.ceil(rp).cast("long")
+        # vals is a map keyed by global rank
+        v_lo, v_hi = F.col("vals")[lo], F.col("vals")[hi]
+        out_cols.append(
+            F.round(v_lo + (rp - lo) * (v_hi - v_lo), 4).alias(name)
+        )
     return (
-        orders.groupBy("o_orderpriority")
-        .agg(
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
-            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
-            F.round(F.min("o_totalprice"), 4).alias("min_price"),
-            F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        totals.join(gathered, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            *out_cols,
+            F.round("min_price", 4).alias("min_price"),
+            F.round("max_price", 4).alias("max_price"),
         )
         .orderBy("o_orderpriority")
     )

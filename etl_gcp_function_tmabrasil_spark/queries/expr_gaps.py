@@ -19,18 +19,60 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from etl_gcp_function_tmabrasil_spark.catalog import load_table
 
 
+_CUME_BAND = 1000.0  # price-band width for the distributed rank
+
+
 def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions: cume_dist and percent_rank of each
     order's price within its priority class, deterministically ordered
-    by (o_totalprice, o_orderkey)."""
+    by (o_totalprice, o_orderkey).
+
+    o_orderpriority has FIVE values, so the naive window moves a fifth
+    of the corpus through each window task. Because the ordering is
+    unique (o_orderkey tiebreak), percent_rank and cume_dist reduce to
+    pure rank arithmetic — pr = r/(N−1), cd = (r+1)/N over the 0-based
+    group rank r — and r comes from the banded two-pass rank (the
+    window_ntile machinery, here per group): within-(group, band)
+    row_number + prefix offsets over the per-group band table. Same
+    output, full parallelism across (group × band).
+    """
     orders = load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    return orders.select(
+    d = orders.select(
         "o_orderkey",
         "o_orderpriority",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
-    ).orderBy("o_orderkey")
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") / _CUME_BAND).cast("long").alias("band"),
+    )
+    w_in = W.partitionBy("o_orderpriority", "band").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = d.withColumn("rn_in", F.row_number().over(w_in))
+    sub = d.groupBy("o_orderpriority", "band").agg(F.count(F.lit(1)).alias("n_band"))
+    w_b = W.partitionBy("o_orderpriority").orderBy("band").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    offsets = sub.select(
+        "o_orderpriority",
+        "band",
+        F.coalesce(F.sum("n_band").over(w_b), F.lit(0)).alias("offset"),
+    )
+    totals = sub.groupBy("o_orderpriority").agg(F.sum("n_band").alias("n_total"))
+    r = F.col("offset") + F.col("rn_in") - 1
+    pr = F.when(
+        F.col("n_total") > 1, r / (F.col("n_total") - 1)
+    ).otherwise(F.lit(0.0))
+    cd = (r + 1) / F.col("n_total")
+    return (
+        ranked.join(F.broadcast(offsets), ["o_orderpriority", "band"])
+        .join(F.broadcast(totals), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(pr, 6).alias("pr"),
+            F.round(cd, 6).alias("cd"),
+        )
+        .orderBy("o_orderkey")
+    )
 
 
 _CUME_SQL = """

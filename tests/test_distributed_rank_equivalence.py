@@ -94,3 +94,35 @@ def test_pack_two_pass_equals_global_window(spark, tmp_path, case, token_counts)
         .collect()
     ]
     assert got == want, f"two-pass prefix sum diverged on case {case}"
+
+
+@pytest.mark.parametrize(
+    "case,groups",
+    [
+        ("uniform", {p: np.random.RandomState(3).uniform(800, 600000, 400) for p in ["1-URGENT", "2-HIGH"]}),
+        ("single_value_group", {"1-URGENT": [5000.0], "2-HIGH": [1.0, 2.0]}),
+        ("all_ties", {"1-URGENT": [777.0] * 50}),
+        ("band_boundaries", {"1-URGENT": [1000.0 * k for k in range(1, 30)]}),
+        ("tiny_spread", {"1-URGENT": [999.99, 1000.0, 1000.01]}),
+    ],
+)
+def test_banded_percentile_equals_buffering_percentile(spark, tmp_path, case, groups):
+    from etl_gcp_function_tmabrasil_spark.queries.aggregates import agg_percentiles
+
+    rows = [(p, float(v)) for p, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "o_orderpriority: string, o_totalprice: double")
+    df.coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {tuple(r) for r in agg_percentiles(spark, str(tmp_path)).collect()}
+    want = {
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "orders.parquet"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+            F.round(F.min("o_totalprice"), 4).alias("min_price"),
+            F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        )
+        .collect()
+    }
+    assert got == want, f"banded percentile diverged on case {case}"

@@ -222,11 +222,28 @@ def test_array_predicates_row_local(spark, sf_dir):
     assert n <= 1, f"array predicates pay {n} shuffles; expected final sort only"
 
 
-def test_cume_dist_single_window_shuffle(spark, sf_dir):
+def test_cume_dist_banded_rank_no_group_bottleneck(spark, sf_dir):
+    # distribution windows must not sort a whole 5-value priority class
+    # in one task: the rank window is keyed on (priority, price-band)
+    # and the per-group band table feeds broadcasts.
     from etl_gcp_function_tmabrasil_spark.queries.expr_gaps import window_cume_dist
 
-    n = count_exchanges(window_cume_dist(spark, sf_dir))
-    assert n <= 2, f"cume_dist pays {n} shuffles; expected window + final sort"
+    import re
+
+    plan = (
+        window_cume_dist(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    # the row-level rank window (the one ordering by o_totalprice,
+    # o_orderkey) must be partitioned by (priority, band); only the tiny
+    # band-table prefix window may partition by bare priority.
+    row_windows = [
+        m.group(0)
+        for m in re.finditer(r"Window \[[^\n]*", plan)
+        if "o_orderkey" in m.group(0)
+    ]
+    assert row_windows, "row-level rank window missing from plan"
+    for w in row_windows:
+        assert "band" in w, f"row-level window over bare priority class: {w[:120]}"
 
 
 def test_token_diversity_materializes_bigrams_once(spark, sf_dir):
