@@ -114,6 +114,13 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per-event-type z-scores computed with
     pandas inside each group. Oracle: window-function twin in SQL
     (population stddev; ddof=0 to match).
+
+    This operator exists to exercise the grouped-map UDF surface (the
+    seam a real per-group model-scoring function plugs into);
+    applyInPandas materializes each group in executor memory, so at
+    scale its grouping key must be high-cardinality/bounded-size. A
+    z-score itself needs no UDF at 100 TB: two-pass declarative
+    (groupBy mean/stddev → broadcast join → row-local arithmetic).
     """
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:

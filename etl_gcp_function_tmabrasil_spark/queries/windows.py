@@ -106,6 +106,9 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+_RANGE_FRAME_SEC = 3600
+
+
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-based (RANGE) frame: per event type, the rolling 1-hour
     event count and value sum ending at each event's timestamp —
@@ -115,20 +118,44 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     RANGE frames are tie-safe: co-timestamped events share one frame in
     both engines, so no tiebreaker is needed inside the frame (the
     output order still carries event_id).
+
+    event_type has FIVE values, so a bare per-type window is a fifth of
+    the corpus through one task. Ghost-bucket rewrite instead: bucket
+    rows by hour (= the frame length), emit each row into its own
+    bucket AND the next (the "ghost" copy a following row's lookback
+    may need — any 1-hour frame spans ≤ 2 hour-buckets), run the same
+    RANGE frame within (type, bucket), and keep only home-bucket rows.
+    Identical output; 2× shuffle volume buys per-(type, hour)
+    parallelism — the sliding-aggregate shape that survives any corpus
+    size.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        W.partitionBy("event_type")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+    sec = F.unix_timestamp("ts")
+    d = ev.select("event_id", "event_type", "value", sec.alias("sec")).select(
+        "*", F.expr(f"sec div {_RANGE_FRAME_SEC}").alias("bkt")
     )
-    return ev.select(
-        "event_id",
-        "event_type",
-        F.count(F.lit(1)).over(w).alias("n_last_hour"),
-        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double")
-        .alias("sum_last_hour"),
-    ).orderBy("event_id")
+    contrib = d.select(
+        "*", F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)).alias("wb")
+    )
+    w = (
+        W.partitionBy("event_type", "wb")
+        .orderBy("sec")
+        .rangeBetween(-_RANGE_FRAME_SEC, 0)
+    )
+    return (
+        contrib.select(
+            "event_id",
+            "event_type",
+            "bkt",
+            "wb",
+            F.count(F.lit(1)).over(w).alias("n_last_hour"),
+            F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double")
+            .alias("sum_last_hour"),
+        )
+        .filter(F.col("wb") == F.col("bkt"))
+        .select("event_id", "event_type", "n_last_hour", "sum_last_hour")
+        .orderBy("event_id")
+    )
 
 
 # ORDER BY floor-epoch seconds, not raw ts: Spark's unix_timestamp()

@@ -126,3 +126,49 @@ def test_banded_percentile_equals_buffering_percentile(spark, tmp_path, case, gr
         .collect()
     }
     assert got == want, f"banded percentile diverged on case {case}"
+
+
+@pytest.mark.parametrize(
+    "case,secs",
+    [
+        ("boundary_exact", [0, 3600, 7200, 7200, 10800]),
+        ("all_within_one_frame", [10, 20, 30, 3500]),
+        ("sparse", [0, 100000, 200000]),
+        ("ties_across_buckets", [3599, 3600, 3600, 3601, 7199, 7200]),
+        ("dense_random", list(np.random.RandomState(5).randint(0, 50000, 300))),
+    ],
+)
+def test_ghost_bucket_range_frame_equals_bare_window(spark, tmp_path, case, secs):
+    from etl_gcp_function_tmabrasil_spark.queries.windows import window_range_frame
+
+    rows = [
+        (i, "click" if i % 2 else "view", float(i % 7), int(s))
+        for i, s in enumerate(secs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id: long, event_type: string, value: double, sec: long"
+    ).select(
+        "event_id", "event_type", "value", F.timestamp_seconds("sec").alias("ts")
+    )
+    df.coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = [tuple(r) for r in window_range_frame(spark, str(tmp_path)).collect()]
+
+    ev = spark.read.parquet(str(tmp_path / "events.parquet"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    want = [
+        tuple(r)
+        for r in ev.select(
+            "event_id",
+            "event_type",
+            F.count(F.lit(1)).over(w).alias("n_last_hour"),
+            F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double")
+            .alias("sum_last_hour"),
+        )
+        .orderBy("event_id")
+        .collect()
+    ]
+    assert got == want, f"ghost-bucket range frame diverged on case {case}"

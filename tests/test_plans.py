@@ -213,6 +213,25 @@ def test_funnel_stages_equi_join_on_user(spark, sf_dir):
     assert "event_type" in pushed, "stage filter not pushed to scan"
 
 
+def test_range_frame_window_keyed_on_time_bucket(spark, sf_dir):
+    # ghost-bucket sliding aggregate: the RANGE window must partition on
+    # (event_type, hour-bucket), never on the bare 5-value event_type.
+    import re
+
+    from etl_gcp_function_tmabrasil_spark.queries.windows import window_range_frame
+
+    plan = (
+        window_range_frame(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "range-frame window missing from plan"
+    for spec in specs:
+        assert "wb" in spec, f"window over bare event_type: {spec[:100]}"
+
+
 def test_array_predicates_row_local(spark, sf_dir):
     from etl_gcp_function_tmabrasil_spark.queries.expr_gaps import (
         func_array_predicates,
