@@ -54,115 +54,31 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PCT_BAND = 1000.0  # value-band width for the two-pass exact quantile
-_PCTS = {"median_price": 0.5, "p90_price": 0.9}
-
-
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT percentiles (median/p90, linear interpolation — the same
     definition as Spark's `percentile` and DuckDB's quantile_cont) of
     order totalprice per priority, computed WITHOUT buffering any
-    group's values.
-
-    Spark's exact `percentile` aggregate collects each group's full
-    value multiset into executor memory — the canonical OOM at 100 TB
-    (percentile_approx fixes memory but changes answers). This is the
-    two-pass banded-rank algorithm instead:
-
-    1. count rows per (group, value-band) — a tiny partial+final agg;
-    2. exclusive prefix over each group's band table gives every band's
-       global rank offset; from the group totals, each percentile needs
-       the values at 0-based ranks floor/ceil((N-1)·p);
-    3. join the (few) needed ranks to the bands that contain them and
-       re-scan ONLY those bands (filter on the broadcast band list —
-       a fraction ~ranks/bands of the input), ranking within band by
-       value: global rank = band offset + within-band row_number − 1;
-    4. interpolate from the ≤4 picked values per group.
-
-    Memory is O(bands) driver/executor-side, never O(group); the wide
-    operations are one band-count agg and one within-band window over a
-    selective subset. Results are bit-identical to `percentile` (same
-    double interpolation arithmetic on the same picked values).
-    """
-    from pyspark.sql import Window as W
-
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderpriority", "o_totalprice"
+    group's values — the two-pass banded-rank algorithm
+    (operators/quantiles.py; equivalence vs the buffering `percentile`
+    pinned in tests/test_distributed_rank_equivalence.py)."""
+    from etl_gcp_function_tmabrasil_spark.operators.quantiles import (
+        banded_exact_quantiles,
     )
-    d = orders.select(
+
+    orders = load_table(spark, sf_dir, "orders")
+    q = banded_exact_quantiles(
+        orders,
         "o_orderpriority",
         "o_totalprice",
-        F.floor(F.col("o_totalprice") / _PCT_BAND).cast("long").alias("band"),
+        {"median_price": 0.5, "p90_price": 0.9},
     )
-    bc = d.groupBy("o_orderpriority", "band").agg(F.count(F.lit(1)).alias("n_band"))
-    w_off = (
-        W.partitionBy("o_orderpriority").orderBy("band").rowsBetween(
-            W.unboundedPreceding, -1
-        )
-    )
-    bands = bc.withColumn(
-        "offset", F.coalesce(F.sum("n_band").over(w_off), F.lit(0))
-    )
-    totals = d.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.min("o_totalprice").alias("min_price"),
-        F.max("o_totalprice").alias("max_price"),
-    )
-    rank_exprs = []
-    for p in set(_PCTS.values()):
-        rp = (F.col("n_total") - 1) * F.lit(p)
-        rank_exprs += [F.floor(rp).cast("long"), F.ceil(rp).cast("long")]
-    needed = totals.select(
+    return q.select(
         "o_orderpriority",
-        F.explode(F.array_distinct(F.array(*rank_exprs))).alias("rk_needed"),
-    )
-    target_bands = (
-        bands.join(F.broadcast(needed), "o_orderpriority")
-        .filter(
-            (F.col("rk_needed") >= F.col("offset"))
-            & (F.col("rk_needed") < F.col("offset") + F.col("n_band"))
-        )
-        .select("o_orderpriority", "band", "offset")
-        .distinct()
-    )
-    w_in = W.partitionBy("o_orderpriority", "band").orderBy("o_totalprice")
-    ranked = d.join(F.broadcast(target_bands), ["o_orderpriority", "band"]).select(
-        "o_orderpriority",
-        "o_totalprice",
-        (F.col("offset") + F.row_number().over(w_in) - 1).alias("rk"),
-    )
-    nd = needed.select(
-        F.col("o_orderpriority").alias("needed_grp"), "rk_needed"
-    )
-    picked = ranked.join(
-        F.broadcast(nd),
-        (F.col("o_orderpriority") == F.col("needed_grp"))
-        & (F.col("rk") == F.col("rk_needed")),
-    ).select("o_orderpriority", "rk", "o_totalprice")
-    gathered = picked.groupBy("o_orderpriority").agg(
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("rk", "o_totalprice")))
-        ).alias("vals")
-    )
-    out_cols = []
-    for name, p in _PCTS.items():
-        rp = (F.col("n_total") - 1) * F.lit(p)
-        lo, hi = F.floor(rp).cast("long"), F.ceil(rp).cast("long")
-        # vals is a map keyed by global rank
-        v_lo, v_hi = F.col("vals")[lo], F.col("vals")[hi]
-        out_cols.append(
-            F.round(v_lo + (rp - lo) * (v_hi - v_lo), 4).alias(name)
-        )
-    return (
-        totals.join(gathered, "o_orderpriority")
-        .select(
-            "o_orderpriority",
-            *out_cols,
-            F.round("min_price", 4).alias("min_price"),
-            F.round("max_price", 4).alias("max_price"),
-        )
-        .orderBy("o_orderpriority")
-    )
+        "median_price",
+        "p90_price",
+        F.round("min_v", 4).alias("min_price"),
+        F.round("max_v", 4).alias("max_price"),
+    ).orderBy("o_orderpriority")
 
 
 _PERCENTILES_SQL = """
@@ -473,6 +389,75 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier accounting per priority class: exact
+    p25/p75 (banded two-pass quantiles, no group buffering), high fence
+    = p75 + 1.5·IQR, and the count of orders above it — the numeric
+    anomaly-screening pass of a data-quality pipeline.
+
+    Scale notes: quantiles via operators/quantiles.py (O(bands)
+    memory); the fence table is group-sized and broadcasts; the outlier
+    count is one filtered scan + partial agg. Fences are computed from
+    the 4-dp-rounded quantiles in BOTH engines so the boundary
+    comparison is bit-identical.
+    """
+    from etl_gcp_function_tmabrasil_spark.operators.quantiles import (
+        banded_exact_quantiles,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    q = banded_exact_quantiles(
+        orders, "o_orderpriority", "o_totalprice", {"p25": 0.25, "p75": 0.75}
+    )
+    fences = q.select(
+        "o_orderpriority",
+        "p25",
+        "p75",
+        F.round(
+            F.col("p75") + 1.5 * (F.col("p75") - F.col("p25")), 4
+        ).alias("hi_fence"),
+    )
+    counts = (
+        orders.join(F.broadcast(fences), "o_orderpriority")
+        .filter(F.col("o_totalprice") > F.col("hi_fence"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        fences.join(counts, "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            "p25",
+            "p75",
+            "hi_fence",
+            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_IQR_SQL = """
+WITH q AS (
+  SELECT o_orderpriority,
+    ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+    ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
+  FROM orders GROUP BY o_orderpriority
+),
+f AS (SELECT o_orderpriority, p25, p75,
+        ROUND(p75 + 1.5 * (p75 - p25), 4) AS hi_fence FROM q),
+c AS (
+  SELECT o.o_orderpriority, COUNT(*) AS n_outliers
+  FROM orders o JOIN f USING (o_orderpriority)
+  WHERE o.o_totalprice > f.hi_fence
+  GROUP BY o.o_orderpriority
+)
+SELECT o_orderpriority, p25, p75, hi_fence,
+  COALESCE(c.n_outliers, 0) AS n_outliers
+FROM f LEFT JOIN c USING (o_orderpriority)
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "agg_distinct": agg_distinct,
     "agg_hll_mergeable": agg_hll_mergeable,
@@ -481,6 +466,7 @@ QUERIES = {
     "rollup_time_multires": rollup_time_multires,
     "agg_approx_distinct": agg_approx_distinct,
     "agg_percentiles": agg_percentiles,
+    "agg_iqr_outliers": agg_iqr_outliers,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
     "agg_collect": agg_collect,
@@ -493,6 +479,7 @@ ORACLE = {
     "agg_stats_moments": _STATS_MOMENTS_SQL,
     "rollup_time_multires": _MULTIRES_SQL,
     "agg_percentiles": _PERCENTILES_SQL,
+    "agg_iqr_outliers": _IQR_SQL,
     "agg_rollup": _ROLLUP_SQL,
     "agg_cube": _CUBE_SQL,
     "agg_collect": _COLLECT_SQL,

@@ -43,6 +43,8 @@ _FAMILY_QUERIES = [
     ("curriculum_temperature_sample", 0),
     ("fuzzy_name_match", 0),
     ("profile_columns", 5),  # one profile row per column, zeros on empty
+    ("agg_percentiles", 0),
+    ("agg_iqr_outliers", 0),
 ]
 
 
