@@ -458,6 +458,37 @@ ORDER BY o_orderpriority
 """
 
 
+def agg_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a 3-value (maximally hot) key:
+    groupBy(l_returnflag + salt) partials, then combine per flag —
+    the explicit skew breaker for the single-hot-reducer case AQE
+    cannot split (operators/skew.py). Exact: decimal accumulation makes
+    the re-association bit-stable, so the oracle is the plain GROUP BY.
+    """
+    from etl_gcp_function_tmabrasil_spark.operators.skew import salted_sum_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        salted_sum_count(
+            li, ["l_returnflag"], "l_quantity", n_salts=16, salt_from="l_orderkey"
+        )
+        .select(
+            "l_returnflag",
+            F.round("sum_value", 4).alias("sum_qty"),
+            "n_rows",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_SALTED_AGG_SQL = """
+SELECT l_returnflag,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_qty,
+  COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "agg_distinct": agg_distinct,
     "agg_hll_mergeable": agg_hll_mergeable,
@@ -467,6 +498,7 @@ QUERIES = {
     "agg_approx_distinct": agg_approx_distinct,
     "agg_percentiles": agg_percentiles,
     "agg_iqr_outliers": agg_iqr_outliers,
+    "agg_salted_hot_key": agg_salted_hot_key,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
     "agg_collect": agg_collect,
@@ -480,6 +512,7 @@ ORACLE = {
     "rollup_time_multires": _MULTIRES_SQL,
     "agg_percentiles": _PERCENTILES_SQL,
     "agg_iqr_outliers": _IQR_SQL,
+    "agg_salted_hot_key": _SALTED_AGG_SQL,
     "agg_rollup": _ROLLUP_SQL,
     "agg_cube": _CUBE_SQL,
     "agg_collect": _COLLECT_SQL,

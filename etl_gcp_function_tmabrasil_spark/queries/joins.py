@@ -380,6 +380,42 @@ ORDER BY event_id
 """
 
 
+def join_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-replicated equi-join under a deliberately hot key: lineitem
+    joined to part with the fact side salted 16 ways and the dim side
+    replicated 16x (operators/skew.py.salted_join) — the exact skew
+    breaker for a hot join key against a dim too big to broadcast.
+    Result rolled up per brand; oracle is the plain join + GROUP BY
+    (salting is a pure re-association).
+    """
+    from etl_gcp_function_tmabrasil_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_brand"
+    )
+    joined = salted_join(li, part, "partkey", n_salts=16, salt_from="l_quantity")
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_SALTED_JOIN_SQL = """
+SELECT p_brand, COUNT(*) AS n_items,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
 QUERIES = {
     "join_broadcast_dims": join_broadcast_dims,
     "join_semi": join_semi,
@@ -391,6 +427,7 @@ QUERIES = {
     "join_range_bands": join_range_bands,
     "join_range_bucketed_pairs": join_range_bucketed_pairs,
     "join_asof_purchase": join_asof_purchase,
+    "join_salted_hot_key": join_salted_hot_key,
 }
 
 ORACLE = {
@@ -404,4 +441,5 @@ ORACLE = {
     "join_range_bands": _RANGE_SQL,
     "join_range_bucketed_pairs": _RANGE_BUCKETED_SQL,
     "join_asof_purchase": _ASOF_SQL,
+    "join_salted_hot_key": _SALTED_JOIN_SQL,
 }

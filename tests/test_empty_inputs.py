@@ -45,6 +45,8 @@ _FAMILY_QUERIES = [
     ("profile_columns", 5),  # one profile row per column, zeros on empty
     ("agg_percentiles", 0),
     ("agg_iqr_outliers", 0),
+    ("agg_salted_hot_key", 0),
+    ("join_salted_hot_key", 0),
 ]
 
 
