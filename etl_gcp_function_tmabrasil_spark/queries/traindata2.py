@@ -407,10 +407,57 @@ ORDER BY source
 """
 
 
+SPLIT_BOUNDS = {"train": (0.0, 0.9), "val": (0.9, 0.95), "test": (0.95, 1.0)}
+
+
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5) by doc_id hash —
+    the split every dataset build needs: reproducible across runs and
+    engines (md5 arithmetic, no rand()), disjoint and exhaustive by
+    construction (half-open hash-unit intervals). Row-local projection +
+    a bounded-key rollup; emits per-split counts and id checksums so
+    downstream jobs can assert split integrity cheaply.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.expr(_HASH_UNIT)
+    split = (
+        F.when(u < SPLIT_BOUNDS["train"][1], F.lit("train"))
+        .when(u < SPLIT_BOUNDS["val"][1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("split")
+    )
+
+
+_SPLIT_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+    CASE WHEN {_SQL_HASH_UNIT} < {SPLIT_BOUNDS["train"][1]} THEN 'train'
+         WHEN {_SQL_HASH_UNIT} < {SPLIT_BOUNDS["val"][1]} THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, COUNT(*) AS n_docs,
+  CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM s GROUP BY split ORDER BY split
+"""
+
+
 QUERIES.update(
     {
         "bm25_score_docs": bm25_score_docs,
         "curriculum_temperature_sample": curriculum_temperature_sample,
+        "split_train_val_test": split_train_val_test,
     }
 )
 
@@ -418,5 +465,6 @@ ORACLE.update(
     {
         "bm25_score_docs": _BM25_SQL,
         "curriculum_temperature_sample": _CURRICULUM_SQL,
+        "split_train_val_test": _SPLIT_SQL,
     }
 )

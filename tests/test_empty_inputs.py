@@ -47,6 +47,7 @@ _FAMILY_QUERIES = [
     ("agg_iqr_outliers", 0),
     ("agg_salted_hot_key", 0),
     ("join_salted_hot_key", 0),
+    ("split_train_val_test", 0),
 ]
 
 

@@ -352,3 +352,31 @@ def test_stream_static_enrichment_matches_batch(spark, event_chunks_dir):
         for r in enrich_stream_with_customer(batch, customer).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_parquet_sink_exactly_once(spark, tmp_path, event_chunks_dir):
+    """Native parquet streaming sink: checkpointed availableNow run
+    lands every source row exactly once (the _spark_metadata
+    transaction log makes the output atomic per batch); an immediate
+    re-run with the same checkpoint and no new data is a no-op."""
+    out = str(tmp_path / "out_parquet")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            _events_stream(spark, event_chunks_dir)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    first = spark.read.parquet(out).select("event_id").collect()
+    src = spark.read.parquet(event_chunks_dir).count()
+    assert len(first) == src and len({r.event_id for r in first}) == src
+    run()  # same checkpoint, no new files -> no new output
+    again = spark.read.parquet(out).count()
+    assert again == src, "re-run with unchanged source duplicated rows"
