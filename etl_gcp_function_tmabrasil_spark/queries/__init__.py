@@ -77,6 +77,15 @@ _MODULES = [
 # unification; pack/simhash/ntile plan rewrites). Everything else
 # follows in module order and stays covered by
 # tests/test_oracle_parity.py locally.
+#
+# ROUND-4 ROTATION CANDIDATES (added round 3, locally verified, never
+# driver-checked): bpe_merge_pairs, embedding_gram_matrix,
+# event_funnel_conversion, bm25_score_docs, curriculum_temperature_sample,
+# resample_daily_locf, fuzzy_name_match, profile_columns,
+# agg_iqr_outliers, agg_salted_hot_key, join_salted_hot_key,
+# split_train_val_test, unigram_lm_score, source_overlap_matrix — plus
+# re-verifies for the round-3 plan rewrites (agg_percentiles,
+# window_cume_dist, window_range_frame, dedup_minhash_lsh).
 _CHECK_FIRST = [
     # --- never driver-checked: scalar expression surface ---
     "filter_reference_path_predicate",

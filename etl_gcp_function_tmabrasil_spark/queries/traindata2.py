@@ -468,3 +468,159 @@ ORACLE.update(
         "split_train_val_test": _SPLIT_SQL,
     }
 )
+
+
+LM_SCORE_TOP_N = 30
+
+
+def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: per-document mean token
+    log-probability under the corpus's own unigram distribution — the
+    perplexity-proxy quality signal pretraining pipelines use to rank
+    documents (low mean logprob ⇒ rare/garbled text). Returns the 30
+    lowest-scoring docs.
+
+    Scale notes: pass 1 is the word-count shape (token → corpus count);
+    pass 2 re-joins the token stream to the frequency table on the
+    token key — an equi-join whose build side is the vocabulary (often
+    broadcastable; here it flows through the same hash partitioning the
+    count produced) — then aggregates logprobs per doc. Fixed-point
+    accounting: logs are rounded to 8 dp before the decimal sum, so
+    the per-doc totals are summation-order-free and engine-exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    freqs = toks.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    logp = F.round(
+        F.log(F.col("tf").cast("double") / F.col("n_total")), 8
+    )
+    scored = (
+        toks.join(freqs, "t")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", logp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("lp").cast("decimal(20,8)")).alias("_sum_lp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                (F.col("_sum_lp") / F.col("n_tokens")).cast("double"), 6
+            ).alias("mean_logprob"),
+        )
+    )
+    return scored.orderBy(F.asc("mean_logprob"), F.asc("doc_id")).limit(LM_SCORE_TOP_N)
+
+
+_LM_SQL = f"""
+WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents),
+freqs AS (SELECT t, COUNT(*) AS tf FROM toks GROUP BY t),
+total AS (SELECT COUNT(*) AS n_total FROM toks),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+    SUM(CAST(ROUND(ln(CAST(tf AS DOUBLE) / n_total), 8) AS DECIMAL(20,8)))
+      AS sum_lp
+  FROM toks JOIN freqs USING (t) CROSS JOIN total
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+  ROUND(CAST(sum_lp / n_tokens AS DOUBLE), 6) AS mean_logprob
+FROM scored
+ORDER BY mean_logprob ASC, doc_id ASC LIMIT {LM_SCORE_TOP_N}
+"""
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination audit: for every ordered source pair,
+    how many distinct word-3-shingles they share and the containment of
+    the smaller gram set — the corpus-overlap report run before mixing
+    crawl dumps (high overlap ⇒ near-duplicate sources, double-counted
+    data).
+
+    Scale notes: the (source, gram) universe is distinct-ed FIRST
+    (partial agg collapses repeats map-side), then the self-join is
+    equi-keyed on the gram — candidate volume is per-gram source-list
+    sized, never corpus². The 5×5 output rollup is trivially bounded.
+    """
+    from etl_gcp_function_tmabrasil_spark.functions.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "source", "text", F.split("text", " ").alias("toks")
+        )
+        .select("source", F.explode(word_shingles(F.col("toks"))).alias("g"))
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source1"), F.col("b.source").alias("source2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source1"), F.col("n_grams").alias("n1"))
+    sb = sizes.select(F.col("source").alias("source2"), F.col("n_grams").alias("n2"))
+    return (
+        shared.join(F.broadcast(sa), "source1")
+        .join(F.broadcast(sb), "source2")
+        .select(
+            "source1",
+            "source2",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("n1", "n2"), 6
+            ).alias("containment"),
+        )
+        .orderBy("source1", "source2")
+    )
+
+
+_OVERLAP_SQL = """
+WITH t AS (SELECT source, text, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT source, CASE WHEN len(toks) >= 3
+    THEN list_transform(generate_series(1, len(toks) - 2),
+                        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+    ELSE [text] END AS sh
+  FROM t
+),
+grams AS (SELECT DISTINCT source, UNNEST(sh) AS g FROM sh),
+sizes AS (SELECT source, COUNT(*) AS n_grams FROM grams GROUP BY source),
+shared AS (
+  SELECT a.source AS source1, b.source AS source2, COUNT(*) AS n_shared
+  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source1, source2, n_shared,
+  ROUND(CAST(n_shared AS DOUBLE) / LEAST(s1.n_grams, s2.n_grams), 6)
+    AS containment
+FROM shared
+JOIN sizes s1 ON shared.source1 = s1.source
+JOIN sizes s2 ON shared.source2 = s2.source
+ORDER BY source1, source2
+"""
+
+
+QUERIES.update(
+    {
+        "unigram_lm_score": unigram_lm_score,
+        "source_overlap_matrix": source_overlap_matrix,
+    }
+)
+
+ORACLE.update(
+    {
+        "unigram_lm_score": _LM_SQL,
+        "source_overlap_matrix": _OVERLAP_SQL,
+    }
+)

@@ -48,6 +48,8 @@ _FAMILY_QUERIES = [
     ("agg_salted_hot_key", 0),
     ("join_salted_hot_key", 0),
     ("split_train_val_test", 0),
+    ("unigram_lm_score", 0),
+    ("source_overlap_matrix", 0),
 ]
 
 
