@@ -36,5 +36,40 @@ def sql_segment_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL)
 
 
-QUERIES = {"sql_segment_status_rollup": sql_segment_status_rollup}
-ORACLE = {"sql_segment_status_rollup": _SQL}
+_CTE_WINDOW_SQL = """
+WITH ranked AS (
+  SELECT l_partkey, l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+    ROW_NUMBER() OVER (PARTITION BY l_partkey
+                       ORDER BY l_extendedprice DESC, l_orderkey ASC,
+                                l_linenumber ASC) AS rn
+  FROM lineitem
+),
+top3 AS (SELECT * FROM ranked WHERE rn <= 3)
+SELECT p_brand,
+  COUNT(*) AS n_top_items,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+  CASE WHEN COUNT(*) > 100 THEN 'major' ELSE 'minor' END AS brand_class
+FROM top3 JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+def sql_cte_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + ranking window + join + CASE in ONE dialect-neutral SQL
+    text (shared verbatim with the oracle): per-part top-3 line items
+    by price, rolled up per brand — the SQL-surface twin of the
+    DataFrame per-group top-k, planned by Catalyst with the same
+    WindowGroupLimit map-side pushdown."""
+    register_views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(_CTE_WINDOW_SQL)
+
+
+QUERIES = {
+    "sql_segment_status_rollup": sql_segment_status_rollup,
+    "sql_cte_window_topk": sql_cte_window_topk,
+}
+ORACLE = {
+    "sql_segment_status_rollup": _SQL,
+    "sql_cte_window_topk": _CTE_WINDOW_SQL,
+}

@@ -50,6 +50,7 @@ _FAMILY_QUERIES = [
     ("split_train_val_test", 0),
     ("unigram_lm_score", 0),
     ("source_overlap_matrix", 0),
+    ("sql_cte_window_topk", 0),
 ]
 
 
