@@ -155,3 +155,25 @@ ORACLE = {
     "pipeline_curate_documents": _REPORT_SQL,
     "sample_stratified_docs": _sample_sql(),
 }
+
+
+def curated_documents_observed(spark: SparkSession, sf_dir: str):
+    """curated_documents plus single-pass run accounting via the
+    Observation API: (kept rows, kept chars, max duplicate-group size)
+    are collected as metrics of the SAME job that materializes the
+    output — no second scan, no separate count() action, which is how a
+    production run reports itself at 100 TB without doubling cost.
+
+    Returns (DataFrame, Observation); read `observation.get` AFTER an
+    action on the DataFrame.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("curation_run")
+    kept = curated_documents(spark, sf_dir).observe(
+        obs,
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("n_chars").alias("kept_chars"),
+        F.max("group_size").alias("max_group"),
+    )
+    return kept, obs

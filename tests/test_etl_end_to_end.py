@@ -111,3 +111,18 @@ def test_xlsx_etl_many_landing_files_batched(spark, tmp_path):
     loaded = sink.read(spark, "analytics.events_many")
     got = sorted(r.event_id for r in loaded.collect())
     assert got == list(range(n_files)), "not exactly-once across micro-batches"
+
+
+def test_curation_observation_metrics_match_aggregates(spark):
+    """Observation metrics ride the materializing job itself; they must
+    equal independently computed aggregates of the output."""
+    from etl_gcp_function_tmabrasil_spark.pipelines.traindata import (
+        curated_documents_observed,
+    )
+
+    kept, obs = curated_documents_observed(spark, SF_SMOKE)
+    rows = kept.collect()
+    m = obs.get
+    assert m["kept_docs"] == len(rows)
+    assert m["kept_chars"] == sum(r.n_chars for r in rows)
+    assert m["max_group"] == max(r.group_size for r in rows)
