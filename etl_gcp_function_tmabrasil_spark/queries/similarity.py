@@ -496,6 +496,35 @@ ORDER BY vec1, vec2
 """
 
 
+def kmeans_ivf_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the IVF coarse codebook with real Lloyd iterations
+    (operators/kmeans.py) instead of the first-N stand-in: 8 cells, 3
+    iterations, deterministic init. Output is the per-cell summary
+    (size, mean squared distance, centroid norm) — stable schema for
+    the rows-only driver check; convergence/determinism invariants live
+    in tests/test_kmeans.py. No SQL oracle: double means are
+    summation-order-dependent, so cross-engine bit-equality is not
+    defined for this operator."""
+    from etl_gcp_function_tmabrasil_spark.operators.kmeans import kmeans_fit
+
+    emb = _with_norm(
+        load_table(spark, sf_dir, "embeddings", rebalance=True), "vec_id"
+    ).select("vec_id", "e")
+    cent, assigned = kmeans_fit(emb, k=8, iters=3)
+    sizes = assigned.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("sqdist"), 6).alias("mean_sqdist"),
+    )
+    cnorm = cent.select(
+        "cell_id", F.round(_norm(F.col("ce")), 6).alias("centroid_norm")
+    )
+    return (
+        sizes.join(cnorm, "cell_id")
+        .select("cell_id", "n_members", "mean_sqdist", "centroid_norm")
+        .orderBy("cell_id")
+    )
+
+
 QUERIES = {
     "knn_bruteforce_cosine": knn_bruteforce_cosine,
     "ann_lsh_cosine": ann_lsh_cosine,
@@ -503,6 +532,7 @@ QUERIES = {
     "embedding_stats": embedding_stats,
     "embedding_dim_profile": embedding_dim_profile,
     "embedding_cosine_dedup": embedding_cosine_dedup,
+    "kmeans_ivf_codebook": kmeans_ivf_codebook,
 }
 
 ORACLE = {

@@ -51,6 +51,7 @@ _FAMILY_QUERIES = [
     ("unigram_lm_score", 0),
     ("source_overlap_matrix", 0),
     ("sql_cte_window_topk", 0),
+    ("kmeans_ivf_codebook", 0),
 ]
 
 
