@@ -83,7 +83,8 @@ _MODULES = [
 # event_funnel_conversion, bm25_score_docs, curriculum_temperature_sample,
 # resample_daily_locf, fuzzy_name_match, profile_columns,
 # agg_iqr_outliers, agg_salted_hot_key, join_salted_hot_key,
-# split_train_val_test, unigram_lm_score, source_overlap_matrix — plus
+# split_train_val_test, unigram_lm_score, source_overlap_matrix,
+# sql_cte_window_topk, kmeans_ivf_codebook (rows-only) — plus
 # re-verifies for the round-3 plan rewrites (agg_percentiles,
 # window_cume_dist, window_range_frame, dedup_minhash_lsh).
 _CHECK_FIRST = [

@@ -380,3 +380,52 @@ def test_streaming_parquet_sink_exactly_once(spark, tmp_path, event_chunks_dir):
     run()  # same checkpoint, no new files -> no new output
     again = spark.read.parquet(out).count()
     assert again == src, "re-run with unchanged source duplicated rows"
+
+
+def test_checkpoint_recovery_resumes_not_reprocesses(spark, tmp_path):
+    """Kill-and-restart semantics: a checkpointed aggregation stream
+    stopped after batch 1 and restarted after more data arrives must
+    resume from state — every source row counted exactly once across
+    the two runs, none twice."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_chunk(name, ids):
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "event_id": ids,
+                "ts": pd.to_datetime("2024-01-01").to_datetime64(),
+                "user_id": [i % 3 for i in ids],
+                "event_type": ["click"] * len(ids),
+                "value": [1.0] * len(ids),
+                "props": ["{}"] * len(ids),
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(df), src / f"{name}.parquet")
+
+    def run_counts(qname):
+        stream = _events_stream(spark, str(src))
+        q = (
+            stream.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_chunk("a", list(range(30)))
+    run_counts("recov1")
+    first = {r.user_id: r.n for r in spark.sql("SELECT * FROM recov1").collect()}
+    assert sum(first.values()) == 30
+
+    write_chunk("b", list(range(100, 160)))
+    run_counts("recov2")  # same checkpoint: resumes, must not recount chunk a
+    second = {r.user_id: r.n for r in spark.sql("SELECT * FROM recov2").collect()}
+    assert sum(second.values()) == 90, second
