@@ -535,6 +535,13 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation the oracle states. Variants per row = length+1
     (row-local explode); bucket fan-out is names-per-variant, never
     corpus² — the same banded shape as every other dedup family here.
+
+    Cost model: candidate volume = Σ_buckets |bucket|², so skew lives
+    in per-variant bucket size. Sequential zero-padded identifiers
+    (this table) are near-worst-case — masses of ids share deletion
+    variants through their common prefixes — yet the shape still beats
+    the n² join above toy sizes; on natural-language names buckets are
+    tiny. AQE skew-join splitting handles residual hot variants.
     """
     cust = load_table(spark, sf_dir, "customer").select("c_name")
     variants = cust.select(

@@ -13,6 +13,12 @@ training-data pipeline would need"):
   index build.
 - Curriculum temperature sampling: deterministic per-source
   mixture-reweighted corpus sampling (rate ∝ share^(α-1)).
+- Train/val/test splitting: hash-unit interval assignment with
+  per-split integrity accounting.
+- Unigram LM scoring: perplexity-proxy document quality ranking under
+  the corpus's own token distribution.
+- Source overlap matrix: shared-shingle containment per source pair —
+  the corpus-contamination audit before mixing crawl dumps.
 
 Scale design, per operator, is documented on each function; the gram
 matrix is the repo's canonical example of the "partial aggregate in
