@@ -104,6 +104,11 @@ def test_pack_two_pass_equals_global_window(spark, tmp_path, case, token_counts)
         ("all_ties", {"1-URGENT": [777.0] * 50}),
         ("band_boundaries", {"1-URGENT": [1000.0 * k for k in range(1, 30)]}),
         ("tiny_spread", {"1-URGENT": [999.99, 1000.0, 1000.01]}),
+        (
+            "mixed_sign",
+            {"1-URGENT": list(np.random.RandomState(4).uniform(-5000, 5000, 301))},
+        ),
+        ("all_negative", {"1-URGENT": [-10.0, -2000.5, -999.99, -1000.0]}),
     ],
 )
 def test_banded_percentile_equals_buffering_percentile(spark, tmp_path, case, groups):
