@@ -130,10 +130,44 @@ def multimodal_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary → resize(0.5) → decode → per-kind dimension rollup: the
+    transform-then-reingest loop (thumbnailing / downsampling before
+    feature extraction) on one plan. Compares against the original
+    decode in the same result so the rows-only check pins the
+    width-halving relation, not just row counts."""
+    media = synth_media_table(spark, n=_N_MEDIA)
+    from etl_gcp_function_tmabrasil_spark.operators.multimodal import resize_media
+
+    orig = (
+        decode_media_meta(media)
+        .groupBy("kind")
+        .agg(F.sum("width").alias("orig_width_sum"))
+    )
+    resized = (
+        decode_media_meta(resize_media(media, 0.5))
+        .groupBy("kind")
+        .agg(F.sum("width").alias("resized_width_sum"))
+    )
+    return (
+        orig.join(resized, "kind")
+        .select(
+            "kind",
+            "orig_width_sum",
+            "resized_width_sum",
+            F.round(
+                F.col("resized_width_sum") / F.col("orig_width_sum"), 3
+            ).alias("shrink_ratio"),
+        )
+        .orderBy("kind")
+    )
+
+
 QUERIES = {
     "multimodal_decode_stats": multimodal_decode_stats,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_embed_knn": multimodal_embed_knn,
+    "multimodal_resize_stats": multimodal_resize_stats,
 }
 
 # No oracle: binary codec plumbing is not SQL-expressible (rows-only

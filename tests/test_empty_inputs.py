@@ -52,6 +52,7 @@ _FAMILY_QUERIES = [
     ("source_overlap_matrix", 0),
     ("sql_cte_window_topk", 0),
     ("kmeans_ivf_codebook", 0),
+    ("multimodal_resize_stats", 3),  # synthetic media: one row per kind
 ]
 
 
