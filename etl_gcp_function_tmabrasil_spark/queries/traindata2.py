@@ -630,3 +630,43 @@ ORACLE.update(
         "source_overlap_matrix": _OVERLAP_SQL,
     }
 )
+
+
+WEIGHTED_SAMPLE_K = 40
+
+
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis-
+    Spirakis one-pass construction: each doc draws key = u^(1/w)
+    (u = deterministic hash-unit, w = n_chars) and the k largest keys
+    ARE a weighted sample — the standard distributed algorithm, here
+    with the randomness replaced by the md5 hash so runs and engines
+    agree exactly.
+
+    Scale notes: key assignment is a row-local projection; top-k
+    compiles to TakeOrderedAndProject (per-partition heaps, no global
+    sort). Keys are rounded to 9 dp before ranking with doc_id
+    tiebreaks, so ranking is invariant to last-ulp libm differences
+    between engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.expr(f"({_HASH_UNIT} * 1000000 + 0.5) / 1000000.0")
+    key = F.round(F.pow(u, 1.0 / F.col("n_chars")), 9)
+    return (
+        docs.select("doc_id", "n_chars", key.alias("sample_key"))
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(WEIGHTED_SAMPLE_K)
+    )
+
+
+_WEIGHTED_SQL = f"""
+SELECT doc_id, n_chars,
+  ROUND(POW(({_SQL_HASH_UNIT} * 1000000 + 0.5) / 1000000.0,
+            1.0 / n_chars), 9) AS sample_key
+FROM documents
+ORDER BY sample_key DESC, doc_id ASC LIMIT {WEIGHTED_SAMPLE_K}
+"""
+
+
+QUERIES["sample_weighted_topk"] = sample_weighted_topk
+ORACLE["sample_weighted_topk"] = _WEIGHTED_SQL
