@@ -84,9 +84,10 @@ _MODULES = [
 # resample_daily_locf, fuzzy_name_match, profile_columns,
 # agg_iqr_outliers, agg_salted_hot_key, join_salted_hot_key,
 # split_train_val_test, unigram_lm_score, source_overlap_matrix,
-# sql_cte_window_topk, kmeans_ivf_codebook (rows-only) — plus
-# re-verifies for the round-3 plan rewrites (agg_percentiles,
-# window_cume_dist, window_range_frame, dedup_minhash_lsh).
+# sql_cte_window_topk, sample_weighted_topk, kmeans_ivf_codebook
+# (rows-only), multimodal_resize_stats (rows-only) — plus re-verifies
+# for the round-3 plan rewrites (agg_percentiles, window_cume_dist,
+# window_range_frame, dedup_minhash_lsh).
 _CHECK_FIRST = [
     # --- never driver-checked: scalar expression surface ---
     "filter_reference_path_predicate",
