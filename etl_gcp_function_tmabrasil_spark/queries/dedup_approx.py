@@ -577,3 +577,91 @@ ORDER BY name1, name2
 
 QUERIES["fuzzy_name_match"] = fuzzy_name_match
 ORACLE["fuzzy_name_match"] = _FUZZY_SQL
+
+
+PAGERANK_ITERS = 3
+PAGERANK_DAMPING = 0.85
+
+
+def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the SimHash near-dup graph — the graph-centrality
+    pass that ranks "hub" documents inside duplication clusters (a
+    keep-the-canonical heuristic beyond min-doc_id). Undirected edges
+    from dedup_simhash_pairs, 3 power iterations from rank 1.
+
+    Exactness: per-edge contributions are rounded to 9 dp and summed as
+    decimals, so every iteration is bit-identical across engines and
+    partitionings — this is how an iterative float algorithm earns an
+    exact SQL oracle (unrolled to the same fixed iteration count).
+    Scale notes: one rank⨝edge equi-join + per-dst partial agg per
+    iteration (the Pregel shape, like dedup_components); degrees are
+    computed once; localCheckpoint cuts lineage growth.
+    """
+    pairs = dedup_simhash_pairs(spark, sf_dir).select("doc1", "doc2")
+    edges = pairs.select(
+        F.col("doc1").alias("src"), F.col("doc2").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select(F.col("src").alias("doc_id"), F.lit(1.0).alias("rank"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(
+                ranks.select(F.col("doc_id").alias("src"), "rank"), "src"
+            )
+            .join(deg, "src")
+            .select(
+                "dst",
+                F.round(F.col("rank") / F.col("deg"), 9)
+                .cast("decimal(20,9)")
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("doc_id"),
+            (
+                F.lit(1.0 - PAGERANK_DAMPING)
+                + F.lit(PAGERANK_DAMPING) * F.col("in_mass").cast("double")
+            ).alias("rank"),
+        ).localCheckpoint(eager=False)
+    return ranks.select("doc_id", F.round("rank", 6).alias("rank")).orderBy(
+        "doc_id"
+    )
+
+
+def _pagerank_sql() -> str:
+    pairs = _simhash_pairs_sql()
+    it = """
+r{n} AS (
+  SELECT dst AS doc_id,
+    {base} + {d} * CAST(SUM(CAST(ROUND(r.rank / deg.deg, 9)
+                               AS DECIMAL(20,9))) AS DOUBLE) AS rank
+  FROM edges
+  JOIN r{p} r ON edges.src = r.doc_id
+  JOIN deg ON edges.src = deg.src
+  GROUP BY dst
+)"""
+    base = 1.0 - PAGERANK_DAMPING
+    iters = ",".join(
+        it.format(n=i + 1, p=i, base=base, d=PAGERANK_DAMPING)
+        for i in range(PAGERANK_ITERS)
+    )
+    return f"""
+WITH pairs AS ({pairs}),
+edges AS (
+  SELECT doc1 AS src, doc2 AS dst FROM pairs
+  UNION ALL
+  SELECT doc2 AS src, doc1 AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT src AS doc_id, 1.0 AS rank FROM deg),
+{iters}
+SELECT doc_id, ROUND(rank, 6) AS rank FROM r{PAGERANK_ITERS} ORDER BY doc_id
+"""
+
+
+QUERIES["pagerank_dedup_graph"] = pagerank_dedup_graph
+ORACLE["pagerank_dedup_graph"] = _pagerank_sql()

@@ -54,6 +54,7 @@ _FAMILY_QUERIES = [
     ("kmeans_ivf_codebook", 0),
     ("multimodal_resize_stats", 3),  # synthetic media: one row per kind
     ("sample_weighted_topk", 0),
+    ("pagerank_dedup_graph", 0),
 ]
 
 
