@@ -489,6 +489,105 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+_MAD_K = 1.4826  # normal-consistency constant
+_MAD_Z = 3.0
+
+
+def agg_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier accounting per priority: values with
+    |v − median| > 3·1.4826·MAD — the heavy-tail-safe alternative to
+    z-scores (mean/stddev move with the outliers; the median and MAD do
+    not). Two banded-quantile passes, zero group buffering:
+
+    1. per-group median via operators/quantiles.py;
+    2. broadcast medians back, derive |v − median|, and take ITS median
+       (the MAD) with the same machinery;
+    3. broadcast the fences, count exceedances in one filtered scan.
+
+    Fences derive from 4-dp-rounded medians/MADs in both engines, so
+    the boundary comparison is bit-identical.
+    """
+    from etl_gcp_function_tmabrasil_spark.operators.quantiles import (
+        banded_exact_quantiles,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    med = banded_exact_quantiles(
+        orders, "o_orderpriority", "o_totalprice", {"med": 0.5}
+    ).select("o_orderpriority", "med")
+    dev = orders.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
+    )
+    mad = banded_exact_quantiles(
+        dev, "o_orderpriority", "adev", {"mad": 0.5}
+    ).select("o_orderpriority", "mad")
+    fences = (
+        med.join(mad, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+        )
+        .select(
+            "o_orderpriority",
+            "med",
+            "mad",
+            F.round(
+                F.lit(_MAD_Z * _MAD_K) * F.col("mad"), 4
+            ).alias("max_dev"),
+        )
+    )
+    counts = (
+        orders.join(F.broadcast(fences), "o_orderpriority")
+        .filter(F.abs(F.col("o_totalprice") - F.col("med")) > F.col("max_dev"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        fences.join(counts, "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            "med",
+            "mad",
+            "max_dev",
+            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_ROBUST_SQL = f"""
+WITH med AS (
+  SELECT o_orderpriority,
+    ROUND(quantile_cont(o_totalprice, 0.5), 4) AS med
+  FROM orders GROUP BY o_orderpriority
+),
+mad AS (
+  SELECT o.o_orderpriority,
+    ROUND(quantile_cont(ABS(o.o_totalprice - med.med), 0.5), 4) AS mad
+  FROM orders o JOIN med USING (o_orderpriority)
+  GROUP BY o.o_orderpriority
+),
+f AS (
+  SELECT o_orderpriority, med.med, mad.mad,
+    ROUND({_MAD_Z} * {_MAD_K} * mad.mad, 4) AS max_dev
+  FROM med JOIN mad USING (o_orderpriority)
+),
+c AS (
+  SELECT o.o_orderpriority, COUNT(*) AS n_outliers
+  FROM orders o JOIN f USING (o_orderpriority)
+  WHERE ABS(o.o_totalprice - f.med) > f.max_dev
+  GROUP BY o.o_orderpriority
+)
+SELECT o_orderpriority, med, mad, max_dev,
+  COALESCE(c.n_outliers, 0) AS n_outliers
+FROM f LEFT JOIN c USING (o_orderpriority)
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "agg_distinct": agg_distinct,
     "agg_hll_mergeable": agg_hll_mergeable,
@@ -499,6 +598,7 @@ QUERIES = {
     "agg_percentiles": agg_percentiles,
     "agg_iqr_outliers": agg_iqr_outliers,
     "agg_salted_hot_key": agg_salted_hot_key,
+    "agg_robust_outliers": agg_robust_outliers,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
     "agg_collect": agg_collect,
@@ -513,6 +613,7 @@ ORACLE = {
     "agg_percentiles": _PERCENTILES_SQL,
     "agg_iqr_outliers": _IQR_SQL,
     "agg_salted_hot_key": _SALTED_AGG_SQL,
+    "agg_robust_outliers": _ROBUST_SQL,
     "agg_rollup": _ROLLUP_SQL,
     "agg_cube": _CUBE_SQL,
     "agg_collect": _COLLECT_SQL,

@@ -55,6 +55,7 @@ _FAMILY_QUERIES = [
     ("multimodal_resize_stats", 3),  # synthetic media: one row per kind
     ("sample_weighted_topk", 0),
     ("pagerank_dedup_graph", 0),
+    ("agg_robust_outliers", 0),
 ]
 
 
