@@ -12,24 +12,43 @@ Per iteration:
    (partial agg; DIM-bounded explode), reassemble each centroid with
    array_agg sorted by dim (64 elements per group — bounded).
 
+Exactness (the PageRank trick, dedup_approx.pagerank_dedup_graph): the
+argmin key is the squared distance ROUNDED to 6 dp with a cell_id
+tiebreak, and each mean is computed as a DECIMAL(25,9) sum of 9
+dp-rounded components divided by the member count, re-rounded to 9 dp.
+Every iteration is therefore bit-identical across engines and
+partitionings, which is what lets kmeans_ivf_codebook carry an exact
+unrolled-CTE DuckDB oracle (queries/similarity.py).
+
 Determinism: init = the K lowest-vec_id vectors; ties in argmin break
-on the lower cell_id (min_by on a (dist, cell_id) struct). Double means
-make exact cross-engine oracles impractical (summation order), so the
-operator is invariant-tested: fixed K, monotone non-increasing inertia,
-and run-to-run determinism (tests/test_kmeans.py).
+on the lower cell_id. A cell that captures no members in some
+iteration produces no mean rows, so the codebook can SHRINK below k
+(at most k cells, exactly k in practice on non-degenerate data —
+pinned in tests/test_kmeans.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+#: decimal places for the argmin distance key / the centroid components
+SQDIST_DP = 6
+MEAN_DP = 9
+
 
 def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, e) × (cell_id, ce) → (vec_id, e, cell_id, sqdist)."""
-    sq = F.aggregate(
-        F.zip_with("e", "ce", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    """(vec_id, e) × (cell_id, ce) → (vec_id, e, cell_id, sqdist).
+
+    sqdist is rounded to SQDIST_DP before the argmin so the winning
+    cell is rounding-stable across engines; ties break on cell_id.
+    """
+    sq = F.round(
+        F.aggregate(
+            F.zip_with("e", "ce", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        SQDIST_DP,
     )
     scored = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id", "e", "cell_id", sq.alias("sqdist")
@@ -47,11 +66,20 @@ def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def _update(assigned: DataFrame) -> DataFrame:
-    """New centroids: per-(cell, dim) means reassembled into arrays."""
+    """New centroids: per-(cell, dim) decimal-exact means reassembled
+    into arrays. Components are rounded to MEAN_DP and summed as
+    DECIMAL(25,MEAN_DP) — no float summation order anywhere — then the
+    mean is re-rounded to MEAN_DP."""
     dims = assigned.select(
         "cell_id", F.posexplode("e").alias("dim", "v")
     )
-    means = dims.groupBy("cell_id", "dim").agg(F.avg("v").alias("m"))
+    means = dims.groupBy("cell_id", "dim").agg(
+        F.round(
+            F.sum(F.round("v", MEAN_DP).cast(f"decimal(25,{MEAN_DP})")).cast("double")
+            / F.count(F.lit(1)),
+            MEAN_DP,
+        ).alias("m")
+    )
     return (
         means.groupBy("cell_id")
         .agg(
@@ -70,10 +98,14 @@ def kmeans_fit(
 
     Returns (centroids(cell_id, ce), assignment(vec_id, cell_id,
     sqdist)) after `iters` Lloyd iterations from the deterministic
-    k-lowest-vec_id init. Each iteration is one broadcast join + two
-    bounded aggregations; `localCheckpoint` keeps plans flat so the
-    loop scales in iteration count.
+    k-lowest-vec_id init; the returned assignment is the one the FINAL
+    update consumed (one step behind the returned centroids, standard
+    Lloyd). Each iteration is one broadcast join + two bounded
+    aggregations; `localCheckpoint` keeps plans flat so the loop scales
+    in iteration count.
     """
+    if iters < 1:
+        raise ValueError(f"kmeans_fit requires iters >= 1, got {iters}")
     # the init window is global but runs over exactly k rows (the
     # TakeOrdered limit executes first) — not a corpus-sized sort
     cent = (

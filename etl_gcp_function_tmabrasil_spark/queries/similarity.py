@@ -496,24 +496,36 @@ ORDER BY vec1, vec2
 """
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
 def kmeans_ivf_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the IVF coarse codebook with real Lloyd iterations
     (operators/kmeans.py) instead of the first-N stand-in: 8 cells, 3
     iterations, deterministic init. Output is the per-cell summary
-    (size, mean squared distance, centroid norm) — stable schema for
-    the rows-only driver check; convergence/determinism invariants live
-    in tests/test_kmeans.py. No SQL oracle: double means are
-    summation-order-dependent, so cross-engine bit-equality is not
-    defined for this operator."""
+    (size, mean squared distance, centroid norm).
+
+    EXACT oracle: the trainer rounds every argmin distance to 6 dp and
+    computes every centroid mean as a decimal sum of 9 dp-rounded
+    components (the PageRank trick — dedup_approx.pagerank_dedup_graph),
+    so each iteration is bit-identical across engines and the DuckDB
+    twin simply unrolls the same three iterations as CTEs. The summary
+    means here use the same decimal-sum construction.
+    """
     from etl_gcp_function_tmabrasil_spark.operators.kmeans import kmeans_fit
 
     emb = _with_norm(
         load_table(spark, sf_dir, "embeddings", rebalance=True), "vec_id"
     ).select("vec_id", "e")
-    cent, assigned = kmeans_fit(emb, k=8, iters=3)
+    cent, assigned = kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS)
     sizes = assigned.groupBy("cell_id").agg(
         F.count(F.lit(1)).alias("n_members"),
-        F.round(F.avg("sqdist"), 6).alias("mean_sqdist"),
+        F.round(
+            F.sum(F.col("sqdist").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_sqdist"),
     )
     cnorm = cent.select(
         "cell_id", F.round(_norm(F.col("ce")), 6).alias("centroid_norm")
@@ -523,6 +535,61 @@ def kmeans_ivf_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cell_id", "n_members", "mean_sqdist", "centroid_norm")
         .orderBy("cell_id")
     )
+
+
+def _kmeans_sql() -> str:
+    """Unrolled Lloyd iterations mirroring operators/kmeans.py
+    bit-for-bit: rounded argmin keys, decimal-exact means."""
+    sq = (
+        "ROUND(list_sum(list_transform(generate_series(1, len(v.e)),"
+        " i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]))), 6)"
+    )
+    parts = []
+    prev = "c0"
+    for n in range(1, KMEANS_ITERS + 1):
+        parts.append(f"""
+s{n} AS (
+  SELECT v.vec_id, v.e, c.cell_id, {sq} AS sq
+  FROM e v CROSS JOIN {prev} c
+),
+a{n} AS (
+  SELECT vec_id, e, cell_id, sq AS sqdist FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY sq ASC, cell_id ASC) AS rn
+    FROM s{n}
+  ) t WHERE rn = 1
+),
+u{n} AS (
+  SELECT cell_id, dim,
+    ROUND(CAST(SUM(CAST(ROUND(val, 9) AS DECIMAL(25,9))) AS DOUBLE)
+          / COUNT(*), 9) AS m
+  FROM (
+    SELECT cell_id, UNNEST(generate_series(0, len(e) - 1)) AS dim,
+           UNNEST(e) AS val
+    FROM a{n}
+  ) GROUP BY cell_id, dim
+),
+c{n} AS (SELECT cell_id, list(m ORDER BY dim) AS ce FROM u{n} GROUP BY cell_id)""")
+        prev = f"c{n}"
+    norm = _SQL_NORM.format(a="c.ce")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+c0 AS (
+  SELECT cell_id, ce FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell_id, e AS ce FROM e
+  ) t WHERE cell_id <= {KMEANS_K}
+),{",".join(parts)},
+sizes AS (
+  SELECT cell_id, COUNT(*) AS n_members,
+    ROUND(CAST(SUM(CAST(sqdist AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6)
+      AS mean_sqdist
+  FROM a{KMEANS_ITERS} GROUP BY cell_id
+)
+SELECT CAST(s.cell_id AS INT) AS cell_id, s.n_members, s.mean_sqdist,
+  ROUND({norm}, 6) AS centroid_norm
+FROM sizes s JOIN c{KMEANS_ITERS} c ON s.cell_id = c.cell_id
+ORDER BY cell_id
+"""
 
 
 QUERIES = {
@@ -542,4 +609,5 @@ ORACLE = {
     "embedding_stats": _emb_stats_sql(),
     "embedding_dim_profile": _DIM_PROFILE_SQL,
     "embedding_cosine_dedup": _emb_dedup_sql(),
+    "kmeans_ivf_codebook": _kmeans_sql(),
 }

@@ -1,7 +1,9 @@
-"""k-means trainer invariants (no SQL oracle possible: double means are
-summation-order-dependent): fixed cell count, non-increasing inertia
-across Lloyd iterations, run-to-run determinism, and agreement of the
-final assignment with a numpy re-assignment against the same centroids.
+"""k-means trainer invariants: bounded cell count, non-increasing
+inertia across Lloyd iterations, run-to-run determinism, and agreement
+of the final assignment with a numpy re-assignment against the same
+centroids. (Cross-engine exactness is separately pinned by the
+kmeans_ivf_codebook DuckDB oracle — the trainer rounds argmin keys and
+computes decimal-exact means precisely so that oracle exists.)
 """
 
 from __future__ import annotations
@@ -57,6 +59,21 @@ def test_kmeans_assignment_matches_numpy(spark, sf_dir):
         best = min(dists)[1]
         # allow exact ties to resolve either way
         best_d = min(d for d, _ in dists)
-        tied = {c for d, c in dists if abs(d - best_d) < 1e-9}
+        # _assign rounds distances to SQDIST_DP (6 dp) before the
+        # argmin, so anything within 1e-6 of the winner is a tie at the
+        # operator's resolution
+        tied = {c for d, c in dists if abs(d - best_d) < 1e-6}
         assert got[v] in tied, (v, got[v], best)
-    assert len(set(got.values())) == len({r.cell_id for r in cent.collect()}) or True
+    cent_cells = {r.cell_id for r in cent.collect()}
+    # empty cells are dropped by _update, so the codebook holds AT MOST
+    # k cells (module docstring); on this corpus no cell empties — pin
+    # both the bound and the observed-full codebook
+    assert len(cent_cells) == 8
+    assert set(got.values()) <= cent_cells
+
+
+def test_kmeans_rejects_zero_iters(spark, sf_dir):
+    import pytest
+
+    with pytest.raises(ValueError, match="iters >= 1"):
+        kmeans_fit(_emb(spark, sf_dir), k=8, iters=0)
