@@ -61,7 +61,6 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         target.join(changes.select("o_orderkey"), "o_orderkey", "left_anti")
         .select(*_MERGE_COLS)
         .unionByName(changes)
-        .orderBy("o_orderkey")
     )
 
 
@@ -101,7 +100,7 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         second("ts").alias("valid_from"),
         F.coalesce(second(nxt), F.lit(_OPEN_END)).alias("valid_to"),
         F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
-    ).orderBy("user_id", "event_id")
+    )
 
 
 _SCD2_SQL = f"""

@@ -87,7 +87,6 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         agg.select("doc_id", "n_grams", "hits", contamination.alias("contamination"))
         .filter(F.col("contamination") >= CONTAMINATION_THRESHOLD)
-        .orderBy("doc_id")
     )
 
 
@@ -128,7 +127,7 @@ def pii_mask_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("long").alias(
             "acctbal_band"
         ),
-    ).orderBy("c_custkey")
+    )
 
 
 _PII_SQL = """
@@ -225,7 +224,6 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             start.alias("start_offset"),
             F.floor(start / F.lit(SHARD_TOKEN_BUDGET)).alias("shard_id"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -270,7 +268,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("start") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_id"),
         F.size(chunk).alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk"),
-    ).orderBy("doc_id", "chunk_id")
+    )
 
 
 _CHUNK_SQL = f"""
@@ -320,7 +318,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("scale", 9).alias("scale"),
         F.array_join(F.slice("q", 1, 8), ",").alias("q_head"),
         F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
-    ).orderBy("vec_id")
+    )
 
 
 _QUANT_SQL = """

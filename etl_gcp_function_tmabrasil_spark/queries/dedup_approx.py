@@ -44,7 +44,6 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
         .filter(F.col("n_copies") > 1)
-        .orderBy("keeper_doc_id")
     )
 
 
@@ -106,7 +105,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("doc1", "doc2")
     )
 
 
@@ -247,7 +245,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(inter.cast("double") / union, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("doc1", "doc2")
     )
 
 
@@ -316,7 +313,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.withColumn("h", F.expr(f"transform(split(text, ' '), t -> {h})"))
         .select("doc_id", F.expr(bits).alias("simhash32"))
-        .orderBy("doc_id")
     )
 
 
@@ -396,7 +392,6 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .distinct()
-        .orderBy("doc1", "doc2")
     )
 
 
@@ -479,7 +474,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("component_id")
-    ).orderBy("doc_id")
+    )
 
 
 def _components_sql() -> str:
@@ -562,7 +557,6 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("dist", F.levenshtein("name1", "name2"))
         .filter(F.col("dist") <= 1)
-        .orderBy("name1", "name2")
     )
 
 
@@ -627,9 +621,7 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(PAGERANK_DAMPING) * F.col("in_mass").cast("double")
             ).alias("rank"),
         ).localCheckpoint(eager=False)
-    return ranks.select("doc_id", F.round("rank", 6).alias("rank")).orderBy(
-        "doc_id"
-    )
+    return ranks.select("doc_id", F.round("rank", 6).alias("rank"))
 
 
 def _pagerank_sql() -> str:

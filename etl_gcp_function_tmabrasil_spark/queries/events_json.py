@@ -28,7 +28,7 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.from_json("props", schema).getField("k"), F.lit(-1)).alias(
             "k_defaulted"
         ),
-    ).orderBy("event_id")
+    )
 
 
 _JSON_SQL = """
@@ -69,7 +69,7 @@ def json_tuple_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return tagged.select(
         "event_id", F.explode_outer("tags").alias("tag_key", "tag_value")
-    ).orderBy("event_id", "tag_key")
+    )
 
 
 _JSON_TUPLE_SQL = """
@@ -170,7 +170,6 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doubled_csv"
             ),
         )
-        .orderBy("l_orderkey")
     )
 
 
@@ -209,7 +208,7 @@ def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "status",
         "n_orders",
-    ).orderBy("o_custkey", "status")
+    )
 
 
 _MAP_SQL = """
@@ -302,7 +301,6 @@ def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "sum_value",
         )
-        .orderBy("user_id", "session_start")
     )
 
 
@@ -370,7 +368,6 @@ def resample_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.last("day_value", ignorenulls=True).over(w), 4
             ).alias("filled_value"),
         )
-        .orderBy("user_id", "day")
     )
 
 

@@ -71,7 +71,6 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(pr, 6).alias("pr"),
             F.round(cd, 6).alias("cd"),
         )
-        .orderBy("o_orderkey")
     )
 
 
@@ -101,7 +100,6 @@ def func_json_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.filter(F.col("value").isNotNull())
         .select("event_id", payload.alias("payload"))
-        .orderBy("event_id")
     )
 
 
@@ -133,7 +131,7 @@ def func_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit("[a-z]*a[a-z]*"), 0)).alias(
             "n_a_words"
         ),
-    ).orderBy("doc_id")
+    )
 
 
 _ARRAY_PRED_SQL = """
@@ -196,7 +194,7 @@ def func_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.try_divide(F.col("l_extendedprice"), denom), 9
         ).alias("unit_price"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 _TRY_ARITH_SQL = """

@@ -28,7 +28,6 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             csum("c_acctbal").alias("total_acctbal"),
         )
-        .orderBy("r_name")
     )
 
 
@@ -55,7 +54,6 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
         .select("c_custkey", "c_name", "c_mktsegment")
-        .orderBy("c_custkey")
     )
 
 
@@ -75,7 +73,6 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_nationkey")
-        .orderBy("c_custkey")
     )
 
 
@@ -108,7 +105,6 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
             F.coalesce("total_spent", F.lit(0.0)).alias("total_spent"),
         )
-        .orderBy("c_custkey")
     )
 
 
@@ -152,7 +148,6 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
             F.coalesce("total_qty", F.lit(0.0)).alias("total_qty"),
         )
-        .orderBy("o_orderkey")
     )
 
 
@@ -189,7 +184,6 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
             F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
         )
-        .orderBy("nationkey")
     )
 
 
@@ -240,7 +234,6 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("band")
         .agg(F.count(F.lit(1)).alias("n_parts"), csum("p_retailprice").alias("total_price"))
-        .orderBy("band")
     )
 
 
@@ -303,7 +296,6 @@ def join_range_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_b",
             (F.col("epoch_b") - F.col("epoch_a")).alias("gap_seconds"),
         )
-        .orderBy("user_id", "event_a", "event_b")
     )
 
 
@@ -355,7 +347,6 @@ def join_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
             F.coalesce("last_purchase_value", F.lit(-1.0)).alias("last_purchase_value"),
         )
-        .orderBy("event_id")
     )
 
 

@@ -54,7 +54,6 @@ def filter_reference_path_predicate(spark: SparkSession, sf_dir: str) -> DataFra
             F.format_string("Novo XLSX: gs://%s/%s (size=%s)", F.lit("bkt"), "name", "size")
             .alias("log_line"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -94,7 +93,7 @@ def func_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
         F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
-    ).orderBy("p_partkey")
+    )
 
 
 _STRINGS_SQL = """
@@ -132,7 +131,7 @@ def func_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("o_orderdate").alias("epoch_s"),
         F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 90), "yyyy-MM-dd")
         .alias("due_day"),
-    ).orderBy("o_orderkey")
+    )
 
 
 _DATES_SQL = """
@@ -165,7 +164,7 @@ def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow(F.col("l_tax") + 1.0, 2), 6).alias("tax_sq"),
         F.round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("price_ln"),
         (F.col("l_quantity").cast("int") % 5).alias("qty_mod5"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 _MATH_SQL = """
@@ -199,7 +198,7 @@ def func_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.when(F.col("c_acctbal") > 0, F.col("c_acctbal")), F.lit(0.0)
         ).alias("pos_bal"),
-    ).orderBy("c_custkey")
+    )
 
 
 _CONDITIONAL_SQL = """
@@ -229,7 +228,7 @@ def func_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # epoch matches DuckDB's epoch() on the same naive value.
         F.col("ts").cast("timestamp").cast("long").alias("ts_epoch"),
         F.lit("42").cast("int").alias("str_to_int"),
-    ).orderBy("event_id")
+    )
 
 
 _CASTS_SQL = """

@@ -87,7 +87,7 @@ def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the pair — the canonical exact-dedup shape at any scale.
     """
     ev = load_table(spark, sf_dir, "events")
-    return ev.select("user_id", "event_type").distinct().orderBy("user_id", "event_type")
+    return ev.select("user_id", "event_type").distinct()
 
 
 _DEDUP_EXACT_SQL = """
@@ -107,7 +107,6 @@ def dedup_pick_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", second("ts").alias("ts_s"), "value")
-        .orderBy("user_id", "event_type")
     )
 
 

@@ -89,7 +89,6 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "rn", F.col("vec_id").alias("neighbor_id"), "cosine")
-        .orderBy("query_id", "rn")
     )
 
 
@@ -159,7 +158,6 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("query_id", "bucket", "neighbor_id", "cosine")
-        .orderBy("query_id")
     )
 
 
@@ -228,14 +226,27 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("cnrm"),
         )
     )
+    # per-vector argmax over N_CELLS via min_by on a (-cos, cell_id)
+    # struct key — partial+final agg, no per-vector window sort (the
+    # same construction as operators/kmeans._assign); ties at the 6dp
+    # rounding resolve to the lower cell_id, matching the oracle
     acos = F.round(_dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm")), 6)
-    wa = W.partitionBy("vec_id").orderBy(F.desc("acos"), F.asc("cell_id"))
     assigned = (
         emb.crossJoin(cent)
         .select("vec_id", "e", "nrm", "cell_id", acos.alias("acos"))
-        .withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "e", "nrm", "cell_id")
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("e", "nrm", "cell_id"),
+                F.struct((-F.col("acos")).alias("neg"), F.col("cell_id")),
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.e").alias("e"),
+            F.col("best.nrm").alias("nrm"),
+            F.col("best.cell_id").alias("cell_id"),
+        )
     )
     q = _with_norm(
         load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_QUERIES),
@@ -245,14 +256,34 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("qe"),
         F.col("nrm").alias("qnrm"),
     )
+    # top-N_PROBE cells per query without a window: collect the N_CELLS
+    # (-cos, cell_id) structs per query (bounded array), array_sort +
+    # slice — ascending sort of the negated key = cosine-desc with
+    # cell_id tiebreak, same probe SET as the oracle's rn <= N_PROBE
     qcos = F.round(_dot(F.col("qe"), F.col("ce")) / (F.col("qnrm") * F.col("cnrm")), 6)
-    wp = W.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cell_id"))
     probes = (
         q.crossJoin(cent)
-        .select("query_id", "qe", "qnrm", "cell_id", qcos.alias("qcos"))
-        .withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= N_PROBE)
-        .select("query_id", "qe", "qnrm", "cell_id")
+        .select(
+            "query_id",
+            "qe",
+            "qnrm",
+            F.struct(
+                (-qcos).alias("neg"), F.col("cell_id").alias("cell_id")
+            ).alias("pc"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.first("qe").alias("qe"),
+            F.first("qnrm").alias("qnrm"),
+            F.slice(F.array_sort(F.collect_list("pc")), 1, N_PROBE).alias("top"),
+        )
+        .select(
+            "query_id",
+            "qe",
+            "qnrm",
+            F.explode("top").alias("pc"),
+        )
+        .select("query_id", "qe", "qnrm", F.col("pc.cell_id").alias("cell_id"))
     )
     cos = _dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))
     wk = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -268,7 +299,6 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(wk))
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "rn", "neighbor_id", "cosine")
-        .orderBy("query_id", "rn")
     )
 
 
@@ -456,7 +486,7 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _with_norm(
         load_table(spark, sf_dir, "embeddings", rebalance=True), "vec_id"
     )
-    return cosine_dedup_candidates(emb).orderBy("vec1", "vec2")
+    return cosine_dedup_candidates(emb)
 
 
 def _sql_band(band: int) -> str:

@@ -81,7 +81,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("type_token_ratio"),
         F.expr("aggregate(toks, 0, (acc, t) -> acc + int((length(t) + 3) div 4))")
         .alias("n_subwords"),
-    ).orderBy("doc_id")
+    )
 
 
 _TOKENS_SQL = """
@@ -184,7 +184,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(rep_ratio, 6).alias("repetition_ratio"),
         F.round(quality, 6).alias("quality"),
-    ).orderBy("doc_id")
+    )
 
 
 _QUALITY_SQL = """
@@ -286,7 +286,7 @@ def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
         .alias("dup_bigram_frac"),
-    ).orderBy("doc_id")
+    )
 
 
 _DIVERSITY_SQL = """
@@ -337,7 +337,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         fp.alias("fingerprint"),
         F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fingerprint60"),
-    ).orderBy("doc_id")
+    )
 
 
 _FINGERPRINT_SQL = """

@@ -101,7 +101,7 @@ def udf_pandas_scaled_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id", log1p_scaled(F.col("value")).alias("value_log1p")
-    ).orderBy("event_id")
+    )
 
 
 _UDF_PANDAS_SQL = """
@@ -135,7 +135,6 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .applyInPandas(zscore, schema="event_id long, event_type string, z double")
-        .orderBy("event_id")
     )
 
 

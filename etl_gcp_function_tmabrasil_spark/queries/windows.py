@@ -29,7 +29,6 @@ def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.dense_rank().over(w).alias("drnk"),
         )
         .filter(F.col("rn") <= 3)
-        .orderBy("o_custkey", "rn")
     )
 
 
@@ -59,7 +58,7 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)), F.lit(-1)
         ).alias("days_since_prev"),
-    ).orderBy("o_custkey", "o_orderkey")
+    )
 
 
 _LAG_SQL = """
@@ -92,7 +91,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w) / 100.0)
         .alias("running_total"),
         F.count(F.lit(1)).over(w).alias("running_n"),
-    ).orderBy("o_custkey", "o_orderkey")
+    )
 
 
 _RUNNING_SQL = """
@@ -154,7 +153,6 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("wb") == F.col("bkt"))
         .select("event_id", "event_type", "n_last_hour", "sum_last_hour")
-        .orderBy("event_id")
     )
 
 
@@ -296,7 +294,7 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.first("o_totalprice").over(w).alias("first_price"),
         F.last("o_totalprice").over(w).alias("last_price"),
-    ).orderBy("o_custkey", "o_orderkey")
+    )
 
 
 _FIRST_LAST_SQL = """
