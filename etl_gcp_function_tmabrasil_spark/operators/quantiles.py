@@ -40,8 +40,12 @@ def banded_exact_quantiles(
     `band_width` is the scale knob: band-table size = value-range /
     band_width rows per group (keep it thousands-to-millions, never
     O(rows)); the pass-2 re-scan touches ~|needed ranks| bands.
+
+    NULLs in `value_col` are ignored, matching Spark `percentile` and
+    DuckDB `quantile_cont` (without the filter they would inflate
+    n_total and land in a NULL band, shifting every rank).
     """
-    d = df.select(
+    d = df.filter(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("g"),
         F.col(value_col).alias("v"),
         F.floor(F.col(value_col) / band_width).cast("long").alias("band"),

@@ -99,9 +99,11 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness across engines: embeddings are fixed-point quantized at
     6 dp (floor(x·1e6 + 0.5) — the engine-invariant rounding used by
     embedding_quantize_int8), so every partial is exact integer math
-    (|q|≤~1e6 ⇒ per-batch sums ≪ 2^63 for any Arrow batch size) and
-    the final combine sums decimals — no float summation order
+    and the final combine sums decimals — no float summation order
     anywhere, bit-identical to the DuckDB oracle's per-element sum.
+    Int64 exactness of a partial needs max|q|²·batch_rows < 2^63; that
+    holds for unit-scale embeddings at any sane Arrow batch size and is
+    enforced by an explicit guard rather than assumed.
     """
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True).select("embedding")
 
@@ -113,6 +115,18 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             E = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
             Q = np.floor(E * GRAM_SCALE + 0.5).astype(np.int64)
+            # int64-exactness guard: each partial is a sum of len(Q)
+            # products bounded by max|q|^2 — with default Arrow batches
+            # (10k rows) and |x|<=1 embeddings this is ~1e16 << 2^63,
+            # but a raised maxRecordsPerBatch or wild embeddings could
+            # silently wrap, so refuse instead of corrupting
+            max_abs = int(np.abs(Q).max()) if Q.size else 0
+            if max_abs and max_abs * max_abs * len(Q) >= 2**62:
+                raise OverflowError(
+                    f"gram partial may exceed int64: max|q|={max_abs}, "
+                    f"batch={len(Q)} rows — lower arrow.maxRecordsPerBatch "
+                    "or rescale the embedding column"
+                )
             G = Q.T @ Q
             iu = np.triu_indices(G.shape[0])
             yield pd.DataFrame(
@@ -333,8 +347,24 @@ ORDER BY bm25 DESC, doc_id ASC LIMIT {BM25_TOP_N}
 CURRICULUM_ALPHA = 0.5  # temperature: rate_s ∝ share_s^(α-1), α<1 upweights tails
 CURRICULUM_BUDGET_FRACTION = 0.25  # target fraction of the corpus to keep
 
-_HASH_UNIT = "(cast(conv(substring(md5(cast(doc_id as string)),1,15),16,10) as bigint) % 1000000) / 1000000.0"
-_SQL_HASH_UNIT = "((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000) / 1000000.0)"
+def _hash_unit(salt: str) -> str:
+    """Deterministic uniform-[0,1) per-doc hash, SALTED per operator:
+    curriculum sampling, train/val/test split, and weighted sampling
+    must draw INDEPENDENT streams — one shared unsalted hash would
+    fully correlate their selections (every curriculum-kept doc coming
+    from a fixed region of the train split). The oracle mirrors the
+    same salt."""
+    return (
+        f"(cast(conv(substring(md5(concat(cast(doc_id as string), '{salt}')),1,15),16,10)"
+        " as bigint) % 1000000) / 1000000.0"
+    )
+
+
+def _sql_hash_unit(salt: str) -> str:
+    return (
+        f"((('0x' || substr(md5(doc_id::VARCHAR || '{salt}'), 1, 15))::BIGINT"
+        " % 1000000) / 1000000.0)"
+    )
 
 
 def curriculum_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,7 +399,7 @@ def curriculum_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     kept = (
         docs.join(F.broadcast(rates), "source")
-        .filter(F.expr(_HASH_UNIT) < F.col("keep_rate"))
+        .filter(F.expr(_hash_unit("/curriculum")) < F.col("keep_rate"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
@@ -403,7 +433,7 @@ rates AS (
 kept AS (
   SELECT d.source, COUNT(*) AS n_kept
   FROM docs d JOIN rates r USING (source)
-  WHERE {_SQL_HASH_UNIT} < r.keep_rate
+  WHERE {_sql_hash_unit("/curriculum")} < r.keep_rate
   GROUP BY d.source
 )
 SELECT source, n_src, keep_rate,
@@ -425,7 +455,7 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream jobs can assert split integrity cheaply.
     """
     docs = load_table(spark, sf_dir, "documents")
-    u = F.expr(_HASH_UNIT)
+    u = F.expr(_hash_unit("/split"))
     split = (
         F.when(u < SPLIT_BOUNDS["train"][1], F.lit("train"))
         .when(u < SPLIT_BOUNDS["val"][1], F.lit("val"))
@@ -447,8 +477,8 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPLIT_SQL = f"""
 WITH s AS (
   SELECT doc_id,
-    CASE WHEN {_SQL_HASH_UNIT} < {SPLIT_BOUNDS["train"][1]} THEN 'train'
-         WHEN {_SQL_HASH_UNIT} < {SPLIT_BOUNDS["val"][1]} THEN 'val'
+    CASE WHEN {_sql_hash_unit("/split")} < {SPLIT_BOUNDS["train"][1]} THEN 'train'
+         WHEN {_sql_hash_unit("/split")} < {SPLIT_BOUNDS["val"][1]} THEN 'val'
          ELSE 'test' END AS split
   FROM documents
 )
@@ -650,7 +680,7 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     between engines.
     """
     docs = load_table(spark, sf_dir, "documents")
-    u = F.expr(f"({_HASH_UNIT} * 1000000 + 0.5) / 1000000.0")
+    u = F.expr(f"({_hash_unit('/sample')} * 1000000 + 0.5) / 1000000.0")
     key = F.round(F.pow(u, 1.0 / F.col("n_chars")), 9)
     return (
         docs.select("doc_id", "n_chars", key.alias("sample_key"))
@@ -661,7 +691,7 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WEIGHTED_SQL = f"""
 SELECT doc_id, n_chars,
-  ROUND(POW(({_SQL_HASH_UNIT} * 1000000 + 0.5) / 1000000.0,
+  ROUND(POW(({_sql_hash_unit("/sample")} * 1000000 + 0.5) / 1000000.0,
             1.0 / n_chars), 9) AS sample_key
 FROM documents
 ORDER BY sample_key DESC, doc_id ASC LIMIT {WEIGHTED_SAMPLE_K}

@@ -109,12 +109,14 @@ def test_pack_two_pass_equals_global_window(spark, tmp_path, case, token_counts)
             {"1-URGENT": list(np.random.RandomState(4).uniform(-5000, 5000, 301))},
         ),
         ("all_negative", {"1-URGENT": [-10.0, -2000.5, -999.99, -1000.0]}),
+        # NULLs must be ignored exactly as percentile/quantile_cont do
+        ("with_nulls", {"1-URGENT": [100.0, None, 300.0, None, 500.0], "2-HIGH": [7.0, None]}),
     ],
 )
 def test_banded_percentile_equals_buffering_percentile(spark, tmp_path, case, groups):
     from etl_gcp_function_tmabrasil_spark.queries.aggregates import agg_percentiles
 
-    rows = [(p, float(v)) for p, vs in groups.items() for v in vs]
+    rows = [(p, None if v is None else float(v)) for p, vs in groups.items() for v in vs]
     df = spark.createDataFrame(rows, "o_orderpriority: string, o_totalprice: double")
     df.coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
     got = {tuple(r) for r in agg_percentiles(spark, str(tmp_path)).collect()}
