@@ -45,6 +45,9 @@ HEADLINE = [
     "text_token_diversity",     # repetition filters (HOF + 2-level agg)
     "bpe_merge_pairs",          # tokenizer-training pair counts
     "embedding_gram_matrix",    # pandas-partial covariance accumulation
+    "pagerank_dedup_graph",     # iterative rank over near-dup graph
+    "fuzzy_name_match",         # FastSS deletion-variant edit-distance join
+    "agg_robust_outliers",      # median/MAD via banded exact quantiles
 ]
 
 
