@@ -64,6 +64,29 @@ def has_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in explain_str(df)
 
 
+def count_sorts(df: DataFrame) -> int:
+    """Sort nodes in the pre-AQE physical plan. Global range-partitioned
+    sorts and sort-merge-join local sorts both count — use 0 to pin a
+    plan as fully sort-free (pure projection / hash-agg pipelines)."""
+    text = explain_str(df)
+    return len(re.findall(r"^\(\d+\) Sort\s*$", text, flags=re.MULTILINE))
+
+
+def count_windows(df: DataFrame) -> int:
+    """Window nodes in the pre-AQE physical plan (WindowGroupLimit not
+    counted — that node is the rank-limit pushdown that makes a top-k
+    window cheap, not a cost)."""
+    text = explain_str(df)
+    return len(re.findall(r"^\(\d+\) Window\s*$", text, flags=re.MULTILINE))
+
+
+def has_window_group_limit(df: DataFrame) -> bool:
+    """True when the rank-limit pushdown (WindowGroupLimit) fired —
+    per-group top-k keeps only k rows per partition before the window
+    sort instead of ranking every row."""
+    return "WindowGroupLimit" in explain_str(df)
+
+
 def count_exchanges(df: DataFrame) -> int:
     """Shuffle exchanges in the pre-AQE physical plan (broadcast
     exchanges excluded — those are the cheap kind). Counts the numbered

@@ -47,7 +47,13 @@ def test_fastss_matches_quadratic_reference(spark, tmp_path_factory, names):
     tmp = tmp_path_factory.mktemp("fuzzy")
     df = spark.createDataFrame([(n,) for n in names], "c_name: string")
     df.coalesce(1).write.mode("overwrite").parquet(str(tmp / "customer.parquet"))
-    got = {(r.name1, r.name2, r.dist) for r in fuzzy_name_match(spark, str(tmp)).collect()}
+    rows = fuzzy_name_match(spark, str(tmp)).collect()
+    got = {(r.name1, r.name2, r.dist) for r in rows}
+    # the operator emits each pair exactly once BY CONSTRUCTION (single
+    # shared (pos, v) bucket per substitution pair; distinct indel leg;
+    # disjoint legs) — a duplicate row would break the driver's value
+    # hash even though the set compare below can't see it
+    assert len(rows) == len(got), "duplicate candidate pairs emitted"
     want = {
         (a, b, _lev(a, b))
         for a in names

@@ -278,3 +278,66 @@ def test_token_diversity_materializes_bigrams_once(spark, sf_dir):
     assert plan.count("zip_with") <= 1, "bigram zip_with duplicated in plan"
     n = count_exchanges(df)
     assert n <= 1, f"token diversity pays {n} shuffles; expected final sort only"
+
+
+def test_per_row_curation_wave_is_sort_and_shuffle_free(spark, sf_dir):
+    # round-4 terminal-sort removal: per-row-output queries must compile
+    # to pure scan-speed projections — the driver's value hash is
+    # order-insensitive, so any Sort or Exchange here is pure waste that
+    # becomes a full-corpus range shuffle at 100 TB.
+    from etl_gcp_function_tmabrasil_spark.queries.curation_ops import (
+        chunk_documents,
+        embedding_quantize_int8,
+    )
+    from etl_gcp_function_tmabrasil_spark.queries.text_analysis import (
+        text_quality_score,
+    )
+    from etl_gcp_function_tmabrasil_spark.plans.inspect import count_sorts
+
+    for fn in (text_quality_score, chunk_documents, embedding_quantize_int8):
+        df = fn(spark, sf_dir)
+        assert count_sorts(df) == 0, f"{fn.__name__} re-grew a sort"
+        n = count_exchanges(df)
+        assert n == 0, f"{fn.__name__} pays {n} shuffles; expected none"
+
+
+def test_ann_ivf_single_topk_window_with_group_limit(spark, sf_dir):
+    # round-4 min_by rewrite: assign + probe-selection run as
+    # partial+final aggs; the only window left is the final per-query
+    # top-k, and its rank limit must push down (WindowGroupLimit) so
+    # each partition keeps k candidates, not all of them.
+    from etl_gcp_function_tmabrasil_spark.queries.similarity import ann_ivf_cosine
+    from etl_gcp_function_tmabrasil_spark.plans.inspect import (
+        count_windows,
+        has_window_group_limit,
+    )
+
+    df = ann_ivf_cosine(spark, sf_dir)
+    assert count_windows(df) == 1, "assign/probe windows crept back in"
+    assert has_window_group_limit(df), "top-k rank limit did not push down"
+
+
+def test_multimodal_embed_knn_no_window(spark, sf_dir):
+    # round-4: top-1 neighbor via min_by struct-argmin — no per-media
+    # window sort anywhere in the banded-LSH kNN plan.
+    from etl_gcp_function_tmabrasil_spark.queries.multimodal_q import (
+        multimodal_embed_knn,
+    )
+    from etl_gcp_function_tmabrasil_spark.plans.inspect import count_windows
+
+    assert count_windows(multimodal_embed_knn(spark, sf_dir)) == 0
+
+
+def test_kmeans_codebook_loop_is_window_free_and_bounded(spark, sf_dir):
+    # the Lloyd loop is joins + partial/final aggs only; the k-row init
+    # window is cut by localCheckpoint. Exchanges stay bounded per
+    # iteration (assign argmin + the two update aggs), independent of
+    # corpus size.
+    from etl_gcp_function_tmabrasil_spark.queries.similarity import (
+        kmeans_ivf_codebook,
+    )
+    from etl_gcp_function_tmabrasil_spark.plans.inspect import count_windows
+
+    df = kmeans_ivf_codebook(spark, sf_dir)
+    assert count_windows(df) == 0, "Lloyd loop grew a window sort"
+    assert count_exchanges(df) <= 5, "k-means final iteration shuffles too much"
