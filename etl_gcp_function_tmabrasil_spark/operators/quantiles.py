@@ -50,13 +50,21 @@ def banded_exact_quantiles(
         F.col(value_col).alias("v"),
         F.floor(F.col(value_col) / band_width).cast("long").alias("band"),
     )
-    bc = d.groupBy("g", "band").agg(F.count(F.lit(1)).alias("n_band"))
+    # one scan of d yields band counts AND per-band min/max; totals
+    # (n_total, global min/max) then roll up from the band table — no
+    # second full-table scan, and the shared groupBy(g, band) exchange
+    # is computed once (ReusedExchange) for both consumers
+    bc = d.groupBy("g", "band").agg(
+        F.count(F.lit(1)).alias("n_band"),
+        F.min("v").alias("bmin"),
+        F.max("v").alias("bmax"),
+    )
     w_off = W.partitionBy("g").orderBy("band").rowsBetween(W.unboundedPreceding, -1)
     bands = bc.withColumn("offset", F.coalesce(F.sum("n_band").over(w_off), F.lit(0)))
-    totals = d.groupBy("g").agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.min("v").alias("min_v"),
-        F.max("v").alias("max_v"),
+    totals = bc.groupBy("g").agg(
+        F.sum("n_band").alias("n_total"),
+        F.min("bmin").alias("min_v"),
+        F.max("bmax").alias("max_v"),
     )
     rank_exprs = []
     for p in set(quantiles.values()):
