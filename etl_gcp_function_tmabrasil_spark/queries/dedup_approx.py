@@ -630,9 +630,17 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals, so every iteration is bit-identical across engines and
     partitionings — this is how an iterative float algorithm earns an
     exact SQL oracle (unrolled to the same fixed iteration count).
-    Scale notes: one rank⨝edge equi-join + per-dst partial agg per
-    iteration (the Pregel shape, like dedup_components); degrees are
-    computed once; localCheckpoint cuts lineage growth.
+    Scale notes: one adjacency⨝rank equi-join + per-dst partial agg per
+    iteration (the Pregel shape, like dedup_components); the
+    degree-annotated adjacency list is built once and persisted, so the
+    expensive pair generation runs exactly once. The FIXED 3-iteration
+    unroll keeps lineage bounded, so the whole query stays one LAZY
+    plan — no checkpoint needed (PySpark 4's localCheckpoint
+    materializes at construction time even with eager=False, which
+    both serializes the loop against the driver and hides the work
+    from any post-construction timer). Unbounded-iteration loops
+    (dedup_components) still checkpoint per round to cut lineage —
+    that is the correct trade when the iteration count is data-driven.
     """
     pairs = dedup_simhash_pairs(spark, sf_dir).select("doc1", "doc2")
     edges = pairs.select(
@@ -641,13 +649,11 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    adj = edges.join(deg, "src").persist()
     ranks = deg.select(F.col("src").alias("doc_id"), F.lit(1.0).alias("rank"))
     for _ in range(PAGERANK_ITERS):
         contrib = (
-            edges.join(
-                ranks.select(F.col("doc_id").alias("src"), "rank"), "src"
-            )
-            .join(deg, "src")
+            adj.join(ranks.select(F.col("doc_id").alias("src"), "rank"), "src")
             .select(
                 "dst",
                 F.round(F.col("rank") / F.col("deg"), 9)
@@ -663,7 +669,7 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1.0 - PAGERANK_DAMPING)
                 + F.lit(PAGERANK_DAMPING) * F.col("in_mass").cast("double")
             ).alias("rank"),
-        ).localCheckpoint(eager=False)
+        )
     return ranks.select("doc_id", F.round("rank", 6).alias("rank"))
 
 
