@@ -6,8 +6,9 @@ DataFrame pattern the engine uses for all fixed-point algorithms
 `localCheckpoint` to cut lineage, no driver-side collect of data rows.
 
 Per iteration:
-1. assignment — corpus × broadcast centroids, per-row argmin of squared
-   L2 distance via `min_by` (partial+final agg, no window sort);
+1. assignment — all K centroids broadcast as one array row; per-row
+   argmin of squared L2 distance via a row-local array_min (zero
+   shuffle, no window sort, no aggregate);
 2. update — posexplode vectors to (cell, dim, v), per-(cell, dim) mean
    (partial agg; DIM-bounded explode), reassemble each centroid with
    array_agg sorted by dim (64 elements per group — bounded).
@@ -39,29 +40,38 @@ MEAN_DP = 9
 def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     """(vec_id, e) × (cell_id, ce) → (vec_id, e, cell_id, sqdist).
 
-    sqdist is rounded to SQDIST_DP before the argmin so the winning
-    cell is rounding-stable across engines; ties break on cell_id.
+    All K centroids ride in ONE broadcast array row and the argmin is a
+    row-local array_min over (sqdist, cell_id) structs — assignment is
+    a scan-speed projection with zero shuffle. (A min_by/groupBy
+    formulation shuffles the K× expansion, and min_by's
+    struct-with-array accumulator forces ObjectHashAggregate, whose
+    128-distinct-key sort fallback degenerates to sorting that whole
+    expansion.) sqdist is rounded to SQDIST_DP before the argmin so the
+    winning cell is rounding-stable across engines; ties break on the
+    lower cell_id.
     """
-    sq = F.round(
-        F.aggregate(
-            F.zip_with("e", "ce", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-        SQDIST_DP,
+    centarr = F.broadcast(
+        cent.groupBy().agg(
+            F.array_sort(F.collect_list(F.struct("cell_id", "ce"))).alias("cents")
+        )
     )
-    scored = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "e", "cell_id", sq.alias("sqdist")
+    best = F.expr(
+        "array_min(transform(cents, c -> named_struct("
+        " 'sqdist', round(aggregate(zip_with(e, c.ce, (x, y) -> (x - y) * (x - y)),"
+        f"   cast(0.0 as double), (s, v) -> s + v), {SQDIST_DP}),"
+        " 'cell_id', c.cell_id)))"
     )
-    return scored.groupBy("vec_id").agg(
-        F.min_by(
-            F.struct("cell_id", "sqdist", "e"), F.struct("sqdist", "cell_id")
-        ).alias("best")
-    ).select(
-        "vec_id",
-        F.col("best.e").alias("e"),
-        F.col("best.cell_id").alias("cell_id"),
-        F.col("best.sqdist").alias("sqdist"),
+    # two-step select: the struct is materialized once, then field-
+    # projected — collapsing would duplicate the interpreted HOF argmin
+    return (
+        emb.crossJoin(centarr)
+        .select("vec_id", "e", best.alias("best"))
+        .select(
+            "vec_id",
+            "e",
+            F.col("best.cell_id").alias("cell_id"),
+            F.col("best.sqdist").alias("sqdist"),
+        )
     )
 
 

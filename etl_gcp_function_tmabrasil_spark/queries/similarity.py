@@ -216,37 +216,38 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _with_norm(
         load_table(spark, sf_dir, "embeddings", rebalance=True), "vec_id"
     )
-    cent = F.broadcast(
-        _with_norm(
-            load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_CELLS),
-            "vec_id",
-        ).select(
-            F.col("vec_id").alias("cell_id"),
-            F.col("e").alias("ce"),
-            F.col("nrm").alias("cnrm"),
+    cent = _with_norm(
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_CELLS),
+        "vec_id",
+    ).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+    )
+    # per-vector argmax over N_CELLS computed ROW-LOCALLY: all centroids
+    # ride in one broadcast array row, and the best cell is an
+    # array_min over (-cos, cell_id) structs — assignment is a
+    # scan-speed projection with ZERO shuffle. (A min_by/groupBy
+    # formulation is wrong here twice over: it shuffles the 16×
+    # expansion, and min_by's struct-with-array accumulator forces
+    # ObjectHashAggregate, whose 128-key sort fallback degenerates to
+    # sorting the whole expansion.) Ties at the 6dp rounding resolve
+    # to the lower cell_id, matching the oracle.
+    centarr = F.broadcast(
+        cent.groupBy().agg(
+            F.array_sort(F.collect_list(F.struct("cell_id", "ce", "cnrm"))).alias(
+                "cents"
+            )
         )
     )
-    # per-vector argmax over N_CELLS via min_by on a (-cos, cell_id)
-    # struct key — partial+final agg, no per-vector window sort (the
-    # same construction as operators/kmeans._assign); ties at the 6dp
-    # rounding resolve to the lower cell_id, matching the oracle
-    acos = F.round(_dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm")), 6)
-    assigned = (
-        emb.crossJoin(cent)
-        .select("vec_id", "e", "nrm", "cell_id", acos.alias("acos"))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by(
-                F.struct("e", "nrm", "cell_id"),
-                F.struct((-F.col("acos")).alias("neg"), F.col("cell_id")),
-            ).alias("best")
-        )
-        .select(
-            "vec_id",
-            F.col("best.e").alias("e"),
-            F.col("best.nrm").alias("nrm"),
-            F.col("best.cell_id").alias("cell_id"),
-        )
+    best_cell = F.expr(
+        "array_min(transform(cents, c -> named_struct("
+        " 'neg', -round(aggregate(zip_with(e, c.ce, (x, y) -> x * y),"
+        "   cast(0.0 as double), (s, x) -> s + x) / (nrm * c.cnrm), 6),"
+        " 'cell_id', c.cell_id))).cell_id"
+    )
+    assigned = emb.crossJoin(centarr).select(
+        "vec_id", "e", "nrm", best_cell.alias("cell_id")
     )
     q = _with_norm(
         load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_QUERIES),
@@ -256,33 +257,19 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("qe"),
         F.col("nrm").alias("qnrm"),
     )
-    # top-N_PROBE cells per query without a window: collect the N_CELLS
-    # (-cos, cell_id) structs per query (bounded array), array_sort +
-    # slice — ascending sort of the negated key = cosine-desc with
-    # cell_id tiebreak, same probe SET as the oracle's rn <= N_PROBE
-    qcos = F.round(_dot(F.col("qe"), F.col("ce")) / (F.col("qnrm") * F.col("cnrm")), 6)
+    # top-N_PROBE cells per query, row-locally over the same broadcast
+    # centroid array: sort the (-cos, cell_id) structs ascending (=
+    # cosine-desc with cell_id tiebreak) and slice — same probe SET as
+    # the oracle's rn <= N_PROBE, no shuffle, no window
+    probe_cells = F.expr(
+        "slice(array_sort(transform(cents, c -> named_struct("
+        " 'neg', -round(aggregate(zip_with(qe, c.ce, (x, y) -> x * y),"
+        "   cast(0.0 as double), (s, x) -> s + x) / (qnrm * c.cnrm), 6),"
+        f" 'cell_id', c.cell_id))), 1, {N_PROBE})"
+    )
     probes = (
-        q.crossJoin(cent)
-        .select(
-            "query_id",
-            "qe",
-            "qnrm",
-            F.struct(
-                (-qcos).alias("neg"), F.col("cell_id").alias("cell_id")
-            ).alias("pc"),
-        )
-        .groupBy("query_id")
-        .agg(
-            F.first("qe").alias("qe"),
-            F.first("qnrm").alias("qnrm"),
-            F.slice(F.array_sort(F.collect_list("pc")), 1, N_PROBE).alias("top"),
-        )
-        .select(
-            "query_id",
-            "qe",
-            "qnrm",
-            F.explode("top").alias("pc"),
-        )
+        q.crossJoin(centarr)
+        .select("query_id", "qe", "qnrm", F.explode(probe_cells).alias("pc"))
         .select("query_id", "qe", "qnrm", F.col("pc.cell_id").alias("cell_id"))
     )
     cos = _dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))
