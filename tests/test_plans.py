@@ -302,12 +302,15 @@ def test_per_row_curation_wave_is_sort_and_shuffle_free(spark, sf_dir):
 
 
 def test_ann_ivf_single_topk_window_with_group_limit(spark, sf_dir):
-    # round-4 min_by rewrite: assign + probe-selection run as
-    # partial+final aggs; the only window left is the final per-query
-    # top-k, and its rank limit must push down (WindowGroupLimit) so
-    # each partition keeps k candidates, not all of them.
+    # round-4 rewrite: assignment and probe selection are ROW-LOCAL
+    # array_min/array_sort over one broadcast centroid-array row — the
+    # corpus side never shuffles until the final per-query top-k
+    # window over candidate rows only, whose rank limit must push down
+    # (WindowGroupLimit). The only hash exchanges left are the
+    # single-row centroid-array collects (+ the top-k partitioning).
     from etl_gcp_function_tmabrasil_spark.queries.similarity import ann_ivf_cosine
     from etl_gcp_function_tmabrasil_spark.plans.inspect import (
+        count_exchanges,
         count_windows,
         has_window_group_limit,
     )
@@ -315,6 +318,7 @@ def test_ann_ivf_single_topk_window_with_group_limit(spark, sf_dir):
     df = ann_ivf_cosine(spark, sf_dir)
     assert count_windows(df) == 1, "assign/probe windows crept back in"
     assert has_window_group_limit(df), "top-k rank limit did not push down"
+    assert count_exchanges(df) <= 4, "IVF assignment started shuffling the corpus"
 
 
 def test_multimodal_embed_knn_no_window(spark, sf_dir):
