@@ -345,3 +345,27 @@ def test_kmeans_codebook_loop_is_window_free_and_bounded(spark, sf_dir):
     df = kmeans_ivf_codebook(spark, sf_dir)
     assert count_windows(df) == 0, "Lloyd loop grew a window sort"
     assert count_exchanges(df) <= 5, "k-means final iteration shuffles too much"
+
+
+def test_pagerank_lazy_loop_reuses_cached_adjacency(spark, sf_dir):
+    # round-4 rewrite: the fixed 3-iteration loop is ONE lazy plan (no
+    # localCheckpoint — PySpark 4 materializes it at construction even
+    # with eager=False). The load-bearing properties: no window sort
+    # anywhere, and each iteration reads the persisted degree-annotated
+    # adjacency from cache — SimHash pair generation must appear as
+    # PAGERANK_ITERS InMemoryTableScans, never be recomputed.
+    from etl_gcp_function_tmabrasil_spark.queries.dedup_approx import (
+        PAGERANK_ITERS,
+        pagerank_dedup_graph,
+    )
+    from etl_gcp_function_tmabrasil_spark.plans.inspect import count_windows
+
+    df = pagerank_dedup_graph(spark, sf_dir)
+    try:
+        assert count_windows(df) == 0, "PageRank loop grew a window sort"
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") == PAGERANK_ITERS, (
+            "adjacency not served from cache once per iteration"
+        )
+    finally:
+        spark.catalog.clearCache()
