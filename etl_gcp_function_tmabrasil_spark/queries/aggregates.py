@@ -559,7 +559,9 @@ def agg_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     1. per-group median via operators/quantiles.py;
     2. broadcast medians back, derive |v − median|, and take ITS median
        (the MAD) with the same machinery;
-    3. broadcast the fences, count exceedances in one filtered scan.
+    3. broadcast the fences onto the deviation frame from step 2 and
+       count exceedances — the |v − median| values are already there,
+       so no third scan of the base table.
 
     Fences derive from 4-dp-rounded medians/MADs in both engines, so
     the boundary comparison is bit-identical.
@@ -596,9 +598,15 @@ def agg_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("max_dev"),
         )
     )
+    # the deviation frame already carries |v − med| per row (with the
+    # same 4dp-rounded median the fences use), so the exceedance count
+    # filters it directly — no third scan of orders
     counts = (
-        orders.join(F.broadcast(fences), "o_orderpriority")
-        .filter(F.abs(F.col("o_totalprice") - F.col("med")) > F.col("max_dev"))
+        dev.join(
+            F.broadcast(fences.select("o_orderpriority", "max_dev")),
+            "o_orderpriority",
+        )
+        .filter(F.col("adev") > F.col("max_dev"))
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_outliers"))
     )
