@@ -473,7 +473,8 @@ def agg_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("p75") + 1.5 * (F.col("p75") - F.col("p25")), 4
         ).alias("hi_fence"),
-    )
+    ).persist()  # group-count rows; the quantile job behind it would
+    # otherwise re-run for each of its two consumers (counts + final)
     counts = (
         orders.join(F.broadcast(fences), "o_orderpriority")
         .filter(F.col("o_totalprice") > F.col("hi_fence"))
@@ -571,13 +572,28 @@ def agg_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders = load_table(spark, sf_dir, "orders")
-    med = banded_exact_quantiles(
-        orders, "o_orderpriority", "o_totalprice", {"med": 0.5}
-    ).select("o_orderpriority", "med")
-    dev = orders.join(F.broadcast(med), "o_orderpriority").select(
-        "o_orderpriority",
-        "o_totalprice",
-        F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
+    # med is a whole banded-quantile job but only group-count rows;
+    # without persist every downstream reference (dev ×3, fences,
+    # final join) re-runs that job — measured 5× recompute at sf0.1.
+    med = (
+        banded_exact_quantiles(
+            orders, "o_orderpriority", "o_totalprice", {"med": 0.5}
+        )
+        .select("o_orderpriority", "med")
+        .persist()
+    )
+    # dev is corpus-sized: persist trades one orders re-scan per reuse
+    # (MAD pass reads it twice, counts once) for cache storage — right
+    # at bench scale; at 100 TB flip to recompute-from-cached-med if
+    # cluster storage is the scarcer resource (one broadcast-join scan).
+    dev = (
+        orders.join(F.broadcast(med), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
+        )
+        .persist()
     )
     mad = banded_exact_quantiles(
         dev, "o_orderpriority", "adev", {"mad": 0.5}
@@ -597,6 +613,7 @@ def agg_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(_MAD_Z * _MAD_K) * F.col("mad"), 4
             ).alias("max_dev"),
         )
+        .persist()  # group-count rows; read by counts and the final join
     )
     # the deviation frame already carries |v − med| per row (with the
     # same 4dp-rounded median the fences use), so the exceedance count

@@ -650,7 +650,11 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     adj = edges.join(deg, "src").persist()
-    ranks = deg.select(F.col("src").alias("doc_id"), F.lit(1.0).alias("rank"))
+    # seed ranks FROM the cached adjacency (not from deg, whose separate
+    # lineage would re-run the whole simhash pair job a second time)
+    ranks = adj.select(F.col("src").alias("doc_id")).dropDuplicates().select(
+        "doc_id", F.lit(1.0).alias("rank")
+    )
     for _ in range(PAGERANK_ITERS):
         contrib = (
             adj.join(ranks.select(F.col("doc_id").alias("src"), "rank"), "src")

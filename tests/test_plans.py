@@ -351,9 +351,11 @@ def test_pagerank_lazy_loop_reuses_cached_adjacency(spark, sf_dir):
     # round-4 rewrite: the fixed 3-iteration loop is ONE lazy plan (no
     # localCheckpoint — PySpark 4 materializes it at construction even
     # with eager=False). The load-bearing properties: no window sort
-    # anywhere, and each iteration reads the persisted degree-annotated
-    # adjacency from cache — SimHash pair generation must appear as
-    # PAGERANK_ITERS InMemoryTableScans, never be recomputed.
+    # anywhere; each iteration AND the rank seed read the persisted
+    # degree-annotated adjacency from cache (PAGERANK_ITERS + 1
+    # InMemoryTableScans) — seeding ranks from deg's own lineage used
+    # to re-run the whole SimHash pair job a second time (measured
+    # 3.14 → 2.47 s at sf0.1 when the seed moved onto the cache).
     from etl_gcp_function_tmabrasil_spark.queries.dedup_approx import (
         PAGERANK_ITERS,
         pagerank_dedup_graph,
@@ -364,8 +366,8 @@ def test_pagerank_lazy_loop_reuses_cached_adjacency(spark, sf_dir):
     try:
         assert count_windows(df) == 0, "PageRank loop grew a window sort"
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("InMemoryTableScan") == PAGERANK_ITERS, (
-            "adjacency not served from cache once per iteration"
+        assert plan.count("InMemoryTableScan") == PAGERANK_ITERS + 1, (
+            "adjacency not served from cache once per iteration + seed"
         )
     finally:
         spark.catalog.clearCache()
