@@ -648,13 +648,14 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # deg is persisted as well as adj: the rank seed below reads the
+    # cached node-count-sized degree table — seeding from deg's own
+    # uncached lineage would re-run the whole simhash pair job, and
+    # seeding from the cached adj would shuffle the edge-sized frame
+    # through a dropDuplicates (both measured slower at sf0.1)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     adj = edges.join(deg, "src").persist()
-    # seed ranks FROM the cached adjacency (not from deg, whose separate
-    # lineage would re-run the whole simhash pair job a second time)
-    ranks = adj.select(F.col("src").alias("doc_id")).dropDuplicates().select(
-        "doc_id", F.lit(1.0).alias("rank")
-    )
+    ranks = deg.select(F.col("src").alias("doc_id"), F.lit(1.0).alias("rank"))
     for _ in range(PAGERANK_ITERS):
         contrib = (
             adj.join(ranks.select(F.col("doc_id").alias("src"), "rank"), "src")

@@ -351,11 +351,14 @@ def test_pagerank_lazy_loop_reuses_cached_adjacency(spark, sf_dir):
     # round-4 rewrite: the fixed 3-iteration loop is ONE lazy plan (no
     # localCheckpoint — PySpark 4 materializes it at construction even
     # with eager=False). The load-bearing properties: no window sort
-    # anywhere; each iteration AND the rank seed read the persisted
-    # degree-annotated adjacency from cache (PAGERANK_ITERS + 1
-    # InMemoryTableScans) — seeding ranks from deg's own lineage used
-    # to re-run the whole SimHash pair job a second time (measured
-    # 3.14 → 2.47 s at sf0.1 when the seed moved onto the cache).
+    # anywhere; each iteration reads the persisted adjacency from cache
+    # and the rank seed reads the persisted degree table from cache —
+    # seeding ranks from deg's own UNcached lineage used to re-run the
+    # whole SimHash pair job a second time (measured 3.14 → 2.44 s at
+    # sf0.1 when the seed moved onto the cache). The printed plan shows
+    # 2·ITERS + 1 InMemoryTableScans: one per iteration for adj, whose
+    # printed build subtree nests the deg cache scan (+ITERS), plus the
+    # seed's own deg read.
     from etl_gcp_function_tmabrasil_spark.queries.dedup_approx import (
         PAGERANK_ITERS,
         pagerank_dedup_graph,
@@ -366,8 +369,8 @@ def test_pagerank_lazy_loop_reuses_cached_adjacency(spark, sf_dir):
     try:
         assert count_windows(df) == 0, "PageRank loop grew a window sort"
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("InMemoryTableScan") == PAGERANK_ITERS + 1, (
-            "adjacency not served from cache once per iteration + seed"
+        assert plan.count("InMemoryTableScan") == 2 * PAGERANK_ITERS + 1, (
+            "adjacency/degree caches not serving every iteration + seed"
         )
     finally:
         spark.catalog.clearCache()
