@@ -304,15 +304,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     h = _SPARK_HASH60.format(expr="t")
-    bits = " + ".join(
-        f"(case when aggregate(h, 0, (acc, x) -> acc + "
-        f"(case when (x & {1 << b}L) != 0 then 1 else -1 end)) > 0 "
-        f"then {2**b}L else 0L end)"
+    # One explode + 32 codegen'd conditional sums beats the obvious
+    # 32-`aggregate()`-HOF formulation 0.93 → 0.59 s at sf0.1: lambda
+    # HOFs run interpreted (32 array traversals per doc outside
+    # whole-stage codegen), while the explode shape keeps every bit
+    # count inside codegen and map-side partial aggregation means the
+    # shuffle carries ~one 32-int row per doc, not per token.
+    # explode_outer: a NULL text must still emit a row (h NULL → every
+    # bit sums −1 → simhash 0, matching the SQL oracle's CASE).
+    toks = docs.select(
+        "doc_id",
+        F.expr(f"explode_outer(transform(split(text, ' '), t -> {h}))").alias("h"),
+    )
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sim = sum(
+        F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
         for b in range(SIMHASH_BITS)
     )
     return (
-        docs.withColumn("h", F.expr(f"transform(split(text, ' '), t -> {h})"))
-        .select("doc_id", F.expr(bits).alias("simhash32"))
+        toks.groupBy("doc_id")
+        .agg(*aggs)
+        .select("doc_id", sim.cast("long").alias("simhash32"))
     )
 
 
