@@ -40,37 +40,31 @@ MEAN_DP = 9
 def _assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     """(vec_id, e) × (cell_id, ce) → (vec_id, e, cell_id, sqdist).
 
-    All K centroids ride in ONE broadcast array row and the argmin is a
-    row-local array_min over (sqdist, cell_id) structs — assignment is
-    a scan-speed projection with zero shuffle. (A min_by/groupBy
-    formulation shuffles the K× expansion, and min_by's
-    struct-with-array accumulator forces ObjectHashAggregate, whose
-    128-distinct-key sort fallback degenerates to sorting that whole
-    expansion.) sqdist is rounded to SQDIST_DP before the argmin so the
-    winning cell is rounding-stable across engines; ties break on the
-    lower cell_id.
+    Zero-shuffle row-local argmin over the broadcast centroid array
+    (operators/rowlocal_argmin — shared with ann_ivf_cosine; the
+    rationale for NOT using min_by/groupBy lives there). sqdist is
+    rounded to SQDIST_DP before the argmin so the winning cell is
+    rounding-stable across engines; ties break on the lower cell_id.
     """
-    centarr = F.broadcast(
-        cent.groupBy().agg(
-            F.array_sort(F.collect_list(F.struct("cell_id", "ce"))).alias("cents")
-        )
+    from etl_gcp_function_tmabrasil_spark.operators.rowlocal_argmin import (
+        argmin_cell,
+        centroid_array,
     )
-    best = F.expr(
-        "array_min(transform(cents, c -> named_struct("
-        " 'sqdist', round(aggregate(zip_with(e, c.ce, (x, y) -> (x - y) * (x - y)),"
-        f"   cast(0.0 as double), (s, v) -> s + v), {SQDIST_DP}),"
-        " 'cell_id', c.cell_id)))"
+
+    sqdist = (
+        "round(aggregate(zip_with(e, c.ce, (x, y) -> (x - y) * (x - y)),"
+        f" cast(0.0 as double), (s, v) -> s + v), {SQDIST_DP})"
     )
     # two-step select: the struct is materialized once, then field-
     # projected — collapsing would duplicate the interpreted HOF argmin
     return (
-        emb.crossJoin(centarr)
-        .select("vec_id", "e", best.alias("best"))
+        emb.crossJoin(centroid_array(cent, "cell_id", "ce"))
+        .select("vec_id", "e", argmin_cell(sqdist).alias("best"))
         .select(
             "vec_id",
             "e",
             F.col("best.cell_id").alias("cell_id"),
-            F.col("best.sqdist").alias("sqdist"),
+            F.col("best.metric").alias("sqdist"),
         )
     )
 

@@ -82,6 +82,12 @@ from etl_gcp_function_tmabrasil_spark.functions.text import hash60  # noqa: F401
 #: DuckDB twin of :func:`hash60` — format with the input SQL expression.
 SQL_HASH60 = "(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
+#: Spark-SQL-string form of :func:`hash60`, for contexts where a Column
+#: can't go (inside `transform`/`aggregate` lambdas, F.expr filters).
+#: MUST stay byte-equivalent to hash60 and SQL_HASH60 — every salted
+#: sampling / sketch stream depends on the three producing one value.
+SPARK_HASH60 = "cast(conv(substring(md5({expr}),1,15),16,10) as bigint)"
+
 # DuckDB-side equivalents, for use inside oracle SQL strings.
 SQL_DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
 SQL_DAY = "strftime({col}, '%Y-%m-%d')"

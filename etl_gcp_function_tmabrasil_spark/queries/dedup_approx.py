@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from etl_gcp_function_tmabrasil_spark.catalog import load_table
-from etl_gcp_function_tmabrasil_spark.queries._util import SQL_HASH60
+from etl_gcp_function_tmabrasil_spark.queries._util import SPARK_HASH60, SQL_HASH60
 
 N_MINHASH = 16  # signature length
 N_BANDS = 4  # LSH bands (r = 4 rows/band) → s-curve threshold ~0.55
@@ -133,7 +133,8 @@ ORDER BY doc1, doc2
 #: in a captured literal within one projection (verified empirically:
 #: array_min(transform(...)) returned wrong values for ALL seeds when 4+
 #: such columns shared a select). expr() parses each lambda independently.
-_SPARK_HASH60 = "cast(conv(substring(md5({expr}),1,15),16,10) as bigint)"
+#: The hash template itself lives in _util next to its DuckDB twin.
+_SPARK_HASH60 = SPARK_HASH60
 
 
 #: MinHash via ONE md5 per shingle + affine permutations (a*h+b) mod p.

@@ -37,7 +37,16 @@ def _hyperplanes() -> list[list[float]]:
     return [[round(float(v), 6) for v in row] for row in rng.randn(N_PLANES, DIM)]
 
 
-from etl_gcp_function_tmabrasil_spark.functions.vector import dot as _dot, l2norm as _norm
+from etl_gcp_function_tmabrasil_spark.functions.vector import (
+    as_double_array as _as_double,
+    dot as _dot,
+    l2norm as _norm,
+)
+from etl_gcp_function_tmabrasil_spark.operators.rowlocal_argmin import (
+    argmin_cell,
+    centroid_array,
+    top_cells,
+)
 
 
 def _with_norm(df: DataFrame, *keep: str) -> DataFrame:
@@ -45,9 +54,7 @@ def _with_norm(df: DataFrame, *keep: str) -> DataFrame:
     computed once per row. `e` is referenced three times by non-cheap
     expressions, so CollapseProject keeps the cast-to-double projection
     materialized instead of inlining it into the norm lambda."""
-    cast = df.select(
-        *keep, F.transform("embedding", lambda x: x.cast("double")).alias("e")
-    )
+    cast = df.select(*keep, _as_double(F.col("embedding")).alias("e"))
     return cast.select(*keep, "e", _norm(F.col("e")).alias("nrm"))
 
 
@@ -224,30 +231,20 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("ce"),
         F.col("nrm").alias("cnrm"),
     )
-    # per-vector argmax over N_CELLS computed ROW-LOCALLY: all centroids
-    # ride in one broadcast array row, and the best cell is an
-    # array_min over (-cos, cell_id) structs — assignment is a
-    # scan-speed projection with ZERO shuffle. (A min_by/groupBy
-    # formulation is wrong here twice over: it shuffles the 16×
-    # expansion, and min_by's struct-with-array accumulator forces
-    # ObjectHashAggregate, whose 128-key sort fallback degenerates to
-    # sorting the whole expansion.) Ties at the 6dp rounding resolve
-    # to the lower cell_id, matching the oracle.
-    centarr = F.broadcast(
-        cent.groupBy().agg(
-            F.array_sort(F.collect_list(F.struct("cell_id", "ce", "cnrm"))).alias(
-                "cents"
-            )
+    # per-vector argmax over N_CELLS computed ROW-LOCALLY via the shared
+    # broadcast-centroid-array argmin (operators/rowlocal_argmin, also
+    # the k-means assignment core — the rationale for not using
+    # min_by/groupBy lives there): metric = negated 6dp-rounded cosine,
+    # so ties resolve to the lower cell_id, matching the oracle.
+    def neg_cos(row_vec: str, row_nrm: str) -> str:
+        return (
+            f"-round(aggregate(zip_with({row_vec}, c.ce, (x, y) -> x * y),"
+            f" cast(0.0 as double), (s, x) -> s + x) / ({row_nrm} * c.cnrm), 6)"
         )
-    )
-    best_cell = F.expr(
-        "array_min(transform(cents, c -> named_struct("
-        " 'neg', -round(aggregate(zip_with(e, c.ce, (x, y) -> x * y),"
-        "   cast(0.0 as double), (s, x) -> s + x) / (nrm * c.cnrm), 6),"
-        " 'cell_id', c.cell_id))).cell_id"
-    )
+
+    centarr = centroid_array(cent, "cell_id", "ce", "cnrm")
     assigned = emb.crossJoin(centarr).select(
-        "vec_id", "e", "nrm", best_cell.alias("cell_id")
+        "vec_id", "e", "nrm", argmin_cell(neg_cos("e", "nrm"))["cell_id"].alias("cell_id")
     )
     q = _with_norm(
         load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_QUERIES),
@@ -258,18 +255,17 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("qnrm"),
     )
     # top-N_PROBE cells per query, row-locally over the same broadcast
-    # centroid array: sort the (-cos, cell_id) structs ascending (=
-    # cosine-desc with cell_id tiebreak) and slice — same probe SET as
-    # the oracle's rn <= N_PROBE, no shuffle, no window
-    probe_cells = F.expr(
-        "slice(array_sort(transform(cents, c -> named_struct("
-        " 'neg', -round(aggregate(zip_with(qe, c.ce, (x, y) -> x * y),"
-        "   cast(0.0 as double), (s, x) -> s + x) / (qnrm * c.cnrm), 6),"
-        f" 'cell_id', c.cell_id))), 1, {N_PROBE})"
-    )
+    # centroid array: ascending (-cos, cell_id) structs = cosine-desc
+    # with cell_id tiebreak — same probe SET as the oracle's
+    # rn <= N_PROBE, no shuffle, no window
     probes = (
         q.crossJoin(centarr)
-        .select("query_id", "qe", "qnrm", F.explode(probe_cells).alias("pc"))
+        .select(
+            "query_id",
+            "qe",
+            "qnrm",
+            F.explode(top_cells(neg_cos("qe", "qnrm"), N_PROBE)).alias("pc"),
+        )
         .select("query_id", "qe", "qnrm", F.col("pc.cell_id").alias("cell_id"))
     )
     cos = _dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))
@@ -532,9 +528,9 @@ def kmeans_ivf_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from etl_gcp_function_tmabrasil_spark.operators.kmeans import kmeans_fit
 
-    emb = _with_norm(
-        load_table(spark, sf_dir, "embeddings", rebalance=True), "vec_id"
-    ).select("vec_id", "e")
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True).select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
     cent, assigned = kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS)
     sizes = assigned.groupBy("cell_id").agg(
         F.count(F.lit(1)).alias("n_members"),

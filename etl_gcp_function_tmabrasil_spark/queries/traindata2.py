@@ -35,6 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from etl_gcp_function_tmabrasil_spark.catalog import load_table
+from etl_gcp_function_tmabrasil_spark.queries._util import SPARK_HASH60, SQL_HASH60
 
 BPE_TOP_N = 40
 
@@ -58,9 +59,7 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    pairs = d.select(F.explode_outer(F.expr(_PAIRS)).alias("pair")).filter(
-        F.col("pair").isNotNull()
-    )
+    pairs = d.select(F.explode(F.expr(_PAIRS)).alias("pair"))
     return (
         pairs.groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -105,7 +104,15 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds for unit-scale embeddings at any sane Arrow batch size and is
     enforced by an explicit guard rather than assumed.
     """
-    emb = load_table(spark, sf_dir, "embeddings", rebalance=True).select("embedding")
+    # NULL embeddings: the oracle's SUM silently ignores them (NULL
+    # products), but np.array over a batch containing None raises a
+    # ragged-shape ValueError and kills the job — filter them out so
+    # both engines skip the same rows
+    emb = (
+        load_table(spark, sf_dir, "embeddings", rebalance=True)
+        .select("embedding")
+        .filter(F.col("embedding").isNotNull())
+    )
 
     def gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -352,19 +359,17 @@ def _hash_unit(salt: str) -> str:
     curriculum sampling, train/val/test split, and weighted sampling
     must draw INDEPENDENT streams — one shared unsalted hash would
     fully correlate their selections (every curriculum-kept doc coming
-    from a fixed region of the train split). The oracle mirrors the
-    same salt."""
-    return (
-        f"(cast(conv(substring(md5(concat(cast(doc_id as string), '{salt}')),1,15),16,10)"
-        " as bigint) % 1000000) / 1000000.0"
-    )
+    from a fixed region of the train split). Built on the engine-wide
+    hash60 template (_util.SPARK_HASH60) so the cross-engine-critical
+    md5 construction has one definition; the oracle twin below mirrors
+    the same salt through _util.SQL_HASH60."""
+    h = SPARK_HASH60.format(expr=f"concat(cast(doc_id as string), '{salt}')")
+    return f"(({h}) % 1000000) / 1000000.0"
 
 
 def _sql_hash_unit(salt: str) -> str:
-    return (
-        f"((('0x' || substr(md5(doc_id::VARCHAR || '{salt}'), 1, 15))::BIGINT"
-        " % 1000000) / 1000000.0)"
-    )
+    h = SQL_HASH60.format(expr=f"doc_id::VARCHAR || '{salt}'")
+    return f"(({h} % 1000000) / 1000000.0)"
 
 
 def curriculum_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,8 +393,18 @@ def curriculum_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     weighted = counts.crossJoin(F.broadcast(total)).select(
         "source", "n_src", "n_total", w.alias("w")
     )
+    # decimal-sum 9dp-rounded addends: a raw double SUM's merge order
+    # varies with partitioning, and a last-ulp shift in z can flip
+    # keep_rate at a 6dp rounding midpoint — the one aggregation here
+    # that must follow the repo's order-free-summation rule (_util.py)
     norm = weighted.agg(
-        F.sum(F.col("w") * F.col("n_src") / F.col("n_total")).alias("z")
+        F.sum(
+            F.round(F.col("w") * F.col("n_src") / F.col("n_total"), 9).cast(
+                "decimal(28,9)"
+            )
+        )
+        .cast("double")
+        .alias("z")
     )
     rate = F.least(
         F.lit(1.0), F.round(CURRICULUM_BUDGET_FRACTION * F.col("w") / F.col("z"), 6)
@@ -424,7 +439,8 @@ weighted AS (
     POW(CAST(n_src AS DOUBLE) / n_total, {CURRICULUM_ALPHA} - 1.0) AS w
   FROM counts CROSS JOIN total
 ),
-norm AS (SELECT SUM(w * n_src / n_total) AS z FROM weighted),
+norm AS (SELECT CAST(SUM(CAST(ROUND(w * n_src / n_total, 9)
+                             AS DECIMAL(28,9))) AS DOUBLE) AS z FROM weighted),
 rates AS (
   SELECT source, n_src,
     LEAST(1.0, ROUND({CURRICULUM_BUDGET_FRACTION} * w / z, 6)) AS keep_rate
