@@ -23,10 +23,12 @@ from pyspark.sql import Column, functions as F
 from etl_gcp_function_tmabrasil_spark.catalog import load_table  # noqa: F401  (re-export)
 
 
-def dsum(col: Column | str, scale: int = 4) -> Column:
-    """Deterministic double sum: exact decimal accumulate, double out."""
+def dsum(col: Column | str, scale: int = 4, precision: int = 18) -> Column:
+    """Deterministic double sum: exact decimal accumulate, double out.
+    Raise `precision` when the addends are products of wide columns
+    (e.g. the moment sums Σx², Σxy use decimal(28,8))."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+    return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
 
 
 def davg(col: Column | str, scale: int = 4) -> Column:

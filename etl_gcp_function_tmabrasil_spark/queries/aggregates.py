@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from etl_gcp_function_tmabrasil_spark.catalog import load_table
-from etl_gcp_function_tmabrasil_spark.queries._util import cavg, csum, dsum
+from etl_gcp_function_tmabrasil_spark.queries._util import csum, dsum, second
 
 
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,8 +235,6 @@ def rollup_time_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     would maintain these; here each grain is cheap enough to group
     directly and Catalyst reuses the scan.
     """
-    from etl_gcp_function_tmabrasil_spark.queries._util import second
-
     ev = load_table(spark, sf_dir, "events")
 
     def grain(res: str) -> DataFrame:
@@ -299,7 +297,7 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = F.col("l_quantity")
 
     def dsum28(c, scale=8):
-        return F.sum(c.cast(f"decimal(28,{scale})")).cast("double")
+        return dsum(c, scale, precision=28)
 
     base = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("double").alias("n"),

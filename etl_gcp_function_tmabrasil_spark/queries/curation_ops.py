@@ -79,7 +79,7 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"),
-        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("hits"),
+        F.count("hit").alias("hits"),  # counts matched (non-NULL) rows
     )
     contamination = F.round(
         F.col("hits").cast("double") / F.col("n_grams"), 6

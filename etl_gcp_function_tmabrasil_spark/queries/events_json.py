@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from etl_gcp_function_tmabrasil_spark.catalog import load_table
-from etl_gcp_function_tmabrasil_spark.queries._util import cavg, csum, day, dsum
+from etl_gcp_function_tmabrasil_spark.queries._util import csum, day, dsum
 
 
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -31,11 +31,21 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JSON_SQL = """
+#: Guarded JSON field extraction: DuckDB's json_extract_string ERRORS
+#: on malformed JSON where Spark's get_json_object/from_json degrade to
+#: NULL — the json_valid guard gives every oracle the same
+#: NULL-on-malformed semantics as the engine (and the reference's
+#: defensive `data.get(...) or {}`, main.py:6).
+_SQL_K = (
+    "(CASE WHEN json_valid(props)"
+    " THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END)"
+)
+
+_JSON_SQL = f"""
 SELECT event_id,
-  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
-  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
-  COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k_defaulted
+  {_SQL_K} AS k_path,
+  {_SQL_K} AS k_struct,
+  COALESCE({_SQL_K}, -1) AS k_defaulted
 FROM events ORDER BY event_id
 """
 
@@ -72,10 +82,9 @@ def json_tuple_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JSON_TUPLE_SQL = """
+_JSON_TUPLE_SQL = f"""
 WITH tagged AS (
-  SELECT event_id, event_type,
-    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  SELECT event_id, event_type, {_SQL_K} AS k
   FROM events
 ), pairs AS (
   SELECT event_id, 'type' AS tag_key, event_type AS tag_value
@@ -84,7 +93,11 @@ WITH tagged AS (
   SELECT event_id, 'parity', CASE WHEN k % 2 = 0 THEN 'even' ELSE 'odd' END
   FROM tagged WHERE event_type <> 'error'
   UNION ALL
-  SELECT event_id, NULL, NULL FROM tagged WHERE event_type = 'error'
+  -- NULL event_type routes to the empty-map branch in the Spark
+  -- query (when() sends NULL to otherwise), so it must emit the same
+  -- single (NULL, NULL) row the 'error' branch does
+  SELECT event_id, NULL, NULL FROM tagged
+  WHERE event_type = 'error' OR event_type IS NULL
 )
 SELECT * FROM pairs ORDER BY event_id, tag_key
 """
@@ -117,14 +130,12 @@ def json_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JSON_SCHEMA_SQL = """
+_JSON_SCHEMA_SQL = f"""
 SELECT event_type, 'STRUCT<k: BIGINT>' AS props_schema,
   COUNT(*) AS n_events,
   CAST(SUM(k) AS BIGINT) AS sum_k,
   MIN(k) AS min_k, MAX(k) AS max_k
-FROM (SELECT event_type,
-        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-      FROM events) t
+FROM (SELECT event_type, {_SQL_K} AS k FROM events) t
 GROUP BY event_type ORDER BY event_type
 """
 
@@ -141,10 +152,10 @@ def json_agg_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JSON_AGG_SQL = """
+_JSON_AGG_SQL = f"""
 SELECT k - k % 10 AS k_decade, COUNT(*) AS n,
   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value FROM events) t
+FROM (SELECT {_SQL_K} AS k, value FROM events) t
 GROUP BY k_decade ORDER BY k_decade
 """
 
@@ -201,13 +212,8 @@ def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("o_orderstatus", "n")))
         ).alias("status_map")
     )
-    exploded = m.select(
+    return m.select(
         "o_custkey", F.explode("status_map").alias("status", "n_orders")
-    )
-    return exploded.select(
-        "o_custkey",
-        "status",
-        "n_orders",
     )
 
 
