@@ -75,7 +75,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The blocking keys bound the pair space; at corpus scale the unblocked
     variant is dedup_minhash_lsh below (LSH *is* the blocking).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # text IS NOT NULL: Spark's array_distinct keeps a NULL shingle
+    # ([NULL] ∩ [NULL] → jaccard 1.0 pairs) while DuckDB's list_distinct
+    # strips it (0/0 → NULL → pair dropped) — NULL-text docs are not
+    # dedup candidates in either engine
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     # Project tokens as a real column BEFORE shingling: a split() inlined
     # into the transform() lambda re-evaluates per element (higher-order
     # fns bypass codegen subexpression elimination; measured ~300 splits
@@ -183,7 +187,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving candidates pay the exact verify. This is the 100 TB dedup
     path; the banding s-curve (r=4, b=4) centers near Jaccard ≈ 0.55.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # text IS NOT NULL, same rationale as dedup_ngram_jaccard: NULL-text
+    # docs would minhash to the all-p signature (least() skips NULLs),
+    # collide in every band, and emit jaccard-1.0 pairs the oracle drops
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     # Repartition before the hash-heavy row-local stage: a small parquet
     # loads as one partition, which would serialize all the md5 work; at
     # cluster scale the scan's natural partitioning already spreads it.
@@ -351,6 +358,11 @@ FROM t ORDER BY doc_id
 """
 
 
+#: Connected-components round cap: a safety bound far above any real
+#: near-dup graph's diameter — the loop exits on convergence and raises
+#: (never silently returns wrong labels) if the cap is hit.
+_CC_MAX_ROUNDS = 50
+
 SIMHASH_HAMMING_MAX = 6
 #: Pigeonhole banding: split the 32-bit fingerprint into 8 bands of 4
 #: bits. If two fingerprints differ in EVERY band, their Hamming
@@ -431,7 +443,7 @@ SELECT a.doc_id AS doc1, b.doc_id AS doc2,
   CAST(bit_count(xor(a.simhash32, b.simhash32)) AS INT) AS hamming
 FROM s a JOIN s b
   ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 6
+WHERE bit_count(xor(a.simhash32, b.simhash32)) <= {SIMHASH_HAMMING_MAX}
 ORDER BY doc1, doc2
 """
 
@@ -464,7 +476,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("src").alias("id")).distinct()
         .select("id", F.col("id").alias("label"))
     )
-    for _ in range(20):
+    changed = 1
+    for _ in range(_CC_MAX_ROUNDS):
         nbr = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -490,6 +503,14 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # a silent unconverged return would hand back WRONG component
+        # ids (labels not yet the component minimum) — fail loudly; the
+        # cap exists only to bound a pathological chain, min-label
+        # propagation converges in O(component diameter) rounds
+        raise RuntimeError(
+            f"dedup_components did not converge in {_CC_MAX_ROUNDS} rounds"
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("component_id")
     )
@@ -561,11 +582,13 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Dedup-free by construction: a substitution pair differs at exactly
     one position p, and deleting q ≠ p preserves the difference — so
-    the pair lands in exactly ONE (pos, v) bucket and is emitted once.
-    The indel leg dedups repeated-character runs (deleting any char of
-    a run yields the same variant) with a leg-local distinct; the legs
-    are disjoint (equal vs differing lengths), so no global distinct
-    over the candidate set is needed.
+    the pair lands in exactly ONE (pos, v) bucket. Output is DISTINCT
+    name pairs (mirrored by the oracle's SELECT DISTINCT): duplicate
+    c_name rows would otherwise emit the same pair once per copy from
+    every bucket the copies share, and a repeated-character run's
+    deletions collapse to one indel variant — a single distinct over
+    the (small) candidate pair set settles both, and equal-name
+    self-pairs are filtered to match the oracle's strict `<` join.
 
     Physical shape: the substitution leg is a single shuffle — groupBy
     (pos, v) + collect_list (bucket size ≤ alphabet, so the array agg
@@ -601,7 +624,7 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " greatest(ns[i], b) as name2))))"
             )
         ).alias("p")
-    ).select("p.name1", "p.name2")
+    ).select("p.name1", "p.name2").filter(F.col("name1") != F.col("name2"))
     indels = (
         variants.join(
             cust.select(F.col("c_name").alias("other")),
@@ -612,10 +635,10 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("c_name", "other").alias("name1"),
             F.greatest("c_name", "other").alias("name2"),
         )
-        .distinct()
     )
     return (
         substitutions.unionByName(indels)
+        .distinct()
         .withColumn("dist", F.levenshtein("name1", "name2"))
         .filter(F.col("dist") <= 1)
     )
@@ -623,7 +646,7 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FUZZY_SQL = """
 WITH n AS (SELECT c_name FROM customer)
-SELECT x.c_name AS name1, y.c_name AS name2,
+SELECT DISTINCT x.c_name AS name1, y.c_name AS name2,
   CAST(levenshtein(x.c_name, y.c_name) AS INT) AS dist
 FROM n x JOIN n y ON x.c_name < y.c_name
 WHERE levenshtein(x.c_name, y.c_name) <= 1

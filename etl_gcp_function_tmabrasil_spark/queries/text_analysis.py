@@ -229,7 +229,10 @@ def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort. (An earlier explode → groupBy(doc_id, token) formulation
     shuffled ~1 row per token with near-unique keys — 2.8 s vs 0.3 s
     at sf0.1, and strictly worse at any scale.)"""
-    docs = load_table(spark, sf_dir, "documents")
+    # text IS NOT NULL: the oracle's unnest-CTE inner join drops
+    # NULL-text docs (unnest of NULL is zero rows) where this projection
+    # would emit an all-NULL metrics row — filter so engines agree
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = F.split("text", " ")
     # bigrams/runs referenced twice so CollapseProject keeps the
     # interpreted HOFs materialized instead of inlining them per use.

@@ -128,7 +128,12 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism — the sliding-aggregate shape that survives any corpus
     size.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # ts IS NOT NULL in BOTH engines: a NULL ts would get a NULL bucket
+    # here (the wb == bkt keep-home filter silently drops it) while the
+    # oracle's window treats NULL-epoch rows as orderable peers — the
+    # explicit shared filter pins one semantics ("events that have a
+    # timestamp") instead of two divergent accidents.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     sec = F.unix_timestamp("ts")
     d = ev.select("event_id", "event_type", "value", sec.alias("sec")).select(
         "*", F.expr(f"sec div {_RANGE_FRAME_SEC}").alias("bkt")
@@ -159,13 +164,14 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ORDER BY floor-epoch seconds, not raw ts: Spark's unix_timestamp()
 # truncates to whole seconds, so the oracle frame must too (µs-precision
 # interval frames disagree on rows within 1s of the boundary).
-_RANGE_FRAME_SQL = """
+_RANGE_FRAME_SQL = f"""
 SELECT event_id, event_type,
   COUNT(*) OVER w AS n_last_hour,
   CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_last_hour
 FROM events
+WHERE ts IS NOT NULL
 WINDOW w AS (PARTITION BY event_type ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+             RANGE BETWEEN {_RANGE_FRAME_SEC} PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """
 
@@ -263,13 +269,13 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NTILE_SQL = """
+_NTILE_SQL = f"""
 SELECT quartile, COUNT(*) AS n,
   ROUND(MIN(c_acctbal), 4) AS min_bal,
   ROUND(MAX(c_acctbal), 4) AS max_bal
 FROM (
   SELECT c_custkey, c_acctbal,
-    NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+    NTILE({NTILE_N}) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
   FROM customer
 ) t GROUP BY quartile ORDER BY quartile
 """
