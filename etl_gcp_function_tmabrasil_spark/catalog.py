@@ -14,6 +14,7 @@ vectorized reader + column pruning work without declared schemas.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession, types as T
 
@@ -78,6 +79,13 @@ _REBALANCE_MIN_ROWS = 5_000_000
 #: plans the scan). Keying by mtime+size means a table rewritten in
 #: place gets re-read instead of serving a stale layout.
 _layout_cache: dict[str, tuple[tuple, tuple[int, int]]] = {}
+
+#: session → {(path, rebalance-arg, file-stamp) → loaded DataFrame};
+#: see load_table. The outer weak keying lets a stopped session's
+#: frames be collected instead of pinning every session ever created.
+_df_cache: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _layout_files(path: str) -> list[str]:
@@ -145,6 +153,26 @@ def load_table(
     truncation DuckDB applies, so oracle comparisons agree.
     """
     path = table_path(sf_dir, name)
+    # Memoize the loaded frame per (session, path, file stamp, layout):
+    # every spark.read.parquet() schedules a 1-task schema-read job, so
+    # an uncached load_table costs one job per call — hundreds of
+    # driver round-trips across a full registry run for zero work.
+    # DataFrames are immutable, so handing back the same object is
+    # safe; the mtime/size stamp invalidates when fixture files change
+    # and the session key drops entries when the session is replaced.
+    try:
+        stamp = tuple(
+            (f, st.st_mtime_ns, st.st_size)
+            for f in _layout_files(path)
+            for st in (os.stat(f),)
+        )
+    except OSError:
+        stamp = None
+    key = (path, rebalance, stamp)
+    per_session = _df_cache.setdefault(spark, {})
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
@@ -155,14 +183,17 @@ def load_table(
     else:
         df = spark.read.parquet(path)
     par = spark.sparkContext.defaultParallelism
-    if rebalance is None:
+    effective = rebalance
+    if effective is None:
         try:
             rows, units = _parquet_layout(path)
         except Exception:
             rows, units = 0, par
-        rebalance = rows >= _REBALANCE_MIN_ROWS and units < max(2, par // 2)
-    if rebalance:
+        effective = rows >= _REBALANCE_MIN_ROWS and units < max(2, par // 2)
+    if effective:
         df = df.repartition(par)
+    if stamp is not None:
+        per_session[key] = df
     return df
 
 

@@ -8,7 +8,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from etl_gcp_function_tmabrasil_spark.catalog import load_table
-from etl_gcp_function_tmabrasil_spark.queries._util import csum, dsum, second
+from etl_gcp_function_tmabrasil_spark.queries._util import (
+    csum,
+    dsum,
+    managed_persist,
+    second,
+)
 
 
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,17 +204,24 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS via SQL (per-flag and per-status totals)."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(
-        """
-        SELECT COALESCE(l_returnflag, '-') AS returnflag,
-               COALESCE(l_linestatus, '-') AS linestatus,
-               COUNT(*) AS n_rows
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-        ORDER BY returnflag, linestatus
-        """
+    """Explicit GROUPING SETS (per-flag and per-status totals) via the
+    DataFrame groupingSets API — no temp view: an earlier SQL version
+    registered `lineitem` with createOrReplaceTempView, silently
+    clobbering any session-level view of that name and letting later
+    re-registrations repoint THIS query's (lazily resolved) source.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("-")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("-")).alias("linestatus"),
+            "n_rows",
+        )
+        .orderBy("returnflag", "linestatus")
     )
 
 
@@ -464,15 +476,19 @@ def agg_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = banded_exact_quantiles(
         orders, "o_orderpriority", "o_totalprice", {"p25": 0.25, "p75": 0.75}
     )
-    fences = q.select(
-        "o_orderpriority",
-        "p25",
-        "p75",
-        F.round(
-            F.col("p75") + 1.5 * (F.col("p75") - F.col("p25")), 4
-        ).alias("hi_fence"),
-    ).persist()  # group-count rows; the quantile job behind it would
-    # otherwise re-run for each of its two consumers (counts + final)
+    # group-count rows; the quantile job behind it would otherwise
+    # re-run for each of its two consumers (counts + final)
+    fences = managed_persist(
+        q.select(
+            "o_orderpriority",
+            "p25",
+            "p75",
+            F.round(
+                F.col("p75") + 1.5 * (F.col("p75") - F.col("p25")), 4
+            ).alias("hi_fence"),
+        ),
+        "aggregates.iqr_fences",
+    )
     counts = (
         orders.join(F.broadcast(fences), "o_orderpriority")
         .filter(F.col("o_totalprice") > F.col("hi_fence"))
@@ -573,30 +589,29 @@ def agg_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # med is a whole banded-quantile job but only group-count rows;
     # without persist every downstream reference (dev ×3, fences,
     # final join) re-runs that job — measured 5× recompute at sf0.1.
-    med = (
+    med = managed_persist(
         banded_exact_quantiles(
             orders, "o_orderpriority", "o_totalprice", {"med": 0.5}
-        )
-        .select("o_orderpriority", "med")
-        .persist()
+        ).select("o_orderpriority", "med"),
+        "aggregates.mad_med",
     )
     # dev is corpus-sized: persist trades one orders re-scan per reuse
     # (MAD pass reads it twice, counts once) for cache storage — right
     # at bench scale; at 100 TB flip to recompute-from-cached-med if
     # cluster storage is the scarcer resource (one broadcast-join scan).
-    dev = (
-        orders.join(F.broadcast(med), "o_orderpriority")
-        .select(
+    dev = managed_persist(
+        orders.join(F.broadcast(med), "o_orderpriority").select(
             "o_orderpriority",
             "o_totalprice",
             F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
-        )
-        .persist()
+        ),
+        "aggregates.mad_dev",
     )
     mad = banded_exact_quantiles(
         dev, "o_orderpriority", "adev", {"mad": 0.5}
     ).select("o_orderpriority", "mad")
-    fences = (
+    # group-count rows; read by counts and the final join
+    fences = managed_persist(
         med.join(mad, "o_orderpriority")
         .select(
             "o_orderpriority",
@@ -610,8 +625,8 @@ def agg_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.lit(_MAD_Z * _MAD_K) * F.col("mad"), 4
             ).alias("max_dev"),
-        )
-        .persist()  # group-count rows; read by counts and the final join
+        ),
+        "aggregates.mad_fences",
     )
     # the deviation frame already carries |v − med| per row (with the
     # same 4dp-rounded median the fences use), so the exceedance count

@@ -26,7 +26,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from etl_gcp_function_tmabrasil_spark.catalog import load_table
-from etl_gcp_function_tmabrasil_spark.queries._util import SPARK_HASH60, SQL_HASH60
+from etl_gcp_function_tmabrasil_spark.queries._util import (
+    SPARK_HASH60,
+    SQL_HASH60,
+    managed_persist,
+)
 
 N_MINHASH = 16  # signature length
 N_BANDS = 4  # LSH bands (r = 4 rows/band) → s-curve threshold ~0.55
@@ -205,10 +209,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persist signatures: both the band self-join and the verify join
     # re-read them; without this the 16-hash sketch pipeline re-runs once
     # per branch (measured 4x cost at bench scale).
-    sigs = (
+    sigs = managed_persist(
         base.select("doc_id", "sh", F.expr(_SPARK_SHINGLE_HASH).alias("shh"))
-        .select("doc_id", "sh", F.expr(_SIG_ONEPASS).alias("sig"))
-        .persist()
+        .select("doc_id", "sh", F.expr(_SIG_ONEPASS).alias("sig")),
+        "dedup_approx.minhash_sigs",
     )
     r = N_MINHASH // N_BANDS
     band_structs = [
@@ -694,8 +698,11 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uncached lineage would re-run the whole simhash pair job, and
     # seeding from the cached adj would shuffle the edge-sized frame
     # through a dropDuplicates (both measured slower at sf0.1)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
-    adj = edges.join(deg, "src").persist()
+    deg = managed_persist(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")),
+        "dedup_approx.pagerank_deg",
+    )
+    adj = managed_persist(edges.join(deg, "src"), "dedup_approx.pagerank_adj")
     ranks = deg.select(F.col("src").alias("doc_id"), F.lit(1.0).alias("rank"))
     for _ in range(PAGERANK_ITERS):
         contrib = (

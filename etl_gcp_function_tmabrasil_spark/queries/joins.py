@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from etl_gcp_function_tmabrasil_spark.catalog import load_table
-from etl_gcp_function_tmabrasil_spark.queries._util import cavg, csum, dsum
+from etl_gcp_function_tmabrasil_spark.queries._util import csum, dsum
 
 
 def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -322,20 +322,25 @@ def join_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "ts", "user_id", F.lit(None).cast("double").alias("p_value")
+        "event_id", "ts", "user_id", F.lit(None).cast("double").alias("p_value"),
+        F.col("event_id").alias("src_eid"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.lit(None).cast("long").alias("event_id"), "ts", "user_id",
         F.col("value").alias("p_value"),
+        F.col("event_id").alias("src_eid"),
     )
     # Purchases sort before clicks at identical (user_id, ts) so an exact-tie
     # purchase is visible to the click ("at-or-before"). is_click: purchase=0.
     unioned = clicks.unionByName(purchases).withColumn(
         "is_click", (F.col("event_id").isNotNull()).cast("int")
     )
+    # src_eid (always non-null, unique) totalizes the order: without it,
+    # two purchases by one user at the same microsecond tie and last()
+    # picks an arbitrary one — nondeterministic across runs and engines.
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "is_click")
+        .orderBy("ts", "is_click", "src_eid")
         .rowsBetween(W.unboundedPreceding, 0)
     )
     return (
@@ -352,17 +357,18 @@ def join_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ASOF_SQL = """
 WITH u AS (
-  SELECT event_id, ts, user_id, NULL::DOUBLE AS p_value, 1 AS is_click
+  SELECT event_id, ts, user_id, NULL::DOUBLE AS p_value, 1 AS is_click,
+         event_id AS src_eid
   FROM events WHERE event_type = 'click'
   UNION ALL
-  SELECT NULL::BIGINT, ts, user_id, value, 0
+  SELECT NULL::BIGINT, ts, user_id, value, 0, event_id
   FROM events WHERE event_type = 'purchase'
 )
 SELECT event_id, user_id,
   strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
   COALESCE(
     LAST_VALUE(p_value IGNORE NULLS) OVER (
-      PARTITION BY user_id ORDER BY ts, is_click
+      PARTITION BY user_id ORDER BY ts, is_click, src_eid
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
     -1.0) AS last_purchase_value
 FROM u
@@ -392,8 +398,7 @@ def join_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
-            .alias("sum_qty"),
+            dsum("l_quantity").alias("sum_qty"),
         )
         .orderBy("p_brand")
     )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from etl_gcp_function_tmabrasil_spark.catalog import load_table
-from etl_gcp_function_tmabrasil_spark.queries._util import cavg, csum, davg, day, dsum
+from etl_gcp_function_tmabrasil_spark.queries._util import cavg, csum, day
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

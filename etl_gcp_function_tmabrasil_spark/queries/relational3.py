@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from etl_gcp_function_tmabrasil_spark.catalog import load_table
-from etl_gcp_function_tmabrasil_spark.queries._util import dsum
+from etl_gcp_function_tmabrasil_spark.queries._util import davg, dsum
 
 def _rev():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -204,7 +204,14 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_partkey"), _rev().cast("decimal(18,6)").alias("val"))
     )
     per_part = base.groupBy("l_partkey").agg(F.sum("val").cast("double").alias("part_value"))
-    total = base.agg((F.sum("val") * F.lit(0.001)).cast("double").alias("threshold"))
+    # Threshold in DECIMAL, cast to double ONCE: sum*lit(0.001) would
+    # promote to double BEFORE multiplying by the non-representable
+    # 0.001 (two roundings), while the oracle multiplies exactly in
+    # decimal — a ~1-ulp threshold gap a part_value could land inside.
+    total = base.agg(
+        (F.sum("val").cast("decimal(28,6)") * F.lit("0.001").cast("decimal(4,3)"))
+        .cast("double").alias("threshold")
+    )
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("part_value") > F.col("threshold"))
@@ -224,7 +231,9 @@ WITH base AS (
 SELECT l_partkey, CAST(SUM(val) AS DOUBLE) AS part_value
 FROM base
 GROUP BY l_partkey
-HAVING CAST(SUM(val) AS DOUBLE) > (SELECT CAST(SUM(val) * 0.001 AS DOUBLE) FROM base)
+HAVING CAST(SUM(val) AS DOUBLE) >
+  (SELECT CAST(CAST(SUM(val) AS DECIMAL(28,6)) * 0.001::DECIMAL(4,3) AS DOUBLE)
+   FROM base)
 ORDER BY part_value DESC, l_partkey ASC
 """
 
@@ -306,9 +315,15 @@ ORDER BY s_suppkey
 
 def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct supplier counts per part attribute
-    triple, excluding suppliers from a null-aware NOT IN subquery
-    (→ left-anti join in Spark).
+    triple, excluding suppliers via a null-aware NOT IN subquery.
+
+    A bare left_anti is NOT `NOT IN` (it keeps null-keyed left rows and
+    ignores null build keys); operators/naaj.not_in implements the real
+    semantics while keeping the broadcast-hash anti join as the hot
+    path — see that module for the null edge cases it settles.
     """
+    from etl_gcp_function_tmabrasil_spark.operators.naaj import not_in
+
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#3")
         & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
@@ -317,7 +332,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_supp = load_table(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 500).select("s_suppkey")
     return (
-        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        not_in(li, "l_suppkey", bad_supp)
         .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -348,8 +363,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
     li = load_table(spark, sf_dir, "lineitem")
     per_part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        (F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
-         / F.count(F.lit(1))).alias("avg_qty"))
+        davg("l_quantity").alias("avg_qty"))
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(per_part_avg, li.l_partkey == per_part_avg.pk)
@@ -431,8 +445,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").select("o_custkey")
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        (F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
-         / F.count(F.lit(1))).alias("avg_bal"))
+        davg("c_acctbal").alias("avg_bal"))
     return (
         cust.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
@@ -534,7 +547,7 @@ def q20_promo_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy = (
         li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("qty"))
+        .agg(dsum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 100)
         .select("l_suppkey")
     )

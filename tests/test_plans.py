@@ -365,6 +365,11 @@ def test_pagerank_lazy_loop_reuses_cached_adjacency(spark, sf_dir):
     )
     from etl_gcp_function_tmabrasil_spark.plans.inspect import count_windows
 
+    # isolate from caches earlier tests left behind: CacheManager
+    # matches by logical plan, so a stale same-lineage entry (or a
+    # cached superset frame) changes the InMemoryTableScan count this
+    # test pins exactly
+    spark.catalog.clearCache()
     df = pagerank_dedup_graph(spark, sf_dir)
     try:
         assert count_windows(df) == 0, "PageRank loop grew a window sort"
@@ -374,3 +379,25 @@ def test_pagerank_lazy_loop_reuses_cached_adjacency(spark, sf_dir):
         )
     finally:
         spark.catalog.clearCache()
+
+
+def test_setop_count_queries_construct_lazily(spark, sf_dir):
+    # these two used to run eager .count() jobs at construction (3 jobs
+    # + a createDataFrame each); the registry contract is a LAZY frame —
+    # pin that constructing them schedules zero Spark jobs
+    from etl_gcp_function_tmabrasil_spark.queries.setops_dedup import (
+        distinct_count_full_rows,
+        setop_union_intersect_except,
+    )
+
+    def n_jobs() -> int:
+        return spark._jsc.sc().statusStore().jobsList(None).size()
+
+    # warm construction once: the FIRST parquet load may schedule a
+    # file-listing job, which is catalog overhead, not eager compute
+    setop_union_intersect_except(spark, sf_dir)
+    distinct_count_full_rows(spark, sf_dir)
+    before = n_jobs()
+    setop_union_intersect_except(spark, sf_dir)
+    distinct_count_full_rows(spark, sf_dir)
+    assert n_jobs() == before, "setop queries ran jobs at construction"
