@@ -14,7 +14,7 @@ string_agg(DISTINCT .. ORDER BY)) — never rely on arrival order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from etl_gcp_function_tmabrasil_spark.catalog import load_table
 
@@ -36,6 +36,10 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number + prefix offsets over the per-group band table. Same
     output, full parallelism across (group × band).
     """
+    from etl_gcp_function_tmabrasil_spark.operators.banded_rank import (
+        banded_global_rank,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     d = orders.select(
         "o_orderkey",
@@ -43,29 +47,19 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.floor(F.col("o_totalprice") / _CUME_BAND).cast("long").alias("band"),
     )
-    w_in = W.partitionBy("o_orderpriority", "band").orderBy(
-        "o_totalprice", "o_orderkey"
-    )
-    ranked = d.withColumn("rn_in", F.row_number().over(w_in))
-    sub = d.groupBy("o_orderpriority", "band").agg(F.count(F.lit(1)).alias("n_band"))
-    w_b = W.partitionBy("o_orderpriority").orderBy("band").rowsBetween(
-        W.unboundedPreceding, -1
-    )
-    offsets = sub.select(
-        "o_orderpriority",
+    ranked = banded_global_rank(
+        d,
         "band",
-        F.coalesce(F.sum("n_band").over(w_b), F.lit(0)).alias("offset"),
+        ["o_totalprice", "o_orderkey"],
+        group=["o_orderpriority"],
     )
-    totals = sub.groupBy("o_orderpriority").agg(F.sum("n_band").alias("n_total"))
-    r = F.col("offset") + F.col("rn_in") - 1
+    r = F.col("r") - 1  # 0-based group rank
     pr = F.when(
         F.col("n_total") > 1, r / (F.col("n_total") - 1)
     ).otherwise(F.lit(0.0))
     cd = (r + 1) / F.col("n_total")
     return (
-        ranked.join(F.broadcast(offsets), ["o_orderpriority", "band"])
-        .join(F.broadcast(totals), "o_orderpriority")
-        .select(
+        ranked.select(
             "o_orderkey",
             "o_orderpriority",
             F.round(pr, 6).alias("pr"),
@@ -122,10 +116,21 @@ def func_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.forall("toks", lambda t: F.length(t) > 0).alias("all_nonempty"),
         F.exists("toks", lambda t: t == "spark").alias("has_spark"),
+        # last-2 via a clamped positive start: slice(toks, -2, 2) returns
+        # [] for a 1-element array where DuckDB's toks[-2:] clamps and
+        # keeps the element — greatest(1, n-1) gives both engines the
+        # same "last min(2, n) tokens" semantics for every n
         F.concat_ws(
             " ",
             F.flatten(
-                F.array(F.slice("toks", 1, 2), F.slice(F.col("toks"), -2, 2))
+                F.array(
+                    F.slice("toks", 1, 2),
+                    F.slice(
+                        F.col("toks"),
+                        F.greatest(F.lit(1), F.size("toks") - 1),
+                        2,
+                    ),
+                )
             ),
         ).alias("edge_gram"),
         F.size(F.regexp_extract_all("text", F.lit("[a-z]*a[a-z]*"), 0)).alias(
@@ -134,12 +139,14 @@ def func_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# edge_gram COALESCEs to '' for NULL text: Spark's concat_ws never
+# returns NULL (it skips NULL inputs), DuckDB's array_to_string does.
 _ARRAY_PRED_SQL = """
 WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
 SELECT doc_id,
   len(list_filter(toks, t -> len(t) = 0)) = 0 AS all_nonempty,
   list_contains(toks, 'spark') AS has_spark,
-  array_to_string(flatten([toks[1:2], toks[-2:]]), ' ') AS edge_gram,
+  COALESCE(array_to_string(flatten([toks[1:2], toks[-2:]]), ' '), '') AS edge_gram,
   CAST(len(regexp_extract_all(text, '[a-z]*a[a-z]*')) AS INT) AS n_a_words
 FROM d ORDER BY doc_id
 """

@@ -79,14 +79,18 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical-token-set pair list an oracle computes without MinHash.
     """
     cand = minhash_candidate_pairs(spark, sf_dir)
-    tokset = lambda c: F.array_sort(F.array_distinct(F.col(c)))
+    # readability only: Catalyst pushes the filter back through this
+    # projection, so the optimized plan is identical to inlining the
+    # array_distinct expressions at both use sites
+    sets = cand.select(
+        "doc1",
+        "doc2",
+        F.array_sort(F.array_distinct("tokens1")).alias("set1"),
+        F.array_sort(F.array_distinct("tokens2")).alias("set2"),
+    )
     return (
-        cand.filter(tokset("tokens1") == tokset("tokens2"))
-        .select(
-            "doc1",
-            "doc2",
-            F.size(F.array_distinct("tokens1")).alias("n_tokens"),
-        )
+        sets.filter(F.col("set1") == F.col("set2"))
+        .select("doc1", "doc2", F.size("set1").alias("n_tokens"))
         .distinct()
     )
 

@@ -102,11 +102,12 @@ def multimodal_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = extract_features(media, dim=_EMBED_DIM).select(
         "media_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
+    planes = _knn_planes()  # hoisted: one 12×16 draw, not one per bit
     bands = []
     for b in range(_KNN_BANDS):
         val = None
         for j in range(_KNN_BAND_BITS):
-            p = _knn_planes()[b * _KNN_BAND_BITS + j]
+            p = planes[b * _KNN_BAND_BITS + j]
             lit = F.array(*[F.lit(v) for v in p])
             bit = F.when(F.round(_dot(F.col("e"), lit), 6) > 0, F.lit(2**j)).otherwise(
                 F.lit(0)

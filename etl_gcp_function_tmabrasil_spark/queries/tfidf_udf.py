@@ -7,7 +7,6 @@ UDF path itself is correctness-gated.
 from __future__ import annotations
 
 import math
-from collections.abc import Iterator
 
 import pandas as pd
 
@@ -184,7 +183,10 @@ def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos: bigint, token: string")
     class TokenizePositions:
         def eval(self, text: str):
-            if text:
+            # `is not None`, not truthiness: ''.split(' ') == [''] — an
+            # empty-string doc must emit one (1, '') row exactly like
+            # the oracle's string_split('', ' '); only NULL yields none
+            if text is not None:
                 for i, tok in enumerate(text.split(" "), start=1):
                     yield i, tok
 

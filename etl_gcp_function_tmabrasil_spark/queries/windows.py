@@ -228,37 +228,33 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Skewed balances pile into few bands in step 2; band width is the
     knob (value-range/width tasks) and AQE skew-split handles residue.
     """
+    from etl_gcp_function_tmabrasil_spark.operators.banded_rank import (
+        banded_global_rank,
+    )
+
     cust = load_table(spark, sf_dir, "customer")
     d = cust.select(
         "c_custkey",
         "c_acctbal",
         F.floor(-F.col("c_acctbal") / _NTILE_BAND_WIDTH).cast("long").alias("bkt"),
     )
-    w_in = W.partitionBy("bkt").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    ranked = d.withColumn("rn_in", F.row_number().over(w_in))
-    sub = d.groupBy("bkt").agg(F.count(F.lit(1)).alias("n_bkt"))
-    w_b = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
-    offsets = sub.select(
-        "bkt",
-        F.coalesce(F.sum("n_bkt").over(w_b), F.lit(0)).alias("bkt_offset"),
+    ranked = banded_global_rank(
+        d, "bkt", [F.desc("c_acctbal"), F.asc("c_custkey")]
     )
-    total = sub.agg(F.sum("n_bkt").alias("n_total"))
-    r = F.col("bkt_offset") + F.col("rn_in")
+    r = F.col("r")
     q = F.expr(f"n_total div {NTILE_N}")
     m = F.col("n_total") % NTILE_N
     big = (q + 1) * m  # rows covered by the m larger (q+1-row) tiles
     tile = F.when(
-        r <= big, F.expr(f"(bkt_offset + rn_in - 1) div ((n_total div {NTILE_N}) + 1)") + 1
+        r <= big, F.expr(f"(r - 1) div ((n_total div {NTILE_N}) + 1)") + 1
     ).otherwise(
         m + F.expr(
-            f"(bkt_offset + rn_in - 1 - ((n_total div {NTILE_N}) + 1)"
+            f"(r - 1 - ((n_total div {NTILE_N}) + 1)"
             f" * (n_total % {NTILE_N})) div (n_total div {NTILE_N})"
         ) + 1
     )
     return (
-        ranked.join(F.broadcast(offsets), "bkt")
-        .join(F.broadcast(total))
-        .select("c_custkey", "c_acctbal", tile.cast("int").alias("quartile"))
+        ranked.select("c_custkey", "c_acctbal", tile.cast("int").alias("quartile"))
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n"),
