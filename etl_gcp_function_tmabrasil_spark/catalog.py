@@ -61,6 +61,21 @@ FILE_EVENTS_SCHEMA = T.StructType(
     ]
 )
 
+#: Wire-format twin of FILE_EVENTS_SCHEMA: GCS delivers `size` as a
+#: DECIMAL STRING ("123"), and Spark's JSON parser does NOT coerce a
+#: quoted number into a LongType field (it nulls it). Every JSON parse
+#: path must read the wire schema and try_cast size to long
+#: (sources/file_events.normalized_events) to land on the normalized
+#: model above.
+FILE_EVENTS_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.StringType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("size", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")

@@ -33,12 +33,27 @@ from etl_gcp_function_tmabrasil_spark.catalog import load_table
 MIN_CHARS = 50
 MAX_REPETITION = 0.8
 
+#: Whitespace class pinned EXPLICITLY in both engines: Java's \s matches
+#: U+000B (vertical tab) but DuckDB's RE2 \s does not, so a \x0B in a
+#: document would normalize (and fingerprint, and dedup) differently
+#: between the pipeline and its oracle. Same literal string both sides.
+_WS_CLASS = r"[ \t\n\r\f\x0B]+"
+
 
 def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stages 1-3: the surviving documents (doc_id, lang, source,
-    norm_text, n_chars), one keeper per duplicate group."""
+    norm_text, n_chars), one keeper per duplicate group.
+
+    Single-scan dedup: group size and keeper selection come from a
+    window over the fingerprint partition — one shuffle on fp, one pass
+    over documents. (An earlier groupBy + join-back formulation ran the
+    scan + normalization regex + quality gates TWICE, once per join
+    side.)
+    """
+    from pyspark.sql import Window as W
+
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.trim("text"), r"\s+", " ")
+    norm = F.regexp_replace(F.trim("text"), _WS_CLASS, " ")
     toks = F.split("norm_text", " ")
     rep_ratio = 1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
     staged = (
@@ -46,18 +61,13 @@ def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_chars") >= MIN_CHARS)
         .filter(rep_ratio <= MAX_REPETITION)
     )
-    # keep the min doc_id per exact-duplicate group, count the collapsed
-    dup_key = F.md5("norm_text")
-    keepers = (
-        staged.groupBy(dup_key.alias("fp"))
-        .agg(
-            F.min("doc_id").alias("doc_id"),
-            F.count(F.lit(1)).alias("group_size"),
-        )
-    )
+    w = W.partitionBy("fp")
     return (
-        staged.join(keepers, staged.doc_id == keepers.doc_id)
-        .select(staged.doc_id, "lang", "source", "norm_text", "n_chars", "group_size")
+        staged.withColumn("fp", F.md5("norm_text"))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("keeper", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "lang", "source", "norm_text", "n_chars", "group_size")
     )
 
 
@@ -78,12 +88,12 @@ def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REPORT_SQL = f"""
 WITH staged AS (
   SELECT doc_id, lang, source,
-    regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm_text, n_chars
+    regexp_replace(trim(text), '{_WS_CLASS}', ' ', 'g') AS norm_text, n_chars
   FROM documents
   WHERE n_chars >= {MIN_CHARS}
     AND 1.0 - CAST(len(list_distinct(string_split(
-          regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))) AS DOUBLE)
-        / len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))
+          regexp_replace(trim(text), '{_WS_CLASS}', ' ', 'g'), ' '))) AS DOUBLE)
+        / len(string_split(regexp_replace(trim(text), '{_WS_CLASS}', ' ', 'g'), ' '))
         <= {MAX_REPETITION}
 ),
 keepers AS (

@@ -22,6 +22,13 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from etl_gcp_function_tmabrasil_spark.catalog import load_table  # noqa: F401  (re-export)
 
+#: Whitespace-run regex pinned EXPLICITLY for cross-engine parity:
+#: Java's \s matches U+000B (vertical tab) but DuckDB's RE2 \s does
+#: not, so any \s-based normalization would fingerprint a \x0B-bearing
+#: document differently in the two engines. Use this literal in BOTH
+#: the Spark expression and the oracle SQL.
+WS_CLASS = r"[ \t\n\r\f\x0B]+"
+
 #: One cached-generation handle per persist call site (see managed_persist).
 _MANAGED_CACHE: dict[str, DataFrame] = {}
 

@@ -29,6 +29,7 @@ from etl_gcp_function_tmabrasil_spark.catalog import load_table
 from etl_gcp_function_tmabrasil_spark.queries._util import (
     SPARK_HASH60,
     SQL_HASH60,
+    WS_CLASS,
     managed_persist,
 )
 
@@ -42,7 +43,7 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate groups by md5 fingerprint of normalized text:
     keeper (min doc_id) + duplicate count per group with >1 member."""
     docs = load_table(spark, sf_dir, "documents")
-    fp = F.md5(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    fp = F.md5(F.regexp_replace(F.trim("text"), WS_CLASS, " "))
     return (
         docs.select(fp.alias("fingerprint"), "doc_id")
         .groupBy("fingerprint")
@@ -51,8 +52,8 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EXACT_SQL = """
-SELECT md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fingerprint,
+_EXACT_SQL = f"""
+SELECT md5(regexp_replace(trim(text), '{WS_CLASS}', ' ', 'g')) AS fingerprint,
   MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
 FROM documents
 GROUP BY fingerprint

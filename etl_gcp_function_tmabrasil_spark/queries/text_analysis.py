@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from etl_gcp_function_tmabrasil_spark.catalog import load_table
-from etl_gcp_function_tmabrasil_spark.queries._util import davg, dsum
+from etl_gcp_function_tmabrasil_spark.queries._util import WS_CLASS, davg, dsum
 
 #: Tiny per-language stopword lists for the n-gram/stopword language-ID
 #: heuristic. Deliberately small so the CASE-expression oracle twin stays
@@ -334,7 +334,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 60-bit integer fingerprint (hex prefix) — engine-reproducible, the
     key for exact dedup at corpus scale."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.trim("text"), r"\s+", " ")
+    norm = F.regexp_replace(F.trim("text"), WS_CLASS, " ")
     fp = F.md5(norm)
     return docs.select(
         "doc_id",
@@ -343,10 +343,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FINGERPRINT_SQL = """
+_FINGERPRINT_SQL = f"""
 SELECT doc_id,
-  md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fingerprint,
-  ('0x' || substr(md5(regexp_replace(trim(text), '\\s+', ' ', 'g')), 1, 15))::BIGINT
+  md5(regexp_replace(trim(text), '{WS_CLASS}', ' ', 'g')) AS fingerprint,
+  ('0x' || substr(md5(regexp_replace(trim(text), '{WS_CLASS}', ' ', 'g')), 1, 15))::BIGINT
     AS fingerprint60
 FROM documents ORDER BY doc_id
 """

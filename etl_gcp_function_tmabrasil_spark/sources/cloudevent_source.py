@@ -97,7 +97,12 @@ class CloudEventReader(DataSourceReader):
         if os.path.isfile(self._path):
             return [self._path]
         out = []
-        for root, _dirs, names in os.walk(self._path):
+        for root, dirs, names in os.walk(self._path):
+            # prune hidden/metadata DIRECTORIES too (mutating dirs
+            # in-place stops the walk): without this, files under
+            # _spark_metadata/ or _checkpoint/ — whose basenames like
+            # '0', '1' pass the file check — are parsed as events
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
             for n in sorted(names):
                 if n.startswith((".", "_")):
                     continue  # spark convention: hidden/metadata files

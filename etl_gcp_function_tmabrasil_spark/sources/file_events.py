@@ -16,10 +16,26 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from etl_gcp_function_tmabrasil_spark.catalog import FILE_EVENTS_SCHEMA
+from etl_gcp_function_tmabrasil_spark.catalog import FILE_EVENTS_WIRE_SCHEMA
 
 ACCEPT_PREFIX = "minha-pasta/"
 ACCEPT_SUFFIX = ".xlsx"
+
+
+def normalized_events(parsed: DataFrame, struct_col: str = "d") -> DataFrame:
+    """Project a wire-schema event struct onto the normalized model.
+
+    GCS delivers `size` as a decimal STRING; try_cast lands it as long
+    (NULL for absent/garbage values — the ``data.get`` defensiveness),
+    because declaring LongType in the JSON schema would silently null
+    every quoted number instead.
+    """
+    return parsed.select(
+        F.col(f"{struct_col}.bucket").alias("bucket"),
+        F.col(f"{struct_col}.name").alias("name"),
+        F.col(f"{struct_col}.size").try_cast("long").alias("size"),
+        F.col(f"{struct_col}.ts").alias("ts"),
+    )
 
 
 def parse_cloud_events_json(spark: SparkSession, df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -29,13 +45,10 @@ def parse_cloud_events_json(spark: SparkSession, df: DataFrame, payload_col: str
     fields for absent keys — the columnar twin of ``data.get(...)`` with
     ``event.data or {}`` (every field nullable, never a crash).
     """
-    parsed = df.withColumn("d", F.from_json(F.col(payload_col), FILE_EVENTS_SCHEMA))
-    return parsed.select(
-        F.col("d.bucket").alias("bucket"),
-        F.col("d.name").alias("name"),
-        F.col("d.size").alias("size"),
-        F.col("d.ts").alias("ts"),
+    parsed = df.withColumn(
+        "d", F.from_json(F.col(payload_col), FILE_EVENTS_WIRE_SCHEMA)
     )
+    return normalized_events(parsed)
 
 
 def accept_filter(df: DataFrame) -> DataFrame:

@@ -91,6 +91,15 @@ def parse_xlsx_bytes(content: bytes) -> pd.DataFrame:
     header_cells = rows[0]
     ncols = max(header_cells) + 1
     header = [header_cells.get(i, f"col{i}") for i in range(ncols)]
+    # fail loudly on data cells beyond the header's width: silently
+    # truncating a ragged row to ncols would LOSE values (the module
+    # contract is "fails loudly beyond the supported subset")
+    for idx, r in enumerate(rows[1:], start=2):
+        if r and max(r) >= ncols:
+            raise ValueError(
+                f"xlsx: data cell in row {idx} at column {max(r) + 1} "
+                f"beyond the {ncols}-column header"
+            )
     data = [[r.get(i) for i in range(ncols)] for r in rows[1:]]
     return pd.DataFrame(data, columns=header, dtype=object)
 
@@ -175,10 +184,29 @@ def read_xlsx(
     `schema_ddl` (e.g. ``"event_id long, value double"``) to cast typed
     columns engine-side (Catalyst casts, not pandas).
     """
+    # Size guard BEFORE any bytes move: a filter on `length` pushes down
+    # into the binaryFile scan, so oversized workbooks are pruned before
+    # their content is materialized or Arrow-shipped to Python (a
+    # worker-side check would only fire AFTER the executor had already
+    # paid the full-content read — no protection against OOM). The
+    # metadata-only pre-scan keeps the loud failure: it reads paths and
+    # lengths, never content (binaryFile prunes unselected columns).
+    meta = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", path_glob)
+        .load(path)
+        .select("path", "length")
+    )
+    over = meta.filter(F.col("length") > max_file_bytes).limit(1).collect()
+    if over:
+        raise ValueError(
+            f"xlsx too large: {over[0]['path']} ({over[0]['length']} bytes)"
+        )
     binary = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", path_glob)
         .load(path)
+        .filter(F.col("length") <= max_file_bytes)
         .select("path", "length", "content")
     )
     out_fields = ", ".join(f"`{c}` string" for c in columns)
@@ -187,13 +215,19 @@ def read_xlsx(
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for _, r in pdf.iterrows():
-                if r["length"] > max_file_bytes:
-                    raise ValueError(
-                        f"xlsx too large: {r['path']} ({r['length']} bytes)"
-                    )
                 parsed = parse_xlsx_bytes(r["content"])
+                # explicit per-column Series: a dict of all-scalar Nones
+                # (empty workbook, or a header sharing no names with
+                # `columns`) would make the DataFrame constructor raise
+                # instead of yielding the intended null columns
+                n = len(parsed)
                 out = pd.DataFrame(
-                    {c: parsed[c].astype(object) if c in parsed else None for c in columns}
+                    {
+                        c: parsed[c].astype(object)
+                        if c in parsed
+                        else pd.Series([None] * n, dtype=object)
+                        for c in columns
+                    }
                 )
                 out.insert(0, "_source_file", r["path"])
                 yield out

@@ -22,11 +22,12 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from etl_gcp_function_tmabrasil_spark.catalog import FILE_EVENTS_SCHEMA
+from etl_gcp_function_tmabrasil_spark.catalog import FILE_EVENTS_WIRE_SCHEMA
 from etl_gcp_function_tmabrasil_spark.sources.file_events import (
+    ACCEPT_PREFIX,
     accept_filter,
     reject_filter,
     with_log_line,
@@ -45,10 +46,15 @@ def file_event_stream(
     infer); `maxFilesPerTrigger` is the reference's parallelism cap
     (``main.tf:53``) expressed as micro-batch admission control.
     """
-    reader = spark.readStream.schema(FILE_EVENTS_SCHEMA)
+    reader = spark.readStream.schema(FILE_EVENTS_WIRE_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.json(landing_dir)
+    raw = reader.json(landing_dir)
+    # wire → normalized model: size arrives as a decimal string from
+    # GCS; a LongType field in the read schema would silently null it
+    return raw.select(
+        "bucket", "name", F.col("size").try_cast("long").alias("size"), "ts"
+    )
 
 
 def run_landing_pipeline(
@@ -69,14 +75,22 @@ def run_landing_pipeline(
     stream = file_event_stream(spark, landing_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        accepted = with_log_line(accept_filter(batch_df))
-        rejected = with_reject_log_line(reject_filter(batch_df))
-        accepted.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "accepted", f"batch={batch_id}")
-        )
-        rejected.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "rejected", f"batch={batch_id}")
-        )
+        # two sinks = two actions over the same micro-batch; without the
+        # persist each write re-reads and re-parses every landing file
+        # admitted to the batch (the foreachBatch double-scan the
+        # Structured Streaming guide warns about)
+        batch_df.persist()
+        try:
+            accepted = with_log_line(accept_filter(batch_df))
+            rejected = with_reject_log_line(reject_filter(batch_df))
+            accepted.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "accepted", f"batch={batch_id}")
+            )
+            rejected.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "rejected", f"batch={batch_id}")
+            )
+        finally:
+            batch_df.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(sink)
@@ -165,10 +179,51 @@ def run_xlsx_etl_pipeline(
                 "file events; lower max_files_per_trigger or raise "
                 "MAX_BATCH_FILES"
             )
+        # within-batch dedup: Eventarc is at-least-once, so one micro-
+        # batch can carry the same object-finalize event twice — a bare
+        # list would scan and append the workbook once per copy
+        names = sorted({r.name for r in accepted})
+        # containment check: the accept predicate validates prefix and
+        # suffix but not '..' segments; on GCS those are literal key
+        # characters, on a filesystem they'd walk out of data_root and
+        # ingest an arbitrary readable .xlsx
+        root = os.path.realpath(data_root)
+        paths = []
+        for n in names:
+            p = os.path.realpath(os.path.join(data_root, n))
+            if not p.startswith(root + os.sep):
+                raise ValueError(
+                    f"file event name escapes data_root: {n!r}"
+                )
+            paths.append(p)
+        # cross-batch / retry idempotency: skip objects whose rows are
+        # already in the sink (redelivered in a later batch, or a batch
+        # retried after a partial append). Accepted names all start
+        # with the accept prefix, so extracting the prefixed suffix of
+        # _source_file recovers the event name unambiguously under one
+        # data_root; the isin filter runs sink-side, so the collect is
+        # bounded by THIS batch's name count, not total ingest history.
+        import re as _re
+
+        name_expr = F.regexp_extract(
+            "_source_file", f"({_re.escape(ACCEPT_PREFIX)}.*)$", 1
+        )
+        try:
+            done_names = {
+                r["n"]
+                for r in sink.read(spark, table)
+                .select(name_expr.alias("n"))
+                .filter(F.col("n").isin(names))
+                .distinct()
+                .collect()
+            }
+        except Exception:  # first batch: sink table does not exist yet
+            done_names = set()
+        paths = [p for p, n in zip(paths, names) if n not in done_names]
+        if not paths:
+            return
         # per-batch file list → one binaryFile scan over exactly those
         # objects (names are validated by the accept predicate)
-        names = [r.name for r in accepted]
-        paths = [os.path.join(data_root, n) for n in names]
         parsed = read_xlsx(spark, paths, columns, schema_ddl=schema_ddl)
         sink.write(parsed, table, mode="append")
 

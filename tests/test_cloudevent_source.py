@@ -107,3 +107,27 @@ def test_glob_filter_limits_files(spark, feed_dir):
     )
     assert df.rdd.getNumPartitions() == 1
     assert df.count() == 3
+
+
+def test_hidden_and_metadata_dirs_pruned(spark, tmp_path):
+    # files under _spark_metadata/ or .hidden/ (basenames like '0' pass
+    # the file-level check) must not be parsed as events
+    import json
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    with open(feed / "ok.jsonl", "w") as f:
+        f.write(json.dumps({"bucket": "b", "name": "minha-pasta/x.xlsx", "size": 1}) + "\n")
+    meta = feed / "_spark_metadata"
+    meta.mkdir()
+    (meta / "0").write_text("not json at all")
+    hidden = feed / ".hidden"
+    hidden.mkdir()
+    (hidden / "1").write_text("{}")
+
+    df = (
+        spark.read.format("cloudevent_jsonl")
+        .load(str(feed))
+    )
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].name == "minha-pasta/x.xlsx"

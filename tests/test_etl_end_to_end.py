@@ -126,3 +126,65 @@ def test_curation_observation_metrics_match_aggregates(spark):
     assert m["kept_docs"] == len(rows)
     assert m["kept_chars"] == sum(r.n_chars for r in rows)
     assert m["max_group"] == max(r.group_size for r in rows)
+
+
+def test_xlsx_etl_redelivery_is_idempotent(spark, tmp_path):
+    # Eventarc is at-least-once: the same object-finalize event lands
+    # twice within one batch AND again in a later run — the workbook's
+    # rows must appear in the sink exactly once
+    bucket = tmp_path / "bucket"
+    (bucket / "minha-pasta").mkdir(parents=True)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    write_minimal_xlsx(
+        str(bucket / "minha-pasta" / "a.xlsx"),
+        COLS,
+        [[1, 10, "click", 1.5], [2, 20, "view", 2.5]],
+    )
+    dup = {"bucket": "bucket", "name": "minha-pasta/a.xlsx", "size": 1,
+           "ts": "2024-01-01T00:00:00Z"}
+    with open(landing / "ev.json", "w") as f:
+        f.write(json.dumps(dup) + "\n")
+        f.write(json.dumps(dup) + "\n")  # duplicate within the batch
+
+    sink = BigQuerySink(warehouse_dir=str(tmp_path / "warehouse"))
+    run_xlsx_etl_pipeline(
+        spark, str(landing), str(bucket), sink, "analytics.redelivered", COLS, DDL
+    ).awaitTermination(120)
+    # redelivery in a later micro-batch (new landing file, same event)
+    with open(landing / "ev2.json", "w") as f:
+        f.write(json.dumps(dup) + "\n")
+    run_xlsx_etl_pipeline(
+        spark, str(landing), str(bucket), sink, "analytics.redelivered", COLS, DDL
+    ).awaitTermination(120)
+
+    rows = sink.read(spark, "analytics.redelivered").collect()
+    assert sorted(r.event_id for r in rows) == [1, 2], (
+        f"redelivered workbook ingested more than once: {len(rows)} rows"
+    )
+
+
+def test_xlsx_etl_rejects_path_traversal(spark, tmp_path):
+    # a crafted name that passes the prefix/suffix accept predicate but
+    # walks out of data_root must fail loudly, not read foreign files
+    bucket = tmp_path / "bucket"
+    (bucket / "minha-pasta").mkdir(parents=True)
+    outside = tmp_path / "outside"
+    outside.mkdir()
+    write_minimal_xlsx(str(outside / "secret.xlsx"), COLS, [[7, 7, "x", 7.0]])
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    evil = {"bucket": "bucket", "name": "minha-pasta/../../outside/secret.xlsx",
+            "size": 1, "ts": "2024-01-01T00:00:00Z"}
+    with open(landing / "ev.json", "w") as f:
+        f.write(json.dumps(evil) + "\n")
+
+    sink = BigQuerySink(warehouse_dir=str(tmp_path / "warehouse"))
+    q = run_xlsx_etl_pipeline(
+        spark, str(landing), str(bucket), sink, "analytics.traversal", COLS, DDL
+    )
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="escapes data_root"):
+        q.awaitTermination(120)

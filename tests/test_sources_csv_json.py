@@ -110,3 +110,30 @@ def test_csv_malformed_rows_dropped(spark, tmp_path):
         .csv(str(p))
     )
     assert [r.event_id for r in back.orderBy("event_id").collect()] == [1, 2]
+
+
+def test_gcs_string_size_coerces_to_long(spark):
+    # GCS object-finalize payloads carry size as a DECIMAL STRING; the
+    # wire schema + try_cast must land it as a long, and garbage must
+    # degrade to NULL (data.get defensiveness), never crash
+    import json
+
+    from etl_gcp_function_tmabrasil_spark.sources.file_events import (
+        parse_cloud_events_json,
+    )
+
+    payloads = [
+        json.dumps({"bucket": "b", "name": "minha-pasta/a.xlsx", "size": "123"}),
+        json.dumps({"bucket": "b", "name": "minha-pasta/b.xlsx", "size": 456}),
+        json.dumps({"bucket": "b", "name": "minha-pasta/c.xlsx", "size": "12x"}),
+        json.dumps({"bucket": "b", "name": "minha-pasta/d.xlsx"}),
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], "payload string")
+    out = {r.name: r.size for r in parse_cloud_events_json(spark, df).collect()}
+    assert out == {
+        "minha-pasta/a.xlsx": 123,
+        "minha-pasta/b.xlsx": 456,
+        "minha-pasta/c.xlsx": None,
+        "minha-pasta/d.xlsx": None,
+    }
+    assert dict(parse_cloud_events_json(spark, df).dtypes)["size"] == "bigint"

@@ -83,3 +83,67 @@ def test_corrupt_workbook_fails_loudly(spark, tmp_path):
     bad.write_bytes(b"this is not a zip")
     with pytest.raises(Exception):
         read_xlsx(spark, str(tmp_path), COLS).collect()
+
+
+def test_empty_and_header_mismatch_yield_null_columns(spark, tmp_path):
+    # header-only workbook -> zero rows; workbook whose header shares no
+    # names with the requested columns -> n rows of NULLs (neither may
+    # crash the mapInPandas task)
+    from etl_gcp_function_tmabrasil_spark.sources.xlsx import (
+        read_xlsx,
+        write_minimal_xlsx,
+    )
+
+    write_minimal_xlsx(str(tmp_path / "header_only.xlsx"), ["a", "b"], [])
+    write_minimal_xlsx(
+        str(tmp_path / "other_header.xlsx"), ["x", "y"], [[1, 2], [3, 4]]
+    )
+    out = read_xlsx(spark, str(tmp_path), ["a", "b"]).collect()
+    by_file = {}
+    for r in out:
+        by_file.setdefault(r._source_file.rsplit("/", 1)[-1], []).append(r)
+    assert "header_only.xlsx" not in by_file  # zero data rows
+    rows = by_file["other_header.xlsx"]
+    assert len(rows) == 2 and all(r.a is None and r.b is None for r in rows)
+
+
+def test_ragged_row_beyond_header_fails_loudly(tmp_path):
+    # a data cell to the right of the header's last column would be
+    # silently dropped by a truncating read — the contract is to raise
+    import zipfile
+
+    from etl_gcp_function_tmabrasil_spark.sources.xlsx import (
+        parse_xlsx_bytes,
+        write_minimal_xlsx,
+    )
+
+    p = str(tmp_path / "ragged.xlsx")
+    write_minimal_xlsx(p, ["a"], [[1]])
+    # widen the data row past the 1-column header by editing the sheet
+    with zipfile.ZipFile(p) as zf:
+        names = {n: zf.read(n) for n in zf.namelist()}
+    sheet = names["xl/worksheets/sheet1.xml"].decode()
+    sheet = sheet.replace(
+        '<c r="A2"', '<c r="E2" t="inlineStr"><is><t>lost</t></is></c><c r="A2"', 1
+    )
+    names["xl/worksheets/sheet1.xml"] = sheet.encode()
+    with zipfile.ZipFile(p, "w") as zf:
+        for n, data in names.items():
+            zf.writestr(n, data)
+    import pytest
+
+    with pytest.raises(ValueError, match="beyond the 1-column header"):
+        parse_xlsx_bytes(open(p, "rb").read())
+
+
+def test_oversized_workbook_fails_before_content_read(spark, tmp_path):
+    from etl_gcp_function_tmabrasil_spark.sources.xlsx import (
+        read_xlsx,
+        write_minimal_xlsx,
+    )
+
+    write_minimal_xlsx(str(tmp_path / "big.xlsx"), ["a"], [[1], [2]])
+    import pytest
+
+    with pytest.raises(ValueError, match="xlsx too large"):
+        read_xlsx(spark, str(tmp_path), ["a"], max_file_bytes=10)
