@@ -33,11 +33,10 @@ from etl_gcp_function_tmabrasil_spark.catalog import load_table
 MIN_CHARS = 50
 MAX_REPETITION = 0.8
 
-#: Whitespace class pinned EXPLICITLY in both engines: Java's \s matches
-#: U+000B (vertical tab) but DuckDB's RE2 \s does not, so a \x0B in a
-#: document would normalize (and fingerprint, and dedup) differently
-#: between the pipeline and its oracle. Same literal string both sides.
-_WS_CLASS = r"[ \t\n\r\f\x0B]+"
+# the ONE whitespace class shared by every fingerprint path (queries
+# and pipeline) — a second copy here would let the curation pipeline's
+# fingerprints drift from the query layer's for the same documents
+from etl_gcp_function_tmabrasil_spark.queries._util import WS_CLASS as _WS_CLASS
 
 
 def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,19 +22,22 @@ ACCEPT_PREFIX = "minha-pasta/"
 ACCEPT_SUFFIX = ".xlsx"
 
 
-def normalized_events(parsed: DataFrame, struct_col: str = "d") -> DataFrame:
-    """Project a wire-schema event struct onto the normalized model.
+def normalized_events(parsed: DataFrame, struct_col: str | None = "d") -> DataFrame:
+    """Project wire-schema event fields onto the normalized model.
 
     GCS delivers `size` as a decimal STRING; try_cast lands it as long
     (NULL for absent/garbage values — the ``data.get`` defensiveness),
     because declaring LongType in the JSON schema would silently null
-    every quoted number instead.
+    every quoted number instead. ``struct_col=None`` normalizes a flat
+    wire-schema frame (the streaming JSON reader) instead of a parsed
+    struct column.
     """
+    p = f"{struct_col}." if struct_col else ""
     return parsed.select(
-        F.col(f"{struct_col}.bucket").alias("bucket"),
-        F.col(f"{struct_col}.name").alias("name"),
-        F.col(f"{struct_col}.size").try_cast("long").alias("size"),
-        F.col(f"{struct_col}.ts").alias("ts"),
+        F.col(f"{p}bucket").alias("bucket"),
+        F.col(f"{p}name").alias("name"),
+        F.col(f"{p}size").try_cast("long").alias("size"),
+        F.col(f"{p}ts").alias("ts"),
     )
 
 

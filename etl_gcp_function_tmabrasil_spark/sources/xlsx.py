@@ -91,13 +91,18 @@ def parse_xlsx_bytes(content: bytes) -> pd.DataFrame:
     header_cells = rows[0]
     ncols = max(header_cells) + 1
     header = [header_cells.get(i, f"col{i}") for i in range(ncols)]
-    # fail loudly on data cells beyond the header's width: silently
-    # truncating a ragged row to ncols would LOSE values (the module
-    # contract is "fails loudly beyond the supported subset")
+    # fail loudly on VALUED data cells beyond the header's width:
+    # silently truncating a ragged row to ncols would LOSE values (the
+    # module contract is "fails loudly beyond the supported subset").
+    # Value-LESS cells out there are fine — Excel routinely emits
+    # styled-but-empty trailing cells (<c r="E2" s="1"/>), and dropping
+    # an empty string loses nothing; raising on those would poison-pill
+    # ordinary workbooks.
     for idx, r in enumerate(rows[1:], start=2):
-        if r and max(r) >= ncols:
+        wide = [i for i, v in r.items() if i >= ncols and v not in ("", None)]
+        if wide:
             raise ValueError(
-                f"xlsx: data cell in row {idx} at column {max(r) + 1} "
+                f"xlsx: data cell in row {idx} at column {max(wide) + 1} "
                 f"beyond the {ncols}-column header"
             )
     data = [[r.get(i) for i in range(ncols)] for r in rows[1:]]
@@ -184,37 +189,46 @@ def read_xlsx(
     `schema_ddl` (e.g. ``"event_id long, value double"``) to cast typed
     columns engine-side (Catalyst casts, not pandas).
     """
-    # Size guard BEFORE any bytes move: a filter on `length` pushes down
-    # into the binaryFile scan, so oversized workbooks are pruned before
-    # their content is materialized or Arrow-shipped to Python (a
-    # worker-side check would only fire AFTER the executor had already
-    # paid the full-content read — no protection against OOM). The
-    # metadata-only pre-scan keeps the loud failure: it reads paths and
-    # lengths, never content (binaryFile prunes unselected columns).
+    # Size guard BEFORE any bytes move: a metadata-only pre-scan (paths
+    # and lengths — binaryFile prunes the unselected content column)
+    # raises loudly on any oversized workbook, so no oversize file's
+    # content is ever materialized or Arrow-shipped to Python in the
+    # common path (a worker-side-only check would fire AFTER the
+    # executor paid the full-content read — no OOM protection). The
+    # content scan then loads exactly the validated file list — ONE
+    # glob listing, and no silent `length <=` filter that would drop a
+    # file grown between listing and read; that race instead hits the
+    # worker-side backstop below, which fails loudly.
     meta = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", path_glob)
         .load(path)
         .select("path", "length")
+        .collect()
     )
-    over = meta.filter(F.col("length") > max_file_bytes).limit(1).collect()
+    over = [r for r in meta if r["length"] > max_file_bytes]
     if over:
         raise ValueError(
             f"xlsx too large: {over[0]['path']} ({over[0]['length']} bytes)"
         )
-    binary = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", path_glob)
-        .load(path)
-        .filter(F.col("length") <= max_file_bytes)
-        .select("path", "length", "content")
-    )
     out_fields = ", ".join(f"`{c}` string" for c in columns)
     out_schema = f"_source_file string, {out_fields}"
+    if not meta:  # nothing matched the glob: empty frame, right schema
+        df = spark.createDataFrame([], out_schema)
+        return _apply_schema_ddl(df, schema_ddl)
+    binary = (
+        spark.read.format("binaryFile")
+        .load([r["path"] for r in meta])
+        .select("path", "length", "content")
+    )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for _, r in pdf.iterrows():
+                if r["length"] > max_file_bytes:  # grown since the pre-scan
+                    raise ValueError(
+                        f"xlsx too large: {r['path']} ({r['length']} bytes)"
+                    )
                 parsed = parse_xlsx_bytes(r["content"])
                 # explicit per-column Series: a dict of all-scalar Nones
                 # (empty workbook, or a header sharing no names with
@@ -232,14 +246,17 @@ def read_xlsx(
                 out.insert(0, "_source_file", r["path"])
                 yield out
 
-    df = binary.mapInPandas(parse, schema=out_schema)
-    if schema_ddl:
-        casts = [
-            F.col(name).cast(dtype).alias(name)
-            for name, dtype in (
-                (f.strip().rsplit(" ", 1)[0], f.strip().rsplit(" ", 1)[1])
-                for f in schema_ddl.split(",")
-            )
-        ]
-        df = df.select("_source_file", *casts)
-    return df
+    return _apply_schema_ddl(binary.mapInPandas(parse, schema=out_schema), schema_ddl)
+
+
+def _apply_schema_ddl(df: DataFrame, schema_ddl: str | None) -> DataFrame:
+    if not schema_ddl:
+        return df
+    casts = [
+        F.col(name).cast(dtype).alias(name)
+        for name, dtype in (
+            (f.strip().rsplit(" ", 1)[0], f.strip().rsplit(" ", 1)[1])
+            for f in schema_ddl.split(",")
+        )
+    ]
+    return df.select("_source_file", *casts)

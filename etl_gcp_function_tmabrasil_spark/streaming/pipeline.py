@@ -22,13 +22,14 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from etl_gcp_function_tmabrasil_spark.catalog import FILE_EVENTS_WIRE_SCHEMA
 from etl_gcp_function_tmabrasil_spark.sources.file_events import (
-    ACCEPT_PREFIX,
     accept_filter,
+    normalized_events,
     reject_filter,
     with_log_line,
     with_reject_log_line,
@@ -49,12 +50,9 @@ def file_event_stream(
     reader = spark.readStream.schema(FILE_EVENTS_WIRE_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.json(landing_dir)
-    # wire → normalized model: size arrives as a decimal string from
-    # GCS; a LongType field in the read schema would silently null it
-    return raw.select(
-        "bucket", "name", F.col("size").try_cast("long").alias("size"), "ts"
-    )
+    # wire → normalized model (shared rule: size arrives as a decimal
+    # string from GCS; a LongType read schema would silently null it)
+    return normalized_events(reader.json(landing_dir), struct_col=None)
 
 
 def run_landing_pipeline(
@@ -169,7 +167,10 @@ def run_xlsx_etl_pipeline(
 
     def etl(batch_df: DataFrame, batch_id: int) -> None:
         accepted = (
-            accept_filter(batch_df).select("name").limit(MAX_BATCH_FILES + 1).collect()
+            accept_filter(batch_df)
+            .select("name", "ts")
+            .limit(MAX_BATCH_FILES + 1)
+            .collect()
         )
         if not accepted:
             return
@@ -179,53 +180,69 @@ def run_xlsx_etl_pipeline(
                 "file events; lower max_files_per_trigger or raise "
                 "MAX_BATCH_FILES"
             )
-        # within-batch dedup: Eventarc is at-least-once, so one micro-
-        # batch can carry the same object-finalize event twice — a bare
-        # list would scan and append the workbook once per copy
-        names = sorted({r.name for r in accepted})
-        # containment check: the accept predicate validates prefix and
-        # suffix but not '..' segments; on GCS those are literal key
-        # characters, on a filesystem they'd walk out of data_root and
-        # ingest an arbitrary readable .xlsx
+        # Containment + canonicalization: the accept predicate validates
+        # prefix and suffix but not '..' segments — on GCS those are
+        # literal key characters, on a filesystem they'd walk out of
+        # data_root and ingest an arbitrary readable .xlsx. Keying
+        # everything downstream on the RESOLVED path also collapses
+        # alias spellings ('minha-pasta/a.xlsx' vs
+        # 'minha-pasta/b/../a.xlsx') that a raw-name key would ingest
+        # twice.
+        #
+        # Idempotency unit = the (object, event-time) pair, not the bare
+        # name: Eventarc redelivers the SAME finalize event (same name +
+        # ts — dedup it, within this batch and across batches/retries),
+        # while a re-UPLOAD of an object is a NEW finalize event (same
+        # name, new ts) whose rows must be ingested — a name-only ledger
+        # would silently drop every update. Rows land tagged with
+        # (_event_name, _event_ts) so the sink itself is the ledger.
         root = os.path.realpath(data_root)
-        paths = []
-        for n in names:
-            p = os.path.realpath(os.path.join(data_root, n))
+        events: dict[tuple[str, str], str] = {}
+        for r in accepted:
+            p = os.path.realpath(os.path.join(data_root, r.name))
             if not p.startswith(root + os.sep):
-                raise ValueError(
-                    f"file event name escapes data_root: {n!r}"
-                )
-            paths.append(p)
-        # cross-batch / retry idempotency: skip objects whose rows are
-        # already in the sink (redelivered in a later batch, or a batch
-        # retried after a partial append). Accepted names all start
-        # with the accept prefix, so extracting the prefixed suffix of
-        # _source_file recovers the event name unambiguously under one
-        # data_root; the isin filter runs sink-side, so the collect is
-        # bounded by THIS batch's name count, not total ingest history.
-        import re as _re
-
-        name_expr = F.regexp_extract(
-            "_source_file", f"({_re.escape(ACCEPT_PREFIX)}.*)$", 1
+                raise ValueError(f"file event name escapes data_root: {r.name!r}")
+            canon = os.path.relpath(p, root)
+            ts_s = r.ts.isoformat() if r.ts is not None else ""
+            events[(canon, ts_s)] = p
+        ev_df = spark.createDataFrame(
+            [(n, t) for (n, t) in events],
+            "_event_name string, _event_ts string",
         )
+        # ledger probe: broadcast-semi-join THIS batch's event keys
+        # against the sink (never an isin over up to 100k literals, and
+        # the collect is bounded by the batch's event count, not ingest
+        # history)
         try:
-            done_names = {
-                r["n"]
+            already = {
+                (r._event_name, r._event_ts)
                 for r in sink.read(spark, table)
-                .select(name_expr.alias("n"))
-                .filter(F.col("n").isin(names))
+                .join(F.broadcast(ev_df), ["_event_name", "_event_ts"], "left_semi")
+                .select("_event_name", "_event_ts")
                 .distinct()
                 .collect()
             }
-        except Exception:  # first batch: sink table does not exist yet
-            done_names = set()
-        paths = [p for p, n in zip(paths, names) if n not in done_names]
-        if not paths:
+        except AnalysisException:
+            # first batch: the sink table does not exist yet (any other
+            # read failure propagates — silently skipping the probe
+            # would quietly disable dedup and double-ingest forever)
+            already = set()
+        todo = {k: p for k, p in events.items() if k not in already}
+        if not todo:
             return
-        # per-batch file list → one binaryFile scan over exactly those
-        # objects (names are validated by the accept predicate)
-        parsed = read_xlsx(spark, paths, columns, schema_ddl=schema_ddl)
-        sink.write(parsed, table, mode="append")
+        # ONE binaryFile scan over the distinct resolved files; rows are
+        # tagged with their event key via a broadcast join on the scan's
+        # URI ('file:' + realpath). An object re-uploaded under two
+        # event times in one batch fans out once per event — each
+        # finalize event is processed exactly once, like the reference.
+        tag_df = spark.createDataFrame(
+            [("file:" + p, n, t) for (n, t), p in todo.items()],
+            "_source_file string, _event_name string, _event_ts string",
+        )
+        parsed = read_xlsx(
+            spark, sorted(set(todo.values())), columns, schema_ddl=schema_ddl
+        )
+        sink.write(parsed.join(F.broadcast(tag_df), "_source_file"), table, mode="append")
 
     return (
         stream.writeStream.foreachBatch(etl)

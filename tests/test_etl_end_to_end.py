@@ -188,3 +188,39 @@ def test_xlsx_etl_rejects_path_traversal(spark, tmp_path):
 
     with pytest.raises(StreamingQueryException, match="escapes data_root"):
         q.awaitTermination(120)
+
+
+def test_xlsx_etl_reupload_with_new_ts_is_ingested(spark, tmp_path):
+    # a re-UPLOAD emits a new finalize event (same name, new ts): its
+    # rows must be appended — only same-(name, ts) redeliveries dedup
+    bucket = tmp_path / "bucket"
+    (bucket / "minha-pasta").mkdir(parents=True)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    write_minimal_xlsx(
+        str(bucket / "minha-pasta" / "a.xlsx"), COLS, [[1, 10, "click", 1.5]]
+    )
+    ev1 = {"bucket": "bucket", "name": "minha-pasta/a.xlsx", "size": 1,
+           "ts": "2024-01-01T00:00:00Z"}
+    with open(landing / "ev.json", "w") as f:
+        f.write(json.dumps(ev1) + "\n")
+    sink = BigQuerySink(warehouse_dir=str(tmp_path / "warehouse"))
+    run_xlsx_etl_pipeline(
+        spark, str(landing), str(bucket), sink, "analytics.reupload", COLS, DDL
+    ).awaitTermination(120)
+
+    # re-upload: replace the object, new finalize event with a later ts
+    write_minimal_xlsx(
+        str(bucket / "minha-pasta" / "a.xlsx"), COLS, [[2, 20, "view", 2.5]]
+    )
+    ev2 = dict(ev1, ts="2024-01-01T01:00:00Z")
+    with open(landing / "ev2.json", "w") as f:
+        f.write(json.dumps(ev2) + "\n")
+    run_xlsx_etl_pipeline(
+        spark, str(landing), str(bucket), sink, "analytics.reupload", COLS, DDL
+    ).awaitTermination(120)
+
+    rows = sink.read(spark, "analytics.reupload").collect()
+    assert sorted(r.event_id for r in rows) == [1, 2], (
+        "re-uploaded object's new finalize event was not ingested"
+    )
