@@ -135,13 +135,15 @@ _CHECK_FIRST = [
     "dedup_simhash_pairs",
     "dedup_components",
     "dedup_exact_fingerprint",
-    "window_rank_orders",
-    "window_running_sum",
     "window_range_frame",
-    "dedup_pick_latest",
     "join_asof_purchase",
-    "func_math",
     "json_tuple_explode_outer",
+    # --- re-verify: round-4 semantic touches (NAAJ NOT IN, decimal
+    # threshold, lazy setop counts, banded cume_dist rewrite) ---
+    "q11_important_part_value",
+    "q16_supplier_part_counts",
+    "setop_union_intersect_except",
+    "window_cume_dist",
 ]
 
 
