@@ -91,7 +91,13 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     the interval chain is deterministic.
     """
     events = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # NULLS FIRST pinned EXPLICITLY in both engines: Spark's bare ASC
+    # is NULLS FIRST but DuckDB's default is NULLS LAST, so one NULL ts
+    # would chain every LEAD/valid_to in its user's partition
+    # differently across engines
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_first(), "event_id"
+    )
     nxt = F.lead("ts").over(w)
     return events.select(
         "user_id",
@@ -109,7 +115,7 @@ SELECT user_id, event_id, event_type,
   COALESCE(strftime(LEAD(ts) OVER w, '%Y-%m-%d %H:%M:%S'), '{_OPEN_END}') AS valid_to,
   CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
 ORDER BY user_id, event_id
 """
 

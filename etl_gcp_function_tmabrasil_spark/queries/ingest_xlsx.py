@@ -37,16 +37,32 @@ _N_FILES = 2
 
 
 def _landing_dir(sf_dir: str) -> str:
+    # Per-PROCESS unique root: a fixed shared /tmp path let (a) a
+    # concurrent driver-verify and pytest run rewrite each other's
+    # workbooks mid-read (truncated zip → BadZipFile), (b) stale
+    # *.xlsx from older revisions pass the glob and inflate the union,
+    # and (c) another user's ownership of the fixed dir break makedirs.
+    # One mkdtemp per process keeps repeat invocations in-process
+    # idempotent (same dir, same filenames, whole-file rewrites).
+    global _LANDING_ROOT
+    if _LANDING_ROOT is None:
+        _LANDING_ROOT = tempfile.mkdtemp(prefix="spark_graft_xlsx_landing_")
     sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    return os.path.join(
-        tempfile.gettempdir(), "spark_graft_xlsx_landing", sf_name, "minha-pasta"
-    )
+    return os.path.join(_LANDING_ROOT, sf_name, "minha-pasta")
+
+
+_LANDING_ROOT: str | None = None
 
 
 def xlsx_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events slice → XLSX workbooks → distributed read-back, typed."""
     landing = _landing_dir(sf_dir)
     os.makedirs(landing, exist_ok=True)
+    # pre-clean any *.xlsx already in the dir (e.g. after lowering
+    # _N_FILES) so the glob reads exactly this run's workbooks
+    for stale in os.listdir(landing):
+        if stale.endswith(".xlsx"):
+            os.unlink(os.path.join(landing, stale))
     rows = (
         load_table(spark, sf_dir, "events")
         .select(*_COLS)

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from etl_gcp_function_tmabrasil_spark.catalog import load_table
-from etl_gcp_function_tmabrasil_spark.queries._util import cavg, csum, davg, dsum
+from etl_gcp_function_tmabrasil_spark.queries._util import cavg, csum
 
 
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
