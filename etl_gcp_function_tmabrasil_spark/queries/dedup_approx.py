@@ -689,10 +689,17 @@ def pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     that is the correct trade when the iteration count is data-driven.
     """
     pairs = dedup_simhash_pairs(spark, sf_dir).select("doc1", "doc2")
-    edges = pairs.select(
-        F.col("doc1").alias("src"), F.col("doc2").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst"))
+    # edges persisted too: deg and adj BOTH materialize from it, and
+    # without the cache the adj build re-runs the whole simhash pair
+    # job a second time (deg's materialization filled nothing adj's
+    # lineage could reuse) — measured ~10% of query time at sf0.1
+    edges = managed_persist(
+        pairs.select(
+            F.col("doc1").alias("src"), F.col("doc2").alias("dst")
+        ).unionByName(
+            pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst"))
+        ),
+        "dedup_approx.pagerank_edges",
     )
     # deg is persisted as well as adj: the rank seed below reads the
     # cached node-count-sized degree table — seeding from deg's own

@@ -374,8 +374,13 @@ def test_pagerank_lazy_loop_reuses_cached_adjacency(spark, sf_dir):
     try:
         assert count_windows(df) == 0, "PageRank loop grew a window sort"
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("InMemoryTableScan") == 2 * PAGERANK_ITERS + 1, (
-            "adjacency/degree caches not serving every iteration + seed"
+        # edges, deg, AND adj are all cached (round-4: edges too, so
+        # the adj build no longer re-runs the simhash pair job). The
+        # printed plan nests cache-build subtrees, so each iteration
+        # shows 4 InMemoryTableScans (adj + its build's deg + edges
+        # twice) and the rank seed shows 2 (deg + its build's edges).
+        assert plan.count("InMemoryTableScan") == 4 * PAGERANK_ITERS + 2, (
+            "edges/degree/adjacency caches not serving every iteration + seed"
         )
     finally:
         spark.catalog.clearCache()
