@@ -599,10 +599,12 @@ def agg_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (MAD pass reads it twice, counts once) for cache storage — right
     # at bench scale; at 100 TB flip to recompute-from-cached-med if
     # cluster storage is the scarcer resource (one broadcast-join scan).
+    # only (group, adev) is read downstream (MAD pass + exceedance
+    # count) — caching o_totalprice too would fatten the corpus-sized
+    # cache entry for nothing
     dev = managed_persist(
         orders.join(F.broadcast(med), "o_orderpriority").select(
             "o_orderpriority",
-            "o_totalprice",
             F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
         ),
         "aggregates.mad_dev",

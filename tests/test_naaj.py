@@ -61,3 +61,45 @@ def test_not_in_plan_is_hash_anti_not_bnlj_on_data_side(spark):
 
     plan = not_in(left, "k", build)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left_keys=st.lists(st.one_of(st.none(), st.integers(0, 6)), max_size=12),
+    build_keys=st.lists(st.one_of(st.none(), st.integers(0, 6)), max_size=8),
+)
+def test_not_in_property(spark, left_keys, build_keys):
+    # pure-Python NOT IN semantics as the reference: row kept iff
+    # `k <> b` is TRUE for every b (vacuously true over an empty build)
+    def ref(left, build):
+        out = []
+        for k in left:
+            if not build:
+                out.append(k)
+                continue
+            if k is None or any(b is None for b in build) or k in build:
+                continue
+            out.append(k)
+        return sorted(x for x in out if x is not None), sum(
+            1 for x in out if x is None
+        )
+
+    left = spark.createDataFrame([(k,) for k in left_keys] or [(0,)], "k int")
+    if not left_keys:
+        left = left.filter("k is null and k is not null")  # empty, typed
+    build = spark.createDataFrame([(b,) for b in build_keys] or [(0,)], "b int")
+    if not build_keys:
+        build = build.filter("b is null and b is not null")
+    from etl_gcp_function_tmabrasil_spark.operators.naaj import not_in
+
+    got = [r.k for r in not_in(left, "k", build).collect()]
+    got_canon = (sorted(x for x in got if x is not None),
+                 sum(1 for x in got if x is None))
+    assert got_canon == ref(left_keys, build_keys)
