@@ -56,6 +56,13 @@ _FAMILY_QUERIES = [
     ("sample_weighted_topk", 0),
     ("pagerank_dedup_graph", 0),
     ("agg_robust_outliers", 0),
+    # round-4 machinery: null-aware NOT IN (empty build keeps all of an
+    # empty fact = 0), banded cume_dist, SCD2 window, lazy whole-row
+    # distinct count (one scalar row of zeros)
+    ("q16_supplier_part_counts", 0),
+    ("window_cume_dist", 0),
+    ("scd2_user_history", 0),
+    ("distinct_count_full_rows", 1),
 ]
 
 
