@@ -14,6 +14,14 @@ Cross-engine determinism rules (SURVEY.md §7.3 "oracle parity details"):
 - **Timestamps** are rendered to strings (``yyyy-MM-dd [HH:mm:ss]``) with
   the session pinned to UTC, matching DuckDB's naive timestamps.
 - **Top-k** always carries a unique tiebreaker key in the ORDER BY.
+- **NULL placement in window orderings**: Spark's bare ASC is NULLS
+  FIRST, DuckDB's default is NULLS LAST (DESC agrees: NULLS LAST in
+  both). Any window ORDER BY over a nullable column must pin the
+  placement explicitly on BOTH sides (`asc_nulls_first()` /
+  `ORDER BY c NULLS FIRST`), as scd2_user_history does — fixtures are
+  currently NULL-free, so an unpinned site is latent, not green.
+- **Whitespace regex**: never `\s` — use WS_CLASS below (Java \s
+  matches U+000B, RE2's does not).
 """
 
 from __future__ import annotations
