@@ -26,9 +26,9 @@ class BigQuerySink:
             "SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"
         )
 
-    def _connector_available(self, df: DataFrame) -> bool:
+    def _connector_available(self, spark) -> bool:
         try:
-            jvm = df.sparkSession._jvm
+            jvm = spark._jvm
             jvm.Class.forName(
                 "com.google.cloud.spark.bigquery.BigQueryRelationProvider"
             )
@@ -51,7 +51,7 @@ class BigQuerySink:
         on query; the parquet fallback mirrors that with directory
         partitioning.
         """
-        if self._connector_available(df):
+        if self._connector_available(df.sparkSession):
             writer = df.write.format("bigquery").mode(mode).option(
                 "writeMethod", "direct"
             )
@@ -69,5 +69,14 @@ class BigQuerySink:
         return path
 
     def read(self, spark, table: str) -> DataFrame:
-        """Read back a table written by the parquet fallback."""
+        """Read back `table` through the SAME route write() used: the
+        BigQuery connector when it is on the classpath, else the local
+        parquet warehouse. Reading only the fallback while write()
+        targeted BigQuery would make every read-back (notably the ETL
+        idempotency probe) see an empty/absent table in production."""
+        if self._connector_available(spark):
+            reader = spark.read.format("bigquery")
+            if self.project:
+                reader = reader.option("parentProject", self.project)
+            return reader.load(table)
         return spark.read.parquet(os.path.join(self.warehouse_dir, *table.split(".")))

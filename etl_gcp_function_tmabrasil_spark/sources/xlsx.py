@@ -58,7 +58,12 @@ def parse_xlsx_bytes(content: bytes) -> pd.DataFrame:
         if "xl/sharedStrings.xml" in names:
             root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
             for si in root.findall("m:si", _NS):
-                shared.append("".join(t.text or "" for t in si.iter(f"{{{_NS['m']}}}t")))
+                # direct <t> plus rich-text runs <r><t> ONLY — si.iter
+                # would also swallow phonetic-run (<rPh><t>) text,
+                # corrupting cells from workbooks with furigana data
+                parts = [t.text or "" for t in si.findall("m:t", _NS)]
+                parts += [t.text or "" for t in si.findall("m:r/m:t", _NS)]
+                shared.append("".join(parts))
         sheet_name = next(
             (n for n in sorted(names) if n.startswith("xl/worksheets/sheet")), None
         )
@@ -89,6 +94,10 @@ def parse_xlsx_bytes(content: bytes) -> pd.DataFrame:
     if not rows:
         return pd.DataFrame()
     header_cells = rows[0]
+    if not header_cells:
+        # a styled-but-cellless first <row/>: fail with a diagnosable
+        # message, not max()'s bare 'arg is an empty sequence'
+        raise ValueError("xlsx: first row has no cells to use as a header")
     ncols = max(header_cells) + 1
     header = [header_cells.get(i, f"col{i}") for i in range(ncols)]
     # fail loudly on VALUED data cells beyond the header's width:
@@ -249,14 +258,110 @@ def read_xlsx(
     return _apply_schema_ddl(binary.mapInPandas(parse, schema=out_schema), schema_ddl)
 
 
+def read_xlsx_tolerant(
+    spark: SparkSession,
+    paths: list[str],
+    columns: list[str],
+    schema_ddl: str | None = None,
+    max_file_bytes: int = DEFAULT_MAX_FILE_BYTES,
+) -> DataFrame:
+    """Per-file fault-isolated XLSX read for streaming ETL.
+
+    Unlike :func:`read_xlsx` (which fails the whole job loudly — right
+    for batch), every file here yields AT LEAST one row and no file can
+    fail the task: a checkpointed stream replays a failed micro-batch
+    with the identical file list, so one poisoned object would
+    otherwise wedge ingestion permanently. Schema adds `_status`
+    ('ok' | 'empty' | 'error' | 'oversize') and `_error`; data rows
+    carry _status='ok', non-data files produce exactly one marker row
+    with the data columns NULL. Oversized files are pruned from the
+    content scan by a pushed-down length filter (no bytes move) and
+    reported as driver-synthesized 'oversize' rows.
+    """
+    out_fields = ", ".join(f"`{c}` string" for c in columns)
+    out_schema = f"_source_file string, _status string, _error string, {out_fields}"
+    meta = (
+        spark.read.format("binaryFile").load(paths).select("path", "length").collect()
+        if paths
+        else []
+    )
+    ok_paths = [r["path"] for r in meta if r["length"] <= max_file_bytes]
+    over = [
+        (r["path"], "oversize", f"xlsx too large: {r['length']} bytes")
+        for r in meta
+        if r["length"] > max_file_bytes
+    ]
+    frames = []
+    if ok_paths:
+        binary = (
+            spark.read.format("binaryFile")
+            .load(ok_paths)
+            .filter(F.col("length") <= max_file_bytes)  # grown-since-listing race
+            .select("path", "content")
+        )
+
+        def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            def marker(path: str, status: str, error: str | None) -> pd.DataFrame:
+                m = pd.DataFrame(
+                    {c: pd.Series([None], dtype=object) for c in columns}
+                )
+                m.insert(0, "_error", error)
+                m.insert(0, "_status", status)
+                m.insert(0, "_source_file", path)
+                return m
+
+            for pdf in batches:
+                for _, r in pdf.iterrows():
+                    try:
+                        parsed = parse_xlsx_bytes(r["content"])
+                    except Exception as exc:  # noqa: BLE001 — isolated per file
+                        yield marker(r["path"], "error", str(exc)[:500])
+                        continue
+                    n = len(parsed)
+                    if n == 0:
+                        yield marker(r["path"], "empty", None)
+                        continue
+                    out = pd.DataFrame(
+                        {
+                            c: parsed[c].astype(object)
+                            if c in parsed
+                            else pd.Series([None] * n, dtype=object)
+                            for c in columns
+                        }
+                    )
+                    out.insert(0, "_error", None)
+                    out.insert(0, "_status", "ok")
+                    out.insert(0, "_source_file", r["path"])
+                    yield out
+
+        frames.append(binary.mapInPandas(parse, schema=out_schema))
+    if over:
+        frames.append(
+            spark.createDataFrame(
+                [row + (None,) * len(columns) for row in over], out_schema
+            )
+        )
+    if not frames:
+        frames.append(spark.createDataFrame([], out_schema))
+    df = frames[0]
+    for extra in frames[1:]:
+        df = df.unionByName(extra)
+    return _apply_schema_ddl(df, schema_ddl)
+
+
 def _apply_schema_ddl(df: DataFrame, schema_ddl: str | None) -> DataFrame:
+    """Cast the string columns named in `schema_ddl` to their declared
+    types; columns of `df` not named in the DDL pass through unchanged.
+    Parsed with Spark's own DDL parser — a hand-rolled comma/space
+    split breaks on any parametrized type (``decimal(10,2)``)."""
     if not schema_ddl:
         return df
-    casts = [
-        F.col(name).cast(dtype).alias(name)
-        for name, dtype in (
-            (f.strip().rsplit(" ", 1)[0], f.strip().rsplit(" ", 1)[1])
-            for f in schema_ddl.split(",")
-        )
-    ]
-    return df.select("_source_file", *casts)
+    from pyspark.sql.types import StructType
+
+    typed = {f.name: f.dataType for f in StructType.fromDDL(schema_ddl).fields}
+    return df.select(
+        *[
+            F.col(c).cast(typed[c]).alias(c) if c in typed else F.col(c)
+            for c in df.columns
+        ]
+    )

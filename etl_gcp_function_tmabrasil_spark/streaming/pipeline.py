@@ -129,6 +129,41 @@ def run_console_logger(
 #: beats an unbounded collect() OOMing the driver.
 MAX_BATCH_FILES = 100_000
 
+#: AnalysisException conditions that mean "the ledger table simply does
+#: not exist yet" — the ONLY failures the idempotency probe may treat
+#: as an empty ledger. Anything else (e.g. UNRESOLVED_COLUMN from a
+#: pre-existing table without event-key columns, permission errors)
+#: must propagate: swallowing it would silently disable dedup and
+#: double-ingest on every redelivery forever.
+_MISSING_TABLE_CONDITIONS = (
+    "PATH_NOT_FOUND",
+    "TABLE_OR_VIEW_NOT_FOUND",
+    "UNABLE_TO_INFER_SCHEMA",  # empty/partial parquet dir, same meaning
+)
+
+
+def _probe_event_keys(spark, sink, table: str, ev_df: DataFrame) -> set:
+    """Event keys from `table` that match this batch's keys (broadcast
+    semi-join; collect bounded by the batch's event count)."""
+    try:
+        return {
+            (r._event_name, r._event_ts)
+            for r in sink.read(spark, table)
+            .join(F.broadcast(ev_df), ["_event_name", "_event_ts"], "left_semi")
+            .select("_event_name", "_event_ts")
+            .distinct()
+            .collect()
+        }
+    except AnalysisException as exc:
+        cond = (
+            exc.getCondition()
+            if hasattr(exc, "getCondition")
+            else getattr(exc, "getErrorClass", lambda: None)()
+        ) or ""
+        if any(c in cond for c in _MISSING_TABLE_CONDITIONS):
+            return set()
+        raise
+
 
 def run_xlsx_etl_pipeline(
     spark: SparkSession,
@@ -160,15 +195,34 @@ def run_xlsx_etl_pipeline(
     CloudEvent in the reference's shape, but nothing stops a producer
     from batching events per file, so the row bound is enforced, not
     assumed).
+
+    Fault isolation: one poisoned object must never wedge the
+    checkpointed stream (a failed batch replays with the identical
+    committed file list forever). Missing files, oversized workbooks,
+    empty sheets, and parse failures are routed per-object to
+    ``<table>_rejected`` (event key + status + error) while healthy
+    objects in the same batch ingest normally — the per-invocation
+    blast radius the reference gets for free from one-event-per-call.
+    The idempotency probe covers BOTH tables, so a dead-lettered event
+    is not re-processed on redelivery. Probe cost note: the probe
+    column-prunes to the two event-key columns and semi-joins this
+    batch's keys; at very large ingest history, bound it further by
+    partitioning the sink on an event-key bucket or keeping a compact
+    ledger table.
     """
-    from etl_gcp_function_tmabrasil_spark.sources.xlsx import read_xlsx
+    from etl_gcp_function_tmabrasil_spark.sources.xlsx import read_xlsx_tolerant
 
     stream = file_event_stream(spark, landing_dir, max_files_per_trigger)
 
     def etl(batch_df: DataFrame, batch_id: int) -> None:
         accepted = (
             accept_filter(batch_df)
-            .select("name", "ts")
+            # epoch micros, NOT a collected datetime: plain collect()
+            # renders timestamps as naive driver-local datetimes, whose
+            # isoformat is neither timezone-stable nor injective (DST
+            # fall-back collapses two instants) — unusable as a ledger
+            # key. unix_micros is the instant itself.
+            .select("name", F.unix_micros("ts").alias("ts_us"))
             .limit(MAX_BATCH_FILES + 1)
             .collect()
         )
@@ -195,7 +249,8 @@ def run_xlsx_etl_pipeline(
         # while a re-UPLOAD of an object is a NEW finalize event (same
         # name, new ts) whose rows must be ingested — a name-only ledger
         # would silently drop every update. Rows land tagged with
-        # (_event_name, _event_ts) so the sink itself is the ledger.
+        # (_event_name, _event_ts) so the sink + dead-letter tables ARE
+        # the ledger — no separate bookkeeping table to drift.
         root = os.path.realpath(data_root)
         events: dict[tuple[str, str], str] = {}
         for r in accepted:
@@ -203,46 +258,65 @@ def run_xlsx_etl_pipeline(
             if not p.startswith(root + os.sep):
                 raise ValueError(f"file event name escapes data_root: {r.name!r}")
             canon = os.path.relpath(p, root)
-            ts_s = r.ts.isoformat() if r.ts is not None else ""
+            ts_s = str(r.ts_us) if r.ts_us is not None else ""
             events[(canon, ts_s)] = p
         ev_df = spark.createDataFrame(
             [(n, t) for (n, t) in events],
             "_event_name string, _event_ts string",
         )
         # ledger probe: broadcast-semi-join THIS batch's event keys
-        # against the sink (never an isin over up to 100k literals, and
-        # the collect is bounded by the batch's event count, not ingest
-        # history)
-        try:
-            already = {
-                (r._event_name, r._event_ts)
-                for r in sink.read(spark, table)
-                .join(F.broadcast(ev_df), ["_event_name", "_event_ts"], "left_semi")
-                .select("_event_name", "_event_ts")
-                .distinct()
-                .collect()
-            }
-        except AnalysisException:
-            # first batch: the sink table does not exist yet (any other
-            # read failure propagates — silently skipping the probe
-            # would quietly disable dedup and double-ingest forever)
-            already = set()
+        # against the sink AND the dead-letter table (never an isin
+        # over up to 100k literals; the collect is bounded by the
+        # batch's event count, not ingest history) — a dead-lettered
+        # event is as processed as an ingested one.
+        already = _probe_event_keys(
+            spark, sink, table, ev_df
+        ) | _probe_event_keys(spark, sink, f"{table}_rejected", ev_df)
         todo = {k: p for k, p in events.items() if k not in already}
         if not todo:
             return
+        # driver-side existence gate: an object deleted between event
+        # and batch (or a name resolving to a directory) would fail the
+        # scan and poison-pill the replayed batch — dead-letter it
+        present = {k: p for k, p in todo.items() if os.path.isfile(p)}
+        missing = [
+            (n, t, "missing", f"not a readable file: {p}")
+            for (n, t), p in todo.items()
+            if (n, t) not in present
+        ]
         # ONE binaryFile scan over the distinct resolved files; rows are
         # tagged with their event key via a broadcast join on the scan's
         # URI ('file:' + realpath). An object re-uploaded under two
         # event times in one batch fans out once per event — each
         # finalize event is processed exactly once, like the reference.
+        # read_xlsx_tolerant guarantees ≥1 row per scanned file, so
+        # every present event lands in the sink or the dead-letter.
         tag_df = spark.createDataFrame(
-            [("file:" + p, n, t) for (n, t), p in todo.items()],
+            [("file:" + p, n, t) for (n, t), p in present.items()],
             "_source_file string, _event_name string, _event_ts string",
         )
-        parsed = read_xlsx(
-            spark, sorted(set(todo.values())), columns, schema_ddl=schema_ddl
+        parsed = read_xlsx_tolerant(
+            spark, sorted(set(present.values())), columns, schema_ddl=schema_ddl
         )
-        sink.write(parsed.join(F.broadcast(tag_df), "_source_file"), table, mode="append")
+        tagged = parsed.join(F.broadcast(tag_df), "_source_file")
+        tagged.persist()
+        try:
+            data = tagged.filter(F.col("_status") == "ok").drop("_status", "_error")
+            sink.write(data, table, mode="append")
+            dead = tagged.filter(F.col("_status") != "ok").select(
+                "_event_name", "_event_ts", "_status", "_error", "_source_file"
+            )
+            if missing:
+                dead = dead.unionByName(
+                    spark.createDataFrame(
+                        [(n, t, s, e, None) for n, t, s, e in missing],
+                        "_event_name string, _event_ts string, _status string,"
+                        " _error string, _source_file string",
+                    )
+                )
+            sink.write(dead, f"{table}_rejected", mode="append")
+        finally:
+            tagged.unpersist()
 
     return (
         stream.writeStream.foreachBatch(etl)

@@ -224,3 +224,58 @@ def test_xlsx_etl_reupload_with_new_ts_is_ingested(spark, tmp_path):
     assert sorted(r.event_id for r in rows) == [1, 2], (
         "re-uploaded object's new finalize event was not ingested"
     )
+
+
+def test_xlsx_etl_poisoned_object_does_not_wedge_the_stream(spark, tmp_path):
+    # one corrupt workbook + one deleted object in a batch with a
+    # healthy one: the healthy object ingests, the bad ones land in
+    # <table>_rejected with their event keys, and a redelivery of the
+    # dead-lettered events is NOT reprocessed
+    bucket = tmp_path / "bucket"
+    (bucket / "minha-pasta").mkdir(parents=True)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    write_minimal_xlsx(
+        str(bucket / "minha-pasta" / "good.xlsx"), COLS, [[1, 10, "click", 1.5]]
+    )
+    (bucket / "minha-pasta" / "corrupt.xlsx").write_bytes(b"this is not a zip")
+    evs = [
+        {"bucket": "b", "name": "minha-pasta/good.xlsx", "size": 1,
+         "ts": "2024-01-01T00:00:00Z"},
+        {"bucket": "b", "name": "minha-pasta/corrupt.xlsx", "size": 1,
+         "ts": "2024-01-01T00:01:00Z"},
+        {"bucket": "b", "name": "minha-pasta/deleted.xlsx", "size": 1,
+         "ts": "2024-01-01T00:02:00Z"},
+    ]
+    with open(landing / "ev.json", "w") as f:
+        for e in evs:
+            f.write(json.dumps(e) + "\n")
+
+    sink = BigQuerySink(warehouse_dir=str(tmp_path / "warehouse"))
+    run_xlsx_etl_pipeline(
+        spark, str(landing), str(bucket), sink, "analytics.poison", COLS, DDL
+    ).awaitTermination(120)
+
+    rows = sink.read(spark, "analytics.poison").collect()
+    assert sorted(r.event_id for r in rows) == [1], "healthy object missing"
+    dead = {
+        r._event_name: r._status
+        for r in sink.read(spark, "analytics.poison_rejected").collect()
+    }
+    assert dead == {
+        "minha-pasta/corrupt.xlsx": "error",
+        "minha-pasta/deleted.xlsx": "missing",
+    }
+
+    # redeliver the dead-lettered events: probe must skip them (no new
+    # rejected rows, no new data rows)
+    with open(landing / "ev2.json", "w") as f:
+        for e in evs[1:]:
+            f.write(json.dumps(e) + "\n")
+    run_xlsx_etl_pipeline(
+        spark, str(landing), str(bucket), sink, "analytics.poison", COLS, DDL
+    ).awaitTermination(120)
+    assert sink.read(spark, "analytics.poison_rejected").count() == 2, (
+        "dead-lettered events were reprocessed on redelivery"
+    )
+    assert sink.read(spark, "analytics.poison").count() == 1
