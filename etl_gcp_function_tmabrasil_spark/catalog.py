@@ -96,8 +96,15 @@ _REBALANCE_MIN_ROWS = 5_000_000
 _layout_cache: dict[str, tuple[tuple, tuple[int, int]]] = {}
 
 #: session → {(path, rebalance-arg, file-stamp) → loaded DataFrame};
-#: see load_table. The outer weak keying lets a stopped session's
-#: frames be collected instead of pinning every session ever created.
+#: see load_table. NOTE the weak keying does NOT make entries
+#: collectable: each cached DataFrame strongly references its
+#: SparkSession, and this module-global dict strongly holds the
+#: DataFrames, so every session with a live entry is pinned for
+#: process lifetime — the cache is process-lifetime by design
+#: (sessions per process are few). What IS bounded is growth per
+#: session: inserting a frame evicts prior file-stamp generations of
+#: the same (path, rebalance), so rewritten fixture files replace
+#: their entry instead of accumulating one per rewrite.
 _df_cache: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
     weakref.WeakKeyDictionary()
 )
@@ -208,6 +215,13 @@ def load_table(
     if effective:
         df = df.repartition(par)
     if stamp is not None:
+        # evict stale stamp generations of this (path, rebalance) so a
+        # repeatedly rewritten fixture file holds ONE cache entry, not
+        # one per rewrite
+        for k in [
+            k for k in per_session if k[0] == path and k[1] == rebalance and k != key
+        ]:
+            del per_session[k]
         per_session[key] = df
     return df
 

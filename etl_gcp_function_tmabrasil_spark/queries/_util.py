@@ -1,4 +1,4 @@
-"""Shared helpers for oracle-parity-safe query construction.
+r"""Shared helpers for oracle-parity-safe query construction.
 
 Cross-engine determinism rules (SURVEY.md §7.3 "oracle parity details"):
 

@@ -578,8 +578,11 @@ def agg_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
        count exceedances — the |v − median| values are already there,
        so no third scan of the base table.
 
-    Fences derive from 4-dp-rounded medians/MADs in both engines, so
-    the boundary comparison is bit-identical.
+    The median is rounded to 4 dp BEFORE the deviation pass (matching
+    the oracle's `med` CTE), so |v − median|, the MAD, and the fence
+    comparison all derive from the identical rounded value in both
+    engines — exact on arbitrary-precision inputs, not just the ≤4-dp
+    decimal(12,2) fixture column.
     """
     from etl_gcp_function_tmabrasil_spark.operators.quantiles import (
         banded_exact_quantiles,
@@ -592,7 +595,7 @@ def agg_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = managed_persist(
         banded_exact_quantiles(
             orders, "o_orderpriority", "o_totalprice", {"med": 0.5}
-        ).select("o_orderpriority", "med"),
+        ).select("o_orderpriority", F.round("med", 4).alias("med")),
         "aggregates.mad_med",
     )
     # dev is corpus-sized: persist trades one orders re-scan per reuse
@@ -617,7 +620,7 @@ def agg_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         med.join(mad, "o_orderpriority")
         .select(
             "o_orderpriority",
-            F.round("med", 4).alias("med"),
+            "med",  # already 4-dp-rounded at the source
             F.round("mad", 4).alias("mad"),
         )
         .select(

@@ -68,6 +68,33 @@ class BigQuerySink:
         writer.parquet(path)
         return path
 
+    def exists(self, spark, table: str) -> bool:
+        """Whether `table` exists via the active route.
+
+        The ETL idempotency probe (`streaming/pipeline.py`) recognizes
+        only filesystem/parquet AnalysisException conditions as "table
+        not created yet"; the BigQuery connector raises its own
+        not-found error type, which would otherwise fail the stream's
+        first production run. Probing existence explicitly per route
+        keeps the probe connector-agnostic. Only a *positively
+        identified* not-found maps to False — permission or transport
+        failures propagate, since treating them as an empty ledger
+        would silently disable dedup.
+        """
+        if self._connector_available(spark):
+            reader = spark.read.format("bigquery")
+            if self.project:
+                reader = reader.option("parentProject", self.project)
+            try:
+                reader.load(table).schema  # connector resolves eagerly
+                return True
+            except Exception as exc:  # noqa: BLE001 — filtered below
+                msg = str(exc)
+                if "Not found" in msg or "404" in msg or "NOT_FOUND" in msg:
+                    return False
+                raise
+        return os.path.exists(os.path.join(self.warehouse_dir, *table.split(".")))
+
     def read(self, spark, table: str) -> DataFrame:
         """Read back `table` through the SAME route write() used: the
         BigQuery connector when it is on the classpath, else the local

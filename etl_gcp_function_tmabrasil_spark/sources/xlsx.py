@@ -277,6 +277,15 @@ def read_xlsx_tolerant(
     with the data columns NULL. Oversized files are pruned from the
     content scan by a pushed-down length filter (no bytes move) and
     reported as driver-synthesized 'oversize' rows.
+
+    The ≥1-row invariant is enforced, not assumed: a file that GROWS
+    past `max_file_bytes` between the driver pre-scan and the executor
+    content scan is removed by the pushed-down length filter with no
+    marker — an anti-join of the expected paths against the distinct
+    `_source_file` values actually returned synthesizes an 'oversize'
+    marker for any such zero-row path, so the event dead-letters
+    instead of vanishing (the scan is persisted so this backstop does
+    not re-parse the batch).
     """
     out_fields = ", ".join(f"`{c}` string" for c in columns)
     out_schema = f"_source_file string, _status string, _error string, {out_fields}"
@@ -334,7 +343,34 @@ def read_xlsx_tolerant(
                     out.insert(0, "_source_file", r["path"])
                     yield out
 
-        frames.append(binary.mapInPandas(parse, schema=out_schema))
+        # deferred import: queries._util → queries/__init__ imports
+        # ingest_xlsx which imports this module (cycle at import time,
+        # none at call time)
+        from etl_gcp_function_tmabrasil_spark.queries._util import managed_persist
+
+        scanned = managed_persist(
+            binary.mapInPandas(parse, schema=out_schema),
+            "sources.xlsx.tolerant_scan",
+        )
+        # zero-row backstop (see docstring): the length filter above can
+        # drop a grown file with no marker; synthesize it here. One
+        # single-string-column shuffle per batch — noise next to the
+        # XLSX parse.
+        expected = spark.createDataFrame(
+            [(p,) for p in ok_paths], "_source_file string"
+        )
+        dropped = expected.join(
+            scanned.select("_source_file").distinct(), "_source_file", "left_anti"
+        ).select(
+            "_source_file",
+            F.lit("oversize").alias("_status"),
+            F.lit(
+                "produced no rows: grew past max_file_bytes between "
+                "listing and content scan"
+            ).alias("_error"),
+            *[F.lit(None).cast("string").alias(c) for c in columns],
+        )
+        frames.append(scanned.unionByName(dropped))
     if over:
         frames.append(
             spark.createDataFrame(

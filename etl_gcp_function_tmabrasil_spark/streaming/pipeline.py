@@ -144,7 +144,16 @@ _MISSING_TABLE_CONDITIONS = (
 
 def _probe_event_keys(spark, sink, table: str, ev_df: DataFrame) -> set:
     """Event keys from `table` that match this batch's keys (broadcast
-    semi-join; collect bounded by the batch's event count)."""
+    semi-join; collect bounded by the batch's event count).
+
+    Sinks exposing `exists()` (e.g. BigQuerySink) are asked first:
+    connector-route missing-table failures are connector-specific and
+    would not match _MISSING_TABLE_CONDITIONS, so without the explicit
+    probe the first production run would fail instead of seeing an
+    empty ledger."""
+    probe = getattr(sink, "exists", None)
+    if probe is not None and not probe(spark, table):
+        return set()
     try:
         return {
             (r._event_name, r._event_ts)
