@@ -80,8 +80,10 @@ def main() -> None:
     # fully lazy, so all cluster work lands inside the timed action —
     # pinned by the construction-laziness check below.
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
+        samples: list[float] = []
         slow_constructions = 0
         for i in range(4):
             # Queries that persist() intermediates would otherwise be
@@ -94,7 +96,8 @@ def main() -> None:
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             if i > 0:  # run 0 is warmup
-                best = min(best, time.perf_counter() - t0)
+                samples.append(time.perf_counter() - t0)
+                best = min(samples)
                 # Construction must stay lazy: eager materialization
                 # (e.g. PySpark 4 localCheckpoint, which executes even
                 # with eager=False) would move engine work outside the
@@ -112,6 +115,11 @@ def main() -> None:
                             "eager work is escaping the timer"
                         )
         timings[name] = round(best, 3)
+        # median of the timed runs, alongside min: a round-over-round
+        # swing in `queries` is classifiable as host noise (median
+        # stable, min moved) vs a real regression (both moved) without
+        # a bisect.
+        medians[name] = round(sorted(samples)[len(samples) // 2], 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -120,6 +128,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
                 "sf": sf,
             }
         )

@@ -70,80 +70,78 @@ _MODULES = [
 # all_queries()[:50]), and it gives ZERO credit to entries without an
 # oracle_sql twin — `err: "no_oracle"`, no rows-only fallback (r1:
 # agg_approx_distinct/agg_hll_mergeable; r3: the MLlib/multimodal five).
-# Every registered query therefore now carries an exact oracle (140/140
-# as of round 4). The window ROTATES per round so every query
-# eventually earns a driver-verified record: r1-r3 covered 120 of 140
-# (115 green + the 5 no_oracle errs, since fixed). This round pins:
-#   - the 20 round-3 additions never yet in a window (traindata2 wave,
-#     pagerank, fuzzy match, outlier screens, salting pair, profiling,
-#     LOCF resample, CTE topk, kmeans, multimodal resize);
-#   - the 7 queries whose only record is a no_oracle err, all newly
-#     oracled this round (closed-form synthetic-media SQL; exact-subset
-#     reshapes; error-bound booleans; decimal-exact k-means);
-#   - 23 re-verifies for queries whose plans or outputs this round
-#     touched (terminal-sort removal wave, min_by argmin rewrites,
-#     quantile NULL handling).
+# Every registered query carries an exact oracle (141/141 as of round
+# 5). The window ROTATES per round so every query's latest green row
+# stays fresh; CORRECTNESS_CUMULATIVE.json records each query's latest
+# green round (asserted complete by tests/test_correctness_ledger.py).
+# Round 5 = the long tail (r4 verdict order): queries whose latest
+# green row predates round 3 —
+#   - the new dead-letter ETL gate query (first driver check);
+#   - window_ntile (refactored onto operators/banded_rank.py after its
+#     last gate row) and q12_shipmode_priority / agg_distinct (whose
+#     only on-disk driver record is the r1 NTZ hash fail, fixed r2);
+#   - agg_robust_outliers (re-verify: round-5 MAD pre-rounding touch);
+#   - the full r1-era relational/join/agg/window wave whose only
+#     on-disk green record is CORRECTNESS_r01.json;
+#   - three r2-era window/sort entries untouched since.
 # Everything else stays covered by tests/test_oracle_parity.py locally
-# (all 140 queries, every session).
+# (all 141 queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
-    # --- never driver-checked: round-3 training-data wave ---
-    "bpe_merge_pairs",
-    "embedding_gram_matrix",
-    "event_funnel_conversion",
-    "bm25_score_docs",
-    "curriculum_temperature_sample",
-    "split_train_val_test",
-    "unigram_lm_score",
-    "source_overlap_matrix",
-    "sample_weighted_topk",
-    # --- never checked: graph / fuzzy / outlier / salting / profiling ---
-    "pagerank_dedup_graph",
-    "fuzzy_name_match",
-    "agg_iqr_outliers",
+    # --- first driver check: hardened R5 reject branch, end-to-end ---
+    "etl_xlsx_deadletter",
+    # --- stale or superseded records (r4 verdict leads) ---
+    "window_ntile",
+    "q12_shipmode_priority",
+    "agg_distinct",
+    # --- re-verify: round-5 MAD median pre-rounding ---
     "agg_robust_outliers",
-    "agg_salted_hot_key",
-    "join_salted_hot_key",
-    "profile_columns",
-    "resample_daily_locf",
-    "sql_cte_window_topk",
-    "kmeans_ivf_codebook",
-    "multimodal_resize_stats",
-    # --- only record is a no_oracle err; oracled this round ---
-    "multimodal_decode_stats",
-    "multimodal_frame_sample",
-    "multimodal_embed_knn",
-    "dedup_minhash_mllib",
-    "ann_brp_mllib",
-    "agg_approx_distinct",
-    "agg_hll_mergeable",
-    # --- re-verify: min_by argmin / probe rewrites this round ---
-    "ann_ivf_cosine",
-    "ann_lsh_cosine",
-    "knn_bruteforce_cosine",
-    # --- re-verify: quantile NULL-handling touch ---
-    "agg_percentiles",
-    # --- re-verify: terminal-sort removal wave (representatives) ---
-    "text_quality_score",
-    "chunk_documents",
-    "embedding_quantize_int8",
-    "pack_token_budget",
-    "text_token_count",
-    "text_token_diversity",
-    "text_fingerprint",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_components",
-    "dedup_exact_fingerprint",
-    "window_range_frame",
-    "join_asof_purchase",
-    "json_tuple_explode_outer",
-    # --- re-verify: round-4 semantic touches (NAAJ NOT IN, decimal
-    # threshold, lazy setop counts, banded cume_dist rewrite) ---
-    "q11_important_part_value",
-    "q16_supplier_part_counts",
-    "setop_union_intersect_except",
-    "window_cume_dist",
+    # --- r1-era: latest on-disk green row is CORRECTNESS_r01.json ---
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q20_promo_volume_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "scalar_subquery_above_avg",
+    "pivot_status_by_segment",
+    "unpivot_nation_counts",
+    "join_broadcast_dims",
+    "join_semi",
+    "join_anti",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_cross",
+    "join_range_bands",
+    "join_range_bucketed_pairs",
+    "agg_argmax",
+    "agg_stats_moments",
+    "rollup_time_multires",
+    "agg_rollup",
+    "agg_cube",
+    "agg_collect",
+    "agg_grouping_sets",
+    "cdc_merge_upsert",
+    "scd2_user_history",
+    "window_rank_orders",
+    "window_first_last",
+    # --- r2-era window/sort entries untouched since ---
+    "window_lag_lead",
+    "window_running_sum",
+    "sort_multi_key",
 ]
 
 

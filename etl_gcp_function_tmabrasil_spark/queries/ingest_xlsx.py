@@ -92,11 +92,129 @@ ORDER BY event_id
 LIMIT {_N_ROWS}
 """
 
+#: Dead-letter gate fixture shape (closed-form; see etl_xlsx_deadletter).
+_DL_OK_ROWS = 20
+#: Between the fixed zip overhead of the small fixtures (empty ~1.6 KB,
+#: 20-row good ~2.1 KB) and the 300-row big workbook (~7.4 KB) — only
+#: big.xlsx dead-letters as oversize; the asserts below pin all three.
+_DL_MAX_BYTES = 4096
+_ETL_ROOT: str | None = None
+
+
+def etl_xlsx_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's R5 reject branch (``/root/reference/main.py:13``)
+    in its hardened streaming form, driver-checked end-to-end: the full
+    checkpointed XLSX ETL (`streaming/pipeline.run_xlsx_etl_pipeline`)
+    runs over a landing batch containing one healthy workbook plus one
+    of each per-object failure mode — corrupt zip, header-only sheet,
+    oversized workbook, missing object — and the query returns the
+    ledger rollup: ingested row count plus rejected counts per status.
+
+    Every event lands in exactly one of the sink or the dead-letter
+    table (fault isolation: the poisoned objects must not wedge the
+    healthy one), so the rollup is closed-form. Re-invocation reuses
+    the per-process checkpoint: the redelivered events are skipped by
+    the idempotency probe and the counts are unchanged — the repeat
+    run exercises exactly-once, not just the happy path.
+
+    The streaming run is eager fixture plumbing (like the roundtrip
+    query's workbook writes); the operator under test is the pipeline
+    itself, whose scan fans out per-file at scale.
+    """
+    import json
+
+    from pyspark.sql import functions as F
+
+    from etl_gcp_function_tmabrasil_spark.sinks.bigquery import BigQuerySink
+    from etl_gcp_function_tmabrasil_spark.streaming.pipeline import (
+        run_xlsx_etl_pipeline,
+    )
+
+    global _ETL_ROOT
+    if _ETL_ROOT is None:
+        _ETL_ROOT = tempfile.mkdtemp(prefix="spark_graft_etl_dl_")
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = os.path.join(_ETL_ROOT, sf_name)
+    bucket = os.path.join(root, "bucket", "minha-pasta")
+    landing = os.path.join(root, "landing")
+    table = "analytics.deadletter_gate"
+    sink = BigQuerySink(warehouse_dir=os.path.join(root, "warehouse"))
+    if not os.path.isdir(root):  # first invocation in this process
+        os.makedirs(bucket)
+        os.makedirs(landing)
+        rows = (
+            load_table(spark, sf_dir, "events")
+            .select(*_COLS)
+            .orderBy("event_id")
+            .limit(_DL_OK_ROWS)
+            .collect()
+        )
+        write_minimal_xlsx(
+            os.path.join(bucket, "good.xlsx"),
+            _COLS,
+            [[r[c] for c in _COLS] for r in rows],
+        )
+        with open(os.path.join(bucket, "corrupt.xlsx"), "wb") as fh:
+            fh.write(b"this is not a zip archive")
+        write_minimal_xlsx(os.path.join(bucket, "empty.xlsx"), _COLS, [])
+        # deterministically over _DL_MAX_BYTES: 300 inline-string rows
+        write_minimal_xlsx(
+            os.path.join(bucket, "big.xlsx"),
+            _COLS,
+            [[i, i, f"padpadpad-{i:06d}", float(i)] for i in range(300)],
+        )
+        names = ["good.xlsx", "corrupt.xlsx", "empty.xlsx", "big.xlsx",
+                 "missing.xlsx"]
+        with open(os.path.join(landing, "ev.json"), "w") as fh:
+            for i, n in enumerate(names):
+                fh.write(json.dumps({
+                    "bucket": "b",
+                    "name": f"minha-pasta/{n}",
+                    "size": 1,
+                    "ts": f"2024-01-01T00:0{i}:00Z",
+                }) + "\n")
+    assert os.path.getsize(os.path.join(bucket, "big.xlsx")) > _DL_MAX_BYTES
+    assert os.path.getsize(os.path.join(bucket, "good.xlsx")) <= _DL_MAX_BYTES
+    assert os.path.getsize(os.path.join(bucket, "empty.xlsx")) <= _DL_MAX_BYTES
+    run_xlsx_etl_pipeline(
+        spark,
+        landing,
+        os.path.join(root, "bucket"),
+        sink,
+        table,
+        _COLS,
+        _DDL,
+        max_file_bytes=_DL_MAX_BYTES,
+    ).awaitTermination(300)
+    ok = sink.read(spark, table).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("ok").alias("status"), "n")
+    dead = (
+        sink.read(spark, f"{table}_rejected")
+        .groupBy(F.col("_status").alias("status"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return ok.unionByName(dead).orderBy("status")
+
+
+_DEADLETTER_SQL = f"""
+SELECT * FROM (VALUES
+  ('empty',    CAST(1 AS BIGINT)),
+  ('error',    CAST(1 AS BIGINT)),
+  ('missing',  CAST(1 AS BIGINT)),
+  ('ok',       CAST({_DL_OK_ROWS} AS BIGINT)),
+  ('oversize', CAST(1 AS BIGINT))
+) AS t(status, n)
+ORDER BY status
+"""
+
 
 QUERIES = {
     "xlsx_ingest_roundtrip": xlsx_ingest_roundtrip,
+    "etl_xlsx_deadletter": etl_xlsx_deadletter,
 }
 
 ORACLE = {
     "xlsx_ingest_roundtrip": _XLSX_SQL,
+    "etl_xlsx_deadletter": _DEADLETTER_SQL,
 }

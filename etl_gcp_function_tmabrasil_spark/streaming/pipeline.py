@@ -183,6 +183,7 @@ def run_xlsx_etl_pipeline(
     columns: list[str],
     schema_ddl: str,
     max_files_per_trigger: int = 1024,
+    max_file_bytes: int | None = None,
 ) -> StreamingQuery:
     """The reference's complete intended lifecycle, end-to-end
     (``main.py:5-17`` with the placeholder body filled in):
@@ -203,7 +204,9 @@ def run_xlsx_etl_pipeline(
     collecting an unbounded list onto the driver (a landing file is one
     CloudEvent in the reference's shape, but nothing stops a producer
     from batching events per file, so the row bound is enforced, not
-    assumed).
+    assumed). `max_file_bytes` caps per-workbook size in the tolerant
+    read (None = the source default); oversized objects dead-letter
+    with status 'oversize' instead of being materialized.
 
     Fault isolation: one poisoned object must never wedge the
     checkpointed stream (a failed batch replays with the identical
@@ -304,8 +307,15 @@ def run_xlsx_etl_pipeline(
             [("file:" + p, n, t) for (n, t), p in present.items()],
             "_source_file string, _event_name string, _event_ts string",
         )
+        xlsx_kwargs = (
+            {} if max_file_bytes is None else {"max_file_bytes": max_file_bytes}
+        )
         parsed = read_xlsx_tolerant(
-            spark, sorted(set(present.values())), columns, schema_ddl=schema_ddl
+            spark,
+            sorted(set(present.values())),
+            columns,
+            schema_ddl=schema_ddl,
+            **xlsx_kwargs,
         )
         tagged = parsed.join(F.broadcast(tag_df), "_source_file")
         tagged.persist()

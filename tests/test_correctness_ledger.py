@@ -1,0 +1,53 @@
+"""CORRECTNESS_CUMULATIVE.json — the committed ledger of each query's
+latest driver-green round (see scripts/merge_correctness_ledger.py).
+These pins make the "every registered query has a green record" claim
+checkable from the repo instead of from verdict prose."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from etl_gcp_function_tmabrasil_spark.queries import all_queries
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LEDGER = os.path.join(REPO, "CORRECTNESS_CUMULATIVE.json")
+
+
+def _ledger() -> dict:
+    with open(LEDGER) as fh:
+        return json.load(fh)
+
+
+def test_ledger_covers_every_registered_query():
+    led = _ledger()
+    names = set(all_queries())
+    missing = sorted(names - set(led["queries"]))
+    assert not missing, f"queries with no ledger entry: {missing}"
+    stale = sorted(set(led["queries"]) - names)
+    assert not stale, f"ledger entries for unregistered queries: {stale}"
+    assert led["n_queries"] == len(names)
+
+
+def test_every_entry_is_green_or_documented():
+    # each entry either points at an on-disk green artifact row, or
+    # carries a note documenting the prose-sourced/pending record —
+    # silence is the one thing the ledger must not contain
+    led = _ledger()
+    bad = []
+    for name, e in led["queries"].items():
+        if e.get("round") is not None:
+            art = os.path.join(REPO, e["artifact"])
+            if os.path.exists(art):
+                with open(art) as fh:
+                    row = json.load(fh)[name]
+                if not (
+                    row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match")
+                    and row.get("err") is None
+                ):
+                    bad.append(f"{name}: artifact row not green")
+        elif not e.get("note"):
+            bad.append(f"{name}: no green round and no note")
+    assert not bad, bad
