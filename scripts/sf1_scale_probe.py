@@ -1,0 +1,165 @@
+#!/usr/bin/env python3
+"""One-shot sf1 scale probe (round-5 verdict item): generate a 10×-sf0.1
+dataset, then (a) re-run the band/bucket scale-invariance parity checks
+against DuckDB on it and (b) time the slowest bench headliners, to
+confirm the "constant stage count, data-independent machinery cost"
+claims in SCALING.md off-paper.
+
+Data generation (under /tmp/spark_graft_sf1, regenerated if absent):
+- orders ×10: o_orderkey offset per copy, o_totalprice + i cents (so
+  copies are not value-identical);
+- customer ×10: c_custkey offset, digits of c_name rotated per copy —
+  copies of one name differ at MANY positions, so the FastSS fuzzy-match
+  pair structure per copy matches sf0.1 instead of exploding into
+  cross-copy clone pairs;
+- documents ×10: doc_id offset, letters of text rotated per copy — a
+  character bijection preserves each copy's internal shingle-equality
+  structure (and n_chars) while making cross-copy shingles disjoint, so
+  near-dup workload grows linearly, not quadratically;
+- remaining tables symlinked from sf0.1 (dimensions and streams the
+  probed queries don't scale).
+
+Usage: python scripts/sf1_scale_probe.py   (from the repo root)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/spark_graft_sf1"
+OFFSET = 10_000_000
+
+SCALED = {"orders", "customer", "documents"}
+
+#: Parity at sf1 for the scale-sensitive set whose oracles stay cheap
+#: at 1.5M orders / 50k docs (dedup_minhash_lsh's oracle recomputes
+#: every sketch in SQL — minutes at 50k docs — so it is timed, not
+#: oracle-checked, here; its parity is pinned at sf0.1 by
+#: tests/test_scale_invariance.py).
+PARITY = [
+    "agg_percentiles",
+    "agg_robust_outliers",
+    "window_range_frame",
+    "window_ntile",
+    "window_cume_dist",
+    "pack_token_budget",
+    "split_train_val_test",
+]
+
+#: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.
+TIMED = [
+    "agg_robust_outliers",
+    "fuzzy_name_match",
+    "pagerank_dedup_graph",
+    "dedup_minhash_lsh",
+]
+
+
+def _rot(alpha: str, i: int) -> str:
+    return alpha[i % len(alpha):] + alpha[: i % len(alpha)]
+
+
+def generate() -> None:
+    import duckdb
+
+    os.makedirs(SF1, exist_ok=True)
+    con = duckdb.connect()
+    digits = "0123456789"
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    upper = lower.upper()
+    con.execute(f"""
+        COPY (
+          SELECT o_orderkey + i*{OFFSET} AS o_orderkey, o_custkey,
+                 o_orderstatus, o_totalprice + i*0.01 AS o_totalprice,
+                 o_orderdate, o_orderpriority
+          FROM '{SF01}/orders.parquet', range(10) t(i)
+        ) TO '{SF1}/orders.parquet' (FORMAT PARQUET)
+    """)
+    cust_cases = " ".join(
+        f"WHEN {i} THEN translate(c_name, '{digits}', '{_rot(digits, i)}')"
+        for i in range(10)
+    )
+    con.execute(f"""
+        COPY (
+          SELECT c_custkey + i*{OFFSET} AS c_custkey,
+                 CASE i {cust_cases} END AS c_name,
+                 c_nationkey, c_acctbal, c_mktsegment
+          FROM '{SF01}/customer.parquet', range(10) t(i)
+        ) TO '{SF1}/customer.parquet' (FORMAT PARQUET)
+    """)
+    doc_cases = " ".join(
+        f"WHEN {i} THEN translate(text, '{lower}{upper}', "
+        f"'{_rot(lower, i)}{_rot(upper, i)}')"
+        for i in range(10)
+    )
+    con.execute(f"""
+        COPY (
+          SELECT doc_id + i*{OFFSET} AS doc_id,
+                 CASE i {doc_cases} END AS text,
+                 lang, source, n_chars
+          FROM '{SF01}/documents.parquet', range(10) t(i)
+        ) TO '{SF1}/documents.parquet' (FORMAT PARQUET)
+    """)
+    from etl_gcp_function_tmabrasil_spark.catalog import TABLES
+
+    for t in TABLES:
+        if t in SCALED:
+            continue
+        dst = f"{SF1}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SF01}/{t}.parquet", dst)
+
+
+def main() -> None:
+    from etl_gcp_function_tmabrasil_spark.queries import all_oracle_sql, all_queries
+    from etl_gcp_function_tmabrasil_spark.session import get_spark
+    from oracle_check import compare, duckdb_connection
+
+    if not os.path.exists(f"{SF1}/documents.parquet"):
+        generate()
+    spark = get_spark(app_name="sf1_probe")
+    qs, osql = all_queries(), all_oracle_sql()
+    out: dict = {"parity_sf1": {}, "timings": {}}
+
+    con = duckdb_connection(SF1)
+    for name in PARITY:
+        t0 = time.perf_counter()
+        problems = compare(qs[name](spark, SF1), con.execute(osql[name]).fetchdf(), name)
+        out["parity_sf1"][name] = {
+            "ok": not problems,
+            "problems": problems,
+            "sec": round(time.perf_counter() - t0, 1),
+        }
+        print(name, out["parity_sf1"][name], flush=True)
+    con.close()
+
+    for sf_name, sf_dir in [("sf0.1", SF01), ("sf1", SF1)]:
+        for name in TIMED:
+            samples = []
+            for i in range(4):
+                spark.catalog.clearCache()
+                df = qs[name](spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                if i > 0:
+                    samples.append(time.perf_counter() - t0)
+            samples.sort()
+            out["timings"][f"{name}@{sf_name}"] = {
+                "min": round(samples[0], 3),
+                "med": round(samples[len(samples) // 2], 3),
+            }
+            print(f"{name}@{sf_name}", out["timings"][f"{name}@{sf_name}"], flush=True)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

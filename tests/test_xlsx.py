@@ -147,3 +147,30 @@ def test_oversized_workbook_fails_before_content_read(spark, tmp_path):
 
     with pytest.raises(ValueError, match="xlsx too large"):
         read_xlsx(spark, str(tmp_path), ["a"], max_file_bytes=10)
+
+
+def test_tolerant_read_dead_letters_file_grown_after_prescan(spark, tmp_path):
+    """The oversize race: a file that grows past max_file_bytes AFTER
+    the driver pre-scan is removed by the content scan's pushed-down
+    length filter — the anti-join backstop must synthesize its
+    'oversize' marker so the event dead-letters instead of vanishing.
+    The scan lists lazily at action time, so appending to the file
+    between construction and collect() reproduces the race exactly."""
+    from etl_gcp_function_tmabrasil_spark.sources.xlsx import read_xlsx_tolerant
+
+    good = tmp_path / "good.xlsx"
+    grower = tmp_path / "grower.xlsx"
+    write_minimal_xlsx(str(good), COLS, [[1, 10, "click", 1.5]])
+    write_minimal_xlsx(str(grower), COLS, [[2, 20, "view", 2.5]])
+    cap = max(good.stat().st_size, grower.stat().st_size) + 1024
+    df = read_xlsx_tolerant(spark, [str(good), str(grower)], COLS, max_file_bytes=cap)
+    # the race: grower passes the pre-scan, then grows past the cap
+    # before the content scan lists it
+    with open(grower, "ab") as fh:
+        fh.write(b"\0" * (cap + 1))
+    rows = {r._source_file.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert rows["good.xlsx"]._status == "ok"
+    assert rows["grower.xlsx"]._status == "oversize", (
+        "grown file silently dropped — every requested path must yield a row"
+    )
+    assert rows["grower.xlsx"].event_id is None
