@@ -33,6 +33,7 @@ from etl_gcp_function_tmabrasil_spark.queries import (
     setops_dedup,
     similarity,
     sql_api,
+    streaming_gate,
     text_analysis,
     tfidf_udf,
     traindata2,
@@ -59,6 +60,7 @@ _MODULES = [
     mllib_lsh,
     tfidf_udf,
     sql_api,
+    streaming_gate,
     multimodal_q,
     traindata,
     traindata2,
@@ -70,25 +72,31 @@ _MODULES = [
 # all_queries()[:50]), and it gives ZERO credit to entries without an
 # oracle_sql twin — `err: "no_oracle"`, no rows-only fallback (r1:
 # agg_approx_distinct/agg_hll_mergeable; r3: the MLlib/multimodal five).
-# Every registered query carries an exact oracle (141/141 as of round
+# Every registered query carries an exact oracle (143/143 as of round
 # 5). The window ROTATES per round so every query's latest green row
 # stays fresh; CORRECTNESS_CUMULATIVE.json records each query's latest
 # green round (asserted complete by tests/test_correctness_ledger.py).
 # Round 5 = the long tail (r4 verdict order): queries whose latest
 # green row predates round 3 —
-#   - the new dead-letter ETL gate query (first driver check);
+#   - the new dead-letter ETL and streaming-runtime gate queries
+#     (first driver checks — previously the streaming rows were
+#     structurally outside the batch-oracle gate);
 #   - window_ntile (refactored onto operators/banded_rank.py after its
 #     last gate row) and q12_shipmode_priority / agg_distinct (whose
 #     only on-disk driver record is the r1 NTZ hash fail, fixed r2);
 #   - agg_robust_outliers (re-verify: round-5 MAD pre-rounding touch);
 #   - the full r1-era relational/join/agg/window wave whose only
 #     on-disk green record is CORRECTNESS_r01.json;
-#   - three r2-era window/sort entries untouched since.
+#   - one r2-era window entry untouched since.
 # Everything else stays covered by tests/test_oracle_parity.py locally
-# (all 141 queries, every session) and keeps its ledger row.
+# (all 143 queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
     # --- first driver check: hardened R5 reject branch, end-to-end ---
     "etl_xlsx_deadletter",
+    # --- first driver check: streaming runtime through the gate
+    #     (watermarked window finalization; dedup under redelivery) ---
+    "stream_tumbling_watermark",
+    "stream_dedup_redelivery",
     # --- stale or superseded records (r4 verdict leads) ---
     "window_ntile",
     "q12_shipmode_priority",
@@ -138,10 +146,8 @@ _CHECK_FIRST = [
     "scd2_user_history",
     "window_rank_orders",
     "window_first_last",
-    # --- r2-era window/sort entries untouched since ---
-    "window_lag_lead",
+    # --- r2-era window entry untouched since ---
     "window_running_sum",
-    "sort_multi_key",
 ]
 
 
