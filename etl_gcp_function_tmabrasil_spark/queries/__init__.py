@@ -72,7 +72,7 @@ _MODULES = [
 # all_queries()[:50]), and it gives ZERO credit to entries without an
 # oracle_sql twin — `err: "no_oracle"`, no rows-only fallback (r1:
 # agg_approx_distinct/agg_hll_mergeable; r3: the MLlib/multimodal five).
-# Every registered query carries an exact oracle (143/143 as of round
+# Every registered query carries an exact oracle (146/146 as of round
 # 5). The window ROTATES per round so every query's latest green row
 # stays fresh; CORRECTNESS_CUMULATIVE.json records each query's latest
 # green round (asserted complete by tests/test_correctness_ledger.py).
@@ -89,14 +89,18 @@ _MODULES = [
 #     on-disk green record is CORRECTNESS_r01.json;
 #   - one r2-era window entry untouched since.
 # Everything else stays covered by tests/test_oracle_parity.py locally
-# (all 143 queries, every session) and keeps its ledger row.
+# (all 146 queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
     # --- first driver check: hardened R5 reject branch, end-to-end ---
     "etl_xlsx_deadletter",
     # --- first driver check: streaming runtime through the gate
-    #     (watermarked window finalization; dedup under redelivery) ---
+    #     (watermarked tumbling/session finalization, dedup under
+    #     redelivery, stream-stream interval join, arbitrary state) ---
     "stream_tumbling_watermark",
     "stream_dedup_redelivery",
+    "stream_session_watermark",
+    "stream_interval_join",
+    "stream_running_totals_state",
     # --- stale or superseded records (r4 verdict leads) ---
     "window_ntile",
     "q12_shipmode_priority",
@@ -124,15 +128,15 @@ _CHECK_FIRST = [
     "q21_waiting_suppliers",
     "q22_idle_customers",
     "scalar_subquery_above_avg",
-    "pivot_status_by_segment",
-    "unpivot_nation_counts",
+    # (pivot/unpivot/join_cross — trivial r1-green plans untouched
+    #  since r1 — deferred to the r6 window to make room for the
+    #  streaming-runtime firsts above)
     "join_broadcast_dims",
     "join_semi",
     "join_anti",
     "join_left_outer",
     "join_right_outer",
     "join_full_outer",
-    "join_cross",
     "join_range_bands",
     "join_range_bucketed_pairs",
     "agg_argmax",

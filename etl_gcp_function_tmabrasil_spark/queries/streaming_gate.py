@@ -188,12 +188,224 @@ ORDER BY event_type
 """
 
 
+def stream_session_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-minute gap) through the streaming
+    runtime — the one window type whose streaming behavior (sessions
+    MERGING across micro-batches until the watermark passes their end)
+    a batch twin cannot exhibit. Emitted = finalized: sessions with
+    end (= last event + gap) <= max(ts) at the 0-second watermark."""
+    root = _root(sf_dir, "session")
+    chunks = os.path.join(root, "chunks")
+    if not os.path.isdir(chunks):
+        _write_chunks(sf_dir, chunks, copies=1)
+    agg = (
+        _stream(spark, chunks)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), csum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+    data = _run_to_parquet(agg, root)
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    return (
+        spark.read.parquet(data)
+        .filter(F.col("we") <= F.lit(max_ts))
+        .select(
+            "user_id",
+            F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# gaps-and-islands twin of Spark's session_window, restricted to
+# finalized sessions: last event + gap <= global max ts.
+_SESSION_STREAM_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              > INTERVAL '30 minutes'
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM sess
+GROUP BY user_id, sid
+HAVING MAX(ts) + INTERVAL '30 minutes' <= (SELECT max(ts) FROM events)
+ORDER BY user_id, session_start
+"""
+
+
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (click→purchase
+    attribution, streaming/windows.click_purchase_attribution) through
+    the runtime: with the backlog replayed in time order, state expiry
+    never drops an eligible click before its purchase arrives, so the
+    emitted inner join equals the batch interval join exactly."""
+    from etl_gcp_function_tmabrasil_spark.streaming.windows import (
+        click_purchase_attribution,
+    )
+
+    root = _root(sf_dir, "interval_join")
+    chunks = os.path.join(root, "chunks")
+    if not os.path.isdir(chunks):
+        _write_chunks(sf_dir, chunks, copies=1)
+    s = _stream(spark, chunks)
+    joined = click_purchase_attribution(
+        s.filter(F.col("event_type") == "click"),
+        s.filter(F.col("event_type") == "purchase"),
+    )
+    data = _run_to_parquet(joined, root)
+    return (
+        spark.read.parquet(data)
+        .select(
+            "user_id",
+            "purchase_id",
+            "click_id",
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_s"),
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_s"),
+            "value",
+        )
+        .orderBy("user_id", "purchase_id", "click_id")
+    )
+
+
+_INTERVAL_JOIN_SQL = """
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_s,
+  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_s,
+  p.value
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL '30 minutes'
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+ORDER BY p.user_id, purchase_id, click_id
+"""
+
+
+def stream_running_totals_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary per-key state (applyInPandasWithState) through the
+    runtime: a per-user running (count, cents) that survives across
+    micro-batches, emitted in update mode per batch via foreachBatch.
+    The accumulator holds integer CENTS (the engine's csum discipline in
+    state form), so the cross-batch float accumulation is order-exact.
+    The final emission per user — the row with the largest n_events,
+    strictly increasing whenever the user appears in a batch — must
+    equal the batch rollup of `events`."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    root = _root(sf_dir, "running_state")
+    chunks = os.path.join(root, "chunks")
+    if not os.path.isdir(chunks):
+        _write_chunks(sf_dir, chunks, copies=1)
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_cents", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("cents", T.LongType())]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # per-ROW cents rounding before the sum: value doubles are
+            # within 1e-9 of exact cents (csum precondition), far from
+            # any rounding midpoint, so numpy rint == Spark HALF_UP
+            # here and the long sum is exact
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    totals = (
+        _stream(spark, chunks)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    data = os.path.join(root, "data")
+
+    def append(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(data)
+
+    (
+        totals.writeStream.foreachBatch(append)
+        .option("checkpointLocation", os.path.join(root, "ck"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    ).awaitTermination(300)
+    sink = spark.read.parquet(data)
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            (
+                F.max_by("total_cents", "n_events") / F.lit(100.0)
+            ).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_RUNNING_STATE_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "stream_tumbling_watermark": stream_tumbling_watermark,
     "stream_dedup_redelivery": stream_dedup_redelivery,
+    "stream_session_watermark": stream_session_watermark,
+    "stream_interval_join": stream_interval_join,
+    "stream_running_totals_state": stream_running_totals_state,
 }
 
 ORACLE = {
     "stream_tumbling_watermark": _TUMBLING_STREAM_SQL,
     "stream_dedup_redelivery": _DEDUP_STREAM_SQL,
+    "stream_session_watermark": _SESSION_STREAM_SQL,
+    "stream_interval_join": _INTERVAL_JOIN_SQL,
+    "stream_running_totals_state": _RUNNING_STATE_SQL,
 }
