@@ -72,7 +72,7 @@ _MODULES = [
 # all_queries()[:50]), and it gives ZERO credit to entries without an
 # oracle_sql twin — `err: "no_oracle"`, no rows-only fallback (r1:
 # agg_approx_distinct/agg_hll_mergeable; r3: the MLlib/multimodal five).
-# Every registered query carries an exact oracle (146/146 as of round
+# Every registered query carries an exact oracle (147/147 as of round
 # 5). The window ROTATES per round so every query's latest green row
 # stays fresh; CORRECTNESS_CUMULATIVE.json records each query's latest
 # green round (asserted complete by tests/test_correctness_ledger.py).
@@ -89,7 +89,7 @@ _MODULES = [
 #     on-disk green record is CORRECTNESS_r01.json;
 #   - one r2-era window entry untouched since.
 # Everything else stays covered by tests/test_oracle_parity.py locally
-# (all 146 queries, every session) and keeps its ledger row.
+# (all 147 queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
     # --- first driver check: hardened R5 reject branch, end-to-end ---
     "etl_xlsx_deadletter",
@@ -98,6 +98,7 @@ _CHECK_FIRST = [
     #     redelivery, stream-stream interval join, arbitrary state) ---
     "stream_tumbling_watermark",
     "stream_dedup_redelivery",
+    "stream_late_data_drop",
     "stream_session_watermark",
     "stream_interval_join",
     "stream_running_totals_state",
@@ -149,7 +150,8 @@ _CHECK_FIRST = [
     "cdc_merge_upsert",
     "scd2_user_history",
     "window_rank_orders",
-    "window_first_last",
+    # (window_first_last deferred to r6 alongside pivot/unpivot/
+    #  join_cross, for the late-data streaming first above)
     # --- r2-era window entry untouched since ---
     "window_running_sum",
 ]

@@ -188,6 +188,116 @@ ORDER BY event_type
 """
 
 
+#: Deterministic "late" subset for stream_late_data_drop: ~1% of events,
+#: restricted to the first week of the 30-day timeline. The time bound
+#: is what makes the drop provable: Spark's late-input filter uses the
+#: watermark committed for the CURRENT batch, which trails the data by
+#: one micro-batch (measured here: replaying late rows after three
+#: sorted chunks admitted exactly those whose window ended after the
+#: BATCH-2 watermark — the max of chunks 0-1 — even though the batch-3
+#: watermark had passed the whole timeline). Bounding late rows to
+#: window ends <= Jan 8 06:00 puts them far below even the batch-1
+#: watermark (~Jan 11, the first-third boundary), so every late row is
+#: dropped under one- OR two-batch watermark lag.
+_LATE_MOD = 97
+_LATE_CUTOFF = "2024-01-08 00:00:00"
+
+
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics through the runtime: the on-time
+    rows replay in three sorted chunks, then the late subset (~1% of
+    the first week — see _LATE_CUTOFF for why the time bound matters)
+    arrives in a final chunk after the watermark has passed the whole
+    on-time timeline. Every late row's window is finalized by then, so
+    Spark must drop all of them: emitted = tumbling windows over the
+    ON-TIME rows only, with end <= max on-time ts — closed-form from
+    the base table."""
+    import pandas as pd
+
+    root = _root(sf_dir, "late_drop")
+    chunks = os.path.join(root, "chunks")
+    if not os.path.isdir(chunks):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(chunks)
+        tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        pdf = tbl.to_pandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        is_late = (pdf["event_id"] % _LATE_MOD == 0) & (
+            pdf["ts"] < pd.Timestamp(_LATE_CUTOFF)
+        )
+        late = pdf[is_late]
+        ontime = pdf[~is_late].reset_index(drop=True)
+        n = len(ontime)
+        for i in range(_N_CHUNKS):
+            pq.write_table(
+                pa.Table.from_pandas(
+                    ontime.iloc[i * n // _N_CHUNKS : (i + 1) * n // _N_CHUNKS],
+                    preserve_index=False,
+                ),
+                os.path.join(chunks, f"chunk_{i}.parquet"),
+            )
+            time.sleep(0.05)
+        pq.write_table(
+            pa.Table.from_pandas(late, preserve_index=False),
+            os.path.join(chunks, "chunk_late.parquet"),
+        )
+    agg = (
+        _stream(spark, chunks)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), csum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    data = _run_to_parquet(agg, root)
+    max_ts = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            ~(
+                (F.col("event_id") % _LATE_MOD == 0)
+                & (F.col("ts") < F.lit(_LATE_CUTOFF).cast("timestamp"))
+            )
+        )
+        .agg(F.max("ts"))
+        .collect()[0][0]
+    )
+    return (
+        spark.read.parquet(data)
+        .filter(F.col("we") <= F.lit(max_ts))
+        .select(
+            F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+_LATE_DROP_SQL = f"""
+WITH ontime AS (
+  SELECT * FROM events
+  WHERE NOT (event_id % {_LATE_MOD} = 0
+             AND ts < TIMESTAMP '{_LATE_CUTOFF}')
+)
+SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM ontime
+WHERE time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours'
+      <= (SELECT max(ts) FROM ontime)
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
 def stream_session_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows (30-minute gap) through the streaming
     runtime — the one window type whose streaming behavior (sessions
@@ -397,6 +507,7 @@ ORDER BY user_id
 QUERIES = {
     "stream_tumbling_watermark": stream_tumbling_watermark,
     "stream_dedup_redelivery": stream_dedup_redelivery,
+    "stream_late_data_drop": stream_late_data_drop,
     "stream_session_watermark": stream_session_watermark,
     "stream_interval_join": stream_interval_join,
     "stream_running_totals_state": stream_running_totals_state,
@@ -405,6 +516,7 @@ QUERIES = {
 ORACLE = {
     "stream_tumbling_watermark": _TUMBLING_STREAM_SQL,
     "stream_dedup_redelivery": _DEDUP_STREAM_SQL,
+    "stream_late_data_drop": _LATE_DROP_SQL,
     "stream_session_watermark": _SESSION_STREAM_SQL,
     "stream_interval_join": _INTERVAL_JOIN_SQL,
     "stream_running_totals_state": _RUNNING_STATE_SQL,
