@@ -32,6 +32,7 @@ from etl_gcp_function_tmabrasil_spark.queries import (
     scalar_funcs,
     setops_dedup,
     similarity,
+    sources_gate,
     sql_api,
     streaming_gate,
     text_analysis,
@@ -60,6 +61,7 @@ _MODULES = [
     mllib_lsh,
     tfidf_udf,
     sql_api,
+    sources_gate,
     streaming_gate,
     multimodal_q,
     traindata,
@@ -72,7 +74,7 @@ _MODULES = [
 # all_queries()[:50]), and it gives ZERO credit to entries without an
 # oracle_sql twin — `err: "no_oracle"`, no rows-only fallback (r1:
 # agg_approx_distinct/agg_hll_mergeable; r3: the MLlib/multimodal five).
-# Every registered query carries an exact oracle (147/147 as of round
+# Every registered query carries an exact oracle (149/149 as of round
 # 5). The window ROTATES per round so every query's latest green row
 # stays fresh; CORRECTNESS_CUMULATIVE.json records each query's latest
 # green round (asserted complete by tests/test_correctness_ledger.py).
@@ -89,7 +91,7 @@ _MODULES = [
 #     on-disk green record is CORRECTNESS_r01.json;
 #   - one r2-era window entry untouched since.
 # Everything else stays covered by tests/test_oracle_parity.py locally
-# (all 147 queries, every session) and keeps its ledger row.
+# (all 149 queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
     # --- first driver check: hardened R5 reject branch, end-to-end ---
     "etl_xlsx_deadletter",
@@ -102,6 +104,9 @@ _CHECK_FIRST = [
     "stream_session_watermark",
     "stream_interval_join",
     "stream_running_totals_state",
+    "stream_static_enrichment",
+    # --- first driver check: text-format source edges ---
+    "scan_csv_json_roundtrip",
     # --- stale or superseded records (r4 verdict leads) ---
     "window_ntile",
     "q12_shipmode_priority",
@@ -137,7 +142,6 @@ _CHECK_FIRST = [
     "join_anti",
     "join_left_outer",
     "join_right_outer",
-    "join_full_outer",
     "join_range_bands",
     "join_range_bucketed_pairs",
     "agg_argmax",
@@ -145,7 +149,8 @@ _CHECK_FIRST = [
     "rollup_time_multires",
     "agg_rollup",
     "agg_cube",
-    "agg_collect",
+    # (agg_collect and join_full_outer deferred to r6 with the other
+    #  r1-green trivia, for the enrichment + scan-roundtrip firsts)
     "agg_grouping_sets",
     "cdc_merge_upsert",
     "scd2_user_history",

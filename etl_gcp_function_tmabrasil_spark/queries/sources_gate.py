@@ -1,0 +1,109 @@
+"""Driver-checkable CSV / JSON scan roundtrip — the text-format source
+edges (SURVEY.md §2.2 "Sources / sinks": `spark.read.csv/json` with an
+explicit schema) proved lossless through the oracle gate, the same
+pattern as `ingest_xlsx.xlsx_ingest_roundtrip`.
+
+The query writes a deterministic `events` slice to BOTH text formats
+through the engine's writers (explicit `timestampFormat` with
+microsecond precision — the config the tz-pinning in session.py exists
+to keep roundtrip-safe), reads each back with the declared schema, and
+returns the union tagged by format. The DuckDB oracle reads the SAME
+slice straight from parquet, fanned out across the two format tags —
+hash equality proves both write→parse edges preserve longs, doubles,
+strings, and microsecond timestamps exactly.
+
+Scale notes: the 200-row fabrication is fixture plumbing; the scan
+under test is the engine's distributed text reader (per-file-split
+parallel, schema declared so no inference pass over the corpus).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from etl_gcp_function_tmabrasil_spark.catalog import load_table
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+_COLS = [f.name for f in _SCHEMA.fields]
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_MAX_ID = 200
+
+_ROOT: str | None = None
+
+
+def scan_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events slice → engine CSV + JSON writers → schema-declared
+    read-back, union tagged by format."""
+    global _ROOT
+    if _ROOT is None:
+        _ROOT = tempfile.mkdtemp(prefix="spark_graft_scan_gate_")
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = os.path.join(_ROOT, sf_name)
+    csv_dir = os.path.join(root, "events_csv")
+    json_dir = os.path.join(root, "events_json")
+    if not os.path.isdir(root):
+        sl = (
+            load_table(spark, sf_dir, "events")
+            .select(*_COLS)
+            .filter(F.col("event_id") < _MAX_ID)
+        )
+        sl.write.option("header", True).option("timestampFormat", _TS_FMT).csv(
+            csv_dir
+        )
+        sl.write.option("timestampFormat", _TS_FMT).json(json_dir)
+    back_csv = (
+        spark.read.schema(_SCHEMA)
+        .option("header", True)
+        .option("timestampFormat", _TS_FMT)
+        .csv(csv_dir)
+        .withColumn("fmt", F.lit("csv"))
+    )
+    back_json = (
+        spark.read.schema(_SCHEMA)
+        .option("timestampFormat", _TS_FMT)
+        .json(json_dir)
+        .withColumn("fmt", F.lit("json"))
+    )
+    return (
+        back_csv.unionByName(back_json)
+        .select(
+            "fmt",
+            "event_id",
+            F.date_format("ts", _TS_FMT).alias("ts_s"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .orderBy("fmt", "event_id")
+    )
+
+
+_SCAN_SQL = f"""
+SELECT f.fmt, e.event_id,
+  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+  e.user_id, e.event_type, e.value
+FROM events e
+CROSS JOIN (SELECT UNNEST(['csv', 'json']) AS fmt) f
+WHERE e.event_id < {_MAX_ID}
+ORDER BY f.fmt, e.event_id
+"""
+
+
+QUERIES = {
+    "scan_csv_json_roundtrip": scan_csv_json_roundtrip,
+}
+
+ORACLE = {
+    "scan_csv_json_roundtrip": _SCAN_SQL,
+}

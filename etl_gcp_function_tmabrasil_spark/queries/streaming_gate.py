@@ -504,6 +504,50 @@ ORDER BY user_id
 """
 
 
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment through the runtime
+    (streaming/windows.enrich_stream_with_customer): each micro-batch
+    left-joins the replayed event stream against the customer dimension
+    map-side; unknown users pass through with null enrichment (the
+    reference's null-tolerant R2 semantics). The sink rollup must equal
+    the batch left join of `events` against `customer`."""
+    from etl_gcp_function_tmabrasil_spark.streaming.windows import (
+        enrich_stream_with_customer,
+    )
+
+    root = _root(sf_dir, "enrich")
+    chunks = os.path.join(root, "chunks")
+    if not os.path.isdir(chunks):
+        _write_chunks(sf_dir, chunks, copies=1)
+    customer = load_table(spark, sf_dir, "customer")
+    enriched = enrich_stream_with_customer(
+        _stream(spark, chunks), customer
+    ).select("user_id", "segment", "bal_band", "value")
+    data = _run_to_parquet(enriched, root)
+    return (
+        spark.read.parquet(data)
+        .groupBy("segment", "bal_band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            csum("value").alias("sum_value"),
+        )
+        .orderBy("segment", "bal_band")
+    )
+
+
+_ENRICH_SQL = """
+SELECT c.c_mktsegment AS segment,
+  CAST(FLOOR(c.c_acctbal / 1000) * 1000 AS BIGINT) AS bal_band,
+  COUNT(*) AS n, COUNT(DISTINCT e.user_id) AS n_users,
+  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY segment, bal_band
+ORDER BY segment, bal_band
+"""
+
+
 QUERIES = {
     "stream_tumbling_watermark": stream_tumbling_watermark,
     "stream_dedup_redelivery": stream_dedup_redelivery,
@@ -511,6 +555,7 @@ QUERIES = {
     "stream_session_watermark": stream_session_watermark,
     "stream_interval_join": stream_interval_join,
     "stream_running_totals_state": stream_running_totals_state,
+    "stream_static_enrichment": stream_static_enrichment,
 }
 
 ORACLE = {
@@ -520,4 +565,5 @@ ORACLE = {
     "stream_session_watermark": _SESSION_STREAM_SQL,
     "stream_interval_join": _INTERVAL_JOIN_SQL,
     "stream_running_totals_state": _RUNNING_STATE_SQL,
+    "stream_static_enrichment": _ENRICH_SQL,
 }
