@@ -79,6 +79,16 @@ def _write_chunks(sf_dir: str, out: str, copies: int) -> None:
             time.sleep(0.05)
 
 
+def _shared_chunks(sf_dir: str) -> str:
+    """One per-sf chunk fixture shared by every copies=1 gate query
+    (the checkpoint/sink stay per-query) — five identical pyarrow
+    fixture builds saved per process."""
+    out = _root(sf_dir, "chunks1")
+    if not os.path.isdir(out):
+        _write_chunks(sf_dir, out, copies=1)
+    return out
+
+
 def _stream(spark: SparkSession, chunks: str) -> DataFrame:
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
@@ -106,9 +116,7 @@ def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine's deterministic csum so cross-batch accumulation is exact).
     Emitted = finalized: windows with end <= max(ts)."""
     root = _root(sf_dir, "tumbling")
-    chunks = os.path.join(root, "chunks")
-    if not os.path.isdir(chunks):
-        _write_chunks(sf_dir, chunks, copies=1)
+    chunks = _shared_chunks(sf_dir)
     agg = (
         _stream(spark, chunks)
         .withWatermark("ts", "0 seconds")
@@ -305,9 +313,7 @@ def stream_session_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     a batch twin cannot exhibit. Emitted = finalized: sessions with
     end (= last event + gap) <= max(ts) at the 0-second watermark."""
     root = _root(sf_dir, "session")
-    chunks = os.path.join(root, "chunks")
-    if not os.path.isdir(chunks):
-        _write_chunks(sf_dir, chunks, copies=1)
+    chunks = _shared_chunks(sf_dir)
     agg = (
         _stream(spark, chunks)
         .withWatermark("ts", "0 seconds")
@@ -375,9 +381,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     root = _root(sf_dir, "interval_join")
-    chunks = os.path.join(root, "chunks")
-    if not os.path.isdir(chunks):
-        _write_chunks(sf_dir, chunks, copies=1)
+    chunks = _shared_chunks(sf_dir)
     s = _stream(spark, chunks)
     joined = click_purchase_attribution(
         s.filter(F.col("event_type") == "click"),
@@ -429,9 +433,7 @@ def stream_running_totals_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     root = _root(sf_dir, "running_state")
-    chunks = os.path.join(root, "chunks")
-    if not os.path.isdir(chunks):
-        _write_chunks(sf_dir, chunks, copies=1)
+    chunks = _shared_chunks(sf_dir)
     out_schema = T.StructType(
         [
             T.StructField("user_id", T.LongType()),
@@ -516,9 +518,7 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     root = _root(sf_dir, "enrich")
-    chunks = os.path.join(root, "chunks")
-    if not os.path.isdir(chunks):
-        _write_chunks(sf_dir, chunks, copies=1)
+    chunks = _shared_chunks(sf_dir)
     customer = load_table(spark, sf_dir, "customer")
     enriched = enrich_stream_with_customer(
         _stream(spark, chunks), customer
