@@ -100,10 +100,59 @@ ORDER BY f.fmt, e.event_id
 """
 
 
+def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned parquet sink roundtrip with partition pruning
+    on the read-back (`sinks/partitioned.py`): events land as
+    `event_date=YYYY-MM-DD/` directories, and the query reads them
+    back through a date-range filter that prunes at the directory
+    level (the plan pin lives in tests/test_partitioned_sink.py; this
+    gate proves the written VALUES survive the layout round trip)."""
+    from etl_gcp_function_tmabrasil_spark.sinks.partitioned import (
+        read_events_partitioned,
+        write_events_partitioned,
+    )
+
+    global _ROOT
+    if _ROOT is None:
+        _ROOT = tempfile.mkdtemp(prefix="spark_graft_scan_gate_")
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = os.path.join(_ROOT, sf_name, "events_partitioned")
+    if not os.path.isdir(path):
+        write_events_partitioned(
+            load_table(spark, sf_dir, "events").select(*_COLS), path
+        )
+    from etl_gcp_function_tmabrasil_spark.queries._util import csum
+
+    return (
+        read_events_partitioned(spark, path)
+        .filter(F.col("event_date").between("2024-01-10", "2024-01-20"))
+        .groupBy(F.date_format("event_date", "yyyy-MM-dd").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            csum("value").alias("sum_value"),
+        )
+        .orderBy("event_date")
+    )
+
+
+_PARTITIONED_SQL = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+  COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'
+GROUP BY event_date
+ORDER BY event_date
+"""
+
+
 QUERIES = {
     "scan_csv_json_roundtrip": scan_csv_json_roundtrip,
+    "sink_partitioned_roundtrip": sink_partitioned_roundtrip,
 }
 
 ORACLE = {
     "scan_csv_json_roundtrip": _SCAN_SQL,
+    "sink_partitioned_roundtrip": _PARTITIONED_SQL,
 }

@@ -548,6 +548,61 @@ ORDER BY segment, bal_band
 """
 
 
+
+def stream_sliding_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (6h every 3h) through the streaming runtime —
+    same finalization closed form as the tumbling gate (emitted =
+    windows with end <= max(ts) at a 0-second watermark), with each
+    event expanded into its window/slide = 2 overlapping memberships
+    across micro-batch boundaries."""
+    root = _root(sf_dir, "sliding")
+    chunks = _shared_chunks(sf_dir)
+    agg = (
+        _stream(spark, chunks)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "6 hours", "3 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), csum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    data = _run_to_parquet(agg, root)
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    return (
+        spark.read.parquet(data)
+        .filter(F.col("we") <= F.lit(max_ts))
+        .select(
+            F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# Sliding = each event expanded to its k=2 bucket starts
+# (time_bucket(slide) - i*slide), finalized windows only.
+_SLIDING_STREAM_SQL = """
+WITH exp AS (
+  SELECT event_type, value,
+    time_bucket(INTERVAL '3 hours', ts) - (o.o * INTERVAL '3 hours') AS window_start
+  FROM events, (SELECT UNNEST([0, 1]) AS o) o
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM exp
+WHERE window_start + INTERVAL '6 hours' <= (SELECT max(ts) FROM events)
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
 QUERIES = {
     "stream_tumbling_watermark": stream_tumbling_watermark,
     "stream_dedup_redelivery": stream_dedup_redelivery,
@@ -556,6 +611,7 @@ QUERIES = {
     "stream_interval_join": stream_interval_join,
     "stream_running_totals_state": stream_running_totals_state,
     "stream_static_enrichment": stream_static_enrichment,
+    "stream_sliding_watermark": stream_sliding_watermark,
 }
 
 ORACLE = {
@@ -566,4 +622,5 @@ ORACLE = {
     "stream_interval_join": _INTERVAL_JOIN_SQL,
     "stream_running_totals_state": _RUNNING_STATE_SQL,
     "stream_static_enrichment": _ENRICH_SQL,
+    "stream_sliding_watermark": _SLIDING_STREAM_SQL,
 }
