@@ -176,7 +176,7 @@ def etl_xlsx_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert os.path.getsize(os.path.join(bucket, "big.xlsx")) > _DL_MAX_BYTES
     assert os.path.getsize(os.path.join(bucket, "good.xlsx")) <= _DL_MAX_BYTES
     assert os.path.getsize(os.path.join(bucket, "empty.xlsx")) <= _DL_MAX_BYTES
-    run_xlsx_etl_pipeline(
+    q = run_xlsx_etl_pipeline(
         spark,
         landing,
         os.path.join(root, "bucket"),
@@ -185,7 +185,14 @@ def etl_xlsx_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
         _COLS,
         _DDL,
         max_file_bytes=_DL_MAX_BYTES,
-    ).awaitTermination(300)
+    )
+    if not q.awaitTermination(300):
+        # a timed-out stream would keep committing while we read the
+        # half-written ledger — fail loudly instead
+        try:
+            q.stop()
+        finally:
+            raise TimeoutError("dead-letter ETL stream did not drain in 300s")
     ok = sink.read(spark, table).agg(
         F.count(F.lit(1)).alias("n")
     ).select(F.lit("ok").alias("status"), "n")

@@ -56,18 +56,35 @@ def _root(sf_dir: str, name: str) -> str:
     return os.path.join(_ROOT, sf_name, name)
 
 
-def _write_chunks(sf_dir: str, out: str, copies: int) -> None:
+def _write_chunks(sf_dir: str, out: str, copies: int, hold_back=None) -> None:
     """events split into time-ordered parquet chunks with distinct
     mtimes (the file source admits oldest-first, so chunk order — and
     therefore watermark advancement — is deterministic); `copies` > 1
-    re-delivers each chunk as a separate later file."""
+    re-delivers each chunk as a separate later file; `hold_back`
+    (row-mask callable on the pandas frame) carves out a subset that is
+    delivered as one extra LAST file — after the watermark has passed
+    the held-back rows' event times (the late-data fixture).
+
+    Built under a temp name and renamed into place atomically, so a
+    mid-write crash can never leave a partial fixture that the
+    `isdir` regeneration guards would silently reuse forever."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    os.makedirs(out)
+    tmp = out + ".tmp"
+    if os.path.isdir(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
     tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
     pdf = tbl.to_pandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
     pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    held = None
+    if hold_back is not None:
+        mask = hold_back(pdf)
+        held = pdf[mask]
+        pdf = pdf[~mask].reset_index(drop=True)
     n = len(pdf)
     for i in range(_N_CHUNKS):
         chunk = pa.Table.from_pandas(
@@ -75,8 +92,14 @@ def _write_chunks(sf_dir: str, out: str, copies: int) -> None:
             preserve_index=False,
         )
         for c in range(copies):
-            pq.write_table(chunk, os.path.join(out, f"chunk_{i}_copy{c}.parquet"))
+            pq.write_table(chunk, os.path.join(tmp, f"chunk_{i}_copy{c}.parquet"))
             time.sleep(0.05)
+    if held is not None:
+        pq.write_table(
+            pa.Table.from_pandas(held, preserve_index=False),
+            os.path.join(tmp, "chunk_late.parquet"),
+        )
+    os.rename(tmp, out)
 
 
 def _shared_chunks(sf_dir: str) -> str:
@@ -97,17 +120,50 @@ def _stream(spark: SparkSession, chunks: str) -> DataFrame:
     )
 
 
+def _await(query, timeout: int = 300) -> None:
+    """awaitTermination that FAILS on timeout instead of returning: a
+    timed-out availableNow run would otherwise keep committing in the
+    background while the caller reads a half-written sink (and a
+    re-invocation would then collide on the live checkpoint)."""
+    if not query.awaitTermination(timeout):
+        try:
+            query.stop()
+        finally:
+            raise TimeoutError(
+                f"streaming gate query did not drain within {timeout}s"
+            )
+
+
 def _run_to_parquet(df: DataFrame, root: str) -> str:
     data = os.path.join(root, "data")
-    (
+    _await(
         df.writeStream.format("parquet")
         .option("path", data)
         .option("checkpointLocation", os.path.join(root, "ck"))
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
-    ).awaitTermination(300)
+    )
     return data
+
+
+def _finalized_windows(
+    spark: SparkSession, data: str, max_ts
+) -> DataFrame:
+    """Shared postlude of the windowed gates: read the sink back, keep
+    the finalized windows (end <= the final watermark — the probed
+    closed form), render the start, and present deterministically."""
+    return (
+        spark.read.parquet(data)
+        .filter(F.col("we") <= F.lit(max_ts))
+        .select(
+            F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
 
 
 def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,19 +188,7 @@ def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     data = _run_to_parquet(agg, root)
     max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
-    return (
-        spark.read.parquet(data)
-        # belt over the probed closed form: finalized means end <= the
-        # final watermark (= global max ts at 0s delay)
-        .filter(F.col("we") <= F.lit(max_ts))
-        .select(
-            F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "event_type",
-            "n",
-            "sum_value",
-        )
-        .orderBy("window_start", "event_type")
-    )
+    return _finalized_windows(spark, data, max_ts)
 
 
 _TUMBLING_STREAM_SQL = """
@@ -225,31 +269,12 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _root(sf_dir, "late_drop")
     chunks = os.path.join(root, "chunks")
     if not os.path.isdir(chunks):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        os.makedirs(chunks)
-        tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
-        pdf = tbl.to_pandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
-        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
-        is_late = (pdf["event_id"] % _LATE_MOD == 0) & (
-            pdf["ts"] < pd.Timestamp(_LATE_CUTOFF)
-        )
-        late = pdf[is_late]
-        ontime = pdf[~is_late].reset_index(drop=True)
-        n = len(ontime)
-        for i in range(_N_CHUNKS):
-            pq.write_table(
-                pa.Table.from_pandas(
-                    ontime.iloc[i * n // _N_CHUNKS : (i + 1) * n // _N_CHUNKS],
-                    preserve_index=False,
-                ),
-                os.path.join(chunks, f"chunk_{i}.parquet"),
-            )
-            time.sleep(0.05)
-        pq.write_table(
-            pa.Table.from_pandas(late, preserve_index=False),
-            os.path.join(chunks, "chunk_late.parquet"),
+        _write_chunks(
+            sf_dir,
+            chunks,
+            copies=1,
+            hold_back=lambda pdf: (pdf["event_id"] % _LATE_MOD == 0)
+            & (pdf["ts"] < pd.Timestamp(_LATE_CUTOFF)),
         )
     agg = (
         _stream(spark, chunks)
@@ -276,17 +301,7 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("ts"))
         .collect()[0][0]
     )
-    return (
-        spark.read.parquet(data)
-        .filter(F.col("we") <= F.lit(max_ts))
-        .select(
-            F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "event_type",
-            "n",
-            "sum_value",
-        )
-        .orderBy("window_start", "event_type")
-    )
+    return _finalized_windows(spark, data, max_ts)
 
 
 _LATE_DROP_SQL = f"""
@@ -477,13 +492,13 @@ def stream_running_totals_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     def append(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(data)
 
-    (
+    _await(
         totals.writeStream.foreachBatch(append)
         .option("checkpointLocation", os.path.join(root, "ck"))
         .outputMode("update")
         .trigger(availableNow=True)
         .start()
-    ).awaitTermination(300)
+    )
     sink = spark.read.parquet(data)
     return (
         sink.groupBy("user_id")
@@ -572,17 +587,7 @@ def stream_sliding_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     data = _run_to_parquet(agg, root)
     max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
-    return (
-        spark.read.parquet(data)
-        .filter(F.col("we") <= F.lit(max_ts))
-        .select(
-            F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "event_type",
-            "n",
-            "sum_value",
-        )
-        .orderBy("window_start", "event_type")
-    )
+    return _finalized_windows(spark, data, max_ts)
 
 
 # Sliding = each event expanded to its k=2 bucket starts

@@ -89,8 +89,12 @@ class BigQuerySink:
                 reader.load(table).schema  # connector resolves eagerly
                 return True
             except Exception as exc:  # noqa: BLE001 — filtered below
-                msg = str(exc)
-                if "Not found" in msg or "404" in msg or "NOT_FOUND" in msg:
+                # case-insensitive not-found phrasings only; a bare
+                # "404" substring is NOT matched (an error whose text
+                # merely quotes a URL or staging object would map an
+                # existing table to False and silently disable dedup)
+                msg = str(exc).lower()
+                if "not found" in msg or "not_found" in msg or "does not exist" in msg:
                     return False
                 raise
         return os.path.exists(os.path.join(self.warehouse_dir, *table.split(".")))

@@ -146,15 +146,15 @@ def _probe_event_keys(spark, sink, table: str, ev_df: DataFrame) -> set:
     """Event keys from `table` that match this batch's keys (broadcast
     semi-join; collect bounded by the batch's event count).
 
-    Sinks exposing `exists()` (e.g. BigQuerySink) are asked first:
-    connector-route missing-table failures are connector-specific and
-    would not match _MISSING_TABLE_CONDITIONS, so without the explicit
-    probe the first production run would fail instead of seeing an
-    empty ledger."""
-    probe = getattr(sink, "exists", None)
-    if probe is not None and not probe(spark, table):
-        return set()
-    try:
+    Connector-route missing-table failures are connector-specific and
+    would not match _MISSING_TABLE_CONDITIONS, so on ANY read failure
+    a sink exposing `exists()` (e.g. BigQuerySink) is consulted: a
+    confirmed-absent table means an empty ledger; everything else
+    propagates. The probe runs only on the exception path — the
+    steady-state batch (table exists, read succeeds) pays zero extra
+    metadata round-trips."""
+
+    def _keys() -> set:
         return {
             (r._event_name, r._event_ts)
             for r in sink.read(spark, table)
@@ -163,6 +163,9 @@ def _probe_event_keys(spark, sink, table: str, ev_df: DataFrame) -> set:
             .distinct()
             .collect()
         }
+
+    try:
+        return _keys()
     except AnalysisException as exc:
         cond = (
             exc.getCondition()
@@ -170,6 +173,14 @@ def _probe_event_keys(spark, sink, table: str, ev_df: DataFrame) -> set:
             else getattr(exc, "getErrorClass", lambda: None)()
         ) or ""
         if any(c in cond for c in _MISSING_TABLE_CONDITIONS):
+            return set()
+        probe = getattr(sink, "exists", None)
+        if probe is not None and not probe(spark, table):
+            return set()
+        raise
+    except Exception:
+        probe = getattr(sink, "exists", None)
+        if probe is not None and not probe(spark, table):
             return set()
         raise
 

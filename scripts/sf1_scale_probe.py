@@ -71,6 +71,12 @@ def generate() -> None:
     import duckdb
 
     os.makedirs(SF1, exist_ok=True)
+    # idempotent re-runs after a mid-generate crash: remove any
+    # partially-written scaled files before COPY
+    for t in sorted(SCALED):
+        f = f"{SF1}/{t}.parquet"
+        if os.path.exists(f):
+            os.unlink(f)
     con = duckdb.connect()
     digits = "0123456789"
     lower = "abcdefghijklmnopqrstuvwxyz"
@@ -123,7 +129,12 @@ def main() -> None:
     from etl_gcp_function_tmabrasil_spark.session import get_spark
     from oracle_check import compare, duckdb_connection
 
-    if not os.path.exists(f"{SF1}/documents.parquet"):
+    from etl_gcp_function_tmabrasil_spark.catalog import TABLES
+
+    # guard on EVERY expected artifact, not just the first written one:
+    # a crash mid-generate() must trigger a (idempotent, overwriting)
+    # re-run instead of leaving a half-built dir that fails confusingly
+    if not all(os.path.exists(f"{SF1}/{t}.parquet") for t in TABLES):
         generate()
     spark = get_spark(app_name="sf1_probe")
     qs, osql = all_queries(), all_oracle_sql()
