@@ -147,12 +147,77 @@ ORDER BY event_date
 """
 
 
+#: One JSONL line per defensive-parse behavior of the custom DataSource
+#: (sources/cloudevent_source.py — the reference's `.get` chain over
+#: `data or {}`, ``/root/reference/main.py:6-9``): decimal-string size,
+#: int size, malformed JSON, wrong-typed fields, absent keys, tz-offset
+#: and tz-naive RFC 3339 timestamps.
+_CE_LINES = [
+    '{"bucket":"b","name":"minha-pasta/a.xlsx","size":"123",'
+    '"time":"2024-01-01T00:00:00Z"}',
+    '{"bucket":"b","name":"x.csv","size":42,'
+    '"timeCreated":"2024-01-02T03:04:05+02:00"}',
+    "this is not json",
+    '{"name":null,"size":"abc"}',
+    "{}",
+    '{"bucket":7,"name":"y","size":true,"time":"bogus"}',
+    '{"bucket":"b","name":"z","size":"0","time":"2024-01-03T10:00:00"}',
+]
+
+
+def scan_cloudevent_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom `cloudevent_jsonl` Python DataSource (Spark 4
+    pyspark.sql.datasource API) through the oracle gate: a feed with
+    one line per defensive-parse rule — malformed payloads, absent and
+    wrong-typed keys, decimal-string sizes, offset and naive RFC 3339
+    timestamps — must land as exactly the all-null / coerced rows the
+    reference's semantics dictate. Closed-form VALUES oracle."""
+    from etl_gcp_function_tmabrasil_spark.sources import cloudevent_source
+
+    global _ROOT
+    if _ROOT is None:
+        _ROOT = tempfile.mkdtemp(prefix="spark_graft_scan_gate_")
+    feed = os.path.join(_ROOT, "cloudevents", "feed.jsonl")
+    if not os.path.isfile(feed):
+        os.makedirs(os.path.dirname(feed), exist_ok=True)
+        with open(feed, "w", encoding="utf-8") as fh:
+            fh.write("\n".join(_CE_LINES) + "\n")
+    cloudevent_source.register(spark)
+    return (
+        spark.read.format("cloudevent_jsonl")
+        .load(feed)
+        .select(
+            "bucket",
+            "name",
+            "size",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+        .orderBy("bucket", "name", "size", "ts_s")
+    )
+
+
+_CLOUDEVENT_SQL = """
+SELECT * FROM (VALUES
+  ('b', 'minha-pasta/a.xlsx', CAST(123 AS BIGINT), '2024-01-01 00:00:00'),
+  ('b', 'x.csv',              CAST(42 AS BIGINT),  '2024-01-02 01:04:05'),
+  (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)),
+  (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)),
+  (CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)),
+  (CAST(NULL AS VARCHAR), 'y', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)),
+  ('b', 'z', CAST(0 AS BIGINT), '2024-01-03 10:00:00')
+) AS t(bucket, name, size, ts_s)
+ORDER BY bucket, name, size, ts_s
+"""
+
+
 QUERIES = {
     "scan_csv_json_roundtrip": scan_csv_json_roundtrip,
     "sink_partitioned_roundtrip": sink_partitioned_roundtrip,
+    "scan_cloudevent_datasource": scan_cloudevent_datasource,
 }
 
 ORACLE = {
     "scan_csv_json_roundtrip": _SCAN_SQL,
     "sink_partitioned_roundtrip": _PARTITIONED_SQL,
+    "scan_cloudevent_datasource": _CLOUDEVENT_SQL,
 }
