@@ -210,14 +210,76 @@ ORDER BY bucket, name, size, ts_s
 """
 
 
+def sink_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction (`sinks/partitioned.compact_partitions`)
+    through the oracle gate: events are first written deliberately
+    fragmented (8 writer tasks × 50-record file cap → hundreds of tiny
+    files per date), then compacted via the staging-write +
+    per-partition-swap protocol. The query returns the per-date rollup
+    PLUS the per-partition file count measured with input_file_name():
+    the oracle pins values unchanged AND exactly one file per date —
+    the compaction invariant itself is hash-checked, not just the data
+    round trip."""
+    from etl_gcp_function_tmabrasil_spark.queries._util import csum
+    from etl_gcp_function_tmabrasil_spark.sinks.partitioned import (
+        compact_partitions,
+        read_events_partitioned,
+    )
+
+    global _ROOT
+    if _ROOT is None:
+        _ROOT = tempfile.mkdtemp(prefix="spark_graft_scan_gate_")
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = os.path.join(_ROOT, sf_name, "events_compacted")
+    if not os.path.isdir(path):
+        (
+            load_table(spark, sf_dir, "events")
+            .select(*_COLS)
+            .withColumn("event_date", F.to_date("ts"))
+            .repartition(8)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 50)
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+        compact_partitions(spark, path)
+    return (
+        read_events_partitioned(spark, path)
+        # projected first: Spark (rightly) rejects the non-deterministic
+        # input_file_name() directly inside an aggregate argument
+        .withColumn("_file", F.input_file_name())
+        .groupBy(F.date_format("event_date", "yyyy-MM-dd").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            csum("value").alias("sum_value"),
+            F.countDistinct("_file").alias("n_files"),
+        )
+        .orderBy("event_date")
+    )
+
+
+_COMPACTION_SQL = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+  COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+  CAST(1 AS BIGINT) AS n_files
+FROM events
+GROUP BY event_date
+ORDER BY event_date
+"""
+
+
 QUERIES = {
     "scan_csv_json_roundtrip": scan_csv_json_roundtrip,
     "sink_partitioned_roundtrip": sink_partitioned_roundtrip,
     "scan_cloudevent_datasource": scan_cloudevent_datasource,
+    "sink_compaction_roundtrip": sink_compaction_roundtrip,
 }
 
 ORACLE = {
     "scan_csv_json_roundtrip": _SCAN_SQL,
     "sink_partitioned_roundtrip": _PARTITIONED_SQL,
     "scan_cloudevent_datasource": _CLOUDEVENT_SQL,
+    "sink_compaction_roundtrip": _COMPACTION_SQL,
 }

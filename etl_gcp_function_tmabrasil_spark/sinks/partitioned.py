@@ -38,3 +38,59 @@ def read_events_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read the partitioned layout back; filters on event_date prune
     directories before any file is opened."""
     return spark.read.parquet(path)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str = "event_date",
+    target_records_per_file: int = 5_000_000,
+) -> None:
+    """Rewrite a partitioned parquet layout into few large files per
+    partition — the small-files remedy every long-running 100 TB ingest
+    needs: streaming appends and per-batch writes accrete thousands of
+    KB-sized files per date, and scan cost becomes file-open bound
+    (footer reads, listing, task scheduling) instead of byte bound.
+
+    Shape: ONE shuffle keyed on the partition column (repartition by
+    `partition_col` co-locates each partition's rows onto one task, so
+    each rewritten partition emits ceil(rows/target) files) into a
+    STAGING directory — Spark rightly refuses to overwrite a path it
+    is simultaneously reading — then a per-partition directory swap:
+    each compacted `key=value` dir atomically replaces its original,
+    so readers of untouched partitions are unaffected and a crash
+    mid-swap loses no partition (either the old or the new dir is in
+    place). The swap uses local-filesystem rename, matching this
+    repo's local warehouse substitute (BigQuerySink's parquet
+    fallback); on HDFS the same protocol runs on FileSystem.rename,
+    and on object stores compaction belongs to a table format's commit
+    (Iceberg/Delta rewrite actions).
+    """
+    import os
+    import shutil
+
+    staging = path.rstrip("/") + "__compact_tmp"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    (
+        spark.read.parquet(path)
+        .repartition(F.col(partition_col))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_records_per_file)
+        .partitionBy(partition_col)
+        .parquet(staging)
+    )
+    for entry in os.listdir(staging):
+        if not entry.startswith(f"{partition_col}="):
+            continue  # _SUCCESS and friends
+        src = os.path.join(staging, entry)
+        dst = os.path.join(path, entry)
+        old = dst + "__old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        if os.path.isdir(dst):
+            os.rename(dst, old)
+        os.rename(src, dst)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+    shutil.rmtree(staging)

@@ -35,3 +35,38 @@ def test_partitioned_write_prunes_and_roundtrips(spark, sf_dir, tmp_path):
 
     expected = ev.filter(F.to_date("ts") == F.lit(day)).count()
     assert q.count() == expected
+
+
+def test_compaction_reduces_files_and_preserves_values(spark, sf_dir, tmp_path):
+    """compact_partitions: a deliberately fragmented layout (8 writers
+    x 50-record cap) collapses to one file per partition via the
+    staging-write + per-partition-swap protocol, values untouched."""
+    import glob
+    import os
+
+    from etl_gcp_function_tmabrasil_spark.sinks.partitioned import compact_partitions
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_fragmented")
+    (
+        ev.withColumn("event_date", F.to_date("ts"))
+        .repartition(8)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 50)
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+
+    def nfiles() -> int:
+        return len(glob.glob(os.path.join(path, "event_date=*", "*.parquet")))
+
+    before_files = nfiles()
+    before = sorted(map(tuple, read_events_partitioned(spark, path).collect()))
+    compact_partitions(spark, path)
+    after_files = nfiles()
+    assert after_files < before_files, (before_files, after_files)
+    ndates = len(glob.glob(os.path.join(path, "event_date=*")))
+    assert after_files == ndates, "expected exactly one file per partition"
+    assert not glob.glob(path + "__compact_tmp"), "staging dir left behind"
+    after = sorted(map(tuple, read_events_partitioned(spark, path).collect()))
+    assert after == before, "compaction changed values"
