@@ -74,7 +74,7 @@ _MODULES = [
 # all_queries()[:50]), and it gives ZERO credit to entries without an
 # oracle_sql twin — `err: "no_oracle"`, no rows-only fallback (r1:
 # agg_approx_distinct/agg_hll_mergeable; r3: the MLlib/multimodal five).
-# Every registered query carries an exact oracle (153/153 as of round
+# Every registered query carries an exact oracle (154/154 as of round
 # 5). The window ROTATES per round so every query's latest green row
 # stays fresh; CORRECTNESS_CUMULATIVE.json records each query's latest
 # green round (asserted complete by tests/test_correctness_ledger.py).
@@ -91,7 +91,7 @@ _MODULES = [
 #     on-disk green record is CORRECTNESS_r01.json;
 #   - one r2-era window entry untouched since.
 # Everything else stays covered by tests/test_oracle_parity.py locally
-# (all 153 queries, every session) and keeps its ledger row.
+# (all 154 queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
     # --- first driver check: hardened R5 reject branch, end-to-end ---
     "etl_xlsx_deadletter",

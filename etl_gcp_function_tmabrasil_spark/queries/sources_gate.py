@@ -270,11 +270,54 @@ ORDER BY event_date
 """
 
 
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution: two write generations of the events
+    table — gen=1 before an `event_type` column existed, gen=2 with it
+    — read as ONE dataset via mergeSchema, the old generation's rows
+    carrying NULL for the later column. This is the append-only-table
+    lifecycle every long-lived ingest hits (new fields added upstream;
+    historical files never rewritten); the footer-merge must widen the
+    schema without touching values."""
+    global _ROOT
+    if _ROOT is None:
+        _ROOT = tempfile.mkdtemp(prefix="spark_graft_scan_gate_")
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = os.path.join(_ROOT, sf_name, "events_evolution")
+    if not os.path.isdir(root):
+        ev = load_table(spark, sf_dir, "events")
+        (
+            ev.filter(F.col("event_id") < 100)
+            .select("event_id", "user_id", "value")
+            .write.parquet(os.path.join(root, "gen=1"))
+        )
+        (
+            ev.filter((F.col("event_id") >= 100) & (F.col("event_id") < 200))
+            .select("event_id", "user_id", "value", "event_type")
+            .write.parquet(os.path.join(root, "gen=2"))
+        )
+    return (
+        spark.read.option("mergeSchema", True).parquet(root)
+        .select("gen", "event_id", "user_id", "value", "event_type")
+        .orderBy("gen", "event_id")
+    )
+
+
+_EVOLUTION_SQL = """
+SELECT 1 AS gen, event_id, user_id, value, CAST(NULL AS VARCHAR) AS event_type
+FROM events WHERE event_id < 100
+UNION ALL
+SELECT 2 AS gen, event_id, user_id, value, event_type
+FROM events WHERE event_id >= 100 AND event_id < 200
+ORDER BY gen, event_id
+"""
+
+
 QUERIES = {
     "scan_csv_json_roundtrip": scan_csv_json_roundtrip,
     "sink_partitioned_roundtrip": sink_partitioned_roundtrip,
     "scan_cloudevent_datasource": scan_cloudevent_datasource,
     "sink_compaction_roundtrip": sink_compaction_roundtrip,
+    "scan_schema_evolution": scan_schema_evolution,
 }
 
 ORACLE = {
@@ -282,4 +325,5 @@ ORACLE = {
     "sink_partitioned_roundtrip": _PARTITIONED_SQL,
     "scan_cloudevent_datasource": _CLOUDEVENT_SQL,
     "sink_compaction_roundtrip": _COMPACTION_SQL,
+    "scan_schema_evolution": _EVOLUTION_SQL,
 }
