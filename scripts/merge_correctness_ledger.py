@@ -70,6 +70,8 @@ def main() -> int:
             if is_green(row) and (entry.get("round") is None or rnd > entry["round"]):
                 entry["round"] = rnd
                 entry["artifact"] = os.path.basename(path)
+                # a concrete artifact supersedes any prose/pending note
+                entry.pop("note", None)
     ledger["queries"] = dict(sorted(queries.items()))
     ledger["n_queries"] = len(queries)
     ledger["merged_artifacts"] = [os.path.basename(p) for p in artifacts]
