@@ -161,6 +161,25 @@ _CHECK_FIRST = [
     "window_running_sum",
 ]
 
+# ROUND-6 ROTATION PLAN (for the next builder): the 50-slot window
+# should take, in order —
+#   1. the 5 round-5 registrations never yet in a window:
+#      sink_partitioned_roundtrip, stream_sliding_watermark,
+#      scan_cloudevent_datasource, sink_compaction_roundtrip,
+#      scan_schema_evolution;
+#   2. the 6 r1-green entries deferred this round:
+#      pivot_status_by_segment, unpivot_nation_counts, join_cross,
+#      window_first_last, agg_collect, join_full_outer;
+#   3. 39 of the 42 r2/r3-era queries whose green rows live only in
+#      rotated-off artifacts (CORRECTNESS_CUMULATIVE.json entries with
+#      a prose note) — e.g. window_lag_lead, sort_topk_orders,
+#      sort_multi_key, dedup_ngram_jaccard, the func_* wave,
+#      json_*/array/map ops, xlsx_ingest_roundtrip, tfidf/udf wave.
+# That covers 50 exactly; the ~3 r2/r3 leftovers + fresh re-verifies
+# roll into r7, after which every query's latest check is ≤3 rounds
+# old and artifact-backed. Run scripts/merge_correctness_ledger.py at
+# round start (after CORRECTNESS_r05.json lands) before re-planning.
+
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
