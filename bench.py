@@ -48,6 +48,10 @@ HEADLINE = [
     "pagerank_dedup_graph",     # iterative rank over near-dup graph
     "fuzzy_name_match",         # FastSS deletion-variant edit-distance join
     "agg_robust_outliers",      # median/MAD via banded exact quantiles
+    # round-5 additions: operator families previously unbenched
+    "scd2_user_history",        # warehouse-load (CDC/SCD2 window chain)
+    "resample_daily_locf",      # calendar-spine join + carry-forward window
+    "kmeans_ivf_codebook",      # iterative ML (broadcast-assign k-means)
 ]
 
 
