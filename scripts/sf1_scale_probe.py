@@ -37,7 +37,7 @@ SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/spark_graft_sf1"
 OFFSET = 10_000_000
 
-SCALED = {"orders", "customer", "documents"}
+SCALED = {"orders", "customer", "documents", "events"}
 
 #: Parity at sf1 for the scale-sensitive set whose oracles stay cheap
 #: at 1.5M orders / 50k docs (dedup_minhash_lsh's oracle recomputes
@@ -52,6 +52,13 @@ PARITY = [
     "window_cume_dist",
     "pack_token_budget",
     "split_train_val_test",
+    # round-5 streaming/time-series additions (events scaled x10: the
+    # streaming gates replay ~2M events through real checkpointed
+    # availableNow runs — watermark finalization and dedup state at
+    # 10x driver scale)
+    "resample_daily_locf",
+    "stream_tumbling_watermark",
+    "stream_dedup_redelivery",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.
@@ -101,6 +108,13 @@ def generate() -> None:
           FROM '{SF01}/customer.parquet', range(10) t(i)
         ) TO '{SF1}/customer.parquet' (FORMAT PARQUET)
     """)
+    con.execute(f"""
+        COPY (
+          SELECT event_id + i*{OFFSET} AS event_id, ts, user_id,
+                 event_type, value, props
+          FROM '{SF01}/events.parquet', range(10) t(i)
+        ) TO '{SF1}/events.parquet' (FORMAT PARQUET)
+    """)
     doc_cases = " ".join(
         f"WHEN {i} THEN translate(text, '{lower}{upper}', "
         f"'{_rot(lower, i)}{_rot(upper, i)}')"
@@ -133,8 +147,19 @@ def main() -> None:
 
     # guard on EVERY expected artifact, not just the first written one:
     # a crash mid-generate() must trigger a (idempotent, overwriting)
-    # re-run instead of leaving a half-built dir that fails confusingly
-    if not all(os.path.exists(f"{SF1}/{t}.parquet") for t in TABLES):
+    # re-run instead of leaving a half-built dir that fails confusingly.
+    # A SCALED table present as a symlink is a previous probe version's
+    # unscaled passthrough — regenerate.
+    stale = any(
+        not os.path.exists(f"{SF1}/{t}.parquet")
+        or (t in SCALED and os.path.islink(f"{SF1}/{t}.parquet"))
+        for t in TABLES
+    )
+    if stale:
+        for t in SCALED:  # clear superseded symlinks before COPY
+            f = f"{SF1}/{t}.parquet"
+            if os.path.islink(f):
+                os.unlink(f)
         generate()
     spark = get_spark(app_name="sf1_probe")
     qs, osql = all_queries(), all_oracle_sql()
