@@ -51,3 +51,17 @@ def test_every_entry_is_green_or_documented():
         elif not e.get("note"):
             bad.append(f"{name}: no green round and no note")
     assert not bad, bad
+
+
+def test_pending_notes_match_window_membership():
+    # a query noted "first driver check pending" must actually sit in
+    # the 50-entry window the driver checks; one noted "outside the
+    # window" must not — the notes and the rotation can't drift apart
+    window = set(list(all_queries())[:50])
+    led = _ledger()
+    for name, e in led["queries"].items():
+        note = e.get("note", "")
+        if "first driver check pending" in note:
+            assert name in window, f"{name} noted pending but not in window"
+        if "outside the full r5 window" in note:
+            assert name not in window, f"{name} noted outside but in window"
