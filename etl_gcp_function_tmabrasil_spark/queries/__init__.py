@@ -74,7 +74,7 @@ _MODULES = [
 # all_queries()[:50]), and it gives ZERO credit to entries without an
 # oracle_sql twin — `err: "no_oracle"`, no rows-only fallback (r1:
 # agg_approx_distinct/agg_hll_mergeable; r3: the MLlib/multimodal five).
-# Every registered query carries an exact oracle (154/154 as of round
+# Every registered query carries an exact oracle (155/155 as of round
 # 5). The window ROTATES per round so every query's latest green row
 # stays fresh; CORRECTNESS_CUMULATIVE.json records each query's latest
 # green round (asserted complete by tests/test_correctness_ledger.py).
@@ -91,7 +91,7 @@ _MODULES = [
 #     on-disk green record is CORRECTNESS_r01.json;
 #   - one r2-era window entry untouched since.
 # Everything else stays covered by tests/test_oracle_parity.py locally
-# (all 154 queries, every session) and keeps its ledger row.
+# (all 155 queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
     # --- first driver check: hardened R5 reject branch, end-to-end ---
     "etl_xlsx_deadletter",
@@ -163,19 +163,19 @@ _CHECK_FIRST = [
 
 # ROUND-6 ROTATION PLAN (for the next builder): the 50-slot window
 # should take, in order —
-#   1. the 5 round-5 registrations never yet in a window:
+#   1. the 6 round-5 registrations never yet in a window:
 #      sink_partitioned_roundtrip, stream_sliding_watermark,
 #      scan_cloudevent_datasource, sink_compaction_roundtrip,
-#      scan_schema_evolution;
+#      scan_schema_evolution, agg_heavy_hitters;
 #   2. the 6 r1-green entries deferred this round:
 #      pivot_status_by_segment, unpivot_nation_counts, join_cross,
 #      window_first_last, agg_collect, join_full_outer;
-#   3. 39 of the 42 r2/r3-era queries whose green rows live only in
+#   3. 38 of the 42 r2/r3-era queries whose green rows live only in
 #      rotated-off artifacts (CORRECTNESS_CUMULATIVE.json entries with
 #      a prose note) — e.g. window_lag_lead, sort_topk_orders,
 #      sort_multi_key, dedup_ngram_jaccard, the func_* wave,
 #      json_*/array/map ops, xlsx_ingest_roundtrip, tfidf/udf wave.
-# That covers 50 exactly; the ~3 r2/r3 leftovers + fresh re-verifies
+# That covers 50 exactly; the ~4 r2/r3 leftovers + fresh re-verifies
 # roll into r7, after which every query's latest check is ≤3 rounds
 # old and artifact-backed. Run scripts/merge_correctness_ledger.py at
 # round start (after CORRECTNESS_r05.json lands) before re-planning.

@@ -170,6 +170,58 @@ ORDER BY tf DESC, token ASC
 LIMIT {VOCAB_TOP_N}
 """
 
+#: phi = 1/HH_K: items with count strictly above N/HH_K are heavy.
+HH_K = 100
+
+
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent-items (heavy hitters) with bounded memory — the
+    two-pass sketch-then-verify pattern every corpus-frequency screen
+    at 100 TB needs (a plain groupBy(token) carries the full vocabulary
+    through the shuffle; at web scale that is billions of keys for a
+    question about the top handful):
+
+    1. CANDIDATES via Spark's built-in Misra-Gries sketch
+       (`df.stat.freqItems`, JVM-side, O(1/phi) memory per task, one
+       pass, no shuffle of the token stream) — a guaranteed SUPERSET
+       of every item with count > phi*N, false positives possible;
+    2. EXACT second pass counting ONLY the broadcast candidate set
+       (selective semi-join: the shuffle carries candidate tokens
+       only), then the exact threshold filter.
+
+    Recall 1 by the MG guarantee, precision 1 by the exact filter —
+    so the output is identical to the quadratic-memory groupBy answer
+    the oracle states, at O(candidates) shuffle cost.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    cand = (
+        tok.stat.freqItems(["token"], 1.0 / HH_K)
+        .select(F.explode("token_freqItems").alias("token"))
+    )
+    n_total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        tok.join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(n_total))
+        .filter(F.col("n") * HH_K > F.col("n_total"))
+        .select("token", "n")
+        .orderBy(F.desc("n"), F.asc("token"))
+    )
+
+
+_HEAVY_SQL = f"""
+WITH tok AS (
+  SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, COUNT(*) AS n
+FROM tok
+GROUP BY token
+HAVING COUNT(*) * {HH_K} > (SELECT COUNT(*) FROM tok)
+ORDER BY n DESC, token ASC
+"""
+
 
 #: Documents per prefix-sum bucket. The bucket table (one row per
 #: bucket) is the only thing that crosses a single-task boundary, so it
@@ -340,6 +392,7 @@ QUERIES = {
     "decontaminate_ngram": decontaminate_ngram,
     "pii_mask_customer": pii_mask_customer,
     "vocab_doc_frequency": vocab_doc_frequency,
+    "agg_heavy_hitters": agg_heavy_hitters,
     "pack_token_budget": pack_token_budget,
     "chunk_documents": chunk_documents,
     "embedding_quantize_int8": embedding_quantize_int8,
@@ -349,6 +402,7 @@ ORACLE = {
     "decontaminate_ngram": _DECONTAM_SQL,
     "pii_mask_customer": _PII_SQL,
     "vocab_doc_frequency": _VOCAB_SQL,
+    "agg_heavy_hitters": _HEAVY_SQL,
     "pack_token_budget": _PACK_SQL,
     "chunk_documents": _CHUNK_SQL,
     "embedding_quantize_int8": _QUANT_SQL,
