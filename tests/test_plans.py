@@ -406,3 +406,18 @@ def test_setop_count_queries_construct_lazily(spark, sf_dir):
     setop_union_intersect_except(spark, sf_dir)
     distinct_count_full_rows(spark, sf_dir)
     assert n_jobs() == before, "setop queries ran jobs at construction"
+
+
+def test_heavy_hitters_counts_only_broadcast_candidates(spark, sf_dir):
+    """agg_heavy_hitters' exact pass must join the token stream against
+    the BROADCAST sketch candidates (selective shuffle of candidate
+    tokens only) — a SortMergeJoin or missing broadcast would mean the
+    full vocabulary flows through the exchange, defeating the
+    sketch-then-verify design."""
+    from etl_gcp_function_tmabrasil_spark.queries.curation_ops import (
+        agg_heavy_hitters,
+    )
+
+    plan = explain_str(agg_heavy_hitters(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
