@@ -65,3 +65,13 @@ def test_pending_notes_match_window_membership():
             assert name in window, f"{name} noted pending but not in window"
         if "outside the full r5 window" in note:
             assert name not in window, f"{name} noted outside but in window"
+
+
+def test_check_window_is_exactly_fifty_unique_entries():
+    # the driver checks the FIRST 50 of queries() — a 49/51-entry
+    # _CHECK_FIRST or a duplicate would silently shift which queries
+    # earn this round's records
+    from etl_gcp_function_tmabrasil_spark.queries import _CHECK_FIRST
+
+    assert len(_CHECK_FIRST) == 50, len(_CHECK_FIRST)
+    assert len(set(_CHECK_FIRST)) == 50, "duplicate names in _CHECK_FIRST"
