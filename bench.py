@@ -55,6 +55,32 @@ HEADLINE = [
 ]
 
 
+def _bench_streaming(spark, sf_dir: str) -> tuple[float, float]:
+    """Round-6 streaming headline: time one end-to-end checkpointed
+    availableNow run of the watermarked tumbling agg (the r5 gate's
+    plan) over the shared chunk fixture. The fixture build is EXCLUDED
+    from the timing (it's pyarrow plumbing, not engine work), and each
+    measured run gets a FRESH sink/checkpoint root — reusing one would
+    make every run after the first a no-op restart. Returns (min,
+    median) over 3 timed runs after 1 warmup, like the batch loop."""
+    import shutil
+    import tempfile
+
+    from etl_gcp_function_tmabrasil_spark.queries import streaming_gate as sg
+
+    chunks = sg._shared_chunks(sf_dir)  # untimed fixture build/reuse
+    samples: list[float] = []
+    for i in range(4):
+        root = tempfile.mkdtemp(prefix="spark_graft_bench_stream_")
+        t0 = time.perf_counter()
+        sg.run_tumbling_stream(spark, chunks, root)
+        dt = time.perf_counter() - t0
+        shutil.rmtree(root, ignore_errors=True)
+        if i > 0:
+            samples.append(dt)
+    return round(min(samples), 3), round(sorted(samples)[len(samples) // 2], 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -124,6 +150,11 @@ def main() -> None:
         # stable, min moved) vs a real regression (both moved) without
         # a bisect.
         medians[name] = round(sorted(samples)[len(samples) // 2], 3)
+    # streaming headline (eager end-to-end run; own timing path — the
+    # lazy-construction loop above cannot time a streaming job)
+    timings["stream_tumbling_e2e"], medians["stream_tumbling_e2e"] = (
+        _bench_streaming(spark, sf_dir)
+    )
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -78,107 +78,92 @@ _MODULES = [
 # 5). The window ROTATES per round so every query's latest green row
 # stays fresh; CORRECTNESS_CUMULATIVE.json records each query's latest
 # green round (asserted complete by tests/test_correctness_ledger.py).
-# Round 5 = the long tail (r4 verdict order): queries whose latest
-# green row predates round 3 —
-#   - the new dead-letter ETL and streaming-runtime gate queries
-#     (first driver checks — previously the streaming rows were
-#     structurally outside the batch-oracle gate);
-#   - window_ntile (refactored onto operators/banded_rank.py after its
-#     last gate row) and q12_shipmode_priority / agg_distinct (whose
-#     only on-disk driver record is the r1 NTZ hash fail, fixed r2);
-#   - agg_robust_outliers (re-verify: round-5 MAD pre-rounding touch);
-#   - the full r1-era relational/join/agg/window wave whose only
-#     on-disk green record is CORRECTNESS_r01.json;
-#   - one r2-era window entry untouched since.
+# Round 6 = the r5-verdict rotation plan, verbatim: the six round-5
+# registrations that have never been inside a driver window, the six
+# r1-green entries deferred out of the r5 window, and 38 of the 44
+# r2/r3-era queries whose green driver rows live only in rotated-off
+# artifacts (ledger rows with `artifact: null`). Six family-sibling
+# prose-sourced entries are deferred to r7 (see the plan below) so the
+# window stays at exactly 50.
 # Everything else stays covered by tests/test_oracle_parity.py locally
 # (all 155 queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
-    # --- first driver check: hardened R5 reject branch, end-to-end ---
-    "etl_xlsx_deadletter",
-    # --- first driver check: streaming runtime through the gate
-    #     (watermarked tumbling/session finalization, dedup under
-    #     redelivery, stream-stream interval join, arbitrary state) ---
-    "stream_tumbling_watermark",
-    "stream_dedup_redelivery",
-    "stream_late_data_drop",
-    "stream_session_watermark",
-    "stream_interval_join",
-    "stream_running_totals_state",
-    "stream_static_enrichment",
-    # --- first driver check: text-format source edges ---
-    "scan_csv_json_roundtrip",
-    # --- stale or superseded records (r4 verdict leads) ---
-    "window_ntile",
-    "q12_shipmode_priority",
-    "agg_distinct",
-    # --- re-verify: round-5 MAD median pre-rounding ---
-    "agg_robust_outliers",
-    # --- r1-era: latest on-disk green row is CORRECTNESS_r01.json ---
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_filter",
-    "q20_promo_volume_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "scalar_subquery_above_avg",
-    # (pivot/unpivot/join_cross — trivial r1-green plans untouched
-    #  since r1 — deferred to the r6 window to make room for the
-    #  streaming-runtime firsts above)
-    "join_broadcast_dims",
-    "join_semi",
-    "join_anti",
-    "join_left_outer",
-    "join_right_outer",
-    "join_range_bands",
-    "join_range_bucketed_pairs",
-    "agg_argmax",
-    "agg_stats_moments",
-    "rollup_time_multires",
-    "agg_rollup",
-    "agg_cube",
-    # (agg_collect and join_full_outer deferred to r6 with the other
-    #  r1-green trivia, for the enrichment + scan-roundtrip firsts)
-    "agg_grouping_sets",
-    "cdc_merge_upsert",
-    "scd2_user_history",
-    "window_rank_orders",
-    # (window_first_last deferred to r6 alongside pivot/unpivot/
-    #  join_cross, for the late-data streaming first above)
-    # --- r2-era window entry untouched since ---
-    "window_running_sum",
+    # --- first driver check: round-5 registrations (sources/sinks,
+    #     sliding-window streaming runtime, Misra-Gries heavy hitters) ---
+    "sink_partitioned_roundtrip",
+    "stream_sliding_watermark",
+    "scan_cloudevent_datasource",
+    "sink_compaction_roundtrip",
+    "scan_schema_evolution",
+    "agg_heavy_hitters",
+    # --- r1-green entries deferred out of the r5 window ---
+    "pivot_status_by_segment",
+    "unpivot_nation_counts",
+    "join_cross",
+    "window_first_last",
+    "agg_collect",
+    "join_full_outer",
+    # --- r2/r3-era: latest green row is ledger prose (artifact
+    #     rotated off disk) — sources / relational / sort ---
+    "xlsx_ingest_roundtrip",
+    "filter_reference_path_predicate",
+    "sort_topk_orders",
+    "sort_multi_key",
+    "sql_segment_status_rollup",
+    # --- windows (batch twins of the streaming gates + analytics) ---
+    "window_lag_lead",
+    "window_topk_per_group",
+    "window_tumbling_batch",
+    "window_sliding_batch",
+    "window_session_batch",
+    # --- dedup / curation wave ---
+    "dedup_exact_rows",
+    "dedup_pick_latest",
+    "dedup_ngram_jaccard",
+    "embedding_cosine_dedup",
+    "decontaminate_ngram",
+    "pii_mask_customer",
+    "pipeline_curate_documents",
+    "sample_stratified_docs",
+    # --- scalar-function wave ---
+    "func_strings",
+    "func_dates",
+    "func_math",
+    "func_conditional",
+    "func_casts",
+    "func_try_arithmetic",
+    "func_array_predicates",
+    # --- semi-structured wave ---
+    "array_ops",
+    "map_ops",
+    "json_extract_props",
+    "json_agg_by_key",
+    "json_schema_inference",
+    # --- text / tfidf / UDF wave ---
+    "text_stats",
+    "text_lang_id",
+    "tfidf_top_terms",
+    "vocab_doc_frequency",
+    "udf_pandas_scaled_value",
+    "udf_grouped_zscore",
+    "udf_grouped_agg_range",
+    "udtf_token_positions",
 ]
 
-# ROUND-6 ROTATION PLAN (for the next builder): the 50-slot window
+# ROUND-7 ROTATION PLAN (for the next builder): the 50-slot window
 # should take, in order —
-#   1. the 6 round-5 registrations never yet in a window:
-#      sink_partitioned_roundtrip, stream_sliding_watermark,
-#      scan_cloudevent_datasource, sink_compaction_roundtrip,
-#      scan_schema_evolution, agg_heavy_hitters;
-#   2. the 6 r1-green entries deferred this round:
-#      pivot_status_by_segment, unpivot_nation_counts, join_cross,
-#      window_first_last, agg_collect, join_full_outer;
-#   3. 38 of the 42 r2/r3-era queries whose green rows live only in
-#      rotated-off artifacts (CORRECTNESS_CUMULATIVE.json entries with
-#      a prose note) — e.g. window_lag_lead, sort_topk_orders,
-#      sort_multi_key, dedup_ngram_jaccard, the func_* wave,
-#      json_*/array/map ops, xlsx_ingest_roundtrip, tfidf/udf wave.
-# That covers 50 exactly; the ~4 r2/r3 leftovers + fresh re-verifies
-# roll into r7, after which every query's latest check is ≤3 rounds
-# old and artifact-backed. Run scripts/merge_correctness_ledger.py at
-# round start (after CORRECTNESS_r05.json lands) before re-planning.
+#   1. the 6 prose-sourced entries deferred out of this round's window
+#      (family siblings whose nearest relative IS in the r6 window):
+#      agg_bitwise_stringagg, distinct_count_full_rows,
+#      embedding_dim_profile, embedding_stats, func_json_encode,
+#      text_length_histogram;
+#   2. fresh re-verifies, oldest-artifact first: the r4-green wave
+#      (similarity/ANN, multimodal, traindata2, quantiles,
+#      dedup_approx graph ops) — after r6 these hold the oldest
+#      artifact-backed rows.
+# After r7 every query's latest check is ≤3 rounds old and
+# artifact-backed. Run scripts/merge_correctness_ledger.py at round
+# start (after CORRECTNESS_r06.json lands) before re-planning.
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -310,6 +310,10 @@ def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Boundary semantics (measured, Spark 4.1.2; pinned by
+# tests/test_streaming.py::test_session_window_exact_gap_merges):
+# an event at exactly prev_ts + gap MERGES into the session, so only a
+# strictly-greater gap starts a new one — `>` here, not `>=`.
 _SESSION_SQL = """
 WITH marked AS (
   SELECT user_id, ts, value,

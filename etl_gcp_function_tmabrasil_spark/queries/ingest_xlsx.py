@@ -140,6 +140,17 @@ def etl_xlsx_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = "analytics.deadletter_gate"
     sink = BigQuerySink(warehouse_dir=os.path.join(root, "warehouse"))
     if not os.path.isdir(root):  # first invocation in this process
+        # Built under a temp name and renamed into place atomically
+        # (ADVICE r5): the isdir guard must never observe a fixture
+        # with only some of the five workbooks written — a crash
+        # mid-build would otherwise poison every later invocation.
+        tmp_root = root + ".tmp"
+        if os.path.isdir(tmp_root):
+            import shutil
+
+            shutil.rmtree(tmp_root)
+        bucket = os.path.join(tmp_root, "bucket", "minha-pasta")
+        landing = os.path.join(tmp_root, "landing")
         os.makedirs(bucket)
         os.makedirs(landing)
         rows = (
@@ -173,6 +184,9 @@ def etl_xlsx_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "size": 1,
                     "ts": f"2024-01-01T00:0{i}:00Z",
                 }) + "\n")
+        os.rename(tmp_root, root)
+        bucket = os.path.join(root, "bucket", "minha-pasta")
+        landing = os.path.join(root, "landing")
     assert os.path.getsize(os.path.join(bucket, "big.xlsx")) > _DL_MAX_BYTES
     assert os.path.getsize(os.path.join(bucket, "good.xlsx")) <= _DL_MAX_BYTES
     assert os.path.getsize(os.path.join(bucket, "empty.xlsx")) <= _DL_MAX_BYTES

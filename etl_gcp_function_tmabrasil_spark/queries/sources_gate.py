@@ -42,26 +42,55 @@ _MAX_ID = 200
 _ROOT: str | None = None
 
 
-def scan_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events slice → engine CSV + JSON writers → schema-declared
-    read-back, union tagged by format."""
+def _gate_root() -> str:
     global _ROOT
     if _ROOT is None:
         _ROOT = tempfile.mkdtemp(prefix="spark_graft_scan_gate_")
+    return _ROOT
+
+
+def _ensure_fixture(root: str, build) -> None:
+    """Build a multi-step fixture atomically: `build(tmp)` populates a
+    temp sibling dir which is then os.rename'd into place, so the
+    `isdir` regeneration guard can only ever observe a COMPLETE fixture
+    (ADVICE r5: the guard was satisfied as soon as the first of several
+    writes created `root`, so a crash mid-build left a partial fixture
+    that every later invocation in the process silently reused —
+    the hazard streaming_gate._write_chunks was already hardened
+    against with this same tmp+rename pattern)."""
+    import shutil
+
+    if os.path.isdir(root):
+        return
+    tmp = root + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    build(tmp)
+    os.rename(tmp, root)
+
+
+def scan_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events slice → engine CSV + JSON writers → schema-declared
+    read-back, union tagged by format."""
     sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    root = os.path.join(_ROOT, sf_name)
+    root = os.path.join(_gate_root(), sf_name)
     csv_dir = os.path.join(root, "events_csv")
     json_dir = os.path.join(root, "events_json")
-    if not os.path.isdir(root):
+
+    def _build(tmp: str) -> None:
         sl = (
             load_table(spark, sf_dir, "events")
             .select(*_COLS)
             .filter(F.col("event_id") < _MAX_ID)
         )
         sl.write.option("header", True).option("timestampFormat", _TS_FMT).csv(
-            csv_dir
+            os.path.join(tmp, "events_csv")
         )
-        sl.write.option("timestampFormat", _TS_FMT).json(json_dir)
+        sl.write.option("timestampFormat", _TS_FMT).json(
+            os.path.join(tmp, "events_json")
+        )
+
+    _ensure_fixture(root, _build)
     back_csv = (
         spark.read.schema(_SCHEMA)
         .option("header", True)
@@ -112,15 +141,14 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_events_partitioned,
     )
 
-    global _ROOT
-    if _ROOT is None:
-        _ROOT = tempfile.mkdtemp(prefix="spark_graft_scan_gate_")
     sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    path = os.path.join(_ROOT, sf_name, "events_partitioned")
-    if not os.path.isdir(path):
-        write_events_partitioned(
-            load_table(spark, sf_dir, "events").select(*_COLS), path
-        )
+    path = os.path.join(_gate_root(), sf_name, "events_partitioned")
+    _ensure_fixture(
+        path,
+        lambda tmp: write_events_partitioned(
+            load_table(spark, sf_dir, "events").select(*_COLS), tmp
+        ),
+    )
     from etl_gcp_function_tmabrasil_spark.queries._util import csum
 
     return (
@@ -174,14 +202,15 @@ def scan_cloudevent_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's semantics dictate. Closed-form VALUES oracle."""
     from etl_gcp_function_tmabrasil_spark.sources import cloudevent_source
 
-    global _ROOT
-    if _ROOT is None:
-        _ROOT = tempfile.mkdtemp(prefix="spark_graft_scan_gate_")
-    feed = os.path.join(_ROOT, "cloudevents", "feed.jsonl")
+    feed = os.path.join(_gate_root(), "cloudevents", "feed.jsonl")
     if not os.path.isfile(feed):
         os.makedirs(os.path.dirname(feed), exist_ok=True)
-        with open(feed, "w", encoding="utf-8") as fh:
+        # single-file fixture: write-to-tmp + rename keeps the isfile
+        # guard from ever seeing a half-written feed
+        tmp = feed + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
             fh.write("\n".join(_CE_LINES) + "\n")
+        os.rename(tmp, feed)
     cloudevent_source.register(spark)
     return (
         spark.read.format("cloudevent_jsonl")
@@ -226,12 +255,10 @@ def sink_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_partitioned,
     )
 
-    global _ROOT
-    if _ROOT is None:
-        _ROOT = tempfile.mkdtemp(prefix="spark_graft_scan_gate_")
     sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    path = os.path.join(_ROOT, sf_name, "events_compacted")
-    if not os.path.isdir(path):
+    path = os.path.join(_gate_root(), sf_name, "events_compacted")
+
+    def _build(tmp: str) -> None:
         (
             load_table(spark, sf_dir, "events")
             .select(*_COLS)
@@ -240,9 +267,11 @@ def sink_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .option("maxRecordsPerFile", 50)
             .partitionBy("event_date")
-            .parquet(path)
+            .parquet(tmp)
         )
-        compact_partitions(spark, path)
+        compact_partitions(spark, tmp)
+
+    _ensure_fixture(path, _build)
     return (
         read_events_partitioned(spark, path)
         # projected first: Spark (rightly) rejects the non-deterministic
@@ -278,23 +307,23 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifecycle every long-lived ingest hits (new fields added upstream;
     historical files never rewritten); the footer-merge must widen the
     schema without touching values."""
-    global _ROOT
-    if _ROOT is None:
-        _ROOT = tempfile.mkdtemp(prefix="spark_graft_scan_gate_")
     sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    root = os.path.join(_ROOT, sf_name, "events_evolution")
-    if not os.path.isdir(root):
+    root = os.path.join(_gate_root(), sf_name, "events_evolution")
+
+    def _build(tmp: str) -> None:
         ev = load_table(spark, sf_dir, "events")
         (
             ev.filter(F.col("event_id") < 100)
             .select("event_id", "user_id", "value")
-            .write.parquet(os.path.join(root, "gen=1"))
+            .write.parquet(os.path.join(tmp, "gen=1"))
         )
         (
             ev.filter((F.col("event_id") >= 100) & (F.col("event_id") < 200))
             .select("event_id", "user_id", "value", "event_type")
-            .write.parquet(os.path.join(root, "gen=2"))
+            .write.parquet(os.path.join(tmp, "gen=2"))
         )
+
+    _ensure_fixture(root, _build)
     return (
         spark.read.option("mergeSchema", True).parquet(root)
         .select("gen", "event_id", "user_id", "value", "event_type")

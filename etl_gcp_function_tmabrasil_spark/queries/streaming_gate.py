@@ -166,13 +166,13 @@ def _finalized_windows(
     )
 
 
-def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked tumbling-window agg through the real streaming
-    runtime (twin of streaming/windows.tumbling_counts, with the
-    engine's deterministic csum so cross-batch accumulation is exact).
-    Emitted = finalized: windows with end <= max(ts)."""
-    root = _root(sf_dir, "tumbling")
-    chunks = _shared_chunks(sf_dir)
+def run_tumbling_stream(spark: SparkSession, chunks: str, root: str) -> str:
+    """One end-to-end availableNow run of the watermarked tumbling agg
+    into a checkpointed parquet sink under `root`; returns the sink
+    data path. Shared by the gate query below and by bench.py's
+    streaming headline (which times this call against FRESH roots so
+    each measured run replays all micro-batches instead of no-op
+    restarting on an existing checkpoint)."""
     agg = (
         _stream(spark, chunks)
         .withWatermark("ts", "0 seconds")
@@ -186,7 +186,17 @@ def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    data = _run_to_parquet(agg, root)
+    return _run_to_parquet(agg, root)
+
+
+def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window agg through the real streaming
+    runtime (twin of streaming/windows.tumbling_counts, with the
+    engine's deterministic csum so cross-batch accumulation is exact).
+    Emitted = finalized: windows with end <= max(ts)."""
+    root = _root(sf_dir, "tumbling")
+    chunks = _shared_chunks(sf_dir)
+    data = run_tumbling_stream(spark, chunks, root)
     max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
     return _finalized_windows(spark, data, max_ts)
 
@@ -359,6 +369,11 @@ def stream_session_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # gaps-and-islands twin of Spark's session_window, restricted to
 # finalized sessions: last event + gap <= global max ts.
+# Boundary semantics (measured, Spark 4.1.2; pinned by
+# tests/test_streaming.py::test_session_window_exact_gap_merges):
+# an event at exactly prev_ts + gap MERGES into the session — Spark
+# extends the session while event_time <= current end, so only a
+# strictly-greater gap starts a new session. Hence `>` here, not `>=`.
 _SESSION_STREAM_SQL = """
 WITH marked AS (
   SELECT user_id, ts, value,

@@ -11,9 +11,56 @@ BigQuery connector exposes.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame
+
+_LOG = logging.getLogger(__name__)
+
+
+def _structured_bq_error(exc: Exception) -> tuple[int | None, str | None]:
+    """Extract (http code, reason) from a connector exception's Java
+    cause chain where available (BigQueryException.getCode()/
+    getError().getReason()), else (None, None). Best-effort by design:
+    any introspection failure falls back to message matching."""
+    try:
+        je = getattr(exc, "java_exception", None)
+        seen = 0
+        while je is not None and seen < 8:
+            code = None
+            reason = None
+            try:
+                code = int(je.getCode())
+            except Exception:
+                pass
+            try:
+                err = je.getError()
+                if err is not None:
+                    reason = str(err.getReason()).lower()
+            except Exception:
+                pass
+            if code is not None or reason is not None:
+                return code, reason
+            je = je.getCause()
+            seen += 1
+    except Exception:
+        pass
+    return None, None
+
+
+def _warn_absent(table: str, exc: Exception) -> None:
+    """exists() returning False disables the idempotency dedup probe's
+    prior-keys read — make that observable so a mis-permissioned
+    production run (phrased by BigQuery as not-found) is diagnosable."""
+    _LOG.warning(
+        "BigQuerySink.exists(%s) -> False from connector error %s: %s "
+        "(if this table should exist, check IAM — BigQuery phrases some "
+        "permission denials as not-found)",
+        table,
+        type(exc).__name__,
+        str(exc)[:200],
+    )
 
 
 class BigQuerySink:
@@ -89,12 +136,26 @@ class BigQuerySink:
                 reader.load(table).schema  # connector resolves eagerly
                 return True
             except Exception as exc:  # noqa: BLE001 — filtered below
-                # case-insensitive not-found phrasings only; a bare
-                # "404" substring is NOT matched (an error whose text
-                # merely quotes a URL or staging object would map an
-                # existing table to False and silently disable dedup)
+                # Prefer the STRUCTURED error over message substrings:
+                # BigQuery intentionally phrases some permission-denied
+                # responses as "Not found: Table …" to avoid leaking
+                # existence (ADVICE r5), so text alone can map an IAM
+                # problem on an existing ledger to "absent" and silently
+                # disable dedup. A structured 403/accessDenied always
+                # propagates; a structured 404/notFound is authoritative.
+                code, reason = _structured_bq_error(exc)
+                if code == 403 or reason in ("accessdenied", "forbidden"):
+                    raise
+                if code == 404 or reason in ("notfound",):
+                    _warn_absent(table, exc)
+                    return False
+                # fallback: case-insensitive not-found phrasings only; a
+                # bare "404" substring is NOT matched (an error whose
+                # text merely quotes a URL or staging object would map
+                # an existing table to False)
                 msg = str(exc).lower()
                 if "not found" in msg or "not_found" in msg or "does not exist" in msg:
+                    _warn_absent(table, exc)
                     return False
                 raise
         return os.path.exists(os.path.join(self.warehouse_dir, *table.split(".")))

@@ -57,10 +57,17 @@ def compact_partitions(
     each rewritten partition emits ceil(rows/target) files) into a
     STAGING directory — Spark rightly refuses to overwrite a path it
     is simultaneously reading — then a per-partition directory swap:
-    each compacted `key=value` dir atomically replaces its original,
-    so readers of untouched partitions are unaffected and a crash
-    mid-swap loses no partition (either the old or the new dir is in
-    place). The swap uses local-filesystem rename, matching this
+    readers of untouched partitions are unaffected, and the displaced
+    original is first renamed to a DOT-PREFIXED name (hidden paths are
+    skipped by Spark's file listing and partition discovery), so no
+    crash point can leave a bogus `…__old` partition value visible to
+    readers. Crash-safety is rename-granular, not transactional: a
+    crash between the two renames leaves that one partition absent
+    from listings until the hidden `.compact_old__key=value` dir is
+    restored by hand (its data is intact), and even crash-free a
+    concurrent reader can list the path during the swap and miss the
+    partition for one scan. The swap uses local-filesystem rename,
+    matching this
     repo's local warehouse substitute (BigQuerySink's parquet
     fallback); on HDFS the same protocol runs on FileSystem.rename,
     and on object stores compaction belongs to a table format's commit
@@ -85,7 +92,11 @@ def compact_partitions(
             continue  # _SUCCESS and friends
         src = os.path.join(staging, entry)
         dst = os.path.join(path, entry)
-        old = dst + "__old"
+        # Dot-prefix hides the displaced dir from Spark's file listing,
+        # so a crash between the two renames can never surface it as a
+        # bogus partition value (ADVICE r5: `…__old` inside `path` was
+        # read as a partition, flipping event_date inference to string).
+        old = os.path.join(path, f".compact_old__{entry}")
         if os.path.isdir(old):
             shutil.rmtree(old)
         if os.path.isdir(dst):

@@ -421,3 +421,47 @@ def test_heavy_hitters_counts_only_broadcast_candidates(spark, sf_dir):
     plan = explain_str(agg_heavy_hitters(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_ngram_jaccard_baseline_stays_block_keyed(spark, sf_dir):
+    """The labeled-quadratic dedup baseline must stay quadratic only
+    WITHIN (lang, source) blocks: its self-join has to be an equi-join
+    on the block key, never a cartesian — a lost join key would turn
+    the documented non-scale variant into an all-pairs blowup."""
+    from etl_gcp_function_tmabrasil_spark.queries.dedup_approx import (
+        dedup_ngram_jaccard,
+    )
+
+    plan = explain_str(dedup_ngram_jaccard(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # the block key must actually reach the join condition
+    assert "lang" in plan and "source" in plan
+
+
+def test_no_registered_query_grows_a_cartesian(spark, sf_dir):
+    """Regression tripwire on the quadratic boundary (r5 verdict #3):
+    across the WHOLE registry, only `join_cross` (the deliberate 5×5
+    cross-join operator) may contain a CartesianProduct. Everything
+    else — including the brute-force kNN and n-gram Jaccard labeled
+    baselines — must keep its candidate generation on a broadcast or
+    key-equi join, so the labeled-baseline boundary can't silently
+    widen when a query is edited.
+
+    Streaming/fixture gate queries are excluded: they run eager
+    checkpointed jobs at construction (their plan pins live in their
+    own tests) and a cartesian cannot hide in an availableNow
+    file-replay pipeline unnoticed by its oracle."""
+    from etl_gcp_function_tmabrasil_spark.queries import all_queries
+
+    allowed = {"join_cross"}
+    eager_prefixes = ("stream_", "scan_", "sink_", "etl_", "xlsx_")
+    offenders = []
+    spark.catalog.clearCache()
+    for name, fn in all_queries().items():
+        if name in allowed or name.startswith(eager_prefixes):
+            continue
+        plan = explain_str(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    spark.catalog.clearCache()
+    assert not offenders, f"non-broadcast cartesian grew in: {offenders}"

@@ -429,3 +429,32 @@ def test_checkpoint_recovery_resumes_not_reprocesses(spark, tmp_path):
     run_counts("recov2")  # same checkpoint: resumes, must not recount chunk a
     second = {r.user_id: r.n for r in spark.sql("SELECT * FROM recov2").collect()}
     assert sum(second.values()) == 90, second
+
+
+def test_session_window_exact_gap_merges(spark):
+    """Pin Spark's session_window boundary: an event at exactly
+    prev_ts + gap MERGES into the session (measured on 4.1.2) — the
+    session extends while event_time <= current end, so only a
+    strictly-greater gap starts a new session. The gaps-and-islands
+    oracles (_SESSION_SQL / _SESSION_STREAM_SQL) therefore break on
+    `> gap`, not `>= gap`; if Spark ever flips to exclusive ends this
+    test fails before the parity gate does."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0, 0)),
+        (1, dt.datetime(2024, 1, 1, 10, 30, 0)),  # exactly gap later
+        (1, dt.datetime(2024, 1, 1, 11, 0, 1)),  # gap + 1s → new session
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .count()
+        .select("w.start", "w.end", "count")
+        .orderBy("start")
+        .collect()
+    )
+    assert len(out) == 2, out
+    assert out[0]["count"] == 2  # 10:00 and 10:30 merged
+    assert out[0]["end"] == dt.datetime(2024, 1, 1, 11, 0, 0)
+    assert out[1]["count"] == 1
