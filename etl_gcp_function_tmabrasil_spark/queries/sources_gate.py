@@ -73,9 +73,15 @@ def scan_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events slice → engine CSV + JSON writers → schema-declared
     read-back, union tagged by format."""
     sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    root = os.path.join(_gate_root(), sf_name)
-    csv_dir = os.path.join(root, "events_csv")
-    json_dir = os.path.join(root, "events_json")
+    # own fixture dir, NOT the shared per-sf root: the sibling gate
+    # queries (partitioned/compaction/evolution) also create dirs under
+    # root, so guarding on root made this fixture's existence depend on
+    # invocation ORDER — whichever query ran first satisfied the guard
+    # and the CSV/JSON dirs were never written (caught by
+    # scripts/bench_gate_sf01.py running the sinks first).
+    fixture = os.path.join(_gate_root(), sf_name, "events_csvjson")
+    csv_dir = os.path.join(fixture, "events_csv")
+    json_dir = os.path.join(fixture, "events_json")
 
     def _build(tmp: str) -> None:
         sl = (
@@ -90,7 +96,7 @@ def scan_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(tmp, "events_json")
         )
 
-    _ensure_fixture(root, _build)
+    _ensure_fixture(fixture, _build)
     back_csv = (
         spark.read.schema(_SCHEMA)
         .option("header", True)
@@ -341,12 +347,82 @@ ORDER BY gen, event_id
 """
 
 
+def sink_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed (pre-shuffled) tables through the oracle gate: orders
+    and lineitem are persisted with `bucketBy(8, orderkey)` + `sortBy`
+    (`operators/bucketing.py` — the pay-the-shuffle-once storage layout
+    for 100 TB fact⨝fact joins), then joined WITHOUT an exchange on
+    either side (pinned by tests/test_plans.py::
+    test_bucketed_gate_join_only_shuffles_the_rollup; the only exchange
+    in the whole plan is the bounded-key priority rollup). The oracle
+    runs the same join/rollup on the raw parquet — hash equality proves
+    the bucketed layout is a pure physical optimization, byte-identical
+    in results to the plain join.
+
+    Table names are per-process (pid suffix): the session warehouse dir
+    is a fixed /tmp path shared with any concurrent pytest process, and
+    two writers overwriting one table mid-read is the same hazard the
+    XLSX landing fixture documents."""
+    from etl_gcp_function_tmabrasil_spark.operators.bucketing import (
+        read_bucketed,
+        write_bucketed,
+    )
+    from etl_gcp_function_tmabrasil_spark.queries._util import dsum
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    li_t = f"gate_li_bucketed_{sf_tag}_{os.getpid()}"
+    ord_t = f"gate_ord_bucketed_{sf_tag}_{os.getpid()}"
+    if not spark.catalog.tableExists(li_t):
+        write_bucketed(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            li_t,
+            ["l_orderkey"],
+            n_buckets=8,
+        )
+    if not spark.catalog.tableExists(ord_t):
+        write_bucketed(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            ord_t,
+            ["o_orderkey"],
+            n_buckets=8,
+        )
+    li = read_bucketed(spark, li_t)
+    ords = read_bucketed(spark, ord_t)
+    return (
+        li.hint("merge")
+        .join(ords, li.l_orderkey == ords.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_BUCKETED_JOIN_SQL = """
+SELECT o.o_orderpriority, COUNT(*) AS n_lines,
+  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+       AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
 QUERIES = {
     "scan_csv_json_roundtrip": scan_csv_json_roundtrip,
     "sink_partitioned_roundtrip": sink_partitioned_roundtrip,
     "scan_cloudevent_datasource": scan_cloudevent_datasource,
     "sink_compaction_roundtrip": sink_compaction_roundtrip,
     "scan_schema_evolution": scan_schema_evolution,
+    "sink_bucketed_colocated_join": sink_bucketed_colocated_join,
 }
 
 ORACLE = {
@@ -355,4 +431,5 @@ ORACLE = {
     "scan_cloudevent_datasource": _CLOUDEVENT_SQL,
     "sink_compaction_roundtrip": _COMPACTION_SQL,
     "scan_schema_evolution": _EVOLUTION_SQL,
+    "sink_bucketed_colocated_join": _BUCKETED_JOIN_SQL,
 }

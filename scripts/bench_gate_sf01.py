@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""One-off sf0.1 timings for the r5/r6 gate queries (r5 verdict item 5).
+
+These queries never appear in bench.py's HEADLINE because they are
+EAGER: fixture writes and checkpointed availableNow streaming runs
+happen during DataFrame construction, so the lazy-loop timer would
+either report a fake near-zero number or (correctly) trip the
+eager-construction guard. This script times them honestly instead:
+construction (fixture build + any streaming run) and the subsequent
+batch action are measured separately, so the record shows where the
+cost lives. Second invocation of each query in the same process
+exercises the checkpoint-restart/fixture-reuse path — that's the
+steady-state cost.
+
+Also verifies, on etl_xlsx_deadletter, that bench.py's
+eager-construction guard WOULD fire if a gate query were ever added to
+HEADLINE: construction must dominate the timed action by more than the
+guard's max(1.0, 3x) threshold.
+
+Run: python scripts/bench_gate_sf01.py   (cwd must be the repo root —
+pandas-UDF workers import the package by name)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_gcp_function_tmabrasil_spark.queries import all_queries
+from etl_gcp_function_tmabrasil_spark.session import get_spark
+
+GATE_QUERIES = [
+    # r5 registrations (r6 window slots 1-6)
+    "sink_partitioned_roundtrip",
+    "stream_sliding_watermark",
+    "scan_cloudevent_datasource",
+    "sink_compaction_roundtrip",
+    "scan_schema_evolution",
+    "agg_heavy_hitters",
+    # r5 window firsts (streaming runtime + dead-letter ETL)
+    "etl_xlsx_deadletter",
+    "stream_tumbling_watermark",
+    "stream_dedup_redelivery",
+    "stream_late_data_drop",
+    "stream_session_watermark",
+    "stream_interval_join",
+    "stream_running_totals_state",
+    "stream_static_enrichment",
+    "scan_csv_json_roundtrip",
+    # r6 registration
+    "sink_bucketed_colocated_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench_gate")
+    queries = all_queries()
+    out: dict[str, dict[str, float]] = {}
+    for name in GATE_QUERIES:
+        rec: dict[str, float] = {}
+        for run in ("cold", "warm"):
+            spark.catalog.clearCache()
+            tc = time.perf_counter()
+            df = queries[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            t1 = time.perf_counter()
+            rec[f"{run}_construct"] = round(t0 - tc, 3)
+            rec[f"{run}_action"] = round(t1 - t0, 3)
+        out[name] = rec
+        print(f"{name}: {rec}", file=sys.stderr, flush=True)
+
+    # the eager-construction guard check: for the dead-letter ETL the
+    # COLD construction (fixture + full streaming run) must exceed
+    # bench.py's trip threshold relative to its timed action, proving
+    # the guard would catch this class of query if ever added to
+    # HEADLINE.
+    dl = out["etl_xlsx_deadletter"]
+    threshold = max(1.0, 3 * dl["cold_action"])
+    assert dl["cold_construct"] > threshold, (
+        "eager-construction guard would NOT fire for etl_xlsx_deadletter: "
+        f"construct={dl['cold_construct']}s vs threshold={threshold}s"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "gate_queries_sf01",
+                "sf_dir": sf_dir,
+                "queries": out,
+                "eager_guard_would_fire": True,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

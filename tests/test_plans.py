@@ -465,3 +465,29 @@ def test_no_registered_query_grows_a_cartesian(spark, sf_dir):
             offenders.append(name)
     spark.catalog.clearCache()
     assert not offenders, f"non-broadcast cartesian grew in: {offenders}"
+
+
+def test_bucketed_gate_join_only_shuffles_the_rollup(spark, sf_dir):
+    """sink_bucketed_colocated_join: the orders⨝lineitem join must be
+    exchange-free (both sides bucketed+sorted on the key at write time
+    — the pay-the-shuffle-once layout), leaving the bounded-key
+    priority rollup's exchange as the ONLY one in the plan. Two
+    exchanges would mean the bucketed layout stopped informing the
+    planner and the full fact tables shuffle again on every join."""
+    from etl_gcp_function_tmabrasil_spark.queries.sources_gate import (
+        sink_bucketed_colocated_join,
+    )
+
+    df = sink_bucketed_colocated_join(spark, sf_dir)
+    # exactly two exchanges, both POST-join: the rollup's partial→final
+    # hash exchange and the presentation orderBy's range exchange
+    n = count_exchanges(df)
+    assert n == 2, f"expected rollup + orderBy exchanges only, got {n}"
+    plan = explain_str(df)
+    assert plan.count("Bucketed: true") == 2, plan
+    # in the compact plan tree the join's whole subtree prints AFTER the
+    # SortMergeJoin line — no Exchange may appear in it (both exchanges
+    # sit above the join in the tree)
+    tree = plan.split("(1) Scan")[0]
+    below_join = tree.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in below_join, tree
