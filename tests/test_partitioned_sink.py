@@ -70,3 +70,49 @@ def test_compaction_reduces_files_and_preserves_values(spark, sf_dir, tmp_path):
     assert not glob.glob(path + "__compact_tmp"), "staging dir left behind"
     after = sorted(map(tuple, read_events_partitioned(spark, path).collect()))
     assert after == before, "compaction changed values"
+
+
+def test_compaction_crash_residue_is_invisible_to_readers(spark, sf_dir, tmp_path):
+    """ADVICE r5 regression pin: a crash between compact_partitions'
+    two renames must never corrupt READS. The displaced original is
+    renamed to a dot-prefixed dir, which Spark's file listing and
+    partition discovery skip entirely — so the worst crash residue is
+    one missing partition (recoverable by hand from the hidden dir),
+    never a bogus `…__old` partition VALUE that flips event_date
+    inference to string and silently passes lexicographic filters."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "events_part")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    write_events_partitioned(ev, path)
+    parts = sorted(
+        d for d in os.listdir(path) if d.startswith("event_date=")
+    )
+    assert len(parts) >= 3
+    victim = parts[0]
+    victim_date = victim.split("=", 1)[1]
+    # simulate the crash point: old renamed aside, new not yet in place
+    hidden = os.path.join(path, f".compact_old__{victim}")
+    os.rename(os.path.join(path, victim), hidden)
+
+    back = read_events_partitioned(spark, path)
+    # partition column type must NOT degrade to string (the failure
+    # mode of a visible non-date dir name under the path)
+    assert dict(back.dtypes)["event_date"] == "date"
+    dates = {str(r[0]) for r in back.select("event_date").distinct().collect()}
+    assert victim_date not in dates          # absent, not corrupted
+    assert all(not d.startswith(".") for d in dates)
+    # the hidden dir still holds the data — manual recovery restores it
+    os.rename(hidden, os.path.join(path, victim))
+    restored = {
+        str(r[0])
+        for r in read_events_partitioned(spark, path)
+        .select("event_date")
+        .distinct()
+        .collect()
+    }
+    assert victim_date in restored
+    shutil.rmtree(path)
