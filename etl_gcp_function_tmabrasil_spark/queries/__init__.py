@@ -154,7 +154,9 @@ _CHECK_FIRST = [
 # should take, in order —
 #   0. the round-6 registrations never yet in a window:
 #      sink_bucketed_colocated_join (bucketBy co-located join),
-#      json_variant_ops (Spark 4 VARIANT parse-once path);
+#      json_variant_ops (Spark 4 VARIANT parse-once path),
+#      stream_cloudevent_source (custom Python DataSource streaming
+#      reader — file-count offsets, exactly-once restart);
 #   1. the 6 prose-sourced entries deferred out of this round's window
 #      (family siblings whose nearest relative IS in the r6 window):
 #      agg_bitwise_stringagg, distinct_count_full_rows,

@@ -245,6 +245,63 @@ ORDER BY bucket, name, size, ts_s
 """
 
 
+def stream_cloudevent_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom DataSource's STREAMING reader through the gate: the
+    same seven defensive-parse CloudEvent lines, split across three
+    lexicographically named feed files, replayed as a checkpointed
+    availableNow stream (`sources/cloudevent_source.
+    CloudEventStreamReader` — file-count offsets over an append-only
+    feed, one InputPartition per newly admitted file) into a parquet
+    sink. The oracle is the SAME closed-form VALUES table as the batch
+    DataSource gate: streaming admission must change nothing about
+    parse semantics, and the repeat invocation resumes the checkpoint
+    with zero new files — restart yields the identical sink
+    (exactly-once), not doubled rows."""
+    from etl_gcp_function_tmabrasil_spark.sources import cloudevent_source
+
+    root = os.path.join(_gate_root(), "cloudevents_stream")
+    feed = os.path.join(root, "feed")
+
+    def _build(tmp: str) -> None:
+        fd = os.path.join(tmp, "feed")
+        os.makedirs(fd)
+        chunks = [_CE_LINES[:3], _CE_LINES[3:5], _CE_LINES[5:]]
+        for i, lines in enumerate(chunks):
+            with open(
+                os.path.join(fd, f"chunk_{i:03d}.jsonl"), "w", encoding="utf-8"
+            ) as fh:
+                fh.write("\n".join(lines) + "\n")
+
+    _ensure_fixture(root, _build)
+    cloudevent_source.register(spark)
+    sink = os.path.join(root, "sink")
+    q = (
+        spark.readStream.format("cloudevent_jsonl")
+        .load(feed)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(root, "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        try:
+            q.stop()
+        finally:
+            raise TimeoutError("cloudevent stream did not drain in 300s")
+    return (
+        spark.read.parquet(sink)
+        .select(
+            "bucket",
+            "name",
+            "size",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+        .orderBy("bucket", "name", "size", "ts_s")
+    )
+
+
 def sink_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction (`sinks/partitioned.compact_partitions`)
     through the oracle gate: events are first written deliberately
@@ -420,6 +477,7 @@ QUERIES = {
     "scan_csv_json_roundtrip": scan_csv_json_roundtrip,
     "sink_partitioned_roundtrip": sink_partitioned_roundtrip,
     "scan_cloudevent_datasource": scan_cloudevent_datasource,
+    "stream_cloudevent_source": stream_cloudevent_source,
     "sink_compaction_roundtrip": sink_compaction_roundtrip,
     "scan_schema_evolution": scan_schema_evolution,
     "sink_bucketed_colocated_join": sink_bucketed_colocated_join,
@@ -429,6 +487,7 @@ ORACLE = {
     "scan_csv_json_roundtrip": _SCAN_SQL,
     "sink_partitioned_roundtrip": _PARTITIONED_SQL,
     "scan_cloudevent_datasource": _CLOUDEVENT_SQL,
+    "stream_cloudevent_source": _CLOUDEVENT_SQL,
     "sink_compaction_roundtrip": _COMPACTION_SQL,
     "scan_schema_evolution": _EVOLUTION_SQL,
     "sink_bucketed_colocated_join": _BUCKETED_JOIN_SQL,

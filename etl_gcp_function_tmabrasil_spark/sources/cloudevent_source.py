@@ -28,7 +28,12 @@ import json
 import os
 from datetime import datetime, timezone
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 #: Schema of the file_events model (catalog.FILE_EVENTS_SCHEMA as DDL —
 #: kept as a literal so the DataSource has no import-time Spark deps).
@@ -85,6 +90,35 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
+def _list_feed_files(path: str, glob: str) -> list[str]:
+    """Sorted visible files under `path` (or [path] for a file),
+    skipping hidden/metadata names AND directories — without the dir
+    prune, files under _spark_metadata/ or _checkpoint/ (basenames
+    like '0', '1') would be parsed as events."""
+    if os.path.isfile(path):
+        return [path]
+    out = []
+    for root, dirs, names in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for n in sorted(names):
+            if n.startswith((".", "_")):
+                continue  # spark convention: hidden/metadata files
+            if glob and not _glob_match(n, glob):
+                continue
+            out.append(os.path.join(root, n))
+    return sorted(out)
+
+
+def _read_feed_file(partition: _FilePartition):
+    if not partition.path:
+        return
+    with open(partition.path, encoding="utf-8", errors="replace") as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                yield parse_event_line(line)
+
+
 class CloudEventReader(DataSourceReader):
     def __init__(self, options: dict):
         path = options.get("path")
@@ -94,22 +128,7 @@ class CloudEventReader(DataSourceReader):
         self._glob = options.get("pathGlobFilter", "")
 
     def _files(self) -> list[str]:
-        if os.path.isfile(self._path):
-            return [self._path]
-        out = []
-        for root, dirs, names in os.walk(self._path):
-            # prune hidden/metadata DIRECTORIES too (mutating dirs
-            # in-place stops the walk): without this, files under
-            # _spark_metadata/ or _checkpoint/ — whose basenames like
-            # '0', '1' pass the file check — are parsed as events
-            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
-            for n in sorted(names):
-                if n.startswith((".", "_")):
-                    continue  # spark convention: hidden/metadata files
-                if self._glob and not _glob_match(n, self._glob):
-                    continue
-                out.append(os.path.join(root, n))
-        return sorted(out)
+        return _list_feed_files(self._path, self._glob)
 
     def partitions(self):
         # One partition per feed file: the scheduler fans out exactly as
@@ -118,13 +137,53 @@ class CloudEventReader(DataSourceReader):
         return [_FilePartition(f) for f in files] or [_FilePartition("")]
 
     def read(self, partition: _FilePartition):
-        if not partition.path:
-            return
-        with open(partition.path, encoding="utf-8", errors="replace") as fh:
-            for line in fh:
-                line = line.strip()
-                if line:
-                    yield parse_event_line(line)
+        yield from _read_feed_file(partition)
+
+
+class CloudEventStreamReader(DataSourceStreamReader):
+    """Streaming variant: the reference's trigger lifecycle (one
+    CloudEvent batch per Eventarc delivery, ``main.py:5``) as a real
+    Structured Streaming source with offset tracking.
+
+    Offset model: ``{"nfiles": N}`` = the first N files of the feed in
+    sorted-name order have been committed. CONTRACT: the feed is
+    append-only with lexicographically increasing names (chunk_000,
+    chunk_001, …) — the writer-side convention of every landing
+    pipeline in this repo. That keeps the offset O(1) regardless of
+    feed size (a name-set offset would grow with history — at 100 TB
+    the offset log must stay metadata-sized). Each micro-batch fans
+    out one InputPartition per newly admitted file, exactly like the
+    batch reader; checkpoint recovery replays nothing (exactly-once
+    through the parquet sink's commit log, pinned by the gate query's
+    repeat invocation)."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("cloudevent_jsonl requires a path: .load(dir)")
+        self._path = path
+        self._glob = options.get("pathGlobFilter", "")
+
+    def _files(self) -> list[str]:
+        return _list_feed_files(self._path, self._glob)
+
+    def initialOffset(self) -> dict:
+        return {"nfiles": 0}
+
+    def latestOffset(self) -> dict:
+        return {"nfiles": len(self._files())}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._files()[start["nfiles"] : end["nfiles"]]
+        return [_FilePartition(f) for f in files]
+
+    def read(self, partition: _FilePartition):
+        yield from _read_feed_file(partition)
+
+    def commit(self, end: dict) -> None:
+        # nothing to clean up: admitted files stay in place (retention
+        # is the landing zone's concern, as with Spark's file source)
+        pass
 
 
 def _glob_match(name: str, pattern: str) -> bool:
@@ -146,6 +205,9 @@ class CloudEventDataSource(DataSource):
 
     def reader(self, schema) -> CloudEventReader:
         return CloudEventReader(self.options)
+
+    def streamReader(self, schema) -> CloudEventStreamReader:
+        return CloudEventStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -131,3 +131,52 @@ def test_hidden_and_metadata_dirs_pruned(spark, tmp_path):
     )
     rows = df.collect()
     assert len(rows) == 1 and rows[0].name == "minha-pasta/x.xlsx"
+
+
+def test_stream_reader_incremental_admission(spark, tmp_path):
+    """The streaming reader's file-count offsets must admit exactly the
+    NEW files on a checkpoint-resumed run: chunk appended between runs
+    → its rows appear once; already-committed chunks never replay."""
+    feed = tmp_path / "feed"
+    feed.mkdir()
+
+    def write_chunk(i: int, names: list[str]) -> None:
+        with open(feed / f"chunk_{i:03d}.jsonl", "w") as f:
+            for n in names:
+                f.write(
+                    json.dumps(
+                        {
+                            "bucket": "b",
+                            "name": n,
+                            "size": "1",
+                            "time": "2024-01-01T00:00:00Z",
+                        }
+                    )
+                    + "\n"
+                )
+
+    write_chunk(0, ["a.xlsx", "b.xlsx"])
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+
+    def run() -> None:
+        q = (
+            spark.readStream.format("cloudevent_jsonl")
+            .load(str(feed))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run()
+    first = sorted(r.name for r in spark.read.parquet(sink).collect())
+    assert first == ["a.xlsx", "b.xlsx"]
+
+    write_chunk(1, ["c.xlsx"])
+    run()  # same checkpoint: only chunk_001 admitted
+    second = sorted(r.name for r in spark.read.parquet(sink).collect())
+    assert second == ["a.xlsx", "b.xlsx", "c.xlsx"]
