@@ -156,7 +156,9 @@ _CHECK_FIRST = [
 #      sink_bucketed_colocated_join (bucketBy co-located join),
 #      json_variant_ops (Spark 4 VARIANT parse-once path),
 #      stream_cloudevent_source (custom Python DataSource streaming
-#      reader — file-count offsets, exactly-once restart);
+#      reader — file-count offsets, exactly-once restart),
+#      dedup_cluster_representative (quality-argmax keep-one-per-
+#      cluster — the dedup pipeline's decision step);
 #   1. the 6 prose-sourced entries deferred out of this round's window
 #      (family siblings whose nearest relative IS in the r6 window):
 #      agg_bitwise_stringagg, distinct_count_full_rows,

@@ -767,3 +767,97 @@ SELECT doc_id, ROUND(rank, 6) AS rank FROM r{PAGERANK_ITERS} ORDER BY doc_id
 
 QUERIES["pagerank_dedup_graph"] = pagerank_dedup_graph
 ORACLE["pagerank_dedup_graph"] = _pagerank_sql()
+
+
+def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END of the dedup pipeline: keep ONE canonical document per
+    near-dup cluster, chosen by quality. Composes the stack this module
+    builds — SimHash pair graph → connected components → quality-argmax
+    representative (ties broken by min doc_id) — with docs outside any
+    component kept as their own singleton cluster. This is the decision
+    step that turns pairwise similarity into an actual training-corpus
+    membership list.
+
+    Scale shape: components are bounded (near-dup clusters are small);
+    the quality score is row-local; representative selection is a
+    single window pass (row_number over component_id) feeding a
+    conditional agg ON THE SAME KEY — the groupBy reuses the window's
+    hash partitioning, so the whole keep-decision costs exactly ONE
+    shuffle on component_id beyond the component computation itself
+    (verified: one `hashpartitioning(component_id)` exchange in the
+    plan). The window cannot use WindowGroupLimit because n_members
+    needs every row, not just rn=1 — a two-branch rewrite (top-1 +
+    separate count, then join) would trade the full-group window for
+    an extra join shuffle; at near-dup cluster sizes (small, bounded)
+    the single-pass form wins."""
+    from pyspark.sql import Window
+
+    from etl_gcp_function_tmabrasil_spark.queries.text_analysis import (
+        text_quality_score,
+    )
+
+    comp = dedup_components(spark, sf_dir)
+    quality = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    members = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", F.col("doc_id")).alias("component_id"),
+        )
+        .join(quality, "doc_id")
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .groupBy("component_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("quality"))).alias("kept_quality"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .orderBy("component_id")
+    )
+
+
+def _cluster_representative_sql() -> str:
+    comp = _components_sql().replace("ORDER BY doc_id", "")
+    return f"""
+WITH comp AS ({comp}),
+q AS (
+  SELECT doc_id,
+    ROUND(CASE WHEN n_chars < 50 THEN 0.1 ELSE 0.5 END
+      + CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+            x -> x IN ('the','and','of','a','in','to'))) AS DOUBLE)
+          / len(string_split(text, ' ')) > 0.05 THEN 0.25 ELSE 0.0 END
+      + CASE WHEN 1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / len(string_split(text, ' ')) < 0.8 THEN 0.25 ELSE 0.0 END, 6)
+      AS quality
+  FROM documents
+),
+members AS (
+  SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS component_id, q.quality
+  FROM documents d
+  LEFT JOIN comp c ON d.doc_id = c.doc_id
+  JOIN q ON q.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY component_id ORDER BY quality DESC, doc_id ASC) AS rn
+  FROM members
+)
+SELECT component_id,
+  MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
+  MAX(CASE WHEN rn = 1 THEN quality END) AS kept_quality,
+  COUNT(*) AS n_members
+FROM ranked
+GROUP BY component_id
+ORDER BY component_id
+"""
+
+
+QUERIES["dedup_cluster_representative"] = dedup_cluster_representative
+ORACLE["dedup_cluster_representative"] = _cluster_representative_sql()
