@@ -59,6 +59,14 @@ PARITY = [
     "resample_daily_locf",
     "stream_tumbling_watermark",
     "stream_dedup_redelivery",
+    # round-6 additions: variant parse (events x10), bucketed
+    # co-located join (orders x10 vs unscaled lineitem — the bucketed
+    # write itself is the probed machinery), and the dedup decision
+    # step (documents x10: components + quality-argmax, linear in
+    # near-dup edges by the probe's shingle-disjoint construction)
+    "json_variant_ops",
+    "sink_bucketed_colocated_join",
+    "dedup_cluster_representative",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.
