@@ -158,7 +158,9 @@ _CHECK_FIRST = [
 #      stream_cloudevent_source (custom Python DataSource streaming
 #      reader — file-count offsets, exactly-once restart),
 #      dedup_cluster_representative (quality-argmax keep-one-per-
-#      cluster — the dedup pipeline's decision step);
+#      cluster — the dedup pipeline's decision step),
+#      sql_lateral_topk (correlated LATERAL subquery, decorrelated),
+#      udf_arrow_vector_norms (mapInArrow — Arrow-native UDF path);
 #   1. the 6 prose-sourced entries deferred out of this round's window
 #      (family siblings whose nearest relative IS in the r6 window):
 #      agg_bitwise_stringagg, distinct_count_full_rows,

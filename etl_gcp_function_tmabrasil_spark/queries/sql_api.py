@@ -65,11 +65,41 @@ def sql_cte_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_CTE_WINDOW_SQL)
 
 
+_LATERAL_SQL = """
+SELECT c_custkey, t.o_orderkey, CAST(t.o_totalprice AS DOUBLE) AS o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_orderdate DESC, o_orderkey ASC
+  LIMIT 2
+) t
+ORDER BY c_custkey, o_orderkey
+"""
+
+
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (per-customer two most recent
+    orders), one dialect-neutral text shared verbatim with the oracle.
+    Catalyst DECORRELATES the per-row subquery into a set-based plan —
+    a ranking window over the orders side joined back on o_custkey —
+    so the correlated form costs one shuffle like the explicit
+    window-top-k, NOT one subquery execution per outer row (the
+    nested-loop reading of LATERAL would be O(customers × orders) at
+    100 TB). Deterministic: the LIMIT's sort carries a full
+    tie-breaker."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_LATERAL_SQL)
+
+
 QUERIES = {
     "sql_segment_status_rollup": sql_segment_status_rollup,
     "sql_cte_window_topk": sql_cte_window_topk,
+    "sql_lateral_topk": sql_lateral_topk,
 }
 ORACLE = {
     "sql_segment_status_rollup": _SQL,
     "sql_cte_window_topk": _CTE_WINDOW_SQL,
+    "sql_lateral_topk": _LATERAL_SQL,
 }

@@ -215,12 +215,67 @@ ORDER BY doc_id, pos
 """
 
 
+def udf_arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the last member of the Python UDF API family
+    (scalar pandas / grouped-map / grouped-agg / UDTF / mapInPandas are
+    covered elsewhere): per-batch numpy compute DIRECTLY on Arrow
+    RecordBatches, skipping the Arrow→pandas conversion mapInPandas
+    pays (no Series boxing, no copy for list columns — on wide
+    embedding batches the conversion is most of mapInPandas' overhead).
+
+    Computes per-vector L2 norms. Determinism contract: the float32
+    embeddings are cast to double JVM-SIDE first (float32² in double is
+    exact — 48-bit product fits the 53-bit mantissa), and the segment
+    sums use np.add.reduceat, which accumulates SEQUENTIALLY per
+    segment — the same left-to-right order as the oracle's list_sum,
+    so the doubles match bit-for-bit before the presentation round."""
+    import numpy as np
+    import pyarrow as pa
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("e")
+    )
+
+    def norms(batches):
+        for b in batches:
+            col = b.column("e")
+            if isinstance(col, pa.ChunkedArray):  # defensive: combine
+                col = col.combine_chunks()
+            flat = col.values.to_numpy(zero_copy_only=False)
+            offsets = col.offsets.to_numpy()
+            sq = flat * flat
+            seg = np.add.reduceat(sq, offsets[:-1]) if len(flat) else np.array([])
+            # reduceat quirk: an EMPTY segment (offsets[i] == offsets[i+1])
+            # returns sq[offsets[i]] instead of 0 — embeddings are fixed
+            # non-empty vectors, but guard anyway
+            empty = offsets[1:] == offsets[:-1]
+            seg = np.where(empty, 0.0, seg)
+            yield pa.RecordBatch.from_arrays(
+                [b.column("vec_id"), pa.array(np.sqrt(seg), type=pa.float64())],
+                ["vec_id", "l2"],
+            )
+
+    return (
+        emb.mapInArrow(norms, "vec_id bigint, l2 double")
+        .select("vec_id", F.round("l2", 6).alias("l2"))
+        .orderBy("vec_id")
+    )
+
+
+_UDF_ARROW_SQL = """
+SELECT vec_id,
+  ROUND(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2
+FROM embeddings ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "udtf_token_positions": udtf_token_positions,
     "udf_pandas_scaled_value": udf_pandas_scaled_value,
     "udf_grouped_zscore": udf_grouped_zscore,
     "udf_grouped_agg_range": udf_grouped_agg_range,
+    "udf_arrow_vector_norms": udf_arrow_vector_norms,
 }
 
 ORACLE = {
@@ -229,4 +284,5 @@ ORACLE = {
     "udf_pandas_scaled_value": _UDF_PANDAS_SQL,
     "udf_grouped_zscore": _UDF_ZSCORE_SQL,
     "udf_grouped_agg_range": _UDF_RANGE_SQL,
+    "udf_arrow_vector_norms": _UDF_ARROW_SQL,
 }
