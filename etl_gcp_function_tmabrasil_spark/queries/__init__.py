@@ -160,7 +160,10 @@ _CHECK_FIRST = [
 #      dedup_cluster_representative (quality-argmax keep-one-per-
 #      cluster — the dedup pipeline's decision step),
 #      sql_lateral_topk (correlated LATERAL subquery, decorrelated),
-#      udf_arrow_vector_norms (mapInArrow — Arrow-native UDF path);
+#      udf_arrow_vector_norms (mapInArrow — Arrow-native UDF path),
+#      split_group_integrity (leakage-guard split by user hash),
+#      window_global_rownum_scalable (two-phase contiguous global
+#      ids — no single-task window);
 #   1. the 6 prose-sourced entries deferred out of this round's window
 #      (family siblings whose nearest relative IS in the r6 window):
 #      agg_bitwise_stringagg, distinct_count_full_rows,

@@ -716,3 +716,59 @@ ORDER BY sample_key DESC, doc_id ASC LIMIT {WEIGHTED_SAMPLE_K}
 
 QUERIES["sample_weighted_topk"] = sample_weighted_topk
 ORACLE["sample_weighted_topk"] = _WEIGHTED_SQL
+
+
+def split_group_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-integrity train/val/test split: the assignment key is the
+    USER, not the row — every event of a user lands in the same split,
+    the leakage guard any behavioral/training dataset needs (a
+    row-level split would put one user's near-identical events in both
+    train and test). Same salted md5 hash-unit machinery as
+    split_train_val_test (independent stream via the '/gsplit' salt),
+    so assignment is deterministic across runs and engines.
+
+    Scale shape: the split is a row-local function of user_id — no
+    join against an assignment table, nothing broadcast, nothing
+    shuffled except the bounded 3-key rollup. The rollup's
+    n_users-per-split sums to the corpus's distinct-user count by
+    construction (split is a FUNCTION of user), which the oracle's
+    identical computation certifies."""
+    ev = load_table(spark, sf_dir, "events")
+    h = SPARK_HASH60.format(expr="concat(cast(user_id as string), '/gsplit')")
+    u = F.expr(f"(({h}) % 1000000) / 1000000.0")
+    split = (
+        F.when(u < SPLIT_BOUNDS["train"][1], F.lit("train"))
+        .when(u < SPLIT_BOUNDS["val"][1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        ev.select("user_id", "event_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("split")
+    )
+
+
+def _group_split_sql() -> str:
+    h = SQL_HASH60.format(expr="user_id::VARCHAR || '/gsplit'")
+    u = f"(({h} % 1000000) / 1000000.0)"
+    return f"""
+WITH s AS (
+  SELECT user_id, event_id,
+    CASE WHEN {u} < {SPLIT_BOUNDS["train"][1]} THEN 'train'
+         WHEN {u} < {SPLIT_BOUNDS["val"][1]} THEN 'val'
+         ELSE 'test' END AS split
+  FROM events
+)
+SELECT split, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
+  CAST(SUM(event_id) AS BIGINT) AS id_checksum
+FROM s GROUP BY split ORDER BY split
+"""
+
+
+QUERIES["split_group_integrity"] = split_group_integrity
+ORACLE["split_group_integrity"] = _group_split_sql()

@@ -329,3 +329,76 @@ ORACLE = {
     "window_topk_per_group": _TOPK_GROUP_SQL,
     "window_ntile": _NTILE_SQL,
 }
+
+
+def window_global_rownum_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global CONTIGUOUS row numbering WITHOUT the single-task trap: a
+    bare `row_number() OVER (ORDER BY …)` funnels the whole table
+    through ONE partition (Exchange SinglePartition) — the classic
+    100 TB killer. The scalable two-phase shape instead:
+
+    1. `repartitionByRange` on the (unique) sort key — Spark's range
+       partitioner assigns ORDERED key ranges to ascending partition
+       ids, so partition id order IS global key order;
+    2. per-partition local row_number (window partitioned by pid —
+       parallel, no single task);
+    3. per-partition counts (one row per partition) cumulated into
+       offsets by a window over that BOUNDED tiny frame (the same
+       provably-bounded single-task exception as the token-packing
+       bucket table), broadcast-joined back.
+
+    global_rn = offset(pid) + local_rn. Deterministic despite sampled
+    range boundaries because the key is unique: wherever the
+    boundaries land, ordered-disjoint ranges + in-partition ordering
+    reproduce the exact global order. The result samples every 997th
+    id (plus the ends) so the oracle checks numbering across the whole
+    range without returning the full table."""
+    ords = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    parts = 16
+    ranged = ords.repartitionByRange(parts, "o_orderkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = counts.select(
+        "pid",
+        (
+            F.sum("cnt").over(
+                W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+            )
+        ).alias("offset"),
+    ).fillna({"offset": 0})
+    numbered = (
+        ranged.join(F.broadcast(offsets), "pid")
+        .select(
+            "o_orderkey",
+            (
+                F.row_number().over(W.partitionBy("pid").orderBy("o_orderkey"))
+                + F.col("offset")
+            ).alias("rn"),
+        )
+    )
+    # total as a broadcast one-row scalar (the scalar-subquery pattern)
+    # — NOT an unpartitioned window over the numbered table, which
+    # would reintroduce the exact single-task funnel this query avoids
+    total = F.broadcast(ords.agg(F.count(F.lit(1)).alias("total")))
+    return (
+        numbered.crossJoin(total)
+        .filter((F.col("rn") % 997 == 1) | (F.col("rn") == F.col("total")))
+        .select("rn", "o_orderkey")
+        .orderBy("rn")
+    )
+
+
+_GLOBAL_ROWNUM_SQL = """
+WITH r AS (
+  SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn,
+         COUNT(*) OVER () AS total
+  FROM orders
+)
+SELECT rn, o_orderkey FROM r
+WHERE rn % 997 = 1 OR rn = total
+ORDER BY rn
+"""
+
+QUERIES["window_global_rownum_scalable"] = window_global_rownum_scalable
+ORACLE["window_global_rownum_scalable"] = _GLOBAL_ROWNUM_SQL

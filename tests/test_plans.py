@@ -491,3 +491,24 @@ def test_bucketed_gate_join_only_shuffles_the_rollup(spark, sf_dir):
     tree = plan.split("(1) Scan")[0]
     below_join = tree.split("SortMergeJoin", 1)[1]
     assert "Exchange" not in below_join, tree
+
+
+def test_global_rownum_avoids_single_task_funnel(spark, sf_dir):
+    """window_global_rownum_scalable: the FULL table must flow through
+    rangepartitioning + a pid-PARTITIONED window only. The plan's two
+    SinglePartition exchanges are the provably bounded frames — the
+    per-partition counts (one row per partition) feeding the offsets
+    window and the count(1) scalar — never the data; a bare
+    `row_number() OVER (ORDER BY …)` would add a SinglePartition
+    exchange carrying the whole table."""
+    from etl_gcp_function_tmabrasil_spark.queries.windows import (
+        window_global_rownum_scalable,
+    )
+
+    df = window_global_rownum_scalable(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning(o_orderkey" in plan, plan
+    # the big window is partitioned by pid (its spec names pid)
+    assert "windowspecdefinition(pid" in plan, plan
+    # exactly the two bounded single-partition frames, no third
+    assert plan.count("SinglePartition") == 2, plan
