@@ -51,7 +51,19 @@ HEADLINE = [
     # round-5 additions: operator families previously unbenched
     "scd2_user_history",        # warehouse-load (CDC/SCD2 window chain)
     "resample_daily_locf",      # calendar-spine join + carry-forward window
-    "kmeans_ivf_codebook",      # iterative ML (broadcast-assign k-means)
+    # (kmeans_ivf_codebook moved to scripts/bench_gate_sf01.py in r6:
+    # its Lloyd's iterations run driver-coordinated at CONSTRUCTION —
+    # the eager-construction guard correctly tripped on it, and the
+    # r5 headline number (0.33 s) was only the final assignment pass.
+    # The gate-bench script times construct+action separately and
+    # honestly: ~1.5 s + ~0.5 s warm at sf0.1.)
+    # round-6 additions (lazy-constructing registrations only — the
+    # eager gate queries are benched by scripts/bench_gate_sf01.py)
+    "json_variant_ops",         # Spark 4 VARIANT parse-once path
+    "sql_lateral_topk",         # correlated LATERAL, decorrelated plan
+    "udf_arrow_vector_norms",   # mapInArrow Arrow-native batch UDF
+    "split_group_integrity",    # leakage-guard user-keyed split
+    "window_global_rownum_scalable",  # two-phase global contiguous ids
 ]
 
 

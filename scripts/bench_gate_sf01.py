@@ -51,8 +51,14 @@ GATE_QUERIES = [
     "stream_running_totals_state",
     "stream_static_enrichment",
     "scan_csv_json_roundtrip",
-    # r6 registration
+    # r6 registrations (eager construction: bucketed write / streaming
+    # DataSource replay / connected-components localCheckpoint)
     "sink_bucketed_colocated_join",
+    "stream_cloudevent_source",
+    "dedup_cluster_representative",
+    # moved out of bench.py HEADLINE in r6: Lloyd's iterations run at
+    # construction (the guard there correctly tripped on it)
+    "kmeans_ivf_codebook",
 ]
 
 
