@@ -63,6 +63,16 @@ _FAMILY_QUERIES = [
     ("window_cume_dist", 0),
     ("scd2_user_history", 0),
     ("distinct_count_full_rows", 1),
+    # round-6 registrations: variant parse, decorrelated lateral,
+    # Arrow-native norms, leakage-guard split, two-phase global ids,
+    # and the dedup decision step (empty pair graph → zero clusters)
+    ("json_variant_ops", 0),
+    ("sql_lateral_topk", 0),
+    ("udf_arrow_vector_norms", 0),
+    ("split_group_integrity", 0),
+    ("window_global_rownum_scalable", 0),
+    ("dedup_cluster_representative", 0),
+    ("agg_heavy_hitters", 0),
 ]
 
 
