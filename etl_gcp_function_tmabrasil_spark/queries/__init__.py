@@ -163,7 +163,9 @@ _CHECK_FIRST = [
 #      udf_arrow_vector_norms (mapInArrow — Arrow-native UDF path),
 #      split_group_integrity (leakage-guard split by user hash),
 #      window_global_rownum_scalable (two-phase contiguous global
-#      ids — no single-task window);
+#      ids — no single-task window),
+#      sink_incremental_rollup (materialized-partial merge — the
+#      avoid-full-recompute refresh);
 #   1. the 6 prose-sourced entries deferred out of this round's window
 #      (family siblings whose nearest relative IS in the r6 window):
 #      agg_bitwise_stringagg, distinct_count_full_rows,

@@ -473,6 +473,80 @@ ORDER BY o.o_orderpriority
 """
 
 
+#: event_id boundary between the materialized base and the delta batch.
+_INCR_SPLIT_FRAC = 0.8
+
+
+def sink_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the avoid-full-recompute
+    pattern every 100 TB warehouse rollup needs: the HISTORICAL 80% of
+    events is pre-aggregated ONCE into a materialized partial-rollup
+    parquet (per (event_date, event_type): count + decimal-exact sum —
+    mergeable partials, not finished averages), and the query merges
+    only the 20% DELTA batch against it. The merged result must equal
+    a from-scratch rollup over everything — which is exactly what the
+    oracle computes. At 100 TB the base never rescans: each refresh
+    costs O(delta) + O(affected groups), and the same shape maintains
+    rolling daily/hourly marts.
+
+    The base build is fixture plumbing (eager, one-time, same class as
+    the bucketed-table write); the operator under test is the merge
+    plan: delta-scan → partial agg → union with base scan → final agg
+    on the SAME group key (one bounded shuffle)."""
+    from etl_gcp_function_tmabrasil_spark.queries._util import dsum
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base_path = os.path.join(_gate_root(), sf_name, "rollup_base")
+    ev = load_table(spark, sf_dir, "events")
+    max_id = ev.agg(F.max("event_id")).collect()[0][0] or 0
+    split_id = int(max_id * _INCR_SPLIT_FRAC)
+
+    def _partials(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(
+                F.to_date("ts").alias("event_date"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+            )
+        )
+
+    _ensure_fixture(
+        base_path,
+        lambda tmp: _partials(ev.filter(F.col("event_id") < split_id))
+        .write.parquet(tmp),
+    )
+    base = spark.read.parquet(base_path)
+    delta = _partials(ev.filter(F.col("event_id") >= split_id))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_value").cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("event_date", "event_type")
+    )
+
+
+_INCREMENTAL_SQL = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date, event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_date, event_type
+ORDER BY event_date, event_type
+"""
+
+
 QUERIES = {
     "scan_csv_json_roundtrip": scan_csv_json_roundtrip,
     "sink_partitioned_roundtrip": sink_partitioned_roundtrip,
@@ -481,9 +555,11 @@ QUERIES = {
     "sink_compaction_roundtrip": sink_compaction_roundtrip,
     "scan_schema_evolution": scan_schema_evolution,
     "sink_bucketed_colocated_join": sink_bucketed_colocated_join,
+    "sink_incremental_rollup": sink_incremental_rollup,
 }
 
 ORACLE = {
+    "sink_incremental_rollup": _INCREMENTAL_SQL,
     "scan_csv_json_roundtrip": _SCAN_SQL,
     "sink_partitioned_roundtrip": _PARTITIONED_SQL,
     "scan_cloudevent_datasource": _CLOUDEVENT_SQL,
