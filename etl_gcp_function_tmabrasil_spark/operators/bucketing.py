@@ -28,12 +28,20 @@ def write_bucketed(
     bucket_cols: list[str],
     n_buckets: int = 32,
     sort: bool = True,
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed parquet table in the session catalog.
 
     The write shuffles on ``bucket_cols`` once; every later join/agg on
     those columns is exchange-free (verified by plan tests).
-    """
+
+    ``path`` makes the table EXTERNAL with its data at that location —
+    the bucket spec still lives in the catalog, so exchange elimination
+    is unchanged. Callers whose tables are per-process scratch (the
+    gate fixtures) must pass a per-process path: the default managed
+    location is the fixed shared warehouse dir, where pid-suffixed
+    table data from every past process would otherwise accumulate
+    (the metastore is per-process, but the FILES persist)."""
     writer = (
         df.write.format("parquet")
         .mode("overwrite")
@@ -41,6 +49,8 @@ def write_bucketed(
     )
     if sort:
         writer = writer.sortBy(*bucket_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

@@ -138,3 +138,25 @@ SPARK_HASH60 = "cast(conv(substring(md5({expr}),1,15),16,10) as bigint)"
 SQL_DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
 SQL_DAY = "strftime({col}, '%Y-%m-%d')"
 SQL_SECOND = "strftime({col}, '%Y-%m-%d %H:%M:%S')"
+
+
+def ensure_fixture(root: str, build) -> None:
+    """Build a multi-step per-process fixture ATOMICALLY: ``build(tmp)``
+    populates a temp sibling dir which is then os.rename'd into place,
+    so the ``isdir`` regeneration guard can only ever observe a
+    COMPLETE fixture. A guard satisfied by the first of several writes
+    would let a crash mid-build leave a partial fixture that every
+    later invocation in the process silently reuses (ADVICE r5; the
+    same tmp+rename pattern streaming_gate._write_chunks uses). Shared
+    by the sources/sinks gate fixtures and the dead-letter ETL bucket
+    (code-review r6: one protocol, not two hand-rolled copies)."""
+    import os
+    import shutil
+
+    if os.path.isdir(root):
+        return
+    tmp = root + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    build(tmp)
+    os.rename(tmp, root)

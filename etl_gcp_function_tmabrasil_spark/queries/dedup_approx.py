@@ -824,19 +824,18 @@ def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cluster_representative_sql() -> str:
+    # quality comes from text_analysis.QUALITY_SQL_BODY verbatim — one
+    # source of truth for the heuristic's oracle twin (code-review r6:
+    # an inline copy here could drift from the quality gate unnoticed)
+    from etl_gcp_function_tmabrasil_spark.queries.text_analysis import (
+        QUALITY_SQL_BODY,
+    )
+
     comp = _components_sql().replace("ORDER BY doc_id", "")
     return f"""
 WITH comp AS ({comp}),
 q AS (
-  SELECT doc_id,
-    ROUND(CASE WHEN n_chars < 50 THEN 0.1 ELSE 0.5 END
-      + CASE WHEN CAST(len(list_filter(string_split(text, ' '),
-            x -> x IN ('the','and','of','a','in','to'))) AS DOUBLE)
-          / len(string_split(text, ' ')) > 0.05 THEN 0.25 ELSE 0.0 END
-      + CASE WHEN 1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-          / len(string_split(text, ' ')) < 0.8 THEN 0.25 ELSE 0.0 END, 6)
-      AS quality
-  FROM documents
+  SELECT doc_id, quality FROM ({QUALITY_SQL_BODY}) qq
 ),
 members AS (
   SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS component_id, q.quality

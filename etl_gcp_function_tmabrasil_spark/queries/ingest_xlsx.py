@@ -28,6 +28,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_gcp_function_tmabrasil_spark.catalog import load_table
+from etl_gcp_function_tmabrasil_spark.queries._util import ensure_fixture
 from etl_gcp_function_tmabrasil_spark.sources.xlsx import read_xlsx, write_minimal_xlsx
 
 _COLS = ["event_id", "user_id", "event_type", "value"]
@@ -139,20 +140,14 @@ def etl_xlsx_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing = os.path.join(root, "landing")
     table = "analytics.deadletter_gate"
     sink = BigQuerySink(warehouse_dir=os.path.join(root, "warehouse"))
-    if not os.path.isdir(root):  # first invocation in this process
-        # Built under a temp name and renamed into place atomically
-        # (ADVICE r5): the isdir guard must never observe a fixture
-        # with only some of the five workbooks written — a crash
-        # mid-build would otherwise poison every later invocation.
-        tmp_root = root + ".tmp"
-        if os.path.isdir(tmp_root):
-            import shutil
-
-            shutil.rmtree(tmp_root)
-        bucket = os.path.join(tmp_root, "bucket", "minha-pasta")
-        landing = os.path.join(tmp_root, "landing")
-        os.makedirs(bucket)
-        os.makedirs(landing)
+    def _build(tmp_root: str) -> None:
+        # Built under a temp name and renamed into place atomically by
+        # ensure_fixture (ADVICE r5): the isdir guard must never observe
+        # a fixture with only some of the five workbooks written.
+        b = os.path.join(tmp_root, "bucket", "minha-pasta")
+        ld = os.path.join(tmp_root, "landing")
+        os.makedirs(b)
+        os.makedirs(ld)
         rows = (
             load_table(spark, sf_dir, "events")
             .select(*_COLS)
@@ -161,22 +156,22 @@ def etl_xlsx_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
         write_minimal_xlsx(
-            os.path.join(bucket, "good.xlsx"),
+            os.path.join(b, "good.xlsx"),
             _COLS,
             [[r[c] for c in _COLS] for r in rows],
         )
-        with open(os.path.join(bucket, "corrupt.xlsx"), "wb") as fh:
+        with open(os.path.join(b, "corrupt.xlsx"), "wb") as fh:
             fh.write(b"this is not a zip archive")
-        write_minimal_xlsx(os.path.join(bucket, "empty.xlsx"), _COLS, [])
+        write_minimal_xlsx(os.path.join(b, "empty.xlsx"), _COLS, [])
         # deterministically over _DL_MAX_BYTES: 300 inline-string rows
         write_minimal_xlsx(
-            os.path.join(bucket, "big.xlsx"),
+            os.path.join(b, "big.xlsx"),
             _COLS,
             [[i, i, f"padpadpad-{i:06d}", float(i)] for i in range(300)],
         )
         names = ["good.xlsx", "corrupt.xlsx", "empty.xlsx", "big.xlsx",
                  "missing.xlsx"]
-        with open(os.path.join(landing, "ev.json"), "w") as fh:
+        with open(os.path.join(ld, "ev.json"), "w") as fh:
             for i, n in enumerate(names):
                 fh.write(json.dumps({
                     "bucket": "b",
@@ -184,9 +179,8 @@ def etl_xlsx_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "size": 1,
                     "ts": f"2024-01-01T00:0{i}:00Z",
                 }) + "\n")
-        os.rename(tmp_root, root)
-        bucket = os.path.join(root, "bucket", "minha-pasta")
-        landing = os.path.join(root, "landing")
+
+    ensure_fixture(root, _build)
     assert os.path.getsize(os.path.join(bucket, "big.xlsx")) > _DL_MAX_BYTES
     assert os.path.getsize(os.path.join(bucket, "good.xlsx")) <= _DL_MAX_BYTES
     assert os.path.getsize(os.path.join(bucket, "empty.xlsx")) <= _DL_MAX_BYTES

@@ -25,6 +25,9 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from etl_gcp_function_tmabrasil_spark.catalog import load_table
+from etl_gcp_function_tmabrasil_spark.queries._util import (
+    ensure_fixture as _ensure_fixture,
+)
 
 _SCHEMA = T.StructType(
     [
@@ -48,25 +51,6 @@ def _gate_root() -> str:
         _ROOT = tempfile.mkdtemp(prefix="spark_graft_scan_gate_")
     return _ROOT
 
-
-def _ensure_fixture(root: str, build) -> None:
-    """Build a multi-step fixture atomically: `build(tmp)` populates a
-    temp sibling dir which is then os.rename'd into place, so the
-    `isdir` regeneration guard can only ever observe a COMPLETE fixture
-    (ADVICE r5: the guard was satisfied as soon as the first of several
-    writes created `root`, so a crash mid-build left a partial fixture
-    that every later invocation in the process silently reused —
-    the hazard streaming_gate._write_chunks was already hardened
-    against with this same tmp+rename pattern)."""
-    import shutil
-
-    if os.path.isdir(root):
-        return
-    tmp = root + ".tmp"
-    if os.path.isdir(tmp):
-        shutil.rmtree(tmp)
-    build(tmp)
-    os.rename(tmp, root)
 
 
 def scan_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,7 +403,10 @@ def sink_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Table names are per-process (pid suffix): the session warehouse dir
     is a fixed /tmp path shared with any concurrent pytest process, and
     two writers overwriting one table mid-read is the same hazard the
-    XLSX landing fixture documents."""
+    XLSX landing fixture documents. The DATA lives under the
+    per-process gate root (external-path tables), not the shared
+    warehouse — pid-suffixed managed tables would leak two full table
+    copies into the fixed dir per process forever (code-review r6)."""
     from etl_gcp_function_tmabrasil_spark.operators.bucketing import (
         read_bucketed,
         write_bucketed,
@@ -429,6 +416,7 @@ def sink_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     li_t = f"gate_li_bucketed_{sf_tag}_{os.getpid()}"
     ord_t = f"gate_ord_bucketed_{sf_tag}_{os.getpid()}"
+    data_root = os.path.join(_gate_root(), sf_tag, "bucketed")
     if not spark.catalog.tableExists(li_t):
         write_bucketed(
             load_table(spark, sf_dir, "lineitem").select(
@@ -437,6 +425,7 @@ def sink_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             li_t,
             ["l_orderkey"],
             n_buckets=8,
+            path=os.path.join(data_root, li_t),
         )
     if not spark.catalog.tableExists(ord_t):
         write_bucketed(
@@ -446,6 +435,7 @@ def sink_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ord_t,
             ["o_orderkey"],
             n_buckets=8,
+            path=os.path.join(data_root, ord_t),
         )
     li = read_bucketed(spark, li_t)
     ords = read_bucketed(spark, ord_t)

@@ -187,7 +187,12 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QUALITY_SQL = """
+#: Quality-score SQL body WITHOUT the final ORDER BY — the single
+#: source of truth for the heuristic's oracle twin. Reused by
+#: dedup_approx._cluster_representative_sql (wrapped as a subquery) so
+#: a tweak to the heuristic cannot drift between the quality gate and
+#: the dedup decision gate.
+QUALITY_SQL_BODY = """
 WITH t AS (
   SELECT doc_id, n_chars,
     string_split(text, ' ') AS toks,
@@ -209,8 +214,10 @@ SELECT doc_id, n_chars,
   ROUND(CASE WHEN n_chars < 50 THEN 0.1 ELSE 0.5 END
         + CASE WHEN stop_ratio > 0.05 THEN 0.25 ELSE 0.0 END
         + CASE WHEN rep_ratio < 0.8 THEN 0.25 ELSE 0.0 END, 6) AS quality
-FROM m ORDER BY doc_id
+FROM m
 """
+
+_QUALITY_SQL = QUALITY_SQL_BODY + "ORDER BY doc_id"
 
 
 def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -229,37 +229,47 @@ def udf_arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums use np.add.reduceat, which accumulates SEQUENTIALLY per
     segment — the same left-to-right order as the oracle's list_sum,
     so the doubles match bit-for-bit before the presentation round."""
-    import numpy as np
-    import pyarrow as pa
-
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("e")
     )
-
-    def norms(batches):
-        for b in batches:
-            col = b.column("e")
-            if isinstance(col, pa.ChunkedArray):  # defensive: combine
-                col = col.combine_chunks()
-            flat = col.values.to_numpy(zero_copy_only=False)
-            offsets = col.offsets.to_numpy()
-            sq = flat * flat
-            seg = np.add.reduceat(sq, offsets[:-1]) if len(flat) else np.array([])
-            # reduceat quirk: an EMPTY segment (offsets[i] == offsets[i+1])
-            # returns sq[offsets[i]] instead of 0 — embeddings are fixed
-            # non-empty vectors, but guard anyway
-            empty = offsets[1:] == offsets[:-1]
-            seg = np.where(empty, 0.0, seg)
-            yield pa.RecordBatch.from_arrays(
-                [b.column("vec_id"), pa.array(np.sqrt(seg), type=pa.float64())],
-                ["vec_id", "l2"],
-            )
-
     return (
-        emb.mapInArrow(norms, "vec_id bigint, l2 double")
+        emb.mapInArrow(_arrow_l2_batches, "vec_id bigint, l2 double")
         .select("vec_id", F.round("l2", 6).alias("l2"))
         .orderBy("vec_id")
     )
+
+
+def _arrow_l2_batches(batches):
+    """mapInArrow body for udf_arrow_vector_norms (module-level so the
+    empty-vector edge cases are unit-testable —
+    tests/test_empty_inputs.py::test_arrow_l2_batches_empty_vectors).
+
+    Empty-row handling is done by FILTERING the reduceat index list to
+    non-empty rows and scattering back into zeros: passing every start
+    to np.add.reduceat is wrong on the edges (a TRAILING empty row's
+    start == len(values) raises IndexError before any masking can run,
+    and an all-empty batch breaks the mask's shape) — a filtered index
+    list stays strictly < len(values), and because an empty row spans
+    zero elements, each surviving segment still covers exactly its own
+    row's extent."""
+    import numpy as np
+    import pyarrow as pa
+
+    for b in batches:
+        col = b.column("e")
+        if isinstance(col, pa.ChunkedArray):  # defensive: combine
+            col = col.combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False)
+        offsets = col.offsets.to_numpy()
+        starts = offsets[:-1]
+        nonempty = offsets[1:] > starts
+        seg = np.zeros(len(starts))
+        if nonempty.any():
+            seg[nonempty] = np.add.reduceat(flat * flat, starts[nonempty])
+        yield pa.RecordBatch.from_arrays(
+            [b.column("vec_id"), pa.array(np.sqrt(seg), type=pa.float64())],
+            ["vec_id", "l2"],
+        )
 
 
 _UDF_ARROW_SQL = """

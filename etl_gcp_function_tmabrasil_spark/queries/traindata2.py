@@ -354,21 +354,23 @@ ORDER BY bm25 DESC, doc_id ASC LIMIT {BM25_TOP_N}
 CURRICULUM_ALPHA = 0.5  # temperature: rate_s ∝ share_s^(α-1), α<1 upweights tails
 CURRICULUM_BUDGET_FRACTION = 0.25  # target fraction of the corpus to keep
 
-def _hash_unit(salt: str) -> str:
-    """Deterministic uniform-[0,1) per-doc hash, SALTED per operator:
+def _hash_unit(salt: str, key: str = "doc_id") -> str:
+    """Deterministic uniform-[0,1) per-KEY hash, SALTED per operator:
     curriculum sampling, train/val/test split, and weighted sampling
     must draw INDEPENDENT streams — one shared unsalted hash would
     fully correlate their selections (every curriculum-kept doc coming
     from a fixed region of the train split). Built on the engine-wide
     hash60 template (_util.SPARK_HASH60) so the cross-engine-critical
-    md5 construction has one definition; the oracle twin below mirrors
-    the same salt through _util.SQL_HASH60."""
-    h = SPARK_HASH60.format(expr=f"concat(cast(doc_id as string), '{salt}')")
+    md5 construction has one definition — as does the unit-interval
+    construction (% 1000000 / 1000000.0), which lives ONLY here and in
+    the oracle twin below; `key` selects the hashed column (doc_id for
+    corpus ops, user_id for the group-integrity split)."""
+    h = SPARK_HASH60.format(expr=f"concat(cast({key} as string), '{salt}')")
     return f"(({h}) % 1000000) / 1000000.0"
 
 
-def _sql_hash_unit(salt: str) -> str:
-    h = SQL_HASH60.format(expr=f"doc_id::VARCHAR || '{salt}'")
+def _sql_hash_unit(salt: str, key: str = "doc_id") -> str:
+    h = SQL_HASH60.format(expr=f"{key}::VARCHAR || '{salt}'")
     return f"(({h} % 1000000) / 1000000.0)"
 
 
@@ -734,8 +736,7 @@ def split_group_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (split is a FUNCTION of user), which the oracle's
     identical computation certifies."""
     ev = load_table(spark, sf_dir, "events")
-    h = SPARK_HASH60.format(expr="concat(cast(user_id as string), '/gsplit')")
-    u = F.expr(f"(({h}) % 1000000) / 1000000.0")
+    u = F.expr(_hash_unit("/gsplit", key="user_id"))
     split = (
         F.when(u < SPLIT_BOUNDS["train"][1], F.lit("train"))
         .when(u < SPLIT_BOUNDS["val"][1], F.lit("val"))
@@ -754,8 +755,7 @@ def split_group_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _group_split_sql() -> str:
-    h = SQL_HASH60.format(expr="user_id::VARCHAR || '/gsplit'")
-    u = f"(({h} % 1000000) / 1000000.0)"
+    u = _sql_hash_unit("/gsplit", key="user_id")
     return f"""
 WITH s AS (
   SELECT user_id, event_id,

@@ -93,3 +93,35 @@ def test_queries_survive_empty_tables(spark, empty_sf_dir, name, expected):
     rows = df.collect()
     if expected is not None:
         assert len(rows) == expected, f"{name}: {len(rows)} rows on empty input"
+
+
+def test_arrow_l2_batches_empty_vectors():
+    """The mapInArrow norm body must survive the reduceat edge cases a
+    naive guard misses (code-review r6, verified crashes): a TRAILING
+    empty vector (start index == len(values) → IndexError) and an
+    all-empty batch (mask/segment shape mismatch → ValueError). Empty
+    vectors yield l2 = 0."""
+    import math
+
+    import pyarrow as pa
+
+    from etl_gcp_function_tmabrasil_spark.queries.tfidf_udf import (
+        _arrow_l2_batches,
+    )
+
+    def run(rows):
+        batch = pa.RecordBatch.from_arrays(
+            [
+                pa.array(list(range(len(rows))), type=pa.int64()),
+                pa.array(rows, type=pa.list_(pa.float64())),
+            ],
+            ["vec_id", "e"],
+        )
+        (out,) = list(_arrow_l2_batches([batch]))
+        return out.column("l2").to_pylist()
+
+    assert run([[3.0, 4.0], []]) == [5.0, 0.0]          # trailing empty
+    assert run([[], [3.0, 4.0]]) == [0.0, 5.0]          # leading empty
+    assert run([[], []]) == [0.0, 0.0]                   # all empty
+    got = run([[1.0], [], [2.0, 2.0, 1.0]])              # interior empty
+    assert got[0] == 1.0 and got[1] == 0.0 and math.isclose(got[2], 3.0)

@@ -455,10 +455,21 @@ def test_no_registered_query_grows_a_cartesian(spark, sf_dir):
 
     allowed = {"join_cross"}
     eager_prefixes = ("stream_", "scan_", "sink_", "etl_", "xlsx_")
+    # driver-loop queries: constructing the DataFrame RUNS the full
+    # iterative computation (Lloyd's / min-label / Pregel loops with
+    # collects or localCheckpoints) — tens of seconds just to read a
+    # plan string. Each has its own plan pin elsewhere in this file or
+    # a no-cartesian assertion in its composition tests.
+    eager_names = {
+        "kmeans_ivf_codebook",
+        "dedup_components",
+        "dedup_cluster_representative",
+        "pagerank_dedup_graph",
+    }
     offenders = []
     spark.catalog.clearCache()
     for name, fn in all_queries().items():
-        if name in allowed or name.startswith(eager_prefixes):
+        if name in allowed or name in eager_names or name.startswith(eager_prefixes):
             continue
         plan = explain_str(fn(spark, sf_dir))
         if "CartesianProduct" in plan:
