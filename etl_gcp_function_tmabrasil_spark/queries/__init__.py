@@ -165,7 +165,8 @@ _CHECK_FIRST = [
 #      window_global_rownum_scalable (two-phase contiguous global
 #      ids — no single-task window),
 #      sink_incremental_rollup (materialized-partial merge — the
-#      avoid-full-recompute refresh);
+#      avoid-full-recompute refresh),
+#      sample_weighted_per_source (balanced per-source E-S sampling);
 #   1. the 6 prose-sourced entries deferred out of this round's window
 #      (family siblings whose nearest relative IS in the r6 window):
 #      agg_bitwise_stringagg, distinct_count_full_rows,

@@ -772,3 +772,61 @@ FROM s GROUP BY split ORDER BY split
 
 QUERIES["split_group_integrity"] = split_group_integrity
 ORACLE["split_group_integrity"] = _group_split_sql()
+
+
+PER_SOURCE_SAMPLE_K = 40
+
+
+def sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BALANCED per-source weighted sampling: Efraimidis-Spirakis keys
+    (u^(1/w), deterministic md5 u, w = n_chars) ranked WITHIN each
+    source, keeping the top k per source — the curation step that
+    caps every source's contribution while still favoring longer
+    documents inside each source (a global weighted sample lets one
+    giant source crowd out the rest; per-source quotas are how
+    pretraining mixtures enforce composition).
+
+    Scale shape: key assignment is row-local; per-group top-k is the
+    rank-window + rn<=k pattern, which Catalyst executes with
+    WindowGroupLimit (per-partition group heaps pushed below the
+    shuffle) — one shuffle on source, no global sort, no group ever
+    materialized whole. An independent '/srcsample' salt keeps this
+    stream uncorrelated with the global sample and the splits."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.expr(f"({_hash_unit('/srcsample')} * 1000000 + 0.5) / 1000000.0")
+    key = F.round(F.pow(u, 1.0 / F.col("n_chars")), 9)
+    w = W.partitionBy("source").orderBy(
+        F.desc("sample_key"), F.asc("doc_id")
+    )
+    return (
+        docs.select("source", "doc_id", "n_chars", key.alias("sample_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PER_SOURCE_SAMPLE_K)
+        .select("source", "doc_id", "n_chars", "sample_key")
+        .orderBy("source", F.desc("sample_key"), "doc_id")
+    )
+
+
+def _per_source_sample_sql() -> str:
+    u = f"({_sql_hash_unit('/srcsample')} * 1000000 + 0.5) / 1000000.0"
+    return f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+    ROUND(POW({u}, 1.0 / n_chars), 9) AS sample_key
+  FROM documents
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY source ORDER BY sample_key DESC, doc_id ASC) AS rn
+  FROM keyed
+)
+SELECT source, doc_id, n_chars, sample_key
+FROM ranked WHERE rn <= {PER_SOURCE_SAMPLE_K}
+ORDER BY source, sample_key DESC, doc_id
+"""
+
+
+QUERIES["sample_weighted_per_source"] = sample_weighted_per_source
+ORACLE["sample_weighted_per_source"] = _per_source_sample_sql()
