@@ -166,7 +166,9 @@ _CHECK_FIRST = [
 #      ids — no single-task window),
 #      sink_incremental_rollup (materialized-partial merge — the
 #      avoid-full-recompute refresh),
-#      sample_weighted_per_source (balanced per-source E-S sampling);
+#      sample_weighted_per_source (balanced per-source E-S sampling),
+#      stream_cdc_merge (foreachBatch upsert w/ atomic swap — the
+#      streaming warehouse-load pattern, idempotent under replay);
 #   1. the 6 prose-sourced entries deferred out of this round's window
 #      (family siblings whose nearest relative IS in the r6 window):
 #      agg_bitwise_stringagg, distinct_count_full_rows,

@@ -623,6 +623,92 @@ ORDER BY window_start, event_type
 """
 
 
+def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC merge-upsert through the gate — the foreachBatch
+    pattern every streaming warehouse load uses: each micro-batch's
+    per-user LATEST event is merged into a parquet dimension table
+    with last-writer-wins on (ts, event_id), committed by an atomic
+    directory swap (write new generation → hidden-rename old → rename
+    new into place, the compact_partitions protocol). The merge
+    re-picks latest over (current dim ∪ batch), so a replayed
+    micro-batch — foreachBatch's at-least-once contract after a crash
+    between sink write and checkpoint commit — is idempotent by
+    construction, not by luck.
+
+    The final dimension must equal the batch pick-latest over ALL
+    events, which is exactly the oracle; re-invocation resumes the
+    checkpoint with zero new files and must leave the dim identical
+    (exactly-once effective)."""
+    import shutil
+
+    from pyspark.sql import Window as W
+
+    root = _root(sf_dir, "cdc_merge")
+    chunks = _shared_chunks(sf_dir)
+    dim = os.path.join(root, "dim")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.select("user_id", "ts", "event_id", "event_type")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if os.path.isdir(dim):
+            latest = sp.read.parquet(dim).unionByName(latest)
+            latest = (
+                latest.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+        tmp = os.path.join(root, f"dim_gen_{batch_id}")
+        latest.write.mode("overwrite").parquet(tmp)
+        old = os.path.join(root, ".dim_old")
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        if os.path.isdir(dim):
+            os.rename(dim, old)
+        os.rename(tmp, dim)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
+    _await(
+        _stream(spark, chunks)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(root, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    return (
+        spark.read.parquet(dim)
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_CDC_MERGE_SQL = """
+WITH ranked AS (
+  SELECT user_id, ts, event_id, event_type,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+  event_id AS last_event_id, event_type AS last_event_type
+FROM ranked WHERE rn = 1
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "stream_tumbling_watermark": stream_tumbling_watermark,
     "stream_dedup_redelivery": stream_dedup_redelivery,
@@ -632,6 +718,7 @@ QUERIES = {
     "stream_running_totals_state": stream_running_totals_state,
     "stream_static_enrichment": stream_static_enrichment,
     "stream_sliding_watermark": stream_sliding_watermark,
+    "stream_cdc_merge": stream_cdc_merge,
 }
 
 ORACLE = {
@@ -643,4 +730,5 @@ ORACLE = {
     "stream_running_totals_state": _RUNNING_STATE_SQL,
     "stream_static_enrichment": _ENRICH_SQL,
     "stream_sliding_watermark": _SLIDING_STREAM_SQL,
+    "stream_cdc_merge": _CDC_MERGE_SQL,
 }
