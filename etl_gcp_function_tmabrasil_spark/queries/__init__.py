@@ -168,7 +168,8 @@ _CHECK_FIRST = [
 #      avoid-full-recompute refresh),
 #      sample_weighted_per_source (balanced per-source E-S sampling),
 #      stream_cdc_merge (foreachBatch upsert w/ atomic swap — the
-#      streaming warehouse-load pattern, idempotent under replay);
+#      streaming warehouse-load pattern, idempotent under replay),
+#      scan_orc_roundtrip (ORC format edge);
 #   1. the 6 prose-sourced entries deferred out of this round's window
 #      (family siblings whose nearest relative IS in the r6 window):
 #      agg_bitwise_stringagg, distinct_count_full_rows,

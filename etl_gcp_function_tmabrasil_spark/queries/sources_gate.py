@@ -119,6 +119,52 @@ ORDER BY f.fmt, e.event_id
 """
 
 
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write → schema-declared read-back (the third columnar
+    format edge after parquet and the CSV/JSON text pair): the same
+    deterministic events slice lands through the engine's ORC writer
+    and must read back value-exact — longs, doubles, strings, and
+    microsecond timestamps. The DuckDB oracle reads the slice straight
+    from parquet (DuckDB has no ORC reader; hash equality against the
+    source-of-truth slice is exactly the roundtrip claim). Scale notes
+    as scan_csv_json_roundtrip: per-stripe parallel scan, predicate
+    pushdown and column pruning work as with parquet."""
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "events_orc")
+
+    def _build(tmp: str) -> None:
+        (
+            load_table(spark, sf_dir, "events")
+            .select(*_COLS)
+            .filter(F.col("event_id") < _MAX_ID)
+            .write.orc(os.path.join(tmp, "data"))
+        )
+
+    _ensure_fixture(fixture, _build)
+    return (
+        spark.read.schema(_SCHEMA)
+        .orc(os.path.join(fixture, "data"))
+        .select(
+            "event_id",
+            F.date_format("ts", _TS_FMT).alias("ts_s"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .orderBy("event_id")
+    )
+
+
+_ORC_SQL = f"""
+SELECT event_id,
+  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+  user_id, event_type, value
+FROM events
+WHERE event_id < {_MAX_ID}
+ORDER BY event_id
+"""
+
+
 def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-partitioned parquet sink roundtrip with partition pruning
     on the read-back (`sinks/partitioned.py`): events land as
@@ -539,6 +585,7 @@ ORDER BY event_date, event_type
 
 QUERIES = {
     "scan_csv_json_roundtrip": scan_csv_json_roundtrip,
+    "scan_orc_roundtrip": scan_orc_roundtrip,
     "sink_partitioned_roundtrip": sink_partitioned_roundtrip,
     "scan_cloudevent_datasource": scan_cloudevent_datasource,
     "stream_cloudevent_source": stream_cloudevent_source,
@@ -550,6 +597,7 @@ QUERIES = {
 
 ORACLE = {
     "sink_incremental_rollup": _INCREMENTAL_SQL,
+    "scan_orc_roundtrip": _ORC_SQL,
     "scan_csv_json_roundtrip": _SCAN_SQL,
     "sink_partitioned_roundtrip": _PARTITIONED_SQL,
     "scan_cloudevent_datasource": _CLOUDEVENT_SQL,
