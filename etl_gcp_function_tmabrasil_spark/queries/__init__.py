@@ -169,7 +169,8 @@ _CHECK_FIRST = [
 #      sample_weighted_per_source (balanced per-source E-S sampling),
 #      stream_cdc_merge (foreachBatch upsert w/ atomic swap — the
 #      streaming warehouse-load pattern, idempotent under replay),
-#      scan_orc_roundtrip (ORC format edge);
+#      scan_orc_roundtrip (ORC format edge),
+#      bigram_lm_interpolated (Jelinek-Mercer perplexity proxy);
 #   1. the 6 prose-sourced entries deferred out of this round's window
 #      (family siblings whose nearest relative IS in the r6 window):
 #      agg_bitwise_stringagg, distinct_count_full_rows,

@@ -830,3 +830,109 @@ ORDER BY source, sample_key DESC, doc_id
 
 QUERIES["sample_weighted_per_source"] = sample_weighted_per_source
 ORACLE["sample_weighted_per_source"] = _per_source_sample_sql()
+
+
+LM_LAMBDA = 0.75  # interpolation weight on the bigram term
+
+
+def bigram_lm_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram language-model scoring — the stronger
+    perplexity proxy after `unigram_lm_score`: per-document mean
+    log P(w2|w1) with P = λ·c(w1,w2)/c(w1) + (1-λ)·c(w2)/N, the
+    classic Jelinek-Mercer mix that never zeroes out (the unigram
+    term backs off unseen bigrams). Returns the 30 lowest-scoring
+    docs — garbled or TOKEN-ORDER-scrambled text that a unigram model
+    cannot distinguish from clean prose.
+
+    Scale shape: two word-count passes (bigram + unigram — vocabulary-
+    sized shuffles, never the token stream) and two equi-joins of the
+    bigram stream against them. Determinism: every probability is a
+    fixed arithmetic expression over exact integer counts evaluated in
+    the same operation order on both engines, rounded to 8 dp before
+    the decimal per-doc sum — summation-order-free, engine-exact (the
+    unigram gate's discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1),"
+                " (a, b) -> struct(a as w1, b as w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    uni = (
+        toks.select(F.explode("toks").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("uf"))
+    )
+    bif = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bf"))
+    total = toks.select(F.explode("toks").alias("t")).agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    p = (
+        F.lit(LM_LAMBDA) * (F.col("bf").cast("double") / F.col("uf1"))
+        + F.lit(1.0 - LM_LAMBDA) * (F.col("uf2").cast("double") / F.col("n_total"))
+    )
+    lp = F.round(F.log(p), 8)
+    scored = (
+        bi.join(bif, ["w1", "w2"])
+        .join(uni.select(F.col("t").alias("w1"), F.col("uf").alias("uf1")), "w1")
+        .join(uni.select(F.col("t").alias("w2"), F.col("uf").alias("uf2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.col("lp").cast("decimal(20,8)")).alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round((F.col("_s") / F.col("n_bigrams")).cast("double"), 6).alias(
+                "mean_logprob"
+            ),
+        )
+    )
+    return scored.orderBy(F.asc("mean_logprob"), F.asc("doc_id")).limit(
+        LM_SCORE_TOP_N
+    )
+
+
+_BIGRAM_LM_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bi AS (
+  SELECT doc_id,
+    UNNEST(list_transform(generate_series(1, len(toks) - 1),
+                          i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS p
+  FROM t
+),
+bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bi),
+uni AS (
+  SELECT t2.t, COUNT(*) AS uf
+  FROM (SELECT UNNEST(toks) AS t FROM t) t2 GROUP BY t2.t
+),
+bif AS (SELECT w1, w2, COUNT(*) AS bf FROM bg GROUP BY w1, w2),
+total AS (SELECT COUNT(*) AS n_total FROM (SELECT UNNEST(toks) AS t FROM t)),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+    SUM(CAST(ROUND(ln(
+      {LM_LAMBDA} * (CAST(bf AS DOUBLE) / u1.uf)
+      + {1.0 - LM_LAMBDA} * (CAST(u2.uf AS DOUBLE) / n_total)), 8)
+      AS DECIMAL(20,8))) AS s
+  FROM bg
+  JOIN bif USING (w1, w2)
+  JOIN uni u1 ON u1.t = bg.w1
+  JOIN uni u2 ON u2.t = bg.w2
+  CROSS JOIN total
+  GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+  ROUND(CAST(s / n_bigrams AS DOUBLE), 6) AS mean_logprob
+FROM scored ORDER BY mean_logprob ASC, doc_id ASC LIMIT {LM_SCORE_TOP_N}
+"""
+
+QUERIES["bigram_lm_interpolated"] = bigram_lm_interpolated
+ORACLE["bigram_lm_interpolated"] = _BIGRAM_LM_SQL
