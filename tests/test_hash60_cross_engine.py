@@ -93,3 +93,36 @@ def _spark_for_property(spark):
 )
 def test_hash60_property(_spark_for_property, values):
     assert _spark_hash(_spark_for_property, values) == _duck_hash(values)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        # fixed-point "money" doubles with <= 2 decimals, the csum
+        # validity domain (quantity/price/value columns)
+        st.integers(min_value=-10_000_000, max_value=10_000_000).map(
+            lambda c: c / 100.0
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_csum_bit_identical_to_dsum(_spark_for_property, values):
+    """csum's docstring claims its integer-cents fast path is
+    bit-identical to dsum's decimal accumulation on <=2-decimal
+    fixed-point data — every money rollup in the registry relies on
+    the two being interchangeable. Pin it property-based: for random
+    cent-valued doubles (incl. negatives), the two sums must be the
+    SAME double, bit for bit."""
+    import struct
+
+    from etl_gcp_function_tmabrasil_spark.queries._util import csum, dsum
+
+    spark = _spark_for_property
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    row = df.agg(
+        csum("v").alias("c"), dsum("v", scale=2).alias("d")
+    ).collect()[0]
+    cb = struct.pack("<d", row.c)
+    db = struct.pack("<d", row.d)
+    assert cb == db, f"csum={row.c!r} != dsum={row.d!r} for {values[:5]}..."
