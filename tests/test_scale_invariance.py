@@ -35,6 +35,12 @@ SCALE_SENSITIVE = [
     "dedup_minhash_lsh",       # LSH band fan-out and candidate dedup
     "split_train_val_test",    # hash-unit split proportions
     "resample_daily_locf",     # per-key calendar spine + LOCF window
+    # round-6 registrations with scale-dependent internals
+    "window_global_rownum_scalable",  # range-partition boundaries move
+    #   with data size; numbering must be invariant to where they land
+    "split_group_integrity",   # user-keyed hash-unit proportions
+    "sample_weighted_per_source",  # per-group E-S key ranking fan-out
+    "bigram_lm_interpolated",  # bigram/unigram count joins at volume
 ]
 
 QUERIES = all_queries()
