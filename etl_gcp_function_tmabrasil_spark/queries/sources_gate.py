@@ -1,20 +1,35 @@
-"""Driver-checkable CSV / JSON scan roundtrip — the text-format source
-edges (SURVEY.md §2.2 "Sources / sinks": `spark.read.csv/json` with an
-explicit schema) proved lossless through the oracle gate, the same
-pattern as `ingest_xlsx.xlsx_ingest_roundtrip`.
+"""Driver-checkable SOURCES / SINKS gate queries (SURVEY.md §2.2
+"Sources / sinks") — each storage-layer edge proved value-exact
+through the oracle gate, the same pattern as
+`ingest_xlsx.xlsx_ingest_roundtrip`:
 
-The query writes a deterministic `events` slice to BOTH text formats
-through the engine's writers (explicit `timestampFormat` with
-microsecond precision — the config the tz-pinning in session.py exists
-to keep roundtrip-safe), reads each back with the declared schema, and
-returns the union tagged by format. The DuckDB oracle reads the SAME
-slice straight from parquet, fanned out across the two format tags —
-hash equality proves both write→parse edges preserve longs, doubles,
-strings, and microsecond timestamps exactly.
+- `scan_csv_json_roundtrip` / `scan_orc_roundtrip`: the engine's
+  text and ORC writers → schema-declared read-back (explicit
+  `timestampFormat` with microsecond precision — the config the
+  tz-pinning in session.py exists to keep roundtrip-safe); the
+  oracle reads the same `events` slice straight from parquet, so
+  hash equality proves each write→parse edge preserves longs,
+  doubles, strings, and microsecond timestamps exactly.
+- `sink_partitioned_roundtrip` / `sink_compaction_roundtrip`: the
+  hive-partitioned events layout with directory pruning, and the
+  small-files compaction swap (values AND one-file-per-partition
+  both hash-checked).
+- `scan_schema_evolution`: mergeSchema widening across write
+  generations with null-filled history.
+- `scan_cloudevent_datasource` / `stream_cloudevent_source`: the
+  custom Python DataSource, batch and streaming readers, against one
+  closed-form defensive-parse oracle.
+- `sink_bucketed_colocated_join`: bucketBy pay-the-shuffle-once
+  layout, exchange-free fact⨝fact join vs the plain-join oracle.
+- `sink_incremental_rollup`: materialized mergeable partials + delta
+  merge vs a from-scratch rollup oracle.
 
-Scale notes: the 200-row fabrication is fixture plumbing; the scan
-under test is the engine's distributed text reader (per-file-split
-parallel, schema declared so no inference pass over the corpus).
+Fixtures are per-process (mkdtemp), built atomically via
+`_util.ensure_fixture`, and each query guards on a directory it
+EXCLUSIVELY owns — a shared guard made fixture existence depend on
+invocation order (caught round 6). The small fabrications are fixture
+plumbing; the operators under test are the engine's distributed
+readers/writers themselves.
 """
 
 from __future__ import annotations
