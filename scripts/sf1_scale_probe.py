@@ -67,6 +67,9 @@ PARITY = [
     "json_variant_ops",
     "sink_bucketed_colocated_join",
     "dedup_cluster_representative",
+    # late-r6: streaming CDC merge replaying 1M events through
+    # foreachBatch upserts (measured 9.5 s end-to-end at sf1)
+    "stream_cdc_merge",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.
