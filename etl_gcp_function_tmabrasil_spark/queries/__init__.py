@@ -74,8 +74,8 @@ _MODULES = [
 # all_queries()[:50]), and it gives ZERO credit to entries without an
 # oracle_sql twin — `err: "no_oracle"`, no rows-only fallback (r1:
 # agg_approx_distinct/agg_hll_mergeable; r3: the MLlib/multimodal five).
-# Every registered query carries an exact oracle (155/155 as of round
-# 5). The window ROTATES per round so every query's latest green row
+# Every registered query carries an exact oracle (168/168 as of round
+# 6). The window ROTATES per round so every query's latest green row
 # stays fresh; CORRECTNESS_CUMULATIVE.json records each query's latest
 # green round (asserted complete by tests/test_correctness_ledger.py).
 # Round 6 = the r5-verdict rotation plan, verbatim: the six round-5
@@ -86,7 +86,7 @@ _MODULES = [
 # prose-sourced entries are deferred to r7 (see the plan below) so the
 # window stays at exactly 50.
 # Everything else stays covered by tests/test_oracle_parity.py locally
-# (all 155 queries, every session) and keeps its ledger row.
+# (all 168 queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
     # --- first driver check: round-5 registrations (sources/sinks,
     #     sliding-window streaming runtime, Misra-Gries heavy hitters) ---
