@@ -78,111 +78,101 @@ _MODULES = [
 # 6). The window ROTATES per round so every query's latest green row
 # stays fresh; CORRECTNESS_CUMULATIVE.json records each query's latest
 # green round (asserted complete by tests/test_correctness_ledger.py).
-# Round 6 = the r5-verdict rotation plan, verbatim: the six round-5
-# registrations that have never been inside a driver window, the six
-# r1-green entries deferred out of the r5 window, and 38 of the 44
-# r2/r3-era queries whose green driver rows live only in rotated-off
-# artifacts (ledger rows with `artifact: null`). Six family-sibling
-# prose-sourced entries are deferred to r7 (see the plan below) so the
-# window stays at exactly 50.
+# Round 7 = the r6-verdict rotation plan, verbatim: the 13 round-6
+# registrations that have never been inside a driver window, the 6
+# family-sibling prose-sourced entries deferred out of the r6 window,
+# and 31 of the 49 round-4-green queries (oldest artifact-backed rows
+# after r6) — the similarity/ANN, multimodal, dedup-graph, traindata2
+# and quantile families. The remaining 18 r4 rows rotate in r8 (plan
+# below) so the window stays at exactly 50.
 # Everything else stays covered by tests/test_oracle_parity.py locally
-# (all 168 queries, every session) and keeps its ledger row.
+# (all 168+ queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
-    # --- first driver check: round-5 registrations (sources/sinks,
-    #     sliding-window streaming runtime, Misra-Gries heavy hitters) ---
-    "sink_partitioned_roundtrip",
-    "stream_sliding_watermark",
-    "scan_cloudevent_datasource",
-    "sink_compaction_roundtrip",
-    "scan_schema_evolution",
-    "agg_heavy_hitters",
-    # --- r1-green entries deferred out of the r5 window ---
-    "pivot_status_by_segment",
-    "unpivot_nation_counts",
-    "join_cross",
-    "window_first_last",
-    "agg_collect",
-    "join_full_outer",
-    # --- r2/r3-era: latest green row is ledger prose (artifact
-    #     rotated off disk) — sources / relational / sort ---
-    "xlsx_ingest_roundtrip",
-    "filter_reference_path_predicate",
-    "sort_topk_orders",
-    "sort_multi_key",
-    "sql_segment_status_rollup",
-    # --- windows (batch twins of the streaming gates + analytics) ---
-    "window_lag_lead",
-    "window_topk_per_group",
-    "window_tumbling_batch",
-    "window_sliding_batch",
-    "window_session_batch",
-    # --- dedup / curation wave ---
-    "dedup_exact_rows",
-    "dedup_pick_latest",
-    "dedup_ngram_jaccard",
-    "embedding_cosine_dedup",
-    "decontaminate_ngram",
-    "pii_mask_customer",
-    "pipeline_curate_documents",
-    "sample_stratified_docs",
-    # --- scalar-function wave ---
-    "func_strings",
-    "func_dates",
-    "func_math",
-    "func_conditional",
-    "func_casts",
-    "func_try_arithmetic",
-    "func_array_predicates",
-    # --- semi-structured wave ---
-    "array_ops",
-    "map_ops",
-    "json_extract_props",
-    "json_agg_by_key",
-    "json_schema_inference",
-    # --- text / tfidf / UDF wave ---
-    "text_stats",
-    "text_lang_id",
-    "tfidf_top_terms",
-    "vocab_doc_frequency",
-    "udf_pandas_scaled_value",
-    "udf_grouped_zscore",
-    "udf_grouped_agg_range",
-    "udtf_token_positions",
+    # --- first driver check: round-6 registrations, pinned order ---
+    "sink_bucketed_colocated_join",
+    "json_variant_ops",
+    "stream_cloudevent_source",
+    "dedup_cluster_representative",
+    "sql_lateral_topk",
+    "udf_arrow_vector_norms",
+    "split_group_integrity",
+    "window_global_rownum_scalable",
+    "sink_incremental_rollup",
+    "sample_weighted_per_source",
+    "stream_cdc_merge",
+    "scan_orc_roundtrip",
+    "bigram_lm_interpolated",
+    # --- prose-sourced family siblings deferred out of the r6 window ---
+    "agg_bitwise_stringagg",
+    "distinct_count_full_rows",
+    "embedding_dim_profile",
+    "embedding_stats",
+    "func_json_encode",
+    "text_length_histogram",
+    # --- r4-wave re-verifies: similarity / ANN / embeddings ---
+    "knn_bruteforce_cosine",
+    "ann_lsh_cosine",
+    "ann_ivf_cosine",
+    "ann_brp_mllib",
+    "dedup_minhash_mllib",
+    "embedding_quantize_int8",
+    "embedding_gram_matrix",
+    "kmeans_ivf_codebook",
+    # --- r4-wave re-verifies: multimodal ---
+    "multimodal_decode_stats",
+    "multimodal_resize_stats",
+    "multimodal_frame_sample",
+    "multimodal_embed_knn",
+    # --- r4-wave re-verifies: dedup graph / fuzzy ---
+    "dedup_exact_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_components",
+    "pagerank_dedup_graph",
+    "fuzzy_name_match",
+    # --- r4-wave re-verifies: traindata pipeline ops ---
+    "bpe_merge_pairs",
+    "bm25_score_docs",
+    "curriculum_temperature_sample",
+    "split_train_val_test",
+    "unigram_lm_score",
+    "source_overlap_matrix",
+    "sample_weighted_topk",
+    "event_funnel_conversion",
+    "pack_token_budget",
+    "chunk_documents",
+    # --- r4-wave re-verifies: banded quantiles ---
+    "agg_percentiles",
+    "agg_iqr_outliers",
 ]
 
-# ROUND-7 ROTATION PLAN (for the next builder): the 50-slot window
+# ROUND-8 ROTATION PLAN (for the next builder): the 50-slot window
 # should take, in order —
-#   0. the round-6 registrations never yet in a window:
-#      sink_bucketed_colocated_join (bucketBy co-located join),
-#      json_variant_ops (Spark 4 VARIANT parse-once path),
-#      stream_cloudevent_source (custom Python DataSource streaming
-#      reader — file-count offsets, exactly-once restart),
-#      dedup_cluster_representative (quality-argmax keep-one-per-
-#      cluster — the dedup pipeline's decision step),
-#      sql_lateral_topk (correlated LATERAL subquery, decorrelated),
-#      udf_arrow_vector_norms (mapInArrow — Arrow-native UDF path),
-#      split_group_integrity (leakage-guard split by user hash),
-#      window_global_rownum_scalable (two-phase contiguous global
-#      ids — no single-task window),
-#      sink_incremental_rollup (materialized-partial merge — the
-#      avoid-full-recompute refresh),
-#      sample_weighted_per_source (balanced per-source E-S sampling),
-#      stream_cdc_merge (foreachBatch upsert w/ atomic swap — the
-#      streaming warehouse-load pattern, idempotent under replay),
-#      scan_orc_roundtrip (ORC format edge),
-#      bigram_lm_interpolated (Jelinek-Mercer perplexity proxy);
-#   1. the 6 prose-sourced entries deferred out of this round's window
-#      (family siblings whose nearest relative IS in the r6 window):
-#      agg_bitwise_stringagg, distinct_count_full_rows,
-#      embedding_dim_profile, embedding_stats, func_json_encode,
-#      text_length_histogram;
-#   2. fresh re-verifies, oldest-artifact first: the r4-green wave
-#      (similarity/ANN, multimodal, traindata2, quantiles,
-#      dedup_approx graph ops) — after r6 these hold the oldest
-#      artifact-backed rows.
-# After r7 every query's latest check is ≤3 rounds old and
-# artifact-backed. Run scripts/merge_correctness_ledger.py at round
-# start (after CORRECTNESS_r06.json lands) before re-planning.
+#   0. any round-7 registrations never yet in a window (register new
+#      operators at the TOP of this list);
+#   1. the 18 r4-green rows left out of the r7 window (after r7 these
+#      hold the oldest artifact-backed rows):
+#      agg_approx_distinct, agg_hll_mergeable, agg_salted_hot_key,
+#      join_asof_purchase, join_salted_hot_key,
+#      json_tuple_explode_outer, profile_columns,
+#      q11_important_part_value, q16_supplier_part_counts,
+#      resample_daily_locf, setop_union_intersect_except,
+#      sql_cte_window_topk, text_fingerprint, text_quality_score,
+#      text_token_count, text_token_diversity, window_cume_dist,
+#      window_range_frame;
+#   2. fresh re-verifies from the r5 wave, oldest-artifact first —
+#      the streaming gates (stream_tumbling_agg, stream_late_data_drop,
+#      stream_dedup_within_watermark, stream_session_window,
+#      stream_interval_join, stream_arbitrary_state,
+#      stream_static_enrichment), the r5 join/agg/source wave
+#      (join_broadcast_region, join_semi_anti, join_theta_range,
+#      join_range_bucketed, agg_hash_groupby, agg_distinct_customers,
+#      rollup/cube/grouping_sets, scan_csv_json_roundtrip), topping up
+#      to exactly 50.
+# After r8 every query's latest check is ≤3 rounds old. Run
+# scripts/merge_correctness_ledger.py at round start (after
+# CORRECTNESS_r07.json lands) before re-planning.
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
