@@ -261,6 +261,14 @@ def _arrow_l2_batches(batches):
             col = col.combine_chunks()
         flat = col.values.to_numpy(zero_copy_only=False)
         offsets = col.offsets.to_numpy()
+        # On a sliced ListArray, .values is the ENTIRE child array while
+        # .offsets are absolute indices into it — reduceat's final
+        # segment runs to len(flat), so trailing child values past the
+        # last list's end would silently inflate the last non-empty
+        # row's norm. Truncate at the last offset (absolute starts stay
+        # valid; leading sliced-off values are never reached because
+        # every segment begins at its own row's absolute start).
+        flat = flat[: offsets[-1]]
         starts = offsets[:-1]
         nonempty = offsets[1:] > starts
         seg = np.zeros(len(starts))

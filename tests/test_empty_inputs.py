@@ -125,3 +125,42 @@ def test_arrow_l2_batches_empty_vectors():
     assert run([[], []]) == [0.0, 0.0]                   # all empty
     got = run([[1.0], [], [2.0, 2.0, 1.0]])              # interior empty
     assert got[0] == 1.0 and got[1] == 0.0 and math.isclose(got[2], 3.0)
+
+
+def test_arrow_l2_batches_sliced_list_array():
+    """A sliced ListArray's .values is the ENTIRE child array (advice
+    r6, reproduced: the last row's norm absorbed the sliced-off tail,
+    18.47 instead of sqrt(41)). The body must truncate the flattened
+    buffer at the last offset before squaring."""
+    import math
+
+    import pyarrow as pa
+
+    from etl_gcp_function_tmabrasil_spark.queries.tfidf_udf import (
+        _arrow_l2_batches,
+    )
+
+    full = pa.array(
+        [[1.0, 2.0], [3.0], [4.0, 5.0], [10.0, 10.0, 10.0]],
+        type=pa.list_(pa.float64()),
+    )
+
+    def run(sliced):
+        ids = pa.array(list(range(len(sliced))), type=pa.int64())
+        batch = pa.RecordBatch.from_arrays([ids, sliced], ["vec_id", "e"])
+        (out,) = list(_arrow_l2_batches([batch]))
+        return out.column("l2").to_pylist()
+
+    # tail sliced off: child keeps the trailing 10s
+    got = run(full.slice(0, 3))
+    want = [math.sqrt(5.0), 3.0, math.sqrt(41.0)]
+    assert all(math.isclose(g, w) for g, w in zip(got, want)), (got, want)
+    # head AND tail sliced off: absolute offsets must still resolve
+    got = run(full.slice(1, 2))
+    want = [3.0, math.sqrt(41.0)]
+    assert all(math.isclose(g, w) for g, w in zip(got, want)), (got, want)
+    # slice ending in an empty row keeps l2 = 0 under truncation
+    with_empty = pa.array(
+        [[1.0], [], [9.0, 9.0]], type=pa.list_(pa.float64())
+    )
+    assert run(with_empty.slice(0, 2)) == [1.0, 0.0]
