@@ -623,13 +623,63 @@ ORDER BY window_start, event_type
 """
 
 
+def _cdc_merge_batch(batch_df: DataFrame, batch_id: int, root: str) -> None:
+    """One CDC merge step: fold a micro-batch's per-user latest events
+    into the ``<root>/dim`` parquet dimension (last-writer-wins on
+    (ts, event_id)), committed by the compact_partitions-style swap.
+    Module-level so the crash-window self-heal is unit-testable
+    (tests/test_streaming.py::test_cdc_merge_self_heals_crash_window).
+    """
+    import shutil
+
+    from pyspark.sql import Window as W
+
+    sp = batch_df.sparkSession
+    dim = os.path.join(root, "dim")
+    # The swap below is rename-granular, not atomic: a crash between
+    # rename(dim→.dim_old) and rename(tmp→dim) leaves dim absent
+    # while the accumulated history survives only in .dim_old. Heal
+    # that window first — otherwise the replayed batch would merge
+    # against nothing and silently drop the dimension's history.
+    old = os.path.join(root, ".dim_old")
+    if not os.path.isdir(dim) and os.path.isdir(old):
+        os.rename(old, dim)
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        batch_df.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    if os.path.isdir(dim):
+        latest = sp.read.parquet(dim).unionByName(latest)
+        latest = (
+            latest.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+    tmp = os.path.join(root, f"dim_gen_{batch_id}")
+    latest.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(dim):
+        os.rename(dim, old)
+    os.rename(tmp, dim)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+
+
 def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC merge-upsert through the gate — the foreachBatch
     pattern every streaming warehouse load uses: each micro-batch's
     per-user LATEST event is merged into a parquet dimension table
-    with last-writer-wins on (ts, event_id), committed by an atomic
-    directory swap (write new generation → hidden-rename old → rename
-    new into place, the compact_partitions protocol). The merge
+    with last-writer-wins on (ts, event_id), committed by a
+    rename-granular directory swap (write new generation →
+    hidden-rename old → rename new into place, the compact_partitions
+    protocol; the between-renames crash window is self-healed at the
+    next merge by restoring ``.dim_old``). The merge
     re-picks latest over (current dim ∪ batch), so a replayed
     micro-batch — foreachBatch's at-least-once contract after a crash
     between sink write and checkpoint commit — is idempotent by
@@ -639,42 +689,12 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     events, which is exactly the oracle; re-invocation resumes the
     checkpoint with zero new files and must leave the dim identical
     (exactly-once effective)."""
-    import shutil
-
-    from pyspark.sql import Window as W
-
     root = _root(sf_dir, "cdc_merge")
     chunks = _shared_chunks(sf_dir)
     dim = os.path.join(root, "dim")
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        sp = batch_df.sparkSession
-        w = W.partitionBy("user_id").orderBy(
-            F.col("ts").desc(), F.col("event_id").desc()
-        )
-        latest = (
-            batch_df.select("user_id", "ts", "event_id", "event_type")
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
-        if os.path.isdir(dim):
-            latest = sp.read.parquet(dim).unionByName(latest)
-            latest = (
-                latest.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .drop("rn")
-            )
-        tmp = os.path.join(root, f"dim_gen_{batch_id}")
-        latest.write.mode("overwrite").parquet(tmp)
-        old = os.path.join(root, ".dim_old")
-        if os.path.isdir(old):
-            shutil.rmtree(old)
-        if os.path.isdir(dim):
-            os.rename(dim, old)
-        os.rename(tmp, dim)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
+        _cdc_merge_batch(batch_df, batch_id, root)
 
     _await(
         _stream(spark, chunks)

@@ -458,3 +458,41 @@ def test_session_window_exact_gap_merges(spark):
     assert out[0]["count"] == 2  # 10:00 and 10:30 merged
     assert out[0]["end"] == dt.datetime(2024, 1, 1, 11, 0, 0)
     assert out[1]["count"] == 1
+
+
+def test_cdc_merge_self_heals_crash_window(spark, tmp_path):
+    """The CDC merge's directory swap is rename-granular: a crash
+    between rename(dim→.dim_old) and rename(tmp→dim) leaves the
+    dimension absent with its history stranded in .dim_old (advice
+    r6). The next merge must restore .dim_old before merging —
+    otherwise the replayed batch rebuilds the dim from itself alone
+    and the accumulated history is silently lost."""
+    import datetime as dt
+    import os
+
+    from etl_gcp_function_tmabrasil_spark.queries.streaming_gate import (
+        _cdc_merge_batch,
+    )
+
+    root = str(tmp_path)
+    schema = "user_id int, ts timestamp, event_id long, event_type string"
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    batch1 = spark.createDataFrame(
+        [(1, t, 10, "a"), (2, t, 11, "b")], schema
+    )
+    batch2 = spark.createDataFrame(
+        [(2, t + dt.timedelta(hours=1), 12, "c")], schema
+    )
+    _cdc_merge_batch(batch1, 0, root)
+    # Simulate the crash window: dim was hidden-renamed, the new
+    # generation never landed.
+    os.rename(os.path.join(root, "dim"), os.path.join(root, ".dim_old"))
+    assert not os.path.isdir(os.path.join(root, "dim"))
+    _cdc_merge_batch(batch2, 1, root)
+    rows = {
+        r["user_id"]: (r["event_id"], r["event_type"])
+        for r in spark.read.parquet(os.path.join(root, "dim")).collect()
+    }
+    # user 1 survives only if the self-heal restored .dim_old
+    assert rows == {1: (10, "a"), 2: (12, "c")}, rows
+    assert not os.path.isdir(os.path.join(root, ".dim_old"))
