@@ -19,11 +19,23 @@ from pyspark.sql import DataFrame
 _LOG = logging.getLogger(__name__)
 
 
+#: Reasons the exists() probe acts on — the only structured strings
+#: worth stopping the cause-chain walk for.
+_BQ_KNOWN_REASONS = frozenset({"accessdenied", "forbidden", "notfound"})
+
+
 def _structured_bq_error(exc: Exception) -> tuple[int | None, str | None]:
     """Extract (http code, reason) from a connector exception's Java
     cause chain where available (BigQueryException.getCode()/
     getError().getReason()), else (None, None). Best-effort by design:
-    any introspection failure falls back to message matching."""
+    any introspection failure falls back to message matching.
+
+    Only a PLAUSIBLE frame stops the walk: an HTTP-status code
+    (400–599) or a reason the probe recognizes. Wrapper exceptions can
+    expose a non-HTTP getCode() (0, or a connector-internal code) —
+    returning at the first such frame would mask a structured 403
+    deeper in the chain and regress exists() to substring matching,
+    the exact ambiguity this path was added to bypass (ADVICE r6)."""
     try:
         je = getattr(exc, "java_exception", None)
         seen = 0
@@ -40,8 +52,11 @@ def _structured_bq_error(exc: Exception) -> tuple[int | None, str | None]:
                     reason = str(err.getReason()).lower()
             except Exception:
                 pass
-            if code is not None or reason is not None:
+            if code is not None and 400 <= code <= 599:
                 return code, reason
+            if reason is not None and reason in _BQ_KNOWN_REASONS:
+                # code already failed the HTTP-plausibility check above
+                return None, reason
             je = je.getCause()
             seen += 1
     except Exception:

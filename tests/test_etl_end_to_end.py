@@ -279,3 +279,59 @@ def test_xlsx_etl_poisoned_object_does_not_wedge_the_stream(spark, tmp_path):
         "dead-lettered events were reprocessed on redelivery"
     )
     assert sink.read(spark, "analytics.poison").count() == 1
+
+
+def test_structured_bq_error_skips_non_http_wrapper_frames():
+    """A wrapper frame exposing a non-HTTP getCode() (0 / connector-
+    internal) must not stop the cause-chain walk — the structured 403
+    deeper in the chain is the authoritative signal (ADVICE r6). The
+    walker duck-types the Java exception, so plain Python fakes
+    exercise it exactly."""
+    from etl_gcp_function_tmabrasil_spark.sinks.bigquery import (
+        _structured_bq_error,
+    )
+
+    class _Err:
+        def __init__(self, reason):
+            self._reason = reason
+
+        def getReason(self):
+            return self._reason
+
+    class _JE:
+        def __init__(self, code=None, reason=None, cause=None):
+            self._code, self._reason, self._cause = code, reason, cause
+
+        def getCode(self):
+            if self._code is None:
+                raise AttributeError("no code")
+            return self._code
+
+        def getError(self):
+            return _Err(self._reason) if self._reason else None
+
+        def getCause(self):
+            return self._cause
+
+    class _Exc(Exception):
+        def __init__(self, je):
+            self.java_exception = je
+
+    # wrapper(code=0) → inner 403/accessDenied: must reach the inner frame
+    inner = _JE(code=403, reason="accessDenied")
+    wrapped = _Exc(_JE(code=0, cause=inner))
+    assert _structured_bq_error(wrapped) == (403, "accessdenied")
+
+    # recognized reason with a bogus code: reason wins, code suppressed
+    only_reason = _Exc(_JE(code=-1, reason="notFound"))
+    assert _structured_bq_error(only_reason) == (None, "notfound")
+
+    # unrecognized reason + non-HTTP code all the way down → (None, None)
+    noise = _Exc(_JE(code=7, reason="internalWrapper", cause=_JE(code=0)))
+    assert _structured_bq_error(noise) == (None, None)
+
+    # plain 404 frame still returns directly
+    assert _structured_bq_error(_Exc(_JE(code=404, reason="notFound"))) == (
+        404,
+        "notfound",
+    )
