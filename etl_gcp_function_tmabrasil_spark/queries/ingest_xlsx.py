@@ -195,12 +195,23 @@ def etl_xlsx_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_file_bytes=_DL_MAX_BYTES,
     )
     if not q.awaitTermination(300):
-        # a timed-out stream would keep committing while we read the
-        # half-written ledger — fail loudly instead
+        # A timed-out stream would keep committing while we read the
+        # half-written ledger — fail loudly instead, and remove the
+        # warehouse + checkpoint so a later invocation in this process
+        # replays from scratch rather than resuming a failed run's
+        # state as if it had completed (the cloudevent-stream gate's
+        # ADVICE r6 hazard, same shape).
+        import shutil
+
         try:
             q.stop()
         finally:
-            raise TimeoutError("dead-letter ETL stream did not drain in 300s")
+            shutil.rmtree(os.path.join(root, "warehouse"), ignore_errors=True)
+            shutil.rmtree(
+                os.path.join(root, "bucket", "_etl_checkpoint"),
+                ignore_errors=True,
+            )
+        raise TimeoutError("dead-letter ETL stream did not drain in 300s")
     ok = sink.read(spark, table).agg(
         F.count(F.lit(1)).alias("n")
     ).select(F.lit("ok").alias("status"), "n")
