@@ -352,11 +352,30 @@ def window_global_rownum_scalable(spark: SparkSession, sf_dir: str) -> DataFrame
     boundaries land, ordered-disjoint ranges + in-partition ordering
     reproduce the exact global order. The result samples every 997th
     id (plus the ends) so the oracle checks numbering across the whole
-    range without returning the full table."""
+    range without returning the full table.
+
+    `ranged` is MATERIALIZED (managed_persist) before the two
+    consumers fork: both the per-pid counts and the numbered join must
+    see the SAME sampled range boundaries, and range-partitioner
+    sampling is seeded by the physical RDD instance. The static plan
+    builds two independent rangepartitioning exchanges (verified r7 —
+    ReuseExchange does NOT dedupe them: the join's attribute
+    dedup rewrites one side's exprIds), so without the persist the
+    offsets from one partitioning could be applied to a differently
+    partitioned dataset, corrupting the global ids (ADVICE r6). The
+    persist also replaces the second full shuffle with a cache read —
+    at 100 TB use MEMORY_AND_DISK, the same materialization cost class
+    as the duplicate exchange it eliminates.
+    tests/test_plans.py pins the single-exchange + InMemory plan."""
+    from etl_gcp_function_tmabrasil_spark.queries._util import managed_persist
+
     ords = load_table(spark, sf_dir, "orders").select("o_orderkey")
     parts = 16
-    ranged = ords.repartitionByRange(parts, "o_orderkey").withColumn(
-        "pid", F.spark_partition_id()
+    ranged = managed_persist(
+        ords.repartitionByRange(parts, "o_orderkey").withColumn(
+            "pid", F.spark_partition_id()
+        ),
+        "windows.global_rownum.ranged",
     )
     counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
     offsets = counts.select(

@@ -523,3 +523,20 @@ def test_global_rownum_avoids_single_task_funnel(spark, sf_dir):
     assert "windowspecdefinition(pid" in plan, plan
     # exactly the two bounded single-partition frames, no third
     assert plan.count("SinglePartition") == 2, plan
+    # Correctness depends on BOTH consumers of `ranged` (the per-pid
+    # counts and the numbered join) seeing the SAME sampled range
+    # boundaries — range-partitioner sampling is tied to the physical
+    # RDD instance, and without materialization Spark plans TWO
+    # independent rangepartitioning exchanges that ReuseExchange does
+    # NOT dedupe (verified r7: the join rewrites one side's exprIds),
+    # so one partitioning's offsets could be applied to the other's
+    # local row numbers (ADVICE r6). managed_persist collapses the fork
+    # onto ONE cached materialization: both consumers must read
+    # InMemoryTableScan (the printed plan repeats the cached exchange
+    # under each InMemoryRelation block, but it executes once when the
+    # cache populates — same pid values for both subtrees).
+    assert plan.count("InMemoryTableScan") == 2, plan
+    # every o_orderkey range exchange sits INSIDE a cached-plan block
+    assert plan.count("Exchange rangepartitioning(o_orderkey") == plan.count(
+        "InMemoryRelation"
+    ), plan
