@@ -88,7 +88,10 @@ _MODULES = [
 # Everything else stays covered by tests/test_oracle_parity.py locally
 # (all 168+ queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
-    # --- first driver check: round-6 registrations, pinned order ---
+    # --- round-7 registration: the partition-pruned CDC merge (the
+    #     fact-sized-target scale path of stream_cdc_merge) ---
+    "stream_cdc_merge_partitioned",
+    # --- round-6 registrations, pinned order ---
     "sink_bucketed_colocated_join",
     "json_variant_ops",
     "stream_cloudevent_source",
@@ -144,16 +147,16 @@ _CHECK_FIRST = [
     "chunk_documents",
     # --- r4-wave re-verifies: banded quantiles ---
     "agg_percentiles",
-    "agg_iqr_outliers",
 ]
 
 # ROUND-8 ROTATION PLAN (for the next builder): the 50-slot window
 # should take, in order —
 #   0. any round-7 registrations never yet in a window (register new
 #      operators at the TOP of this list);
-#   1. the 18 r4-green rows left out of the r7 window (after r7 these
+#   1. the 19 r4-green rows left out of the r7 window (after r7 these
 #      hold the oldest artifact-backed rows):
-#      agg_approx_distinct, agg_hll_mergeable, agg_salted_hot_key,
+#      agg_approx_distinct, agg_hll_mergeable, agg_iqr_outliers,
+#      agg_salted_hot_key,
 #      join_asof_purchase, join_salted_hot_key,
 #      json_tuple_explode_outer, profile_columns,
 #      q11_important_part_value, q16_supplier_part_counts,

@@ -715,6 +715,149 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_N_BUCKETS = 8
+
+
+def _cdc_merge_batch_partitioned(
+    batch_df: DataFrame, batch_id: int, root: str, n_buckets: int = _CDC_N_BUCKETS
+) -> None:
+    """Partition-pruned CDC merge step — the 100 TB shape of
+    `_cdc_merge_batch`: the dimension lives hive-partitioned on
+    ``part = pmod(user_id, n_buckets)`` (in production: a date or key
+    prefix), and each micro-batch rewrites ONLY the partitions its
+    keys touch. Untouched partitions are never read, never written,
+    never swapped — per-trigger cost is O(touched partitions + batch),
+    not O(dim), which is what makes streaming merge viable against a
+    fact-sized target (SCALING.md "Warehouse load"). The swap reuses
+    compact_partitions' protocol: staging write → dot-prefixed
+    hidden-rename of the displaced partition → rename into place, with
+    the crash window self-healed at the next merge. A user's rows all
+    hash to one partition, so per-partition last-writer-wins equals
+    global last-writer-wins, and the re-pick over (partition ∪ batch)
+    keeps replays idempotent exactly like the bounded-dim variant.
+    Module-level for unit tests
+    (tests/test_streaming.py::test_partitioned_cdc_merge_*)."""
+    import shutil
+
+    from pyspark.sql import Window as W
+
+    sp = batch_df.sparkSession
+    dim = os.path.join(root, "dim")
+    # Self-heal the rename-granular crash window per partition: a
+    # hidden displaced dir whose visible partition is missing means the
+    # crash hit between the two renames — restore before merging.
+    if os.path.isdir(dim):
+        for entry in os.listdir(dim):
+            if entry.startswith(".cdc_old__part="):
+                visible = os.path.join(dim, entry[len(".cdc_old__") :])
+                hidden = os.path.join(dim, entry)
+                if not os.path.isdir(visible):
+                    os.rename(hidden, visible)
+                else:
+                    shutil.rmtree(hidden)
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        batch_df.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn("part", F.pmod("user_id", F.lit(n_buckets)).cast("int"))
+    )
+    # Touched-partition set: bounded by n_buckets (metadata scale, like
+    # compact_partitions' directory listing) — NOT a data collect.
+    touched = sorted(
+        r["part"] for r in latest.select("part").distinct().collect()
+    )
+    if not touched:
+        return
+    have = (
+        {
+            e
+            for e in os.listdir(dim)
+            if e.startswith("part=") and os.path.isdir(os.path.join(dim, e))
+        }
+        if os.path.isdir(dim)
+        else set()
+    )
+    if have:
+        # Partition-pruned read: the part predicate prunes at the
+        # directory level, so only touched partitions are scanned.
+        current = (
+            sp.read.option("basePath", dim)
+            .parquet(*[os.path.join(dim, e) for e in sorted(have)])
+            .filter(F.col("part").isin([int(t) for t in touched]))
+            .select("user_id", "ts", "event_id", "event_type", "part")
+        )
+        latest = (
+            current.unionByName(latest)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+    staging = os.path.join(root, f"dim_stage_{batch_id}")
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    (
+        latest.repartition(F.col("part"))
+        .write.mode("overwrite")
+        .partitionBy("part")
+        .parquet(staging)
+    )
+    os.makedirs(dim, exist_ok=True)
+    for entry in os.listdir(staging):
+        if not entry.startswith("part="):
+            continue
+        src = os.path.join(staging, entry)
+        dst = os.path.join(dim, entry)
+        old = os.path.join(dim, f".cdc_old__{entry}")
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        if os.path.isdir(dst):
+            os.rename(dst, old)
+        os.rename(src, dst)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+    shutil.rmtree(staging)
+
+
+def stream_cdc_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partition-pruned streaming CDC merge through the gate — the
+    scale path SCALING.md's warehouse-load entry prescribes for large
+    merge targets: same checkpointed availableNow replay and
+    last-writer-wins semantics as `stream_cdc_merge`, but the
+    dimension is hive-partitioned on a key bucket and each micro-batch
+    merges ONLY its touched partitions via per-partition staging-swap
+    (`_cdc_merge_batch_partitioned`). The oracle is the same global
+    pick-latest over all events: partition pruning must change
+    nothing about merge semantics, only its per-trigger cost."""
+    root = _root(sf_dir, "cdc_merge_partitioned")
+    chunks = _shared_chunks(sf_dir)
+    dim = os.path.join(root, "dim")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        _cdc_merge_batch_partitioned(batch_df, batch_id, root)
+
+    _await(
+        _stream(spark, chunks)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(root, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    return (
+        spark.read.parquet(dim)
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
 _CDC_MERGE_SQL = """
 WITH ranked AS (
   SELECT user_id, ts, event_id, event_type,
@@ -739,6 +882,7 @@ QUERIES = {
     "stream_static_enrichment": stream_static_enrichment,
     "stream_sliding_watermark": stream_sliding_watermark,
     "stream_cdc_merge": stream_cdc_merge,
+    "stream_cdc_merge_partitioned": stream_cdc_merge_partitioned,
 }
 
 ORACLE = {
@@ -751,4 +895,5 @@ ORACLE = {
     "stream_static_enrichment": _ENRICH_SQL,
     "stream_sliding_watermark": _SLIDING_STREAM_SQL,
     "stream_cdc_merge": _CDC_MERGE_SQL,
+    "stream_cdc_merge_partitioned": _CDC_MERGE_SQL,
 }

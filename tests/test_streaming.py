@@ -496,3 +496,98 @@ def test_cdc_merge_self_heals_crash_window(spark, tmp_path):
     # user 1 survives only if the self-heal restored .dim_old
     assert rows == {1: (10, "a"), 2: (12, "c")}, rows
     assert not os.path.isdir(os.path.join(root, ".dim_old"))
+
+
+def test_partitioned_cdc_merge_touches_only_batch_partitions(spark, tmp_path):
+    """The partition-pruned merge's whole point: a batch whose keys
+    all hash to one partition must leave every other partition's
+    files byte-identical (same inode set — not rewritten), and merge
+    semantics must still equal global pick-latest."""
+    import datetime as dt
+    import os
+
+    from etl_gcp_function_tmabrasil_spark.queries.streaming_gate import (
+        _cdc_merge_batch_partitioned,
+    )
+
+    root = str(tmp_path)
+    dim = os.path.join(root, "dim")
+    schema = "user_id int, ts timestamp, event_id long, event_type string"
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    # users 0..7 cover all 8 buckets
+    batch1 = spark.createDataFrame(
+        [(u, t, 100 + u, "a") for u in range(8)], schema
+    )
+    _cdc_merge_batch_partitioned(batch1, 0, root)
+    parts = sorted(e for e in os.listdir(dim) if e.startswith("part="))
+    assert parts == [f"part={i}" for i in range(8)], parts
+
+    def files_of(p):
+        d = os.path.join(dim, p)
+        return {
+            f: os.stat(os.path.join(d, f)).st_mtime_ns
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before = {p: files_of(p) for p in parts}
+    # batch 2 touches ONLY user 3 (bucket 3)
+    batch2 = spark.createDataFrame(
+        [(3, t + dt.timedelta(hours=1), 200, "b")], schema
+    )
+    _cdc_merge_batch_partitioned(batch2, 1, root)
+    after = {p: files_of(p) for p in parts}
+    assert after["part=3"] != before["part=3"]
+    for p in parts:
+        if p != "part=3":
+            assert after[p] == before[p], f"{p} was rewritten by a pruned merge"
+    rows = {
+        r["user_id"]: (r["event_id"], r["event_type"])
+        for r in spark.read.parquet(dim).collect()
+    }
+    want = {u: (100 + u, "a") for u in range(8)}
+    want[3] = (200, "b")
+    assert rows == want, rows
+
+
+def test_partitioned_cdc_merge_self_heals_and_replays_idempotently(
+    spark, tmp_path
+):
+    """Per-partition crash window: a hidden .cdc_old__part=K with the
+    visible partition missing must be restored before merging, and
+    re-merging the SAME batch (foreachBatch at-least-once replay)
+    leaves the dimension unchanged."""
+    import datetime as dt
+    import os
+
+    from etl_gcp_function_tmabrasil_spark.queries.streaming_gate import (
+        _cdc_merge_batch_partitioned,
+    )
+
+    root = str(tmp_path)
+    dim = os.path.join(root, "dim")
+    schema = "user_id int, ts timestamp, event_id long, event_type string"
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    batch1 = spark.createDataFrame([(1, t, 10, "a"), (9, t, 11, "b")], schema)
+    _cdc_merge_batch_partitioned(batch1, 0, root)  # users 1,9 → part=1
+    # Simulate the crash between the two renames
+    os.rename(
+        os.path.join(dim, "part=1"), os.path.join(dim, ".cdc_old__part=1")
+    )
+    batch2 = spark.createDataFrame(
+        [(9, t + dt.timedelta(hours=1), 12, "c")], schema
+    )
+    _cdc_merge_batch_partitioned(batch2, 1, root)
+    rows = {
+        r["user_id"]: (r["event_id"], r["event_type"])
+        for r in spark.read.parquet(dim).collect()
+    }
+    assert rows == {1: (10, "a"), 9: (12, "c")}, rows
+    assert not os.path.isdir(os.path.join(dim, ".cdc_old__part=1"))
+    # replay batch2 verbatim — idempotent
+    _cdc_merge_batch_partitioned(batch2, 1, root)
+    rows2 = {
+        r["user_id"]: (r["event_id"], r["event_type"])
+        for r in spark.read.parquet(dim).collect()
+    }
+    assert rows2 == rows
