@@ -70,6 +70,10 @@ PARITY = [
     # late-r6: streaming CDC merge replaying 1M events through
     # foreachBatch upserts (measured 9.5 s end-to-end at sf1)
     "stream_cdc_merge",
+    # r7: the partition-pruned merge variant — same 1M-event replay,
+    # but each micro-batch rewrites only its touched key-bucket
+    # partitions via per-partition staging-swap
+    "stream_cdc_merge_partitioned",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.
