@@ -60,6 +60,9 @@ GATE_QUERIES = [
     # construction (the guard there correctly tripped on it)
     "kmeans_ivf_codebook",
     "sink_incremental_rollup",
+    # r6/r7 CDC merges (checkpointed foreachBatch replays)
+    "stream_cdc_merge",
+    "stream_cdc_merge_partitioned",
 ]
 
 
