@@ -591,3 +591,58 @@ def test_partitioned_cdc_merge_self_heals_and_replays_idempotently(
         for r in spark.read.parquet(dim).collect()
     }
     assert rows2 == rows
+
+
+def test_partitioned_and_full_cdc_merges_agree(spark, tmp_path):
+    """Partition pruning must change per-trigger COST, never merge
+    semantics: replaying the same micro-batch sequence (with
+    cross-batch updates and an at-least-once duplicate) through
+    `_cdc_merge_batch` and `_cdc_merge_batch_partitioned` must yield
+    identical dimensions."""
+    import datetime as dt
+    import os
+
+    from etl_gcp_function_tmabrasil_spark.queries.streaming_gate import (
+        _cdc_merge_batch,
+        _cdc_merge_batch_partitioned,
+    )
+
+    schema = "user_id int, ts timestamp, event_id long, event_type string"
+    t = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    batches = [
+        mk([(u, t + dt.timedelta(minutes=u), 1000 + u, "seed") for u in range(20)]),
+        mk(
+            [(3, t + dt.timedelta(hours=2), 2001, "upd")]
+            + [(7, t + dt.timedelta(hours=2), 2002, "upd")]
+            # same-ts tie for user 11: event_id breaks it
+            + [(11, t + dt.timedelta(minutes=11), 2003, "tie")]
+        ),
+        # replayed duplicate of batch 1 (at-least-once)
+        mk(
+            [(3, t + dt.timedelta(hours=2), 2001, "upd")]
+            + [(7, t + dt.timedelta(hours=2), 2002, "upd")]
+            + [(11, t + dt.timedelta(minutes=11), 2003, "tie")]
+        ),
+        mk([(25, t + dt.timedelta(hours=3), 3001, "new")]),
+    ]
+    full_root = os.path.join(str(tmp_path), "full")
+    part_root = os.path.join(str(tmp_path), "part")
+    os.makedirs(full_root)
+    os.makedirs(part_root)
+    for i, b in enumerate(batches):
+        _cdc_merge_batch(b, i, full_root)
+        _cdc_merge_batch_partitioned(b, i, part_root)
+
+    def snap(root):
+        return sorted(
+            (r["user_id"], r["ts"], r["event_id"], r["event_type"])
+            for r in spark.read.parquet(os.path.join(root, "dim"))
+            .select("user_id", "ts", "event_id", "event_type")
+            .collect()
+        )
+
+    assert snap(full_root) == snap(part_root)
