@@ -74,6 +74,10 @@ PARITY = [
     # but each micro-batch rewrites only its touched key-bucket
     # partitions via per-partition staging-swap
     "stream_cdc_merge_partitioned",
+    # r7: global contiguous ids at 1.5M orders — probes the
+    # managed_persist materialization (the boundary-consistency fix)
+    # at 10x the bench scale
+    "window_global_rownum_scalable",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.
