@@ -781,13 +781,14 @@ def _cdc_merge_batch_partitioned(
         if os.path.isdir(dim)
         else set()
     )
-    if have:
-        # Partition-pruned read: the part predicate prunes at the
-        # directory level, so only touched partitions are scanned.
+    read_dirs = sorted(have & {f"part={t}" for t in touched})
+    if read_dirs:
+        # Partition-pruned read at the DIRECTORY level: only touched
+        # partitions that already exist are even listed — a brand-new
+        # bucket simply has no current side to merge against.
         current = (
             sp.read.option("basePath", dim)
-            .parquet(*[os.path.join(dim, e) for e in sorted(have)])
-            .filter(F.col("part").isin([int(t) for t in touched]))
+            .parquet(*[os.path.join(dim, e) for e in read_dirs])
             .select("user_id", "ts", "event_id", "event_type", "part")
         )
         latest = (
