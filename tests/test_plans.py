@@ -540,3 +540,27 @@ def test_global_rownum_avoids_single_task_funnel(spark, sf_dir):
     assert plan.count("Exchange rangepartitioning(o_orderkey") == plan.count(
         "InMemoryRelation"
     ), plan
+
+
+def test_banded_quantiles_reuses_the_band_exchange_at_runtime(spark, sf_dir):
+    """The banded-quantile docstring claims the shared groupBy(g, band)
+    exchange is computed once for its two consumers (band offsets and
+    per-group totals). The STATIC plan plans the subtrees
+    independently (five scans printed — measured r7, same shape as
+    the global-rownum hazard); what actually protects the single-scan
+    property at 100 TB is AQE's runtime stage reuse. Pin it on the
+    EXECUTED plan: if exchange reuse ever stops firing here, the
+    full-table scan under the band table runs per consumer and this
+    operator's cost doubles silently."""
+    from etl_gcp_function_tmabrasil_spark.queries.aggregates import (
+        agg_percentiles,
+    )
+
+    df = agg_percentiles(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan[:500]
+    assert plan.count("ReusedExchange") >= 1, (
+        "no runtime exchange reuse in agg_percentiles' final plan — "
+        "the band table's parent scan is running once per consumer"
+    )
