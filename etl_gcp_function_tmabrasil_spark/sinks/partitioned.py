@@ -72,9 +72,28 @@ def compact_partitions(
     fallback); on HDFS the same protocol runs on FileSystem.rename,
     and on object stores compaction belongs to a table format's commit
     (Iceberg/Delta rewrite actions).
+
+    The crash window SELF-HEALS on the next compaction (same protocol
+    as the streaming CDC merges): any hidden `.compact_old__X` whose
+    visible partition `X` is missing is restored before the rewrite,
+    so a crashed run's partition reappears in listings without manual
+    intervention.
     """
     import os
     import shutil
+
+    # Heal a prior run's between-renames crash before reading: the
+    # displaced partition's data is intact under the hidden name, and
+    # compacting without it would silently drop it from the rewrite.
+    if os.path.isdir(path):
+        for entry in os.listdir(path):
+            if entry.startswith(".compact_old__"):
+                visible = os.path.join(path, entry[len(".compact_old__") :])
+                hidden = os.path.join(path, entry)
+                if not os.path.isdir(visible):
+                    os.rename(hidden, visible)
+                else:
+                    shutil.rmtree(hidden)
 
     staging = path.rstrip("/") + "__compact_tmp"
     if os.path.isdir(staging):

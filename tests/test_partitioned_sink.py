@@ -116,3 +116,37 @@ def test_compaction_crash_residue_is_invisible_to_readers(spark, sf_dir, tmp_pat
     }
     assert victim_date in restored
     shutil.rmtree(path)
+
+
+def test_compaction_self_heals_crash_residue(spark, sf_dir, tmp_path):
+    """r7: the next compact_partitions run must RESTORE a crashed
+    predecessor's hidden `.compact_old__` partition (same self-heal
+    protocol as the streaming CDC merges) — recovery is no longer
+    manual, and the healed partition's rows survive the rewrite."""
+    import os
+
+    from etl_gcp_function_tmabrasil_spark.sinks.partitioned import (
+        compact_partitions,
+    )
+
+    path = str(tmp_path / "events_part")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    write_events_partitioned(ev, path)
+    total = spark.read.parquet(path).count()
+    parts = sorted(d for d in os.listdir(path) if d.startswith("event_date="))
+    victim = parts[0]
+    victim_date = victim.split("=", 1)[1]
+    # simulate the crash point: old renamed aside, new not yet in place
+    os.rename(
+        os.path.join(path, victim), os.path.join(path, f".compact_old__{victim}")
+    )
+    compact_partitions(spark, path)
+    back = spark.read.parquet(path)
+    assert back.count() == total, "healed partition's rows were lost"
+    dates = {str(r[0]) for r in back.select("event_date").distinct().collect()}
+    assert victim_date in dates
+    assert not any(
+        e.startswith(".compact_old__") for e in os.listdir(path)
+    ), "hidden residue left behind after a successful compaction"
