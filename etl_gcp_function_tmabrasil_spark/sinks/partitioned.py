@@ -64,7 +64,8 @@ def compact_partitions(
     readers. Crash-safety is rename-granular, not transactional: a
     crash between the two renames leaves that one partition absent
     from listings until the hidden `.compact_old__key=value` dir is
-    restored by hand (its data is intact), and even crash-free a
+    restored — automatically, by the next compaction run's self-heal
+    below (its data is intact throughout) — and even crash-free a
     concurrent reader can list the path during the swap and miss the
     partition for one scan. The swap uses local-filesystem rename,
     matching this
