@@ -164,15 +164,18 @@ _CHECK_FIRST = [
 #      sql_cte_window_topk, text_fingerprint, text_quality_score,
 #      text_token_count, text_token_diversity, window_cume_dist,
 #      window_range_frame;
-#   2. fresh re-verifies from the r5 wave, oldest-artifact first —
-#      the streaming gates (stream_tumbling_agg, stream_late_data_drop,
-#      stream_dedup_within_watermark, stream_session_window,
-#      stream_interval_join, stream_arbitrary_state,
-#      stream_static_enrichment), the r5 join/agg/source wave
-#      (join_broadcast_region, join_semi_anti, join_theta_range,
-#      join_range_bucketed, agg_hash_groupby, agg_distinct_customers,
-#      rollup/cube/grouping_sets, scan_csv_json_roundtrip), topping up
-#      to exactly 50.
+#   2. fresh re-verifies from the r5 wave (50 rows hold round:5 in the
+#      ledger — after r8's item 1 these are the oldest), topping up to
+#      exactly 50; prioritize the streaming gates
+#      (stream_tumbling_watermark, stream_dedup_redelivery,
+#      stream_late_data_drop, stream_session_watermark,
+#      stream_interval_join, stream_running_totals_state,
+#      stream_static_enrichment, etl_xlsx_deadletter), then the r5
+#      join/agg/source wave (join_broadcast_dims, join_semi, join_anti,
+#      join_range_bands, join_range_bucketed_pairs, agg_distinct,
+#      agg_rollup, agg_cube, agg_grouping_sets, cdc_merge_upsert,
+#      scd2_user_history, scan_csv_json_roundtrip); the TPC-H
+#      adaptations (q1-q22) and window_rank/running_sum/ntile fill r9.
 # After r8 every query's latest check is ≤3 rounds old. Run
 # scripts/merge_correctness_ledger.py at round start (after
 # CORRECTNESS_r07.json lands) before re-planning.
