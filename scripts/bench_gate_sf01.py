@@ -96,16 +96,19 @@ def main() -> None:
         "eager-construction guard would NOT fire for etl_xlsx_deadletter: "
         f"construct={dl['cold_construct']}s vs threshold={threshold}s"
     )
-    print(
-        json.dumps(
-            {
-                "metric": "gate_queries_sf01",
-                "sf_dir": sf_dir,
-                "queries": out,
-                "eager_guard_would_fire": True,
-            }
-        )
-    )
+    record = {
+        "metric": "gate_queries_sf01",
+        "sf_dir": sf_dir,
+        "queries": out,
+        "eager_guard_would_fire": True,
+    }
+    # repo-side artifact so the cold/warm gate profile is reviewable
+    # without re-running (~2 min); SCALING.md cites these numbers
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_GATE_LOCAL.json"), "w") as fh:
+        json.dump(record, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(record))
     spark.stop()
 
 
