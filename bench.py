@@ -64,6 +64,8 @@ HEADLINE = [
     "udf_arrow_vector_norms",   # mapInArrow Arrow-native batch UDF
     "split_group_integrity",    # leakage-guard user-keyed split
     "window_global_rownum_scalable",  # two-phase global contiguous ids
+    # round-7 addition (lazy construction)
+    "dedup_corpus_lines",       # C4-style corpus-wide line dedup
 ]
 
 

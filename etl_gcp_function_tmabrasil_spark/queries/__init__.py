@@ -88,9 +88,11 @@ _MODULES = [
 # Everything else stays covered by tests/test_oracle_parity.py locally
 # (all 168+ queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
-    # --- round-7 registration: the partition-pruned CDC merge (the
-    #     fact-sized-target scale path of stream_cdc_merge) ---
+    # --- round-7 registrations: the partition-pruned CDC merge (the
+    #     fact-sized-target scale path of stream_cdc_merge) and the
+    #     C4-style corpus line dedup ---
     "stream_cdc_merge_partitioned",
+    "dedup_corpus_lines",
     # --- round-6 registrations, pinned order ---
     "sink_bucketed_colocated_join",
     "json_variant_ops",
@@ -145,18 +147,16 @@ _CHECK_FIRST = [
     "event_funnel_conversion",
     "pack_token_budget",
     "chunk_documents",
-    # --- r4-wave re-verifies: banded quantiles ---
-    "agg_percentiles",
 ]
 
 # ROUND-8 ROTATION PLAN (for the next builder): the 50-slot window
 # should take, in order —
 #   0. any round-7 registrations never yet in a window (register new
 #      operators at the TOP of this list);
-#   1. the 19 r4-green rows left out of the r7 window (after r7 these
+#   1. the 20 r4-green rows left out of the r7 window (after r7 these
 #      hold the oldest artifact-backed rows):
 #      agg_approx_distinct, agg_hll_mergeable, agg_iqr_outliers,
-#      agg_salted_hot_key,
+#      agg_percentiles, agg_salted_hot_key,
 #      join_asof_purchase, join_salted_hot_key,
 #      json_tuple_explode_outer, profile_columns,
 #      q11_important_part_value, q16_supplier_part_counts,

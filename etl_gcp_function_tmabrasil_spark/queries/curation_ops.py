@@ -388,7 +388,103 @@ FROM q ORDER BY vec_id
 """
 
 
+LINE_WORDS = 8       # words per synthetic "line" (fixture text has no \n)
+LINE_DUP_MIN = 3     # C4's rule: drop lines occurring >= 3 times corpus-wide
+
+
+def dedup_corpus_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level LINE deduplication — the C4/Dolma curation step
+    that removes boilerplate lines repeated across documents (nav
+    bars, license headers, templated sentences) while keeping each
+    document's unique content in order. The fixture's documents carry
+    no newlines, so a "line" here is each run of LINE_WORDS words —
+    the mechanism under test (explode lines → corpus-wide occurrence
+    count → drop lines occurring >= LINE_DUP_MIN times → reassemble
+    the survivors in document order) is exactly the newline version's.
+
+    Returns per doc: total lines, kept lines, and the byte length of
+    the reassembled cleaned text (order-sensitive: a wrong reassembly
+    order changes the hash).
+
+    Scale shape: line construction is ROW-LOCAL (slice over the split
+    array — no explode until the count join); the occurrence count is
+    the word-count shape on line keys (partial agg collapses each
+    task's repeated lines before the exchange); the duplicate set
+    joins back as a hash anti-join keyed on the line. At 100 TB, key
+    the count/join on a 128-bit line digest instead of the raw string
+    to bound shuffle key width, and broadcast the duplicate set when
+    the heavy-line count allows (boilerplate sets are usually small).
+    The reassembly groupBy(doc_id) shuffles each document's kept lines
+    once — bounded by document size, the same guarantee chunk_documents
+    relies on.
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    lines = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(w) / {LINE_WORDS}.0) "
+                f"as int) - 1), i -> array_join(slice(w, i * {LINE_WORDS} + 1, "
+                f"{LINE_WORDS}), ' '))"
+            ).alias("lines"),
+        )
+        .select("doc_id", F.posexplode("lines").alias("line_idx", "line"))
+    )
+    counts = lines.groupBy("line").agg(F.count(F.lit(1)).alias("n"))
+    joined = lines.join(counts, "line")
+    # duplicated lines become null inside collect_list (which skips
+    # nulls), so only survivors are reassembled — in line_idx order
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(F.when(F.col("n") < LINE_DUP_MIN, 1)).alias("n_kept"),
+            F.length(
+                F.array_join(
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        "if(n < " + str(LINE_DUP_MIN) + ", "
+                        "struct(line_idx, line), null))), x -> x.line)"
+                    ),
+                    " ",
+                )
+            ).alias("n_chars_clean"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_LINE_DEDUP_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+linelists AS (
+  SELECT doc_id,
+    [array_to_string(w[(i * {LINE_WORDS} + 1):(i * {LINE_WORDS} + {LINE_WORDS})], ' ')
+     FOR i IN range(CAST(ceil(len(w) / {LINE_WORDS}.0) AS BIGINT))] AS ls
+  FROM w
+),
+lines AS (
+  SELECT doc_id,
+    generate_subscripts(ls, 1) - 1 AS line_idx,
+    unnest(ls) AS line
+  FROM linelists
+),
+counts AS (SELECT line, COUNT(*) AS n FROM lines GROUP BY line)
+SELECT l.doc_id,
+  COUNT(*) AS n_lines,
+  COUNT(*) FILTER (WHERE c.n < {LINE_DUP_MIN}) AS n_kept,
+  COALESCE(LENGTH(STRING_AGG(l.line, ' ' ORDER BY l.line_idx)
+    FILTER (WHERE c.n < {LINE_DUP_MIN})), 0) AS n_chars_clean
+FROM lines l JOIN counts c USING (line)
+GROUP BY l.doc_id
+ORDER BY l.doc_id
+"""
+
+
 QUERIES = {
+    "dedup_corpus_lines": dedup_corpus_lines,
     "decontaminate_ngram": decontaminate_ngram,
     "pii_mask_customer": pii_mask_customer,
     "vocab_doc_frequency": vocab_doc_frequency,
@@ -399,6 +495,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "dedup_corpus_lines": _LINE_DEDUP_SQL,
     "decontaminate_ngram": _DECONTAM_SQL,
     "pii_mask_customer": _PII_SQL,
     "vocab_doc_frequency": _VOCAB_SQL,

@@ -78,6 +78,8 @@ PARITY = [
     # managed_persist materialization (the boundary-consistency fix)
     # at 10x the bench scale
     "window_global_rownum_scalable",
+    # r7: C4-style corpus line dedup at 500k docs (10x)
+    "dedup_corpus_lines",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.
