@@ -78,15 +78,16 @@ _MODULES = [
 # 7). The window ROTATES per round so every query's latest green row
 # stays fresh; CORRECTNESS_CUMULATIVE.json records each query's latest
 # green round (asserted complete by tests/test_correctness_ledger.py).
-# Round 7 = the r6-verdict rotation plan, verbatim: the 13 round-6
-# registrations that have never been inside a driver window, the 6
-# family-sibling prose-sourced entries deferred out of the r6 window,
-# and 31 of the 49 round-4-green queries (oldest artifact-backed rows
-# after r6) — the similarity/ANN, multimodal, dedup-graph, traindata2
-# and quantile families. The remaining 18 r4 rows rotate in r8 (plan
-# below) so the window stays at exactly 50.
+# Round 7 = the r6-verdict rotation plan plus the two round-7
+# registrations at the top: the 13 round-6 registrations that have
+# never been inside a driver window, the 6 family-sibling
+# prose-sourced entries deferred out of the r6 window, and 29 of the
+# 49 round-4-green queries (oldest artifact-backed rows after r6) —
+# the similarity/ANN, multimodal, dedup-graph and traindata2 families.
+# The remaining 20 r4 rows rotate in r8 (plan below) so the window
+# stays at exactly 50.
 # Everything else stays covered by tests/test_oracle_parity.py locally
-# (all 168+ queries, every session) and keeps its ledger row.
+# (all 170 queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
     # --- round-7 registrations: the partition-pruned CDC merge (the
     #     fact-sized-target scale path of stream_cdc_merge) and the
