@@ -73,6 +73,8 @@ _FAMILY_QUERIES = [
     ("window_global_rownum_scalable", 0),
     ("dedup_cluster_representative", 0),
     ("agg_heavy_hitters", 0),
+    # round-7: corpus line dedup (empty corpus -> zero docs)
+    ("dedup_corpus_lines", 0),
 ]
 
 
