@@ -408,11 +408,11 @@ def dedup_corpus_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: line construction is ROW-LOCAL (slice over the split
     array — no explode until the count join); the occurrence count is
-    the word-count shape on line keys (partial agg collapses each
-    task's repeated lines before the exchange); the duplicate set
-    joins back as a hash anti-join keyed on the line. At 100 TB, key
-    the count/join on a 128-bit line digest instead of the raw string
-    to bound shuffle key width, and broadcast the duplicate set when
+    the word-count shape keyed on a 128-bit LINE DIGEST (md5), not the
+    raw string — boilerplate lines are long, and the digest bounds the
+    count/join shuffle key at a fixed width (partial agg still
+    collapses each task's repeated lines before the exchange); the
+    count joins back on the digest. Broadcast the duplicate set when
     the heavy-line count allows (boilerplate sets are usually small).
     The reassembly groupBy(doc_id) shuffles each document's kept lines
     once — bounded by document size, the same guarantee chunk_documents
@@ -430,9 +430,10 @@ def dedup_corpus_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lines"),
         )
         .select("doc_id", F.posexplode("lines").alias("line_idx", "line"))
+        .withColumn("lk", F.md5("line"))
     )
-    counts = lines.groupBy("line").agg(F.count(F.lit(1)).alias("n"))
-    joined = lines.join(counts, "line")
+    counts = lines.groupBy("lk").agg(F.count(F.lit(1)).alias("n"))
+    joined = lines.join(counts, "lk")
     # duplicated lines become null inside collect_list (which skips
     # nulls), so only survivors are reassembled — in line_idx order
     return (
