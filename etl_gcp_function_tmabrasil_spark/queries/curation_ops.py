@@ -402,9 +402,9 @@ def dedup_corpus_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     count → drop lines occurring >= LINE_DUP_MIN times → reassemble
     the survivors in document order) is exactly the newline version's.
 
-    Returns per doc: total lines, kept lines, and the byte length of
-    the reassembled cleaned text (order-sensitive: a wrong reassembly
-    order changes the hash).
+    Returns per doc: total lines, kept lines, and the character length
+    of the reassembled cleaned text (order-sensitive: a wrong
+    reassembly order changes the hash).
 
     Scale shape: line construction is ROW-LOCAL (slice over the split
     array — no explode until the count join); the occurrence count is
