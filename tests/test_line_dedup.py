@@ -85,3 +85,72 @@ def test_below_threshold_corpus_is_untouched(spark, tmp_path):
         assert r["n_kept"] == r["n_lines"]
         original = dict(docs)[r["doc_id"]]
         assert r["n_chars_clean"] == len(original)
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+def _reference(docs):
+    """Plain-Python line dedup: returns {doc_id: (n_lines, n_kept,
+    n_chars_clean)} for LINE_WORDS-word lines, dropping lines occurring
+    >= LINE_DUP_MIN times corpus-wide, keeping document order."""
+    from collections import Counter
+
+    per_doc = {}
+    counts = Counter()
+    for doc_id, words in docs:
+        ls = [
+            " ".join(words[i : i + LINE_WORDS])
+            for i in range(0, len(words), LINE_WORDS)
+        ]
+        per_doc[doc_id] = ls
+        counts.update(ls)
+    out = {}
+    for doc_id, ls in per_doc.items():
+        kept = [l for l in ls if counts[l] < LINE_DUP_MIN]
+        out[doc_id] = (len(ls), len(kept), len(" ".join(kept)))
+    return out
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus=st.lists(
+        st.lists(
+            # 2-word alphabet → dense cross-document line collisions
+            st.sampled_from(["x", "y"]),
+            min_size=1,
+            max_size=3 * LINE_WORDS + 2,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_matches_python_reference_on_random_corpora(
+    spark, tmp_path_factory, corpus
+):
+    """On random tiny-alphabet corpora (maximizing repeated lines and
+    ragged trailing lines), the Spark operator must agree with the
+    obvious in-process implementation exactly."""
+    docs = [(i, words) for i, words in enumerate(corpus)]
+    tmp = tmp_path_factory.mktemp("lines_prop")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+            "text": pa.array([" ".join(w) for _, w in docs]),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array(["s"] * len(docs)),
+            "n_chars": pa.array(
+                [len(" ".join(w)) for _, w in docs], type=pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp), "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["n_chars_clean"])
+        for r in dedup_corpus_lines(spark, str(tmp)).collect()
+    }
+    assert got == _reference(docs)
