@@ -407,16 +407,18 @@ def dedup_corpus_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassembly order changes the hash).
 
     Scale shape: line construction is ROW-LOCAL (slice over the split
-    array — no explode until the count join); the occurrence count is
-    the word-count shape keyed on a 128-bit LINE DIGEST (md5), not the
-    raw string — boilerplate lines are long, and the digest bounds the
-    count/join shuffle key at a fixed width (partial agg still
-    collapses each task's repeated lines before the exchange); the
-    count joins back on the digest. Broadcast the duplicate set when
-    the heavy-line count allows (boilerplate sets are usually small).
-    The reassembly groupBy(doc_id) shuffles each document's kept lines
-    once — bounded by document size, the same guarantee chunk_documents
-    relies on.
+    array — no explode until the count); the occurrence count is the
+    word-count shape keyed on a 128-bit LINE DIGEST (md5), not the raw
+    string — boilerplate lines are long, and the digest bounds every
+    shuffle key at a fixed width (partial agg still collapses each
+    task's repeated lines before the exchange). Only the FILTERED
+    duplicate set (digests with n >= LINE_DUP_MIN — the boilerplate,
+    tiny vs distinct lines) joins back, as a left join the optimizer
+    can broadcast: when it does, the lines table is never shuffled for
+    the join at all — its only full shuffle is the count's partial-agg
+    exchange. The reassembly groupBy(doc_id) shuffles each document's
+    kept lines once — bounded by document size, the same guarantee
+    chunk_documents relies on.
     """
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     lines = (
@@ -432,21 +434,26 @@ def dedup_corpus_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.posexplode("lines").alias("line_idx", "line"))
         .withColumn("lk", F.md5("line"))
     )
-    counts = lines.groupBy("lk").agg(F.count(F.lit(1)).alias("n"))
-    joined = lines.join(counts, "lk")
+    dups = (
+        lines.groupBy("lk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= LINE_DUP_MIN)
+        .select("lk", F.lit(True).alias("dup"))
+    )
+    joined = lines.join(dups, "lk", "left")
     # duplicated lines become null inside collect_list (which skips
     # nulls), so only survivors are reassembled — in line_idx order
     return (
         joined.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.count(F.when(F.col("n") < LINE_DUP_MIN, 1)).alias("n_kept"),
+            F.count(F.when(F.col("dup").isNull(), 1)).alias("n_kept"),
             F.length(
                 F.array_join(
                     F.expr(
                         "transform(array_sort(collect_list("
-                        "if(n < " + str(LINE_DUP_MIN) + ", "
-                        "struct(line_idx, line), null))), x -> x.line)"
+                        "if(dup is null, struct(line_idx, line), null))), "
+                        "x -> x.line)"
                     ),
                     " ",
                 )

@@ -564,3 +564,24 @@ def test_banded_quantiles_reuses_the_band_exchange_at_runtime(spark, sf_dir):
         "no runtime exchange reuse in agg_percentiles' final plan — "
         "the band table's parent scan is running once per consumer"
     )
+
+
+def test_line_dedup_broadcasts_the_duplicate_set(spark, sf_dir):
+    """dedup_corpus_lines joins back only the FILTERED duplicate set
+    (boilerplate digests, tiny vs distinct lines) — the optimizer must
+    broadcast it so the exploded lines table never shuffles for the
+    join; its only full shuffle stays the count's partial-agg
+    exchange. Executed-plan pin (AQE picks broadcast from the runtime
+    size of the filtered side)."""
+    from etl_gcp_function_tmabrasil_spark.queries.curation_ops import (
+        dedup_corpus_lines,
+    )
+
+    df = dedup_corpus_lines(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan[:300]
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan, (
+        "duplicate set did not broadcast — the lines table is paying a "
+        "join shuffle"
+    )
