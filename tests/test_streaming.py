@@ -646,3 +646,40 @@ def test_partitioned_and_full_cdc_merges_agree(spark, tmp_path):
         )
 
     assert snap(full_root) == snap(part_root)
+
+
+def test_partitioned_cdc_merge_gate_reinvocation_is_exactly_once(spark):
+    """GATE-level restart semantics for stream_cdc_merge_partitioned:
+    the second invocation in a process resumes the per-process
+    checkpoint with zero new files — no micro-batch fires, no
+    partition is rewritten, and the returned dimension is identical
+    (exactly-once effective, the same contract stream_cdc_merge's
+    docstring promises)."""
+    import os
+
+    from etl_gcp_function_tmabrasil_spark.queries.streaming_gate import (
+        _root,
+        stream_cdc_merge_partitioned,
+    )
+
+    sf = SF_SMOKE
+    first = [tuple(r) for r in stream_cdc_merge_partitioned(spark, sf).collect()]
+    assert first, "gate query returned an empty dimension"
+    dim = os.path.join(_root(sf, "cdc_merge_partitioned"), "dim")
+
+    def snap():
+        out = {}
+        for part in os.listdir(dim):
+            if part.startswith("part="):
+                d = os.path.join(dim, part)
+                for f in os.listdir(d):
+                    if f.endswith(".parquet"):
+                        out[f"{part}/{f}"] = os.stat(
+                            os.path.join(d, f)
+                        ).st_mtime_ns
+        return out
+
+    before = snap()
+    second = [tuple(r) for r in stream_cdc_merge_partitioned(spark, sf).collect()]
+    assert second == first, "re-invocation changed the dimension rows"
+    assert snap() == before, "re-invocation rewrote partition files"
