@@ -683,3 +683,32 @@ def test_partitioned_cdc_merge_gate_reinvocation_is_exactly_once(spark):
     second = [tuple(r) for r in stream_cdc_merge_partitioned(spark, sf).collect()]
     assert second == first, "re-invocation changed the dimension rows"
     assert snap() == before, "re-invocation rewrote partition files"
+
+
+def test_cdc_merge_gate_reinvocation_is_exactly_once(spark):
+    """Twin of the partitioned pin for stream_cdc_merge: checkpoint
+    resume with zero new files must leave the flat dimension dir
+    byte-identical and return the same rows."""
+    import os
+
+    from etl_gcp_function_tmabrasil_spark.queries.streaming_gate import (
+        _root,
+        stream_cdc_merge,
+    )
+
+    sf = SF_SMOKE
+    first = [tuple(r) for r in stream_cdc_merge(spark, sf).collect()]
+    assert first
+    dim = os.path.join(_root(sf, "cdc_merge"), "dim")
+
+    def snap():
+        return {
+            f: os.stat(os.path.join(dim, f)).st_mtime_ns
+            for f in os.listdir(dim)
+            if f.endswith(".parquet")
+        }
+
+    before = snap()
+    second = [tuple(r) for r in stream_cdc_merge(spark, sf).collect()]
+    assert second == first
+    assert snap() == before
