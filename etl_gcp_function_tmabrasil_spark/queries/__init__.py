@@ -89,9 +89,11 @@ _MODULES = [
 # Everything else stays covered by tests/test_oracle_parity.py locally
 # (all 170 queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
-    # --- round-7 registrations: the partition-pruned CDC merge (the
-    #     fact-sized-target scale path of stream_cdc_merge) and the
-    #     C4-style corpus line dedup ---
+    # --- round-7 registrations: content-defined-anchor substring dedup
+    #     (registered latest, so first), the partition-pruned CDC merge
+    #     (the fact-sized-target scale path of stream_cdc_merge) and
+    #     the C4-style corpus line dedup ---
+    "dedup_repeated_substrings",
     "stream_cdc_merge_partitioned",
     "dedup_corpus_lines",
     # --- round-6 registrations, pinned order ---
@@ -147,15 +149,18 @@ _CHECK_FIRST = [
     "sample_weighted_topk",
     "event_funnel_conversion",
     "pack_token_budget",
-    "chunk_documents",
+    # chunk_documents rotated out to keep the window at exactly 50 when
+    # dedup_repeated_substrings registered; it moves to the r8 wave.
 ]
 
 # ROUND-8 ROTATION PLAN (for the next builder): the 50-slot window
 # should take, in order —
 #   0. any round-7 registrations never yet in a window (register new
 #      operators at the TOP of this list);
-#   1. the 20 r4-green rows left out of the r7 window (after r7 these
-#      hold the oldest artifact-backed rows):
+#   1. the r4-green rows left out of the r7 window (after r7 these
+#      hold the oldest artifact-backed rows), including chunk_documents
+#      (displaced from the r7 window by dedup_repeated_substrings):
+#      chunk_documents,
 #      agg_approx_distinct, agg_hll_mergeable, agg_iqr_outliers,
 #      agg_percentiles, agg_salted_hot_key,
 #      join_asof_purchase, join_salted_hot_key,

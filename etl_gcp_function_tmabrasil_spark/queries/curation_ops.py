@@ -491,8 +491,132 @@ ORDER BY l.doc_id
 """
 
 
+SUBSTR_W = 40    # character-window width (≈ Lee et al.'s 50-token spans)
+SUBSTR_A = 8     # anchor width: the window's first SUBSTR_A chars decide
+#                  whether a position is sampled (1/16 of positions —
+#                  md5's last hex digit == '0')
+
+
+def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-SUBSTRING detection — the scalable
+    approximation of suffix-array substring dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022):
+    instead of a corpus-wide suffix array (super-linear memory, not
+    shardable), sample SUBSTR_W-char windows at CONTENT-DEFINED anchor
+    positions (winnowing / CDC-chunking style: a position anchors iff
+    the md5 of its first SUBSTR_A chars ends in hex '0') and flag
+    windows whose exact text occurs in >= 2 DISTINCT documents.
+
+    Content-defined anchoring is the load-bearing choice: a fixed
+    stride samples positions ``p ≡ 1 (mod stride)`` in DOCUMENT
+    coordinates, so two copies of the same passage at offsets differing
+    by a non-multiple of the stride share NO sampled window and the
+    duplicate is structurally invisible. Anchors computed from the
+    text itself sit at the same positions RELATIVE TO THE PASSAGE in
+    every copy, so a shared span is missed only if none of its
+    ``L - SUBSTR_W + 1`` window starts anchors — probability
+    ``(15/16)^(L-39)`` for content-independent positions (≈ 4% at
+    L = 90, ≈ 0.1% at L = 150), the standard recall/cost dial a
+    production pipeline tunes via anchor density. Alignment robustness
+    is pinned by tests/test_substring_dedup.py with copies shifted by
+    a deliberately stride-hostile offset.
+
+    Differs from `dedup_corpus_lines` (word-window "lines", corpus
+    occurrence count >= 3 including same-doc repeats) on both axes:
+    character windows that ignore token boundaries, and a
+    cross-document criterion (countDistinct doc_id >= 2) that never
+    flags a doc for repeating itself.
+
+    Returns per doc: sampled windows, windows shared with another doc,
+    and the shared fraction — the per-doc signal a curation pipeline
+    thresholds on. Docs shorter than SUBSTR_W or with no anchor
+    position have no sampled windows and are absent from the output
+    (both engines agree by construction).
+
+    Scale shape: anchoring + window construction is ROW-LOCAL (one
+    filter + transform over the position sequence — no join, no
+    shuffle; a production variant would swap the per-position md5 for
+    a rolling Karp-Rabin hash, same plan shape). The occurrence count
+    is the word-count shape keyed on a fixed-width md5 DIGEST of the
+    window (partial agg collapses each task's repeats before the
+    exchange; digests bound the shuffle key at 32 chars). Only the
+    FILTERED cross-doc duplicate set joins back — tiny vs the distinct
+    window mass, so AQE broadcasts it (pinned: tests/test_plans.py::
+    test_repeated_substrings_broadcasts_dup_set) and the sampled
+    window table is never shuffled for the join. The final per-doc
+    rollup shuffles one row per sampled window (~1/16 of positions),
+    bounded by document size — the same guarantee the line dedup
+    relies on.
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    grams = (
+        docs.filter(F.col("n_chars") >= SUBSTR_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(filter(sequence(1, n_chars - {SUBSTR_W - 1}),"
+                    f" p -> substring(md5(substring(text, p, {SUBSTR_A})),"
+                    f" 32, 1) = '0'),"
+                    f" p -> substring(text, p, {SUBSTR_W}))"
+                )
+            ).alias("gram"),
+        )
+        .withColumn("gk", F.md5("gram"))
+        .drop("gram")
+    )
+    dups = (
+        grams.groupBy("gk")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gk", F.lit(True).alias("dup"))
+    )
+    return (
+        grams.join(dups, "gk", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count(F.when(F.col("dup").isNotNull(), 1)).alias("dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "dup_windows",
+            F.round(
+                F.col("dup_windows").cast("double") / F.col("n_windows"), 6
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_REPEATED_SUBSTR_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, n_chars FROM documents WHERE n_chars >= {SUBSTR_W}
+),
+g AS (
+  SELECT doc_id,
+    unnest([substr(text, CAST(p AS INT), {SUBSTR_W})
+            FOR p IN range(1, n_chars - {SUBSTR_W - 2})
+            IF substr(md5(substr(text, CAST(p AS INT), {SUBSTR_A})), 32, 1) = '0']) AS gram
+  FROM d
+),
+dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT g.doc_id,
+  COUNT(*) AS n_windows,
+  COUNT(dup.gram) AS dup_windows,
+  ROUND(CAST(COUNT(dup.gram) AS DOUBLE) / COUNT(*), 6) AS dup_frac
+FROM g LEFT JOIN dup ON g.gram = dup.gram
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
 QUERIES = {
     "dedup_corpus_lines": dedup_corpus_lines,
+    "dedup_repeated_substrings": dedup_repeated_substrings,
     "decontaminate_ngram": decontaminate_ngram,
     "pii_mask_customer": pii_mask_customer,
     "vocab_doc_frequency": vocab_doc_frequency,
@@ -504,6 +628,7 @@ QUERIES = {
 
 ORACLE = {
     "dedup_corpus_lines": _LINE_DEDUP_SQL,
+    "dedup_repeated_substrings": _REPEATED_SUBSTR_SQL,
     "decontaminate_ngram": _DECONTAM_SQL,
     "pii_mask_customer": _PII_SQL,
     "vocab_doc_frequency": _VOCAB_SQL,

@@ -80,6 +80,10 @@ PARITY = [
     "window_global_rownum_scalable",
     # r7: C4-style corpus line dedup at 500k docs (10x)
     "dedup_corpus_lines",
+    # r7: content-defined-anchor substring dedup at 500k docs (10x) —
+    # probes the anchored-window sampler and the broadcast dup-set
+    # join at 10x the window mass
+    "dedup_repeated_substrings",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.

@@ -585,3 +585,24 @@ def test_line_dedup_broadcasts_the_duplicate_set(spark, sf_dir):
         "duplicate set did not broadcast — the lines table is paying a "
         "join shuffle"
     )
+
+
+def test_repeated_substrings_broadcasts_dup_set(spark, sf_dir):
+    """dedup_repeated_substrings joins back only the FILTERED cross-doc
+    duplicate set (tiny vs the distinct-window mass) — AQE must
+    broadcast it so the sampled window table never shuffles for the
+    join; its full shuffles stay the count's partial-agg exchange and
+    the bounded per-doc rollup. Executed-plan pin, same contract as
+    the line dedup's."""
+    from etl_gcp_function_tmabrasil_spark.queries.curation_ops import (
+        dedup_repeated_substrings,
+    )
+
+    df = dedup_repeated_substrings(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan[:300]
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan, (
+        "duplicate set did not broadcast — the window table is paying a "
+        "join shuffle"
+    )
