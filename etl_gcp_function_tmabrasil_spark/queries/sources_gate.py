@@ -610,7 +610,77 @@ ORDER BY event_date, event_type
 """
 
 
+_BIN_MAX_DOC = 60
+
+
+def scan_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-file ingestion — the raw-asset edge a multimodal corpus
+    enters through (image/audio blobs in an object store, one file per
+    asset; the decode stage downstream is operators/multimodal.py).
+    Spark's `binaryFile` source lists the directory in parallel, packs
+    whole files into read tasks by size (`maxPartitionBytes` /
+    `openCostInBytes` — files are never split, so the listing is the
+    parallelism unit), and supports pushed filters on the metadata
+    columns (path/length/modificationTime) plus `pathGlobFilter`
+    pruning at LISTING time — non-matching files are never opened.
+
+    The fixture writes each documents row (doc_id < _BIN_MAX_DOC) as a
+    standalone `.bin` file holding the text's utf-8 bytes, plus a
+    decoy README.txt the glob must exclude. The projection proves the
+    CONTENT bytes survive ingestion exactly — length, md5, and a
+    decoded head — because the oracle recomputes all three from the
+    `documents` view (DuckDB md5 over the same utf-8 text; a stale,
+    truncated, or reordered read cannot hash-match). Fixture writes
+    are driver-side plumbing over a bounded slice; the operator under
+    test is the engine's distributed binary reader.
+    """
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "binfiles")
+
+    def _build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _BIN_MAX_DOC)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            with open(os.path.join(tmp, f"doc_{r.doc_id:05d}.bin"), "wb") as fh:
+                fh.write(r.text.encode("utf-8"))
+        with open(os.path.join(tmp, "README.txt"), "w") as fh:
+            fh.write("decoy: the pathGlobFilter must exclude this file\n")
+
+    _ensure_fixture(fixture, _build)
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(fixture)
+        .select(
+            F.regexp_extract("path", r"doc_(\d+)\.bin$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+            F.substring(F.decode("content", "UTF-8"), 1, 16).alias("text_head"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BINARYFILE_SQL = f"""
+SELECT doc_id,
+  CAST(strlen(text) AS BIGINT) AS n_bytes,
+  md5(text) AS content_md5,
+  substr(text, 1, 16) AS text_head
+FROM documents
+WHERE doc_id < {_BIN_MAX_DOC}
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "scan_binaryfile_source": scan_binaryfile_source,
     "scan_csv_json_roundtrip": scan_csv_json_roundtrip,
     "scan_orc_roundtrip": scan_orc_roundtrip,
     "sink_partitioned_roundtrip": sink_partitioned_roundtrip,
@@ -623,6 +693,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "scan_binaryfile_source": _BINARYFILE_SQL,
     "sink_incremental_rollup": _INCREMENTAL_SQL,
     "scan_orc_roundtrip": _ORC_SQL,
     "scan_csv_json_roundtrip": _SCAN_SQL,

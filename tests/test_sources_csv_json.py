@@ -137,3 +137,35 @@ def test_gcs_string_size_coerces_to_long(spark):
         "minha-pasta/d.xlsx": None,
     }
     assert dict(parse_cloud_events_json(spark, df).dtypes)["size"] == "bigint"
+
+
+def test_binaryfile_glob_excludes_decoy(spark, sf_dir):
+    """scan_binaryfile_source's fixture plants a README.txt next to the
+    .bin assets — pathGlobFilter pruning must exclude it at LISTING
+    time (no row, not a null-doc_id row), and the content column must
+    carry the exact utf-8 bytes (checked here against the source table
+    the fixture was derived from; the oracle gate re-proves it via
+    md5)."""
+    import os
+
+    from etl_gcp_function_tmabrasil_spark.queries.sources_gate import (
+        _gate_root,
+        scan_binaryfile_source,
+    )
+
+    rows = scan_binaryfile_source(spark, sf_dir).collect()
+    assert all(r.doc_id is not None for r in rows)
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "binfiles")
+    listed = sorted(os.listdir(fixture))
+    assert "README.txt" in listed, "decoy missing — the pin is vacuous"
+    assert len(rows) == len(listed) - 1
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .collect()
+    }
+    got = {r.doc_id: r.text_head for r in rows}
+    assert got == {d: t[:16] for d, t in docs.items()}
