@@ -93,6 +93,7 @@ _CHECK_FIRST = [
     #     (registered latest, so first), the partition-pruned CDC merge
     #     (the fact-sized-target scale path of stream_cdc_merge) and
     #     the C4-style corpus line dedup ---
+    "sink_zorder_layout",
     "scan_binaryfile_source",
     "dedup_repeated_substrings",
     "stream_cdc_merge_partitioned",
@@ -148,10 +149,11 @@ _CHECK_FIRST = [
     "unigram_lm_score",
     "source_overlap_matrix",
     "sample_weighted_topk",
-    "event_funnel_conversion",
-    # pack_token_budget and chunk_documents rotated out to keep the
-    # window at exactly 50 when dedup_repeated_substrings and
-    # scan_binaryfile_source registered; both move to the r8 wave.
+    # event_funnel_conversion, pack_token_budget and chunk_documents
+    # rotated out to keep the window at exactly 50 as the late-r7
+    # registrations (dedup_repeated_substrings, scan_binaryfile_source,
+    # sink_zorder_layout) took the top slots; all three move to the
+    # r8 wave.
 ]
 
 # ROUND-8 ROTATION PLAN (for the next builder): the 50-slot window
@@ -160,10 +162,11 @@ _CHECK_FIRST = [
 #      operators at the TOP of this list);
 #   1. the r4-green rows left out of the r7 window (after r7 these
 #      hold the oldest artifact-backed rows), including chunk_documents
-#      and pack_token_budget (displaced from the r7 window by the two
-#      late-r7 registrations dedup_repeated_substrings and
-#      scan_binaryfile_source):
-#      chunk_documents, pack_token_budget,
+#      pack_token_budget and event_funnel_conversion (displaced from
+#      the r7 window by the late-r7 registrations
+#      dedup_repeated_substrings, scan_binaryfile_source and
+#      sink_zorder_layout):
+#      chunk_documents, pack_token_budget, event_funnel_conversion,
 #      agg_approx_distinct, agg_hll_mergeable, agg_iqr_outliers,
 #      agg_percentiles, agg_salted_hot_key,
 #      join_asof_purchase, join_salted_hot_key,

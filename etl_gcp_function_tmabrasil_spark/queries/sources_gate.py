@@ -679,8 +679,127 @@ ORDER BY doc_id
 """
 
 
+_Z_BITS = 4       # bits per dimension in the interleave (8-bit z keys).
+#                   Both dimensions are bucketed to the SAME bit width
+#                   so neither dominates the curve: with asymmetric
+#                   entropy (e.g. 4 bits of users vs 5 bits of days,
+#                   the sf0.001 shape) the high bits of the wider
+#                   dimension decide the sort and the layout degrades
+#                   to a single-dimension order for the narrow one.
+_Z_FILES = 16     # z-range partitions = files written
+
+
+#: Bit-interleave of two _Z_BITS-wide bucket columns `xb`/`yb` into a
+#: Morton (Z-curve) key — pure integer bit math so the DuckDB oracle
+#: reproduces it digit-exact.
+_Z_EXPR = (
+    f"aggregate(sequence(0, {_Z_BITS - 1}), 0, (acc, i) -> acc"
+    " + shiftleft(shiftright(xb, i) & 1, 2 * i)"
+    " + shiftleft(shiftright(yb, i) & 1, 2 * i + 1))"
+)
+
+
+def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (space-filling-curve) layout — the multi-dimensional
+    data-skipping organization Delta's OPTIMIZE ZORDER and Hudi's
+    clustering provide, built from Spark primitives: bucket the two
+    query dimensions (user and day-of-year) to _Z_BITS bits each,
+    bit-interleave them into a Morton key, and lay the data out by
+    curve PREFIX — one hive partition directory per top-_Z_BITS z
+    value, rows z-sorted within each file. Every directory is then an
+    EXACT rectangle of (user, day) space (prefix = top-half bits of
+    both dimensions), so a selective predicate on EITHER dimension
+    intersects only the directories whose rectangle covers it, where a
+    single-dimension sort order skips files for that dimension only —
+    and because the prefix is a partition column, prefix-expressible
+    predicates prune whole directories before any file opens. The
+    skipping claim is measured, not asserted: tests/
+    test_zorder_layout.py writes the same rows time-sorted and counts
+    files whose [min, max] user-bucket range intersects a narrow
+    predicate — all of them for the time-sorted baseline, a
+    deterministically bounded minority for the z layout.
+
+    The gate projection reads the layout back and returns each event's
+    buckets and Morton key; the oracle recomputes the interleave from
+    the `events` view with DuckDB integer bit math, so hash equality
+    proves the bucket derivation, the bit interleave, AND the
+    write→read roundtrip are all value-exact.
+
+    Scale shape: the layout costs ONE shuffle on the z prefix at write
+    time (the same price as any partitioned write) and nothing at read
+    time; at 100 TB the directory rectangles are what partition
+    pruning skips on, row-group min/max on the z-sorted files skip
+    within a rectangle, and file count scales with data under
+    `maxRecordsPerFile` without changing the rectangle property. Curve
+    choice is swappable (Hilbert interleaves with one fewer
+    discontinuity) — the operator's contract is only "key =
+    deterministic interleave of bounded buckets".
+    """
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "zorder")
+
+    def _build(tmp: str) -> None:
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select(
+                "event_id",
+                "user_id",
+                "ts",
+                (F.col("user_id") % (1 << _Z_BITS)).cast("int").alias("xb"),
+                (F.dayofyear("ts") % (1 << _Z_BITS)).cast("int").alias("yb"),
+            )
+            .withColumn("z", F.expr(_Z_EXPR))
+        )
+        # one directory per curve PREFIX (the top _Z_BITS of z = the
+        # top-half bits of each dimension): every directory is an
+        # EXACT (user, day) rectangle — deterministic min/max spans,
+        # no range-sampling drift — and the prefix is a hive partition
+        # column, so prefix predicates prune whole directories before
+        # any file is opened. Rows sort by full z within each file for
+        # row-group-level skipping inside the rectangle.
+        (
+            ev.withColumn("zq", F.expr(f"shiftright(z, {_Z_BITS})"))
+            .repartition(_Z_FILES, "zq")
+            .sortWithinPartitions("zq", "z")
+            .write.partitionBy("zq")
+            .parquet(os.path.join(tmp, "zorder"))
+        )
+        # single-dimension (time-sorted) baseline for the skipping test
+        ev.repartitionByRange(_Z_FILES, "ts").sortWithinPartitions("ts").write.parquet(
+            os.path.join(tmp, "tsorted")
+        )
+
+    _ensure_fixture(fixture, _build)
+    return (
+        spark.read.parquet(os.path.join(fixture, "zorder"))
+        .select(
+            "event_id",
+            F.col("xb").cast("long").alias("xb"),
+            F.col("yb").cast("long").alias("yb"),
+            F.col("z").cast("long").alias("z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_ZORDER_SQL = f"""
+WITH b AS (
+  SELECT event_id,
+    CAST(user_id % 16 AS INT) AS xb,
+    CAST(dayofyear(ts) % 16 AS INT) AS yb
+  FROM events
+)
+SELECT event_id, CAST(xb AS BIGINT) AS xb, CAST(yb AS BIGINT) AS yb,
+  CAST(list_sum([(((xb >> i) & 1) << (2 * i)) + (((yb >> i) & 1) << (2 * i + 1))
+                 FOR i IN range({_Z_BITS})]) AS BIGINT) AS z
+FROM b
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "scan_binaryfile_source": scan_binaryfile_source,
+    "sink_zorder_layout": sink_zorder_layout,
     "scan_csv_json_roundtrip": scan_csv_json_roundtrip,
     "scan_orc_roundtrip": scan_orc_roundtrip,
     "sink_partitioned_roundtrip": sink_partitioned_roundtrip,
@@ -694,6 +813,7 @@ QUERIES = {
 
 ORACLE = {
     "scan_binaryfile_source": _BINARYFILE_SQL,
+    "sink_zorder_layout": _ZORDER_SQL,
     "sink_incremental_rollup": _INCREMENTAL_SQL,
     "scan_orc_roundtrip": _ORC_SQL,
     "scan_csv_json_roundtrip": _SCAN_SQL,
