@@ -89,10 +89,12 @@ _MODULES = [
 # Everything else stays covered by tests/test_oracle_parity.py locally
 # (all 170 queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
-    # --- round-7 registrations: content-defined-anchor substring dedup
-    #     (registered latest, so first), the partition-pruned CDC merge
-    #     (the fact-sized-target scale path of stream_cdc_merge) and
-    #     the C4-style corpus line dedup ---
+    # --- round-7 registrations, latest first: sentinel-flushed outer
+    #     interval join, z-order layout, binaryFile ingestion,
+    #     content-defined-anchor substring dedup, the partition-pruned
+    #     CDC merge (the fact-sized-target scale path of
+    #     stream_cdc_merge) and the C4-style corpus line dedup ---
+    "stream_interval_join_outer",
     "sink_zorder_layout",
     "scan_binaryfile_source",
     "dedup_repeated_substrings",
@@ -148,12 +150,12 @@ _CHECK_FIRST = [
     "split_train_val_test",
     "unigram_lm_score",
     "source_overlap_matrix",
-    "sample_weighted_topk",
-    # event_funnel_conversion, pack_token_budget and chunk_documents
-    # rotated out to keep the window at exactly 50 as the late-r7
-    # registrations (dedup_repeated_substrings, scan_binaryfile_source,
-    # sink_zorder_layout) took the top slots; all three move to the
-    # r8 wave.
+    # sample_weighted_topk, event_funnel_conversion, pack_token_budget
+    # and chunk_documents rotated out to keep the window at exactly 50
+    # as the late-r7 registrations (dedup_repeated_substrings,
+    # scan_binaryfile_source, sink_zorder_layout,
+    # stream_interval_join_outer) took the top slots; all four move to
+    # the r8 wave.
 ]
 
 # ROUND-8 ROTATION PLAN (for the next builder): the 50-slot window
@@ -161,12 +163,12 @@ _CHECK_FIRST = [
 #   0. any round-7 registrations never yet in a window (register new
 #      operators at the TOP of this list);
 #   1. the r4-green rows left out of the r7 window (after r7 these
-#      hold the oldest artifact-backed rows), including chunk_documents
-#      pack_token_budget and event_funnel_conversion (displaced from
-#      the r7 window by the late-r7 registrations
-#      dedup_repeated_substrings, scan_binaryfile_source and
-#      sink_zorder_layout):
+#      hold the oldest artifact-backed rows), including the four
+#      displaced from the r7 window by the late-r7 registrations
+#      (dedup_repeated_substrings, scan_binaryfile_source,
+#      sink_zorder_layout, stream_interval_join_outer):
 #      chunk_documents, pack_token_budget, event_funnel_conversion,
+#      sample_weighted_topk,
 #      agg_approx_distinct, agg_hll_mergeable, agg_iqr_outliers,
 #      agg_percentiles, agg_salted_hot_key,
 #      join_asof_purchase, join_salted_hot_key,

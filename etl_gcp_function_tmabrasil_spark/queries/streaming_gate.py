@@ -112,6 +112,63 @@ def _shared_chunks(sf_dir: str) -> str:
     return out
 
 
+def _sentinel_chunks(sf_dir: str) -> str:
+    """The copies=1 chunk fixture plus TWO far-future SENTINEL clicks
+    (user_id -1, max real ts + 7/+8 days) delivered as the two LAST
+    files — the flush-marker pattern: the sentinels drag the watermark
+    far past every real row's join-state retention bound, so outer
+    joins emit their complete null-row set deterministically instead
+    of depending on Spark's (unpinned) eviction slack at stream end.
+
+    TWO sentinel waves because stream-stream joins get no no-data
+    flush batch under availableNow and a batch evicts state with the
+    watermark computed from the PREVIOUS batch's data (measured: a
+    single +7d sentinel left the last real batch's young unmatched
+    purchases in state — its own batch still ran on the pre-sentinel
+    watermark). The second wave's batch runs on the first wave's
+    watermark, which already clears every real row.
+
+    Each wave carries BOTH event types: the join watermarks each input
+    separately and the global watermark is their MIN
+    (multipleWatermarkPolicy=min), so a click-only sentinel never
+    advances the purchase side and eviction stalls (measured before
+    this fixture carried pairs). The sentinel pair matches only
+    itself (user_id -1) and the gate projection filters user_id >= 0,
+    so no sentinel row reaches the output.
+    Atomic like every fixture: built under a temp name, renamed in."""
+    import shutil
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = _root(sf_dir, "chunks_sentinel")
+    if os.path.isdir(out):
+        return out
+    tmp = out + ".build_tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    _write_chunks(sf_dir, tmp, copies=1)
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    last = tbl.to_pandas().sort_values("ts").tail(1).reset_index(drop=True)
+    eid = -1
+    for i, days in enumerate((7, 8)):
+        pdf = pd.concat([last, last], ignore_index=True)
+        pdf["ts"] = (pdf["ts"] + pd.Timedelta(days=days)).astype("datetime64[us]")
+        pdf["event_id"] = [eid, eid - 1]
+        eid -= 2
+        pdf["user_id"] = -1
+        pdf["event_type"] = ["click", "purchase"]
+        pdf["value"] = 0.0
+        time.sleep(0.05)  # strictly later mtime -> admitted in order
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            os.path.join(tmp, f"chunk_zz_sentinel{i}.parquet"),
+        )
+    os.rename(tmp, out)
+    return out
+
+
 def _stream(spark: SparkSession, chunks: str) -> DataFrame:
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
@@ -444,6 +501,92 @@ JOIN events c
  AND c.ts >= p.ts - INTERVAL '30 minutes'
 WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 ORDER BY p.user_id, purchase_id, click_id
+"""
+
+
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join — the same
+    click→purchase attribution, plus every UNATTRIBUTED purchase as a
+    null-click row (the organic-conversion report). The semantics
+    under test are the OUTER-specific ones: null rows surface on
+    STATE EVICTION, never on arrival (a premature null alongside a
+    later match would double-count the purchase), so rows still
+    protected by the join-state retention when the stream ends are
+    withheld.
+
+    Eviction timing is an implementation detail deliberately kept OUT
+    of the oracle: Spark retains outer-side state past the naive
+    watermark-minus-interval bound, and the measured cutoff is not a
+    stable closed form across fixtures (sf0.01's final flush emitted
+    1956/1958 unmatched rows consistent with max_ts - 2*30min, but
+    sf0.001 withheld a row 1h47m behind the front). Instead the
+    fixture appends far-future SENTINEL waves (user_id -1; a
+    click+purchase pair at +7 days, another at +8 — see
+    _sentinel_chunks for why a pair and why twice) as the final
+    chunks — the flush-marker pattern any production pipeline uses to
+    close books — driving both sides' watermarks far past every real
+    purchase's retention bound, so the emitted set is DETERMINISTIC:
+    all matched rows plus ALL unmatched real purchases (the oracle is
+    the plain batch left join). The sentinels match only each other
+    and are filtered from the read-back by user_id.
+
+    Null click columns are coalesced to sentinels (-1 / 'none') so
+    the output schema is null-free for the dtype-sensitive hash
+    compare — the join_full_outer convention.
+    """
+    from etl_gcp_function_tmabrasil_spark.streaming.windows import (
+        click_purchase_attribution,
+    )
+
+    root = _root(sf_dir, "interval_join_outer")
+    chunks = _sentinel_chunks(sf_dir)
+    s = _stream(spark, chunks)
+    joined = click_purchase_attribution(
+        s.filter(F.col("event_type") == "click"),
+        s.filter(F.col("event_type") == "purchase"),
+        how="leftOuter",
+    )
+    data = _run_to_parquet(joined, root)
+    return (
+        spark.read.parquet(data)
+        .filter(F.col("user_id") >= 0)  # drop the sentinel pair's self-match
+        .select(
+            "user_id",
+            "purchase_id",
+            F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_s"),
+            F.coalesce(
+                F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss"), F.lit("none")
+            ).alias("click_s"),
+            "value",
+        )
+        .orderBy("user_id", "purchase_id", "click_id")
+    )
+
+
+_INTERVAL_JOIN_OUTER_SQL = """
+WITH c AS (
+  SELECT user_id AS cu, event_id AS click_id, ts AS cts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS pts, value
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT p.user_id, p.purchase_id, c.click_id, p.pts, c.cts, p.value
+  FROM p LEFT JOIN c
+    ON c.cu = p.user_id
+   AND c.cts <= p.pts
+   AND c.cts >= p.pts - INTERVAL '30 minutes'
+)
+SELECT user_id, purchase_id,
+  COALESCE(click_id, -1) AS click_id,
+  strftime(pts, '%Y-%m-%d %H:%M:%S') AS purchase_s,
+  COALESCE(strftime(cts, '%Y-%m-%d %H:%M:%S'), 'none') AS click_s,
+  value
+FROM j
+ORDER BY user_id, purchase_id, click_id
 """
 
 
@@ -879,6 +1022,7 @@ QUERIES = {
     "stream_late_data_drop": stream_late_data_drop,
     "stream_session_watermark": stream_session_watermark,
     "stream_interval_join": stream_interval_join,
+    "stream_interval_join_outer": stream_interval_join_outer,
     "stream_running_totals_state": stream_running_totals_state,
     "stream_static_enrichment": stream_static_enrichment,
     "stream_sliding_watermark": stream_sliding_watermark,
@@ -892,6 +1036,7 @@ ORACLE = {
     "stream_late_data_drop": _LATE_DROP_SQL,
     "stream_session_watermark": _SESSION_STREAM_SQL,
     "stream_interval_join": _INTERVAL_JOIN_SQL,
+    "stream_interval_join_outer": _INTERVAL_JOIN_OUTER_SQL,
     "stream_running_totals_state": _RUNNING_STATE_SQL,
     "stream_static_enrichment": _ENRICH_SQL,
     "stream_sliding_watermark": _SLIDING_STREAM_SQL,

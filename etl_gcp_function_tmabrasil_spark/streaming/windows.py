@@ -174,7 +174,10 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
 
 
 def click_purchase_attribution(
-    clicks: DataFrame, purchases: DataFrame, horizon: str = "30 minutes"
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: attribute each purchase to every
     click by the same user within the preceding `horizon` — the
@@ -188,6 +191,18 @@ def click_purchase_attribution(
     user_id with time-range pruning; the same function body works in
     batch mode (no watermark state, plain interval join), which is how
     the test cross-checks streaming output against the batch answer.
+
+    `how="leftOuter"` additionally emits every UNATTRIBUTED purchase
+    with null click columns once the join state can prove no match is
+    coming — the organic-conversion side of the attribution report.
+    Outer rows surface on STATE EVICTION, not on arrival: Spark's
+    state-value watermark for the purchase side subtracts the join
+    interval from the global watermark (conservative retention), so a
+    purchase emits its null row once the watermark passes
+    purchase_ts + horizon — i.e. an event-time lag of watermark delay
+    + interval behind the stream front (measured; pinned by the
+    stream_interval_join_outer oracle, which reproduces the closed
+    form max_ts - 2*horizon for the final availableNow flush).
     """
     c = clicks.withWatermark("ts", horizon).select(
         F.col("user_id").alias("c_user"),
@@ -205,7 +220,7 @@ def click_purchase_attribution(
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}"))
     )
-    return p.join(c, cond, "inner").select(
+    return p.join(c, cond, how).select(
         "user_id", "purchase_id", "purchase_ts", "click_id", "click_ts", "value"
     )
 

@@ -712,3 +712,30 @@ def test_cdc_merge_gate_reinvocation_is_exactly_once(spark):
     second = [tuple(r) for r in stream_cdc_merge(spark, sf).collect()]
     assert second == first
     assert snap() == before
+
+
+def test_outer_interval_join_gate_reinvocation_is_deterministic(spark):
+    """stream_interval_join_outer's second invocation resumes the
+    per-process checkpoint (no new files, no micro-batch) and must
+    return the identical row set — in particular, no DUPLICATE null
+    rows and no null row for a purchase that also emitted a match
+    (the two corruption modes an outer streaming join can exhibit
+    across restarts)."""
+    from collections import Counter
+
+    from etl_gcp_function_tmabrasil_spark.queries.streaming_gate import (
+        stream_interval_join_outer,
+    )
+
+    sf = SF_SMOKE
+    first = [tuple(r) for r in stream_interval_join_outer(spark, sf).collect()]
+    assert first, "gate query returned no rows"
+    counts = Counter(first)
+    assert max(counts.values()) == 1, "duplicate emitted rows"
+    matched = {t[1] for t in first if t[2] != -1}  # purchase_id of matches
+    nulls = {t[1] for t in first if t[2] == -1}
+    assert not (matched & nulls), (
+        "a purchase emitted both a match and a null row"
+    )
+    second = [tuple(r) for r in stream_interval_join_outer(spark, sf).collect()]
+    assert sorted(second) == sorted(first)
