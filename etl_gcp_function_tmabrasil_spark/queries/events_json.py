@@ -442,7 +442,70 @@ FROM j ORDER BY user_id, day
 """
 
 
+EWMA_ALPHA = 0.25
+
+
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of `value` over
+    event time — the classic streaming-feature recurrence
+    (``ewma_i = α·x_i + (1-α)·ewma_{i-1}``, seeded with the first
+    observation) that feature-engineering pipelines attach to every
+    entity.
+
+    Why not a window function: the recurrence's closed form
+    ``α·Σ (1-α)^(i-j)·x_j`` needs ``(1-α)^(-j)`` factors that overflow
+    double at a few hundred rows per key, so the "prefix sum with
+    decay" trick is numerically dead on real history lengths. The
+    scalable shape for any LINEAR per-key recurrence is one shuffle to
+    the key then a ROW-LOCAL ordered fold: collect the key's history
+    (bounded by per-user event count — the same per-group guarantee
+    chunk reassembly and sessionization rely on) sorted by (ts,
+    event_id), and run the O(n) fold inside `aggregate()`. Both
+    engines execute the identical left fold over the identically
+    ordered operands in IEEE doubles, so the oracle (DuckDB
+    ``list_reduce`` over ``array_agg(... ORDER BY ...)``) matches
+    bit-for-bit before the presentation rounding.
+    """
+    ev = load_table(spark, sf_dir, "events", rebalance=True)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "array_sort(collect_list(struct(ts, event_id, value)))"
+            ).alias("h"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.round(
+                F.expr(
+                    f"aggregate(slice(h, 2, size(h) - 1),"
+                    f" cast(h[0].value as double),"
+                    f" (acc, x) -> {EWMA_ALPHA} * x.value"
+                    f" + {1 - EWMA_ALPHA} * acc)"
+                ),
+                6,
+            ).alias("ewma_last"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_EWMA_SQL = f"""
+SELECT user_id,
+  COUNT(*) AS n_events,
+  ROUND(list_reduce(array_agg(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                    (acc, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc), 6)
+    AS ewma_last
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "timeseries_ewma": timeseries_ewma,
     "json_extract_props": json_extract_props,
     "json_tuple_explode_outer": json_tuple_explode_outer,
     "json_schema_inference": json_schema_inference,
@@ -457,6 +520,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "timeseries_ewma": _EWMA_SQL,
     "json_extract_props": _JSON_SQL,
     "json_tuple_explode_outer": _JSON_TUPLE_SQL,
     "json_schema_inference": _JSON_SCHEMA_SQL,

@@ -797,9 +797,79 @@ ORDER BY event_id
 """
 
 
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — the join-driven companion of the
+    static directory pruning `sink_partitioned_roundtrip` pins: when a
+    date-partitioned fact joins a dimension whose FILTER is on a
+    non-join column, no static predicate on the partition column
+    exists at plan time, yet the scan must still skip directories.
+    Catalyst inserts a dynamic pruning subquery — the dim side's
+    broadcast result doubles as the fact scan's partition filter at
+    RUNTIME (`dynamicpruningexpression` in the scan's
+    PartitionFilters; pinned by tests/test_plans.py::
+    test_dpp_prunes_fact_partitions_at_runtime). At 100 TB this is
+    the star-schema workhorse: a "first week of month" dim filter
+    touches ~1/6 of fact directories without anyone spelling the
+    dates out.
+
+    The query: fact = the hive-partitioned events layout; dim = the
+    distinct calendar derived from `events` with a day-of-month
+    attribute, filtered to days 1–5; join on event_date, roll up per
+    date. The oracle computes the same rollup straight from `events`,
+    so hash equality proves the runtime-pruned scan read exactly the
+    right partitions — a wrongly pruned directory loses rows, an
+    unpruned-but-misjoined plan duplicates them.
+    """
+    from etl_gcp_function_tmabrasil_spark.queries._util import csum
+    from etl_gcp_function_tmabrasil_spark.sinks.partitioned import (
+        write_events_partitioned,
+    )
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "events_dpp")
+    _ensure_fixture(
+        fixture,
+        lambda tmp: write_events_partitioned(
+            load_table(spark, sf_dir, "events").select(*_COLS),
+            os.path.join(tmp, "data"),
+        ),
+    )
+    fact = spark.read.parquet(os.path.join(fixture, "data"))
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("event_date"))
+        .distinct()
+        .withColumn("day_num", F.dayofmonth("event_date"))
+        .filter(F.col("day_num") <= 5)
+    )
+    return (
+        fact.join(dim, "event_date")
+        .groupBy("event_date")
+        .agg(F.count(F.lit(1)).alias("n"), csum("value").alias("sum_value"))
+        .select(
+            F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("event_date")
+    )
+
+
+_DPP_SQL = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+WHERE day(CAST(ts AS DATE)) <= 5
+GROUP BY event_date
+ORDER BY event_date
+"""
+
+
 QUERIES = {
     "scan_binaryfile_source": scan_binaryfile_source,
     "sink_zorder_layout": sink_zorder_layout,
+    "join_dpp_partitioned": join_dpp_partitioned,
     "scan_csv_json_roundtrip": scan_csv_json_roundtrip,
     "scan_orc_roundtrip": scan_orc_roundtrip,
     "sink_partitioned_roundtrip": sink_partitioned_roundtrip,
@@ -814,6 +884,7 @@ QUERIES = {
 ORACLE = {
     "scan_binaryfile_source": _BINARYFILE_SQL,
     "sink_zorder_layout": _ZORDER_SQL,
+    "join_dpp_partitioned": _DPP_SQL,
     "sink_incremental_rollup": _INCREMENTAL_SQL,
     "scan_orc_roundtrip": _ORC_SQL,
     "scan_csv_json_roundtrip": _SCAN_SQL,

@@ -587,6 +587,31 @@ def test_line_dedup_broadcasts_the_duplicate_set(spark, sf_dir):
     )
 
 
+def test_dpp_prunes_fact_partitions_at_runtime(spark, sf_dir):
+    """join_dpp_partitioned's fact scan must carry a dynamic-pruning
+    subquery in its PartitionFilters: the dim filter is on a non-join
+    column, so no static partition predicate exists — without DPP the
+    scan reads every date directory and only the join discards rows.
+    Executed-plan pin on the partitioned FileScan."""
+    from etl_gcp_function_tmabrasil_spark.queries.sources_gate import (
+        join_dpp_partitioned,
+    )
+
+    df = join_dpp_partitioned(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        line
+        for line in plan.splitlines()
+        if "FileScan" in line and "events_dpp" in line
+    ]
+    assert scan_lines, plan[:400]
+    assert any("dynamicpruning" in line.lower() for line in scan_lines), (
+        "fact scan has no dynamic pruning filter — every partition is read:\n"
+        + scan_lines[0]
+    )
+
+
 def test_repeated_substrings_broadcasts_dup_set(spark, sf_dir):
     """dedup_repeated_substrings joins back only the FILTERED cross-doc
     duplicate set (tiny vs the distinct-window mass) — AQE must
