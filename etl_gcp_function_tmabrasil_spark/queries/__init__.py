@@ -74,11 +74,11 @@ _MODULES = [
 # all_queries()[:50]), and it gives ZERO credit to entries without an
 # oracle_sql twin — `err: "no_oracle"`, no rows-only fallback (r1:
 # agg_approx_distinct/agg_hll_mergeable; r3: the MLlib/multimodal five).
-# Every registered query carries an exact oracle (176/176 as of round
+# Every registered query carries an exact oracle (177/177 as of round
 # 7). The window ROTATES per round so every query's latest green row
 # stays fresh; CORRECTNESS_CUMULATIVE.json records each query's latest
 # green round (asserted complete by tests/test_correctness_ledger.py).
-# Round 7 = the r6-verdict rotation plan plus the eight round-7
+# Round 7 = the r6-verdict rotation plan plus the nine round-7
 # registrations at the top: the 13 round-6 registrations that have
 # never been inside a driver window, the 6 family-sibling
 # prose-sourced entries deferred out of the r6 window, and 24 of the
@@ -89,12 +89,14 @@ _MODULES = [
 # Everything else stays covered by tests/test_oracle_parity.py locally
 # (all 170 queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
-    # --- round-7 registrations, latest first: per-key EWMA fold,
+    # --- round-7 registrations, latest first: semi interval join,
+    #     per-key EWMA fold,
     #     dynamic partition pruning, sentinel-flushed outer interval join, z-order
     #     layout, binaryFile ingestion, content-defined-anchor
     #     substring dedup, the partition-pruned CDC merge (the
     #     fact-sized-target scale path of stream_cdc_merge) and the
     #     C4-style corpus line dedup ---
+    "stream_interval_join_semi",
     "timeseries_ewma",
     "join_dpp_partitioned",
     "stream_interval_join_outer",
@@ -150,14 +152,15 @@ _CHECK_FIRST = [
     "bpe_merge_pairs",
     "bm25_score_docs",
     "curriculum_temperature_sample",
-    "split_train_val_test",
-    # unigram_lm_score, source_overlap_matrix, sample_weighted_topk,
+    # split_train_val_test, unigram_lm_score, source_overlap_matrix,
+    # sample_weighted_topk,
     # event_funnel_conversion, pack_token_budget and chunk_documents
     # rotated out to keep the window at exactly 50 as the late-r7
     # registrations (dedup_repeated_substrings, scan_binaryfile_source,
     # sink_zorder_layout, stream_interval_join_outer,
-    # join_dpp_partitioned, timeseries_ewma) took the top slots; all
-    # six move to the r8 wave.
+    # join_dpp_partitioned, timeseries_ewma,
+    # stream_interval_join_semi) took the top slots; all seven move to
+    # the r8 wave.
 ]
 
 # ROUND-8 ROTATION PLAN (for the next builder): the 50-slot window
@@ -165,13 +168,15 @@ _CHECK_FIRST = [
 #   0. any round-7 registrations never yet in a window (register new
 #      operators at the TOP of this list);
 #   1. the r4-green rows left out of the r7 window (after r7 these
-#      hold the oldest artifact-backed rows), including the six
+#      hold the oldest artifact-backed rows), including the seven
 #      displaced from the r7 window by the late-r7 registrations
 #      (dedup_repeated_substrings, scan_binaryfile_source,
 #      sink_zorder_layout, stream_interval_join_outer,
-#      join_dpp_partitioned, timeseries_ewma):
+#      join_dpp_partitioned, timeseries_ewma,
+#      stream_interval_join_semi):
 #      chunk_documents, pack_token_budget, event_funnel_conversion,
 #      sample_weighted_topk, source_overlap_matrix, unigram_lm_score,
+#      split_train_val_test,
 #      agg_approx_distinct, agg_hll_mergeable, agg_iqr_outliers,
 #      agg_percentiles, agg_salted_hot_key,
 #      join_asof_purchase, join_salted_hot_key,

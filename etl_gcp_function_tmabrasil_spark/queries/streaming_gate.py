@@ -564,6 +564,63 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_interval_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT SEMI interval join — "purchases
+    with at least one qualifying click", emitted EXACTLY ONCE however
+    many clicks match (the existence-check companion of the inner and
+    outer attribution gates; dedup-free conversion counting is its
+    production use). Semi rows emit on first match, not on eviction,
+    so determinism needs only the replay invariant the inner gate
+    already relies on: the join condition bounds click_ts <=
+    purchase_ts, and the time-ordered chunk replay delivers every
+    qualifying click no later than its purchase's batch — no eligible
+    pair is ever split across an expired-state boundary. The oracle is
+    the batch EXISTS semantics; duplicate emission (the semi-specific
+    failure mode — one row per matching click instead of one per
+    purchase) breaks the row-count compare immediately.
+    """
+    from etl_gcp_function_tmabrasil_spark.streaming.windows import (
+        click_purchase_attribution,
+    )
+
+    root = _root(sf_dir, "interval_join_semi")
+    chunks = _shared_chunks(sf_dir)
+    s = _stream(spark, chunks)
+    joined = click_purchase_attribution(
+        s.filter(F.col("event_type") == "click"),
+        s.filter(F.col("event_type") == "purchase"),
+        how="leftSemi",
+    )
+    data = _run_to_parquet(joined, root)
+    return (
+        spark.read.parquet(data)
+        .select(
+            "user_id",
+            "purchase_id",
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_s"),
+            "value",
+        )
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+_INTERVAL_JOIN_SEMI_SQL = """
+SELECT p.user_id, p.event_id AS purchase_id,
+  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_s,
+  p.value
+FROM events p
+WHERE p.event_type = 'purchase'
+  AND EXISTS (
+    SELECT 1 FROM events c
+    WHERE c.event_type = 'click'
+      AND c.user_id = p.user_id
+      AND c.ts <= p.ts
+      AND c.ts >= p.ts - INTERVAL '30 minutes'
+  )
+ORDER BY p.user_id, purchase_id
+"""
+
+
 _INTERVAL_JOIN_OUTER_SQL = """
 WITH c AS (
   SELECT user_id AS cu, event_id AS click_id, ts AS cts
@@ -1023,6 +1080,7 @@ QUERIES = {
     "stream_session_watermark": stream_session_watermark,
     "stream_interval_join": stream_interval_join,
     "stream_interval_join_outer": stream_interval_join_outer,
+    "stream_interval_join_semi": stream_interval_join_semi,
     "stream_running_totals_state": stream_running_totals_state,
     "stream_static_enrichment": stream_static_enrichment,
     "stream_sliding_watermark": stream_sliding_watermark,
@@ -1037,6 +1095,7 @@ ORACLE = {
     "stream_session_watermark": _SESSION_STREAM_SQL,
     "stream_interval_join": _INTERVAL_JOIN_SQL,
     "stream_interval_join_outer": _INTERVAL_JOIN_OUTER_SQL,
+    "stream_interval_join_semi": _INTERVAL_JOIN_SEMI_SQL,
     "stream_running_totals_state": _RUNNING_STATE_SQL,
     "stream_static_enrichment": _ENRICH_SQL,
     "stream_sliding_watermark": _SLIDING_STREAM_SQL,

@@ -220,7 +220,10 @@ def click_purchase_attribution(
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}"))
     )
-    return p.join(c, cond, how).select(
+    j = p.join(c, cond, how)
+    if how == "leftSemi":  # semi output carries only the purchase side
+        return j.select("user_id", "purchase_id", "purchase_ts", "value")
+    return j.select(
         "user_id", "purchase_id", "purchase_ts", "click_id", "click_ts", "value"
     )
 
