@@ -74,7 +74,7 @@ _MODULES = [
 # all_queries()[:50]), and it gives ZERO credit to entries without an
 # oracle_sql twin — `err: "no_oracle"`, no rows-only fallback (r1:
 # agg_approx_distinct/agg_hll_mergeable; r3: the MLlib/multimodal five).
-# Every registered query carries an exact oracle (177/177 as of round
+# Every registered query carries an exact oracle (178/178 as of round
 # 7). The window ROTATES per round so every query's latest green row
 # stays fresh; CORRECTNESS_CUMULATIVE.json records each query's latest
 # green round (asserted complete by tests/test_correctness_ledger.py).
@@ -87,15 +87,17 @@ _MODULES = [
 # The remaining r4 rows rotate in r8 (plan below) so the window
 # stays at exactly 50.
 # Everything else stays covered by tests/test_oracle_parity.py locally
-# (all 170 queries, every session) and keeps its ledger row.
+# (all registered queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
-    # --- round-7 registrations, latest first: semi interval join,
+    # --- round-7 registrations, latest first: SemDeDup semantic
+    #     dedup, semi interval join,
     #     per-key EWMA fold,
     #     dynamic partition pruning, sentinel-flushed outer interval join, z-order
     #     layout, binaryFile ingestion, content-defined-anchor
     #     substring dedup, the partition-pruned CDC merge (the
     #     fact-sized-target scale path of stream_cdc_merge) and the
     #     C4-style corpus line dedup ---
+    "dedup_semantic_semdedup",
     "stream_interval_join_semi",
     "timeseries_ewma",
     "join_dpp_partitioned",
@@ -151,15 +153,14 @@ _CHECK_FIRST = [
     # --- r4-wave re-verifies: traindata pipeline ops ---
     "bpe_merge_pairs",
     "bm25_score_docs",
-    "curriculum_temperature_sample",
-    # split_train_val_test, unigram_lm_score, source_overlap_matrix,
-    # sample_weighted_topk,
+    # curriculum_temperature_sample, split_train_val_test,
+    # unigram_lm_score, source_overlap_matrix, sample_weighted_topk,
     # event_funnel_conversion, pack_token_budget and chunk_documents
     # rotated out to keep the window at exactly 50 as the late-r7
     # registrations (dedup_repeated_substrings, scan_binaryfile_source,
     # sink_zorder_layout, stream_interval_join_outer,
-    # join_dpp_partitioned, timeseries_ewma,
-    # stream_interval_join_semi) took the top slots; all seven move to
+    # join_dpp_partitioned, timeseries_ewma, stream_interval_join_semi,
+    # dedup_semantic_semdedup) took the top slots; all eight move to
     # the r8 wave.
 ]
 
@@ -173,10 +174,10 @@ _CHECK_FIRST = [
 #      (dedup_repeated_substrings, scan_binaryfile_source,
 #      sink_zorder_layout, stream_interval_join_outer,
 #      join_dpp_partitioned, timeseries_ewma,
-#      stream_interval_join_semi):
+#      stream_interval_join_semi, dedup_semantic_semdedup):
 #      chunk_documents, pack_token_budget, event_funnel_conversion,
 #      sample_weighted_topk, source_overlap_matrix, unigram_lm_score,
-#      split_train_val_test,
+#      split_train_val_test, curriculum_temperature_sample,
 #      agg_approx_distinct, agg_hll_mergeable, agg_iqr_outliers,
 #      agg_percentiles, agg_salted_hot_key,
 #      join_asof_purchase, join_salted_hot_key,

@@ -550,9 +550,13 @@ def kmeans_ivf_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql() -> str:
-    """Unrolled Lloyd iterations mirroring operators/kmeans.py
-    bit-for-bit: rounded argmin keys, decimal-exact means."""
+def _kmeans_cte_prefix() -> str:
+    """The unrolled-Lloyd CTE chain mirroring operators/kmeans.py
+    bit-for-bit (rounded argmin keys, decimal-exact means): after it,
+    ``a{KMEANS_ITERS}`` is exactly the (vec_id, e, cell_id, sqdist)
+    assignment kmeans_fit returns and ``c{KMEANS_ITERS}`` the final
+    centroids. Shared by the codebook gate and the SemDeDup gate so
+    the two oracles cannot drift on the training loop."""
     sq = (
         "ROUND(list_sum(list_transform(generate_series(1, len(v.e)),"
         " i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]))), 6)"
@@ -584,14 +588,20 @@ u{n} AS (
 ),
 c{n} AS (SELECT cell_id, list(m ORDER BY dim) AS ce FROM u{n} GROUP BY cell_id)""")
         prev = f"c{n}"
-    norm = _SQL_NORM.format(a="c.ce")
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 c0 AS (
   SELECT cell_id, ce FROM (
     SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell_id, e AS ce FROM e
   ) t WHERE cell_id <= {KMEANS_K}
-),{",".join(parts)},
+),{",".join(parts)}"""
+
+
+def _kmeans_sql() -> str:
+    """Codebook summary over the shared unrolled-Lloyd prefix."""
+    norm = _SQL_NORM.format(a="c.ce")
+    return f"""
+{_kmeans_cte_prefix()},
 sizes AS (
   SELECT cell_id, COUNT(*) AS n_members,
     ROUND(CAST(SUM(CAST(sqdist AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6)
@@ -605,6 +615,103 @@ ORDER BY cell_id
 """
 
 
+SEMDEDUP_COS_MIN = 0.30
+
+
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings with the SAME
+    trainer as kmeans_ivf_codebook (operators/kmeans.kmeans_fit — k=8,
+    3 Lloyd iterations, deterministic init), then WITHIN each cluster
+    mark every vector whose cosine to a lower-vec_id cluster-mate
+    reaches θ=0.30 as a semantic duplicate (the paper's
+    keep-one-per-near-dup-set rule with a deterministic lowest-id
+    survivor). Output: the dropped set — vec_id, its cell, how many
+    lower-id mates triggered the drop, and the strongest cosine.
+
+    Distinct from embedding_cosine_dedup: that gate emits near-dup
+    PAIRS found by hyperplane-LSH banding at cosine ≥ 0.95 (syntactic
+    near-copies); this one makes a per-document KEEP/DROP decision at a
+    much looser threshold, scoped to a learned semantic cluster — the
+    corpus-diversification pass, not the copy-detector.
+
+    Scale design: the quadratic step is confined to one cluster — the
+    paper's own trick: k grows with the corpus so per-cell membership
+    stays bounded, and the within-cell pairing is an equi-join on
+    cell_id, never an all-pairs (guarded by
+    tests/test_plans.py::test_no_registered_query_grows_a_cartesian).
+    At 100 TB k is ~1e5, so cell_id is a high-cardinality, evenly
+    shuffled key; the k=8 here is the test-scale setting shared with
+    the codebook gate.
+
+    EXACT oracle: the cluster assignment reuses the codebook gate's
+    bit-identical unrolled-Lloyd CTE prefix (_kmeans_cte_prefix), and
+    cosines are rounded to 4 dp before the threshold compare on both
+    engines (the embedding_cosine_dedup convention).
+    """
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True).select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    return semdedup_drop_set(emb)
+
+
+def semdedup_drop_set(emb: DataFrame) -> DataFrame:
+    """The SemDeDup core over (vec_id, e: array<double>): cluster with
+    kmeans_fit, then report every vector with a lower-id cluster-mate
+    at cosine ≥ SEMDEDUP_COS_MIN (rounded to 4 dp first). Factored out
+    so tests can run it on planted-duplicate frames."""
+    from etl_gcp_function_tmabrasil_spark.operators.kmeans import kmeans_fit
+
+    _, assigned = kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    m = emb.join(assigned.select("vec_id", "cell_id"), "vec_id").select(
+        "vec_id", "cell_id", "e", _norm(F.col("e")).alias("nrm")
+    )
+    x, y = m.alias("x"), m.alias("y")
+    cos = _dot(F.col("x.e"), F.col("y.e")) / (F.col("x.nrm") * F.col("y.nrm"))
+    return (
+        x.join(
+            y,
+            (F.col("x.cell_id") == F.col("y.cell_id"))
+            & (F.col("x.vec_id") > F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_id"),
+            F.col("x.cell_id").alias("cell_id"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEMDEDUP_COS_MIN)
+        .groupBy("vec_id", "cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_mates"),
+            F.max("cosine").alias("max_cosine"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _semdedup_sql() -> str:
+    """Drop-set over the shared unrolled-Lloyd prefix."""
+    cos = "{dot} / ({nx} * {ny})".format(
+        dot=_SQL_DOT.format(a="x.e", b="y.e"),
+        nx=_SQL_NORM.format(a="x.e"),
+        ny=_SQL_NORM.format(a="y.e"),
+    )
+    n = KMEANS_ITERS
+    return f"""
+{_kmeans_cte_prefix()},
+pairs AS (
+  SELECT x.vec_id AS vec_id, x.cell_id AS cell_id, ROUND({cos}, 4) AS cosine
+  FROM a{n} x JOIN a{n} y
+    ON x.cell_id = y.cell_id AND x.vec_id > y.vec_id
+)
+SELECT vec_id, CAST(cell_id AS INT) AS cell_id,
+  COUNT(*) AS n_dup_mates, MAX(cosine) AS max_cosine
+FROM pairs WHERE cosine >= {SEMDEDUP_COS_MIN}
+GROUP BY vec_id, cell_id
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "knn_bruteforce_cosine": knn_bruteforce_cosine,
     "ann_lsh_cosine": ann_lsh_cosine,
@@ -613,6 +720,7 @@ QUERIES = {
     "embedding_dim_profile": embedding_dim_profile,
     "embedding_cosine_dedup": embedding_cosine_dedup,
     "kmeans_ivf_codebook": kmeans_ivf_codebook,
+    "dedup_semantic_semdedup": dedup_semantic_semdedup,
 }
 
 ORACLE = {
@@ -623,4 +731,5 @@ ORACLE = {
     "embedding_dim_profile": _DIM_PROFILE_SQL,
     "embedding_cosine_dedup": _emb_dedup_sql(),
     "kmeans_ivf_codebook": _kmeans_sql(),
+    "dedup_semantic_semdedup": _semdedup_sql(),
 }

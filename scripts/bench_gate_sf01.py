@@ -59,6 +59,8 @@ GATE_QUERIES = [
     # moved out of bench.py HEADLINE in r6: Lloyd's iterations run at
     # construction (the guard there correctly tripped on it)
     "kmeans_ivf_codebook",
+    # r7: same eager Lloyd's loop feeding the within-cell drop decision
+    "dedup_semantic_semdedup",
     "sink_incremental_rollup",
     # r6/r7 CDC merges (checkpointed foreachBatch replays)
     "stream_cdc_merge",

@@ -77,3 +77,40 @@ def test_kmeans_rejects_zero_iters(spark, sf_dir):
 
     with pytest.raises(ValueError, match="iters >= 1"):
         kmeans_fit(_emb(spark, sf_dir), k=8, iters=0)
+
+
+def test_semdedup_drops_planted_duplicates_and_keeps_cell_minima(spark, sf_dir):
+    """SemDeDup behavioral pins (queries/similarity.semdedup_drop_set):
+    (1) a planted exact copy of an existing vector lands in the same
+    cell (identical vector -> identical rounded argmin) and MUST be
+    dropped at cosine 1.0; (2) the lowest vec_id in every cell can
+    never be dropped (it has no lower-id mate); (3) every reported row
+    clears the threshold with at least one mate."""
+    from etl_gcp_function_tmabrasil_spark.queries.similarity import (
+        SEMDEDUP_COS_MIN,
+        semdedup_drop_set,
+    )
+
+    emb = _emb(spark, sf_dir)
+    originals = {r.vec_id: r.e for r in emb.orderBy("vec_id").limit(3).collect()}
+    top = emb.agg(F.max("vec_id")).collect()[0][0]
+    planted = spark.createDataFrame(
+        [(int(top) + 1 + i, e) for i, e in enumerate(originals.values())],
+        schema=emb.schema,
+    )
+    dropped = semdedup_drop_set(emb.unionByName(planted))
+    rows = dropped.collect()
+    got = {r.vec_id: r for r in rows}
+    for i in range(len(originals)):
+        pid = int(top) + 1 + i
+        assert pid in got, f"planted copy {pid} not dropped"
+        assert got[pid].max_cosine == 1.0, got[pid]
+    # per-cell minima survive; thresholds hold for every reported row
+    _, assigned = kmeans_fit(emb.unionByName(planted), k=8, iters=3)
+    cell_min = {
+        r.cell_id: r.lo
+        for r in assigned.groupBy("cell_id").agg(F.min("vec_id").alias("lo")).collect()
+    }
+    for r in rows:
+        assert r.vec_id != cell_min[r.cell_id], f"cell minimum dropped: {r}"
+        assert r.max_cosine >= SEMDEDUP_COS_MIN and r.n_dup_mates >= 1, r

@@ -462,6 +462,7 @@ def test_no_registered_query_grows_a_cartesian(spark, sf_dir):
     # a no-cartesian assertion in its composition tests.
     eager_names = {
         "kmeans_ivf_codebook",
+        "dedup_semantic_semdedup",
         "dedup_components",
         "dedup_cluster_representative",
         "pagerank_dedup_graph",
