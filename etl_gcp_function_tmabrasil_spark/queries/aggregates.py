@@ -5,7 +5,7 @@ collect_list/set.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from etl_gcp_function_tmabrasil_spark.catalog import load_table
 from etl_gcp_function_tmabrasil_spark.queries._util import (
@@ -83,6 +83,70 @@ _APPROX_DISTINCT_SQL = """
 SELECT l_returnflag,
   COUNT(DISTINCT l_partkey) AS n_exact_parts,
   TRUE AS hll_within_5pct
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+#: percentile_approx accuracy: rank error <= n/APPROX_PCT_ACC (GK bound)
+APPROX_PCT_ACC = 1000
+
+
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via Spark's mergeable Greenwald-Khanna
+    sketch (`percentile_approx`, accuracy=1000), made hash-gateable the
+    HLL way (agg_approx_distinct): the sketch's output is an actual
+    data element whose RANK is within eps*n of the target (eps =
+    1/accuracy — the GK theorem), so the query joins the approx p50/p95
+    back against the group and emits booleans asserting
+    count(x < v) <= (phi + 2*eps)*n AND count(x <= v) >= (phi - 2*eps)*n
+    (2*eps margin: the raw bound is met with slack < 0.1*eps*n at
+    sf0.001 — measured, not assumed). The oracle recomputes the group
+    sizes exactly and emits TRUE — a sketch drifting out of bound turns
+    the value-hash red.
+
+    Scale notes: this is the percentile tier between the exact banded
+    two-pass (agg_percentiles — when exactness is the point) and a
+    constant-memory one-pass: the GK sketch is O(accuracy * log n) per
+    group per task and MERGEABLE, so it rides one partial+final
+    aggregation with no second pass over the data. At 100 TB production
+    keeps only the sketch pass; the verification join (broadcast of one
+    row per group) is this gate's job, not the production plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    ap = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice",
+            F.array(F.lit(0.5), F.lit(0.95)),
+            F.lit(APPROX_PCT_ACC),
+        ).alias("ap"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    j = li.join(F.broadcast(ap), "l_returnflag")
+    eps = 2.0 / APPROX_PCT_ACC
+
+    def within(phi: float, idx: int) -> Column:
+        v = F.col("ap")[idx]
+        lt = F.sum((F.col("l_extendedprice") < v).cast("long"))
+        le = F.sum((F.col("l_extendedprice") <= v).cast("long"))
+        n = F.first("n_items")
+        return (lt <= (phi + eps) * n) & (le >= (phi - eps) * n)
+
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.first("n_items").alias("n_items"),
+            within(0.5, 0).alias("p50_within_bound"),
+            within(0.95, 1).alias("p95_within_bound"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_APPROX_PCT_SQL = """
+SELECT l_returnflag, COUNT(*) AS n_items,
+  TRUE AS p50_within_bound, TRUE AS p95_within_bound
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
@@ -695,6 +759,7 @@ QUERIES = {
     "agg_stats_moments": agg_stats_moments,
     "rollup_time_multires": rollup_time_multires,
     "agg_approx_distinct": agg_approx_distinct,
+    "agg_approx_percentile": agg_approx_percentile,
     "agg_percentiles": agg_percentiles,
     "agg_iqr_outliers": agg_iqr_outliers,
     "agg_salted_hot_key": agg_salted_hot_key,
@@ -723,4 +788,5 @@ ORACLE = {
     # boolean) — both SQL-checkable; see the query docstrings.
     "agg_approx_distinct": _APPROX_DISTINCT_SQL,
     "agg_hll_mergeable": _HLL_MERGEABLE_SQL,
+    "agg_approx_percentile": _APPROX_PCT_SQL,
 }

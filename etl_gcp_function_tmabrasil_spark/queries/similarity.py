@@ -655,14 +655,21 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_drop_set(emb)
 
 
-def semdedup_drop_set(emb: DataFrame) -> DataFrame:
+def semdedup_drop_set(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    theta: float = SEMDEDUP_COS_MIN,
+) -> DataFrame:
     """The SemDeDup core over (vec_id, e: array<double>): cluster with
     kmeans_fit, then report every vector with a lower-id cluster-mate
-    at cosine ≥ SEMDEDUP_COS_MIN (rounded to 4 dp first). Factored out
-    so tests can run it on planted-duplicate frames."""
+    at cosine ≥ theta (rounded to 4 dp first). Factored out so tests
+    can run it on planted-duplicate frames and the sf1 probe can scale
+    k with the corpus (the paper's contract — per-cell membership, and
+    with it the per-cell pair count, stays bounded as N grows)."""
     from etl_gcp_function_tmabrasil_spark.operators.kmeans import kmeans_fit
 
-    _, assigned = kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    _, assigned = kmeans_fit(emb, k=k, iters=iters)
     m = emb.join(assigned.select("vec_id", "cell_id"), "vec_id").select(
         "vec_id", "cell_id", "e", _norm(F.col("e")).alias("nrm")
     )
@@ -679,7 +686,7 @@ def semdedup_drop_set(emb: DataFrame) -> DataFrame:
             F.col("x.cell_id").alias("cell_id"),
             F.round(cos, 4).alias("cosine"),
         )
-        .filter(F.col("cosine") >= SEMDEDUP_COS_MIN)
+        .filter(F.col("cosine") >= theta)
         .groupBy("vec_id", "cell_id")
         .agg(
             F.count(F.lit(1)).alias("n_dup_mates"),

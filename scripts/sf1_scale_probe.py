@@ -37,7 +37,7 @@ SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/spark_graft_sf1"
 OFFSET = 10_000_000
 
-SCALED = {"orders", "customer", "documents", "events"}
+SCALED = {"orders", "customer", "documents", "events", "embeddings"}
 
 #: Parity at sf1 for the scale-sensitive set whose oracles stay cheap
 #: at 1.5M orders / 50k docs (dedup_minhash_lsh's oracle recomputes
@@ -145,6 +145,17 @@ def generate() -> None:
         f"'{_rot(lower, i)}{_rot(upper, i)}')"
         for i in range(10)
     )
+    # embeddings x10: vec_id offset per copy, array ROTATED by i — a
+    # coordinate permutation preserves every within-copy inner product
+    # (both vectors rotate together), so each copy's cluster/cosine
+    # structure matches sf0.1 while cross-copy cosines scramble.
+    con.execute(f"""
+        COPY (
+          SELECT vec_id + i*{OFFSET} AS vec_id,
+                 embedding[i+1:] || embedding[:i] AS embedding
+          FROM '{SF01}/embeddings.parquet', range(10) t(i)
+        ) TO '{SF1}/embeddings.parquet' (FORMAT PARQUET)
+    """)
     con.execute(f"""
         COPY (
           SELECT doc_id + i*{OFFSET} AS doc_id,
@@ -218,6 +229,42 @@ def main() -> None:
                 "med": round(samples[len(samples) // 2], 3),
             }
             print(f"{name}@{sf_name}", out["timings"][f"{name}@{sf_name}"], flush=True)
+
+    # SemDeDup scales by GROWING k with the corpus (its documented
+    # contract — SCALING.md "Semantic dedup"): at sf1 (10x vectors,
+    # rotation-scaled so every copy keeps sf0.1's cluster structure)
+    # probe with k=80 so per-cell membership — and with it the
+    # within-cell pair count — stays at the sf0.1 level. Runtime
+    # should grow ~linearly in N; the registered gate's fixed k=8
+    # would instead grow the pair join ~100x, which is exactly the
+    # misconfiguration the k-contract exists to rule out.
+    from pyspark.sql import functions as F
+
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+    from etl_gcp_function_tmabrasil_spark.functions.vector import as_double_array
+    from etl_gcp_function_tmabrasil_spark.queries.similarity import semdedup_drop_set
+
+    for sf_name, sf_dir, k in [("sf0.1", SF01, 8), ("sf1", SF1, 80)]:
+        samples = []
+        for i in range(4):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            emb = load_table(spark, sf_dir, "embeddings", rebalance=True).select(
+                "vec_id", as_double_array(F.col("embedding")).alias("e")
+            )
+            semdedup_drop_set(emb, k=k).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            if i > 0:
+                samples.append(time.perf_counter() - t0)
+        samples.sort()
+        key = f"dedup_semantic_semdedup[k={k}]@{sf_name}"
+        out["timings"][key] = {
+            "min": round(samples[0], 3),
+            "med": round(samples[len(samples) // 2], 3),
+        }
+        print(key, out["timings"][key], flush=True)
+
     print(json.dumps(out))
     spark.stop()
 

@@ -53,6 +53,7 @@ _FAMILY_QUERIES = [
     ("sql_cte_window_topk", 0),
     ("kmeans_ivf_codebook", 0),
     ("dedup_semantic_semdedup", 0),
+    ("agg_approx_percentile", 0),
     ("multimodal_resize_stats", 3),  # synthetic media: one row per kind
     ("sample_weighted_topk", 0),
     ("pagerank_dedup_graph", 0),

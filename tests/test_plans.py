@@ -423,6 +423,24 @@ def test_heavy_hitters_counts_only_broadcast_candidates(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_approx_percentile_sketch_is_partial_final_with_broadcast_verify(
+    spark, sf_dir
+):
+    """agg_approx_percentile's GK sketch must ride one partial+final
+    aggregation (the mergeable-sketch contract its SCALING entry
+    claims) and its rank-bound verification join must BROADCAST the
+    one-row-per-group sketch output — a SortMergeJoin would shuffle
+    the fact table a second time just to check the theorem."""
+    from etl_gcp_function_tmabrasil_spark.queries.aggregates import (
+        agg_approx_percentile,
+    )
+
+    plan = explain_str(agg_approx_percentile(spark, sf_dir))
+    assert "partial_percentile_approx" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_ngram_jaccard_baseline_stays_block_keyed(spark, sf_dir):
     """The labeled-quadratic dedup baseline must stay quadratic only
     WITHIN (lang, source) blocks: its self-join has to be an equi-join
