@@ -604,6 +604,78 @@ def stream_interval_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER interval join — completes
+    the attribution family (inner / leftOuter / leftSemi gates above):
+    matched click→purchase pairs PLUS every unattributed purchase
+    (null click columns — organic conversions) PLUS every
+    non-converting click (null purchase columns — the abandoned-intent
+    side only the full join surfaces). Null rows on BOTH sides emit on
+    STATE EVICTION, so determinism rides the same sentinel-flush
+    bookkeeping as the left-outer gate: the fixture's two far-future
+    sentinel waves (each carrying both event types — the global
+    watermark is the MIN over both inputs) drag eviction past every
+    real row, making the emitted set exactly the batch FULL OUTER
+    interval join. Sentinels match only themselves (user_id -1) and
+    are filtered from the read-back; null sides are coalesced to
+    sentinels (-1 / 'none' / -1.0) for the dtype-sensitive hash
+    compare — the join_full_outer convention.
+    """
+    from etl_gcp_function_tmabrasil_spark.streaming.windows import (
+        click_purchase_attribution,
+    )
+
+    root = _root(sf_dir, "interval_join_full")
+    chunks = _sentinel_chunks(sf_dir)
+    s = _stream(spark, chunks)
+    joined = click_purchase_attribution(
+        s.filter(F.col("event_type") == "click"),
+        s.filter(F.col("event_type") == "purchase"),
+        how="fullOuter",
+    )
+    data = _run_to_parquet(joined, root)
+    return (
+        spark.read.parquet(data)
+        .filter(F.col("user_id") >= 0)  # drop the sentinel pairs' self-matches
+        .select(
+            "user_id",
+            F.coalesce("purchase_id", F.lit(-1)).alias("purchase_id"),
+            F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+            F.coalesce(
+                F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss"), F.lit("none")
+            ).alias("purchase_s"),
+            F.coalesce(
+                F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss"), F.lit("none")
+            ).alias("click_s"),
+            F.coalesce("value", F.lit(-1.0)).alias("value"),
+        )
+        .orderBy("user_id", "purchase_id", "click_id")
+    )
+
+
+_INTERVAL_JOIN_FULL_SQL = """
+WITH c AS (
+  SELECT user_id AS cu, event_id AS click_id, ts AS cts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS pts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT COALESCE(p.user_id, c.cu) AS user_id,
+  COALESCE(p.purchase_id, -1) AS purchase_id,
+  COALESCE(c.click_id, -1) AS click_id,
+  COALESCE(strftime(p.pts, '%Y-%m-%d %H:%M:%S'), 'none') AS purchase_s,
+  COALESCE(strftime(c.cts, '%Y-%m-%d %H:%M:%S'), 'none') AS click_s,
+  COALESCE(p.value, -1.0) AS value
+FROM p FULL OUTER JOIN c
+  ON c.cu = p.user_id
+ AND c.cts <= p.pts
+ AND c.cts >= p.pts - INTERVAL '30 minutes'
+ORDER BY user_id, purchase_id, click_id
+"""
+
+
 _INTERVAL_JOIN_SEMI_SQL = """
 SELECT p.user_id, p.event_id AS purchase_id,
   strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_s,
@@ -1081,6 +1153,7 @@ QUERIES = {
     "stream_interval_join": stream_interval_join,
     "stream_interval_join_outer": stream_interval_join_outer,
     "stream_interval_join_semi": stream_interval_join_semi,
+    "stream_interval_join_full": stream_interval_join_full,
     "stream_running_totals_state": stream_running_totals_state,
     "stream_static_enrichment": stream_static_enrichment,
     "stream_sliding_watermark": stream_sliding_watermark,
@@ -1096,6 +1169,7 @@ ORACLE = {
     "stream_interval_join": _INTERVAL_JOIN_SQL,
     "stream_interval_join_outer": _INTERVAL_JOIN_OUTER_SQL,
     "stream_interval_join_semi": _INTERVAL_JOIN_SEMI_SQL,
+    "stream_interval_join_full": _INTERVAL_JOIN_FULL_SQL,
     "stream_running_totals_state": _RUNNING_STATE_SQL,
     "stream_static_enrichment": _ENRICH_SQL,
     "stream_sliding_watermark": _SLIDING_STREAM_SQL,

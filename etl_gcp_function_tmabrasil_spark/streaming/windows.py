@@ -223,6 +223,15 @@ def click_purchase_attribution(
     j = p.join(c, cond, how)
     if how == "leftSemi":  # semi output carries only the purchase side
         return j.select("user_id", "purchase_id", "purchase_ts", "value")
+    if how == "fullOuter":  # either side's key may be null — coalesce
+        return j.select(
+            F.coalesce("user_id", "c_user").alias("user_id"),
+            "purchase_id",
+            "purchase_ts",
+            "click_id",
+            "click_ts",
+            "value",
+        )
     return j.select(
         "user_id", "purchase_id", "purchase_ts", "click_id", "click_ts", "value"
     )

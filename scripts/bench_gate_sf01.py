@@ -65,6 +65,15 @@ GATE_QUERIES = [
     # r6/r7 CDC merges (checkpointed foreachBatch replays)
     "stream_cdc_merge",
     "stream_cdc_merge_partitioned",
+    # late-r7 eager gates: fixture-writing source/sink/join gates and
+    # the three non-inner interval-join replays (semi emits on match;
+    # outer/full emit null rows on sentinel-driven eviction)
+    "sink_zorder_layout",
+    "scan_binaryfile_source",
+    "join_dpp_partitioned",
+    "stream_interval_join_semi",
+    "stream_interval_join_outer",
+    "stream_interval_join_full",
 ]
 
 

@@ -739,3 +739,35 @@ def test_outer_interval_join_gate_reinvocation_is_deterministic(spark):
     )
     second = [tuple(r) for r in stream_interval_join_outer(spark, sf).collect()]
     assert sorted(second) == sorted(first)
+
+
+def test_full_interval_join_gate_reinvocation_is_deterministic(spark):
+    """stream_interval_join_full's second invocation resumes the
+    per-process checkpoint and must return the identical row set. The
+    full-join corruption modes extend the outer ones to BOTH sides:
+    no duplicate rows, no purchase with both a match and a null-click
+    row, and no click with both a match and a null-purchase row."""
+    from collections import Counter
+
+    from etl_gcp_function_tmabrasil_spark.queries.streaming_gate import (
+        stream_interval_join_full,
+    )
+
+    sf = SF_SMOKE
+    first = [tuple(r) for r in stream_interval_join_full(spark, sf).collect()]
+    assert first, "gate query returned no rows"
+    counts = Counter(first)
+    assert max(counts.values()) == 1, "duplicate emitted rows"
+    # row layout: (user_id, purchase_id, click_id, purchase_s, click_s, value)
+    matched_p = {t[1] for t in first if t[1] != -1 and t[2] != -1}
+    null_p = {t[1] for t in first if t[1] != -1 and t[2] == -1}
+    assert not (matched_p & null_p), (
+        "a purchase emitted both a match and a null-click row"
+    )
+    matched_c = {t[2] for t in first if t[2] != -1 and t[1] != -1}
+    null_c = {t[2] for t in first if t[2] != -1 and t[1] == -1}
+    assert not (matched_c & null_c), (
+        "a click emitted both a match and a null-purchase row"
+    )
+    second = [tuple(r) for r in stream_interval_join_full(spark, sf).collect()]
+    assert sorted(second) == sorted(first)
