@@ -16,8 +16,10 @@ Data generation (under /tmp/spark_graft_sf1, regenerated if absent):
   character bijection preserves each copy's internal shingle-equality
   structure (and n_chars) while making cross-copy shingles disjoint, so
   near-dup workload grows linearly, not quadratically;
-- remaining tables symlinked from sf0.1 (dimensions and streams the
-  probed queries don't scale).
+- lineitem ×10 (late r7): l_orderkey offset tracks orders' so each
+  copy joins its own orders copy; embeddings ×10: per-copy array
+  rotation preserves within-copy inner products;
+- remaining tables (dimensions) symlinked from sf0.1.
 
 Usage: python scripts/sf1_scale_probe.py   (from the repo root)
 """
@@ -37,7 +39,7 @@ SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/spark_graft_sf1"
 OFFSET = 10_000_000
 
-SCALED = {"orders", "customer", "documents", "events", "embeddings"}
+SCALED = {"orders", "customer", "documents", "events", "embeddings", "lineitem"}
 
 #: Parity at sf1 for the scale-sensitive set whose oracles stay cheap
 #: at 1.5M orders / 50k docs (dedup_minhash_lsh's oracle recomputes
@@ -60,8 +62,8 @@ PARITY = [
     "stream_tumbling_watermark",
     "stream_dedup_redelivery",
     # round-6 additions: variant parse (events x10), bucketed
-    # co-located join (orders x10 vs unscaled lineitem — the bucketed
-    # write itself is the probed machinery), and the dedup decision
+    # co-located join (orders x10 vs lineitem — x10 since late r7 —
+    # the bucketed write itself is the probed machinery), and the dedup decision
     # step (documents x10: components + quality-argmax, linear in
     # near-dup edges by the probe's shingle-disjoint construction)
     "json_variant_ops",
@@ -84,6 +86,24 @@ PARITY = [
     # probes the anchored-window sampler and the broadcast dup-set
     # join at 10x the window mass
     "dedup_repeated_substrings",
+    # late-r7 wave: per-key EWMA fold over 1M events (10x history per
+    # user through the row-local ordered aggregate), the z-order /
+    # DPP / binaryFile source-sink gates rebuilt from 10x inputs, and
+    # the outer+semi stream-stream interval joins replaying 1M events
+    # of join state through real checkpointed runs (the outer gate's
+    # sentinel-flush bookkeeping at 10x the eviction mass)
+    "timeseries_ewma",
+    "sink_zorder_layout",
+    "join_dpp_partitioned",
+    "scan_binaryfile_source",
+    "stream_interval_join_semi",
+    "stream_interval_join_outer",
+    "stream_interval_join_full",
+    # late-r7: the GK approx-percentile sketch at 6M lineitem rows
+    # (lineitem now scales x10 with join structure preserved) — the
+    # rank-error bound is a theorem, but the 2*eps gate margin is
+    # empirical; probe it at 10x too
+    "agg_approx_percentile",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.
@@ -145,6 +165,19 @@ def generate() -> None:
         f"'{_rot(lower, i)}{_rot(upper, i)}')"
         for i in range(10)
     )
+    # lineitem x10: l_orderkey offset tracks orders' offset so each
+    # copy's lineitem joins its own orders copy (join structure
+    # preserved); price perturbed per copy like o_totalprice.
+    con.execute(f"""
+        COPY (
+          SELECT l_orderkey + i*{OFFSET} AS l_orderkey, l_partkey,
+                 l_suppkey, l_linenumber, l_quantity,
+                 l_extendedprice + i*0.01 AS l_extendedprice,
+                 l_discount, l_tax, l_returnflag, l_linestatus,
+                 l_shipdate
+          FROM '{SF01}/lineitem.parquet', range(10) t(i)
+        ) TO '{SF1}/lineitem.parquet' (FORMAT PARQUET)
+    """)
     # embeddings x10: vec_id offset per copy, array ROTATED by i — a
     # coordinate permutation preserves every within-copy inner product
     # (both vectors rotate together), so each copy's cluster/cosine
