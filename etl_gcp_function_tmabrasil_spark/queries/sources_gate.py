@@ -855,6 +855,105 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: confs flipped (and restored) around the bloom-gate execution: the
+#: application-side size floor exists for real clusters (don't build a
+#: bloom filter to save a scan smaller than the filter); the test
+#: corpus sits under it, so the gate floors it at 0. Broadcast is
+#: disabled because the rule targets SHUFFLE joins — a broadcast join
+#: already ships the filtered dim to every task.
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join the bloom gate executes: urgent orders (selective
+    filter on the creation side) ⨝ lineitem (application side), per
+    returnflag revenue rollup. Built lazily; callers decide the confs
+    in force when it runs."""
+    from etl_gcp_function_tmabrasil_spark.queries._util import dsum
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE runtime bloom-filter join pruning (InjectRuntimeFilter) —
+    the shuffle-join twin of dynamic partition pruning above: when a
+    selective dim filter sits on a NON-join column and the fact side
+    is not partitioned by the join key, no static or partition prune
+    exists, yet most fact rows still die at the scan. Catalyst builds
+    a `bloom_filter_agg` over the filtered dim's join keys and injects
+    `might_contain(...)` into the fact scan's filter, so non-matching
+    rows are dropped BEFORE the shuffle — at 100 TB this turns a
+    full-fact exchange into an exchange of the ~matching subset, the
+    difference between a join that fits and one that spills.
+
+    The gate EXECUTES the join under the bloom regime (fixture write,
+    confs restored after — `_BLOOM_CONFS` documents the two flips) and
+    HARD-FAILS construction if the executed plan lacks the injected
+    `might_contain` filter: bloom pruning is semantics-preserving, so
+    a silently-vanished injection could never turn the oracle red —
+    the plan check is the gate. The oracle recomputes the rollup from
+    the raw tables; hash equality proves pruning dropped no rows
+    (false positives pass the filter and die in the join; false
+    negatives cannot exist by the bloom contract).
+    """
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "bloom_join")
+
+    def _build(tmp: str) -> None:
+        saved = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+        try:
+            for k, v in _BLOOM_CONFS.items():
+                spark.conf.set(k, v)
+            joined = bloom_filtered_revenue(spark, sf_dir)
+            plan = joined._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            if "might_contain" not in plan or "bloom_filter_agg" not in plan:
+                raise RuntimeError(
+                    "runtime bloom filter was NOT injected into the join plan"
+                )
+            joined.write.parquet(os.path.join(tmp, "data"))
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+
+    _ensure_fixture(fixture, _build)
+    return (
+        spark.read.parquet(os.path.join(fixture, "data"))
+        .orderBy("l_returnflag")
+    )
+
+
+_BLOOM_JOIN_SQL = """
+SELECT l_returnflag, COUNT(*) AS n_items,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+       AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 _DPP_SQL = """
 SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
   COUNT(*) AS n,
@@ -870,6 +969,7 @@ QUERIES = {
     "scan_binaryfile_source": scan_binaryfile_source,
     "sink_zorder_layout": sink_zorder_layout,
     "join_dpp_partitioned": join_dpp_partitioned,
+    "join_runtime_bloom_filter": join_runtime_bloom_filter,
     "scan_csv_json_roundtrip": scan_csv_json_roundtrip,
     "scan_orc_roundtrip": scan_orc_roundtrip,
     "sink_partitioned_roundtrip": sink_partitioned_roundtrip,
@@ -885,6 +985,7 @@ ORACLE = {
     "scan_binaryfile_source": _BINARYFILE_SQL,
     "sink_zorder_layout": _ZORDER_SQL,
     "join_dpp_partitioned": _DPP_SQL,
+    "join_runtime_bloom_filter": _BLOOM_JOIN_SQL,
     "sink_incremental_rollup": _INCREMENTAL_SQL,
     "scan_orc_roundtrip": _ORC_SQL,
     "scan_csv_json_roundtrip": _SCAN_SQL,

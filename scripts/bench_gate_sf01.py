@@ -71,6 +71,7 @@ GATE_QUERIES = [
     "sink_zorder_layout",
     "scan_binaryfile_source",
     "join_dpp_partitioned",
+    "join_runtime_bloom_filter",
     "stream_interval_join_semi",
     "stream_interval_join_outer",
     "stream_interval_join_full",

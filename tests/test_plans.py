@@ -423,6 +423,32 @@ def test_heavy_hitters_counts_only_broadcast_candidates(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_runtime_bloom_filter_injects_under_gate_confs(spark, sf_dir):
+    """The bloom gate's plan claim, pinned independently of the gate's
+    own hard-check: under _BLOOM_CONFS (shuffle join forced, app-side
+    size floor lifted) Catalyst must build a bloom_filter_agg over the
+    filtered dim's keys and inject might_contain into the fact side;
+    with the session's normal confs (broadcast-eligible dim) it must
+    NOT — a broadcast join already ships the filtered dim everywhere,
+    so an injection there would be pure overhead."""
+    from etl_gcp_function_tmabrasil_spark.queries.sources_gate import (
+        _BLOOM_CONFS,
+        bloom_filtered_revenue,
+    )
+
+    saved = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        plan = explain_str(bloom_filtered_revenue(spark, sf_dir))
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    plan = explain_str(bloom_filtered_revenue(spark, sf_dir))
+    assert "might_contain" not in plan, plan
+
+
 def test_approx_percentile_sketch_is_partial_final_with_broadcast_verify(
     spark, sf_dir
 ):
