@@ -855,6 +855,71 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sink_cloudevent_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITER half of the custom Python DataSource
+    (`sources/cloudevent_source.CloudEventWriter` — Spark 4
+    ``pyspark.sql.datasource`` write API): derive a file-event frame
+    from `events` (bucket = user bucket, name = per-event object key,
+    size = the GCS decimal-string convention, ts), write it through
+    ``df.write.format("cloudevent_jsonl")`` — executor-parallel tasks
+    staging to hidden uniquely-named files, driver-side commit
+    renaming them visible (the two-phase protocol; failed attempts
+    never surface because the reader prunes hidden names) — then read
+    it back with the custom batch READER and roll up per bucket. The
+    oracle computes the same rollup straight from `events`, so hash
+    equality proves the full writer→reader round trip: every row
+    written exactly once, size surviving the string coercion, ts the
+    RFC 3339 render/parse."""
+    from etl_gcp_function_tmabrasil_spark.sources import cloudevent_source
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "cloudevent_sink")
+
+    def _build(tmp: str) -> None:
+        out = os.path.join(tmp, "out")
+        os.makedirs(out)
+        cloudevent_source.register(spark)
+        fe = load_table(spark, sf_dir, "events").select(
+            F.concat(F.lit("b"), (F.col("user_id") % 3).cast("string")).alias(
+                "bucket"
+            ),
+            F.concat(
+                F.lit("obj/"), F.col("event_id").cast("string"), F.lit(".xlsx")
+            ).alias("name"),
+            (F.col("event_id") % 10000).alias("size"),
+            F.col("ts"),
+        )
+        fe.write.format("cloudevent_jsonl").mode("append").save(out)
+
+    _ensure_fixture(fixture, _build)
+    cloudevent_source.register(spark)
+    fe = spark.read.format("cloudevent_jsonl").load(
+        os.path.join(fixture, "out")
+    )
+    return (
+        fe.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("size").alias("sum_size"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "max_ts_s"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+_CLOUDEVENT_SINK_SQL = """
+SELECT 'b' || CAST(user_id % 3 AS VARCHAR) AS bucket,
+  COUNT(*) AS n,
+  CAST(SUM(event_id % 10000) AS BIGINT) AS sum_size,
+  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts_s
+FROM events
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 #: confs flipped (and restored) around the bloom-gate execution: the
 #: application-side size floor exists for real clusters (don't build a
 #: bloom filter to save a scan smaller than the filter); the test
@@ -975,6 +1040,7 @@ QUERIES = {
     "sink_partitioned_roundtrip": sink_partitioned_roundtrip,
     "scan_cloudevent_datasource": scan_cloudevent_datasource,
     "stream_cloudevent_source": stream_cloudevent_source,
+    "sink_cloudevent_writer": sink_cloudevent_writer,
     "sink_compaction_roundtrip": sink_compaction_roundtrip,
     "scan_schema_evolution": scan_schema_evolution,
     "sink_bucketed_colocated_join": sink_bucketed_colocated_join,
@@ -992,6 +1058,7 @@ ORACLE = {
     "sink_partitioned_roundtrip": _PARTITIONED_SQL,
     "scan_cloudevent_datasource": _CLOUDEVENT_SQL,
     "stream_cloudevent_source": _CLOUDEVENT_SQL,
+    "sink_cloudevent_writer": _CLOUDEVENT_SINK_SQL,
     "sink_compaction_roundtrip": _COMPACTION_SQL,
     "scan_schema_evolution": _EVOLUTION_SQL,
     "sink_bucketed_colocated_join": _BUCKETED_JOIN_SQL,

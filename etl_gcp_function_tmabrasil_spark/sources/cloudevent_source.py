@@ -32,7 +32,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 #: Schema of the file_events model (catalog.FILE_EVENTS_SCHEMA as DDL —
@@ -83,6 +85,97 @@ def parse_event_line(line: str) -> tuple:
         _coerce_size(data.get("size")),
         _coerce_ts(data.get("timeCreated") or data.get("time")),
     )
+
+
+def format_event_line(bucket, name, size, ts) -> str:
+    """(bucket, name, size, ts) -> one CloudEvent JSONL line, the
+    inverse of parse_event_line: `size` is re-emitted as the decimal
+    STRING GCS delivers (the reader coerces it back to long), `ts` as
+    an RFC 3339 string, and null fields are OMITTED (the reader's
+    `.get` chain makes absent and null indistinguishable — mirroring
+    the reference's payload shape, not padding it)."""
+    data = {}
+    if bucket is not None:
+        data["bucket"] = bucket
+    if name is not None:
+        data["name"] = name
+    if size is not None:
+        data["size"] = str(size)
+    if ts is not None:
+        data["timeCreated"] = ts.isoformat()
+    return json.dumps(data, ensure_ascii=False)
+
+
+class _WriteCommit(WriterCommitMessage):
+    def __init__(self, staged: str, rows: int):
+        self.staged = staged
+        self.rows = rows
+
+
+class CloudEventWriter(DataSourceWriter):
+    """Batch writer half of the connector — Spark's two-phase task
+    commit protocol done honestly: each task streams its partition to
+    a UNIQUELY NAMED file under a hidden ``.staging`` directory
+    (hidden names are exactly what ``_list_feed_files`` prunes, so
+    half-written output is invisible to every reader even mid-job),
+    returns the staged path as its commit message, and only the
+    driver-side :meth:`commit` renames staged files to visible
+    ``part-N.jsonl`` — failed or speculative attempts leave residue
+    only inside ``.staging``, which commit/abort sweep.
+
+    Expects input columns (bucket, name, size, ts) — the connector's
+    schema; round-trip through the reader is exact by construction
+    (same coercions, inverted)."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError(
+                "cloudevent_jsonl writer requires a path: .save(dir)"
+            )
+        self._path = path
+        self._overwrite = overwrite
+
+    def _staging(self) -> str:
+        return os.path.join(self._path, ".staging")
+
+    def write(self, iterator) -> _WriteCommit:
+        import uuid
+
+        os.makedirs(self._staging(), exist_ok=True)
+        staged = os.path.join(
+            self._staging(), f"task-{uuid.uuid4().hex}.jsonl"
+        )
+        n = 0
+        with open(staged, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(
+                    format_event_line(row.bucket, row.name, row.size, row.ts)
+                    + "\n"
+                )
+                n += 1
+        return _WriteCommit(staged, n)
+
+    def commit(self, messages) -> None:
+        import shutil
+
+        if self._overwrite:
+            for f in os.listdir(self._path):
+                if not f.startswith((".", "_")) and os.path.isfile(
+                    os.path.join(self._path, f)
+                ):
+                    os.remove(os.path.join(self._path, f))
+        for i, m in enumerate(messages):
+            os.replace(
+                m.staged, os.path.join(self._path, f"part-{i:05d}.jsonl")
+            )
+        # anything left in .staging is a failed/speculative attempt
+        shutil.rmtree(self._staging(), ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self._staging(), ignore_errors=True)
 
 
 class _FilePartition(InputPartition):
@@ -208,6 +301,9 @@ class CloudEventDataSource(DataSource):
 
     def streamReader(self, schema) -> CloudEventStreamReader:
         return CloudEventStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> CloudEventWriter:
+        return CloudEventWriter(self.options, overwrite)
 
 
 def register(spark) -> None:

@@ -180,3 +180,60 @@ def test_stream_reader_incremental_admission(spark, tmp_path):
     run()  # same checkpoint: only chunk_001 admitted
     second = sorted(r.name for r in spark.read.parquet(sink).collect())
     assert second == ["a.xlsx", "b.xlsx", "c.xlsx"]
+
+
+def test_writer_round_trip_and_line_format(spark, tmp_path):
+    """write -> read through the connector is exact, and the emitted
+    JSONL mirrors the GCS payload shape: size as a decimal STRING,
+    RFC 3339 timeCreated, null fields omitted entirely."""
+    import datetime
+
+    cloudevent_source.register(spark)
+    rows = [
+        ("b", "minha-pasta/a.xlsx", 123, datetime.datetime(2024, 1, 1)),
+        ("b", "x.csv", 42, datetime.datetime(2024, 1, 2, 1, 4, 5)),
+        (None, "y", None, None),
+    ]
+    df = spark.createDataFrame(rows, "bucket string, name string, size long, ts timestamp")
+    out = tmp_path / "sink"
+    out.mkdir()
+    df.write.format("cloudevent_jsonl").mode("append").save(str(out))
+    back = spark.read.format("cloudevent_jsonl").load(str(out))
+    key = lambda t: str(t)  # rows contain Nones — sort on the repr
+    assert sorted(map(tuple, back.collect()), key=key) == sorted(rows, key=key)
+    lines = []
+    for f in sorted(out.iterdir()):
+        if not f.name.startswith((".", "_")):
+            lines += [json.loads(l) for l in f.read_text().splitlines()]
+    by_name = {l.get("name"): l for l in lines}
+    assert by_name["minha-pasta/a.xlsx"]["size"] == "123"  # decimal string
+    assert by_name["minha-pasta/a.xlsx"]["timeCreated"].startswith("2024-01-01T")
+    assert set(by_name["y"]) == {"name"}  # null fields omitted
+
+
+def test_writer_staging_is_invisible_and_overwrite_replaces(spark, tmp_path):
+    """Two-phase commit hygiene: a leftover staged file from a failed
+    attempt must never reach the reader (hidden-dir prune), and
+    mode=overwrite replaces prior visible parts instead of appending."""
+    cloudevent_source.register(spark)
+    out = tmp_path / "sink"
+    out.mkdir()
+    df = spark.createDataFrame(
+        [("b", "one", 1, None)], "bucket string, name string, size long, ts timestamp"
+    )
+    df.write.format("cloudevent_jsonl").mode("append").save(str(out))
+    # plant residue as a crashed task attempt would leave it
+    staging = out / ".staging"
+    staging.mkdir()
+    (staging / "task-dead.jsonl").write_text('{"name": "ghost"}\n')
+    names = {r.name for r in
+             spark.read.format("cloudevent_jsonl").load(str(out)).collect()}
+    assert names == {"one"}, names
+    df2 = spark.createDataFrame(
+        [("b", "two", 2, None)], "bucket string, name string, size long, ts timestamp"
+    )
+    df2.write.format("cloudevent_jsonl").mode("overwrite").save(str(out))
+    names = {r.name for r in
+             spark.read.format("cloudevent_jsonl").load(str(out)).collect()}
+    assert names == {"two"}, names
+    assert not (out / ".staging").exists()  # commit swept the residue
