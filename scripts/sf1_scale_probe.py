@@ -102,6 +102,10 @@ PARITY = [
     # late-r7: two chained stateful operators carrying 1M events of
     # (day, user) state through one checkpointed query
     "stream_chained_window_distinct",
+    # late-r7: the custom DataSource WRITER round trip at 1M events —
+    # executor-parallel staged writes, driver commit, reader-side
+    # re-parse of 1M JSONL lines
+    "sink_cloudevent_writer",
     # late-r7: the GK approx-percentile sketch at 6M lineitem rows
     # (lineitem now scales x10 with join structure preserved) — the
     # rank-error bound is a theorem, but the 2*eps gate margin is
