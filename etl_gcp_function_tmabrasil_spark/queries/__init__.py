@@ -74,11 +74,11 @@ _MODULES = [
 # all_queries()[:50]), and it gives ZERO credit to entries without an
 # oracle_sql twin — `err: "no_oracle"`, no rows-only fallback (r1:
 # agg_approx_distinct/agg_hll_mergeable; r3: the MLlib/multimodal five).
-# Every registered query carries an exact oracle (183/183 as of round
+# Every registered query carries an exact oracle (184/184 as of round
 # 7). The window ROTATES per round so every query's latest green row
 # stays fresh; CORRECTNESS_CUMULATIVE.json records each query's latest
 # green round (asserted complete by tests/test_correctness_ledger.py).
-# Round 7 = the r6-verdict rotation plan plus the fifteen round-7
+# Round 7 = the r6-verdict rotation plan plus the sixteen round-7
 # registrations at the top: the 13 round-6 registrations that have
 # never been inside a driver window, the 6 family-sibling
 # prose-sourced entries deferred out of the r6 window, and 24 of the
@@ -89,7 +89,8 @@ _MODULES = [
 # Everything else stays covered by tests/test_oracle_parity.py locally
 # (all registered queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
-    # --- round-7 registrations, latest first: custom DataSource
+    # --- round-7 registrations, latest first: XML roundtrip, custom
+    #     DataSource
     #     writer, chained stateful
     #     streaming operators, runtime bloom-filter
     #     join pruning, full-outer interval
@@ -102,6 +103,7 @@ _CHECK_FIRST = [
     #     substring dedup, the partition-pruned CDC merge (the
     #     fact-sized-target scale path of stream_cdc_merge) and the
     #     C4-style corpus line dedup ---
+    "scan_xml_roundtrip",
     "sink_cloudevent_writer",
     "stream_chained_window_distinct",
     "join_runtime_bloom_filter",
@@ -156,22 +158,24 @@ _CHECK_FIRST = [
     "dedup_exact_fingerprint",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_simhash_pairs",
-    # dedup_components, pagerank_dedup_graph, fuzzy_name_match,
+    # dedup_simhash_pairs, dedup_components, pagerank_dedup_graph,
+    # fuzzy_name_match,
     # bpe_merge_pairs, bm25_score_docs, curriculum_temperature_sample,
     # split_train_val_test,
     # unigram_lm_score, source_overlap_matrix, sample_weighted_topk,
     # event_funnel_conversion, pack_token_budget and chunk_documents
     # (the whole r4 traindata wave plus fuzzy_name_match,
-    # pagerank_dedup_graph and dedup_components) rotated out
+    # pagerank_dedup_graph, dedup_components and dedup_simhash_pairs)
+    # rotated out
     # to keep the window at exactly 50 as the late-r7
     # registrations (dedup_repeated_substrings, scan_binaryfile_source,
     # sink_zorder_layout, stream_interval_join_outer,
     # join_dpp_partitioned, timeseries_ewma, stream_interval_join_semi,
     # dedup_semantic_semdedup, agg_approx_percentile,
     # stream_interval_join_full, join_runtime_bloom_filter,
-    # stream_chained_window_distinct, sink_cloudevent_writer) took the
-    # top slots; all thirteen move to the r8 wave.
+    # stream_chained_window_distinct, sink_cloudevent_writer,
+    # scan_xml_roundtrip) took the
+    # top slots; all fourteen move to the r8 wave.
 ]
 
 # ROUND-8 ROTATION PLAN (for the next builder): the 50-slot window
@@ -187,12 +191,12 @@ _CHECK_FIRST = [
 #      stream_interval_join_semi, dedup_semantic_semdedup,
 #      agg_approx_percentile, stream_interval_join_full,
 #      join_runtime_bloom_filter, stream_chained_window_distinct,
-#      sink_cloudevent_writer):
+#      sink_cloudevent_writer, scan_xml_roundtrip):
 #      chunk_documents, pack_token_budget, event_funnel_conversion,
 #      sample_weighted_topk, source_overlap_matrix, unigram_lm_score,
 #      split_train_val_test, curriculum_temperature_sample,
 #      bm25_score_docs, bpe_merge_pairs, fuzzy_name_match,
-#      pagerank_dedup_graph, dedup_components,
+#      pagerank_dedup_graph, dedup_components, dedup_simhash_pairs,
 #      agg_approx_distinct, agg_hll_mergeable, agg_iqr_outliers,
 #      agg_percentiles, agg_salted_hot_key,
 #      join_asof_purchase, join_salted_hot_key,

@@ -855,6 +855,66 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: XML's default timestamp render truncates to milliseconds — the
+#: explicit microsecond format (write AND read) is what makes the
+#: roundtrip value-exact (measured: 778549 µs -> 778000 µs without it)
+_XML_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML write → schema-declared read-back (Spark 4's built-in XML
+    source — the fourth format edge after parquet/ORC, CSV/JSON and
+    the custom JSONL connector): the same deterministic events slice
+    lands as ``<event>`` row elements and must read back value-exact.
+    Timestamps carry an explicit microsecond ``timestampFormat`` on
+    BOTH sides — XML's default render truncates to milliseconds, the
+    format-specific precision trap this gate exists to pin. The
+    DuckDB oracle reads the slice straight from parquet (DuckDB has
+    no XML reader; hash equality against the source-of-truth slice IS
+    the roundtrip claim). Scale notes: rowTag-delimited elements
+    split per file like the JSON source; XML is the interchange edge,
+    not a columnar analytics format — no pushdown, read it once and
+    land parquet."""
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "events_xml")
+
+    def _build(tmp: str) -> None:
+        (
+            load_table(spark, sf_dir, "events")
+            .select(*_COLS)
+            .filter(F.col("event_id") < _MAX_ID)
+            .write.option("rowTag", "event")
+            .option("timestampFormat", _XML_TS_FMT)
+            .xml(os.path.join(tmp, "data"))
+        )
+
+    _ensure_fixture(fixture, _build)
+    return (
+        spark.read.schema(_SCHEMA)
+        .option("rowTag", "event")
+        .option("timestampFormat", _XML_TS_FMT)
+        .xml(os.path.join(fixture, "data"))
+        .select(
+            "event_id",
+            F.date_format("ts", _TS_FMT).alias("ts_s"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .orderBy("event_id")
+    )
+
+
+_XML_SQL = f"""
+SELECT event_id,
+  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+  user_id, event_type, value
+FROM events
+WHERE event_id < {_MAX_ID}
+ORDER BY event_id
+"""
+
+
 def sink_cloudevent_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WRITER half of the custom Python DataSource
     (`sources/cloudevent_source.CloudEventWriter` — Spark 4
@@ -1037,6 +1097,7 @@ QUERIES = {
     "join_runtime_bloom_filter": join_runtime_bloom_filter,
     "scan_csv_json_roundtrip": scan_csv_json_roundtrip,
     "scan_orc_roundtrip": scan_orc_roundtrip,
+    "scan_xml_roundtrip": scan_xml_roundtrip,
     "sink_partitioned_roundtrip": sink_partitioned_roundtrip,
     "scan_cloudevent_datasource": scan_cloudevent_datasource,
     "stream_cloudevent_source": stream_cloudevent_source,
@@ -1054,6 +1115,7 @@ ORACLE = {
     "join_runtime_bloom_filter": _BLOOM_JOIN_SQL,
     "sink_incremental_rollup": _INCREMENTAL_SQL,
     "scan_orc_roundtrip": _ORC_SQL,
+    "scan_xml_roundtrip": _XML_SQL,
     "scan_csv_json_roundtrip": _SCAN_SQL,
     "sink_partitioned_roundtrip": _PARTITIONED_SQL,
     "scan_cloudevent_datasource": _CLOUDEVENT_SQL,

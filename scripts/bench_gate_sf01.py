@@ -77,6 +77,7 @@ GATE_QUERIES = [
     "stream_interval_join_full",
     "stream_chained_window_distinct",
     "sink_cloudevent_writer",
+    "scan_xml_roundtrip",
 ]
 
 
