@@ -74,11 +74,11 @@ _MODULES = [
 # all_queries()[:50]), and it gives ZERO credit to entries without an
 # oracle_sql twin — `err: "no_oracle"`, no rows-only fallback (r1:
 # agg_approx_distinct/agg_hll_mergeable; r3: the MLlib/multimodal five).
-# Every registered query carries an exact oracle (184/184 as of round
+# Every registered query carries an exact oracle (185/185 as of round
 # 7). The window ROTATES per round so every query's latest green row
 # stays fresh; CORRECTNESS_CUMULATIVE.json records each query's latest
 # green round (asserted complete by tests/test_correctness_ledger.py).
-# Round 7 = the r6-verdict rotation plan plus the sixteen round-7
+# Round 7 = the r6-verdict rotation plan plus the seventeen round-7
 # registrations at the top: the 13 round-6 registrations that have
 # never been inside a driver window, the 6 family-sibling
 # prose-sourced entries deferred out of the r6 window, and 24 of the
@@ -89,7 +89,8 @@ _MODULES = [
 # Everything else stays covered by tests/test_oracle_parity.py locally
 # (all registered queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
-    # --- round-7 registrations, latest first: XML roundtrip, custom
+    # --- round-7 registrations, latest first: recursive CTE, XML
+    #     roundtrip, custom
     #     DataSource
     #     writer, chained stateful
     #     streaming operators, runtime bloom-filter
@@ -103,6 +104,7 @@ _CHECK_FIRST = [
     #     substring dedup, the partition-pruned CDC merge (the
     #     fact-sized-target scale path of stream_cdc_merge) and the
     #     C4-style corpus line dedup ---
+    "sql_recursive_cte_index",
     "scan_xml_roundtrip",
     "sink_cloudevent_writer",
     "stream_chained_window_distinct",
@@ -157,7 +159,7 @@ _CHECK_FIRST = [
     # --- r4-wave re-verifies: dedup graph / fuzzy ---
     "dedup_exact_fingerprint",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    # dedup_simhash,
     # dedup_simhash_pairs, dedup_components, pagerank_dedup_graph,
     # fuzzy_name_match,
     # bpe_merge_pairs, bm25_score_docs, curriculum_temperature_sample,
@@ -165,7 +167,8 @@ _CHECK_FIRST = [
     # unigram_lm_score, source_overlap_matrix, sample_weighted_topk,
     # event_funnel_conversion, pack_token_budget and chunk_documents
     # (the whole r4 traindata wave plus fuzzy_name_match,
-    # pagerank_dedup_graph, dedup_components and dedup_simhash_pairs)
+    # pagerank_dedup_graph, dedup_components, dedup_simhash_pairs and
+    # dedup_simhash)
     # rotated out
     # to keep the window at exactly 50 as the late-r7
     # registrations (dedup_repeated_substrings, scan_binaryfile_source,
@@ -174,8 +177,8 @@ _CHECK_FIRST = [
     # dedup_semantic_semdedup, agg_approx_percentile,
     # stream_interval_join_full, join_runtime_bloom_filter,
     # stream_chained_window_distinct, sink_cloudevent_writer,
-    # scan_xml_roundtrip) took the
-    # top slots; all fourteen move to the r8 wave.
+    # scan_xml_roundtrip, sql_recursive_cte_index) took the
+    # top slots; all fifteen move to the r8 wave.
 ]
 
 # ROUND-8 ROTATION PLAN (for the next builder): the 50-slot window
@@ -191,12 +194,14 @@ _CHECK_FIRST = [
 #      stream_interval_join_semi, dedup_semantic_semdedup,
 #      agg_approx_percentile, stream_interval_join_full,
 #      join_runtime_bloom_filter, stream_chained_window_distinct,
-#      sink_cloudevent_writer, scan_xml_roundtrip):
+#      sink_cloudevent_writer, scan_xml_roundtrip,
+#      sql_recursive_cte_index):
 #      chunk_documents, pack_token_budget, event_funnel_conversion,
 #      sample_weighted_topk, source_overlap_matrix, unigram_lm_score,
 #      split_train_val_test, curriculum_temperature_sample,
 #      bm25_score_docs, bpe_merge_pairs, fuzzy_name_match,
 #      pagerank_dedup_graph, dedup_components, dedup_simhash_pairs,
+#      dedup_simhash,
 #      agg_approx_distinct, agg_hll_mergeable, agg_iqr_outliers,
 #      agg_percentiles, agg_salted_hot_key,
 #      join_asof_purchase, join_salted_hot_key,

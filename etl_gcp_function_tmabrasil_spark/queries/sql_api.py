@@ -93,13 +93,58 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_LATERAL_SQL)
 
 
+_RECURSIVE_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d,
+    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / 1000000.0, 8) AS r
+  FROM events GROUP BY CAST(CAST(ts AS DATE) AS TIMESTAMP)
+),
+idx AS (
+  SELECT d, r, CAST(ROUND(1.0 + r, 8) AS DOUBLE) AS growth_index
+  FROM daily WHERE d = (SELECT MIN(d) FROM daily)
+  UNION ALL
+  SELECT daily.d, daily.r,
+    CAST(ROUND(idx.growth_index * (1.0 + daily.r), 8) AS DOUBLE) AS growth_index
+  FROM idx JOIN daily ON idx.d + INTERVAL '1' DAY = daily.d
+)
+SELECT CAST(CAST(d AS DATE) AS STRING) AS day, r AS daily_rate, growth_index
+FROM idx ORDER BY day
+"""
+
+
+def sql_recursive_cte_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (Spark 4's WITH RECURSIVE): a daily compounded
+    growth index over the events timeline — index_d = index_{d-1} ×
+    (1 + rate_d), a genuinely ITERATIVE linear recurrence no
+    window/aggregate closed form expresses without the
+    numerically-dead prefix-product trick (timeseries_ewma documents
+    the same boundary for the per-key case; this is the global-chain
+    case through the SQL surface). One dialect-neutral text shared
+    verbatim with the oracle — both engines walk the identical
+    30-level recursion, with each step's product ROUNDED to 8 dp (the
+    PageRank trick) so the chain is bit-identical across engines.
+
+    Scale notes: each recursion level is one join of the
+    single-row-per-day frontier against the day-keyed rollup —
+    recursion depth = timeline days, NOT data size; the events scan
+    and the per-day aggregation happen once. Spark's recursion guard
+    (`spark.sql.cteRecursionLevelLimit`, default 100) bounds runaway
+    chains; calendar recursions over long horizons should recurse
+    per-month and fan out, or use the closed-form `sequence()` spine
+    (resample_daily_locf) when no true recurrence is involved."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_RECURSIVE_SQL)
+
+
 QUERIES = {
     "sql_segment_status_rollup": sql_segment_status_rollup,
     "sql_cte_window_topk": sql_cte_window_topk,
     "sql_lateral_topk": sql_lateral_topk,
+    "sql_recursive_cte_index": sql_recursive_cte_index,
 }
 ORACLE = {
     "sql_segment_status_rollup": _SQL,
     "sql_cte_window_topk": _CTE_WINDOW_SQL,
     "sql_lateral_topk": _LATERAL_SQL,
+    "sql_recursive_cte_index": _RECURSIVE_SQL,
 }
