@@ -64,8 +64,11 @@ HEADLINE = [
     "udf_arrow_vector_norms",   # mapInArrow Arrow-native batch UDF
     "split_group_integrity",    # leakage-guard user-keyed split
     "window_global_rownum_scalable",  # two-phase global contiguous ids
-    # round-7 addition (lazy construction)
+    # round-7 additions (lazy construction)
     "dedup_corpus_lines",       # C4-style corpus-wide line dedup
+    "timeseries_ewma",          # per-key linear-recurrence ordered fold
+    "agg_approx_percentile",    # GK sketch + broadcast bound-verify
+    "sql_recursive_cte_index",  # WITH RECURSIVE frontier-join chain
 ]
 
 
