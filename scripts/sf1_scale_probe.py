@@ -106,6 +106,9 @@ PARITY = [
     # executor-parallel staged writes, driver commit, reader-side
     # re-parse of 1M JSONL lines
     "sink_cloudevent_writer",
+    # late-r7: runtime bloom-filter injection at 6M lineitem rows
+    # (the gate hard-fails if might_contain vanished from the plan)
+    "join_runtime_bloom_filter",
     # late-r7: the GK approx-percentile sketch at 6M lineitem rows
     # (lineitem now scales x10 with join structure preserved) — the
     # rank-error bound is a theorem, but the 2*eps gate margin is
