@@ -125,7 +125,16 @@ class CloudEventWriter(DataSourceWriter):
 
     Expects input columns (bucket, name, size, ts) — the connector's
     schema; round-trip through the reader is exact by construction
-    (same coercions, inverted)."""
+    (same coercions, inverted).
+
+    Crash window, stated honestly: job-level commit is rename-granular,
+    not atomic — under overwrite, a crash between "remove old parts"
+    and "rename staged parts in" leaves a partially replaced directory
+    (the same window Spark's V1 FileOutputCommitter has). Task-level
+    commit IS safe at every point: uncommitted attempts live only
+    under the hidden `.staging` dir no reader lists. Pipelines that
+    need atomic replace should write to a fresh directory and swap it
+    (the `sinks/partitioned.py` pattern)."""
 
     def __init__(self, options: dict, overwrite: bool):
         path = options.get("path")

@@ -237,3 +237,45 @@ def test_writer_staging_is_invisible_and_overwrite_replaces(spark, tmp_path):
              spark.read.format("cloudevent_jsonl").load(str(out)).collect()}
     assert names == {"two"}, names
     assert not (out / ".staging").exists()  # commit swept the residue
+
+
+def test_format_parse_roundtrip_property():
+    """format_event_line ∘ parse_event_line == identity, property-based
+    (no Spark in the loop — the pure line codec both halves of the
+    connector share): arbitrary unicode names/buckets, the full long
+    range for size, microsecond timestamps, and every null pattern."""
+    import datetime
+
+    from hypothesis import given, settings, strategies as st
+
+    from etl_gcp_function_tmabrasil_spark.sources.cloudevent_source import (
+        format_event_line,
+        parse_event_line,
+    )
+
+    text = st.one_of(st.none(), st.text(max_size=40))
+    size = st.one_of(st.none(), st.integers(min_value=-(2**63), max_value=2**63 - 1))
+    ts = st.one_of(
+        st.none(),
+        st.datetimes(
+            min_value=datetime.datetime(1900, 1, 1),
+            max_value=datetime.datetime(2200, 1, 1),
+        ),
+    )
+
+    @given(bucket=text, name=text, size=size, ts=ts)
+    @settings(max_examples=300, deadline=None)
+    def check(bucket, name, size, ts):
+        got = parse_event_line(format_event_line(bucket, name, size, ts))
+        # the reader's documented convention: a tz-naive RFC 3339
+        # string reads as UTC-aware (machine-independent) — so the
+        # codec identity holds modulo that normalization
+        want_ts = (
+            ts.replace(tzinfo=datetime.timezone.utc) if ts is not None else None
+        )
+        assert got == (bucket, name, size, want_ts), (
+            got,
+            (bucket, name, size, want_ts),
+        )
+
+    check()
