@@ -185,9 +185,9 @@ _CHECK_FIRST = [
 # should take, in order —
 #   0. any round-7 registrations never yet in a window (register new
 #      operators at the TOP of this list);
-#   1. the r4-green rows left out of the r7 window (after r7 these
-#      hold the oldest artifact-backed rows), including the seven
-#      displaced from the r7 window by the late-r7 registrations
+#   1. the 35 r4-green rows left out of the r7 window (after r7 these
+#      hold the oldest artifact-backed rows — the set was displaced
+#      slot-by-slot as the r7 registrations
 #      (dedup_repeated_substrings, scan_binaryfile_source,
 #      sink_zorder_layout, stream_interval_join_outer,
 #      join_dpp_partitioned, timeseries_ewma,
@@ -195,7 +195,8 @@ _CHECK_FIRST = [
 #      agg_approx_percentile, stream_interval_join_full,
 #      join_runtime_bloom_filter, stream_chained_window_distinct,
 #      sink_cloudevent_writer, scan_xml_roundtrip,
-#      sql_recursive_cte_index):
+#      sql_recursive_cte_index) took the top slots; verified against
+#      the ledger: exactly these 35, so r8 = these + 15 r5 top-ups):
 #      chunk_documents, pack_token_budget, event_funnel_conversion,
 #      sample_weighted_topk, source_overlap_matrix, unigram_lm_score,
 #      split_train_val_test, curriculum_temperature_sample,
