@@ -279,3 +279,24 @@ def test_format_parse_roundtrip_property():
         )
 
     check()
+
+
+def test_writer_abort_sweeps_staging(tmp_path):
+    """The abort() half of the two-phase protocol (no Spark needed —
+    the writer is a plain object): a task stages its file, the job
+    aborts, and the staging dir with every attempt's residue is gone
+    while nothing ever became visible."""
+    from pyspark.sql import Row
+
+    from etl_gcp_function_tmabrasil_spark.sources.cloudevent_source import (
+        CloudEventWriter,
+    )
+
+    out = tmp_path / "sink"
+    out.mkdir()
+    w = CloudEventWriter({"path": str(out)}, overwrite=False)
+    msg = w.write(iter([Row(bucket="b", name="n", size=1, ts=None)]))
+    assert (out / ".staging").exists()
+    w.abort([msg])
+    assert not (out / ".staging").exists()
+    assert [f.name for f in out.iterdir()] == []  # nothing visible
