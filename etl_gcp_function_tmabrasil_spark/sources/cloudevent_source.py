@@ -102,6 +102,15 @@ def format_event_line(bucket, name, size, ts) -> str:
     if size is not None:
         data["size"] = str(size)
     if ts is not None:
+        # PySpark's Arrow->Row conversion hands write() NAIVE datetimes
+        # in the OS-local zone (value.astimezone().replace(tzinfo=None)).
+        # Re-anchor them to an explicit instant before rendering —
+        # astimezone() on a naive datetime assumes local time, the exact
+        # inverse of that conversion — so the emitted RFC 3339 string
+        # carries an offset and the reader's offset-aware parse is
+        # host-timezone-independent (on a UTC host this is a no-op).
+        if ts.tzinfo is None:
+            ts = ts.astimezone(timezone.utc)
         data["timeCreated"] = ts.isoformat()
     return json.dumps(data, ensure_ascii=False)
 
@@ -120,8 +129,9 @@ class CloudEventWriter(DataSourceWriter):
     half-written output is invisible to every reader even mid-job),
     returns the staged path as its commit message, and only the
     driver-side :meth:`commit` renames staged files to visible
-    ``part-N.jsonl`` — failed or speculative attempts leave residue
-    only inside ``.staging``, which commit/abort sweep.
+    ``part-N-{job}.jsonl`` (job-unique suffix, so appends never clobber
+    a previous run's parts) — failed or speculative attempts leave
+    residue only inside ``.staging``, which commit/abort sweep.
 
     Expects input columns (bucket, name, size, ts) — the connector's
     schema; round-trip through the reader is exact by construction
@@ -137,6 +147,8 @@ class CloudEventWriter(DataSourceWriter):
     (the `sinks/partitioned.py` pattern)."""
 
     def __init__(self, options: dict, overwrite: bool):
+        import uuid
+
         path = options.get("path")
         if not path:
             raise ValueError(
@@ -144,6 +156,11 @@ class CloudEventWriter(DataSourceWriter):
             )
         self._path = path
         self._overwrite = overwrite
+        # Per-job token baked into visible part names: without it a
+        # second .mode("append") write would os.replace() the previous
+        # run's part-00000..N — the same silent clobber Spark's native
+        # file sources prevent with job-unique part naming.
+        self._job = uuid.uuid4().hex[:12]
 
     def _staging(self) -> str:
         return os.path.join(self._path, ".staging")
@@ -168,6 +185,10 @@ class CloudEventWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import shutil
 
+        # Zero input partitions => write() never ran and the directory
+        # may not exist yet; committing an empty result must still
+        # succeed (and leave a readable empty directory behind).
+        os.makedirs(self._path, exist_ok=True)
         if self._overwrite:
             for f in os.listdir(self._path):
                 if not f.startswith((".", "_")) and os.path.isfile(
@@ -176,7 +197,8 @@ class CloudEventWriter(DataSourceWriter):
                     os.remove(os.path.join(self._path, f))
         for i, m in enumerate(messages):
             os.replace(
-                m.staged, os.path.join(self._path, f"part-{i:05d}.jsonl")
+                m.staged,
+                os.path.join(self._path, f"part-{i:05d}-{self._job}.jsonl"),
             )
         # anything left in .staging is a failed/speculative attempt
         shutil.rmtree(self._staging(), ignore_errors=True)

@@ -267,11 +267,13 @@ def test_format_parse_roundtrip_property():
     @settings(max_examples=300, deadline=None)
     def check(bucket, name, size, ts):
         got = parse_event_line(format_event_line(bucket, name, size, ts))
-        # the reader's documented convention: a tz-naive RFC 3339
-        # string reads as UTC-aware (machine-independent) — so the
-        # codec identity holds modulo that normalization
+        # the codec identity is INSTANT-preserving: the writer anchors a
+        # naive ts to an explicit instant (naive-assumes-local, the
+        # inverse of PySpark's Arrow->Row conversion) and emits the
+        # offset, the reader parses offset-aware — so the round trip is
+        # ts.astimezone(utc), on any host timezone
         want_ts = (
-            ts.replace(tzinfo=datetime.timezone.utc) if ts is not None else None
+            ts.astimezone(datetime.timezone.utc) if ts is not None else None
         )
         assert got == (bucket, name, size, want_ts), (
             got,
@@ -300,3 +302,76 @@ def test_writer_abort_sweeps_staging(tmp_path):
     w.abort([msg])
     assert not (out / ".staging").exists()
     assert [f.name for f in out.iterdir()] == []  # nothing visible
+
+
+def test_format_line_is_host_timezone_independent():
+    """The r7 advice finding: PySpark hands write() NAIVE local-time
+    datetimes and the old codec re-read them as UTC — every round-
+    tripped ts shifted by the host's UTC offset on non-UTC machines.
+    Simulate a São Paulo host (UTC-3) and assert the emitted line
+    carries the offset and parses back to the same instant."""
+    import datetime
+    import os
+    import time
+
+    from etl_gcp_function_tmabrasil_spark.sources.cloudevent_source import (
+        format_event_line,
+    )
+
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/Sao_Paulo"
+    time.tzset()
+    try:
+        naive = datetime.datetime(2024, 1, 1, 12, 0, 0)  # local wall time
+        line = format_event_line("b", "n", 1, naive)
+        rendered = json.loads(line)["timeCreated"]
+        assert rendered.endswith("-03:00") or rendered.endswith("+00:00"), rendered
+        got = parse_event_line(line)[3]
+        # the instant 12:00 São Paulo == 15:00 UTC, not 12:00 UTC
+        assert got == naive.astimezone(datetime.timezone.utc)
+        assert got == datetime.datetime(
+            2024, 1, 1, 15, 0, 0, tzinfo=datetime.timezone.utc
+        )
+    finally:
+        if old_tz is None:
+            del os.environ["TZ"]
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+
+
+def test_writer_append_does_not_clobber_prior_parts(spark, tmp_path):
+    """Two .mode('append') writes into the same directory must
+    accumulate: part names carry a per-job token, so the second job's
+    part-00000 cannot os.replace() the first job's (the r7 advice
+    silent-data-loss finding)."""
+    cloudevent_source.register(spark)
+    out = tmp_path / "sink"
+    out.mkdir()
+    schema = "bucket string, name string, size long, ts timestamp"
+    spark.createDataFrame([("b", "one", 1, None)], schema).write.format(
+        "cloudevent_jsonl"
+    ).mode("append").save(str(out))
+    spark.createDataFrame([("b", "two", 2, None)], schema).write.format(
+        "cloudevent_jsonl"
+    ).mode("append").save(str(out))
+    names = {r.name for r in
+             spark.read.format("cloudevent_jsonl").load(str(out)).collect()}
+    assert names == {"one", "two"}, names
+    visible = [f.name for f in out.iterdir() if not f.name.startswith((".", "_"))]
+    assert len(visible) >= 2 and len(set(visible)) == len(visible), visible
+
+
+def test_writer_commit_empty_result_creates_directory(tmp_path):
+    """Zero input partitions => write() never runs; commit() must still
+    succeed on a not-yet-existing directory (the r7 advice
+    FileNotFoundError finding) and leave an empty readable sink."""
+    from etl_gcp_function_tmabrasil_spark.sources.cloudevent_source import (
+        CloudEventWriter,
+    )
+
+    out = tmp_path / "never-created"
+    w = CloudEventWriter({"path": str(out)}, overwrite=True)
+    w.commit([])  # must not raise
+    assert out.is_dir()
+    assert [f.name for f in out.iterdir() if not f.name.startswith((".", "_"))] == []
