@@ -78,155 +78,94 @@ _MODULES = [
 # 7). The window ROTATES per round so every query's latest green row
 # stays fresh; CORRECTNESS_CUMULATIVE.json records each query's latest
 # green round (asserted complete by tests/test_correctness_ledger.py).
-# Round 7 = the r6-verdict rotation plan plus the seventeen round-7
-# registrations at the top: the 13 round-6 registrations that have
-# never been inside a driver window, the 6 family-sibling
-# prose-sourced entries deferred out of the r6 window, and 24 of the
-# 49 round-4-green queries (oldest artifact-backed rows after r6) —
-# the similarity/ANN, multimodal, dedup-graph and traindata2 families.
-# The remaining r4 rows rotate in r8 (plan below) so the window
-# stays at exactly 50.
+# Round 8 = the r7-verdict rotation plan: the round-8 registrations at
+# the top, then the 35 rows whose latest green round is 4 (the
+# traindata wave, the dedup-graph family, and the r4
+# agg/join/window/text stragglers — verified against the re-merged
+# ledger), topped up to exactly 50 with the oldest r5 rows (the
+# checkpointed streaming family first). After r8 no row's evidence is
+# older than round 5; the remaining r5 rows rotate in r9 (plan below).
 # Everything else stays covered by tests/test_oracle_parity.py locally
 # (all registered queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
-    # --- round-7 registrations, latest first: recursive CTE, XML
-    #     roundtrip, custom
-    #     DataSource
-    #     writer, chained stateful
-    #     streaming operators, runtime bloom-filter
-    #     join pruning, full-outer interval
-    #     join, GK approx-percentile
-    #     sketch, SemDeDup semantic
-    #     dedup, semi interval join,
-    #     per-key EWMA fold,
-    #     dynamic partition pruning, sentinel-flushed outer interval join, z-order
-    #     layout, binaryFile ingestion, content-defined-anchor
-    #     substring dedup, the partition-pruned CDC merge (the
-    #     fact-sized-target scale path of stream_cdc_merge) and the
-    #     C4-style corpus line dedup ---
-    "sql_recursive_cte_index",
-    "scan_xml_roundtrip",
-    "sink_cloudevent_writer",
-    "stream_chained_window_distinct",
-    "join_runtime_bloom_filter",
-    "stream_interval_join_full",
-    "agg_approx_percentile",
-    "dedup_semantic_semdedup",
-    "stream_interval_join_semi",
-    "timeseries_ewma",
-    "join_dpp_partitioned",
-    "stream_interval_join_outer",
-    "sink_zorder_layout",
-    "scan_binaryfile_source",
-    "dedup_repeated_substrings",
-    "stream_cdc_merge_partitioned",
-    "dedup_corpus_lines",
-    # --- round-6 registrations, pinned order ---
-    "sink_bucketed_colocated_join",
-    "json_variant_ops",
-    "stream_cloudevent_source",
-    "dedup_cluster_representative",
-    "sql_lateral_topk",
-    "udf_arrow_vector_norms",
-    "split_group_integrity",
-    "window_global_rownum_scalable",
-    "sink_incremental_rollup",
-    "sample_weighted_per_source",
-    "stream_cdc_merge",
-    "scan_orc_roundtrip",
-    "bigram_lm_interpolated",
-    # --- prose-sourced family siblings deferred out of the r6 window ---
-    "agg_bitwise_stringagg",
-    "distinct_count_full_rows",
-    "embedding_dim_profile",
-    "embedding_stats",
-    "func_json_encode",
-    "text_length_histogram",
-    # --- r4-wave re-verifies: similarity / ANN / embeddings ---
-    "knn_bruteforce_cosine",
-    "ann_lsh_cosine",
-    "ann_ivf_cosine",
-    "ann_brp_mllib",
-    "dedup_minhash_mllib",
-    "embedding_quantize_int8",
-    "embedding_gram_matrix",
-    "kmeans_ivf_codebook",
-    # --- r4-wave re-verifies: multimodal ---
-    "multimodal_decode_stats",
-    "multimodal_resize_stats",
-    "multimodal_frame_sample",
-    "multimodal_embed_knn",
-    # --- r4-wave re-verifies: dedup graph / fuzzy ---
-    "dedup_exact_fingerprint",
-    "dedup_minhash_lsh",
-    # dedup_simhash,
-    # dedup_simhash_pairs, dedup_components, pagerank_dedup_graph,
-    # fuzzy_name_match,
-    # bpe_merge_pairs, bm25_score_docs, curriculum_temperature_sample,
-    # split_train_val_test,
-    # unigram_lm_score, source_overlap_matrix, sample_weighted_topk,
-    # event_funnel_conversion, pack_token_budget and chunk_documents
-    # (the whole r4 traindata wave plus fuzzy_name_match,
-    # pagerank_dedup_graph, dedup_components, dedup_simhash_pairs and
-    # dedup_simhash)
-    # rotated out
-    # to keep the window at exactly 50 as the late-r7
-    # registrations (dedup_repeated_substrings, scan_binaryfile_source,
-    # sink_zorder_layout, stream_interval_join_outer,
-    # join_dpp_partitioned, timeseries_ewma, stream_interval_join_semi,
-    # dedup_semantic_semdedup, agg_approx_percentile,
-    # stream_interval_join_full, join_runtime_bloom_filter,
-    # stream_chained_window_distinct, sink_cloudevent_writer,
-    # scan_xml_roundtrip, sql_recursive_cte_index) took the
-    # top slots; all fifteen move to the r8 wave.
+    # --- round-8 registrations, latest first ---
+    "join_skew_aqe",
+    # --- the 35 r4-wave rows (oldest artifact-backed evidence after
+    #     the r7 merge — verified against the ledger: exactly the
+    #     queries whose latest green round is 4): the traindata wave,
+    #     the dedup-graph family, and the r4 agg/join/window/text
+    #     stragglers ---
+    "chunk_documents",
+    "pack_token_budget",
+    "event_funnel_conversion",
+    "sample_weighted_topk",
+    "source_overlap_matrix",
+    "unigram_lm_score",
+    "split_train_val_test",
+    "curriculum_temperature_sample",
+    "bm25_score_docs",
+    "bpe_merge_pairs",
+    "fuzzy_name_match",
+    "pagerank_dedup_graph",
+    "dedup_components",
+    "dedup_simhash_pairs",
+    "dedup_simhash",
+    "agg_approx_distinct",
+    "agg_hll_mergeable",
+    "agg_iqr_outliers",
+    "agg_percentiles",
+    "agg_salted_hot_key",
+    "join_asof_purchase",
+    "join_salted_hot_key",
+    "json_tuple_explode_outer",
+    "profile_columns",
+    "q11_important_part_value",
+    "q16_supplier_part_counts",
+    "resample_daily_locf",
+    "setop_union_intersect_except",
+    "sql_cte_window_topk",
+    "text_fingerprint",
+    "text_quality_score",
+    "text_token_count",
+    "text_token_diversity",
+    "window_cume_dist",
+    "window_range_frame",
+    # --- r5-wave top-ups (oldest after the r4 block above): the full
+    #     checkpointed streaming family first, then joins/aggs ---
+    "stream_tumbling_watermark",
+    "stream_dedup_redelivery",
+    "stream_late_data_drop",
+    "stream_session_watermark",
+    "stream_interval_join",
+    "stream_running_totals_state",
+    "stream_static_enrichment",
+    "etl_xlsx_deadletter",
+    "join_broadcast_dims",
+    "join_semi",
+    "join_anti",
+    "join_range_bands",
+    "join_range_bucketed_pairs",
+    "agg_distinct",
 ]
 
-# ROUND-8 ROTATION PLAN (for the next builder): the 50-slot window
+# ROUND-9 ROTATION PLAN (for the next builder): the 50-slot window
 # should take, in order —
-#   0. any round-7 registrations never yet in a window (register new
+#   0. any round-8/9 registrations never yet in a window (register new
 #      operators at the TOP of this list);
-#   1. the 35 r4-green rows left out of the r7 window (after r7 these
-#      hold the oldest artifact-backed rows — the set was displaced
-#      slot-by-slot as the r7 registrations
-#      (dedup_repeated_substrings, scan_binaryfile_source,
-#      sink_zorder_layout, stream_interval_join_outer,
-#      join_dpp_partitioned, timeseries_ewma,
-#      stream_interval_join_semi, dedup_semantic_semdedup,
-#      agg_approx_percentile, stream_interval_join_full,
-#      join_runtime_bloom_filter, stream_chained_window_distinct,
-#      sink_cloudevent_writer, scan_xml_roundtrip,
-#      sql_recursive_cte_index) took the top slots; verified against
-#      the ledger: exactly these 35, so r8 = these + 15 r5 top-ups):
-#      chunk_documents, pack_token_budget, event_funnel_conversion,
-#      sample_weighted_topk, source_overlap_matrix, unigram_lm_score,
-#      split_train_val_test, curriculum_temperature_sample,
-#      bm25_score_docs, bpe_merge_pairs, fuzzy_name_match,
-#      pagerank_dedup_graph, dedup_components, dedup_simhash_pairs,
-#      dedup_simhash,
-#      agg_approx_distinct, agg_hll_mergeable, agg_iqr_outliers,
-#      agg_percentiles, agg_salted_hot_key,
-#      join_asof_purchase, join_salted_hot_key,
-#      json_tuple_explode_outer, profile_columns,
-#      q11_important_part_value, q16_supplier_part_counts,
-#      resample_daily_locf, setop_union_intersect_except,
-#      sql_cte_window_topk, text_fingerprint, text_quality_score,
-#      text_token_count, text_token_diversity, window_cume_dist,
-#      window_range_frame;
-#   2. fresh re-verifies from the r5 wave (50 rows hold round:5 in the
-#      ledger — after r8's item 1 these are the oldest), topping up to
-#      exactly 50; prioritize the streaming gates
-#      (stream_tumbling_watermark, stream_dedup_redelivery,
-#      stream_late_data_drop, stream_session_watermark,
-#      stream_interval_join, stream_running_totals_state,
-#      stream_static_enrichment, etl_xlsx_deadletter), then the r5
-#      join/agg/source wave (join_broadcast_dims, join_semi, join_anti,
-#      join_range_bands, join_range_bucketed_pairs, agg_distinct,
-#      agg_rollup, agg_cube, agg_grouping_sets, cdc_merge_upsert,
-#      scd2_user_history, scan_csv_json_roundtrip); the TPC-H
-#      adaptations (q1-q22) and window_rank/running_sum/ntile fill r9.
-# After r8 every query's latest check is ≤3 rounds old. Run
+#   1. the 36 rows still holding round:5 evidence after r8 (the r8
+#      window absorbed the 8 streaming gates + 5 joins + agg_distinct;
+#      what remains is the TPC-H adaptation wave q1-q22 minus q11/q16,
+#      plus agg_argmax, agg_cube, agg_grouping_sets, agg_robust_outliers,
+#      agg_rollup, agg_stats_moments, cdc_merge_upsert,
+#      join_left_outer, join_right_outer, rollup_time_multires,
+#      scalar_subquery_above_avg, scan_csv_json_roundtrip,
+#      scd2_user_history, window_ntile, window_rank_orders,
+#      window_running_sum);
+#   2. top up to exactly 50 from the r6 wave (those rows become the
+#      oldest once item 1 lands); the r7/r8 waves rotate r10+.
+# After r9 every query's latest check is <=4 rounds old. Run
 # scripts/merge_correctness_ledger.py at round start (after
-# CORRECTNESS_r07.json lands) before re-planning.
+# CORRECTNESS_r08.json lands) before re-planning.
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1090,11 +1090,133 @@ ORDER BY event_date
 """
 
 
+#: confs flipped (and restored) around the skew-gate execution. The
+#: byte thresholds exist for real clusters (default 256 MB skewed-
+#: partition floor, 64 MB advisory split target); the planted-skew
+#: corpus is MBs, so the gate lowers them — the RULE under test
+#: (OptimizeSkewedJoin) is stock. Broadcast is disabled because skew
+#: splitting only applies to shuffle joins (a broadcast join has no
+#: reduce partition to split — and the 6-row dim would broadcast).
+_SKEW_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8192",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4096",
+}
+
+
+def skewed_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join the skew gate executes: lineitem with a PLANTED hot key
+    (~90 % of rows land on skew_key 0 — the classic one-customer /
+    one-tenant pathology) ⨝ a 6-row nation dim, per-nation revenue
+    rollup. `repartition(8)` gives the join's map side 8 tasks — skew
+    splits are mapper-range granular, and at sf0.01 the whole table
+    otherwise arrives as ONE map block that cannot be split (a real
+    cluster gets this for free from multi-file scans). Detection reads
+    COMPRESSED shuffle bytes: the price column's distinct doubles keep
+    the hot block above the lowered floor, where a key-only payload
+    (54k copies of the same long) lz4-compresses under it. Built
+    lazily; callers decide the confs in force when it runs."""
+    from etl_gcp_function_tmabrasil_spark.queries._util import dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = li.repartition(8).select(
+        F.when(F.col("l_orderkey") % 10 < 9, F.lit(0))
+        .otherwise(F.pmod(F.col("l_orderkey"), F.lit(5)) + 1)
+        .cast("long")
+        .alias("skew_key"),
+        "l_extendedprice",
+    )
+    dim = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") <= 5)
+        .select(
+            F.col("n_nationkey").cast("long").alias("skew_key"), "n_name"
+        )
+    )
+    return (
+        fact.join(dim, "skew_key")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", 4).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE skew-join splitting (OptimizeSkewedJoin) — the runtime
+    answer to the hot-key join the manual salting operators
+    (`operators/skew.py`) solve by hand: when one reduce partition of a
+    shuffle join dwarfs the median, AQE splits it into mapper-range
+    slices and duplicates the matching partition of the other side, so
+    the hot key runs as N parallel tasks instead of one straggler — at
+    100 TB the difference between a join bounded by the cluster and one
+    bounded by a single task (and the salting operators stay for the
+    cases AQE can't see: skewed AGGREGATION and pre-shuffle placement).
+
+    The gate EXECUTES the join under the skew regime (collect inside
+    the fixture build, confs restored after — `_SKEW_CONFS` documents
+    the flips) and HARD-FAILS construction if the EXECUTED plan's
+    AQEShuffleRead is not marked `skewed`: the split is semantics-
+    preserving, so a silently-vanished optimization could never turn
+    the oracle red — the post-execution plan check is the gate (AQE
+    plans finalize at runtime; a pre-execution check can't see the
+    split). The oracle recomputes the rollup from the raw tables; hash
+    equality proves the split dropped and duplicated no rows."""
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "skew_join")
+
+    def _build(tmp: str) -> None:
+        saved = {k: spark.conf.get(k) for k in _SKEW_CONFS}
+        try:
+            for k, v in _SKEW_CONFS.items():
+                spark.conf.set(k, v)
+            joined = skewed_nation_revenue(spark, sf_dir)
+            joined.collect()  # AQE finalizes the plan at execution
+            plan = joined._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "simple"
+                )
+            )
+            if "skewed" not in plan:
+                raise RuntimeError(
+                    "AQE skew-join split did NOT fire: no AQEShuffleRead "
+                    "is marked 'skewed' in the executed plan"
+                )
+            joined.write.parquet(os.path.join(tmp, "data"))
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+
+    _ensure_fixture(fixture, _build)
+    return spark.read.parquet(os.path.join(fixture, "data")).orderBy("n_name")
+
+
+_SKEW_JOIN_SQL = """
+SELECT n_name, COUNT(*) AS n_items,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM (
+  SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0
+              ELSE l_orderkey % 5 + 1 END AS skew_key,
+         l_extendedprice
+  FROM lineitem
+) f
+JOIN (
+  SELECT CAST(n_nationkey AS BIGINT) AS skew_key, n_name
+  FROM nation WHERE n_nationkey <= 5
+) d USING (skew_key)
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 QUERIES = {
     "scan_binaryfile_source": scan_binaryfile_source,
     "sink_zorder_layout": sink_zorder_layout,
     "join_dpp_partitioned": join_dpp_partitioned,
     "join_runtime_bloom_filter": join_runtime_bloom_filter,
+    "join_skew_aqe": join_skew_aqe,
     "scan_csv_json_roundtrip": scan_csv_json_roundtrip,
     "scan_orc_roundtrip": scan_orc_roundtrip,
     "scan_xml_roundtrip": scan_xml_roundtrip,
@@ -1113,6 +1235,7 @@ ORACLE = {
     "sink_zorder_layout": _ZORDER_SQL,
     "join_dpp_partitioned": _DPP_SQL,
     "join_runtime_bloom_filter": _BLOOM_JOIN_SQL,
+    "join_skew_aqe": _SKEW_JOIN_SQL,
     "sink_incremental_rollup": _INCREMENTAL_SQL,
     "scan_orc_roundtrip": _ORC_SQL,
     "scan_xml_roundtrip": _XML_SQL,
