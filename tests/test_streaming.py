@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from etl_gcp_function_tmabrasil_spark.catalog import load_table
 from etl_gcp_function_tmabrasil_spark.streaming.pipeline import run_landing_pipeline
 from etl_gcp_function_tmabrasil_spark.streaming.windows import (
+    click_purchase_attribution,
     session_counts,
     sliding_counts,
     stateful_dedup,
@@ -771,3 +772,104 @@ def test_full_interval_join_gate_reinvocation_is_deterministic(spark):
     )
     second = [tuple(r) for r in stream_interval_join_full(spark, sf).collect()]
     assert sorted(second) == sorted(first)
+
+
+def test_full_interval_join_restart_mid_sentinel_wave(spark, tmp_path):
+    """The ugliest checkpoint cuts for the sentinel-flush protocol
+    (r7 verdict item 5): the full-outer interval join is stopped and
+    restarted at EVERY sentinel boundary — after the real chunks
+    (every pending null emission still a state obligation), again
+    after sentinel wave 1, and wave 2 arrives only in the third
+    incarnation. Each restart recovers join state + watermark from the
+    checkpoint; the combined sink must equal the batch full-outer
+    interval join with every row exactly once, in both null
+    directions, and the flush must demonstrably happen AFTER the first
+    cut (the first incarnation's output is incomplete)."""
+    import shutil
+    from collections import Counter
+
+    from etl_gcp_function_tmabrasil_spark.catalog import EVENTS_SCHEMA
+    from etl_gcp_function_tmabrasil_spark.queries.streaming_gate import (
+        _sentinel_chunks,
+    )
+
+    full = _sentinel_chunks(SF_SMOKE)
+    files = sorted(os.listdir(full))
+    assert files[-2].endswith("sentinel0.parquet"), files[-2]
+    assert files[-1].endswith("sentinel1.parquet"), files[-1]
+    chunks = tmp_path / "chunks"
+    chunks.mkdir()
+    for f in files[:-2]:  # the real chunks only — no sentinel yet
+        shutil.copy(os.path.join(full, f), chunks / f)
+        time.sleep(0.02)  # distinct mtimes -> deterministic admission
+    sink = str(tmp_path / "data")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        s = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(chunks))
+        )
+        joined = click_purchase_attribution(
+            s.filter(F.col("event_type") == "click"),
+            s.filter(F.col("event_type") == "purchase"),
+            how="fullOuter",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        return spark.read.parquet(sink).filter(F.col("user_id") >= 0).count()
+
+    n_real = run()  # cut 1: terminated before any sentinel
+    time.sleep(0.05)
+    shutil.copy(os.path.join(full, files[-2]), chunks / files[-2])
+    n_wave1 = run()  # cut 2: wave 1 processed by a RESTARTED query
+    time.sleep(0.05)
+    shutil.copy(os.path.join(full, files[-1]), chunks / files[-1])
+    n_final = run()  # wave 2 evicts on wave 1's recovered watermark
+
+    def canon(df):
+        return sorted(
+            tuple(r)
+            for r in df.select(
+                "user_id",
+                F.coalesce("purchase_id", F.lit(-1)).alias("purchase_id"),
+                F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+                F.coalesce(
+                    F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss"),
+                    F.lit("none"),
+                ).alias("purchase_s"),
+                F.coalesce(
+                    F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss"),
+                    F.lit("none"),
+                ).alias("click_s"),
+                F.coalesce("value", F.lit(-1.0)).alias("value"),
+            ).collect()
+        )
+
+    got = canon(spark.read.parquet(sink).filter(F.col("user_id") >= 0))
+    ev = spark.read.schema(EVENTS_SCHEMA).parquet(str(chunks))
+    want = canon(
+        click_purchase_attribution(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+            how="fullOuter",
+        ).filter(F.coalesce("user_id", F.lit(-1)) >= 0)
+    )
+    assert got == want, (
+        f"sentinel-boundary restarts diverged from batch: "
+        f"{len(got)} vs {len(want)}"
+    )
+    assert max(Counter(got).values()) == 1, "duplicate rows across the cuts"
+    assert n_real < n_final, (
+        "the first cut was not mid-flush: no null emission was pending "
+        "in checkpointed state when the query first terminated"
+    )
+    assert n_real <= n_wave1 <= n_final
