@@ -125,3 +125,14 @@ def kmeans_fit(
         assigned = _assign(emb, cent).localCheckpoint(eager=False)
         cent = _update(assigned)
     return cent, assigned.select("vec_id", "cell_id", "sqdist")
+
+
+def kmeans_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Encode (vec_id, e) against a TRAINED codebook: the row-local
+    broadcast argmin of :func:`kmeans_fit`'s loop, exposed for callers
+    that need the assignment UNDER THE FINAL centroids (the returned
+    ``assigned`` is one Lloyd step behind, standard for the trainer) —
+    the product-quantization encoder is the canonical user. Same
+    exactness contract: rounded argmin key, lower-cell_id tiebreak,
+    zero shuffle."""
+    return _assign(emb, cent).select("vec_id", "cell_id", "sqdist")

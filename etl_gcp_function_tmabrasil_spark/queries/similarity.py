@@ -719,6 +719,248 @@ ORDER BY vec_id
 """
 
 
+PQ_M = 4  #: subspaces (64-dim embeddings -> 4 x 16)
+PQ_SUBDIM = 16
+PQ_K = 8  #: centroids per subspace codebook
+PQ_ITERS = 2  #: Lloyd iterations per subspace (oracle unrolls them)
+PQ_QUERIES = 3  #: query set = the lowest vec_ids
+PQ_TOPK = 5
+
+
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011) — the memory-side complement of the IVF cell
+    probe: each vector is compressed to PQ_M one-byte codes (argmin
+    cell per 16-dim subspace against a per-subspace codebook trained
+    with the shared exact Lloyd loop, operators/kmeans.py), and query
+    distance is approximated as the sum over subspaces of a
+    precomputed query->centroid distance table entry — the scan reads
+    CODES, never raw vectors.
+
+    100 TB shape: codebook training touches each subspace once (same
+    bounded updates as kmeans_ivf_codebook); encoding is the row-local
+    zero-shuffle broadcast argmin (kmeans_assign); the ADC scan is a
+    broadcast hash join of the code table (PQ_M rows per vector,
+    fixed-width ints) against a queries x subspaces x centroids
+    distance table (|Q| * PQ_M * PQ_K rows — metadata-sized), then a
+    per-query top-k window. Raw vectors are read only to decorate the
+    k winners with their true distance — at 64 dims the code table is
+    16x smaller than the vectors, the actual point of PQ.
+
+    EXACT oracle: distances rounded to 6 dp (argmin AND table
+    entries), ADC summed as DECIMAL(25,6), per-query ranking breaks
+    ties on vec_id; the DuckDB twin unrolls the same per-subspace
+    Lloyd chains, so codebooks, codes, and rankings are bit-identical.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True).select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    return pq_topk(emb)
+
+
+def pq_topk(emb: DataFrame) -> DataFrame:
+    """The PQ train/encode/ADC pipeline over (vec_id, e: array<double>)
+    — factored out so tests can run it on planted fixtures (an exact
+    copy of a query must rank #1: its codes are the query's argmin
+    codes, so its ADC is the minimum any vector can achieve)."""
+    from functools import reduce
+
+    from etl_gcp_function_tmabrasil_spark.operators.kmeans import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    code_frames, cent_frames = [], []
+    for m in range(PQ_M):
+        sub = emb.select(
+            "vec_id", F.slice("e", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("e")
+        )
+        cent, _ = kmeans_fit(sub, k=PQ_K, iters=PQ_ITERS)
+        code_frames.append(
+            kmeans_assign(sub, cent).select(
+                "vec_id", F.lit(m).alias("sub"), F.col("cell_id").alias("code")
+            )
+        )
+        cent_frames.append(cent.select(F.lit(m).alias("sub"), "cell_id", "ce"))
+    codes = reduce(DataFrame.unionByName, code_frames)
+    cents = reduce(DataFrame.unionByName, cent_frames)
+
+    q = (
+        emb.orderBy("vec_id")
+        .limit(PQ_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    )
+    q_sub = q.select(
+        "query_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("qe", m * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("sub", "qs"),
+    )
+    sqd = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        " cast(0.0 as double), (s, v) -> s + v)"
+    )
+    dtable = q_sub.join(F.broadcast(cents), "sub").select(
+        "query_id",
+        "sub",
+        F.col("cell_id").alias("code"),
+        F.round(F.expr(sqd.format(a="qs", b="ce")), 6).alias("d"),
+    )
+    adc = (
+        codes.join(F.broadcast(dtable), ["sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum(F.col("d").cast("decimal(25,6)")).cast("double").alias(
+                "adc_dist"
+            )
+        )
+    )
+    ranked = (
+        adc.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+            ),
+        )
+        .filter(F.col("rank") <= PQ_TOPK)
+    )
+    return (
+        ranked.join(emb, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "rank",
+            "vec_id",
+            "adc_dist",
+            F.round(F.expr(sqd.format(a="e", b="qe")), 6).alias(
+                "true_sqdist"
+            ),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _pq_cte_prefix() -> str:
+    """Per-subspace unrolled-Lloyd chains + final-codebook encoding,
+    mirroring ann_pq_adc bit-for-bit (the _kmeans_cte_prefix
+    construction, parameterized by subspace slice): after it,
+    ``enc{m}`` is (vec_id, code) under subspace m's FINAL centroids
+    ``cm{m}_{PQ_ITERS}``."""
+    sq = (
+        "ROUND(list_sum(list_transform(generate_series(1, len(v.e)),"
+        " i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]))), 6)"
+    )
+    parts = []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+        parts.append(f"""
+em{m} AS (SELECT vec_id, e[{lo}:{hi}] AS e FROM e),
+cm{m}_0 AS (
+  SELECT cell_id, ce FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell_id, e AS ce
+    FROM em{m}
+  ) t WHERE cell_id <= {PQ_K}
+)""")
+        prev = f"cm{m}_0"
+        for n in range(1, PQ_ITERS + 1):
+            parts.append(f"""
+sm{m}_{n} AS (
+  SELECT v.vec_id, v.e, c.cell_id, {sq} AS sq
+  FROM em{m} v CROSS JOIN {prev} c
+),
+am{m}_{n} AS (
+  SELECT vec_id, e, cell_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY sq ASC, cell_id ASC) AS rn
+    FROM sm{m}_{n}
+  ) t WHERE rn = 1
+),
+um{m}_{n} AS (
+  SELECT cell_id, dim,
+    ROUND(CAST(SUM(CAST(ROUND(val, 9) AS DECIMAL(25,9))) AS DOUBLE)
+          / COUNT(*), 9) AS m
+  FROM (
+    SELECT cell_id, UNNEST(generate_series(0, len(e) - 1)) AS dim,
+           UNNEST(e) AS val
+    FROM am{m}_{n}
+  ) GROUP BY cell_id, dim
+),
+cm{m}_{n} AS (
+  SELECT cell_id, list(m ORDER BY dim) AS ce FROM um{m}_{n}
+  GROUP BY cell_id
+)""")
+            prev = f"cm{m}_{n}"
+        parts.append(f"""
+enc{m} AS (
+  SELECT vec_id, cell_id AS code FROM (
+    SELECT v.vec_id, c.cell_id,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                         ORDER BY {sq} ASC, c.cell_id ASC) AS rn
+    FROM em{m} v CROSS JOIN {prev} c
+  ) t WHERE rn = 1
+)""")
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e"
+        " FROM embeddings)," + ",".join(parts)
+    )
+
+
+def _pq_sql() -> str:
+    """ADC top-k over the per-subspace chains."""
+    qsq = (
+        "ROUND(list_sum(list_transform(generate_series(1, len(q.qs)),"
+        " i -> (q.qs[i] - c.ce[i]) * (q.qs[i] - c.ce[i]))), 6)"
+    )
+    tsq = (
+        "ROUND(list_sum(list_transform(generate_series(1, len(v.e)),"
+        " i -> (v.e[i] - q.qe[i]) * (v.e[i] - q.qe[i]))), 6)"
+    )
+    codes_union = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS sub, code FROM enc{m}" for m in range(PQ_M)
+    )
+    dt_union = " UNION ALL ".join(
+        f"""SELECT q.query_id, {m} AS sub, c.cell_id AS code, {qsq} AS d
+FROM (SELECT query_id, qe[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}] AS qs
+      FROM q) q CROSS JOIN cm{m}_{PQ_ITERS} c"""
+        for m in range(PQ_M)
+    )
+    return f"""
+{_pq_cte_prefix()},
+q AS (
+  SELECT vec_id AS query_id, e AS qe FROM e ORDER BY vec_id
+  LIMIT {PQ_QUERIES}
+),
+codes AS ({codes_union}),
+dt AS ({dt_union}),
+adc AS (
+  SELECT dt.query_id, codes.vec_id,
+    CAST(SUM(CAST(dt.d AS DECIMAL(25,6))) AS DOUBLE) AS adc_dist
+  FROM codes JOIN dt ON codes.sub = dt.sub AND codes.code = dt.code
+  GROUP BY dt.query_id, codes.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, adc_dist,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc_dist ASC, vec_id ASC) AS rank
+  FROM adc WHERE vec_id <> query_id
+)
+SELECT r.query_id, CAST(r.rank AS INT) AS rank, r.vec_id, r.adc_dist,
+  {tsq} AS true_sqdist
+FROM ranked r
+JOIN e v ON v.vec_id = r.vec_id
+JOIN q ON q.query_id = r.query_id
+WHERE r.rank <= {PQ_TOPK}
+ORDER BY r.query_id, r.rank
+"""
+
+
 QUERIES = {
     "knn_bruteforce_cosine": knn_bruteforce_cosine,
     "ann_lsh_cosine": ann_lsh_cosine,
@@ -728,6 +970,7 @@ QUERIES = {
     "embedding_cosine_dedup": embedding_cosine_dedup,
     "kmeans_ivf_codebook": kmeans_ivf_codebook,
     "dedup_semantic_semdedup": dedup_semantic_semdedup,
+    "ann_pq_adc": ann_pq_adc,
 }
 
 ORACLE = {
@@ -739,4 +982,5 @@ ORACLE = {
     "embedding_cosine_dedup": _emb_dedup_sql(),
     "kmeans_ivf_codebook": _kmeans_sql(),
     "dedup_semantic_semdedup": _semdedup_sql(),
+    "ann_pq_adc": _pq_sql(),
 }

@@ -78,6 +78,11 @@ GATE_QUERIES = [
     "stream_chained_window_distinct",
     "sink_cloudevent_writer",
     "scan_xml_roundtrip",
+    # r8: eager skew gate (executes the planted-skew join + plan check
+    # at construction) and the PQ trainer (same eager Lloyd's loop
+    # class as kmeans_ivf_codebook, once per subspace)
+    "join_skew_aqe",
+    "ann_pq_adc",
 ]
 
 
