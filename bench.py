@@ -69,6 +69,9 @@ HEADLINE = [
     "timeseries_ewma",          # per-key linear-recurrence ordered fold
     "agg_approx_percentile",    # GK sketch + broadcast bound-verify
     "sql_recursive_cte_index",  # WITH RECURSIVE frontier-join chain
+    # round-8 additions (lazy construction; the skew/PQ gates are
+    # eager and live in scripts/bench_gate_sf01.py)
+    "text_ccnet_quality_buckets",  # CCNet per-lang LM-score terciles
 ]
 
 

@@ -89,6 +89,7 @@ _MODULES = [
 # (all registered queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
     # --- round-8 registrations, latest first ---
+    "text_ccnet_quality_buckets",
     "ann_pq_adc",
     "join_skew_aqe",
     # --- the 35 r4-wave rows (oldest artifact-backed evidence after
@@ -145,23 +146,23 @@ _CHECK_FIRST = [
     "join_semi",
     "join_anti",
     "join_range_bands",
-    "join_range_bucketed_pairs",
 ]
 
 # ROUND-9 ROTATION PLAN (for the next builder): the 50-slot window
 # should take, in order —
 #   0. any round-8/9 registrations never yet in a window (register new
 #      operators at the TOP of this list);
-#   1. the 37 rows still holding round:5 evidence after r8 (the r8
-#      window absorbed the 8 streaming gates + 5 joins;
+#   1. the 38 rows still holding round:5 evidence after r8 (the r8
+#      window absorbed the 8 streaming gates + 4 joins;
 #      what remains is the TPC-H adaptation wave q1-q22 minus q11/q16,
 #      plus agg_argmax, agg_cube, agg_grouping_sets, agg_robust_outliers,
 #      agg_rollup, agg_stats_moments, cdc_merge_upsert,
 #      join_left_outer, join_right_outer, rollup_time_multires,
 #      scalar_subquery_above_avg, scan_csv_json_roundtrip,
 #      scd2_user_history, window_ntile, window_rank_orders,
-#      window_running_sum, and agg_distinct — displaced from the r8
-#      window by the ann_pq_adc registration);
+#      window_running_sum, agg_distinct and join_range_bucketed_pairs —
+#      the last two displaced from the r8 window by the ann_pq_adc and
+#      text_ccnet_quality_buckets registrations);
 #   2. top up to exactly 50 from the r6 wave (those rows become the
 #      oldest once item 1 lands); the r7/r8 waves rotate r10+.
 # After r9 every query's latest check is <=4 rounds old. Run

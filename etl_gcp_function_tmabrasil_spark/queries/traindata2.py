@@ -936,3 +936,133 @@ FROM scored ORDER BY mean_logprob ASC, doc_id ASC LIMIT {LM_SCORE_TOP_N}
 
 QUERIES["bigram_lm_interpolated"] = bigram_lm_interpolated
 ORACLE["bigram_lm_interpolated"] = _BIGRAM_LM_SQL
+
+
+def text_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language quality bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): score every document with the unigram LM
+    perplexity proxy (`unigram_lm_score`'s exact formulation, no
+    limit), split each LANGUAGE's corpus into head/middle/tail by its
+    own score terciles, and roll up per (lang, bucket) — the bucketing
+    CCNet applies before sampling pretraining data predominantly from
+    the head.
+
+    Scale shape — thresholds, not ntile: a per-lang `ntile(3)` would
+    sort a language's ENTIRE corpus inside one window partition (the
+    single-task funnel; a language at 100 TB is tens of TB). CCNet
+    itself assigns by perplexity THRESHOLD, so the tercile cutoffs are
+    computed exactly with the banded-rank machinery
+    (operators/quantiles.banded_exact_quantiles — O(bands) memory, no
+    group buffering), broadcast back (one row per lang), and bucket
+    assignment is a row-local comparison. Determinism: scores are the
+    LM gate's fixed-point construction (8-dp rounded logs, decimal
+    sums, 6-dp mean); cutoffs are the linear-interpolated quantile
+    both engines define identically (pinned by agg_percentiles), so
+    the >= comparisons agree bit-for-bit.
+    """
+    from etl_gcp_function_tmabrasil_spark.operators.quantiles import (
+        banded_exact_quantiles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    freqs = toks.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    logp = F.round(F.log(F.col("tf").cast("double") / F.col("n_total")), 8)
+    scored = (
+        toks.join(freqs, "t")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", logp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("lp").cast("decimal(20,8)")).alias("_sum_lp"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                (F.col("_sum_lp") / F.col("n_tokens")).cast("double"), 6
+            ).alias("mean_logprob"),
+        )
+        .join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+    )
+    cuts = banded_exact_quantiles(
+        scored,
+        "lang",
+        "mean_logprob",
+        {"q33": 1 / 3, "q67": 2 / 3},
+        band_width=0.01,
+        round_to=6,
+    ).select("lang", "q33", "q67")
+    bucketed = scored.join(F.broadcast(cuts), "lang").select(
+        "lang",
+        F.when(F.col("mean_logprob") >= F.col("q67"), F.lit("head"))
+        .when(F.col("mean_logprob") >= F.col("q33"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        "mean_logprob",
+        "n_chars",
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("mean_logprob").cast("decimal(20,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
+            F.round(
+                F.sum(F.col("n_chars").cast("decimal(20,0)")).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ).alias("avg_chars"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+_CCNET_BUCKETS_SQL = f"""
+WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t
+              FROM documents),
+freqs AS (SELECT t, COUNT(*) AS tf FROM toks GROUP BY t),
+total AS (SELECT COUNT(*) AS n_total FROM toks),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+    SUM(CAST(ROUND(ln(CAST(tf AS DOUBLE) / n_total), 8) AS DECIMAL(20,8)))
+      AS sum_lp
+  FROM toks JOIN freqs USING (t) CROSS JOIN total
+  GROUP BY doc_id
+),
+sdocs AS (
+  SELECT d.lang, d.n_chars,
+    ROUND(CAST(s.sum_lp / s.n_tokens AS DOUBLE), 6) AS mean_logprob
+  FROM scored s JOIN documents d USING (doc_id)
+),
+cuts AS (
+  SELECT lang,
+    ROUND(quantile_cont(mean_logprob, {1 / 3!r}), 6) AS q33,
+    ROUND(quantile_cont(mean_logprob, {2 / 3!r}), 6) AS q67
+  FROM sdocs GROUP BY lang
+),
+b AS (
+  SELECT s.lang,
+    CASE WHEN mean_logprob >= q67 THEN 'head'
+         WHEN mean_logprob >= q33 THEN 'middle'
+         ELSE 'tail' END AS bucket,
+    mean_logprob, n_chars
+  FROM sdocs s JOIN cuts USING (lang)
+)
+SELECT lang, bucket, COUNT(*) AS n_docs,
+  ROUND(CAST(SUM(CAST(mean_logprob AS DECIMAL(20,6))) AS DOUBLE)
+        / COUNT(*), 6) AS avg_logprob,
+  ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(20,0))) AS DOUBLE)
+        / COUNT(*), 2) AS avg_chars
+FROM b GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""
+
+QUERIES["text_ccnet_quality_buckets"] = text_ccnet_quality_buckets
+ORACLE["text_ccnet_quality_buckets"] = _CCNET_BUCKETS_SQL
