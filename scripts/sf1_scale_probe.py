@@ -114,6 +114,15 @@ PARITY = [
     # rank-error bound is a theorem, but the 2*eps gate margin is
     # empirical; probe it at 10x too
     "agg_approx_percentile",
+    # r8: AQE skew split at 10x the hot-key mass (600k lineitem rows
+    # on one join key — the gate hard-fails if the executed plan lost
+    # the 'skewed' AQEShuffleRead), PQ codebooks/codes/rankings at
+    # 5000 vectors (per-copy rotation preserves within-copy inner
+    # products, so subspace structure scales honestly), and CCNet
+    # bucketing at 10x the token stream (cutoffs re-derived per lang).
+    "join_skew_aqe",
+    "ann_pq_adc",
+    "text_ccnet_quality_buckets",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.
