@@ -457,6 +457,105 @@ ORDER BY user_id, session_start
 """
 
 
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a DYNAMIC, per-event gap — the
+    session_window(ts, Column) form (Spark 3.2+): an event keeps its
+    session alive for an event-type-dependent horizon (purchase 60 min,
+    click 30, anything else 15 — the engagement-weighted sessionization
+    real funnels use, where a purchase signals continued intent long
+    after a stray pageview would have timed out).
+
+    Semantics under test, pinned by the oracle AND by the output's
+    explicit session_end column: every event spans [ts, ts + gap(event));
+    overlapping spans merge, so a session's end is MAX(ts + gap) over
+    its members — NOT last-event + constant — and an event at exactly
+    the running end still merges (the fixed-gap gate's measured
+    boundary rule, same engine code path; re-pinned for the dynamic
+    form by tests/test_streaming.py). Emitted = finalized sessions
+    (end <= final watermark = max ts at the 0-second delay). The batch
+    twin is gaps-and-islands over the running MAX(ts + gap) — the
+    running max matters: a long-gap event deep inside a session can
+    outlive several short-gap successors.
+    """
+    root = _root(sf_dir, "session_dynamic")
+    chunks = _shared_chunks(sf_dir)
+    gap = (
+        F.when(F.col("event_type") == "purchase", "60 minutes")
+        .when(F.col("event_type") == "click", "30 minutes")
+        .otherwise("15 minutes")
+    )
+    agg = (
+        _stream(spark, chunks)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), csum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+    data = _run_to_parquet(agg, root)
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    return (
+        spark.read.parquet(data)
+        .filter(F.col("we") <= F.lit(max_ts))
+        .select(
+            "user_id",
+            F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("we", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# gaps-and-islands twin of the DYNAMIC-gap session window: each event
+# extends the session to ts + gap(event_type); a new session starts
+# only when ts exceeds the running MAX of all previous ends (strictly —
+# the measured merge-on-equal boundary, as in _SESSION_STREAM_SQL).
+_SESSION_DYNAMIC_SQL = """
+WITH g AS (
+  SELECT user_id, ts, value,
+    CASE event_type WHEN 'purchase' THEN INTERVAL '60 minutes'
+                    WHEN 'click' THEN INTERVAL '30 minutes'
+                    ELSE INTERVAL '15 minutes' END AS gap
+  FROM events
+),
+marked AS (
+  SELECT user_id, ts, value, gap,
+    CASE WHEN prev_end IS NULL OR ts > prev_end THEN 1 ELSE 0 END
+      AS new_session
+  FROM (
+    SELECT *,
+      MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_end
+    FROM g
+  )
+),
+sess AS (
+  SELECT user_id, ts, value, gap,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(MAX(ts + gap), '%Y-%m-%d %H:%M:%S') AS session_end,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM sess
+GROUP BY user_id, sid
+HAVING MAX(ts + gap) <= (SELECT max(ts) FROM events)
+ORDER BY user_id, session_start
+"""
+
+
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (click→purchase
     attribution, streaming/windows.click_purchase_attribution) through
@@ -1219,6 +1318,7 @@ QUERIES = {
     "stream_dedup_redelivery": stream_dedup_redelivery,
     "stream_late_data_drop": stream_late_data_drop,
     "stream_session_watermark": stream_session_watermark,
+    "stream_session_dynamic_gap": stream_session_dynamic_gap,
     "stream_interval_join": stream_interval_join,
     "stream_interval_join_outer": stream_interval_join_outer,
     "stream_interval_join_semi": stream_interval_join_semi,
@@ -1236,6 +1336,7 @@ ORACLE = {
     "stream_dedup_redelivery": _DEDUP_STREAM_SQL,
     "stream_late_data_drop": _LATE_DROP_SQL,
     "stream_session_watermark": _SESSION_STREAM_SQL,
+    "stream_session_dynamic_gap": _SESSION_DYNAMIC_SQL,
     "stream_interval_join": _INTERVAL_JOIN_SQL,
     "stream_interval_join_outer": _INTERVAL_JOIN_OUTER_SQL,
     "stream_interval_join_semi": _INTERVAL_JOIN_SEMI_SQL,

@@ -83,6 +83,9 @@ GATE_QUERIES = [
     # class as kmeans_ivf_codebook, once per subspace)
     "join_skew_aqe",
     "ann_pq_adc",
+    # r8: dynamic-gap session stream (checkpointed availableNow run at
+    # construction, like the other stream_* gates)
+    "stream_session_dynamic_gap",
 ]
 
 

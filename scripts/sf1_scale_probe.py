@@ -123,6 +123,9 @@ PARITY = [
     "join_skew_aqe",
     "ann_pq_adc",
     "text_ccnet_quality_buckets",
+    # r8: dynamic-gap sessionization over 1M events (10x session-state
+    # mass through the checkpointed run; per-event gap arithmetic)
+    "stream_session_dynamic_gap",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.

@@ -873,3 +873,41 @@ def test_full_interval_join_restart_mid_sentinel_wave(spark, tmp_path):
         "in checkpointed state when the query first terminated"
     )
     assert n_real <= n_wave1 <= n_final
+
+
+def test_session_window_dynamic_gap_semantics(spark):
+    """Pin the DYNAMIC-gap session_window semantics the
+    stream_session_dynamic_gap oracle encodes: (a) each event extends
+    the session to ts + gap(EVENT) — a long-gap event deep inside a
+    session outlives short-gap successors, so the session end is the
+    running MAX of per-event ends, not last-event + its gap; (b) an
+    event at exactly the running end still MERGES (the fixed-gap
+    boundary rule, same engine path)."""
+    import datetime as dt
+
+    rows = [
+        # long-gap event (60 min) followed by a short-gap one (15 min):
+        # session end must stay 11:00 (10:00+60m), not 10:20 (10:05+15m)
+        (1, dt.datetime(2024, 1, 1, 10, 0, 0), "purchase"),
+        (1, dt.datetime(2024, 1, 1, 10, 5, 0), "view"),
+        # at exactly the running end -> merges, extends to 11:15
+        (1, dt.datetime(2024, 1, 1, 11, 0, 0), "view"),
+        # 1s past the new running end -> new session
+        (1, dt.datetime(2024, 1, 1, 11, 15, 1), "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    gap = (
+        F.when(F.col("event_type") == "purchase", "60 minutes")
+        .otherwise("15 minutes")
+    )
+    out = (
+        df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .count()
+        .select("w.start", "w.end", "count")
+        .orderBy("start")
+        .collect()
+    )
+    assert len(out) == 2, out
+    assert out[0]["count"] == 3, out  # running-max + merge-on-equal
+    assert out[0]["end"] == dt.datetime(2024, 1, 1, 11, 15, 0), out
+    assert out[1]["count"] == 1, out
