@@ -77,6 +77,10 @@ _FAMILY_QUERIES = [
     ("agg_heavy_hitters", 0),
     # round-7: corpus line dedup (empty corpus -> zero docs)
     ("dedup_corpus_lines", 0),
+    # round-8: PQ over zero vectors (empty codebooks -> zero neighbors)
+    # and CCNet bucketing over an empty corpus (no cutoffs, no rows)
+    ("ann_pq_adc", 0),
+    ("text_ccnet_quality_buckets", 0),
 ]
 
 
