@@ -72,6 +72,7 @@ HEADLINE = [
     # round-8 additions (lazy construction; the skew/PQ gates are
     # eager and live in scripts/bench_gate_sf01.py)
     "text_ccnet_quality_buckets",  # CCNet per-lang LM-score terciles
+    "embedding_pca_power",      # gram-matrix power iteration (persisted scan)
 ]
 
 

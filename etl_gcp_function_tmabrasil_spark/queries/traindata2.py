@@ -1066,3 +1066,131 @@ ORDER BY lang, bucket
 
 QUERIES["text_ccnet_quality_buckets"] = text_ccnet_quality_buckets
 ORACLE["text_ccnet_quality_buckets"] = _CCNET_BUCKETS_SQL
+
+
+PCA_ITERS = 3  #: power iterations (oracle unrolls them)
+
+
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by POWER
+    ITERATION over the gram matrix — the eigensolve step
+    `embedding_gram_matrix` explicitly leaves downstream, done
+    engine-side the way every fixed-point iterative operator here is
+    (PageRank, k-means): the expensive corpus scan happens ONCE (the
+    gram accumulation, persisted), and each iteration is a matvec over
+    the DIM x DIM matrix — 64-row broadcast joins, metadata-sized
+    regardless of corpus size. Pipelines use the result for whitening
+    / anisotropy diagnosis before cosine-based dedup (embeddings with
+    a dominant direction make every cosine look alike).
+
+    Determinism (the PageRank discipline): x0 = 1/sqrt(DIM) = 0.125
+    exactly; each matvec term is rounded to 12 dp and summed as
+    DECIMAL(38,12) (no float summation order), the norm likewise, and
+    the normalized components re-round to 9 dp — every iteration is
+    bit-identical across engines and partitionings, so the DuckDB twin
+    simply unrolls the same PCA_ITERS steps as CTEs. Output: the
+    normalized direction after PCA_ITERS steps plus the eigenvalue
+    estimate ||G x_{n-1}|| (the dominant-eigenvalue limit of the
+    iteration, 6 dp).
+    """
+    from etl_gcp_function_tmabrasil_spark.queries._util import managed_persist
+
+    gut = embedding_gram_matrix(spark, sf_dir).select(
+        "i", "j", F.col("gram").alias("v")
+    )
+    g = managed_persist(
+        gut.unionByName(
+            gut.filter(F.col("i") < F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "v"
+            )
+        ),
+        "traindata2.pca_power.gram",
+    )
+    x = spark.range(1, _GRAM_DIM + 1).select(
+        F.col("id").cast("int").alias("j"), F.lit(0.125).alias("xv")
+    )
+    nrm = None
+    for _ in range(PCA_ITERS):
+        y = (
+            g.join(F.broadcast(x), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.round(F.col("v") * F.col("xv"), 12).cast(
+                        "decimal(38,12)"
+                    )
+                )
+                .cast("double")
+                .alias("y")
+            )
+        )
+        nrm = y.agg(
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("y") * F.col("y"), 12).cast("decimal(38,12)")
+                ).cast("double")
+            ).alias("nrm")
+        )
+        x = y.crossJoin(F.broadcast(nrm)).select(
+            F.col("i").alias("j"),
+            F.round(F.col("y") / F.col("nrm"), 9).alias("xv"),
+        )
+    return (
+        x.select(F.col("j").alias("dim"), F.col("xv").alias("loading"))
+        .crossJoin(
+            F.broadcast(nrm.select(F.round("nrm", 6).alias("eigenvalue")))
+        )
+        .orderBy("dim")
+    )
+
+
+def _pca_power_sql() -> str:
+    """Unrolled power iteration over the gram CTE, mirroring
+    embedding_pca_power bit-for-bit."""
+    parts = [f"""
+gut AS (
+  SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+    ROUND(CAST(SUM(q[i] * q[j]) AS DOUBLE)
+          / ({GRAM_SCALE}.0 * {GRAM_SCALE}), 6) AS v
+  FROM q, generate_series(1, {_GRAM_DIM}) t1(i),
+       generate_series(1, {_GRAM_DIM}) t2(j)
+  WHERE i <= j GROUP BY i, j
+),
+g AS (
+  SELECT i, j, v FROM gut
+  UNION ALL
+  SELECT j AS i, i AS j, v FROM gut WHERE i < j
+),
+x0 AS (
+  SELECT CAST(i AS INT) AS j, CAST(0.125 AS DOUBLE) AS xv
+  FROM generate_series(1, {_GRAM_DIM}) t(i)
+)"""]
+    for n in range(1, PCA_ITERS + 1):
+        parts.append(f"""
+y{n} AS (
+  SELECT g.i,
+    CAST(SUM(CAST(ROUND(g.v * x.xv, 12) AS DECIMAL(38,12))) AS DOUBLE) AS y
+  FROM g JOIN x{n - 1} x ON g.j = x.j
+  GROUP BY g.i
+),
+n{n} AS (
+  SELECT sqrt(CAST(SUM(CAST(ROUND(y * y, 12) AS DECIMAL(38,12)))
+              AS DOUBLE)) AS nrm
+  FROM y{n}
+),
+x{n} AS (
+  SELECT i AS j, ROUND(y / (SELECT nrm FROM n{n}), 9) AS xv FROM y{n}
+)""")
+    return f"""
+WITH e AS (SELECT embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT list_transform(e, x -> CAST(FLOOR(x * {GRAM_SCALE} + 0.5)
+                                         AS BIGINT)) AS q
+      FROM e),{",".join(parts)}
+SELECT x.j AS dim, x.xv AS loading,
+  (SELECT ROUND(nrm, 6) FROM n{PCA_ITERS}) AS eigenvalue
+FROM x{PCA_ITERS} x ORDER BY dim
+"""
+
+
+QUERIES["embedding_pca_power"] = embedding_pca_power
+ORACLE["embedding_pca_power"] = _pca_power_sql()

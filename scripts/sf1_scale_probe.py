@@ -126,6 +126,9 @@ PARITY = [
     # r8: dynamic-gap sessionization over 1M events (10x session-state
     # mass through the checkpointed run; per-event gap arithmetic)
     "stream_session_dynamic_gap",
+    # r8: power iteration over the gram of 5000 vectors (the corpus
+    # scan is the only data-sized stage; the matvecs stay 64-row)
+    "embedding_pca_power",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.

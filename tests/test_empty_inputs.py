@@ -81,6 +81,7 @@ _FAMILY_QUERIES = [
     # and CCNet bucketing over an empty corpus (no cutoffs, no rows)
     ("ann_pq_adc", 0),
     ("text_ccnet_quality_buckets", 0),
+    ("embedding_pca_power", 0),
 ]
 
 
