@@ -354,16 +354,18 @@ def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # strictly-greater gap starts a new one — `>` here, not `>=`.
 _SESSION_SQL = """
 WITH marked AS (
-  SELECT user_id, ts, value,
-    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+  SELECT user_id, ts, value, event_id,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id)
               > INTERVAL '30 minutes'
-         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         OR LAG(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) IS NULL
          THEN 1 ELSE 0 END AS new_session
   FROM events
 ),
 sess AS (
   SELECT user_id, ts, value,
-    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM marked
 )

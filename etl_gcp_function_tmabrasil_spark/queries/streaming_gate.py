@@ -426,6 +426,12 @@ def stream_session_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # gaps-and-islands twin of Spark's session_window, restricted to
 # finalized sessions: last event + gap <= global max ts.
+# TIE HAZARD (hit at sf1, r8): BOTH window clauses must share a TOTAL
+# order (ts, event_id). Ordered on ts alone, duplicate-ts rows are
+# framed arbitrarily and INDEPENDENTLY by the two evaluations, so a
+# tie ordered before its group's flag-bearer in the running SUM
+# attaches to the previous session — Spark's session_window is
+# set-semantic over intervals and never splits a tie group.
 # Boundary semantics (measured, Spark 4.1.2; pinned by
 # tests/test_streaming.py::test_session_window_exact_gap_merges):
 # an event at exactly prev_ts + gap MERGES into the session — Spark
@@ -433,16 +439,18 @@ def stream_session_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 # strictly-greater gap starts a new session. Hence `>` here, not `>=`.
 _SESSION_STREAM_SQL = """
 WITH marked AS (
-  SELECT user_id, ts, value,
-    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+  SELECT user_id, ts, value, event_id,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id)
               > INTERVAL '30 minutes'
-         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         OR LAG(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) IS NULL
          THEN 1 ELSE 0 END AS new_session
   FROM events
 ),
 sess AS (
   SELECT user_id, ts, value,
-    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM marked
 )
@@ -517,21 +525,24 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # extends the session to ts + gap(event_type); a new session starts
 # only when ts exceeds the running MAX of all previous ends (strictly —
 # the measured merge-on-equal boundary, as in _SESSION_STREAM_SQL).
+# Total (ts, event_id) order in both windows — see the tie hazard note
+# on _SESSION_STREAM_SQL (this oracle is where it was caught: 7 of
+# 95927 sessions split at sf1's 10x-duplicate fixture).
 _SESSION_DYNAMIC_SQL = """
 WITH g AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
     CASE event_type WHEN 'purchase' THEN INTERVAL '60 minutes'
                     WHEN 'click' THEN INTERVAL '30 minutes'
                     ELSE INTERVAL '15 minutes' END AS gap
   FROM events
 ),
 marked AS (
-  SELECT user_id, ts, value, gap,
+  SELECT user_id, ts, value, gap, event_id,
     CASE WHEN prev_end IS NULL OR ts > prev_end THEN 1 ELSE 0 END
       AS new_session
   FROM (
     SELECT *,
-      MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+      MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING
                           AND 1 PRECEDING) AS prev_end
     FROM g
@@ -539,7 +550,7 @@ marked AS (
 ),
 sess AS (
   SELECT user_id, ts, value, gap,
-    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING
                            AND CURRENT ROW) AS sid
   FROM marked

@@ -124,8 +124,14 @@ PARITY = [
     "ann_pq_adc",
     "text_ccnet_quality_buckets",
     # r8: dynamic-gap sessionization over 1M events (10x session-state
-    # mass through the checkpointed run; per-event gap arithmetic)
+    # mass through the checkpointed run; per-event gap arithmetic).
+    # This entry CAUGHT a real oracle bug on first run: the islands
+    # windows ordered ties on ts alone and split 7 duplicate-ts groups
+    # across sessions — all three session oracles now carry the total
+    # (ts, event_id) order, and all three stay probed here.
     "stream_session_dynamic_gap",
+    "stream_session_watermark",
+    "window_session_batch",
     # r8: power iteration over the gram of 5000 vectors (the corpus
     # scan is the only data-sized stage; the matvecs stay 64-row)
     "embedding_pca_power",
