@@ -89,6 +89,7 @@ _MODULES = [
 # (all registered queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
     # --- round-8 registrations, latest first ---
+    "sink_snapshot_time_travel",
     "embedding_pca_power",
     "stream_session_dynamic_gap",
     "text_ccnet_quality_buckets",
@@ -145,15 +146,14 @@ _CHECK_FIRST = [
     "stream_static_enrichment",
     "etl_xlsx_deadletter",
     "join_broadcast_dims",
-    "join_semi",
 ]
 
 # ROUND-9 ROTATION PLAN (for the next builder): the 50-slot window
 # should take, in order —
 #   0. any round-8/9 registrations never yet in a window (register new
 #      operators at the TOP of this list);
-#   1. the 40 rows still holding round:5 evidence after r8 (the r8
-#      window absorbed the 8 streaming gates + 2 joins;
+#   1. the 41 rows still holding round:5 evidence after r8 (the r8
+#      window absorbed the 8 streaming gates + 1 join;
 #      what remains is the TPC-H adaptation wave q1-q22 minus q11/q16,
 #      plus agg_argmax, agg_cube, agg_grouping_sets, agg_robust_outliers,
 #      agg_rollup, agg_stats_moments, cdc_merge_upsert,
@@ -161,9 +161,10 @@ _CHECK_FIRST = [
 #      scalar_subquery_above_avg, scan_csv_json_roundtrip,
 #      scd2_user_history, window_ntile, window_rank_orders,
 #      window_running_sum, agg_distinct, join_range_bucketed_pairs,
-#      join_range_bands and join_anti — the last four displaced from
-#      the r8 window by the ann_pq_adc, text_ccnet_quality_buckets,
-#      stream_session_dynamic_gap and embedding_pca_power
+#      join_range_bands, join_anti and join_semi — the last five
+#      displaced from the r8 window by the ann_pq_adc,
+#      text_ccnet_quality_buckets, stream_session_dynamic_gap,
+#      embedding_pca_power and sink_snapshot_time_travel
 #      registrations);
 #   2. top up to exactly 50 from the r6 wave (those rows become the
 #      oldest once item 1 lands); the r7/r8 waves rotate r10+.

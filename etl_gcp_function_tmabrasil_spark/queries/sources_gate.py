@@ -1090,6 +1090,87 @@ ORDER BY event_date
 """
 
 
+def sink_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolated table sink with TIME TRAVEL
+    (`sinks/snapshot.py` — the manifest-file core of Iceberg/Delta
+    from primitives): data files become visible only through an
+    atomically renamed manifest, every committed version stays
+    readable, and orphan files from crashed commits are structurally
+    invisible because no manifest names them.
+
+    The gate commits v1 (two thirds of events), appends v2 (the rest),
+    PLANTS an orphan parquet file in data/ (a simulated crashed
+    commit) plus a half-written manifest temp, then reads BOTH
+    versions back and rolls each up per event_type. The oracle
+    recomputes the two rollups from the base table with the same
+    split predicate — if the orphan leaked into either read, or the
+    append lost/duplicated carried-forward files, the counts and
+    decimal sums cannot match.
+    """
+    from etl_gcp_function_tmabrasil_spark.queries._util import dsum
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        commit_snapshot,
+        read_snapshot,
+    )
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "snapshot_table")
+
+    def _build(tmp: str) -> None:
+        table = os.path.join(tmp, "table")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        v1 = commit_snapshot(ev.filter(F.col("event_id") % 3 != 0), table)
+        v2 = commit_snapshot(
+            ev.filter(F.col("event_id") % 3 == 0), table, mode="append"
+        )
+        if (v1, v2) != (1, 2):
+            raise RuntimeError(f"unexpected snapshot versions: {(v1, v2)}")
+        # crashed-commit residue: an orphan data file no manifest names
+        # and a half-written manifest temp — both must stay invisible
+        ev.limit(5).write.parquet(os.path.join(table, "data", "orphan"))
+        with open(
+            os.path.join(table, ".manifest_v3.json.tmp"), "w"
+        ) as fh:
+            fh.write('{"version": 3, "files": ["garbage"]')
+
+        def rollup(version: int):
+            return (
+                read_snapshot(spark, table, version)
+                .groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    dsum("value", 4).alias("sum_value"),
+                )
+                .select(F.lit(version).alias("version"), "*")
+            )
+
+        rollup(1).unionByName(rollup(2)).write.parquet(
+            os.path.join(tmp, "out")
+        )
+
+    _ensure_fixture(fixture, _build)
+    return (
+        spark.read.parquet(os.path.join(fixture, "out"))
+        .orderBy("version", "event_type")
+    )
+
+
+_SNAPSHOT_SQL = """
+SELECT 1 AS version, event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events WHERE event_id % 3 <> 0
+GROUP BY event_type
+UNION ALL
+SELECT 2 AS version, event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY version, event_type
+"""
+
+
 #: confs flipped (and restored) around the skew-gate execution. The
 #: byte thresholds exist for real clusters (default 256 MB skewed-
 #: partition floor, 64 MB advisory split target); the planted-skew
@@ -1217,6 +1298,7 @@ QUERIES = {
     "join_dpp_partitioned": join_dpp_partitioned,
     "join_runtime_bloom_filter": join_runtime_bloom_filter,
     "join_skew_aqe": join_skew_aqe,
+    "sink_snapshot_time_travel": sink_snapshot_time_travel,
     "scan_csv_json_roundtrip": scan_csv_json_roundtrip,
     "scan_orc_roundtrip": scan_orc_roundtrip,
     "scan_xml_roundtrip": scan_xml_roundtrip,
@@ -1236,6 +1318,7 @@ ORACLE = {
     "join_dpp_partitioned": _DPP_SQL,
     "join_runtime_bloom_filter": _BLOOM_JOIN_SQL,
     "join_skew_aqe": _SKEW_JOIN_SQL,
+    "sink_snapshot_time_travel": _SNAPSHOT_SQL,
     "sink_incremental_rollup": _INCREMENTAL_SQL,
     "scan_orc_roundtrip": _ORC_SQL,
     "scan_xml_roundtrip": _XML_SQL,

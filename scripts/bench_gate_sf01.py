@@ -84,8 +84,10 @@ GATE_QUERIES = [
     "join_skew_aqe",
     "ann_pq_adc",
     # r8: dynamic-gap session stream (checkpointed availableNow run at
-    # construction, like the other stream_* gates)
+    # construction, like the other stream_* gates) and the snapshot
+    # sink (two commits + both version reads at fixture build)
     "stream_session_dynamic_gap",
+    "sink_snapshot_time_travel",
 ]
 
 

@@ -135,6 +135,8 @@ PARITY = [
     # r8: power iteration over the gram of 5000 vectors (the corpus
     # scan is the only data-sized stage; the matvecs stay 64-row)
     "embedding_pca_power",
+    # r8: snapshot sink committing + time-traveling 1M events
+    "sink_snapshot_time_travel",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.
