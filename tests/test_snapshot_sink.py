@@ -70,3 +70,32 @@ def test_manifest_lists_files_not_directories(spark, tmp_path):
     assert m["files"], "empty manifest"
     for f in m["files"]:
         assert f.endswith(".parquet") and os.path.isfile(f), f
+
+
+def test_snapshot_lineage_property(spark, tmp_path):
+    """Property: after ANY sequence of append/overwrite commits, every
+    version v reads back exactly the fold of the commit history up to
+    v (overwrite resets, append accumulates) — no version ever sees a
+    later commit's rows or loses an earlier one. Drives randomized
+    sequences with a fixed seed (hypothesis would re-create Spark
+    fixtures per example; a seeded loop keeps one session)."""
+    import random
+
+    rng = random.Random(17)
+    for trial in range(4):
+        table = tmp_path / f"t{trial}"
+        expected: list[list[int]] = []  # per version: the id set
+        nxt = 0
+        for _ in range(rng.randint(2, 6)):
+            n = rng.randint(1, 4)
+            ids = list(range(nxt, nxt + n))
+            nxt += n
+            mode = rng.choice(["append", "overwrite"])
+            df = spark.createDataFrame([(i,) for i in ids], "id long")
+            v = commit_snapshot(df, str(table), mode=mode)
+            prev = expected[-1] if (mode == "append" and expected) else []
+            expected.append(sorted(prev + ids))
+            assert v == len(expected)
+        for v, want in enumerate(expected, start=1):
+            assert _ids(spark, table, version=v) == want, (trial, v)
+        assert _ids(spark, table) == expected[-1]
