@@ -88,89 +88,78 @@ _MODULES = [
 # Everything else stays covered by tests/test_oracle_parity.py locally
 # (all registered queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
-    # --- round-8 registrations, latest first ---
-    "sink_snapshot_time_travel",
-    "embedding_pca_power",
-    "stream_session_dynamic_gap",
-    "text_ccnet_quality_buckets",
-    "ann_pq_adc",
-    "join_skew_aqe",
-    # --- the 35 r4-wave rows (oldest artifact-backed evidence after
-    #     the r7 merge — verified against the ledger: exactly the
-    #     queries whose latest green round is 4): the traindata wave,
-    #     the dedup-graph family, and the r4 agg/join/window/text
-    #     stragglers ---
-    "chunk_documents",
-    "pack_token_budget",
-    "event_funnel_conversion",
-    "sample_weighted_topk",
-    "source_overlap_matrix",
-    "unigram_lm_score",
-    "split_train_val_test",
-    "curriculum_temperature_sample",
-    "bm25_score_docs",
-    "bpe_merge_pairs",
-    "fuzzy_name_match",
-    "pagerank_dedup_graph",
-    "dedup_components",
-    "dedup_simhash_pairs",
-    "dedup_simhash",
-    "agg_approx_distinct",
-    "agg_hll_mergeable",
-    "agg_iqr_outliers",
-    "agg_percentiles",
-    "agg_salted_hot_key",
-    "join_asof_purchase",
-    "join_salted_hot_key",
-    "json_tuple_explode_outer",
-    "profile_columns",
-    "q11_important_part_value",
-    "q16_supplier_part_counts",
-    "resample_daily_locf",
-    "setop_union_intersect_except",
-    "sql_cte_window_topk",
-    "text_fingerprint",
-    "text_quality_score",
-    "text_token_count",
-    "text_token_diversity",
-    "window_cume_dist",
-    "window_range_frame",
-    # --- r5-wave top-ups (oldest after the r4 block above): the full
-    #     checkpointed streaming family first, then joins/aggs ---
-    "stream_tumbling_watermark",
-    "stream_dedup_redelivery",
-    "stream_late_data_drop",
-    "stream_session_watermark",
-    "stream_interval_join",
-    "stream_running_totals_state",
-    "stream_static_enrichment",
-    "etl_xlsx_deadletter",
-    "join_broadcast_dims",
+    # --- round-9 registrations land here, latest first (each one
+    #     displaces the newest r6 top-up at the bottom to hold 50) ---
+    # --- the 41 rows whose latest green round is 5 after the r8
+    #     ledger merge (verified programmatically): the TPC-H
+    #     adaptation wave, then the r5 agg/join/window stragglers ---
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q20_promo_volume_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "agg_argmax",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_robust_outliers",
+    "agg_rollup",
+    "agg_stats_moments",
+    "cdc_merge_upsert",
+    "join_anti",
+    "join_semi",
+    "join_left_outer",
+    "join_right_outer",
+    "join_range_bands",
+    "join_range_bucketed_pairs",
+    "rollup_time_multires",
+    "scalar_subquery_above_avg",
+    "scan_csv_json_roundtrip",
+    "scd2_user_history",
+    "window_ntile",
+    "window_rank_orders",
+    "window_running_sum",
+    # --- r6-wave top-ups to exactly 50 (alphabetical; they become
+    #     the oldest cohort once the r5 block above lands) ---
+    "agg_collect",
+    "agg_heavy_hitters",
+    "array_ops",
+    "decontaminate_ngram",
+    "dedup_exact_rows",
+    "dedup_ngram_jaccard",
+    "dedup_pick_latest",
+    "embedding_cosine_dedup",
+    "filter_reference_path_predicate",
 ]
 
-# ROUND-9 ROTATION PLAN (for the next builder): the 50-slot window
+# ROUND-10 ROTATION PLAN (for the next builder): the 50-slot window
 # should take, in order —
-#   0. any round-8/9 registrations never yet in a window (register new
+#   0. any round-9/10 registrations never yet in a window (register new
 #      operators at the TOP of this list);
-#   1. the 41 rows still holding round:5 evidence after r8 (the r8
-#      window absorbed the 8 streaming gates + 1 join;
-#      what remains is the TPC-H adaptation wave q1-q22 minus q11/q16,
-#      plus agg_argmax, agg_cube, agg_grouping_sets, agg_robust_outliers,
-#      agg_rollup, agg_stats_moments, cdc_merge_upsert,
-#      join_left_outer, join_right_outer, rollup_time_multires,
-#      scalar_subquery_above_avg, scan_csv_json_roundtrip,
-#      scd2_user_history, window_ntile, window_rank_orders,
-#      window_running_sum, agg_distinct, join_range_bucketed_pairs,
-#      join_range_bands, join_anti and join_semi — the last five
-#      displaced from the r8 window by the ann_pq_adc,
-#      text_ccnet_quality_buckets, stream_session_dynamic_gap,
-#      embedding_pca_power and sink_snapshot_time_travel
-#      registrations);
-#   2. top up to exactly 50 from the r6 wave (those rows become the
-#      oldest once item 1 lands); the r7/r8 waves rotate r10+.
-# After r9 every query's latest check is <=4 rounds old. Run
+#   1. the rows still holding round:6 evidence after the r9 ledger
+#      merge — the r6 wave was 50 rows; the r9 window absorbed its
+#      alphabetical head (agg_collect .. filter_reference_path_predicate,
+#      minus any displaced by r9 registrations), so ~41 r6 rows remain;
+#   2. top up to exactly 50 from the r7 wave (those rows become the
+#      oldest once item 1 lands); the r8/r9 waves rotate r11+.
+# After r10 every query's latest check is <=4 rounds old. Run
 # scripts/merge_correctness_ledger.py at round start (after
-# CORRECTNESS_r08.json lands) before re-planning.
+# CORRECTNESS_r09.json lands) before re-planning.
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
