@@ -88,8 +88,9 @@ _MODULES = [
 # Everything else stays covered by tests/test_oracle_parity.py locally
 # (all registered queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
-    # --- round-9 registrations land here, latest first (each one
-    #     displaces the newest r6 top-up at the bottom to hold 50) ---
+    # --- round-9 registrations, latest first (each one displaces the
+    #     newest r6 top-up at the bottom to hold 50) ---
+    "sink_snapshot_empty_schema",
     # --- the 41 rows whose latest green round is 5 after the r8
     #     ledger merge (verified programmatically): the TPC-H
     #     adaptation wave, then the r5 agg/join/window stragglers ---
@@ -144,7 +145,6 @@ _CHECK_FIRST = [
     "dedup_ngram_jaccard",
     "dedup_pick_latest",
     "embedding_cosine_dedup",
-    "filter_reference_path_predicate",
 ]
 
 # ROUND-10 ROTATION PLAN (for the next builder): the 50-slot window

@@ -1171,6 +1171,116 @@ ORDER BY version, event_type
 """
 
 
+def sink_snapshot_empty_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-versioned snapshot manifests (`sinks/snapshot.py`): every
+    committed version stays READABLE — including an EMPTY snapshot
+    (overwrite 'logical truncate'), which reads back as an empty
+    DataFrame with the manifest's recorded schema — and append-time
+    schema drift is REJECTED explicitly instead of delegated to
+    parquet's silent merge. Iceberg/Delta version the schema in table
+    metadata for exactly these two failure modes.
+
+    The gate commits v1 (events with event_id % 4 < 2), overwrites v2
+    with an EMPTY slice (logical truncate), hard-checks that v2 reads
+    back with zero rows AND the exact recorded schema, hard-checks
+    that a drifted append (value renamed) raises, then appends v3 (the
+    % 4 >= 2 complement) onto the empty snapshot. Output = per-type
+    rollups of v1 and v3 plus v2's genuine computed global count row —
+    if empty read-back raised, drift slipped through, or the append
+    onto an empty snapshot lost rows, the gate cannot match.
+    """
+    from etl_gcp_function_tmabrasil_spark.queries._util import dsum
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        commit_snapshot,
+        read_snapshot,
+    )
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "snapshot_empty")
+
+    def _build(tmp: str) -> None:
+        table = os.path.join(tmp, "table")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        v1 = commit_snapshot(ev.filter(F.col("event_id") % 4 < 2), table)
+        v2 = commit_snapshot(ev.limit(0), table, mode="overwrite")
+        empty = read_snapshot(spark, table, v2)
+        got_sig = [(f.name, f.dataType.simpleString()) for f in empty.schema]
+        want_sig = [(f.name, f.dataType.simpleString()) for f in ev.schema]
+        if got_sig != want_sig:
+            raise RuntimeError(
+                f"empty snapshot schema drifted: {got_sig} != {want_sig}"
+            )
+        try:
+            commit_snapshot(
+                ev.withColumnRenamed("value", "amount"),
+                table,
+                mode="append",
+            )
+        except ValueError:
+            pass
+        else:
+            raise RuntimeError("drifted append was not rejected")
+        v3 = commit_snapshot(
+            ev.filter(F.col("event_id") % 4 >= 2), table, mode="append"
+        )
+        if (v1, v2, v3) != (1, 2, 3):
+            raise RuntimeError(f"unexpected versions: {(v1, v2, v3)}")
+
+        def rollup(version: int):
+            return (
+                read_snapshot(spark, table, version)
+                .groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    dsum("value", 4).alias("sum_value"),
+                )
+                .select(F.lit(version).alias("version"), "*")
+            )
+
+        # v2's row is COMPUTED from the empty read (global agg over an
+        # empty typed frame), not a literal — proving the read works
+        v2_row = (
+            read_snapshot(spark, table, v2)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(dsum("value", 4), F.lit(0.0)).alias("sum_value"),
+            )
+            .select(
+                F.lit(2).alias("version"),
+                F.lit("__empty__").alias("event_type"),
+                "n",
+                "sum_value",
+            )
+        )
+        rollup(1).unionByName(v2_row).unionByName(rollup(3)).write.parquet(
+            os.path.join(tmp, "out")
+        )
+
+    _ensure_fixture(fixture, _build)
+    return (
+        spark.read.parquet(os.path.join(fixture, "out"))
+        .orderBy("version", "event_type")
+    )
+
+
+_SNAPSHOT_EMPTY_SQL = """
+SELECT 1 AS version, event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events WHERE event_id % 4 < 2
+GROUP BY event_type
+UNION ALL
+SELECT 2 AS version, '__empty__' AS event_type, 0 AS n, 0.0 AS sum_value
+UNION ALL
+SELECT 3 AS version, event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events WHERE event_id % 4 >= 2
+GROUP BY event_type
+ORDER BY version, event_type
+"""
+
+
 #: confs flipped (and restored) around the skew-gate execution. The
 #: byte thresholds exist for real clusters (default 256 MB skewed-
 #: partition floor, 64 MB advisory split target); the planted-skew
@@ -1299,6 +1409,7 @@ QUERIES = {
     "join_runtime_bloom_filter": join_runtime_bloom_filter,
     "join_skew_aqe": join_skew_aqe,
     "sink_snapshot_time_travel": sink_snapshot_time_travel,
+    "sink_snapshot_empty_schema": sink_snapshot_empty_schema,
     "scan_csv_json_roundtrip": scan_csv_json_roundtrip,
     "scan_orc_roundtrip": scan_orc_roundtrip,
     "scan_xml_roundtrip": scan_xml_roundtrip,
@@ -1319,6 +1430,7 @@ ORACLE = {
     "join_runtime_bloom_filter": _BLOOM_JOIN_SQL,
     "join_skew_aqe": _SKEW_JOIN_SQL,
     "sink_snapshot_time_travel": _SNAPSHOT_SQL,
+    "sink_snapshot_empty_schema": _SNAPSHOT_EMPTY_SQL,
     "sink_incremental_rollup": _INCREMENTAL_SQL,
     "scan_orc_roundtrip": _ORC_SQL,
     "scan_xml_roundtrip": _XML_SQL,

@@ -10,9 +10,23 @@ Model:
   names;
 - a commit writes its data files first, then composes the new file
   list (previous snapshot's files for an append, or any subset for a
-  rewrite) and renames ``manifest_v{N}.json`` into place atomically —
-  readers see the table before the commit or after it, never between
-  (snapshot isolation);
+  rewrite) and publishes ``manifest_v{N}.json`` atomically with
+  EXCLUSIVE-create semantics (hard-link + unlink) — readers see the
+  table before the commit or after it, never between, and a version
+  collision between two racing writers RAISES instead of silently
+  orphaning the loser's data files (rename-wins detection, not
+  last-rename-wins);
+- the manifest stores the snapshot's SCHEMA (Spark StructType JSON),
+  so every committed version stays readable — including an EMPTY
+  snapshot (overwrite 'logical truncate', or a first commit whose
+  write produced zero data files), which reads back as an empty,
+  correctly-typed DataFrame — and append-time schema drift is
+  detected explicitly (raise) rather than delegated silently to
+  parquet's merge behavior. Iceberg/Delta version the schema in
+  metadata for exactly these reasons;
+- manifests store data-file paths RELATIVE to the table root, so the
+  table is relocatable and a relative ``table_dir`` does not bake the
+  writer's cwd into the manifest;
 - old manifests stay: ``read_snapshot(version=k)`` is time travel, and
   failed/crashed commits leave at most orphan data files that no
   manifest names (invisible; a retention sweep can delete anything not
@@ -25,11 +39,11 @@ so planning never lists the directory — and snapshot reads stay
 parallel scans of the named parquet files with full pushdown.
 
 Concurrency, stated honestly: version numbering is
-last-manifest-plus-one with an atomic rename, which serializes SINGLE-
-writer pipelines (the reference's trigger model, main.tf:53 max 3
-instances on ONE table path); concurrent writers to the SAME table
-need a coordination primitive (rename-wins detection + retry) that a
-real catalog service provides.
+last-manifest-plus-one, which serializes SINGLE-writer pipelines (the
+reference's trigger model, main.tf:53 max 3 instances on ONE table
+path); if that assumption is ever violated, the exclusive-create
+publish makes the collision an ERROR the losing writer can retry —
+full multi-writer coordination still belongs to a catalog service.
 """
 
 from __future__ import annotations
@@ -39,6 +53,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 
 def _manifests(table_dir: str) -> list[int]:
@@ -58,35 +73,71 @@ def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, f"manifest_v{version}.json")
 
 
+def _load_manifest(table_dir: str, version: int) -> dict:
+    with open(_manifest_path(table_dir, version)) as fh:
+        return json.load(fh)
+
+
+def _schema_signature(schema: StructType) -> list[tuple[str, str]]:
+    """Name + type per field, nullability ignored — parquet round-trips
+    do not preserve nullability faithfully enough to gate on it."""
+    return [(f.name, f.dataType.simpleString()) for f in schema.fields]
+
+
 def commit_snapshot(
     df: DataFrame, table_dir: str, mode: str = "append"
 ) -> int:
     """Write ``df`` as a new snapshot of the table; returns the new
     version number. ``mode='append'`` carries the previous snapshot's
-    files forward; ``mode='overwrite'`` starts the file list fresh
-    (logical truncate — old versions remain readable)."""
+    files forward (and REJECTS a schema that drifted from the previous
+    snapshot's); ``mode='overwrite'`` starts the file list fresh
+    (logical truncate — old versions remain readable) and may change
+    the schema. An empty ``df`` commits fine: the manifest records the
+    schema, so the version reads back as an empty typed DataFrame."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown snapshot mode: {mode}")
     data_dir = os.path.join(table_dir, "data")
     os.makedirs(data_dir, exist_ok=True)
-    staging = os.path.join(data_dir, f"commit-{uuid.uuid4().hex}")
+    staging_name = f"commit-{uuid.uuid4().hex}"
+    staging = os.path.join(data_dir, staging_name)
     df.write.parquet(staging)
     new_files = sorted(
-        os.path.join(staging, f)
+        os.path.join("data", staging_name, f)
         for f in os.listdir(staging)
         if f.endswith(".parquet") and not f.startswith((".", "_"))
     )
     versions = _manifests(table_dir)
     files: list[str] = []
     if mode == "append" and versions:
-        with open(_manifest_path(table_dir, versions[-1])) as fh:
-            files = json.load(fh)["files"]
+        prev = _load_manifest(table_dir, versions[-1])
+        prev_schema = StructType.fromJson(json.loads(prev["schema"]))
+        if _schema_signature(prev_schema) != _schema_signature(df.schema):
+            raise ValueError(
+                "append-time schema drift: snapshot "
+                f"v{prev['version']} has {prev_schema.simpleString()}, "
+                f"append has {df.schema.simpleString()} — use "
+                "mode='overwrite' to change the table's schema"
+            )
+        files = prev["files"]
     files = files + new_files
     version = (versions[-1] + 1) if versions else 1
     tmp = os.path.join(table_dir, f".manifest_v{version}.json.tmp")
     with open(tmp, "w") as fh:
-        json.dump({"version": version, "files": files}, fh)
-    os.rename(tmp, _manifest_path(table_dir, version))
+        json.dump(
+            {
+                "version": version,
+                "files": files,
+                "schema": df.schema.json(),
+            },
+            fh,
+        )
+    dst = _manifest_path(table_dir, version)
+    try:
+        # exclusive create: a same-version race RAISES (FileExistsError)
+        # instead of last-rename-wins silently orphaning a commit
+        os.link(tmp, dst)
+    finally:
+        os.unlink(tmp)
     return version
 
 
@@ -95,7 +146,8 @@ def read_snapshot(
 ) -> DataFrame:
     """The table as of ``version`` (default: the newest snapshot).
     Reads exactly the manifest's files — orphans from failed commits
-    are structurally invisible."""
+    are structurally invisible. An empty snapshot returns an empty
+    DataFrame with the manifest's recorded schema."""
     versions = _manifests(table_dir)
     if not versions:
         raise FileNotFoundError(f"no snapshot committed at {table_dir}")
@@ -104,8 +156,9 @@ def read_snapshot(
         raise FileNotFoundError(
             f"snapshot v{v} does not exist at {table_dir} (have {versions})"
         )
-    with open(_manifest_path(table_dir, v)) as fh:
-        files = json.load(fh)["files"]
+    manifest = _load_manifest(table_dir, v)
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    files = [os.path.join(table_dir, f) for f in manifest["files"]]
     if not files:
-        raise FileNotFoundError(f"snapshot v{v} is empty at {table_dir}")
+        return spark.createDataFrame([], schema)
     return spark.read.parquet(*files)

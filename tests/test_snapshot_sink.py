@@ -62,14 +62,99 @@ def test_version_resolution_errors(spark, tmp_path):
 
 def test_manifest_lists_files_not_directories(spark, tmp_path):
     """The reader must hand Spark an explicit FILE list (never list
-    the data dir), so a snapshot read plans only its own files."""
+    the data dir), stored RELATIVE to the table root so the table is
+    relocatable and a relative table_dir doesn't bake in the cwd."""
     table = tmp_path / "t"
     commit_snapshot(spark.range(0, 3), str(table))
     with open(table / "manifest_v1.json") as fh:
         m = json.load(fh)
     assert m["files"], "empty manifest"
     for f in m["files"]:
-        assert f.endswith(".parquet") and os.path.isfile(f), f
+        assert f.endswith(".parquet") and not os.path.isabs(f), f
+        assert os.path.isfile(table / f), f
+
+
+def test_table_is_relocatable(spark, tmp_path):
+    """Relative manifest paths = the whole table dir can move (or be
+    read from any cwd) without breaking reads — Iceberg-style."""
+    import shutil
+
+    table = tmp_path / "t"
+    commit_snapshot(spark.range(0, 4), str(table))
+    commit_snapshot(spark.range(4, 6), str(table), mode="append")
+    moved = tmp_path / "moved"
+    shutil.move(str(table), str(moved))
+    assert _ids(spark, moved) == [0, 1, 2, 3, 4, 5]
+    assert _ids(spark, moved, version=1) == [0, 1, 2, 3]
+
+
+def test_empty_commit_reads_back_typed(spark, tmp_path):
+    """An empty commit (logical truncate, or a first commit producing
+    zero data files) stays readable: the manifest's recorded schema
+    yields an empty, correctly-typed DataFrame."""
+    table = tmp_path / "t"
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    commit_snapshot(df, str(table))
+    v2 = commit_snapshot(df.limit(0), str(table), mode="overwrite")
+    got = read_snapshot(spark, str(table), v2)
+    assert got.count() == 0
+    assert [(f.name, f.dataType.simpleString()) for f in got.schema] == [
+        ("id", "bigint"),
+        ("name", "string"),
+    ]
+    # empty FIRST commit too
+    t2 = tmp_path / "t2"
+    commit_snapshot(df.limit(0), str(t2))
+    got2 = read_snapshot(spark, str(t2))
+    assert got2.count() == 0 and got2.schema == got.schema
+    # and an append onto an empty snapshot carries the schema contract
+    commit_snapshot(df, str(t2), mode="append")
+    assert read_snapshot(spark, str(t2)).count() == 1
+
+
+def test_append_schema_drift_rejected(spark, tmp_path):
+    """Append with a drifted schema raises explicitly (name or type
+    change) instead of delegating to parquet merge; overwrite may
+    change the schema."""
+    table = tmp_path / "t"
+    commit_snapshot(
+        spark.createDataFrame([(1, "a")], "id long, name string"),
+        str(table),
+    )
+    drifted = spark.createDataFrame([(2, 3.5)], "id long, name double")
+    with pytest.raises(ValueError, match="schema drift"):
+        commit_snapshot(drifted, str(table), mode="append")
+    renamed = spark.createDataFrame([(2, "b")], "id long, label string")
+    with pytest.raises(ValueError, match="schema drift"):
+        commit_snapshot(renamed, str(table), mode="append")
+    # the failed appends wrote only orphans — table unchanged
+    assert read_snapshot(spark, str(table)).count() == 1
+    v = commit_snapshot(drifted, str(table), mode="overwrite")
+    assert read_snapshot(spark, str(table), v).schema == drifted.schema
+
+
+def test_version_collision_raises_not_clobbers(spark, tmp_path):
+    """If the single-writer assumption is violated and two commits race
+    to the same version, the loser RAISES (exclusive create) instead of
+    silently replacing the winner's manifest and orphaning its files."""
+    from etl_gcp_function_tmabrasil_spark.sinks import snapshot as snap
+
+    table = tmp_path / "t"
+    commit_snapshot(spark.range(0, 3), str(table))
+    # simulate the race: the loser read versions=[1] (so targets v2),
+    # but the winner published manifest_v2 in between
+    winner = dict(json.load(open(table / "manifest_v1.json")))
+    winner["version"] = 2
+    (table / "manifest_v2.json").write_text(json.dumps(winner))
+    real = snap._manifests
+    snap._manifests = lambda d: [1]  # the loser's stale listing
+    try:
+        with pytest.raises(FileExistsError):
+            commit_snapshot(spark.range(3, 6), str(table), mode="append")
+    finally:
+        snap._manifests = real
+    # the winner's manifest is untouched
+    assert _ids(spark, table, version=2) == [0, 1, 2]
 
 
 def test_snapshot_lineage_property(spark, tmp_path):
