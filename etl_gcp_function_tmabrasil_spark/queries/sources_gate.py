@@ -1370,7 +1370,13 @@ def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "simple"
                 )
             )
-            if "skewed" not in plan:
+            # anchored to the AQEShuffleRead node, not a bare substring
+            # search — an unrelated 'skewed' elsewhere in future plan
+            # text must not satisfy the gate
+            if not any(
+                "AQEShuffleRead" in ln and "skewed" in ln
+                for ln in plan.splitlines()
+            ):
                 raise RuntimeError(
                     "AQE skew-join split did NOT fire: no AQEShuffleRead "
                     "is marked 'skewed' in the executed plan"

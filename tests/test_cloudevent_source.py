@@ -325,7 +325,9 @@ def test_format_line_is_host_timezone_independent():
         naive = datetime.datetime(2024, 1, 1, 12, 0, 0)  # local wall time
         line = format_event_line("b", "n", 1, naive)
         rendered = json.loads(line)["timeCreated"]
-        assert rendered.endswith("-03:00") or rendered.endswith("+00:00"), rendered
+        # format_event_line always renders naive ts as UTC — the offset
+        # is pinned, not host-dependent (instant equality checked below)
+        assert rendered.endswith("+00:00"), rendered
         got = parse_event_line(line)[3]
         # the instant 12:00 São Paulo == 15:00 UTC, not 12:00 UTC
         assert got == naive.astimezone(datetime.timezone.utc)
