@@ -911,3 +911,86 @@ def test_session_window_dynamic_gap_semantics(spark):
     assert out[0]["count"] == 3, out  # running-max + merge-on-equal
     assert out[0]["end"] == dt.datetime(2024, 1, 1, 11, 15, 0), out
     assert out[1]["count"] == 1, out
+
+
+def test_dynamic_gap_session_restart_mid_chunk(spark, tmp_path):
+    """Kill/restart stress for the DYNAMIC-gap session window (r8
+    verdict item 6, the tests:777 pattern): the query is stopped and
+    restarted at every chunk boundary, so sessions left OPEN at each
+    cut must be recovered from the checkpointed session store and
+    MERGED with later events — dynamic gaps exercise state-merge paths
+    (running-MAX ends, per-event horizons) the fixed-gap restart never
+    touches. The combined sink must equal an UNINTERRUPTED run of the
+    same query over the same chunk sequence, session for session."""
+    import shutil
+
+    from etl_gcp_function_tmabrasil_spark.catalog import EVENTS_SCHEMA
+    from etl_gcp_function_tmabrasil_spark.queries.streaming_gate import (
+        _shared_chunks,
+    )
+
+    full = _shared_chunks(SF_SMOKE)
+    files = sorted(os.listdir(full))
+    assert len(files) == 3, files
+    gap = (
+        F.when(F.col("event_type") == "purchase", "60 minutes")
+        .when(F.col("event_type") == "click", "30 minutes")
+        .otherwise("15 minutes")
+    )
+
+    def run(chunks: str, sink: str, ck: str) -> None:
+        agg = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(chunks)
+            .withWatermark("ts", "0 seconds")
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("w.start", "w.end", "user_id", "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    # interrupted: one incarnation per chunk file
+    chunks = tmp_path / "chunks"
+    chunks.mkdir()
+    sink, ck = str(tmp_path / "data"), str(tmp_path / "ck")
+    emitted_after = []
+    for f in files:
+        shutil.copy(os.path.join(full, f), chunks / f)
+        time.sleep(0.05)
+        run(str(chunks), sink, ck)
+        emitted_after.append(spark.read.parquet(sink).count())
+    # the cuts were real: later incarnations emitted additional
+    # sessions on recovered state (not everything in incarnation 1)
+    assert emitted_after[0] < emitted_after[-1], emitted_after
+
+    # uninterrupted control: same files, fresh checkpoint, one run
+    sink2, ck2 = str(tmp_path / "data2"), str(tmp_path / "ck2")
+    run(str(chunks), sink2, ck2)
+
+    def canon(path):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(path)
+            .select(
+                "user_id",
+                F.date_format("start", "yyyy-MM-dd HH:mm:ss").alias("s"),
+                F.date_format("end", "yyyy-MM-dd HH:mm:ss").alias("e"),
+                "n",
+            )
+            .collect()
+        )
+
+    got, want = canon(sink), canon(sink2)
+    assert got == want, (
+        f"restarted run diverged: {len(got)} vs {len(want)} sessions; "
+        f"sample diff {set(got) ^ set(want) and sorted(set(got) ^ set(want))[:5]}"
+    )
