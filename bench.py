@@ -132,7 +132,14 @@ def main() -> None:
     # pinned by the construction-laziness check below.
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
-    for name in HEADLINE:
+    # Probe knob (scripts/bench_order_probe.py): run the list reversed
+    # to classify tail-half inflation as positional (JVM/GC/state
+    # accumulating over the run) vs query-identity (load coincidence).
+    # Order affects ONLY iteration; the stdout contract is unchanged.
+    order = list(HEADLINE)
+    if os.environ.get("SPARK_GRAFT_BENCH_ORDER") == "reverse":
+        order.reverse()
+    for name in order:
         best = float("inf")
         samples: list[float] = []
         slow_constructions = 0

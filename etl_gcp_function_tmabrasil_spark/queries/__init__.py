@@ -90,6 +90,7 @@ _MODULES = [
 _CHECK_FIRST = [
     # --- round-9 registrations, latest first (each one displaces the
     #     newest r6 top-up at the bottom to hold 50) ---
+    "sink_snapshot_stats_pruning",
     "sink_snapshot_empty_schema",
     # --- the 41 rows whose latest green round is 5 after the r8
     #     ledger merge (verified programmatically): the TPC-H
@@ -144,7 +145,6 @@ _CHECK_FIRST = [
     "dedup_exact_rows",
     "dedup_ngram_jaccard",
     "dedup_pick_latest",
-    "embedding_cosine_dedup",
 ]
 
 # ROUND-10 ROTATION PLAN (for the next builder): the 50-slot window

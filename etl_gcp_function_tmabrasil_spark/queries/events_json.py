@@ -506,7 +506,92 @@ ORDER BY user_id
 """
 
 
+def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user MAX CONCURRENT INTERVALS via a sweep line — the
+    "peak simultaneous sessions" operator (room-booking / connection-
+    pool / overlapping-jobs analytics) that plain windowed aggregation
+    cannot express. Each event opens an interval [ts, ts + horizon)
+    whose length depends on event_type (purchase 60 min, click 30,
+    else 15 — the dynamic-gap gate's engagement horizons); the answer
+    is the maximum number of simultaneously open intervals per user.
+
+    Sweep line as relational algebra: every interval becomes a +1
+    point at its start and a -1 at its end; a running sum over the
+    per-user time-ordered point stream is the live-interval count, and
+    its max is the answer. Ordering (t, delta) with delta = -1 first
+    makes the intervals half-open — an interval ending exactly when
+    another starts does not overlap it. Tie groups share one delta, so
+    the partial-sum multiset (hence the max) is order-invariant within
+    a group.
+
+    Scale: the sweep is a window over (user_id), so the work is one
+    shuffle on the natural key and each user's point stream is tiny —
+    no all-pairs interval join anywhere; 2 rows per event, pruned to 3
+    columns before the shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    horizon = (
+        F.when(F.col("event_type") == "purchase", F.expr("INTERVAL 60 MINUTES"))
+        .when(F.col("event_type") == "click", F.expr("INTERVAL 30 MINUTES"))
+        .otherwise(F.expr("INTERVAL 15 MINUTES"))
+    )
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + horizon).alias("e"),
+    )
+    pts = iv.select(
+        "user_id", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        iv.select("user_id", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pts.withColumn("live", F.sum("d").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.max("live").alias("max_concurrent"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_INTERVAL_CONCURRENCY_SQL = """
+WITH iv AS (
+  SELECT user_id, ts AS s,
+    ts + CASE event_type WHEN 'purchase' THEN INTERVAL '60 minutes'
+                         WHEN 'click' THEN INTERVAL '30 minutes'
+                         ELSE INTERVAL '15 minutes' END AS e
+  FROM events
+),
+pts AS (
+  SELECT user_id, s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT user_id, e AS t, -1 AS d FROM iv
+),
+swept AS (
+  SELECT user_id,
+    SUM(d) OVER (PARTITION BY user_id ORDER BY t, d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+  FROM pts
+)
+SELECT user_id, CAST(MAX(live) AS BIGINT) AS max_concurrent,
+  CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+FROM swept
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "interval_max_concurrency": interval_max_concurrency,
     "timeseries_ewma": timeseries_ewma,
     "json_extract_props": json_extract_props,
     "json_tuple_explode_outer": json_tuple_explode_outer,
@@ -522,6 +607,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "interval_max_concurrency": _INTERVAL_CONCURRENCY_SQL,
     "timeseries_ewma": _EWMA_SQL,
     "json_extract_props": _JSON_SQL,
     "json_tuple_explode_outer": _JSON_TUPLE_SQL,

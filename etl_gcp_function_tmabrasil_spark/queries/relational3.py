@@ -21,10 +21,10 @@ driver-side loops.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from etl_gcp_function_tmabrasil_spark.catalog import load_table
-from etl_gcp_function_tmabrasil_spark.queries._util import davg, dsum
+from etl_gcp_function_tmabrasil_spark.queries._util import davg, day, dsum
 
 def _rev():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -579,7 +579,103 @@ ORDER BY s_suppkey
 """
 
 
+def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed SKYLINE (Pareto frontier) over orders: the orders no
+    other order dominates on (o_totalprice MAXIMIZE, o_orderdate
+    MINIMIZE) — "highest value for the longest standing", the
+    multi-objective shortlist operator (Börzsönyi et al., ICDE 2001
+    'The Skyline Operator') that no single ORDER BY can express.
+    Dominance is the standard strict-somewhere form: A dominates B iff
+    A is >= on both objectives and strictly better on at least one;
+    ties on BOTH dims are mutually non-dominating, so duplicates of a
+    frontier point all surface.
+
+    Two-phase distributed plan (the textbook skyline decomposition):
+    (1) LOCAL prune — `mapInPandas` computes each partition's skyline
+    with an O(n log n) sort-sweep, shuffle-free and Arrow-batched;
+    any globally non-dominated row is locally non-dominated, so the
+    prune is lossless, and for anti-correlated-at-worst data it
+    eliminates ~all rows. (2) GLOBAL refine over the tiny survivor
+    set: per-price min-date (groupBy), one ordered running-min window
+    (single-task, but over the pruned remnant — documented, bounded),
+    frontier test date < min(date | price strictly higher), then a
+    join back to recover exact-tie duplicates.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+
+    def _local_skyline(batches):
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf
+                continue
+            b = pdf.sort_values(
+                ["o_totalprice", "o_orderdate"], ascending=[False, True]
+            )
+            # per-price min-date representatives, unique prices
+            u = b.drop_duplicates("o_totalprice")[
+                ["o_totalprice", "o_orderdate"]
+            ].copy()
+            prev = u["o_orderdate"].cummin().shift(1)
+            front = u[prev.isna() | (u["o_orderdate"] < prev)]
+            # recover every tied original row of each frontier point
+            yield pdf.merge(front, on=["o_totalprice", "o_orderdate"])
+
+    pruned = orders.mapInPandas(_local_skyline, orders.schema)
+    perx = pruned.groupBy("o_totalprice").agg(
+        F.min("o_orderdate").alias("dmin")
+    )
+    w = Window.orderBy(F.desc("o_totalprice")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    front = (
+        perx.withColumn("prevmin", F.min("dmin").over(w))
+        .filter(F.col("prevmin").isNull() | (F.col("dmin") < F.col("prevmin")))
+        .select("o_totalprice", "dmin")
+    )
+    return (
+        pruned.join(
+            F.broadcast(front),
+            (pruned["o_totalprice"] == front["o_totalprice"])
+            & (pruned["o_orderdate"] == front["dmin"]),
+        )
+        .select(
+            "o_orderkey",
+            pruned["o_totalprice"].alias("o_totalprice"),
+            day("o_orderdate").alias("orderdate"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+_PARETO_SQL = """
+WITH perx AS (
+  SELECT o_totalprice, MIN(o_orderdate) AS dmin
+  FROM orders GROUP BY o_totalprice
+),
+sw AS (
+  SELECT o_totalprice, dmin,
+    MIN(dmin) OVER (ORDER BY o_totalprice DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS prevmin
+  FROM perx
+),
+front AS (
+  SELECT o_totalprice, dmin FROM sw
+  WHERE prevmin IS NULL OR dmin < prevmin
+)
+SELECT o.o_orderkey, o.o_totalprice,
+  strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+FROM orders o
+JOIN front f
+  ON o.o_totalprice = f.o_totalprice AND o.o_orderdate = f.dmin
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+"""
+
+
 QUERIES = {
+    "pareto_frontier_orders": pareto_frontier_orders,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q20_promo_volume_suppliers": q20_promo_volume_suppliers,
     "q7_nation_volume": q7_nation_volume,
@@ -595,6 +691,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "pareto_frontier_orders": _PARETO_SQL,
     "q2_min_cost_supplier": _Q2_SQL,
     "q20_promo_volume_suppliers": _Q20_SQL,
     "q7_nation_volume": _Q7_SQL,

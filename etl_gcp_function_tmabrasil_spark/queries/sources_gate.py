@@ -1280,6 +1280,83 @@ GROUP BY event_type
 ORDER BY version, event_type
 """
 
+def sink_snapshot_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest MIN/MAX file skipping on the snapshot sink
+    (`sinks/snapshot.py:snapshot_files`) — the Iceberg/Delta data-
+    skipping contract: a commit records per-file column stats
+    (one metadata-sized aggregation folded into the commit), and a
+    pruned read hands Spark ONLY the files whose [min, max] intersects
+    the predicate range. Pruning is driver-side interval math over the
+    manifest; no data is scanned to decide, and the residual row
+    filter still applies (stats skip FILES, not rows).
+
+    The gate commits events clustered on event_id
+    (`repartitionByRange(8)` → each file a contiguous id range) with
+    stats, HARD-CHECKS that the pruned file list for the scale-
+    relative range event_id ∈ [max//4, max//2] is a strict, non-empty
+    subset of the full list (raises otherwise — the skip must actually
+    happen, at every sf the gate runs at), then rolls up the
+    pruned+filtered read per event_type. The oracle computes the same
+    rollup from the base table — a pruned-away file that was actually
+    needed, or a leaked row from an unfiltered kept file, cannot
+    hash-match.
+    """
+    from etl_gcp_function_tmabrasil_spark.queries._util import dsum
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        commit_snapshot,
+        read_snapshot,
+        snapshot_files,
+    )
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "snapshot_stats")
+
+    def _build(tmp: str) -> None:
+        table = os.path.join(tmp, "table")
+        base = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        # bounded scalar sentinel, off the hot path (fixture build)
+        max_id = base.agg(F.max("event_id")).collect()[0][0]
+        lo, hi = max_id // 4, max_id // 2
+        ev = base.repartitionByRange(8, "event_id")
+        commit_snapshot(ev, table, stats_cols=["event_id"])
+        total = snapshot_files(table)
+        pruned = snapshot_files(table, prune={"event_id": (lo, hi)})
+        if not pruned or len(pruned) >= len(total):
+            raise RuntimeError(
+                f"stats pruning did not skip files: {len(pruned)} of "
+                f"{len(total)} kept for [{lo}, {hi}]"
+            )
+        (
+            read_snapshot(spark, table, prune={"event_id": (lo, hi)})
+            .filter(F.col("event_id").between(lo, hi))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                dsum("value", 4).alias("sum_value"),
+            )
+            .write.parquet(os.path.join(tmp, "out"))
+        )
+
+    _ensure_fixture(fixture, _build)
+    return (
+        spark.read.parquet(os.path.join(fixture, "out")).orderBy("event_type")
+    )
+
+
+_SNAPSHOT_STATS_SQL = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+WHERE event_id BETWEEN (SELECT CAST(FLOOR(MAX(event_id) / 4) AS BIGINT)
+                        FROM events)
+                   AND (SELECT CAST(FLOOR(MAX(event_id) / 2) AS BIGINT)
+                        FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
 
 #: confs flipped (and restored) around the skew-gate execution. The
 #: byte thresholds exist for real clusters (default 256 MB skewed-
@@ -1416,6 +1493,7 @@ QUERIES = {
     "join_skew_aqe": join_skew_aqe,
     "sink_snapshot_time_travel": sink_snapshot_time_travel,
     "sink_snapshot_empty_schema": sink_snapshot_empty_schema,
+    "sink_snapshot_stats_pruning": sink_snapshot_stats_pruning,
     "scan_csv_json_roundtrip": scan_csv_json_roundtrip,
     "scan_orc_roundtrip": scan_orc_roundtrip,
     "scan_xml_roundtrip": scan_xml_roundtrip,
@@ -1437,6 +1515,7 @@ ORACLE = {
     "join_skew_aqe": _SKEW_JOIN_SQL,
     "sink_snapshot_time_travel": _SNAPSHOT_SQL,
     "sink_snapshot_empty_schema": _SNAPSHOT_EMPTY_SQL,
+    "sink_snapshot_stats_pruning": _SNAPSHOT_STATS_SQL,
     "sink_incremental_rollup": _INCREMENTAL_SQL,
     "scan_orc_roundtrip": _ORC_SQL,
     "scan_xml_roundtrip": _XML_SQL,

@@ -377,7 +377,109 @@ FROM documents GROUP BY lang, char_bucket ORDER BY lang, char_bucket
 """
 
 
+#: Gopher's stop-word set (Rae et al. 2021, arXiv:2112.11446 §A1.1) —
+#: the rule requires at least 2 DISTINCT members present.
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition/format quality rules (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1) — the published heuristic filter suite
+    MassiveText was cleaned with, adapted to the corpus surface this
+    engine's documents table has (single-line, space-tokenized):
+
+    - word count within [50, 100000] (the published lower/upper bound);
+    - mean word length within [3, 10];
+    - >= 80 % of words contain at least one alphabetic character;
+    - at least 2 distinct members of Gopher's 8-word stop-word set.
+
+    Per doc: the four metrics, each rule's verdict folded into a
+    deterministic ``fail_reasons`` list, and the final keep flag. All
+    row-local `pyspark.sql.functions` expressions (split / size /
+    filter / array_intersect) — no UDF, full codegen, embarrassingly
+    parallel at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stops = ",".join(f"'{s}'" for s in _GOPHER_STOPS)
+    d = docs.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").alias("wc"),
+        F.expr(
+            "size(filter(split(text, ' '), x -> x rlike '[a-zA-Z]'))"
+        ).alias("n_alpha"),
+        F.expr(
+            f"size(array_intersect(split(text, ' '), array({stops})))"
+        ).alias("stop_hits"),
+        "n_chars",
+    )
+    d = d.withColumn(
+        "mean_word_len",
+        F.round((F.col("n_chars") - (F.col("wc") - 1)).cast("double") / F.col("wc"), 6),
+    ).withColumn(
+        "alpha_frac", F.round(F.col("n_alpha").cast("double") / F.col("wc"), 6)
+    )
+    r_wc = F.col("wc").between(50, 100000)
+    r_mwl = F.col("mean_word_len").between(3.0, 10.0)
+    r_alpha = F.col("alpha_frac") >= 0.8
+    r_stop = F.col("stop_hits") >= 2
+    reasons = F.concat_ws(
+        ",",
+        F.when(~r_wc, F.lit("word_count")),
+        F.when(~r_mwl, F.lit("mean_word_len")),
+        F.when(~r_alpha, F.lit("alpha_frac")),
+        F.when(~r_stop, F.lit("stop_words")),
+    )
+    return d.select(
+        "doc_id",
+        F.col("wc").alias("word_count"),
+        "mean_word_len",
+        "alpha_frac",
+        "stop_hits",
+        (r_wc & r_mwl & r_alpha & r_stop).alias("keep"),
+        F.when(reasons == "", "none").otherwise(reasons).alias("fail_reasons"),
+    ).orderBy("doc_id")
+
+
+_GOPHER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, n_chars, string_split(text, ' ') AS toks,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS wc
+  FROM documents
+),
+m AS (
+  SELECT doc_id, wc,
+    ROUND(CAST(n_chars - (wc - 1) AS DOUBLE) / wc, 6) AS mean_word_len,
+    ROUND(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+               AS DOUBLE) / wc, 6) AS alpha_frac,
+    CAST(len(list_intersect(toks,
+        [{",".join(f"'{s}'" for s in _GOPHER_STOPS)}])) AS BIGINT)
+      AS stop_hits
+  FROM t
+),
+v AS (
+  SELECT *,
+    wc BETWEEN 50 AND 100000 AS r_wc,
+    mean_word_len BETWEEN 3.0 AND 10.0 AS r_mwl,
+    alpha_frac >= 0.8 AS r_alpha,
+    stop_hits >= 2 AS r_stop
+  FROM m
+)
+SELECT doc_id, wc AS word_count, mean_word_len, alpha_frac, stop_hits,
+  (r_wc AND r_mwl AND r_alpha AND r_stop) AS keep,
+  CASE WHEN r_wc AND r_mwl AND r_alpha AND r_stop THEN 'none'
+       ELSE array_to_string(list_filter([
+         CASE WHEN NOT r_wc THEN 'word_count' END,
+         CASE WHEN NOT r_mwl THEN 'mean_word_len' END,
+         CASE WHEN NOT r_alpha THEN 'alpha_frac' END,
+         CASE WHEN NOT r_stop THEN 'stop_words' END], x -> x IS NOT NULL), ',')
+  END AS fail_reasons
+FROM v
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "text_gopher_rules": text_gopher_rules,
     "text_stats": text_stats,
     "text_token_count": text_token_count,
     "text_lang_id": text_lang_id,
@@ -388,6 +490,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_gopher_rules": _GOPHER_SQL,
     "text_stats": _STATS_SQL,
     "text_token_count": _TOKENS_SQL,
     "text_lang_id": _langid_sql(),

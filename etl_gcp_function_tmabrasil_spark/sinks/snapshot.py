@@ -38,6 +38,18 @@ same metadata/data split). Readers hand Spark the explicit file list,
 so planning never lists the directory — and snapshot reads stay
 parallel scans of the named parquet files with full pushdown.
 
+File skipping: a commit can record per-file MIN/MAX column stats in
+the manifest (``stats_cols=...``), and ``read_snapshot(...,
+prune={col: (lo, hi)})`` then hands Spark only the files whose range
+intersects — Iceberg/Delta data skipping from the same manifest
+metadata. The stats pass is one bounded aggregation over the freshly
+written files (one output row per file — metadata-sized), and pruning
+is a driver-side interval test over the manifest, never a data scan.
+Stats-based pruning is a FILE filter, not a row filter: callers still
+apply the actual predicate (a kept file may hold rows outside the
+range); files without stats for a pruned column are conservatively
+kept.
+
 Concurrency, stated honestly: version numbering is
 last-manifest-plus-one, which serializes SINGLE-writer pipelines (the
 reference's trigger model, main.tf:53 max 3 instances on ONE table
@@ -84,8 +96,50 @@ def _schema_signature(schema: StructType) -> list[tuple[str, str]]:
     return [(f.name, f.dataType.simpleString()) for f in schema.fields]
 
 
+def _collect_file_stats(
+    spark: SparkSession, staging: str, rel_dir: str, stats_cols: list[str]
+) -> dict[str, dict[str, list]]:
+    """Per-file MIN/MAX for ``stats_cols`` over the freshly written
+    staging files: one aggregation job, one output row per file
+    (metadata-sized — the same scan Iceberg's writers fold into the
+    commit). Keys are table-root-relative paths."""
+    from pyspark.sql import functions as F
+
+    back = spark.read.parquet(staging)
+    aggs = []
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    rows = (
+        back.select(F.input_file_name().alias("_file"), *stats_cols)
+        .groupBy("_file")
+        .agg(*aggs)
+        .collect()
+    )
+    out: dict[str, dict[str, list]] = {}
+    for r in rows:
+        rel = os.path.join(rel_dir, os.path.basename(r["_file"]))
+        out[rel] = {
+            c: [_json_stat(r[f"min_{c}"]), _json_stat(r[f"max_{c}"])]
+            for c in stats_cols
+        }
+    return out
+
+
+def _json_stat(v):
+    """Stats values must survive a JSON round trip losslessly —
+    numerics and strings pass through; dates/timestamps serialize to
+    their ISO string (which compares consistently as text)."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    return str(v)
+
+
 def commit_snapshot(
-    df: DataFrame, table_dir: str, mode: str = "append"
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as a new snapshot of the table; returns the new
     version number. ``mode='append'`` carries the previous snapshot's
@@ -93,7 +147,10 @@ def commit_snapshot(
     snapshot's); ``mode='overwrite'`` starts the file list fresh
     (logical truncate — old versions remain readable) and may change
     the schema. An empty ``df`` commits fine: the manifest records the
-    schema, so the version reads back as an empty typed DataFrame."""
+    schema, so the version reads back as an empty typed DataFrame.
+    ``stats_cols`` records per-file MIN/MAX for those columns in the
+    manifest, enabling ``read_snapshot(..., prune=...)`` file
+    skipping."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown snapshot mode: {mode}")
     data_dir = os.path.join(table_dir, "data")
@@ -101,11 +158,17 @@ def commit_snapshot(
     staging_name = f"commit-{uuid.uuid4().hex}"
     staging = os.path.join(data_dir, staging_name)
     df.write.parquet(staging)
+    rel_dir = os.path.join("data", staging_name)
     new_files = sorted(
-        os.path.join("data", staging_name, f)
+        os.path.join(rel_dir, f)
         for f in os.listdir(staging)
         if f.endswith(".parquet") and not f.startswith((".", "_"))
     )
+    stats: dict[str, dict[str, list]] = {}
+    if stats_cols and new_files:
+        stats = _collect_file_stats(
+            df.sparkSession, staging, rel_dir, list(stats_cols)
+        )
     versions = _manifests(table_dir)
     files: list[str] = []
     if mode == "append" and versions:
@@ -119,6 +182,7 @@ def commit_snapshot(
                 "mode='overwrite' to change the table's schema"
             )
         files = prev["files"]
+        stats = {**prev.get("stats", {}), **stats}
     files = files + new_files
     version = (versions[-1] + 1) if versions else 1
     tmp = os.path.join(table_dir, f".manifest_v{version}.json.tmp")
@@ -128,6 +192,7 @@ def commit_snapshot(
                 "version": version,
                 "files": files,
                 "schema": df.schema.json(),
+                "stats": stats,
             },
             fh,
         )
@@ -141,13 +206,55 @@ def commit_snapshot(
     return version
 
 
+def snapshot_files(
+    table_dir: str,
+    version: int | None = None,
+    prune: dict[str, tuple] | None = None,
+) -> list[str]:
+    """The absolute data-file list of ``version`` after stats-based
+    pruning: a file survives iff, for every ``col: (lo, hi)`` in
+    ``prune``, its recorded [min, max] intersects [lo, hi] (``None``
+    bound = unbounded; missing stats = conservatively kept). Driver-
+    side interval math over the manifest — no data is scanned."""
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot committed at {table_dir}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(
+            f"snapshot v{v} does not exist at {table_dir} (have {versions})"
+        )
+    manifest = _load_manifest(table_dir, v)
+    stats = manifest.get("stats", {})
+    kept = []
+    for rel in manifest["files"]:
+        ok = True
+        for col, (lo, hi) in (prune or {}).items():
+            s = stats.get(rel, {}).get(col)
+            if s is None or s[0] is None or s[1] is None:
+                continue  # no stats -> cannot prune this file
+            if (hi is not None and s[0] > hi) or (
+                lo is not None and s[1] < lo
+            ):
+                ok = False
+                break
+        if ok:
+            kept.append(os.path.join(table_dir, rel))
+    return kept
+
+
 def read_snapshot(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    prune: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """The table as of ``version`` (default: the newest snapshot).
     Reads exactly the manifest's files — orphans from failed commits
     are structurally invisible. An empty snapshot returns an empty
-    DataFrame with the manifest's recorded schema."""
+    DataFrame with the manifest's recorded schema. ``prune`` skips
+    files by manifest MIN/MAX stats (see ``snapshot_files``); it is a
+    FILE filter — apply the actual row predicate on the result."""
     versions = _manifests(table_dir)
     if not versions:
         raise FileNotFoundError(f"no snapshot committed at {table_dir}")
@@ -158,7 +265,7 @@ def read_snapshot(
         )
     manifest = _load_manifest(table_dir, v)
     schema = StructType.fromJson(json.loads(manifest["schema"]))
-    files = [os.path.join(table_dir, f) for f in manifest["files"]]
+    files = snapshot_files(table_dir, v, prune)
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.parquet(*files)
