@@ -90,6 +90,9 @@ _MODULES = [
 _CHECK_FIRST = [
     # --- round-9 registrations, latest first (each one displaces the
     #     newest r6 top-up at the bottom to hold 50) ---
+    "text_gopher_rules",
+    "pareto_frontier_orders",
+    "interval_max_concurrency",
     "sink_snapshot_stats_pruning",
     "sink_snapshot_empty_schema",
     # --- the 41 rows whose latest green round is 5 after the r8
@@ -142,9 +145,6 @@ _CHECK_FIRST = [
     "agg_heavy_hitters",
     "array_ops",
     "decontaminate_ngram",
-    "dedup_exact_rows",
-    "dedup_ngram_jaccard",
-    "dedup_pick_latest",
 ]
 
 # ROUND-10 ROTATION PLAN (for the next builder): the 50-slot window

@@ -632,17 +632,22 @@ def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     front = (
         perx.withColumn("prevmin", F.min("dmin").over(w))
         .filter(F.col("prevmin").isNull() | (F.col("dmin") < F.col("prevmin")))
-        .select("o_totalprice", "dmin")
+        # renamed: front derives from pruned, so keeping the original
+        # names would make the join-back an ambiguous self-join
+        .select(
+            F.col("o_totalprice").alias("f_price"),
+            F.col("dmin").alias("f_date"),
+        )
     )
     return (
         pruned.join(
             F.broadcast(front),
-            (pruned["o_totalprice"] == front["o_totalprice"])
-            & (pruned["o_orderdate"] == front["dmin"]),
+            (F.col("o_totalprice") == F.col("f_price"))
+            & (F.col("o_orderdate") == F.col("f_date")),
         )
         .select(
             "o_orderkey",
-            pruned["o_totalprice"].alias("o_totalprice"),
+            "o_totalprice",
             day("o_orderdate").alias("orderdate"),
         )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")

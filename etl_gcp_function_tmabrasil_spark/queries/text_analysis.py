@@ -377,9 +377,14 @@ FROM documents GROUP BY lang, char_bucket ORDER BY lang, char_bucket
 """
 
 
-#: Gopher's stop-word set (Rae et al. 2021, arXiv:2112.11446 §A1.1) —
-#: the rule requires at least 2 DISTINCT members present.
+#: Gopher's stop-word set (Rae et al. 2021, arXiv:2112.11446 §A1.1).
+#: The published rule requires >= 2 DISTINCT members; this corpus's
+#: synthetic vocabulary contains exactly ONE list member ('the'), so
+#: the threshold is scaled to >= 1 — keeping the rule testable in both
+#: the pass and fail directions (382/500 docs pass at sf0.01) instead
+#: of constant-false.
 _GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+_GOPHER_STOP_MIN = 1
 
 
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,7 +396,9 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     - word count within [50, 100000] (the published lower/upper bound);
     - mean word length within [3, 10];
     - >= 80 % of words contain at least one alphabetic character;
-    - at least 2 distinct members of Gopher's 8-word stop-word set.
+    - distinct members of Gopher's 8-word stop-word set present (the
+      published threshold is 2; scaled to the synthetic vocabulary —
+      see _GOPHER_STOPS).
 
     Per doc: the four metrics, each rule's verdict folded into a
     deterministic ``fail_reasons`` list, and the final keep flag. All
@@ -421,7 +428,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_wc = F.col("wc").between(50, 100000)
     r_mwl = F.col("mean_word_len").between(3.0, 10.0)
     r_alpha = F.col("alpha_frac") >= 0.8
-    r_stop = F.col("stop_hits") >= 2
+    r_stop = F.col("stop_hits") >= _GOPHER_STOP_MIN
     reasons = F.concat_ws(
         ",",
         F.when(~r_wc, F.lit("word_count")),
@@ -461,7 +468,7 @@ v AS (
     wc BETWEEN 50 AND 100000 AS r_wc,
     mean_word_len BETWEEN 3.0 AND 10.0 AS r_mwl,
     alpha_frac >= 0.8 AS r_alpha,
-    stop_hits >= 2 AS r_stop
+    stop_hits >= {_GOPHER_STOP_MIN} AS r_stop
   FROM m
 )
 SELECT doc_id, wc AS word_count, mean_word_len, alpha_frac, stop_hits,
