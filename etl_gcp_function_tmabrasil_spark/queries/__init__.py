@@ -90,6 +90,7 @@ _MODULES = [
 _CHECK_FIRST = [
     # --- round-9 registrations, latest first (each one displaces the
     #     newest r6 top-up at the bottom to hold 50) ---
+    "stream_snapshot_exactly_once",
     "text_gopher_rules",
     "pareto_frontier_orders",
     "interval_max_concurrency",
@@ -144,7 +145,6 @@ _CHECK_FIRST = [
     "agg_collect",
     "agg_heavy_hitters",
     "array_ops",
-    "decontaminate_ngram",
 ]
 
 # ROUND-10 ROTATION PLAN (for the next builder): the 50-slot window

@@ -1324,7 +1324,95 @@ ORDER BY user_id
 """
 
 
+def stream_snapshot_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming micro-batches landing in the SNAPSHOT-MANIFEST table
+    (`sinks/snapshot.py`) with transactional idempotence — the
+    Delta-style `txn` map: each `foreachBatch` commit carries its
+    batch_id as a transaction id recorded in the manifest, so a
+    REPLAYED batch (foreachBatch's at-least-once contract after a
+    crash between sink write and checkpoint commit) is recognized and
+    skipped instead of appended twice. Snapshot isolation on top:
+    every micro-batch is an atomic manifest publish, so a concurrent
+    reader sees whole batches only, never a half-written one.
+
+    The gate streams the chunk fixture into the table (one append
+    snapshot per micro-batch), then REPLAYS a batch manually with an
+    already-applied txn id and HARD-CHECKS that no new version and no
+    new files appeared (raises otherwise). Output = the final
+    snapshot's per-type rollup; the oracle recomputes it from the base
+    table, so a duplicated or lost batch cannot hash-match. A
+    re-invocation resumes the checkpoint (zero new batches) and must
+    return the identical table.
+    """
+    from etl_gcp_function_tmabrasil_spark.queries._util import dsum
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        _load_manifest,
+        _manifests,
+        commit_snapshot,
+        read_snapshot,
+    )
+
+    root = _root(sf_dir, "snapshot_stream")
+    chunks = _shared_chunks(sf_dir)
+    table = os.path.join(root, "table")
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        commit_snapshot(
+            batch_df.select("event_id", "event_type", "value"),
+            table,
+            txn_id=f"gate-{batch_id}",
+        )
+
+    _await(
+        _stream(spark, chunks)
+        .writeStream.foreachBatch(commit)
+        .option("checkpointLocation", os.path.join(root, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    versions = _manifests(table)
+    manifest = _load_manifest(table, versions[-1])
+    txn = manifest["txn"]
+    if len(txn) != _N_CHUNKS:
+        raise RuntimeError(f"expected {_N_CHUNKS} batch txns, got {txn}")
+    # at-least-once replay: re-deliver a chunk under an already-applied
+    # txn id — the sink must recognize it and change NOTHING
+    replay_id = max(txn, key=lambda k: txn[k])
+    first_chunk = sorted(
+        f for f in os.listdir(chunks) if f.endswith(".parquet")
+    )[0]
+    replay_df = (
+        spark.read.schema(EVENTS_SCHEMA)
+        .parquet(os.path.join(chunks, first_chunk))
+        .select("event_id", "event_type", "value")
+    )
+    v = commit_snapshot(replay_df, table, txn_id=replay_id)
+    if v != txn[replay_id] or _manifests(table)[-1] != versions[-1]:
+        raise RuntimeError("replayed micro-batch was not idempotent")
+    if _load_manifest(table, versions[-1])["files"] != manifest["files"]:
+        raise RuntimeError("replay changed the snapshot's file list")
+    return (
+        read_snapshot(spark, table)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SNAPSHOT_STREAM_SQL = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "stream_snapshot_exactly_once": stream_snapshot_exactly_once,
     "stream_tumbling_watermark": stream_tumbling_watermark,
     "stream_dedup_redelivery": stream_dedup_redelivery,
     "stream_late_data_drop": stream_late_data_drop,
@@ -1343,6 +1431,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "stream_snapshot_exactly_once": _SNAPSHOT_STREAM_SQL,
     "stream_tumbling_watermark": _TUMBLING_STREAM_SQL,
     "stream_dedup_redelivery": _DEDUP_STREAM_SQL,
     "stream_late_data_drop": _LATE_DROP_SQL,

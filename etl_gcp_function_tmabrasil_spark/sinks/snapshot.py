@@ -140,6 +140,7 @@ def commit_snapshot(
     table_dir: str,
     mode: str = "append",
     stats_cols: list[str] | None = None,
+    txn_id: str | int | None = None,
 ) -> int:
     """Write ``df`` as a new snapshot of the table; returns the new
     version number. ``mode='append'`` carries the previous snapshot's
@@ -150,9 +151,21 @@ def commit_snapshot(
     schema, so the version reads back as an empty typed DataFrame.
     ``stats_cols`` records per-file MIN/MAX for those columns in the
     manifest, enabling ``read_snapshot(..., prune=...)`` file
-    skipping."""
+    skipping.
+
+    ``txn_id`` makes the commit IDEMPOTENT (Delta's txn/appId pattern):
+    the manifest carries a cumulative ``txn -> version`` map, and a
+    commit whose ``txn_id`` was already applied returns that recorded
+    version WITHOUT writing anything — the contract a streaming
+    ``foreachBatch(batch_id)`` writer needs, where a crash between
+    sink write and checkpoint commit replays the batch at-least-once."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown snapshot mode: {mode}")
+    versions = _manifests(table_dir)
+    prev = _load_manifest(table_dir, versions[-1]) if versions else None
+    txn: dict[str, int] = dict(prev.get("txn", {})) if prev else {}
+    if txn_id is not None and str(txn_id) in txn:
+        return txn[str(txn_id)]  # already applied — idempotent no-op
     data_dir = os.path.join(table_dir, "data")
     os.makedirs(data_dir, exist_ok=True)
     staging_name = f"commit-{uuid.uuid4().hex}"
@@ -169,10 +182,8 @@ def commit_snapshot(
         stats = _collect_file_stats(
             df.sparkSession, staging, rel_dir, list(stats_cols)
         )
-    versions = _manifests(table_dir)
     files: list[str] = []
-    if mode == "append" and versions:
-        prev = _load_manifest(table_dir, versions[-1])
+    if mode == "append" and prev is not None:
         prev_schema = StructType.fromJson(json.loads(prev["schema"]))
         if _schema_signature(prev_schema) != _schema_signature(df.schema):
             raise ValueError(
@@ -185,6 +196,8 @@ def commit_snapshot(
         stats = {**prev.get("stats", {}), **stats}
     files = files + new_files
     version = (versions[-1] + 1) if versions else 1
+    if txn_id is not None:
+        txn[str(txn_id)] = version
     tmp = os.path.join(table_dir, f".manifest_v{version}.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(
@@ -193,6 +206,7 @@ def commit_snapshot(
                 "files": files,
                 "schema": df.schema.json(),
                 "stats": stats,
+                "txn": txn,
             },
             fh,
         )

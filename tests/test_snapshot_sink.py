@@ -133,6 +133,34 @@ def test_append_schema_drift_rejected(spark, tmp_path):
     assert read_snapshot(spark, str(table), v).schema == drifted.schema
 
 
+def test_txn_id_makes_commits_idempotent(spark, tmp_path):
+    """A commit replayed under an already-applied txn_id (foreachBatch's
+    at-least-once redelivery) returns the recorded version and changes
+    nothing — the Delta txn/appId pattern; distinct txn ids append."""
+    table = tmp_path / "t"
+    v1 = commit_snapshot(spark.range(0, 3), str(table), txn_id="b0")
+    v2 = commit_snapshot(
+        spark.range(3, 5), str(table), mode="append", txn_id="b1"
+    )
+    assert (v1, v2) == (1, 2)
+    # replay both — no new versions, no new rows, recorded version back
+    assert commit_snapshot(
+        spark.range(90, 99), str(table), mode="append", txn_id="b0"
+    ) == 1
+    assert commit_snapshot(
+        spark.range(90, 99), str(table), mode="append", txn_id="b1"
+    ) == 2
+    assert _ids(spark, table) == [0, 1, 2, 3, 4]
+    with open(table / "manifest_v2.json") as fh:
+        assert json.load(fh)["txn"] == {"b0": 1, "b1": 2}
+    # txn history survives an overwrite (table-level, not snapshot-level)
+    commit_snapshot(spark.range(7, 9), str(table), mode="overwrite")
+    assert commit_snapshot(
+        spark.range(90, 99), str(table), mode="append", txn_id="b0"
+    ) == 1
+    assert _ids(spark, table) == [7, 8]
+
+
 def test_version_collision_raises_not_clobbers(spark, tmp_path):
     """If the single-writer assumption is violated and two commits race
     to the same version, the loser RAISES (exclusive create) instead of
