@@ -73,6 +73,11 @@ HEADLINE = [
     # eager and live in scripts/bench_gate_sf01.py)
     "text_ccnet_quality_buckets",  # CCNet per-lang LM-score terciles
     "embedding_pca_power",      # gram-matrix power iteration (persisted scan)
+    # round-9 additions (lazy construction; the snapshot/stream gates
+    # are eager and live in scripts/bench_gate_sf01.py)
+    "interval_max_concurrency", # sweep-line peak-overlap per key
+    "pareto_frontier_orders",   # local-prune + global-refine skyline
+    "text_gopher_rules",        # Gopher quality rule suite (row-local)
 ]
 
 

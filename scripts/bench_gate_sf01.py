@@ -88,6 +88,12 @@ GATE_QUERIES = [
     # sink (two commits + both version reads at fixture build)
     "stream_session_dynamic_gap",
     "sink_snapshot_time_travel",
+    # r9: the schema-versioned / stats-pruned snapshot gates (commits +
+    # hard-checks at fixture build) and the foreachBatch snapshot
+    # stream (checkpointed availableNow run + manual replay)
+    "sink_snapshot_empty_schema",
+    "sink_snapshot_stats_pruning",
+    "stream_snapshot_exactly_once",
 ]
 
 
