@@ -88,8 +88,11 @@ _MODULES = [
 # Everything else stays covered by tests/test_oracle_parity.py locally
 # (all registered queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
-    # --- round-9 registrations, latest first (each one displaces the
-    #     newest r6 top-up at the bottom to hold 50) ---
+    # --- the nine round-9 registrations, latest first (they displaced
+    #     every r6 top-up — the window is exactly 9 r9 + 41 r5) ---
+    "graph_triangle_count",
+    "simjoin_prefix_jaccard",
+    "timeseries_twa",
     "stream_snapshot_exactly_once",
     "text_gopher_rules",
     "pareto_frontier_orders",
@@ -140,11 +143,6 @@ _CHECK_FIRST = [
     "window_ntile",
     "window_rank_orders",
     "window_running_sum",
-    # --- r6-wave top-ups to exactly 50 (alphabetical; they become
-    #     the oldest cohort once the r5 block above lands) ---
-    "agg_collect",
-    "agg_heavy_hitters",
-    "array_ops",
 ]
 
 # ROUND-10 ROTATION PLAN (for the next builder): the 50-slot window
@@ -152,9 +150,10 @@ _CHECK_FIRST = [
 #   0. any round-9/10 registrations never yet in a window (register new
 #      operators at the TOP of this list);
 #   1. the rows still holding round:6 evidence after the r9 ledger
-#      merge — the r6 wave was 50 rows; the r9 window absorbed its
-#      alphabetical head (agg_collect .. filter_reference_path_predicate,
-#      minus any displaced by r9 registrations), so ~41 r6 rows remain;
+#      merge — the full 50-row r6 wave: the nine r9 registrations
+#      displaced every r6 top-up from the r9 window, so no r6 row got
+#      an r9 check; split the wave across r10 (and r11 if new
+#      registrations crowd the window again);
 #   2. top up to exactly 50 from the r7 wave (those rows become the
 #      oldest once item 1 lands); the r8/r9 waves rotate r11+.
 # After r10 every query's latest check is <=4 rounds old. Run

@@ -590,7 +590,77 @@ ORDER BY user_id
 """
 
 
+def timeseries_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-WEIGHTED average of `value` — the TWAP/sensor
+    operator where a reading holds until the next one arrives: each
+    event's value is weighted by its holding duration (seconds until
+    the user's next event; the last event holds nothing), normalized
+    by the user's observed span. Plain arithmetic means over-weight
+    burst periods; TWA is the standard fix.
+
+    One `lead` window per user (total (ts, event_id) order — duplicate
+    timestamps get zero-duration slices deterministically), then a
+    decimal-exact weighted fold: value×seconds summed as DECIMAL so
+    the cross-partition accumulation is order-independent. One shuffle
+    on user_id; no UDF.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    slic = ev.select(
+        "user_id",
+        "value",
+        (
+            F.unix_timestamp(F.lead("ts").over(w))
+            - F.unix_timestamp("ts")
+        ).alias("dur_s"),
+    ).filter(F.col("dur_s").isNotNull())
+    return (
+        slic.groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(18,4)") * F.col("dur_s")).cast(
+                    "decimal(28,4)"
+                )
+            ).alias("wsum"),
+            F.sum("dur_s").alias("span_s"),
+        )
+        .filter(F.col("span_s") > 0)
+        .select(
+            "user_id",
+            F.round(
+                (F.col("wsum") / F.col("span_s")).cast("double"), 6
+            ).alias("twa_value"),
+            "span_s",
+        )
+        .orderBy("user_id")
+    )
+
+
+_TWA_SQL = """
+WITH s AS (
+  SELECT user_id, value,
+    CAST(FLOOR(epoch(LEAD(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id))) AS BIGINT)
+      - CAST(FLOOR(epoch(ts)) AS BIGINT) AS dur_s
+  FROM events
+)
+SELECT user_id,
+  ROUND(CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * dur_s
+                      AS DECIMAL(28,4)))
+             / SUM(dur_s) AS DOUBLE), 6) AS twa_value,
+  CAST(SUM(dur_s) AS BIGINT) AS span_s
+FROM s
+WHERE dur_s IS NOT NULL
+GROUP BY user_id
+HAVING SUM(dur_s) > 0
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "timeseries_twa": timeseries_twa,
     "interval_max_concurrency": interval_max_concurrency,
     "timeseries_ewma": timeseries_ewma,
     "json_extract_props": json_extract_props,
@@ -607,6 +677,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "timeseries_twa": _TWA_SQL,
     "interval_max_concurrency": _INTERVAL_CONCURRENCY_SQL,
     "timeseries_ewma": _EWMA_SQL,
     "json_extract_props": _JSON_SQL,
