@@ -88,8 +88,10 @@ _MODULES = [
 # Everything else stays covered by tests/test_oracle_parity.py locally
 # (all registered queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
-    # --- the nine round-9 registrations, latest first (they displaced
-    #     every r6 top-up — the window is exactly 9 r9 + 41 r5) ---
+    # --- the first nine round-9 registrations, latest first (they
+    #     displaced every r6 top-up — the window is exactly 9 r9 + 41
+    #     r5; later r9 registrations wait for the r10 window so the r5
+    #     rotation completes, per the r8 verdict's done-criterion) ---
     "graph_triangle_count",
     "simjoin_prefix_jaccard",
     "timeseries_twa",
@@ -147,8 +149,10 @@ _CHECK_FIRST = [
 
 # ROUND-10 ROTATION PLAN (for the next builder): the 50-slot window
 # should take, in order —
-#   0. any round-9/10 registrations never yet in a window (register new
-#      operators at the TOP of this list);
+#   0. the late-r9 registrations that missed the r9 window
+#      (agg_correlation_matrix, table_diff_checksum, and any later
+#      ones — see their ledger notes), then any r10 registrations
+#      (register new operators at the TOP of this list);
 #   1. the rows still holding round:6 evidence after the r9 ledger
 #      merge — the full 50-row r6 wave: the nine r9 registrations
 #      displaced every r6 top-up from the r9 window, so no r6 row got

@@ -752,7 +752,112 @@ ORDER BY o_orderpriority
 """
 
 
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def agg_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise PEARSON CORRELATION of k numeric columns in ONE scan —
+    the feature-screening matrix (which columns carry redundant
+    signal) computed the way a 100 TB table forces: k sums, k sums of
+    squares, and k·(k-1)/2 cross-product sums accumulate in a single
+    partial+final aggregation pass (never k² passes, never a per-pair
+    `corr` call that re-scans), all in exact DECIMAL so the partial
+    merge order cannot move a digit; the closed-form
+    corr = (n·Σxy − Σx·Σy) / √(n·Σx² − (Σx)²)·√(n·Σy² − (Σy)²)
+    is then evaluated row-locally on the one summary row and exploded
+    to the long (col_a, col_b, corr) format.
+    """
+    cols = _CORR_COLS
+    li = load_table(spark, sf_dir, "lineitem").select(*cols)
+    d = {c: F.col(c).cast("decimal(18,6)") for c in cols}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(d[c]).alias(f"s_{c}"))
+        aggs.append(F.sum(d[c] * d[c]).alias(f"q_{c}"))
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    for x, y in pairs:
+        aggs.append(F.sum(d[x] * d[y]).alias(f"p_{x}_{y}"))
+    summary = li.agg(*aggs)
+
+    def corr(x: str, y: str) -> Column:
+        n = F.col("n").cast("double")
+        sx, sy = (
+            F.col(f"s_{x}").cast("double"),
+            F.col(f"s_{y}").cast("double"),
+        )
+        qx, qy = (
+            F.col(f"q_{x}").cast("double"),
+            F.col(f"q_{y}").cast("double"),
+        )
+        pxy = F.col(f"p_{x}_{y}").cast("double")
+        num = n * pxy - sx * sy
+        den = F.sqrt(n * qx - sx * sx) * F.sqrt(n * qy - sy * sy)
+        return F.round(num / den, 6)
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(x).alias("col_a"),
+                F.lit(y).alias("col_b"),
+                corr(x, y).alias("corr"),
+            )
+            for x, y in pairs
+        ]
+    )
+    return (
+        summary.select(F.explode(rows).alias("r"))
+        .select("r.col_a", "r.col_b", "r.corr")
+        .orderBy("col_a", "col_b")
+    )
+
+
+def _corr_matrix_sql() -> str:
+    cols = _CORR_COLS
+    sums = ["COUNT(*) AS n"]
+    for c in cols:
+        sums.append(f"SUM(CAST({c} AS DECIMAL(18,6))) AS s_{c}")
+        # DECIMAL(19,6) forces DuckDB's INT128 path: an 18-digit operand
+        # multiplies in int64 and overflows; the VALUES are identical
+        sums.append(
+            f"SUM(CAST({c} AS DECIMAL(19,6)) * CAST({c} AS DECIMAL(19,6)))"
+            f" AS q_{c}"
+        )
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    for x, y in pairs:
+        sums.append(
+            f"SUM(CAST({x} AS DECIMAL(19,6)) * CAST({y} AS DECIMAL(19,6)))"
+            f" AS p_{x}_{y}"
+        )
+    branches = []
+    for x, y in pairs:
+        expr = (
+            f"ROUND((CAST(n AS DOUBLE) * CAST(p_{x}_{y} AS DOUBLE)"
+            f" - CAST(s_{x} AS DOUBLE) * CAST(s_{y} AS DOUBLE))"
+            f" / (SQRT(CAST(n AS DOUBLE) * CAST(q_{x} AS DOUBLE)"
+            f" - CAST(s_{x} AS DOUBLE) * CAST(s_{x} AS DOUBLE))"
+            f" * SQRT(CAST(n AS DOUBLE) * CAST(q_{y} AS DOUBLE)"
+            f" - CAST(s_{y} AS DOUBLE) * CAST(s_{y} AS DOUBLE))), 6)"
+        )
+        branches.append(
+            f"SELECT '{x}' AS col_a, '{y}' AS col_b, {expr} AS corr FROM s"
+        )
+    return (
+        "WITH s AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(branches)
+        + "\nORDER BY col_a, col_b"
+    )
+
+
 QUERIES = {
+    "agg_correlation_matrix": agg_correlation_matrix,
     "agg_distinct": agg_distinct,
     "agg_hll_mergeable": agg_hll_mergeable,
     "agg_argmax": agg_argmax,
@@ -771,6 +876,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_correlation_matrix": _corr_matrix_sql(),
     "agg_distinct": _DISTINCT_SQL,
     "agg_argmax": _ARGMAX_SQL,
     "agg_stats_moments": _STATS_MOMENTS_SQL,

@@ -120,12 +120,139 @@ ORDER BY user_id, event_id
 """
 
 
+_DIFF_BUCKETS = 64
+#: canonical row rendering shared verbatim by both engines — decimal
+#: cast pins the double's digits, strftime/date_format pin the ts
+_DIFF_ROW_SPARK = (
+    "concat_ws('|', event_id, user_id, event_type,"
+    " date_format(ts, 'yyyy-MM-dd HH:mm:ss'),"
+    " cast(cast(value as decimal(18,4)) as string))"
+)
+_DIFF_ROW_SQL = (
+    "event_id || '|' || user_id || '|' || event_type || '|' || "
+    "strftime(ts, '%Y-%m-%d %H:%M:%S') || '|' || "
+    "CAST(CAST(value AS DECIMAL(18,4)) AS VARCHAR)"
+)
+
+
+def table_diff_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-checksum TABLE RECONCILIATION — locate where two huge
+    tables differ WITHOUT comparing rows: hash every row to a 60-bit
+    value over a canonical rendering, fold the hashes per key-bucket
+    (order-independent decimal SUM), and compare the two tables'
+    per-bucket (checksum, count) summaries. Equal buckets are proven
+    equal-in-content (up to hash collision) by exchanging O(buckets)
+    bytes; only differing buckets would be drilled further — the
+    data-diff / anti-entropy pattern (Merkle-style divergence
+    narrowing, as in Dynamo-family replica sync and modern data-diff
+    tooling), here flattened to one level.
+
+    The gate diffs `events` against an in-engine drifted copy (values
+    perturbed where event_id % 997 == 0, rows dropped where
+    event_id % 1013 == 0) and returns ONLY the differing buckets with
+    both sides' counts — buckets untouched by the planted drift must
+    checksum identical, so any rendering or hashing divergence between
+    the engines floods the output and cannot hash-match.
+
+    Scale: each side is one scan + one 64-ary hash-sum shuffle;
+    the comparison joins two 64-row summaries. No row ever crosses
+    the network; at 100 TB per side this is the only honest way to
+    answer "are these replicas identical, and if not, where"."""
+    from etl_gcp_function_tmabrasil_spark.queries._util import SPARK_HASH60
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    drifted = ev.filter(F.col("event_id") % 1013 != 0).withColumn(
+        "value",
+        F.when(
+            F.col("event_id") % 997 == 0, F.col("value") + F.lit(1.0)
+        ).otherwise(F.col("value")),
+    )
+
+    def summary(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                (F.col("event_id") % _DIFF_BUCKETS).alias("bucket"),
+                F.expr(
+                    SPARK_HASH60.format(expr=_DIFF_ROW_SPARK)
+                ).alias("h"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.sum(F.col("h").cast("decimal(38,0)")).alias("checksum"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    a = summary(ev).select(
+        "bucket",
+        F.col("checksum").alias("sum_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = summary(drifted).select(
+        "bucket",
+        F.col("checksum").alias("sum_b"),
+        F.col("n").alias("n_b"),
+    )
+    return (
+        a.join(b, "bucket", "full_outer")
+        .filter(
+            (~F.col("sum_a").eqNullSafe(F.col("sum_b")))
+            | (~F.col("n_a").eqNullSafe(F.col("n_b")))
+        )
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            (F.col("sum_a") - F.col("sum_b")).cast("decimal(38,0)").cast(
+                "string"
+            ).alias("checksum_delta"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _table_diff_sql() -> str:
+    from etl_gcp_function_tmabrasil_spark.queries._util import SQL_HASH60
+
+    h = SQL_HASH60.format(expr=_DIFF_ROW_SQL)
+    return f"""
+WITH base AS (
+  SELECT event_id % {_DIFF_BUCKETS} AS bucket,
+    CAST({h} AS DECIMAL(38,0)) AS h
+  FROM events
+),
+drift_src AS (
+  SELECT event_id, user_id, event_type, ts,
+    CASE WHEN event_id % 997 = 0 THEN value + 1.0 ELSE value END AS value
+  FROM events WHERE event_id % 1013 <> 0
+),
+drift AS (
+  SELECT event_id % {_DIFF_BUCKETS} AS bucket,
+    CAST({h} AS DECIMAL(38,0)) AS h
+  FROM drift_src
+),
+sa AS (SELECT bucket, SUM(h) AS sum_a, COUNT(*) AS n_a
+       FROM base GROUP BY bucket),
+sb AS (SELECT bucket, SUM(h) AS sum_b, COUNT(*) AS n_b
+       FROM drift GROUP BY bucket)
+SELECT COALESCE(sa.bucket, sb.bucket) AS bucket, n_a, n_b,
+  CAST(CAST(sum_a - sum_b AS DECIMAL(38,0)) AS VARCHAR) AS checksum_delta
+FROM sa FULL OUTER JOIN sb ON sa.bucket = sb.bucket
+WHERE sum_a IS DISTINCT FROM sum_b OR n_a IS DISTINCT FROM n_b
+ORDER BY bucket
+"""
+
+
 QUERIES = {
     "cdc_merge_upsert": cdc_merge_upsert,
     "scd2_user_history": scd2_user_history,
+    "table_diff_checksum": table_diff_checksum,
 }
 
 ORACLE = {
     "cdc_merge_upsert": _MERGE_SQL,
     "scd2_user_history": _SCD2_SQL,
+    "table_diff_checksum": _table_diff_sql(),
 }

@@ -137,6 +137,20 @@ PARITY = [
     "embedding_pca_power",
     # r8: snapshot sink committing + time-traveling 1M events
     "sink_snapshot_time_travel",
+    # r9: the tie-sensitive sweep line at 10x duplicate-ts mass (the
+    # x10 copies give every user 10 identical-ts interval openings —
+    # the order-invariance claim under real tie pressure), the TWA
+    # lead-window fold (zero-duration tie slices must drop out
+    # deterministically), the schema-versioned/stats-pruned snapshot
+    # reads rebuilt from 2M events (pruning bounds are scale-relative
+    # — the hard-check must still find a strict subset), and the
+    # foreachBatch snapshot stream carrying 2M events through txn-
+    # idempotent commits plus a manual replay.
+    "interval_max_concurrency",
+    "timeseries_twa",
+    "sink_snapshot_stats_pruning",
+    "sink_snapshot_empty_schema",
+    "stream_snapshot_exactly_once",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.
