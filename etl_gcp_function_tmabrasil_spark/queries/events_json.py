@@ -659,7 +659,118 @@ ORDER BY user_id
 """
 
 
+def timeseries_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM change detection (Page 1954) — the sequential
+    drift alarm: S_i = max(0, S_{i-1} + (x_i − μ − 0.5σ)), alarm when
+    the running max crosses 3σ. The recurrence is NONLINEAR (the
+    max-with-zero reset), so no prefix-sum trick applies at all — this
+    is the per-key ordered-fold shape (`timeseries_ewma`'s scalable
+    pattern) with a STRUCT accumulator carrying (running S, running
+    max S) through one `aggregate()` fold.
+
+    μ and σ come from one exact-decimal global moment pass (Σx, Σx² —
+    the corr-matrix discipline) broadcast as a one-row frame, and both
+    engines evaluate the identical IEEE expression for them, so the
+    folds run over bit-identical operands in the identical (ts,
+    event_id) total order. One shuffle to the key; O(n) row-local
+    fold; no UDF.
+    """
+    ev = load_table(spark, sf_dir, "events", rebalance=True)
+    moments = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sv"),
+        F.sum(
+            F.col("value").cast("decimal(19,6)")
+            * F.col("value").cast("decimal(19,6)")
+        ).alias("qv"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sv").cast("double") / nd
+    sd = F.sqrt(
+        nd * F.col("qv").cast("double")
+        - F.col("sv").cast("double") * F.col("sv").cast("double")
+    ) / nd
+    scal = moments.select(
+        (mean + 0.5 * sd).alias("mu"), (3.0 * sd).alias("alarm_h")
+    )
+    hist = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "array_sort(collect_list(struct(ts, event_id, value)))"
+        ).alias("h"),
+    )
+    folded = hist.crossJoin(F.broadcast(scal)).select(
+        "user_id",
+        "n_events",
+        "alarm_h",
+        # field order m BEFORE s: DuckDB evaluates struct-literal lambda
+        # fields sequentially (acc.s rebinds to the new value mid-
+        # struct — measured), so the running max must read acc.s before
+        # the s field updates; Spark evaluates both from the old acc,
+        # where either order is correct
+        F.expr(
+            "aggregate(h,"
+            " struct(cast(0.0 as double) as m, cast(0.0 as double) as s),"
+            " (acc, x) -> struct("
+            "   greatest(acc.m,"
+            "     greatest(cast(0.0 as double), acc.s + (x.value - mu)))"
+            "     as m,"
+            "   greatest(cast(0.0 as double), acc.s + (x.value - mu))"
+            "     as s))"
+        ).alias("c"),
+    )
+    return folded.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("c.s"), 6).alias("cusum_final"),
+        F.round(F.col("c.m"), 6).alias("cusum_max"),
+        (F.col("c.m") > F.col("alarm_h")).alias("alarm"),
+    ).orderBy("user_id")
+
+
+_CUSUM_SQL = """
+WITH mo AS (
+  SELECT COUNT(*) AS n,
+    SUM(CAST(value AS DECIMAL(18,4))) AS sv,
+    SUM(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6))) AS qv
+  FROM events
+),
+sc AS (
+  SELECT
+    CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)
+      + 0.5 * (SQRT(CAST(n AS DOUBLE) * CAST(qv AS DOUBLE)
+               - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+               / CAST(n AS DOUBLE)) AS mu,
+    3.0 * (SQRT(CAST(n AS DOUBLE) * CAST(qv AS DOUBLE)
+           - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+           / CAST(n AS DOUBLE)) AS alarm_h
+  FROM mo
+),
+folded AS (
+  -- mu/alarm_h cross-joined in as plain columns: DuckDB lambdas may
+  -- reference row columns but not subqueries
+  SELECT user_id, mu, alarm_h, COUNT(*) AS n_events,
+    list_reduce(
+      list_prepend({'m': CAST(0.0 AS DOUBLE), 's': CAST(0.0 AS DOUBLE)},
+        list_transform(array_agg(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                       v -> {'m': CAST(0.0 AS DOUBLE), 's': v})),
+      (acc, x) -> {
+        'm': greatest(acc.m, greatest(0.0, acc.s + (x.s - mu))),
+        's': greatest(0.0, acc.s + (x.s - mu))
+      }) AS c
+  FROM events CROSS JOIN sc GROUP BY user_id, mu, alarm_h
+)
+SELECT user_id, n_events,
+  ROUND(c.s, 6) AS cusum_final,
+  ROUND(c.m, 6) AS cusum_max,
+  c.m > alarm_h AS alarm
+FROM folded
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "timeseries_cusum": timeseries_cusum,
     "timeseries_twa": timeseries_twa,
     "interval_max_concurrency": interval_max_concurrency,
     "timeseries_ewma": timeseries_ewma,
@@ -677,6 +788,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "timeseries_cusum": _CUSUM_SQL,
     "timeseries_twa": _TWA_SQL,
     "interval_max_concurrency": _INTERVAL_CONCURRENCY_SQL,
     "timeseries_ewma": _EWMA_SQL,

@@ -485,7 +485,73 @@ ORDER BY doc_id
 """
 
 
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language SHANNON ENTROPY of the token distribution — the
+    information-theoretic corpus profile (low entropy = repetitive /
+    templated text, the signal Gopher-style filters approximate with
+    ratios): H = −Σ p·ln p over the language's unigram distribution,
+    plus the normalized efficiency H / ln(V) (1.0 = uniform usage).
+
+    Fixed-point discipline for a sum of doubles (the PageRank/PCA
+    pattern): each token's term p·ln p is computed from EXACT counts,
+    ROUNDED to 12 dp, and accumulated as DECIMAL — so the
+    vocabulary-sized sum is order- and partitioning-independent and
+    the oracle matches bit-for-bit. Work is two word-count-shaped
+    aggregations (token counts, then the per-lang rollup) — the
+    widest shuffle carries (lang, token, count), never text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("lang").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term = F.round(p * F.log(p), 12).cast("decimal(28,12)")
+    return (
+        counts.join(F.broadcast(totals), "lang")
+        .groupBy("lang")
+        .agg(
+            F.first("n").alias("n_tokens"),
+            F.first("v").alias("vocab"),
+            F.round(-F.sum(term).cast("double"), 6).alias("entropy"),
+            F.round(
+                -F.sum(term).cast("double")
+                / F.log(F.first("v").cast("double")),
+                6,
+            ).alias("efficiency"),
+        )
+        .orderBy("lang")
+    )
+
+
+_ENTROPY_SQL = """
+WITH counts AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+c AS (SELECT lang, tok, COUNT(*) AS c FROM counts GROUP BY lang, tok),
+t AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v
+      FROM c GROUP BY lang)
+SELECT c.lang, MAX(t.n) AS n_tokens, MAX(t.v) AS vocab,
+  ROUND(-CAST(SUM(CAST(ROUND((CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+      * LN(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)), 12)
+      AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy,
+  ROUND(-CAST(SUM(CAST(ROUND((CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+      * LN(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)), 12)
+      AS DECIMAL(28,12))) AS DOUBLE)
+      / LN(CAST(MAX(t.v) AS DOUBLE)), 6) AS efficiency
+FROM c JOIN t ON c.lang = t.lang
+GROUP BY c.lang
+ORDER BY c.lang
+"""
+
+
 QUERIES = {
+    "text_token_entropy": text_token_entropy,
     "text_gopher_rules": text_gopher_rules,
     "text_stats": text_stats,
     "text_token_count": text_token_count,
@@ -497,6 +563,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_token_entropy": _ENTROPY_SQL,
     "text_gopher_rules": _GOPHER_SQL,
     "text_stats": _STATS_SQL,
     "text_token_count": _TOKENS_SQL,
