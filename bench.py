@@ -78,6 +78,13 @@ HEADLINE = [
     "interval_max_concurrency", # sweep-line peak-overlap per key
     "pareto_frontier_orders",   # local-prune + global-refine skyline
     "text_gopher_rules",        # Gopher quality rule suite (row-local)
+    "timeseries_twa",           # time-weighted average (lead window + decimal fold)
+    "timeseries_cusum",         # CUSUM drift alarm (struct-state ordered fold)
+    "text_token_entropy",       # per-lang Shannon entropy (fixed-point sum)
+    "agg_correlation_matrix",   # k-column Pearson matrix in one scan
+    "simjoin_prefix_jaccard",   # exact set-similarity join (prefix filter)
+    "graph_triangle_count",     # degree-oriented wedge-closing triangles
+    "table_diff_checksum",      # bucketed-checksum reconciliation (2 scans)
 ]
 
 
