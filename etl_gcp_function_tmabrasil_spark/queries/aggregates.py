@@ -856,7 +856,83 @@ def _corr_matrix_sql() -> str:
     )
 
 
+def feature_binning_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group EQUI-DEPTH feature binning (quartile discretization of
+    o_totalprice within each order priority) — the feature-engineering
+    step MLlib calls QuantileDiscretizer, built on the engine's exact
+    banded-quantile machinery instead of a sketch: per-group p25/50/75
+    THRESHOLDS come from the bounded-memory two-pass rank algorithm
+    (`operators/quantiles.py`), broadcast back, and bin assignment is
+    a row-local threshold compare — never a per-group `ntile` window
+    (which funnels each group through one task at scale; the CCNet
+    gate rejected the same shape for the same reason).
+
+    Thresholds are rounded to 4 dp on BOTH sides before comparing —
+    the same presentation contract `agg_percentiles` hash-proves
+    engine-equal — so bin boundaries cannot drift between engines.
+    Boundary rule: bin = 1 + Σ (x > t_k), so a value exactly at a
+    threshold stays in the lower bin.
+    """
+    from etl_gcp_function_tmabrasil_spark.operators.quantiles import (
+        banded_exact_quantiles,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    th = banded_exact_quantiles(
+        orders,
+        "o_orderpriority",
+        "o_totalprice",
+        {"t25": 0.25, "t50": 0.5, "t75": 0.75},
+    ).select("o_orderpriority", "t25", "t50", "t75")
+    binned = orders.join(F.broadcast(th), "o_orderpriority").select(
+        "o_orderpriority",
+        "o_totalprice",
+        (
+            F.lit(1)
+            + (F.col("o_totalprice") > F.col("t25")).cast("int")
+            + (F.col("o_totalprice") > F.col("t50")).cast("int")
+            + (F.col("o_totalprice") > F.col("t75")).cast("int")
+        ).alias("bin"),
+    )
+    return (
+        binned.groupBy("o_orderpriority", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("bin_min"),
+            F.round(F.max("o_totalprice"), 4).alias("bin_max"),
+        )
+        .orderBy("o_orderpriority", "bin")
+    )
+
+
+_BINNING_SQL = """
+WITH th AS (
+  SELECT o_orderpriority,
+    ROUND(quantile_cont(o_totalprice, 0.25), 4) AS t25,
+    ROUND(quantile_cont(o_totalprice, 0.5), 4) AS t50,
+    ROUND(quantile_cont(o_totalprice, 0.75), 4) AS t75
+  FROM orders GROUP BY o_orderpriority
+),
+b AS (
+  SELECT o.o_orderpriority, o.o_totalprice,
+    1 + CAST(o.o_totalprice > t.t25 AS INT)
+      + CAST(o.o_totalprice > t.t50 AS INT)
+      + CAST(o.o_totalprice > t.t75 AS INT) AS bin
+  FROM orders o JOIN th t USING (o_orderpriority)
+)
+SELECT o_orderpriority, bin, COUNT(*) AS n,
+  ROUND(MIN(o_totalprice), 4) AS bin_min,
+  ROUND(MAX(o_totalprice), 4) AS bin_max
+FROM b
+GROUP BY o_orderpriority, bin
+ORDER BY o_orderpriority, bin
+"""
+
+
 QUERIES = {
+    "feature_binning_equidepth": feature_binning_equidepth,
     "agg_correlation_matrix": agg_correlation_matrix,
     "agg_distinct": agg_distinct,
     "agg_hll_mergeable": agg_hll_mergeable,
@@ -876,6 +952,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "feature_binning_equidepth": _BINNING_SQL,
     "agg_correlation_matrix": _corr_matrix_sql(),
     "agg_distinct": _DISTINCT_SQL,
     "agg_argmax": _ARGMAX_SQL,
