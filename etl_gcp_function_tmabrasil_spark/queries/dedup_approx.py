@@ -862,65 +862,91 @@ QUERIES["dedup_cluster_representative"] = dedup_cluster_representative
 ORACLE["dedup_cluster_representative"] = _cluster_representative_sql()
 
 
-SSJOIN_TAU = 0.4  #: Jaccard threshold over bigram shingle sets
+SSJOIN_TAU = 0.4  #: Jaccard threshold over word-shingle sets
+SSJOIN_W = 3  #: shingle width in words (w-shingling, Broder 1997)
 
 
 def simjoin_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT set-similarity self-join with PREFIX FILTERING — the
-    SSJoin/All-Pairs/PPJoin family (Chaudhuri et al. ICDE 2006;
-    Bayardo et al. WWW 2007; Xiao et al. WWW 2008): all document pairs
-    whose bigram-shingle sets have Jaccard >= SSJOIN_TAU, found
-    without an all-pairs comparison and with NO approximation — the
-    exact complement of the MinHash path above (LSH trades recall for
-    speed; prefix filtering keeps recall 1.0 and prunes by a
-    necessary condition instead).
+    """EXACT set-similarity self-join with PREFIX + POSITIONAL
+    FILTERING — the SSJoin/All-Pairs/PPJoin family (Chaudhuri et al.
+    ICDE 2006; Bayardo et al. WWW 2007; Xiao et al. WWW 2008): all
+    document pairs whose SSJOIN_W-word-shingle sets have Jaccard >=
+    SSJOIN_TAU, found without an all-pairs comparison and with NO
+    approximation — the exact complement of the MinHash path above
+    (LSH trades recall for speed; prefix filtering keeps recall 1.0
+    and prunes by necessary conditions instead).
 
     The prefix principle: order every shingle by a GLOBAL total order
     (rarest-first — document frequency ASC, shingle ASC); if
     J(a, b) >= t, then the first |d| - ceil(t*|d|) + 1 shingles of
-    each set (under that order) must intersect. So candidates =
-    prefix-token equi-join (selective, because prefixes are the RARE
-    shingles), plus the standard length filter
-    (t * max(|a|,|b|) <= min(|a|,|b|)); survivors get an exact
-    intersection count and the true Jaccard test.
+    each set (under that order) must intersect. Candidates therefore
+    come from a prefix-token equi-join (selective, because prefixes
+    are the RARE shingles), pruned further by the length filter
+    (t * max(|a|,|b|) <= min(|a|,|b|)) and PPJoin's POSITIONAL
+    filter: a match at sorted positions (i, j) caps the achievable
+    overlap at min(|a| - i, |b| - j) + 1, which must reach the
+    overlap bound alpha = ceil(t/(1+t) * (|a|+|b|)) implied by
+    J >= t. Exactness is preserved — for any true pair, its FIRST
+    common shingle lies inside both prefixes and passes the
+    positional test (pinned by the all-pairs brute-force test).
+    Survivors get a row-local exact set intersection over the two
+    shingle arrays (verify touches only candidate pairs).
+
+    Shingle width matters for the filter's power: prefixes prune by
+    RARITY, so shingles must be discriminative. Bigrams over this
+    corpus collapse to ~900 distinct values with near-uniform
+    document frequency (~275 at sf0.1) — every pair becomes a
+    candidate and the join degenerates toward all-pairs (measured:
+    17.4M candidates, 57 s). Trigrams yield a 27k-value vocabulary
+    (max df 25) that restores the intended selectivity.
 
     Scale: shingling and prefix extraction are row-local; document
     frequency is a word-count-shaped agg; the candidate join is keyed
     on rare shingles (bounded fan-out by construction); the verify
-    join touches only candidate pairs. No stage is quadratic in the
-    corpus.
+    stage joins candidate PAIRS back to the per-doc shingle arrays on
+    doc_id — a plain equi-join Catalyst broadcasts at small scale
+    (AQE) and shuffles at large, never a corpus-sized broadcast by
+    construction. No stage is quadratic in the corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # distinct bigram shingles per doc, exploded to (doc_id, sh) + size
-    sh = docs.select(
-        "doc_id",
-        F.explode(
+    # distinct w-shingles per doc, as a row-local array (defensive
+    # size guard: a doc shorter than W has no shingles and can never
+    # reach the threshold — dropping it is result-equivalent and
+    # keeps sequence() from generating a descending range)
+    toks = managed_persist(
+        docs.filter(
+            F.size(F.split("text", " ")) >= F.lit(SSJOIN_W)
+        ).select(
+            "doc_id",
             F.array_distinct(
                 F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 1),"
-                    " i -> concat(element_at(split(text, ' '), i), ' ',"
-                    " element_at(split(text, ' '), i + 1)))"
+                    f"transform(sequence(1, size(split(text, ' ')) - {SSJOIN_W - 1}),"
+                    f" i -> concat_ws(' ', slice(split(text, ' '), i, {SSJOIN_W})))"
                 )
-            )
-        ).alias("sh"),
+            ).alias("toks"),
+        ),
+        "simjoin_prefix_jaccard.toks",
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sh = toks.select(
+        "doc_id",
+        F.size("toks").alias("sz"),
+        F.explode("toks").alias("sh"),
+    )
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        sh.join(freq, "sh")
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                W.partitionBy("doc_id").orderBy("df", "sh")
-            ),
-        )
-        .join(sizes, "doc_id")
+    ranked = sh.join(freq, "sh").withColumn(
+        "rk",
+        F.row_number().over(W.partitionBy("doc_id").orderBy("df", "sh")),
     )
     prefix = ranked.filter(
         F.col("rk")
         <= F.col("sz") - F.ceil(F.lit(SSJOIN_TAU) * F.col("sz")) + 1
-    ).select("doc_id", "sh", "sz")
+    ).select("doc_id", "sh", "sz", "rk")
     a, b = prefix.alias("a"), prefix.alias("b")
+    # overlap bound alpha implied by J >= t on sets of these sizes
+    alpha = F.ceil(
+        F.lit(SSJOIN_TAU / (1.0 + SSJOIN_TAU))
+        * (F.col("a.sz") + F.col("b.sz"))
+    )
     cand = (
         a.join(
             b,
@@ -930,29 +956,43 @@ def simjoin_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(SSJOIN_TAU)
                 * F.greatest(F.col("a.sz"), F.col("b.sz"))
                 <= F.least(F.col("a.sz"), F.col("b.sz"))
+            )
+            & (
+                F.least(
+                    F.col("a.sz") - F.col("a.rk"),
+                    F.col("b.sz") - F.col("b.rk"),
+                )
+                + 1
+                >= alpha
             ),
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sz").alias("sza"),
-            F.col("b.sz").alias("szb"),
         )
-        .distinct()
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b", "sza", "szb")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    verified = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("toks_a", "toks_b"))
+            .cast("long")
+            .alias("inter"),
+            F.size("toks_a").alias("sza"),
+            F.size("toks_b").alias("szb"),
+        )
     )
     jac = F.col("inter").cast("double") / (
         F.col("sza") + F.col("szb") - F.col("inter")
     )
     return (
-        inter.filter(jac >= SSJOIN_TAU)
+        verified.filter(jac >= SSJOIN_TAU)
         .select(
             "doc_a",
             "doc_b",
@@ -966,11 +1006,13 @@ def simjoin_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SSJOIN_SQL = f"""
 WITH t AS (
   SELECT doc_id,
-    list_distinct([string_split(text, ' ')[i] || ' ' ||
-                   string_split(text, ' ')[i + 1]
-                   FOR i IN range(1, len(string_split(text, ' ')))])
+    list_distinct([array_to_string(
+                     string_split(text, ' ')[i:i + {SSJOIN_W - 1}], ' ')
+                   FOR i IN range(1, len(string_split(text, ' '))
+                                     - {SSJOIN_W - 2})])
       AS toks
   FROM documents
+  WHERE len(string_split(text, ' ')) >= {SSJOIN_W}
 ),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -162,6 +162,7 @@ def test_simjoin_equals_all_pairs_bruteforce(spark):
     from etl_gcp_function_tmabrasil_spark.catalog import load_table
     from etl_gcp_function_tmabrasil_spark.queries.dedup_approx import (
         SSJOIN_TAU,
+        SSJOIN_W,
         simjoin_prefix_jaccard,
     )
 
@@ -172,7 +173,12 @@ def test_simjoin_equals_all_pairs_bruteforce(spark):
         .collect()
     ]
     sets = {
-        d: {f"{t[i]} {t[i+1]}" for i in range(len(t) - 1)} for d, t in docs
+        d: {
+            " ".join(t[i : i + SSJOIN_W])
+            for i in range(len(t) - SSJOIN_W + 1)
+        }
+        for d, t in docs
+        if len(t) >= SSJOIN_W
     }
     want = set()
     ids = sorted(sets)
