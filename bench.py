@@ -85,6 +85,10 @@ HEADLINE = [
     "simjoin_prefix_jaccard",   # exact set-similarity join (prefix filter)
     "graph_triangle_count",     # degree-oriented wedge-closing triangles
     "table_diff_checksum",      # bucketed-checksum reconciliation (2 scans)
+    "ab_test_welch",            # one-scan conditional moments + Welch t
+    "text_word_pmi",            # capped-vocab co-occurrence PMI
+    "rfm_customer_segments",    # banded-quantile RFM discretization
+    "dq_constraint_suite",      # fused constraint metrics + anti-join
 ]
 
 

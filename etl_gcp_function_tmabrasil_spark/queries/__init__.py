@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from etl_gcp_function_tmabrasil_spark.pipelines import traindata
 from etl_gcp_function_tmabrasil_spark.queries import (
     aggregates,
+    analytics,
     cdc,
     curation_ops,
     dedup_approx,
@@ -43,6 +44,7 @@ from etl_gcp_function_tmabrasil_spark.queries import (
 
 _MODULES = [
     relational,
+    analytics,
     relational2,
     relational3,
     joins,

@@ -1,0 +1,716 @@
+"""Behavioral / statistical analytics operators (round 9, late wave).
+
+Product analytics and data-quality surfaces a warehouse team runs
+daily — cohort retention, Markov transition matrices, RFM
+segmentation, Deequ-style constraint verification, linear gap-fill
+interpolation, Welch's two-sample t-test, and word-pair PMI — each
+expressed as one declarative DataFrame plan with an exact DuckDB
+oracle twin.
+
+Reference parity note: the reference pipeline's ETL body is the
+placeholder at `main.py:17`; these operators extend the §2.2
+analytics inventory the same way every post-r4 wave has (SURVEY.md
+§2.2 amendment due at the next round boundary per the frozen-table
+rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from etl_gcp_function_tmabrasil_spark.queries._util import (
+    day,
+    dsum,
+    load_table,
+)
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention
+# ---------------------------------------------------------------------------
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users are cohorted by the week
+    of their FIRST event; for every (cohort_week, week_offset) the
+    output counts the cohort members active that week and the
+    retention ratio — the classic D1/D7/D30 analysis at weekly grain,
+    which stays dense on sparse synthetic timelines where exact-day
+    retention would be mostly zeros.
+
+    Scale: the per-user first-event reduction and the (user, week)
+    de-dup are both keyed on user_id (one shuffle partitioning serves
+    the rollup and the cohort join); the retention matrix is
+    cohorts × offsets — calendar-sized, never corpus-sized — and the
+    cohort-size join on it is broadcastable by construction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_w")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    ).distinct()
+    ret = (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_w",
+            F.floor(F.datediff("w", "cohort_w") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = firsts.groupBy("cohort_w").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        ret.join(F.broadcast(sizes), "cohort_w")
+        .select(
+            day("cohort_w").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_RETENTION_SQL = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_w
+  FROM events GROUP BY user_id
+),
+active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+r AS (
+  SELECT f.cohort_w,
+    CAST(datediff('day', f.cohort_w, a.w) // 7 AS INT) AS week_offset,
+    COUNT(*) AS n_active
+  FROM active a JOIN firsts f USING (user_id)
+  GROUP BY 1, 2
+),
+s AS (SELECT cohort_w, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort_w)
+SELECT strftime(r.cohort_w, '%Y-%m-%d') AS cohort_week, r.week_offset,
+  r.n_active, s.cohort_size,
+  ROUND(CAST(r.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM r JOIN s USING (cohort_w)
+ORDER BY cohort_week, week_offset
+"""
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over event sequences
+# ---------------------------------------------------------------------------
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current event type), estimated from
+    consecutive event pairs under the total per-user order (ts,
+    event_id) — the behavioral model behind next-action prediction and
+    funnel-leak analysis.
+
+    Scale: one window pass keyed on user_id produces the transition
+    pairs row-locally (lead), the pair rollup is an
+    event-type² aggregation (vocabulary-sized), and the per-source
+    normalization is a window over that tiny rollup — no second scan
+    of the corpus.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    tot = W.partitionBy("src")
+    return (
+        pairs.select(
+            "src",
+            "dst",
+            "n_trans",
+            F.round(
+                F.col("n_trans").cast("double")
+                / F.sum("n_trans").over(tot),
+                6,
+            ).alias("p_trans"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+_MARKOV_SQL = """
+WITH seq AS (
+  SELECT event_type AS src,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+),
+pairs AS (
+  SELECT src, dst, COUNT(*) AS n_trans
+  FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+)
+SELECT src, dst, n_trans,
+  ROUND(CAST(n_trans AS DOUBLE) / SUM(n_trans) OVER (PARTITION BY src), 6)
+    AS p_trans
+FROM pairs
+ORDER BY src, dst
+"""
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation:
+    per-customer recency-in-days against the corpus max order date,
+    order count, and decimal-exact spend, each discretized into global
+    quartiles — the standard CRM segmentation rollup.
+
+    Quartile ASSIGNMENT deliberately avoids a global `ntile` window
+    (a single-task sort over every customer at scale): thresholds come
+    from the engine's bounded-memory banded exact-quantile operator
+    (`operators/quantiles.py` — the same machinery and 4-dp threshold
+    contract as `feature_binning_equidepth`), broadcast back, and the
+    score is a row-local compare (1 + Σ(x > t_k); quartile 4 = most
+    days stale for R, top quartile for F/M). Output is the segment
+    rollup (quartile triple → member count + per-metric means), so the
+    result is segment-sized, not customer-sized.
+    """
+    from etl_gcp_function_tmabrasil_spark.operators.quantiles import (
+        banded_exact_quantiles,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
+    per_cust = (
+        orders.join(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("anchor"), F.max("o_orderdate"))
+            .cast("double")
+            .alias("r_days"),
+            F.count(F.lit(1)).cast("double").alias("freq"),
+            dsum("o_totalprice").alias("monetary"),
+        )
+        .withColumn("g_all", F.lit("all"))
+    )
+    qmap = {"t25": 0.25, "t50": 0.5, "t75": 0.75}
+    ths = None
+    for metric in ("r_days", "freq", "monetary"):
+        t = banded_exact_quantiles(per_cust, "g_all", metric, qmap).select(
+            F.col("t25").alias(f"{metric}_t25"),
+            F.col("t50").alias(f"{metric}_t50"),
+            F.col("t75").alias(f"{metric}_t75"),
+        )
+        ths = t if ths is None else ths.join(F.broadcast(t))
+
+    def score(metric: str) -> F.Column:
+        c = F.col(metric)
+        return (
+            F.lit(1)
+            + (c > F.col(f"{metric}_t25")).cast("int")
+            + (c > F.col(f"{metric}_t50")).cast("int")
+            + (c > F.col(f"{metric}_t75")).cast("int")
+        )
+
+    scored = per_cust.join(F.broadcast(ths)).select(
+        "o_custkey",
+        "r_days",
+        "freq",
+        "monetary",
+        score("r_days").alias("r_q"),
+        score("freq").alias("f_q"),
+        score("monetary").alias("m_q"),
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("r_days"), 4).alias("avg_recency_days"),
+            F.round(F.avg("freq"), 4).alias("avg_frequency"),
+            F.round(dsum("monetary") / F.count(F.lit(1)), 4).alias(
+                "avg_monetary"
+            ),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+_RFM_SQL = """
+WITH anchor AS (SELECT MAX(o_orderdate) AS a FROM orders),
+per_cust AS (
+  SELECT o_custkey,
+    CAST(datediff('day', MAX(o_orderdate), (SELECT a FROM anchor)) AS DOUBLE)
+      AS r_days,
+    CAST(COUNT(*) AS DOUBLE) AS freq,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+th AS (
+  SELECT
+    ROUND(quantile_cont(r_days, 0.25), 4) AS r_t25,
+    ROUND(quantile_cont(r_days, 0.5), 4) AS r_t50,
+    ROUND(quantile_cont(r_days, 0.75), 4) AS r_t75,
+    ROUND(quantile_cont(freq, 0.25), 4) AS f_t25,
+    ROUND(quantile_cont(freq, 0.5), 4) AS f_t50,
+    ROUND(quantile_cont(freq, 0.75), 4) AS f_t75,
+    ROUND(quantile_cont(monetary, 0.25), 4) AS m_t25,
+    ROUND(quantile_cont(monetary, 0.5), 4) AS m_t50,
+    ROUND(quantile_cont(monetary, 0.75), 4) AS m_t75
+  FROM per_cust
+),
+scored AS (
+  SELECT p.o_custkey, p.r_days, p.freq, p.monetary,
+    1 + CAST(p.r_days > t.r_t25 AS INT) + CAST(p.r_days > t.r_t50 AS INT)
+      + CAST(p.r_days > t.r_t75 AS INT) AS r_q,
+    1 + CAST(p.freq > t.f_t25 AS INT) + CAST(p.freq > t.f_t50 AS INT)
+      + CAST(p.freq > t.f_t75 AS INT) AS f_q,
+    1 + CAST(p.monetary > t.m_t25 AS INT) + CAST(p.monetary > t.m_t50 AS INT)
+      + CAST(p.monetary > t.m_t75 AS INT) AS m_q
+  FROM per_cust p CROSS JOIN th t
+)
+SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
+  ROUND(AVG(r_days), 4) AS avg_recency_days,
+  ROUND(AVG(freq), 4) AS avg_frequency,
+  ROUND(CAST(SUM(CAST(monetary AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4)
+    AS avg_monetary
+FROM scored
+GROUP BY r_q, f_q, m_q
+ORDER BY r_q, f_q, m_q
+"""
+
+# ---------------------------------------------------------------------------
+# Deequ-style data-quality constraint suite
+# ---------------------------------------------------------------------------
+
+
+def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality verification (the Deequ/Great
+    Expectations shape — Schelter et al. VLDB 2018): a fixed constraint
+    suite over the warehouse evaluated in as few passes as the
+    constraints allow — ONE aggregate scan of orders, ONE of lineitem,
+    plus one anti-join for referential integrity — returning a
+    (check_name, metric, passed) verdict table.
+
+    Scale: constraint evaluation is metric fusion, not per-constraint
+    scans — every column check on a table folds into the same
+    partial+final aggregate; the referential check is an equi anti-join
+    that AQE broadcasts when the dimension fits. Output is
+    constraint-count-sized.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    om = orders.agg(
+        F.count(F.lit(1)).alias("o_n"),
+        F.countDistinct("o_orderkey").alias("o_nkey"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("o_null_cust"),
+        F.min("o_totalprice").alias("o_min_price"),
+        F.sum(
+            F.col("o_orderstatus").isin("O", "F", "P").cast("long")
+        ).alias("o_status_ok"),
+    )
+    lm = li.agg(
+        F.count(F.lit(1)).alias("l_n"),
+        F.sum(
+            ((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50))
+            .cast("long")
+        ).alias("l_qty_ok"),
+    )
+    orph = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("l_orphans"))
+    )
+    combined = om.join(F.broadcast(lm)).join(F.broadcast(orph))
+    return combined.select(
+        F.expr(
+            "stack(6,"
+            " 'orders.o_orderkey is unique',"
+            "   round(cast(o_nkey as double) / o_n, 6),"
+            "   o_nkey = o_n,"
+            " 'orders.o_custkey is complete',"
+            "   round(1.0 - cast(o_null_cust as double) / o_n, 6),"
+            "   o_null_cust = 0,"
+            " 'orders.o_totalprice >= 0',"
+            "   round(cast(o_min_price as double), 6),"
+            "   o_min_price >= 0,"
+            " 'orders.o_orderstatus in (O,F,P)',"
+            "   round(cast(o_status_ok as double) / o_n, 6),"
+            "   o_status_ok = o_n,"
+            " 'lineitem.l_quantity in [1,50]',"
+            "   round(cast(l_qty_ok as double) / l_n, 6),"
+            "   l_qty_ok = l_n,"
+            " 'lineitem.l_orderkey references orders',"
+            "   round(cast(l_orphans as double), 6),"
+            "   l_orphans = 0"
+            ") as (check_name, metric, passed)"
+        )
+    ).orderBy("check_name")
+
+
+_DQ_SQL = """
+WITH om AS (
+  SELECT COUNT(*) AS o_n, COUNT(DISTINCT o_orderkey) AS o_nkey,
+    SUM(CAST(o_custkey IS NULL AS BIGINT)) AS o_null_cust,
+    MIN(o_totalprice) AS o_min_price,
+    SUM(CAST(o_orderstatus IN ('O','F','P') AS BIGINT)) AS o_status_ok
+  FROM orders
+),
+lm AS (
+  SELECT COUNT(*) AS l_n,
+    SUM(CAST(l_quantity BETWEEN 1 AND 50 AS BIGINT)) AS l_qty_ok
+  FROM lineitem
+),
+orph AS (
+  SELECT COUNT(*) AS l_orphans FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+),
+v AS (
+  SELECT 'orders.o_orderkey is unique' AS check_name,
+    ROUND(CAST(o_nkey AS DOUBLE) / o_n, 6) AS metric, o_nkey = o_n AS passed
+  FROM om
+  UNION ALL
+  SELECT 'orders.o_custkey is complete',
+    ROUND(1.0 - CAST(o_null_cust AS DOUBLE) / o_n, 6), o_null_cust = 0
+  FROM om
+  UNION ALL
+  SELECT 'orders.o_totalprice >= 0',
+    ROUND(CAST(o_min_price AS DOUBLE), 6), o_min_price >= 0
+  FROM om
+  UNION ALL
+  SELECT 'orders.o_orderstatus in (O,F,P)',
+    ROUND(CAST(o_status_ok AS DOUBLE) / o_n, 6), o_status_ok = o_n
+  FROM om
+  UNION ALL
+  SELECT 'lineitem.l_quantity in [1,50]',
+    ROUND(CAST(l_qty_ok AS DOUBLE) / l_n, 6), l_qty_ok = l_n
+  FROM lm
+  UNION ALL
+  SELECT 'lineitem.l_orderkey references orders',
+    ROUND(CAST(l_orphans AS DOUBLE), 6), l_orphans = 0
+  FROM lm, orph
+)
+SELECT check_name, metric, passed FROM v ORDER BY check_name
+"""
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation gap fill
+# ---------------------------------------------------------------------------
+
+
+def resample_daily_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily resampling with LINEAR interpolation across gaps —
+    the complement of `resample_daily_locf`: a missing day's value is
+    the straight line between the surrounding observed days
+    (prev + (next − prev) · Δ/span), with carry-forward at the tail
+    (and carry-back at a head, unreachable here because the spine
+    starts at each user's first observed day — kept for input
+    robustness).
+
+    Scale: same one-partitioning shape as LOCF — the spine is
+    row-local `sequence()`, and BOTH bracketing-observation windows
+    (last-non-null before, first-non-null after) reuse the single
+    user_id hash partitioning; no second shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).agg(dsum("value").alias("day_value"))
+    bounds = daily.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"),
+    )
+    j = spine.join(daily, ["user_id", "d"], "left")
+    wp = W.partitionBy("user_id").orderBy("d").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wn = W.partitionBy("user_id").orderBy("d").rowsBetween(
+        0, W.unboundedFollowing
+    )
+    obs_d = F.when(F.col("day_value").isNotNull(), F.col("d"))
+    marked = j.select(
+        "user_id",
+        "d",
+        F.last("day_value", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_d, ignorenulls=True).over(wp).alias("pd"),
+        F.first("day_value", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_d, ignorenulls=True).over(wn).alias("nd"),
+    )
+    span = F.datediff("nd", "pd").cast("double")
+    frac = F.datediff("d", "pd").cast("double") / span
+    filled = (
+        F.when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .when(span == 0, F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return marked.select(
+        "user_id",
+        day("d").alias("day"),
+        F.round(filled, 4).alias("filled_value"),
+        (F.col("pd") == F.col("d")).alias("observed"),
+    ).orderBy("user_id", "day")
+
+
+_INTERP_SQL = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS d,
+    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS day_value
+  FROM events GROUP BY user_id, date_trunc('day', ts)
+),
+bounds AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY user_id),
+spine AS (
+  SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS d FROM bounds
+),
+j AS (
+  SELECT s.user_id, s.d, daily.day_value
+  FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
+),
+m AS (
+  SELECT user_id, d,
+    last_value(day_value IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY d
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN day_value IS NOT NULL THEN d END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY d
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+    first_value(day_value IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY d
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN day_value IS NOT NULL THEN d END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY d
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM j
+)
+SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+  ROUND(CASE
+    WHEN pv IS NULL THEN nv
+    WHEN nv IS NULL THEN pv
+    WHEN datediff('day', pd, nd) = 0 THEN pv
+    ELSE pv + (nv - pv) * (CAST(datediff('day', pd, d) AS DOUBLE)
+                           / CAST(datediff('day', pd, nd) AS DOUBLE))
+  END, 4) AS filled_value,
+  pd = d AS observed
+FROM m ORDER BY user_id, day
+"""
+
+# ---------------------------------------------------------------------------
+# Welch's two-sample t-test
+# ---------------------------------------------------------------------------
+
+WELCH_CRIT = 1.96  #: two-sided z critical value at alpha = 0.05
+
+
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test per event type — the
+    A/B-experiment readout. Variant assignment is the deterministic
+    hash split experiment platforms use (user_id parity here); per
+    (event_type, variant) the exact decimal sums (n, Σx, Σx²) fold
+    into sample means/variances, then Welch's statistic
+    t = (m_a − m_b)/√(v_a/n_a + v_b/n_b) and the Welch–Satterthwaite
+    degrees of freedom.
+
+    Scale: ONE aggregate scan computes both variants' moment sums via
+    conditional aggregation (no per-variant rescans, no join); the
+    test statistics are row-local arithmetic on an event-type-sized
+    rollup. Exact decimal accumulation makes the doubles — and the
+    oracle comparison — bit-reproducible regardless of partitioning.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("value")
+    va = F.col("user_id") % 2 == 0
+
+    def moments(cond, suffix):
+        cx = F.when(cond, x)
+        return [
+            F.count(cx).cast("double").alias(f"n_{suffix}"),
+            dsum(cx, 4, precision=28).alias(f"sx_{suffix}"),
+            dsum(cx * cx, 8, precision=28).alias(f"sxx_{suffix}"),
+        ]
+
+    base = ev.groupBy("event_type").agg(
+        *moments(va, "a"), *moments(~va, "b")
+    )
+
+    def stats(sfx):
+        n = F.col(f"n_{sfx}")
+        sx = F.col(f"sx_{sfx}")
+        sxx = F.col(f"sxx_{sfx}")
+        mean = sx / n
+        var = (n * sxx - sx * sx) / (n * (n - 1))
+        return n, mean, var
+
+    na, ma, va_ = stats("a")
+    nb, mb, vb = stats("b")
+    sea, seb = va_ / na, vb / nb
+    t = (ma - mb) / F.sqrt(sea + seb)
+    dof = (sea + seb) * (sea + seb) / (
+        sea * sea / (na - 1) + seb * seb / (nb - 1)
+    )
+    return base.select(
+        "event_type",
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("dof"),
+        (F.abs(t) > WELCH_CRIT).alias("significant"),
+    ).orderBy("event_type")
+
+
+_WELCH_SQL = f"""
+WITH base AS (
+  SELECT event_type,
+    CAST(COUNT(value) FILTER (WHERE user_id % 2 = 0) AS DOUBLE) AS n_a,
+    CAST(SUM(CAST(value AS DECIMAL(28,4))) FILTER (WHERE user_id % 2 = 0)
+         AS DOUBLE) AS sx_a,
+    CAST(SUM(CAST(value * value AS DECIMAL(28,8)))
+         FILTER (WHERE user_id % 2 = 0) AS DOUBLE) AS sxx_a,
+    CAST(COUNT(value) FILTER (WHERE user_id % 2 <> 0) AS DOUBLE) AS n_b,
+    CAST(SUM(CAST(value AS DECIMAL(28,4))) FILTER (WHERE user_id % 2 <> 0)
+         AS DOUBLE) AS sx_b,
+    CAST(SUM(CAST(value * value AS DECIMAL(28,8)))
+         FILTER (WHERE user_id % 2 <> 0) AS DOUBLE) AS sxx_b
+  FROM events GROUP BY event_type
+),
+s AS (
+  SELECT event_type, n_a, n_b,
+    sx_a / n_a AS mean_a, sx_b / n_b AS mean_b,
+    ((n_a * sxx_a - sx_a * sx_a) / (n_a * (n_a - 1))) / n_a AS se_a,
+    ((n_b * sxx_b - sx_b * sx_b) / (n_b * (n_b - 1))) / n_b AS se_b
+  FROM base
+)
+SELECT event_type,
+  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  ROUND(mean_a, 6) AS mean_a, ROUND(mean_b, 6) AS mean_b,
+  ROUND((mean_a - mean_b) / sqrt(se_a + se_b), 6) AS t_stat,
+  ROUND((se_a + se_b) * (se_a + se_b)
+        / (se_a * se_a / (n_a - 1) + se_b * se_b / (n_b - 1)), 6) AS dof,
+  abs((mean_a - mean_b) / sqrt(se_a + se_b)) > {WELCH_CRIT} AS significant
+FROM s ORDER BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# Word-pair PMI
+# ---------------------------------------------------------------------------
+
+PMI_TOP_WORDS = 40  #: vocabulary cap — pairs are only scored among these
+
+
+def text_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of word pairs co-occurring in the
+    same document — PMI(w1, w2) = ln(P(w1,w2) / (P(w1)·P(w2))) over
+    document-level presence, the classic collocation / association
+    statistic (Church & Hanks 1990).
+
+    The pair space is capped to the PMI_TOP_WORDS most frequent words
+    (df DESC, word ASC — a total order), so the quadratic step is
+    vocab-cap² and the per-document fan-out is bounded by the cap,
+    never by document length. Document frequencies and the doc count
+    come from the same exploded scan; the top-word table broadcasts.
+
+    Scale: the only window is a row_number over the vocabulary-sized
+    df table; pair candidates are a doc_id-keyed self-join of the
+    capped (doc, word) list — corpus-linear rows in, cap-bounded
+    fan-out per doc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dw = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+    )
+    df_tbl = dw.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    top = (
+        df_tbl.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy(F.lit(1)).orderBy(F.desc("df"), "w")
+            ),
+        )
+        .filter(F.col("rk") <= PMI_TOP_WORDS)
+        .select("w", "df")
+    )
+    capped = dw.join(F.broadcast(top), "w")
+    a = capped.select("doc_id", F.col("w").alias("w1"), F.col("df").alias("df1"))
+    b = capped.select("doc_id", F.col("w").alias("w2"), F.col("df").alias("df2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(
+            F.count(F.lit(1)).alias("n_pair"),
+            F.first("df1").alias("df1"),
+            F.first("df2").alias("df2"),
+        )
+    )
+    pmi = F.log(
+        (F.col("n_pair") * F.col("n_docs")).cast("double")
+        / (F.col("df1") * F.col("df2"))
+    )
+    return (
+        pairs.join(F.broadcast(n_docs))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy("w1", "w2")
+    )
+
+
+_PMI_SQL = f"""
+WITH dw AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+df_tbl AS (SELECT w, COUNT(*) AS df FROM dw GROUP BY w),
+top AS (
+  SELECT w, df FROM (
+    SELECT w, df, row_number() OVER (ORDER BY df DESC, w) AS rk FROM df_tbl
+  ) WHERE rk <= {PMI_TOP_WORDS}
+),
+capped AS (SELECT dw.doc_id, dw.w, top.df FROM dw JOIN top USING (w)),
+pairs AS (
+  SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n_pair,
+    ANY_VALUE(a.df) AS df1, ANY_VALUE(b.df) AS df2
+  FROM capped a JOIN capped b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY a.w, b.w
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT w1, w2, n_pair,
+  ROUND(ln(CAST(n_pair * n_docs AS DOUBLE) / (df1 * df2)), 6) AS pmi
+FROM pairs, n
+ORDER BY w1, w2
+"""
+
+
+QUERIES = {
+    "events_retention_cohorts": events_retention_cohorts,
+    "events_markov_transitions": events_markov_transitions,
+    "rfm_customer_segments": rfm_customer_segments,
+    "dq_constraint_suite": dq_constraint_suite,
+    "resample_daily_interpolate": resample_daily_interpolate,
+    "ab_test_welch": ab_test_welch,
+    "text_word_pmi": text_word_pmi,
+}
+
+ORACLE = {
+    "events_retention_cohorts": _RETENTION_SQL,
+    "events_markov_transitions": _MARKOV_SQL,
+    "rfm_customer_segments": _RFM_SQL,
+    "dq_constraint_suite": _DQ_SQL,
+    "resample_daily_interpolate": _INTERP_SQL,
+    "ab_test_welch": _WELCH_SQL,
+    "text_word_pmi": _PMI_SQL,
+}

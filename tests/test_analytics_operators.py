@@ -1,0 +1,229 @@
+"""Independent brute-force verification of the late-r9 analytics wave.
+
+Every query here is also oracle-gated (Spark vs DuckDB at sf0.01), but
+oracle twins share the AUTHOR — a misconception encoded in both sides
+hashes green. These tests recompute each operator's semantics a third
+way, in plain Python over collected sf0.001 rows, from the DEFINITION
+(Welch's published formulas, the retention-triangle definition, Markov
+row-stochasticity, straight-line interpolation, PMI from raw
+presence counts, the constraint suite against directly measured facts)
+rather than from the relational formulation both engines share.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from tests.conftest import SF_SMOKE
+
+
+def _events(spark):
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+
+    return load_table(spark, SF_SMOKE, "events").collect()
+
+
+def test_welch_matches_textbook_formulas(spark):
+    """Recompute Welch's t and the Welch–Satterthwaite dof with plain
+    Python floats from the raw values (sample variance via the direct
+    two-pass definition, not the Σx/Σx² identity the engines share)."""
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        ab_test_welch,
+    )
+
+    groups = defaultdict(lambda: ([], []))
+    for r in _events(spark):
+        groups[r.event_type][r.user_id % 2].append(float(r.value))
+    got = {r.event_type: r for r in ab_test_welch(spark, SF_SMOKE).collect()}
+    assert set(got) == set(groups)
+    for et, (a, b) in groups.items():
+        ma, mb = sum(a) / len(a), sum(b) / len(b)
+        va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+        vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+        sea, seb = va / len(a), vb / len(b)
+        t = (ma - mb) / math.sqrt(sea + seb)
+        dof = (sea + seb) ** 2 / (
+            sea**2 / (len(a) - 1) + seb**2 / (len(b) - 1)
+        )
+        g = got[et]
+        assert g.n_a == len(a) and g.n_b == len(b), et
+        assert abs(g.mean_a - ma) < 1e-4, et
+        assert abs(g.t_stat - t) < 1e-3, et
+        assert abs(g.dof - dof) < max(1e-3 * dof, 1e-3), et
+        assert g.significant == (abs(t) > 1.96), et
+
+
+def test_retention_cohort_triangle_definition(spark):
+    """Rebuild the triangle from per-user (first week, active weeks)
+    sets computed directly on timestamps; every cohort must have a
+    week_offset=0 row equal to its full size (everyone is active in
+    their own first week)."""
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        events_retention_cohorts,
+    )
+
+    def week_start(ts):
+        d = ts.date()
+        from datetime import timedelta
+
+        return d - timedelta(days=d.weekday())
+
+    user_weeks = defaultdict(set)
+    for r in _events(spark):
+        user_weeks[r.user_id].add(week_start(r.ts))
+    want = defaultdict(int)
+    sizes = defaultdict(int)
+    for _, weeks in user_weeks.items():
+        w0 = min(weeks)
+        sizes[w0] += 1
+        for w in weeks:
+            want[(w0, (w - w0).days // 7)] += 1
+    got = {
+        (r.cohort_week, r.week_offset): (r.n_active, r.cohort_size, r.retention)
+        for r in events_retention_cohorts(spark, SF_SMOKE).collect()
+    }
+    assert len(got) == len(want)
+    for (w0, off), n in want.items():
+        g = got[(w0.isoformat(), off)]
+        assert g[0] == n and g[1] == sizes[w0]
+        assert abs(g[2] - n / sizes[w0]) < 1e-6
+    # cohort completeness: offset-0 retention is exactly 1.0
+    for (w0, off), (n, size, ret) in got.items():
+        if off == 0:
+            assert n == size and ret == 1.0, w0
+
+
+def test_markov_rows_are_stochastic_and_counts_match(spark):
+    """Transition counts recomputed from explicitly sorted per-user
+    sequences; each source row of the matrix must sum to 1."""
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        events_markov_transitions,
+    )
+
+    seqs = defaultdict(list)
+    for r in _events(spark):
+        seqs[r.user_id].append((r.ts, r.event_id, r.event_type))
+    want = defaultdict(int)
+    for evs in seqs.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            want[(a, b)] += 1
+    rows = events_markov_transitions(spark, SF_SMOKE).collect()
+    got = {(r.src, r.dst): r.n_trans for r in rows}
+    assert got == dict(want)
+    by_src = defaultdict(float)
+    for r in rows:
+        by_src[r.src] += r.p_trans
+    for src, s in by_src.items():
+        assert abs(s - 1.0) < 1e-4, src
+
+
+def test_interpolation_is_linear_between_observations(spark):
+    """For every user: observed days keep their exact daily total,
+    interior gap days sit on the straight line between the bracketing
+    observations, and the spine is dense min→max day."""
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        resample_daily_interpolate,
+    )
+
+    daily = defaultdict(dict)
+    for r in _events(spark):
+        d = r.ts.date()
+        daily[r.user_id][d] = daily[r.user_id].get(d, 0.0) + float(r.value)
+    out = defaultdict(dict)
+    for r in resample_daily_interpolate(spark, SF_SMOKE).collect():
+        from datetime import date
+
+        out[r.user_id][date.fromisoformat(r.day)] = (
+            r.filled_value,
+            r.observed,
+        )
+    assert set(out) == set(daily)
+    for u, obs in daily.items():
+        days = sorted(obs)
+        spine = sorted(out[u])
+        assert spine[0] == days[0] and spine[-1] == days[-1]
+        assert len(spine) == (days[-1] - days[0]).days + 1
+        for d, (v, observed) in out[u].items():
+            if d in obs:
+                assert observed and abs(v - obs[d]) < 1e-3, (u, d)
+            else:
+                assert not observed
+                prev = max(x for x in days if x < d)
+                nxt = min(x for x in days if x > d)
+                frac = (d - prev).days / (nxt - prev).days
+                want = obs[prev] + (obs[nxt] - obs[prev]) * frac
+                assert abs(v - want) < 1e-3, (u, d)
+
+
+def test_pmi_matches_presence_count_definition(spark):
+    """PMI recomputed from raw document word-presence sets over the
+    same capped vocabulary."""
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        PMI_TOP_WORDS,
+        text_word_pmi,
+    )
+
+    docs = [
+        set(r.text.split(" "))
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("text")
+        .collect()
+    ]
+    df = defaultdict(int)
+    for ws in docs:
+        for w in ws:
+            df[w] += 1
+    top = set(
+        w
+        for w, _ in sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :PMI_TOP_WORDS
+        ]
+    )
+    want = defaultdict(int)
+    for ws in docs:
+        caps = sorted(ws & top)
+        for i, w1 in enumerate(caps):
+            for w2 in caps[i + 1 :]:
+                want[(w1, w2)] += 1
+    got = {(r.w1, r.w2): (r.n_pair, r.pmi) for r in text_word_pmi(spark, SF_SMOKE).collect()}
+    assert set(got) == set(want)
+    n = len(docs)
+    for (w1, w2), npair in want.items():
+        pmi = math.log(npair * n / (df[w1] * df[w2]))
+        assert got[(w1, w2)][0] == npair
+        assert abs(got[(w1, w2)][1] - pmi) < 1e-5, (w1, w2)
+
+
+def test_dq_suite_verdicts_match_directly_measured_facts(spark):
+    """Measure each constraint directly on collected rows and compare
+    both the metric and the verdict."""
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        dq_constraint_suite,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders").collect()
+    li = load_table(spark, SF_SMOKE, "lineitem").collect()
+    okeys = [r.o_orderkey for r in orders]
+    got = {
+        r.check_name: (r.metric, r.passed)
+        for r in dq_constraint_suite(spark, SF_SMOKE).collect()
+    }
+    assert len(got) == 6
+    uniq = len(set(okeys)) / len(okeys)
+    assert abs(got["orders.o_orderkey is unique"][0] - round(uniq, 6)) < 1e-9
+    assert got["orders.o_orderkey is unique"][1] == (len(set(okeys)) == len(okeys))
+    nulls = sum(1 for r in orders if r.o_custkey is None)
+    assert got["orders.o_custkey is complete"][1] == (nulls == 0)
+    orphans = sum(1 for r in li if r.l_orderkey not in set(okeys))
+    assert got["lineitem.l_orderkey references orders"] == (
+        float(orphans),
+        orphans == 0,
+    )
+    qty_ok = sum(1 for r in li if 1 <= r.l_quantity <= 50)
+    assert abs(
+        got["lineitem.l_quantity in [1,50]"][0] - round(qty_ok / len(li), 6)
+    ) < 1e-9
