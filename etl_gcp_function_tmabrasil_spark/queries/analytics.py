@@ -695,6 +695,492 @@ ORDER BY w1, w2
 """
 
 
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival estimate
+# ---------------------------------------------------------------------------
+
+
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-conversion: per user,
+    duration in days from first event to first 'purchase' (censored at
+    the corpus horizon when no purchase occurs), then the product-limit
+    estimator S(t) = Π_{u ≤ t} (1 − d_u / n_u) over observed-event
+    times — right-censoring handled exactly as Kaplan & Meier (1958)
+    define it (censored-at-t users still count as at-risk at t).
+
+    The running product is computed as exp(Σ ln(1 − d/n)) — the
+    log-space trick that turns a window PRODUCT (which no SQL engine
+    ships) into a window SUM.
+
+    Scale: the per-user reduction is one user_id-keyed aggregate; the
+    risk table has one row per DISTINCT duration (calendar-bounded —
+    days in the corpus timeline, never user count), so the ordered
+    windows over it are metadata-sized. The horizon is a one-row
+    broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("h"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("ts").alias("t0"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("tp"),
+        )
+        .join(F.broadcast(horizon))
+        .select(
+            F.datediff(F.coalesce("tp", "h"), F.col("t0")).alias("dur"),
+            F.col("tp").isNotNull().cast("long").alias("observed"),
+        )
+    )
+    at_t = per_user.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("m"), F.sum("observed").alias("d")
+    )
+    w_all = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    risk = at_t.select(
+        "dur",
+        "d",
+        (
+            F.sum("m").over(W.partitionBy())
+            - F.coalesce(F.sum("m").over(w_all), F.lit(0))
+        ).alias("n_at_risk"),
+    ).filter(F.col("d") > 0)
+    w_cum = W.orderBy("dur").rowsBetween(W.unboundedPreceding, 0)
+    # d == n_at_risk (everyone remaining converts at t) zeroes the
+    # product; keep that row out of the log-sum (ln(0) is an error in
+    # both engines) and force survival to 0 from it onward
+    dead = F.col("d") == F.col("n_at_risk")
+    logterm = F.when(dead, F.lit(0.0)).otherwise(
+        F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_at_risk"))
+    )
+    surv = F.when(
+        F.max(dead.cast("int")).over(w_cum) == 1, F.lit(0.0)
+    ).otherwise(F.exp(F.sum(logterm).over(w_cum)))
+    return risk.select(
+        "dur",
+        "n_at_risk",
+        F.col("d").alias("n_events"),
+        F.round(surv, 6).alias("survival"),
+    ).orderBy("dur")
+
+
+_KM_SQL = """
+WITH horizon AS (SELECT MAX(ts) AS h FROM events),
+per_user AS (
+  SELECT
+    datediff('day', MIN(ts),
+             COALESCE(MIN(CASE WHEN event_type = 'purchase' THEN ts END),
+                      (SELECT h FROM horizon))) AS dur,
+    CAST(MIN(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+         AS BIGINT) AS observed
+  FROM events GROUP BY user_id
+),
+at_t AS (SELECT dur, COUNT(*) AS m, SUM(observed) AS d FROM per_user GROUP BY dur),
+risk AS (
+  SELECT dur, d,
+    SUM(m) OVER () - COALESCE(SUM(m) OVER
+      (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS n_at_risk
+  FROM at_t
+)
+SELECT dur, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+  CAST(d AS BIGINT) AS n_events,
+  ROUND(CASE WHEN MAX(CAST(d = n_at_risk AS INT)) OVER
+          (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        THEN 0.0
+        ELSE exp(SUM(CASE WHEN d = n_at_risk THEN 0.0
+                     ELSE ln(1.0 - CAST(d AS DOUBLE) / n_at_risk) END) OVER
+          (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        END, 6) AS survival
+FROM risk WHERE d > 0 ORDER BY dur
+"""
+
+# ---------------------------------------------------------------------------
+# Categorical association: mutual information + chi-square
+# ---------------------------------------------------------------------------
+
+
+def assoc_mi_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association between two categorical columns (order priority ×
+    order status) from ONE contingency pass: mutual information
+    MI = Σ p_ij·ln(p_ij/(p_i·p_j)), Pearson's χ² = Σ (n_ij−e_ij)²/e_ij
+    with e_ij = n_i·n_j/N, the (r−1)(c−1) dof, and Cramér's V — the
+    feature-dependence screen run before any categorical encoding.
+
+    Scale: the corpus is touched exactly once (the groupBy building
+    the contingency cells); marginals, expected counts, and both
+    statistics are windows/aggregates over the cell table, whose size
+    is the product of the two cardinalities — never row count.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_ij")
+    )
+    wr = W.partitionBy("o_orderpriority")
+    wc = W.partitionBy("o_orderstatus")
+    wn = W.partitionBy()
+    enriched = cells.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "n_ij",
+        F.sum("n_ij").over(wr).alias("n_i"),
+        F.sum("n_ij").over(wc).alias("n_j"),
+        F.sum("n_ij").over(wn).alias("n"),
+    )
+    n = F.col("n").cast("double")
+    p_ij = F.col("n_ij") / n
+    e_ij = F.col("n_i").cast("double") * F.col("n_j") / n
+    return enriched.agg(
+        F.round(
+            F.sum(
+                p_ij
+                * F.log(
+                    (F.col("n_ij") * F.col("n")).cast("double")
+                    / (F.col("n_i") * F.col("n_j"))
+                )
+            ),
+            6,
+        ).alias("mutual_information"),
+        F.round(
+            F.sum((F.col("n_ij") - e_ij) * (F.col("n_ij") - e_ij) / e_ij),
+            6,
+        ).alias("chi2"),
+        (
+            (F.countDistinct("o_orderpriority") - 1)
+            * (F.countDistinct("o_orderstatus") - 1)
+        ).alias("dof"),
+        F.round(
+            F.sqrt(
+                F.sum(
+                    (F.col("n_ij") - e_ij) * (F.col("n_ij") - e_ij) / e_ij
+                )
+                / (
+                    F.first(n)
+                    * F.least(
+                        F.countDistinct("o_orderpriority") - 1,
+                        F.countDistinct("o_orderstatus") - 1,
+                    )
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+_ASSOC_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_ij
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+),
+e AS (
+  SELECT n_ij,
+    SUM(n_ij) OVER (PARTITION BY o_orderpriority) AS n_i,
+    SUM(n_ij) OVER (PARTITION BY o_orderstatus) AS n_j,
+    SUM(n_ij) OVER () AS n,
+    o_orderpriority, o_orderstatus
+  FROM cells
+)
+SELECT
+  ROUND(SUM((n_ij / CAST(n AS DOUBLE))
+            * ln(CAST(n_ij * n AS DOUBLE) / (n_i * n_j))), 6)
+    AS mutual_information,
+  ROUND(SUM((n_ij - CAST(n_i AS DOUBLE) * n_j / n)
+            * (n_ij - CAST(n_i AS DOUBLE) * n_j / n)
+            / (CAST(n_i AS DOUBLE) * n_j / n)), 6) AS chi2,
+  (COUNT(DISTINCT o_orderpriority) - 1)
+    * (COUNT(DISTINCT o_orderstatus) - 1) AS dof,
+  ROUND(sqrt(SUM((n_ij - CAST(n_i AS DOUBLE) * n_j / n)
+                 * (n_ij - CAST(n_i AS DOUBLE) * n_j / n)
+                 / (CAST(n_i AS DOUBLE) * n_j / n))
+             / (ANY_VALUE(CAST(n AS DOUBLE))
+                * LEAST(COUNT(DISTINCT o_orderpriority) - 1,
+                        COUNT(DISTINCT o_orderstatus) - 1))), 6)
+    AS cramers_v
+FROM e
+"""
+
+# ---------------------------------------------------------------------------
+# Moving median window
+# ---------------------------------------------------------------------------
+
+MOVMED_FRAME = 7  #: trailing-rows frame width
+
+
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user MOVING MEDIAN of event value over the trailing
+    MOVMED_FRAME rows (total order ts, event_id) — the robust
+    alternative to a moving average that outlier-laden telemetry
+    needs; medians don't decompose into partial aggregates, so this is
+    the canonical "holistic window function" stress.
+
+    Spark rejects `median` with a window FRAME (holistic aggregates
+    only support whole-partition windows), so the frame's values are
+    gathered with `collect_list` over the frame — bounded at
+    MOVMED_FRAME elements — and the interpolated middle (the even-count
+    average DuckDB's `median` computes) is taken row-locally from the
+    sorted array. Frames are evaluated under a TOTAL order — the
+    tie-framing lesson from the session-window oracles applied here
+    from the start.
+
+    Scale: one user_id-keyed window pass; frame state is
+    MOVMED_FRAME values per row, independent of history length.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    frame = (
+        f"collect_list(value) OVER (PARTITION BY user_id"
+        f" ORDER BY ts, event_id"
+        f" ROWS BETWEEN {MOVMED_FRAME - 1} PRECEDING AND CURRENT ROW)"
+    )
+    med = (
+        "CASE WHEN size(fv) % 2 = 1"
+        " THEN element_at(array_sort(fv), CAST((size(fv) + 1) / 2 AS INT))"
+        " ELSE (element_at(array_sort(fv), CAST(size(fv) / 2 AS INT))"
+        "       + element_at(array_sort(fv), CAST(size(fv) / 2 AS INT) + 1))"
+        "      / 2.0"
+        " END"
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.expr(frame).alias("fv"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.expr(med), 6).alias("moving_median"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+_MOVMED_SQL = f"""
+SELECT user_id, event_id,
+  ROUND(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN {MOVMED_FRAME - 1} PRECEDING AND CURRENT ROW), 6)
+    AS moving_median
+FROM events
+ORDER BY user_id, event_id
+"""
+
+# ---------------------------------------------------------------------------
+# Pareto 80/20 contribution
+# ---------------------------------------------------------------------------
+
+PARETO_SHARE = 0.8  #: cumulative-share cutoff
+
+
+def pareto_contribution_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution / ABC analysis: revenue share by part brand,
+    ranked descending, with cumulative share and the 80/20 flag — a
+    brand is "core" while the cumulative share BEFORE it is under
+    PARETO_SHARE (so the flagged set is the minimal prefix covering
+    80 % of revenue).
+
+    Scale: the corpus-sized work is one lineitem→part equi-join (part
+    broadcastable) plus one brand rollup; ranking and the running
+    share are windows over the brand-sized table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  scale=6, precision=28).alias("revenue"))
+    )
+    w_ord = W.orderBy(F.desc("revenue"), "p_brand")
+    w_cum = w_ord.rowsBetween(W.unboundedPreceding, 0)
+    w_prev = w_ord.rowsBetween(W.unboundedPreceding, -1)
+    total = F.sum("revenue").over(W.partitionBy())
+    return rev.select(
+        "p_brand",
+        F.round("revenue", 4).alias("revenue"),
+        F.round(F.col("revenue") / total, 6).alias("share"),
+        F.round(F.sum("revenue").over(w_cum) / total, 6).alias("cum_share"),
+        (
+            F.coalesce(F.sum("revenue").over(w_prev), F.lit(0.0)) / total
+            < PARETO_SHARE
+        ).alias("core_80pct"),
+    ).orderBy(F.desc("revenue"), "p_brand")
+
+
+_PARETO_SQL = f"""
+WITH rev AS (
+  SELECT p.p_brand,
+    CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+)
+SELECT p_brand,
+  ROUND(revenue, 4) AS revenue,
+  ROUND(revenue / SUM(revenue) OVER (), 6) AS share,
+  ROUND(SUM(revenue) OVER (ORDER BY revenue DESC, p_brand
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        / SUM(revenue) OVER (), 6) AS cum_share,
+  COALESCE(SUM(revenue) OVER (ORDER BY revenue DESC, p_brand
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+    / SUM(revenue) OVER () < {PARETO_SHARE} AS core_80pct
+FROM rev
+ORDER BY revenue DESC, p_brand
+"""
+
+# ---------------------------------------------------------------------------
+# Positional phrase search
+# ---------------------------------------------------------------------------
+
+
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search via a POSITIONAL inverted index — the
+    search-engine primitive: tokenize to (doc, position, word), pick
+    the corpus's most frequent word bigram as the query phrase
+    (self-contained and deterministic at every scale: count DESC,
+    bigram ASC), and match by joining the index to itself on
+    (doc, word₂ at position+1).
+
+    Scale: the index build is row-local posexplode; the phrase is a
+    one-row broadcast; the positional join is doc_id+word-keyed with
+    each side pre-filtered to ONE word — candidate lists the size of
+    those words' postings, the same shape Lucene evaluates phrases
+    with. Never a scan-per-query.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    idx = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
+    )
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> concat(element_at(split(text, ' '), i), ' ',"
+                " element_at(split(text, ' '), i + 1)))"
+            )
+        ).alias("bg")
+    )
+    phrase = (
+        bigrams.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "bg")
+        .limit(1)
+        .select(
+            F.split_part("bg", F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part("bg", F.lit(" "), F.lit(2)).alias("w2"),
+            F.col("bg").alias("phrase"),
+        )
+    )
+    a = idx.join(F.broadcast(phrase), idx.w == F.col("w1")).select(
+        "doc_id", "pos", "phrase", "w2"
+    )
+    b = idx.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("w").alias("w_b"),
+    )
+    hits = a.join(
+        b,
+        (F.col("doc_id") == F.col("doc_id_b"))
+        & (F.col("pos_b") == F.col("pos") + 1)
+        & (F.col("w_b") == F.col("w2")),
+    )
+    return (
+        hits.groupBy("doc_id", "phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("pos").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PHRASE_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT unnest([ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]) AS bg
+  FROM w
+),
+phrase AS (
+  SELECT bg AS phrase, string_split(bg, ' ')[1] AS w1,
+         string_split(bg, ' ')[2] AS w2
+  FROM (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg
+        ORDER BY c DESC, bg LIMIT 1)
+),
+hits AS (
+  SELECT w.doc_id, p.phrase, unnest(
+    [i FOR i IN range(1, len(w.ws)) IF w.ws[i] = p.w1 AND w.ws[i+1] = p.w2]
+  ) AS pos
+  FROM w CROSS JOIN phrase p
+)
+SELECT doc_id, phrase, COUNT(*) AS n_hits, MIN(pos) - 1 AS first_pos
+FROM hits GROUP BY doc_id, phrase ORDER BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# Frequent-values column profile
+# ---------------------------------------------------------------------------
+
+PROFILE_TOP_K = 3  #: values kept per profiled column
+
+
+def profile_frequent_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-values profiling (the companion to `profile_columns`):
+    for each profiled categorical column, the PROFILE_TOP_K most
+    frequent values with count and share — what catalog tools surface
+    as a column's "top values" chip.
+
+    Scale: the profiled columns are unpivoted into (col_name, value)
+    pairs in ONE scan (stack — Catalyst's expand, same as the
+    multi-distinct profile), the rollup is (column × value)-sized, and
+    the top-k ranking windows run per col_name over that rollup.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = orders.select(
+        F.expr(
+            "stack(2,"
+            " 'o_orderstatus', o_orderstatus,"
+            " 'o_orderpriority', o_orderpriority"
+            ") as (col_name, val)"
+        )
+    )
+    counts = pairs.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_rank = W.partitionBy("col_name").orderBy(F.desc("n"), "val")
+    w_tot = W.partitionBy("col_name")
+    return (
+        counts.select(
+            "col_name",
+            "val",
+            "n",
+            F.row_number().over(w_rank).alias("rk"),
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(w_tot), 6
+            ).alias("share"),
+        )
+        .filter(F.col("rk") <= PROFILE_TOP_K)
+        .orderBy("col_name", "rk")
+    )
+
+
+_FREQVAL_SQL = f"""
+WITH pairs AS (
+  SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', o_orderpriority FROM orders
+),
+counts AS (SELECT col_name, val, COUNT(*) AS n FROM pairs GROUP BY col_name, val)
+SELECT col_name, val, n,
+  row_number() OVER (PARTITION BY col_name ORDER BY n DESC, val) AS rk,
+  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY col_name), 6) AS share
+FROM counts
+QUALIFY rk <= {PROFILE_TOP_K}
+ORDER BY col_name, rk
+"""
+
+
 QUERIES = {
     "events_retention_cohorts": events_retention_cohorts,
     "events_markov_transitions": events_markov_transitions,
@@ -703,6 +1189,12 @@ QUERIES = {
     "resample_daily_interpolate": resample_daily_interpolate,
     "ab_test_welch": ab_test_welch,
     "text_word_pmi": text_word_pmi,
+    "survival_kaplan_meier": survival_kaplan_meier,
+    "assoc_mi_chi2": assoc_mi_chi2,
+    "window_moving_median": window_moving_median,
+    "pareto_contribution_8020": pareto_contribution_8020,
+    "phrase_search_positional": phrase_search_positional,
+    "profile_frequent_values": profile_frequent_values,
 }
 
 ORACLE = {
@@ -713,4 +1205,10 @@ ORACLE = {
     "resample_daily_interpolate": _INTERP_SQL,
     "ab_test_welch": _WELCH_SQL,
     "text_word_pmi": _PMI_SQL,
+    "survival_kaplan_meier": _KM_SQL,
+    "assoc_mi_chi2": _ASSOC_SQL,
+    "window_moving_median": _MOVMED_SQL,
+    "pareto_contribution_8020": _PARETO_SQL,
+    "phrase_search_positional": _PHRASE_SQL,
+    "profile_frequent_values": _FREQVAL_SQL,
 }

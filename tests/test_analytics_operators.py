@@ -227,3 +227,177 @@ def test_dq_suite_verdicts_match_directly_measured_facts(spark):
     assert abs(
         got["lineitem.l_quantity in [1,50]"][0] - round(qty_ok / len(li), 6)
     ) < 1e-9
+
+
+def test_kaplan_meier_matches_product_limit_definition(spark):
+    """Recompute the KM curve directly: durations from raw timestamps,
+    then the product-limit recurrence over observed-event times."""
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        survival_kaplan_meier,
+    )
+
+    per_user = {}
+    horizon = max(r.ts for r in _events(spark))
+    by_user = defaultdict(list)
+    for r in _events(spark):
+        by_user[r.user_id].append(r)
+    for u, evs in by_user.items():
+        t0 = min(e.ts for e in evs)
+        purchases = [e.ts for e in evs if e.event_type == "purchase"]
+        tp = min(purchases) if purchases else None
+        end = tp if tp is not None else horizon
+        per_user[u] = ((end.date() - t0.date()).days, tp is not None)
+    rows = survival_kaplan_meier(spark, SF_SMOKE).collect()
+    surv = 1.0
+    got = {r.dur: r for r in rows}
+    event_durs = sorted({d for d, obs in per_user.values() if obs})
+    assert sorted(got) == event_durs
+    for t in event_durs:
+        n_risk = sum(1 for d, _ in per_user.values() if d >= t)
+        d_ev = sum(1 for d, obs in per_user.values() if obs and d == t)
+        surv *= 1.0 - d_ev / n_risk
+        g = got[t]
+        assert g.n_at_risk == n_risk and g.n_events == d_ev, t
+        assert abs(g.survival - surv) < 1e-5, t
+
+
+def test_moving_median_matches_direct_frame_median(spark):
+    """Median of each trailing 7-row frame recomputed from explicitly
+    sorted per-user sequences with statistics.median (interpolating)."""
+    import statistics
+
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        MOVMED_FRAME,
+        window_moving_median,
+    )
+
+    seqs = defaultdict(list)
+    for r in _events(spark):
+        seqs[r.user_id].append((r.ts, r.event_id, float(r.value)))
+    want = {}
+    for u, evs in seqs.items():
+        evs.sort()
+        for i in range(len(evs)):
+            frame = [v for _, _, v in evs[max(0, i - MOVMED_FRAME + 1) : i + 1]]
+            want[(u, evs[i][1])] = statistics.median(frame)
+    got = {
+        (r.user_id, r.event_id): r.moving_median
+        for r in window_moving_median(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-5, k
+
+
+def test_pareto_core_flag_is_minimal_80pct_prefix(spark):
+    """The flagged brands must be exactly the minimal descending-revenue
+    prefix whose cumulative share reaches 80%."""
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        pareto_contribution_8020,
+    )
+
+    rows = pareto_contribution_8020(spark, SF_SMOKE).collect()
+    total = sum(r.revenue for r in rows)
+    cum = 0.0
+    for r in rows:  # already ordered revenue DESC, brand
+        assert r.core_80pct == (cum / total < 0.8), r.p_brand
+        cum += r.revenue
+    assert any(r.core_80pct for r in rows)
+    assert not all(r.core_80pct for r in rows)
+
+
+def test_phrase_search_matches_string_scan(spark):
+    """Every reported (doc, count, first position) must equal a direct
+    token-scan for the same phrase, and the phrase must be the corpus's
+    most frequent bigram."""
+    from collections import Counter
+
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        phrase_search_positional,
+    )
+
+    texts = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    bg = Counter()
+    for ws in texts.values():
+        for i in range(len(ws) - 1):
+            bg[f"{ws[i]} {ws[i+1]}"] += 1
+    best = sorted(bg.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    w1, w2 = best.split(" ")
+    want = {}
+    for doc_id, ws in texts.items():
+        pos = [i for i in range(len(ws) - 1) if ws[i] == w1 and ws[i + 1] == w2]
+        if pos:
+            want[doc_id] = (len(pos), pos[0])
+    rows = phrase_search_positional(spark, SF_SMOKE).collect()
+    assert all(r.phrase == best for r in rows)
+    got = {r.doc_id: (r.n_hits, r.first_pos) for r in rows}
+    assert got == want and want
+
+
+def test_assoc_statistics_match_contingency_definition(spark):
+    """MI and chi-square recomputed from a plain Counter contingency."""
+    from collections import Counter
+
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        assoc_mi_chi2,
+    )
+
+    pairs = Counter(
+        (r.o_orderpriority, r.o_orderstatus)
+        for r in load_table(spark, SF_SMOKE, "orders").collect()
+    )
+    n = sum(pairs.values())
+    ri = Counter()
+    cj = Counter()
+    for (a, b), c in pairs.items():
+        ri[a] += c
+        cj[b] += c
+    mi = sum(
+        (c / n) * math.log(c * n / (ri[a] * cj[b]))
+        for (a, b), c in pairs.items()
+    )
+    chi2 = sum(
+        (c - ri[a] * cj[b] / n) ** 2 / (ri[a] * cj[b] / n)
+        for (a, b), c in pairs.items()
+    )
+    row = assoc_mi_chi2(spark, SF_SMOKE).collect()[0]
+    assert abs(row.mutual_information - mi) < 1e-5
+    assert abs(row.chi2 - chi2) < 1e-3
+    assert row.dof == (len(ri) - 1) * (len(cj) - 1)
+    v = math.sqrt(chi2 / (n * min(len(ri) - 1, len(cj) - 1)))
+    assert abs(row.cramers_v - v) < 1e-5
+
+
+def test_frequent_values_profile_matches_counter(spark):
+    """Top-3 per column recomputed with Counter + the same total
+    order (count DESC, value ASC)."""
+    from collections import Counter
+
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        PROFILE_TOP_K,
+        profile_frequent_values,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders").collect()
+    for col in ("o_orderstatus", "o_orderpriority"):
+        cnt = Counter(getattr(r, col) for r in orders)
+        want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :PROFILE_TOP_K
+        ]
+        got = sorted(
+            (
+                (r.rk, r.val, r.n, r.share)
+                for r in profile_frequent_values(spark, SF_SMOKE).collect()
+                if r.col_name == col
+            )
+        )
+        assert [(v, c) for _, v, c, _ in got] == want
+        n = len(orders)
+        for _, _, c, share in got:
+            assert abs(share - c / n) < 1e-6
