@@ -1181,6 +1181,438 @@ ORDER BY col_name, rk
 """
 
 
+# ---------------------------------------------------------------------------
+# Simple OLS regression per group
+# ---------------------------------------------------------------------------
+
+OLS_EPOCH = "2020-01-01"  #: x-axis anchor (days since)
+
+
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type simple OLS of value on time (days since
+    OLS_EPOCH) — slope, intercept, and r², the regr_slope/
+    regr_intercept/regr_r2 family recomputed from EXACT decimal sums
+    (n, Σx, Σy, Σxx, Σyy, Σxy) so the doubles are bit-reproducible
+    across engines and partitionings (built-in regr_* fold doubles in
+    partition order, like var_pop — same reasoning as
+    `agg_stats_moments`, aggregates.py).
+
+    Scale: one partial+final aggregate scan; the regression algebra is
+    row-local on the event-type-sized rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = F.datediff(F.col("ts"), F.lit(OLS_EPOCH).cast("date")).cast("double")
+    y = F.col("value")
+
+    def d28(c, scale=8):
+        return dsum(c, scale, precision=28)
+
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        d28(x, 4).alias("sx"),
+        d28(y, 4).alias("sy"),
+        d28(x * x).alias("sxx"),
+        d28(y * y).alias("syy"),
+        d28(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / varx_n
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = cov_n * cov_n / (varx_n * vary_n)
+    return base.select(
+        "event_type",
+        n.cast("long").alias("n_rows"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    ).orderBy("event_type")
+
+
+_OLS_SQL = f"""
+WITH base AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(CAST(datediff('day', DATE '{OLS_EPOCH}', ts)
+                  AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(datediff('day', DATE '{OLS_EPOCH}', ts)
+                  * datediff('day', DATE '{OLS_EPOCH}', ts)
+                  AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS syy,
+    CAST(SUM(CAST(datediff('day', DATE '{OLS_EPOCH}', ts) * value
+                  AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+  FROM events GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+    AS intercept,
+  ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM base ORDER BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# Moving distinct count window
+# ---------------------------------------------------------------------------
+
+
+def window_moving_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user DISTINCT event-type count over the trailing
+    MOVMED_FRAME rows — the second holistic window in the family
+    (`window_moving_median` carries the interpolating one): engagement
+    breadth over a recent-activity frame.
+
+    Spark evaluates `collect_set` over window frames (the holistic
+    restriction hits interpolating aggregates like median, not set
+    collection); DuckDB runs COUNT(DISTINCT) OVER the same frame.
+    Total (ts, event_id) frame order, as everywhere.
+
+    Scale: one user_id-keyed window pass, frame state bounded at
+    MOVMED_FRAME values per row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(
+            F.expr(
+                f"collect_set(event_type) OVER (PARTITION BY user_id"
+                f" ORDER BY ts, event_id"
+                f" ROWS BETWEEN {MOVMED_FRAME - 1} PRECEDING AND CURRENT ROW)"
+            )
+        ).cast("long").alias("n_distinct_types"),
+    ).orderBy("user_id", "event_id")
+
+
+_MOVDIST_SQL = f"""
+SELECT user_id, event_id,
+  COUNT(DISTINCT event_type) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id
+    ROWS BETWEEN {MOVMED_FRAME - 1} PRECEDING AND CURRENT ROW)
+    AS n_distinct_types
+FROM events
+ORDER BY user_id, event_id
+"""
+
+# ---------------------------------------------------------------------------
+# OOV rate against a capped vocabulary
+# ---------------------------------------------------------------------------
+
+OOV_VOCAB_K = 100  #: vocabulary size (top-K words by document frequency)
+
+
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary TOKEN rate against the corpus's
+    top-OOV_VOCAB_K words (document frequency DESC, word ASC — a total
+    order): the tokenizer-coverage check run before committing a vocab
+    size, counted over token OCCURRENCES (not distinct words) because
+    that is what the model actually sees.
+
+    Scale: vocabulary selection windows over the vocabulary-sized df
+    table; the vocab broadcasts; the per-doc rate is one exploded scan
+    + doc_id rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+    )
+    vocab = (
+        dw.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy(F.lit(1)).orderBy(F.desc("df"), "w")
+            ),
+        )
+        .filter(F.col("rk") <= OOV_VOCAB_K)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("long")).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_OOV_SQL = f"""
+WITH dw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY COUNT(*) DESC, w) AS rk
+    FROM dw GROUP BY w
+  ) WHERE rk <= {OOV_VOCAB_K}
+),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+  CAST(SUM(CAST(v.w IS NULL AS BIGINT)) AS BIGINT) AS n_oov,
+  ROUND(SUM(CAST(v.w IS NULL AS DOUBLE)) / COUNT(*), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.w = v.w
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# Training-mixture sampling plan
+# ---------------------------------------------------------------------------
+
+
+def mixture_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixture planning (the Pile/Dolma recipe step):
+    given per-source token counts and target mixture weights (uniform
+    here), compute the LARGEST total token budget achievable without
+    upsampling any source — B = min_i(tokens_i / w_i) — and each
+    source's sampled tokens (w_i·B) and sampling rate. The arithmetic
+    every mixture config file encodes, derived inside the engine from
+    the corpus itself.
+
+    Scale: one whitespace-token rollup per source (the only
+    corpus-sized stage); the plan algebra runs on the source-sized
+    table with the budget as a one-row broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("tokens")
+    )
+    k = per_src.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    with_w = per_src.join(F.broadcast(k)).select(
+        "source",
+        "tokens",
+        (F.lit(1.0) / F.col("k")).alias("weight"),
+    )
+    budget = with_w.agg(
+        F.min(F.col("tokens") / F.col("weight")).alias("budget")
+    )
+    return (
+        with_w.join(F.broadcast(budget))
+        .select(
+            "source",
+            "tokens",
+            F.round("weight", 6).alias("weight"),
+            F.round(F.col("weight") * F.col("budget"), 2).alias(
+                "sampled_tokens"
+            ),
+            F.round(
+                F.col("weight") * F.col("budget") / F.col("tokens"), 6
+            ).alias("sampling_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+_MIXTURE_SQL = """
+WITH per_src AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, tokens,
+    1.0 / (SELECT CAST(COUNT(*) AS DOUBLE) FROM per_src) AS weight
+  FROM per_src
+),
+b AS (SELECT MIN(tokens / weight) AS budget FROM w)
+SELECT source, tokens, ROUND(weight, 6) AS weight,
+  ROUND(weight * budget, 2) AS sampled_tokens,
+  ROUND(weight * budget / tokens, 6) AS sampling_rate
+FROM w, b
+ORDER BY source
+"""
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney interpolated bigram LM
+# ---------------------------------------------------------------------------
+
+KN_DISCOUNT = 0.75  #: absolute discount D
+
+
+def bigram_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    Chen & Goodman 1998) — the third LM in the engine's family
+    (unigram MLE, Jelinek-Mercer bigram in `traindata2.py`): absolute
+    discounting of the bigram count plus the CONTINUATION-probability
+    backoff that made KN the standard n-gram smoother,
+    P(w2|w1) = max(c12 − D, 0)/c1 + (D·N1+(w1,·)/c1) · N1+(·,w2)/B
+    with B the distinct-bigram total.
+
+    Scale: bigram extraction is row-local; every statistic (bigram
+    counts, left/right continuation counts, the distinct-bigram total)
+    is a vocabulary-sized rollup off ONE exploded scan; the final
+    algebra is a three-way equi-join on words, each side
+    vocabulary-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> struct(element_at(split(text, ' '), i) as w1,"
+                " element_at(split(text, ' '), i + 1) as w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count(F.lit(1)).alias("n1_fwd"),  # N1+(w1, ·)
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1_bwd"))  # N1+(·, w2)
+    total = c12.agg(F.count(F.lit(1)).cast("double").alias("b_total"))
+    d = F.lit(KN_DISCOUNT)
+    p = (
+        F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+        + (d * F.col("n1_fwd") / F.col("c1"))
+        * (F.col("n1_bwd") / F.col("b_total"))
+    )
+    return (
+        c12.join(c1, "w1")
+        .join(cont, "w2")
+        .join(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(p, 6).alias("p_kn"),
+        )
+        .orderBy("w1", "w2")
+    )
+
+
+_KN_SQL = f"""
+WITH bg AS (
+  SELECT string_split(text, ' ')[i] AS w1, string_split(text, ' ')[i + 1] AS w2
+  FROM (SELECT text, unnest(range(1, len(string_split(text, ' ')))) AS i
+        FROM documents)
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1_fwd FROM c12 GROUP BY w1),
+cont AS (SELECT w2, COUNT(*) AS n1_bwd FROM c12 GROUP BY w2),
+total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS b_total FROM c12)
+SELECT c12.w1, c12.w2, c12.c12,
+  ROUND(GREATEST(c12.c12 - {KN_DISCOUNT}, 0.0) / c1.c1
+        + ({KN_DISCOUNT} * c1.n1_fwd / c1.c1) * (cont.n1_bwd / total.b_total),
+        6) AS p_kn
+FROM c12 JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN total
+ORDER BY w1, w2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Last-touch conversion attribution
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW_DAYS = 7  #: lookback window for a touch to get credit
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: every 'purchase' event is
+    credited to the user's most recent preceding touch ('click' or
+    'view') within ATTR_WINDOW_DAYS, else 'direct' — the marketing
+    rollup every attribution pipeline starts from, then aggregated to
+    (touch channel → conversions, share).
+
+    Scale: ONE user_id-keyed window pass (last-touch-before is a
+    frame-bounded last_value IGNORE NULLS under the total (ts,
+    event_id) order); the channel rollup is touch-cardinality-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_prev = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    touch_ts = F.last(
+        F.when(is_touch, F.col("ts")), ignorenulls=True
+    ).over(w_prev)
+    touch_type = F.last(
+        F.when(is_touch, F.col("event_type")), ignorenulls=True
+    ).over(w_prev)
+    conv = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            touch_ts.alias("t_ts"),
+            touch_type.alias("t_type"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("t_ts").isNotNull()
+                & (
+                    F.datediff(F.col("ts"), F.col("t_ts"))
+                    <= ATTR_WINDOW_DAYS
+                ),
+                F.col("t_type"),
+            )
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+        )
+    )
+    tot = W.partitionBy()
+    return (
+        conv.groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("conversions"))
+        .select(
+            "channel",
+            "conversions",
+            F.round(
+                F.col("conversions").cast("double")
+                / F.sum("conversions").over(tot),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("channel")
+    )
+
+
+_ATTR_SQL = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, event_type,
+    last_value(CASE WHEN event_type IN ('click', 'view') THEN ts END
+               IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_ts,
+    last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+               IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_type
+  FROM events
+),
+conv AS (
+  SELECT CASE WHEN t_ts IS NOT NULL
+              AND datediff('day', t_ts, ts) <= {ATTR_WINDOW_DAYS}
+         THEN t_type ELSE 'direct' END AS channel
+  FROM marked WHERE event_type = 'purchase'
+)
+SELECT channel, COUNT(*) AS conversions,
+  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS share
+FROM conv GROUP BY channel ORDER BY channel
+"""
+
+
 QUERIES = {
     "events_retention_cohorts": events_retention_cohorts,
     "events_markov_transitions": events_markov_transitions,
@@ -1195,6 +1627,12 @@ QUERIES = {
     "pareto_contribution_8020": pareto_contribution_8020,
     "phrase_search_positional": phrase_search_positional,
     "profile_frequent_values": profile_frequent_values,
+    "agg_linear_regression": agg_linear_regression,
+    "window_moving_distinct": window_moving_distinct,
+    "vocab_oov_rate": vocab_oov_rate,
+    "mixture_sampling_plan": mixture_sampling_plan,
+    "bigram_lm_kneser_ney": bigram_lm_kneser_ney,
+    "attribution_last_touch": attribution_last_touch,
 }
 
 ORACLE = {
@@ -1211,4 +1649,10 @@ ORACLE = {
     "pareto_contribution_8020": _PARETO_SQL,
     "phrase_search_positional": _PHRASE_SQL,
     "profile_frequent_values": _FREQVAL_SQL,
+    "agg_linear_regression": _OLS_SQL,
+    "window_moving_distinct": _MOVDIST_SQL,
+    "vocab_oov_rate": _OOV_SQL,
+    "mixture_sampling_plan": _MIXTURE_SQL,
+    "bigram_lm_kneser_ney": _KN_SQL,
+    "attribution_last_touch": _ATTR_SQL,
 }

@@ -1485,7 +1485,178 @@ ORDER BY n_name
 """
 
 
+_N_CORRUPT = 17  #: planted malformed lines
+
+
+def scan_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSON ingestion with corrupt-record routing — the
+    real-world NDJSON contract: a feed mixing valid event lines with
+    malformed ones must load the valid rows, capture the bad lines in
+    `columnNameOfCorruptRecord`, and never abort the job (the same
+    accept/reject split the reference's landing filter implements for
+    whole events — `/root/reference/main.py` routes, this routes at
+    the PARSER level).
+
+    Hard-checks in the EXECUTED read: the corrupt-row count equals the
+    planted count (raises otherwise), exercising the Spark quirk that
+    a filter touching ONLY the corrupt column requires the parsed
+    frame to be materialized first (cached) — the raw-text column is
+    not derivable once the parser dropped the line.
+
+    Scale: schema-declared JSON scan, file-parallel; the corrupt
+    branch adds one cached pass, and the valid projection prunes the
+    corrupt column immediately.
+    """
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "events_json_corrupt")
+    data_dir = os.path.join(fixture, "data")
+
+    def _build(tmp: str) -> None:
+        sl = (
+            load_table(spark, sf_dir, "events")
+            .select(*_COLS)
+            .filter(F.col("event_id") < _MAX_ID)
+            # pin ts to TIMESTAMP_LTZ regardless of session confs: in a
+            # session without the engine's inferTimestampNTZ pin the
+            # parquet ts loads as NTZ, the JSON writer then renders it
+            # with timestampNTZFormat (ISO 'T', ms) instead of
+            # timestampFormat, and the declared-LTZ read-back marks
+            # EVERY line corrupt (measured; 217 != 17)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        sl.write.option("timestampFormat", _TS_FMT).json(
+            os.path.join(tmp, "data")
+        )
+        # one extra part file of deterministic garbage lines — real
+        # feeds interleave them; directory-level read sees all files
+        bad = "\n".join(
+            f'{{"event_id": "broken-{i}", "ts": not-json' for i in range(_N_CORRUPT)
+        )
+        with open(os.path.join(tmp, "data", "part-corrupt.json"), "w") as f:
+            f.write(bad + "\n")
+
+    _ensure_fixture(fixture, _build)
+    schema = T.StructType(
+        list(_SCHEMA.fields)
+        + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("timestampFormat", _TS_FMT)
+        .json(data_dir)
+        .cache()
+    )
+    n_bad = parsed.filter(F.col("_corrupt_record").isNotNull()).count()
+    if n_bad != _N_CORRUPT:
+        raise AssertionError(
+            f"corrupt-record routing lost lines: {n_bad} != {_N_CORRUPT}"
+        )
+    return (
+        parsed.filter(F.col("_corrupt_record").isNull())
+        .select(
+            "event_id",
+            F.date_format("ts", _TS_FMT).alias("ts_s"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .orderBy("event_id")
+    )
+
+
+_CORRUPT_SQL = f"""
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+  user_id, event_type, value
+FROM events WHERE event_id < {_MAX_ID}
+ORDER BY event_id
+"""
+
+
+def sink_snapshot_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed derivation between two committed snapshot
+    versions (Delta's CDF / Iceberg's changelog, computed from plain
+    time travel): v2 holds all events; v3 OVERWRITES with a mutated
+    copy — rows with event_id % 5 == 0 get value + 1000 (an UPDATE),
+    the rest unchanged. The diff renders each update as a
+    removed/added pair via two `exceptAll` passes between the version
+    reads, rolled up per (change_type, event_type).
+
+    exceptAll (not except) keeps multiset semantics — a table with
+    duplicate rows must diff by multiplicity, which is what a CDC
+    consumer replays.
+
+    Scale: each exceptAll is one hash-partitioned anti-multiset pass
+    over the two versions' scans; the rollup is change-type ×
+    event-type sized. Version reads list manifest-named files only —
+    no directory scans.
+    """
+    from etl_gcp_function_tmabrasil_spark.queries._util import dsum
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        commit_snapshot,
+        read_snapshot,
+    )
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "snapshot_diff_table")
+
+    def _build(tmp: str) -> None:
+        table = os.path.join(tmp, "table")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        v1 = commit_snapshot(ev.filter(F.col("event_id") % 3 != 0), table)
+        v2 = commit_snapshot(
+            ev.filter(F.col("event_id") % 3 == 0), table, mode="append"
+        )
+        mutated = ev.select(
+            "event_id",
+            "event_type",
+            F.when(
+                F.col("event_id") % 5 == 0, F.col("value") + 1000
+            ).otherwise(F.col("value")).alias("value"),
+        )
+        v3 = commit_snapshot(mutated, table, mode="overwrite")
+        if (v1, v2, v3) != (1, 2, 3):
+            raise RuntimeError(f"unexpected versions: {(v1, v2, v3)}")
+
+    _ensure_fixture(fixture, _build)
+    table = os.path.join(fixture, "table")
+    v2df = read_snapshot(spark, table, version=2)
+    v3df = read_snapshot(spark, table, version=3)
+    added = v3df.exceptAll(v2df).withColumn("change_type", F.lit("added"))
+    removed = v2df.exceptAll(v3df).withColumn(
+        "change_type", F.lit("removed")
+    )
+    return (
+        added.unionByName(removed)
+        .groupBy("change_type", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("change_type", "event_type")
+    )
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH changed AS (SELECT event_type, value FROM events WHERE event_id % 5 = 0),
+diff AS (
+  SELECT 'added' AS change_type, event_type, value + 1000 AS value FROM changed
+  UNION ALL
+  SELECT 'removed', event_type, value FROM changed
+)
+SELECT change_type, event_type, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM diff GROUP BY change_type, event_type
+ORDER BY change_type, event_type
+"""
+
+
 QUERIES = {
+    "sink_snapshot_version_diff": sink_snapshot_version_diff,
+    "scan_json_corrupt_records": scan_json_corrupt_records,
     "scan_binaryfile_source": scan_binaryfile_source,
     "sink_zorder_layout": sink_zorder_layout,
     "join_dpp_partitioned": join_dpp_partitioned,
@@ -1508,6 +1679,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sink_snapshot_version_diff": _SNAPSHOT_DIFF_SQL,
+    "scan_json_corrupt_records": _CORRUPT_SQL,
     "scan_binaryfile_source": _BINARYFILE_SQL,
     "sink_zorder_layout": _ZORDER_SQL,
     "join_dpp_partitioned": _DPP_SQL,

@@ -151,6 +151,42 @@ PARITY = [
     "sink_snapshot_stats_pruning",
     "sink_snapshot_empty_schema",
     "stream_snapshot_exactly_once",
+    # late-r9 analytics wave, the tie/scale-sensitive subset: the
+    # moving median's trailing frames at 10x duplicate-ts mass (the
+    # total (ts, event_id) order must keep frame membership — and the
+    # even-count interpolation — engine-identical), Markov lead pairs
+    # under the same tie pressure, KM at 10x censoring mass with
+    # duplicate durations, the interpolation spine at 10x gap
+    # structure, Welch/retention/RFM/PMI/phrase/pareto/DQ/assoc/
+    # profile at 10x their corpus-sized stage (RFM's banded quantiles
+    # re-derive from 1.5M orders; DQ's referential anti-join walks 6M
+    # lineitem rows; the phrase postings join 10x postings).
+    "window_moving_median",
+    "events_markov_transitions",
+    "survival_kaplan_meier",
+    "resample_daily_interpolate",
+    "ab_test_welch",
+    "events_retention_cohorts",
+    "rfm_customer_segments",
+    "text_word_pmi",
+    "phrase_search_positional",
+    "pareto_contribution_8020",
+    "dq_constraint_suite",
+    "assoc_mi_chi2",
+    "profile_frequent_values",
+    # late-r9 batches 3-4: the distinct-count frame and last-touch
+    # windows under 10x duplicate-ts tie mass, KN continuation counts
+    # at 10x the bigram table, OLS moment sums at 1M events, the
+    # corrupt-record routing and snapshot version diff rebuilt from
+    # 10x inputs (the diff's exceptAll multiset semantics at 2M rows).
+    "window_moving_distinct",
+    "attribution_last_touch",
+    "bigram_lm_kneser_ney",
+    "agg_linear_regression",
+    "vocab_oov_rate",
+    "mixture_sampling_plan",
+    "scan_json_corrupt_records",
+    "sink_snapshot_version_diff",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.
@@ -159,6 +195,12 @@ TIMED = [
     "fuzzy_name_match",
     "pagerank_dedup_graph",
     "dedup_minhash_lsh",
+    # r9 rewrite: trigram prefix+positional filter — letter-rotated
+    # copies keep cross-copy shingles disjoint, so candidates must
+    # grow ~linearly (the DuckDB all-pairs oracle is quadratic and
+    # stays out of PARITY at this scale; Spark-side timing is the
+    # scale check here)
+    "simjoin_prefix_jaccard",
 ]
 
 

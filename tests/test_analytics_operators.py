@@ -401,3 +401,188 @@ def test_frequent_values_profile_matches_counter(spark):
         n = len(orders)
         for _, _, c, share in got:
             assert abs(share - c / n) < 1e-6
+
+
+def test_ols_matches_direct_least_squares(spark):
+    """Slope/intercept/r² recomputed with the centered-sums formulas
+    (not the raw-moment identity the engines share)."""
+    from datetime import date
+
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        OLS_EPOCH,
+        agg_linear_regression,
+    )
+
+    anchor = date.fromisoformat(OLS_EPOCH)
+    pts = defaultdict(list)
+    for r in _events(spark):
+        pts[r.event_type].append(
+            ((r.ts.date() - anchor).days, float(r.value))
+        )
+    got = {r.event_type: r for r in agg_linear_regression(spark, SF_SMOKE).collect()}
+    assert set(got) == set(pts)
+    for et, xy in pts.items():
+        n = len(xy)
+        mx = sum(x for x, _ in xy) / n
+        my = sum(y for _, y in xy) / n
+        sxy = sum((x - mx) * (y - my) for x, y in xy)
+        sxx = sum((x - mx) ** 2 for x, _ in xy)
+        syy = sum((y - my) ** 2 for _, y in xy)
+        slope = sxy / sxx
+        intercept = my - slope * mx
+        r2 = sxy * sxy / (sxx * syy)
+        g = got[et]
+        assert g.n_rows == n, et
+        assert abs(g.slope - slope) < max(1e-5, abs(slope) * 1e-4), et
+        assert abs(g.intercept - intercept) < max(1e-4, abs(intercept) * 1e-4), et
+        assert abs(g.r2 - r2) < 1e-5, et
+
+
+def test_moving_distinct_matches_direct_frame_sets(spark):
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        MOVMED_FRAME,
+        window_moving_distinct,
+    )
+
+    seqs = defaultdict(list)
+    for r in _events(spark):
+        seqs[r.user_id].append((r.ts, r.event_id, r.event_type))
+    want = {}
+    for u, evs in seqs.items():
+        evs.sort()
+        for i in range(len(evs)):
+            frame = {t for _, _, t in evs[max(0, i - MOVMED_FRAME + 1) : i + 1]}
+            want[(u, evs[i][1])] = len(frame)
+    got = {
+        (r.user_id, r.event_id): r.n_distinct_types
+        for r in window_moving_distinct(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_oov_rate_matches_direct_token_count(spark):
+    from collections import Counter
+
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        OOV_VOCAB_K,
+        vocab_oov_rate,
+    )
+
+    texts = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    df = Counter()
+    for ws in texts.values():
+        for w in set(ws):
+            df[w] += 1
+    vocab = {
+        w
+        for w, _ in sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :OOV_VOCAB_K
+        ]
+    }
+    got = {r.doc_id: r for r in vocab_oov_rate(spark, SF_SMOKE).collect()}
+    assert set(got) == set(texts)
+    for doc_id, ws in texts.items():
+        oov = sum(1 for w in ws if w not in vocab)
+        g = got[doc_id]
+        assert g.n_tokens == len(ws) and g.n_oov == oov, doc_id
+        assert abs(g.oov_rate - oov / len(ws)) < 1e-6, doc_id
+
+
+def test_mixture_plan_is_feasible_and_tight(spark):
+    """No source is upsampled (rate <= 1), at least one source is fully
+    consumed (rate == 1 — the budget is maximal), weights are uniform,
+    and sampled tokens follow w·B."""
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        mixture_sampling_plan,
+    )
+
+    rows = mixture_sampling_plan(spark, SF_SMOKE).collect()
+    k = len(rows)
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    budget = min(r.tokens / r.weight for r in rows)
+    for r in rows:
+        assert abs(r.weight - 1.0 / k) < 1e-6
+        assert r.sampling_rate <= 1.0 + 1e-9
+        assert abs(r.sampled_tokens - r.weight * budget) < 0.51
+        assert abs(r.sampling_rate - (r.weight * budget / r.tokens)) < 1e-6
+    assert any(abs(r.sampling_rate - 1.0) < 1e-6 for r in rows)
+
+
+def test_kneser_ney_matches_direct_counts(spark):
+    """KN probabilities recomputed from raw bigram Counters, and the
+    interpolated distribution over the FULL vocabulary sums to 1 for
+    the highest-count context (the property discounting exists to
+    preserve)."""
+    from collections import Counter
+
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        KN_DISCOUNT,
+        bigram_lm_kneser_ney,
+    )
+
+    c12 = Counter()
+    for r in load_table(spark, SF_SMOKE, "documents").collect():
+        ws = r.text.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] += 1
+    c1 = Counter()
+    n1_fwd = Counter()
+    n1_bwd = Counter()
+    for (a, b), c in c12.items():
+        c1[a] += c
+        n1_fwd[a] += 1
+        n1_bwd[b] += 1
+    B = len(c12)
+    got = {(r.w1, r.w2): (r.c12, r.p_kn) for r in bigram_lm_kneser_ney(spark, SF_SMOKE).collect()}
+    assert set(got) == set(c12)
+    for (a, b), c in c12.items():
+        p = max(c - KN_DISCOUNT, 0.0) / c1[a] + (
+            KN_DISCOUNT * n1_fwd[a] / c1[a]
+        ) * (n1_bwd[b] / B)
+        assert got[(a, b)][0] == c
+        assert abs(got[(a, b)][1] - p) < 1e-5, (a, b)
+    # full-vocab normalization for the heaviest context
+    ctx = max(c1, key=lambda a: c1[a])
+    vocab = set(n1_bwd)
+    s = sum(
+        max(c12.get((ctx, w), 0) - KN_DISCOUNT, 0.0) / c1[ctx]
+        + (KN_DISCOUNT * n1_fwd[ctx] / c1[ctx]) * (n1_bwd[w] / B)
+        for w in vocab
+    )
+    assert abs(s - 1.0) < 1e-9
+
+
+def test_attribution_matches_direct_scan(spark):
+    """Credit recomputed by walking each user's sorted event list."""
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        ATTR_WINDOW_DAYS,
+        attribution_last_touch,
+    )
+
+    seqs = defaultdict(list)
+    for r in _events(spark):
+        seqs[r.user_id].append((r.ts, r.event_id, r.event_type))
+    want = defaultdict(int)
+    for evs in seqs.values():
+        evs.sort()
+        for i, (ts, _, et) in enumerate(evs):
+            if et != "purchase":
+                continue
+            channel = "direct"
+            for pts, _, pet in reversed(evs[:i]):
+                if pet in ("click", "view"):
+                    if (ts.date() - pts.date()).days <= ATTR_WINDOW_DAYS:
+                        channel = pet
+                    break
+            want[channel] += 1
+    rows = attribution_last_touch(spark, SF_SMOKE).collect()
+    got = {r.channel: r.conversions for r in rows}
+    assert got == dict(want)
+    total = sum(want.values())
+    for r in rows:
+        assert abs(r.share - want[r.channel] / total) < 1e-6
