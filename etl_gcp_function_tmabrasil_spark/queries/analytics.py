@@ -1613,6 +1613,197 @@ FROM conv GROUP BY channel ORDER BY channel
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact per-group mode
+# ---------------------------------------------------------------------------
+
+
+def agg_exact_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MODE per group (modal order priority within each status)
+    with count and share — computed explicitly as count-rollup +
+    rank-1 under the total order (count DESC, value ASC) instead of a
+    built-in `mode()`, because built-in modes leave ties
+    engine-defined (DuckDB documents "first encountered", Spark 4's
+    mode() is arbitrary on ties) and a gate needs determinism.
+
+    Scale: one contingency rollup (status × priority cells), then a
+    rank window over the cell table.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_rank = W.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), "o_orderpriority"
+    )
+    w_tot = W.partitionBy("o_orderstatus")
+    return (
+        cells.select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "n",
+            F.row_number().over(w_rank).alias("rk"),
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(w_tot), 6
+            ).alias("share"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            "n",
+            "share",
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_MODE_SQL = """
+WITH cells AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+),
+ranked AS (
+  SELECT o_orderstatus, o_orderpriority, n,
+    row_number() OVER (PARTITION BY o_orderstatus
+                       ORDER BY n DESC, o_orderpriority) AS rk,
+    ROUND(CAST(n AS DOUBLE)
+          / SUM(n) OVER (PARTITION BY o_orderstatus), 6) AS share
+  FROM cells
+)
+SELECT o_orderstatus, o_orderpriority AS modal_priority, n, share
+FROM ranked WHERE rk = 1 ORDER BY o_orderstatus
+"""
+
+# ---------------------------------------------------------------------------
+# Stratified k-fold assignment
+# ---------------------------------------------------------------------------
+
+KFOLD_K = 5  #: folds
+
+
+def split_kfold_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-stratified k-fold assignment: within each stratum
+    (document language) docs are ordered by a deterministic md5 rank
+    (engine-identical, no rand()) and dealt round-robin into KFOLD_K
+    folds — so every (stratum, fold) count is within 1 of perfect
+    balance BY CONSTRUCTION, which the expectation-only hash split
+    (`split_train_val_test`) cannot guarantee. Emits the
+    (lang, fold) rollup with counts and id checksums.
+
+    Scale: one row_number window per stratum (lang-partitioned — the
+    shuffle key is the stratum, parallel across strata); everything
+    downstream is fold-table-sized. The md5 rank reuses the engine's
+    one cross-engine hash construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("/kfold"))),
+            "doc_id",
+        )
+    )
+    return (
+        docs.select(
+            "lang",
+            "doc_id",
+            ((rk - 1) % KFOLD_K).alias("fold"),
+        )
+        .groupBy("lang", "fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("lang", "fold")
+    )
+
+
+_KFOLD_SQL = f"""
+WITH ranked AS (
+  SELECT lang, doc_id,
+    (row_number() OVER (PARTITION BY lang
+       ORDER BY md5(CAST(doc_id AS VARCHAR) || '/kfold'), doc_id) - 1)
+      % {KFOLD_K} AS fold
+  FROM documents
+)
+SELECT lang, fold, COUNT(*) AS n_docs,
+  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM ranked GROUP BY lang, fold ORDER BY lang, fold
+"""
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the fraud/
+    data-entry screen auditors run on monetary columns: observed
+    first-significant-digit shares vs Benford's log10(1 + 1/d), with
+    each digit's χ² contribution and the cumulative statistic.
+
+    First digit = floor(x / 10^floor(log10(x))) for x ≥ 1 — pure
+    arithmetic, no string rendering (engines disagree on double
+    formatting, they agree on log10/floor).
+
+    Scale: one aggregate scan to the 9-row digit table; everything
+    else is windows over those 9 rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    digit = F.floor(
+        x / F.pow(F.lit(10.0), F.floor(F.log10(x)))
+    ).cast("int")
+    counts = (
+        orders.filter(x >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy()
+    total = F.sum("n").over(w).cast("double")
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    chi2_term = (
+        (F.col("n") / total - expected)
+        * (F.col("n") / total - expected)
+        / expected
+        * total
+    )
+    return counts.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / total, 6).alias("observed_share"),
+        F.round(expected, 6).alias("benford_share"),
+        F.round(chi2_term, 6).alias("chi2_term"),
+        F.round(F.sum(chi2_term).over(w), 6).alias("chi2_total"),
+    ).orderBy("digit")
+
+
+_BENFORD_SQL = """
+WITH counts AS (
+  SELECT CAST(FLOOR(o_totalprice
+               / POW(10.0, FLOOR(LOG10(o_totalprice)))) AS INT) AS digit,
+    COUNT(*) AS n
+  FROM orders WHERE o_totalprice >= 1
+  GROUP BY 1
+),
+e AS (
+  SELECT digit, n,
+    CAST(SUM(n) OVER () AS DOUBLE) AS total,
+    LOG10(1.0 + 1.0 / digit) AS expected
+  FROM counts
+)
+SELECT digit, n,
+  ROUND(n / total, 6) AS observed_share,
+  ROUND(expected, 6) AS benford_share,
+  ROUND((n / total - expected) * (n / total - expected) / expected * total, 6)
+    AS chi2_term,
+  ROUND(SUM((n / total - expected) * (n / total - expected) / expected * total)
+        OVER (), 6) AS chi2_total
+FROM e ORDER BY digit
+"""
+
+
 QUERIES = {
     "events_retention_cohorts": events_retention_cohorts,
     "events_markov_transitions": events_markov_transitions,
@@ -1633,6 +1824,9 @@ QUERIES = {
     "mixture_sampling_plan": mixture_sampling_plan,
     "bigram_lm_kneser_ney": bigram_lm_kneser_ney,
     "attribution_last_touch": attribution_last_touch,
+    "agg_exact_mode": agg_exact_mode,
+    "split_kfold_stratified": split_kfold_stratified,
+    "dq_benford_digits": dq_benford_digits,
 }
 
 ORACLE = {
@@ -1655,4 +1849,7 @@ ORACLE = {
     "mixture_sampling_plan": _MIXTURE_SQL,
     "bigram_lm_kneser_ney": _KN_SQL,
     "attribution_last_touch": _ATTR_SQL,
+    "agg_exact_mode": _MODE_SQL,
+    "split_kfold_stratified": _KFOLD_SQL,
+    "dq_benford_digits": _BENFORD_SQL,
 }

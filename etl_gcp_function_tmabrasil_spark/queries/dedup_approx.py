@@ -862,6 +862,98 @@ QUERIES["dedup_cluster_representative"] = dedup_cluster_representative
 ORACLE["dedup_cluster_representative"] = _cluster_representative_sql()
 
 
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup IMPACT report — the "what would deduplication buy us"
+    readout a curation run publishes before committing: the cluster-
+    size histogram of the SimHash near-dup components (including the
+    singleton mass the component join never sees), rows removable per
+    size under keep-one-per-cluster, and each size's share of the
+    corpus.
+
+    Scale: composes the existing component machinery (bounded-round
+    min-label propagation over pigeonhole-banded candidate pairs) with
+    one component-keyed rollup; the histogram is size-distinct-sized
+    and the singleton row is corpus-count arithmetic, not a scan of
+    non-duplicated docs.
+    """
+    comp = dedup_components(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+    # singleton mass from one-row count frames (lazy — no driver-side
+    # .count() at construction; both frames broadcast)
+    tot = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    in_comp = comp.agg(F.count(F.lit(1)).alias("n_in_comp"))
+    singleton = (
+        tot.join(F.broadcast(in_comp))
+        .select(
+            F.lit(1).alias("cluster_size"),
+            (F.col("n_total") - F.col("n_in_comp")).alias("n_clusters"),
+        )
+    )
+    report = hist.select(
+        F.col("cluster_size").cast("int").alias("cluster_size"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+    ).unionByName(singleton.select(
+        F.col("cluster_size").cast("int"),
+        F.col("n_clusters").cast("long"),
+    ))
+    return (
+        report.join(F.broadcast(tot))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("long")
+            .alias("removable"),
+            F.round(
+                (F.col("cluster_size") * F.col("n_clusters")).cast("double")
+                / F.col("n_total"),
+                6,
+            ).alias("corpus_share"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def _impact_sql() -> str:
+    comp = _components_sql().replace("ORDER BY doc_id", "")
+    return f"""
+WITH comp AS ({comp}),
+sizes AS (SELECT component_id, COUNT(*) AS cluster_size FROM comp
+          GROUP BY component_id),
+hist AS (SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes
+         GROUP BY cluster_size),
+tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+incomp AS (SELECT COUNT(*) AS n FROM comp),
+report AS (
+  SELECT CAST(cluster_size AS INT) AS cluster_size,
+         CAST(n_clusters AS BIGINT) AS n_clusters
+  FROM hist
+  UNION ALL
+  SELECT 1, CAST(tot.n_docs - incomp.n AS BIGINT) FROM tot, incomp
+)
+SELECT cluster_size, n_clusters,
+  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+  CAST((cluster_size - 1) * n_clusters AS BIGINT) AS removable,
+  ROUND(CAST(cluster_size * n_clusters AS DOUBLE)
+        / (SELECT n_docs FROM tot), 6) AS corpus_share
+FROM report ORDER BY cluster_size
+"""
+
+
+QUERIES["dedup_impact_report"] = dedup_impact_report
+ORACLE["dedup_impact_report"] = _impact_sql()
+
+
 SSJOIN_TAU = 0.4  #: Jaccard threshold over word-shingle sets
 SSJOIN_W = 3  #: shingle width in words (w-shingling, Broder 1997)
 

@@ -1654,7 +1654,78 @@ ORDER BY change_type, event_type
 """
 
 
+def sink_snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on the snapshot sink (Delta's MERGE semantics from
+    primitives): v1 holds the events with event_id % 3 != 0; an
+    updates batch carries every event_id % 7 == 0 row with value + 500
+    (UPDATE where it exists in v1, INSERT where it doesn't). The merge
+    is one full-outer-shaped pass — base rows left-anti the update
+    keys, unioned with the updates — committed as v2 (overwrite: MERGE
+    rewrites the table; the partitioned CDC gate shows the
+    touched-partition-only variant). The gate reads v2 back and rolls
+    it up per event_type.
+
+    Scale: the anti join and union are key-partitioned single passes;
+    commit writes through the manifest so a crashed merge leaves v1
+    intact (snapshot isolation is the point of MERGE-on-snapshot).
+    """
+    from etl_gcp_function_tmabrasil_spark.queries._util import dsum
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        commit_snapshot,
+        read_snapshot,
+    )
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "snapshot_merge_table")
+
+    def _build(tmp: str) -> None:
+        table = os.path.join(tmp, "table")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        v1 = commit_snapshot(ev.filter(F.col("event_id") % 3 != 0), table)
+        updates = ev.filter(F.col("event_id") % 7 == 0).select(
+            "event_id",
+            "event_type",
+            (F.col("value") + 500).alias("value"),
+        )
+        base = read_snapshot(spark, table, version=1)
+        merged = base.join(
+            updates.select("event_id"), "event_id", "left_anti"
+        ).unionByName(updates)
+        v2 = commit_snapshot(merged, table, mode="overwrite")
+        if (v1, v2) != (1, 2):
+            raise RuntimeError(f"unexpected versions: {(v1, v2)}")
+
+    _ensure_fixture(fixture, _build)
+    table = os.path.join(fixture, "table")
+    return (
+        read_snapshot(spark, table, version=2)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SNAPSHOT_MERGE_SQL = """
+WITH merged AS (
+  SELECT event_id, event_type, value FROM events
+  WHERE event_id % 3 <> 0 AND event_id % 7 <> 0
+  UNION ALL
+  SELECT event_id, event_type, value + 500 FROM events
+  WHERE event_id % 7 = 0
+)
+SELECT event_type, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM merged GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "sink_snapshot_merge_upsert": sink_snapshot_merge_upsert,
     "sink_snapshot_version_diff": sink_snapshot_version_diff,
     "scan_json_corrupt_records": scan_json_corrupt_records,
     "scan_binaryfile_source": scan_binaryfile_source,
@@ -1679,6 +1750,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sink_snapshot_merge_upsert": _SNAPSHOT_MERGE_SQL,
     "sink_snapshot_version_diff": _SNAPSHOT_DIFF_SQL,
     "scan_json_corrupt_records": _CORRUPT_SQL,
     "scan_binaryfile_source": _BINARYFILE_SQL,

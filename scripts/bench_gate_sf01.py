@@ -99,6 +99,10 @@ GATE_QUERIES = [
     # snapshots at fixture build
     "scan_json_corrupt_records",
     "sink_snapshot_version_diff",
+    # the MERGE gate commits two snapshots at fixture build; the
+    # impact report drives the eager component-propagation loop
+    "sink_snapshot_merge_upsert",
+    "dedup_impact_report",
 ]
 
 

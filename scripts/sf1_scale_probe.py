@@ -187,6 +187,15 @@ PARITY = [
     "mixture_sampling_plan",
     "scan_json_corrupt_records",
     "sink_snapshot_version_diff",
+    # late-r9 batch 5: stratified k-fold balance at 10x per-lang doc
+    # mass (the within-1 guarantee must survive the window), the MERGE
+    # gate at 2M-row rewrites, the impact report's component loop at
+    # 10x near-dup pairs.
+    "split_kfold_stratified",
+    "sink_snapshot_merge_upsert",
+    "dedup_impact_report",
+    "agg_exact_mode",
+    "dq_benford_digits",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.

@@ -586,3 +586,116 @@ def test_attribution_matches_direct_scan(spark):
     total = sum(want.values())
     for r in rows:
         assert abs(r.share - want[r.channel] / total) < 1e-6
+
+
+def test_exact_mode_matches_counter(spark):
+    from collections import Counter
+
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        agg_exact_mode,
+    )
+
+    per_status = defaultdict(Counter)
+    for r in load_table(spark, SF_SMOKE, "orders").collect():
+        per_status[r.o_orderstatus][r.o_orderpriority] += 1
+    got = {r.o_orderstatus: r for r in agg_exact_mode(spark, SF_SMOKE).collect()}
+    assert set(got) == set(per_status)
+    for status, cnt in per_status.items():
+        val, n = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        g = got[status]
+        assert (g.modal_priority, g.n) == (val, n), status
+        assert abs(g.share - n / sum(cnt.values())) < 1e-6
+
+
+def test_kfold_is_exactly_balanced_and_exhaustive(spark):
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        KFOLD_K,
+        split_kfold_stratified,
+    )
+
+    rows = split_kfold_stratified(spark, SF_SMOKE).collect()
+    langs = defaultdict(dict)
+    for r in rows:
+        langs[r.lang][r.fold] = r.n_docs
+    per_lang_total = defaultdict(int)
+    for r in load_table(spark, SF_SMOKE, "documents").collect():
+        per_lang_total[r.lang] += 1
+    assert set(langs) == set(per_lang_total)
+    for lang, folds in langs.items():
+        assert sum(folds.values()) == per_lang_total[lang]
+        assert set(folds) <= set(range(KFOLD_K))
+        counts = [folds.get(f, 0) for f in range(KFOLD_K)]
+        assert max(counts) - min(counts) <= 1, lang  # exact stratification
+
+
+def test_benford_digits_match_direct_arithmetic(spark):
+    import math as m
+    from collections import Counter
+
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        dq_benford_digits,
+    )
+
+    vals = [
+        r.o_totalprice
+        for r in load_table(spark, SF_SMOKE, "orders").collect()
+        if r.o_totalprice >= 1
+    ]
+    cnt = Counter(int(v / 10 ** m.floor(m.log10(v))) for v in vals)
+    total = sum(cnt.values())
+    rows = dq_benford_digits(spark, SF_SMOKE).collect()
+    assert {r.digit for r in rows} == set(cnt)
+    chi2 = 0.0
+    for d in sorted(cnt):
+        exp = m.log10(1 + 1 / d)
+        chi2 += (cnt[d] / total - exp) ** 2 / exp * total
+    for r in rows:
+        assert r.n == cnt[r.digit]
+        assert abs(r.observed_share - cnt[r.digit] / total) < 1e-6
+        assert abs(r.chi2_total - chi2) < 1e-3
+
+
+def test_dedup_impact_report_is_consistent_with_components(spark):
+    from collections import Counter
+
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+    from etl_gcp_function_tmabrasil_spark.queries.dedup_approx import (
+        dedup_components,
+        dedup_impact_report,
+    )
+
+    comp = dedup_components(spark, SF_SMOKE).collect()
+    sizes = Counter(Counter(r.component_id for r in comp).values())
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    sizes[1] = sizes.get(1, 0) + (n_docs - len(comp))
+    rows = dedup_impact_report(spark, SF_SMOKE).collect()
+    got = {r.cluster_size: r for r in rows}
+    assert {k: v.n_clusters for k, v in got.items()} == dict(sizes)
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.removable == r.n_docs - r.n_clusters
+        assert abs(r.corpus_share - r.n_docs / n_docs) < 1e-6
+
+
+def test_snapshot_merge_upsert_matches_direct_merge(spark):
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+    from etl_gcp_function_tmabrasil_spark.queries.sources_gate import (
+        sink_snapshot_merge_upsert,
+    )
+
+    want_n = defaultdict(int)
+    want_sum = defaultdict(float)
+    for r in load_table(spark, SF_SMOKE, "events").collect():
+        if r.event_id % 7 == 0:
+            want_n[r.event_type] += 1
+            want_sum[r.event_type] += float(r.value) + 500
+        elif r.event_id % 3 != 0:
+            want_n[r.event_type] += 1
+            want_sum[r.event_type] += float(r.value)
+    rows = sink_snapshot_merge_upsert(spark, SF_SMOKE).collect()
+    assert {r.event_type: r.n_rows for r in rows} == dict(want_n)
+    for r in rows:
+        assert abs(r.sum_value - want_sum[r.event_type]) < 1e-2, r.event_type
