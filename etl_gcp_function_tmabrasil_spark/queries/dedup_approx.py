@@ -1106,11 +1106,24 @@ WITH t AS (
   FROM documents
   WHERE len(string_split(text, ' ')) >= {SSJOIN_W}
 ),
+-- candidate pairs via the inverted index (pairs sharing NO shingle
+-- have Jaccard 0 and can never reach tau > 0, so this is
+-- result-identical to the all-pairs form — it deliberately uses no
+-- prefix/positional/length filtering, staying independent of the
+-- Spark implementation's pruning logic, while keeping the sf0.1
+-- local sweep off the 12.5M-pair quadratic path (465 s measured)
+e AS (SELECT doc_id, unnest(toks) AS sh FROM t),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+),
 pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-    CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
-    len(a.toks) AS sza, len(b.toks) AS szb
-  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  SELECT c.doc_a, c.doc_b,
+    CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS inter,
+    len(ta.toks) AS sza, len(tb.toks) AS szb
+  FROM cand c
+  JOIN t ta ON ta.doc_id = c.doc_a
+  JOIN t tb ON tb.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b, inter,
   ROUND(CAST(inter AS DOUBLE) / (sza + szb - inter), 6) AS jaccard
