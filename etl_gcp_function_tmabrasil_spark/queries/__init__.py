@@ -151,19 +151,25 @@ _CHECK_FIRST = [
 
 # ROUND-10 ROTATION PLAN (for the next builder): the 50-slot window
 # should take, in order —
-#   0. the late-r9 registrations that missed the r9 window
-#      (agg_correlation_matrix, table_diff_checksum, and any later
-#      ones — see their ledger notes), then any r10 registrations
-#      (register new operators at the TOP of this list);
-#   1. the rows still holding round:6 evidence after the r9 ledger
-#      merge — the full 50-row r6 wave: the nine r9 registrations
-#      displaced every r6 top-up from the r9 window, so no r6 row got
-#      an r9 check; split the wave across r10 (and r11 if new
-#      registrations crowd the window again);
-#   2. top up to exactly 50 from the r7 wave (those rows become the
-#      oldest once item 1 lands); the r8/r9 waves rotate r11+.
-# After r10 every query's latest check is <=4 rounds old. Run
-# scripts/merge_correctness_ledger.py at round start (after
+#   0. the late-r9 registrations that missed the r9 window — now 31
+#      rows: the post-window wave (agg_correlation_matrix,
+#      table_diff_checksum, timeseries_twa companions, simjoin,
+#      triangle count, CUSUM, token entropy, feature binning) plus
+#      the five analytics batches (retention/markov/rfm/dq/interp/
+#      welch/pmi, KM/assoc/moving-median/pareto/phrase/profile,
+#      OLS/moving-distinct/oov/mixture/KN, attribution/corrupt-scan/
+#      version-diff, mode/kfold/benford/impact/merge-upsert — all
+#      carry the "scheduled first in the r10 window" ledger note),
+#      then any r10 registrations (register new operators at the TOP
+#      of this list). 31 late-r9 rows alone fill most of the window:
+#      take them ALL in r10 (they have zero driver evidence yet —
+#      strictly older than any checked row), topping up the remaining
+#      ~19 slots from the oldest r6-era rows;
+#   1. the rows still holding round:6 evidence after the r10 ledger
+#      merge — whatever of the 50-row r6 wave didn't fit above rolls
+#      to r11 along with the r7 wave;
+#   2. the r8/r9-checked waves rotate r12+.
+# Run scripts/merge_correctness_ledger.py at round start (after
 # CORRECTNESS_r09.json lands) before re-planning.
 
 

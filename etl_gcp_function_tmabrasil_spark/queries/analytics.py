@@ -1822,6 +1822,332 @@ FROM e ORDER BY digit
 """
 
 
+# ---------------------------------------------------------------------------
+# Time-decay weighted value (recency-weighted LTV)
+# ---------------------------------------------------------------------------
+
+LTV_HALF_LIFE_DAYS = 30.0  #: decay half-life
+
+
+def ltv_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted lifetime value: per user,
+    Σ value·2^(−age_days/half_life) with age measured from the corpus
+    horizon — the decayed engagement score CRM and ranking systems
+    maintain, computed in one pass (the decay weight is row-local
+    arithmetic; no ordered fold needed because the sum is
+    order-independent).
+
+    Determinism note: the weighted sum accumulates DOUBLES, so
+    partition order matters at the ulp level — the sum is made
+    engine-stable the same way the moment sums are, by rounding each
+    term to a fixed decimal grid (cents of weighted value) before
+    the decimal-exact accumulation.
+
+    Scale: one user_id-keyed aggregate; the horizon is a one-row
+    broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("h"))
+    age = F.datediff(F.col("h"), F.col("ts")).cast("double")
+    w = F.pow(F.lit(2.0), -age / F.lit(LTV_HALF_LIFE_DAYS))
+    term = F.round(F.col("value") * w, 6)
+    return (
+        ev.join(F.broadcast(horizon))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(dsum(term, scale=6, precision=28), 4).alias(
+                "decayed_value"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+_LTV_SQL = f"""
+WITH h AS (SELECT MAX(ts) AS h FROM events)
+SELECT user_id, COUNT(*) AS n_events,
+  ROUND(CAST(SUM(CAST(ROUND(value * POW(2.0,
+      -CAST(datediff('day', ts, (SELECT h FROM h)) AS DOUBLE)
+      / {LTV_HALF_LIFE_DAYS}), 6) AS DECIMAL(28,6))) AS DOUBLE), 4)
+    AS decayed_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly flags
+# ---------------------------------------------------------------------------
+
+ZSCORE_FRAME = 20  #: trailing window (rows)
+ZSCORE_CRIT = 3.0  #: |z| flag threshold
+
+
+def timeseries_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event's value scored
+    against the mean/stddev of the PRECEDING ZSCORE_FRAME rows (the
+    point itself excluded — self-inclusion dilutes the very outlier
+    being tested), flagging |z| > 3 — the standard online telemetry
+    monitor.
+
+    Mean/variance over the frame come from exact decimal Σx/Σx²
+    (count/sum over a frame are frame-bounded, engine-exact); rows
+    with fewer than 3 predecessors emit NULL z (variance undefined).
+
+    Scale: one user_id-keyed window pass; frame state is two decimal
+    accumulators, independent of history length.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZSCORE_FRAME, -1)
+    )
+    x = F.col("value")
+    n = F.count(x).over(w).cast("double")
+    sx = F.sum(x.cast("decimal(28,4)")).over(w).cast("double")
+    sxx = F.sum((x * x).cast("decimal(28,8)")).over(w).cast("double")
+    mean = sx / n
+    var = (n * sxx - sx * sx) / (n * (n - 1))
+    # var = 0 (all-constant frame) leaves z undefined: Spark renders
+    # x/0.0 as NULL where DuckDB renders ±inf — guard it explicitly
+    # so both engines emit NULL
+    z = F.when(
+        (n >= 3) & (n * sxx - sx * sx > 0), (x - mean) / F.sqrt(var)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(z, 6).alias("zscore"),
+        # anomaly is NON-NULL boolean: an undefined z (cold start /
+        # constant frame) cannot be flagged — and a nullable boolean
+        # column round-trips differently through the two engines'
+        # pandas bridges (object-of-None vs BooleanDtype), breaking
+        # the canonical sort
+        F.coalesce(F.abs(z) > ZSCORE_CRIT, F.lit(False)).alias("anomaly"),
+    ).orderBy("user_id", "event_id")
+
+
+_ZSCORE_SQL = f"""
+WITH m AS (
+  SELECT user_id, event_id, value,
+    CAST(COUNT(value) OVER w AS DOUBLE) AS n,
+    CAST(SUM(CAST(value AS DECIMAL(28,4))) OVER w AS DOUBLE) AS sx,
+    CAST(SUM(CAST(value * value AS DECIMAL(28,8))) OVER w AS DOUBLE) AS sxx
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {ZSCORE_FRAME} PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id,
+  ROUND(CASE WHEN n >= 3 AND (n * sxx - sx * sx) > 0
+        THEN (value - sx / n)
+             / sqrt((n * sxx - sx * sx) / (n * (n - 1))) END, 6) AS zscore,
+  COALESCE(CASE WHEN n >= 3 AND (n * sxx - sx * sx) > 0
+       THEN abs((value - sx / n)
+                / sqrt((n * sxx - sx * sx) / (n * (n - 1)))) > {ZSCORE_CRIT}
+       END, FALSE) AS anomaly
+FROM m ORDER BY user_id, event_id
+"""
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules
+# ---------------------------------------------------------------------------
+
+BASKET_MAX_PART = 200  #: bound the itemset universe (same as triangles)
+BASKET_MIN_SUPPORT = 3  #: minimum co-occurrence count
+
+
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining (the Apriori readout at
+    2-itemsets): for part pairs co-occurring in ≥ BASKET_MIN_SUPPORT
+    orders, support, directed confidence P(B|A), and lift
+    P(A,B)/(P(A)·P(B)) — the co-purchase recommender baseline.
+
+    The itemset universe is bounded to parts < BASKET_MAX_PART (the
+    same bound the triangle-count gate uses), so per-order fan-out is
+    capped; pairs come from a basket-keyed self-join of distinct
+    (order, part) rows, support counts from one rollup, and the
+    directed rules from a broadcast join against per-part counts.
+
+    Scale: candidate generation is an equi-join on l_orderkey with
+    bounded fan-out per basket; marginal counts are part-cardinality-
+    sized and broadcast; the total-basket count is a one-row
+    broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") < BASKET_MAX_PART
+    )
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    )
+    part_cnt = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_part")
+    )
+    a = op.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= BASKET_MIN_SUPPORT)
+    )
+    ca = part_cnt.select(
+        F.col("l_partkey").alias("pa"), F.col("n_part").alias("n_a")
+    )
+    cb = part_cnt.select(
+        F.col("l_partkey").alias("pb"), F.col("n_part").alias("n_b")
+    )
+    enriched = (
+        pairs.join(F.broadcast(ca), "pa")
+        .join(F.broadcast(cb), "pb")
+        .join(F.broadcast(n_baskets))
+    )
+    nb = F.col("n_baskets").cast("double")
+    return enriched.select(
+        "pa",
+        "pb",
+        "n_both",
+        F.round(F.col("n_both") / nb, 6).alias("support"),
+        F.round(
+            F.col("n_both").cast("double") / F.col("n_a"), 6
+        ).alias("conf_a_to_b"),
+        F.round(
+            F.col("n_both").cast("double") / F.col("n_b"), 6
+        ).alias("conf_b_to_a"),
+        F.round(
+            (F.col("n_both") * F.col("n_baskets")).cast("double")
+            / (F.col("n_a") * F.col("n_b")),
+            6,
+        ).alias("lift"),
+    ).orderBy("pa", "pb")
+
+
+_BASKET_SQL = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_partkey < {BASKET_MAX_PART}
+),
+nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM lineitem),
+pc AS (SELECT l_partkey, COUNT(*) AS n_part FROM op GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_both
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                      AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT pa, pb, n_both,
+  ROUND(n_both / CAST(nb.n_baskets AS DOUBLE), 6) AS support,
+  ROUND(CAST(n_both AS DOUBLE) / ca.n_part, 6) AS conf_a_to_b,
+  ROUND(CAST(n_both AS DOUBLE) / cb.n_part, 6) AS conf_b_to_a,
+  ROUND(CAST(n_both * nb.n_baskets AS DOUBLE) / (ca.n_part * cb.n_part), 6)
+    AS lift
+FROM pairs
+JOIN pc ca ON ca.l_partkey = pairs.pa
+JOIN pc cb ON cb.l_partkey = pairs.pb
+CROSS JOIN nb
+ORDER BY pa, pb
+"""
+
+
+# ---------------------------------------------------------------------------
+# Holt linear (double exponential) smoothing
+# ---------------------------------------------------------------------------
+
+HOLT_ALPHA = 0.3  #: level smoothing
+HOLT_BETA = 0.1  #: trend smoothing
+
+
+def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing per user —
+    the next step after `timeseries_ewma` in the classical smoothing
+    family: level l = αx + (1−α)(l+b), trend b = β(l−l_prev) + (1−β)b,
+    initialized l = x₂, b = x₂ − x₁, folded over the remaining history
+    under the total (ts, event_id) order; emits the final state and
+    the one-step forecast l + b. Users with a single event carry no
+    trend and are excluded (documented; they'd need a different
+    initializer).
+
+    Same scalable shape as the EWMA: one shuffle to the key, then a
+    row-local ordered fold. Cross-engine state-struct discipline: BOTH
+    engines' lambdas read every field from the OLD accumulator here
+    (measured — a one-step probe of this exact struct shape showed
+    DuckDB did NOT rebind acc.l mid-struct, unlike the r9 CUSUM
+    measurement; do not rely on rebinding either way), so both sides
+    recompute new_l INLINE from old (l, b) inside the trend field —
+    identical expression tree, identical IEEE doubles.
+    """
+    ev = load_table(spark, sf_dir, "events", rebalance=True)
+    a, b_ = HOLT_ALPHA, HOLT_BETA
+    new_l = f"({a} * x.value + {1 - a} * (acc.l + acc.b))"
+    fold = (
+        "aggregate(slice(h, 3, size(h) - 2),"
+        " struct(cast(h[1].value as double) as l,"
+        "        cast(h[1].value - h[0].value as double) as b),"
+        f" (acc, x) -> struct({new_l} as l,"
+        f" {b_} * ({new_l} - acc.l) + {1 - b_} * acc.b as b))"
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "array_sort(collect_list(struct(ts, event_id, value)))"
+            ).alias("h"),
+        )
+        .filter(F.col("n_events") >= 2)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.expr(f"{fold}.l"), 6).alias("level"),
+            F.round(F.expr(f"{fold}.b"), 6).alias("trend"),
+            F.round(
+                F.expr(f"{fold}.l") + F.expr(f"{fold}.b"), 6
+            ).alias("forecast_1"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _holt_sql() -> str:
+    a, b_ = HOLT_ALPHA, HOLT_BETA
+    # NOT a list_reduce: DuckDB's struct-accumulator lambda semantics
+    # are INCONSISTENT across applications (measured with one-step and
+    # two-step probes of this exact shape: the FIRST application reads
+    # all fields from the old accumulator, later applications REBIND
+    # acc.<field> mid-struct). A mutually-dependent recurrence (new
+    # trend needs both new level and old level) has no field order
+    # that is correct under both behaviors — so the oracle folds via
+    # a RECURSIVE CTE instead, where each step's state is a plain row
+    # and evaluation order is unambiguous. Depth = max per-user
+    # history, lockstep across users; the per-step join back to g
+    # keeps recursion rows state-sized (no array carried).
+    new_l = f"({a} * g.h[s.i + 1] + {1 - a} * (s.l + s.b))"
+    return f"""
+WITH RECURSIVE g AS (
+  SELECT user_id, COUNT(*) AS n_events,
+    array_agg(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS h
+  FROM events GROUP BY user_id HAVING COUNT(*) >= 2
+),
+s(user_id, i, l, b) AS (
+  SELECT user_id, 2, CAST(h[2] AS DOUBLE), CAST(h[2] - h[1] AS DOUBLE)
+  FROM g
+  UNION ALL
+  SELECT s.user_id, s.i + 1, {new_l},
+    {b_} * ({new_l} - s.l) + {1 - b_} * s.b
+  FROM s JOIN g ON g.user_id = s.user_id
+  WHERE s.i < g.n_events
+)
+SELECT g.user_id, g.n_events,
+  ROUND(s.l, 6) AS level, ROUND(s.b, 6) AS trend,
+  ROUND(s.l + s.b, 6) AS forecast_1
+FROM s JOIN g ON g.user_id = s.user_id AND s.i = g.n_events
+ORDER BY g.user_id
+"""
+
+
 QUERIES = {
     "events_retention_cohorts": events_retention_cohorts,
     "events_markov_transitions": events_markov_transitions,
@@ -1845,6 +2171,10 @@ QUERIES = {
     "agg_exact_mode": agg_exact_mode,
     "split_kfold_stratified": split_kfold_stratified,
     "dq_benford_digits": dq_benford_digits,
+    "ltv_time_decay": ltv_time_decay,
+    "timeseries_rolling_zscore": timeseries_rolling_zscore,
+    "basket_association_rules": basket_association_rules,
+    "timeseries_holt_linear": timeseries_holt_linear,
 }
 
 ORACLE = {
@@ -1870,4 +2200,8 @@ ORACLE = {
     "agg_exact_mode": _MODE_SQL,
     "split_kfold_stratified": _KFOLD_SQL,
     "dq_benford_digits": _BENFORD_SQL,
+    "ltv_time_decay": _LTV_SQL,
+    "timeseries_rolling_zscore": _ZSCORE_SQL,
+    "basket_association_rules": _BASKET_SQL,
+    "timeseries_holt_linear": _holt_sql(),
 }

@@ -699,3 +699,131 @@ def test_snapshot_merge_upsert_matches_direct_merge(spark):
     assert {r.event_type: r.n_rows for r in rows} == dict(want_n)
     for r in rows:
         assert abs(r.sum_value - want_sum[r.event_type]) < 1e-2, r.event_type
+
+
+def test_ltv_decay_matches_direct_sum(spark):
+    import math as m
+
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        LTV_HALF_LIFE_DAYS,
+        ltv_time_decay,
+    )
+
+    evs = _events(spark)
+    horizon = max(r.ts for r in evs)
+    want = defaultdict(float)
+    n = defaultdict(int)
+    for r in evs:
+        age = (horizon.date() - r.ts.date()).days
+        want[r.user_id] += round(
+            float(r.value) * 2 ** (-age / LTV_HALF_LIFE_DAYS), 6
+        )
+        n[r.user_id] += 1
+    got = {r.user_id: r for r in ltv_time_decay(spark, SF_SMOKE).collect()}
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u].n_events == n[u]
+        assert abs(got[u].decayed_value - want[u]) < 1e-3, u
+
+
+def test_rolling_zscore_matches_direct_frames(spark):
+    import math as m
+
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        ZSCORE_CRIT,
+        ZSCORE_FRAME,
+        timeseries_rolling_zscore,
+    )
+
+    seqs = defaultdict(list)
+    for r in _events(spark):
+        seqs[r.user_id].append((r.ts, r.event_id, float(r.value)))
+    got = {
+        (r.user_id, r.event_id): (r.zscore, r.anomaly)
+        for r in timeseries_rolling_zscore(spark, SF_SMOKE).collect()
+    }
+    checked = 0
+    for u, evs in seqs.items():
+        evs.sort()
+        for i in range(len(evs)):
+            frame = [v for _, _, v in evs[max(0, i - ZSCORE_FRAME) : i]]
+            z_want = None
+            if len(frame) >= 3:
+                mean = sum(frame) / len(frame)
+                var = sum((x - mean) ** 2 for x in frame) / (len(frame) - 1)
+                if var > 0:
+                    z_want = (evs[i][2] - mean) / m.sqrt(var)
+            z_got, a_got = got[(u, evs[i][1])]
+            if z_want is None:
+                assert z_got is None and a_got is False
+            else:
+                assert abs(z_got - z_want) < 1e-4, (u, i)
+                assert a_got == (abs(z_want) > ZSCORE_CRIT)
+                checked += 1
+    assert checked > 100
+
+
+def test_basket_rules_match_direct_counts(spark):
+    from collections import Counter
+
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        BASKET_MAX_PART,
+        BASKET_MIN_SUPPORT,
+        basket_association_rules,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").collect()
+    baskets = defaultdict(set)
+    for r in li:
+        if r.l_partkey < BASKET_MAX_PART:
+            baskets[r.l_orderkey].add(r.l_partkey)
+    n_baskets = len({r.l_orderkey for r in li})
+    part_cnt = Counter()
+    pair_cnt = Counter()
+    for items in baskets.values():
+        s = sorted(items)
+        for p in s:
+            part_cnt[p] += 1
+        for i, pa in enumerate(s):
+            for pb in s[i + 1 :]:
+                pair_cnt[(pa, pb)] += 1
+    want = {k: v for k, v in pair_cnt.items() if v >= BASKET_MIN_SUPPORT}
+    rows = basket_association_rules(spark, SF_SMOKE).collect()
+    got = {(r.pa, r.pb): r for r in rows}
+    assert set(got) == set(want)
+    for (pa, pb), nb in want.items():
+        g = got[(pa, pb)]
+        assert g.n_both == nb
+        assert abs(g.support - nb / n_baskets) < 1e-6
+        assert abs(g.conf_a_to_b - nb / part_cnt[pa]) < 1e-6
+        assert abs(g.lift - nb * n_baskets / (part_cnt[pa] * part_cnt[pb])) < 1e-4
+
+
+def test_holt_matches_textbook_recurrence(spark):
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        timeseries_holt_linear,
+    )
+
+    seqs = defaultdict(list)
+    for r in _events(spark):
+        seqs[r.user_id].append((r.ts, r.event_id, float(r.value)))
+    got = {r.user_id: r for r in timeseries_holt_linear(spark, SF_SMOKE).collect()}
+    for u, evs in seqs.items():
+        evs.sort()
+        xs = [v for _, _, v in evs]
+        if len(xs) < 2:
+            assert u not in got
+            continue
+        l, b = xs[1], xs[1] - xs[0]
+        for x in xs[2:]:
+            nl = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (l + b)
+            b = HOLT_BETA * (nl - l) + (1 - HOLT_BETA) * b
+            l = nl
+        g = got[u]
+        assert g.n_events == len(xs)
+        assert abs(g.level - l) < 1e-4, u
+        assert abs(g.trend - b) < 1e-4, u
+        assert abs(g.forecast_1 - (l + b)) < 1e-4, u
