@@ -196,6 +196,13 @@ PARITY = [
     "dedup_impact_report",
     "agg_exact_mode",
     "dq_benford_digits",
+    # late-r9 batch 6: rolling z-score frames at 10x duplicate-ts tie
+    # mass, the Holt fold vs the recursive-CTE oracle at ~6.7k-step
+    # per-user histories, decayed sums and basket pairs at 10x.
+    "timeseries_rolling_zscore",
+    "timeseries_holt_linear",
+    "ltv_time_decay",
+    "basket_association_rules",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.
