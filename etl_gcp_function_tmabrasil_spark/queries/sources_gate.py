@@ -1724,7 +1724,101 @@ FROM merged GROUP BY event_type ORDER BY event_type
 """
 
 
+def sink_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot VACUUM / expire_snapshots — the retention lifecycle:
+    v1 overwrites with slice A, v2 OVERWRITES with a mutated slice B
+    (fresh file set, so v1's files become v1-exclusive), v3 APPENDS
+    slice C (carrying v2's files forward); `vacuum_snapshots(retain=2)`
+    must expire v1, physically delete exactly v1's exclusive files,
+    and leave v2/v3 byte-identical.
+
+    Hard-checked at fixture build: v1's files are GONE from disk,
+    every v2/v3-referenced file still exists, reading v1 raises, and
+    v3's row count survives the vacuum unchanged. The gate returns the
+    post-vacuum v3 rollup; the oracle recomputes it from the base
+    predicates — any file the vacuum wrongly deleted (or resurrected)
+    breaks the hash.
+    """
+    from etl_gcp_function_tmabrasil_spark.queries._util import dsum
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        commit_snapshot,
+        read_snapshot,
+        snapshot_files,
+        vacuum_snapshots,
+    )
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "snapshot_vacuum_table")
+
+    def _build(tmp: str) -> None:
+        table = os.path.join(tmp, "table")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        commit_snapshot(ev.filter(F.col("event_id") % 3 == 0), table,
+                        mode="overwrite")
+        commit_snapshot(
+            ev.filter(F.col("event_id") % 3 == 1).select(
+                "event_id", "event_type",
+                (F.col("value") + 100).alias("value"),
+            ),
+            table, mode="overwrite",
+        )
+        commit_snapshot(ev.filter(F.col("event_id") % 3 == 2), table,
+                        mode="append")
+        v1_files = set(snapshot_files(table, 1))
+        keep_files = set(snapshot_files(table, 2)) | set(
+            snapshot_files(table, 3)
+        )
+        n_before = read_snapshot(spark, table, version=3).count()
+        stats = vacuum_snapshots(table, retain_last=2)
+        if stats["expired_versions"] != [1]:
+            raise AssertionError(f"expected to expire v1: {stats}")
+        gone = v1_files - keep_files
+        for p in gone:
+            if os.path.exists(p):
+                raise AssertionError(f"vacuum left expired file {p}")
+        for p in keep_files:
+            if not os.path.exists(p):
+                raise AssertionError(f"vacuum deleted a retained file {p}")
+        try:
+            read_snapshot(spark, table, version=1)
+            raise AssertionError("expired v1 still readable")
+        except FileNotFoundError:
+            pass
+        n_after = read_snapshot(spark, table, version=3).count()
+        if n_before != n_after:
+            raise AssertionError(
+                f"v3 changed across vacuum: {n_before} != {n_after}"
+            )
+
+    _ensure_fixture(fixture, _build)
+    table = os.path.join(fixture, "table")
+    return (
+        read_snapshot(spark, table, version=3)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SNAPSHOT_VACUUM_SQL = """
+WITH v3 AS (
+  SELECT event_type, value + 100 AS value FROM events WHERE event_id % 3 = 1
+  UNION ALL
+  SELECT event_type, value FROM events WHERE event_id % 3 = 2
+)
+SELECT event_type, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM v3 GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "sink_snapshot_vacuum": sink_snapshot_vacuum,
     "sink_snapshot_merge_upsert": sink_snapshot_merge_upsert,
     "sink_snapshot_version_diff": sink_snapshot_version_diff,
     "scan_json_corrupt_records": scan_json_corrupt_records,
@@ -1750,6 +1844,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sink_snapshot_vacuum": _SNAPSHOT_VACUUM_SQL,
     "sink_snapshot_merge_upsert": _SNAPSHOT_MERGE_SQL,
     "sink_snapshot_version_diff": _SNAPSHOT_DIFF_SQL,
     "scan_json_corrupt_records": _CORRUPT_SQL,

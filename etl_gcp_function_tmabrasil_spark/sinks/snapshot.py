@@ -283,3 +283,49 @@ def read_snapshot(
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.parquet(*files)
+
+
+def vacuum_snapshots(table_dir: str, retain_last: int = 1) -> dict:
+    """Expire all but the newest ``retain_last`` versions and delete
+    the data files no RETAINED manifest references — the Delta VACUUM /
+    Iceberg expire_snapshots lifecycle step that keeps a
+    frequently-committed table from accumulating dead files forever.
+
+    Crash-safe ordering: expired MANIFESTS are unlinked first, so at
+    every intermediate state each still-listed version remains fully
+    readable (a data file is deleted only once no manifest on disk
+    names it). Files never referenced by any manifest (crashed-commit
+    orphans) are left alone — they are structurally invisible to
+    readers (``read_snapshot`` opens manifest-named files only) and
+    belong to a separate orphan sweep with an age threshold, exactly
+    as Delta separates VACUUM's retention check from uncommitted-file
+    cleanup.
+
+    Driver-side file metadata ops only — nothing is scanned. Returns
+    ``{expired_versions, retained_versions, deleted_files}``.
+    """
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot committed at {table_dir}")
+    retain_last = max(1, retain_last)
+    keep = versions[-retain_last:]
+    drop = [v for v in versions if v not in keep]
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_load_manifest(table_dir, v)["files"])
+    dropped_refs: set[str] = set()
+    for v in drop:
+        dropped_refs.update(_load_manifest(table_dir, v)["files"])
+    for v in drop:
+        os.unlink(_manifest_path(table_dir, v))
+    deleted: list[str] = []
+    for rel in sorted(dropped_refs - referenced):
+        p = os.path.join(table_dir, rel)
+        if os.path.exists(p):
+            os.unlink(p)
+            deleted.append(rel)
+    return {
+        "expired_versions": drop,
+        "retained_versions": keep,
+        "deleted_files": deleted,
+    }

@@ -103,6 +103,8 @@ GATE_QUERIES = [
     # impact report drives the eager component-propagation loop
     "sink_snapshot_merge_upsert",
     "dedup_impact_report",
+    # three commits + a vacuum + read-back checks at fixture build
+    "sink_snapshot_vacuum",
 ]
 
 

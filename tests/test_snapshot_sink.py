@@ -212,3 +212,36 @@ def test_snapshot_lineage_property(spark, tmp_path):
         for v, want in enumerate(expected, start=1):
             assert _ids(spark, table, version=v) == want, (trial, v)
         assert _ids(spark, table) == expected[-1]
+
+
+def test_vacuum_expires_versions_and_continues_numbering(spark, tmp_path):
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        vacuum_snapshots,
+    )
+
+    table = str(tmp_path / "t")
+    df1 = spark.range(10).selectExpr("id", "id * 2 AS v")
+    df2 = spark.range(10, 20).selectExpr("id", "id * 2 AS v")
+    df3 = spark.range(20, 30).selectExpr("id", "id * 2 AS v")
+    assert commit_snapshot(df1, table, mode="overwrite") == 1
+    assert commit_snapshot(df2, table, mode="overwrite") == 2
+    assert commit_snapshot(df3, table, mode="append") == 3
+    stats = vacuum_snapshots(table, retain_last=2)
+    assert stats["expired_versions"] == [1]
+    assert stats["retained_versions"] == [2, 3]
+    assert stats["deleted_files"], "v1's exclusive files should be deleted"
+    # retained versions unchanged
+    assert sorted(r.id for r in read_snapshot(spark, table, version=2).collect()) == list(range(10, 20))
+    assert sorted(r.id for r in read_snapshot(spark, table, version=3).collect()) == list(range(10, 30))
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, table, version=1)
+    # vacuum is idempotent
+    stats2 = vacuum_snapshots(table, retain_last=2)
+    assert stats2["expired_versions"] == [] and stats2["deleted_files"] == []
+    # numbering continues after a vacuum
+    assert commit_snapshot(df1, table, mode="append") == 4
+    assert read_snapshot(spark, table, version=4).count() == 30
+    # retain_last below 1 clamps to 1 (never delete the newest)
+    stats3 = vacuum_snapshots(table, retain_last=0)
+    assert stats3["retained_versions"] == [4]
+    assert read_snapshot(spark, table).count() == 30
