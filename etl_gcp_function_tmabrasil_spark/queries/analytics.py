@@ -1851,14 +1851,19 @@ def ltv_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     age = F.datediff(F.col("h"), F.col("ts")).cast("double")
     w = F.pow(F.lit(2.0), -age / F.lit(LTV_HALF_LIFE_DAYS))
     term = F.round(F.col("value") * w, 6)
+    # presentation rounding happens in the DECIMAL domain (exact
+    # HALF_UP) BEFORE the double cast: rounding the cast double
+    # instead hits representation ties — a 6-dp decimal landing on a
+    # .xxxx5 boundary rounded differently in the two engines (sf1
+    # probe: 6/1500 rows off by 1 in the 4th decimal)
     return (
         ev.join(F.broadcast(horizon))
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(dsum(term, scale=6, precision=28), 4).alias(
-                "decayed_value"
-            ),
+            F.round(F.sum(term.cast("decimal(28,6)")), 4)
+            .cast("double")
+            .alias("decayed_value"),
         )
         .orderBy("user_id")
     )
@@ -1867,9 +1872,9 @@ def ltv_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LTV_SQL = f"""
 WITH h AS (SELECT MAX(ts) AS h FROM events)
 SELECT user_id, COUNT(*) AS n_events,
-  ROUND(CAST(SUM(CAST(ROUND(value * POW(2.0,
+  CAST(ROUND(SUM(CAST(ROUND(value * POW(2.0,
       -CAST(datediff('day', ts, (SELECT h FROM h)) AS DOUBLE)
-      / {LTV_HALF_LIFE_DAYS}), 6) AS DECIMAL(28,6))) AS DOUBLE), 4)
+      / {LTV_HALF_LIFE_DAYS}), 6) AS DECIMAL(28,6))), 4) AS DOUBLE)
     AS decayed_value
 FROM events GROUP BY user_id ORDER BY user_id
 """
@@ -1908,12 +1913,17 @@ def timeseries_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx = F.sum((x * x).cast("decimal(28,8)")).over(w).cast("double")
     mean = sx / n
     var = (n * sxx - sx * sx) / (n * (n - 1))
-    # var = 0 (all-constant frame) leaves z undefined: Spark renders
-    # x/0.0 as NULL where DuckDB renders ±inf — guard it explicitly
-    # so both engines emit NULL
-    z = F.when(
-        (n >= 3) & (n * sxx - sx * sx > 0), (x - mean) / F.sqrt(var)
-    )
+    # Guard BOTH degenerate-variance regimes: exactly zero (Spark
+    # renders x/0.0 as NULL, DuckDB as ±inf) and near-zero relative to
+    # the magnitude of the cancelled terms — n·sxx − sx² loses ~16
+    # digits to cancellation on a near-constant frame, the resulting
+    # z blows up to ~1e9, and ROUND(z, 6) then needs integers near
+    # 2^53 where the engines' rounding diverges by an ulp (caught by
+    # the sf1 probe: 4/1M rows). A z from variance 1e-9 of the
+    # moment magnitude is numerical noise, not a measurement — NULL
+    # it on both sides with the identical relative test.
+    meaningful = (n * sxx - sx * sx) > F.lit(1e-9) * n * sxx
+    z = F.when((n >= 3) & meaningful, (x - mean) / F.sqrt(var))
     return ev.select(
         "user_id",
         "event_id",
@@ -1938,10 +1948,10 @@ WITH m AS (
                ROWS BETWEEN {ZSCORE_FRAME} PRECEDING AND 1 PRECEDING)
 )
 SELECT user_id, event_id,
-  ROUND(CASE WHEN n >= 3 AND (n * sxx - sx * sx) > 0
+  ROUND(CASE WHEN n >= 3 AND (n * sxx - sx * sx) > 1e-9 * n * sxx
         THEN (value - sx / n)
              / sqrt((n * sxx - sx * sx) / (n * (n - 1))) END, 6) AS zscore,
-  COALESCE(CASE WHEN n >= 3 AND (n * sxx - sx * sx) > 0
+  COALESCE(CASE WHEN n >= 3 AND (n * sxx - sx * sx) > 1e-9 * n * sxx
        THEN abs((value - sx / n)
                 / sqrt((n * sxx - sx * sx) / (n * (n - 1)))) > {ZSCORE_CRIT}
        END, FALSE) AS anomaly

@@ -759,11 +759,19 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb)
 
 
-def pq_topk(emb: DataFrame) -> DataFrame:
+def pq_topk(emb: DataFrame, rerank_pool: int | None = None) -> DataFrame:
     """The PQ train/encode/ADC pipeline over (vec_id, e: array<double>)
     — factored out so tests can run it on planted fixtures (an exact
     copy of a query must rank #1: its codes are the query's argmin
-    codes, so its ADC is the minimum any vector can achieve)."""
+    codes, so its ADC is the minimum any vector can achieve).
+
+    ``rerank_pool``: when set, the ADC ranking keeps that many
+    candidates per query and the final top-PQ_TOPK is re-ranked by
+    EXACT distance over just the pool — the standard two-stage
+    retrieve-then-rerank fix for PQ's quantization error (the sf1
+    recall probe measured ADC-only recall@5 at 0.10 on random
+    vectors; the exact re-rank touches only pool-size raw vectors
+    per query, preserving the codes-not-vectors scan economics)."""
     from functools import reduce
 
     from etl_gcp_function_tmabrasil_spark.operators.kmeans import (
@@ -821,6 +829,7 @@ def pq_topk(emb: DataFrame) -> DataFrame:
             )
         )
     )
+    pool = rerank_pool if rerank_pool is not None else PQ_TOPK
     ranked = (
         adc.filter(F.col("vec_id") != F.col("query_id"))
         .withColumn(
@@ -829,9 +838,9 @@ def pq_topk(emb: DataFrame) -> DataFrame:
                 W.partitionBy("query_id").orderBy("adc_dist", "vec_id")
             ),
         )
-        .filter(F.col("rank") <= PQ_TOPK)
+        .filter(F.col("rank") <= pool)
     )
-    return (
+    decorated = (
         ranked.join(emb, "vec_id")
         .join(F.broadcast(q), "query_id")
         .select(
@@ -843,8 +852,18 @@ def pq_topk(emb: DataFrame) -> DataFrame:
                 "true_sqdist"
             ),
         )
-        .orderBy("query_id", "rank")
     )
+    if rerank_pool is None:
+        return decorated.orderBy("query_id", "rank")
+    rer = decorated.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy("true_sqdist", "vec_id")
+        ),
+    ).filter(F.col("rank") <= PQ_TOPK)
+    return rer.select(
+        "query_id", "rank", "vec_id", "true_sqdist", "adc_dist"
+    ).orderBy("query_id", "rank")
 
 
 def _pq_cte_prefix() -> str:
@@ -912,6 +931,61 @@ enc{m} AS (
     )
 
 
+PQ_RERANK_POOL = 25  #: ADC candidates kept per query for exact re-rank
+
+
+def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ retrieval: ADC candidate generation (top
+    PQ_RERANK_POOL per query over the code table) followed by an EXACT
+    re-rank of just those candidates — the standard production fix for
+    PQ's quantization error (Jégou et al. §V: "re-ranking with source
+    coding"): the scan stays on codes, raw vectors are read for only
+    pool-size rows per query, and the emitted top-k is ordered by TRUE
+    distance. The sf1 probe measured ADC-only recall@5 at 0.10 on
+    random vectors; the re-rank recovers every true neighbor the pool
+    catches.
+
+    Exactness/oracle: same unrolled-Lloyd CTE prefix as `ann_pq_adc`;
+    the pool rank breaks ties on (adc_dist, vec_id), the final rank on
+    (true_sqdist, vec_id), both rounded to 6 dp on both engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True).select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    return pq_topk(emb, rerank_pool=PQ_RERANK_POOL)
+
+
+def _pq_rerank_sql() -> str:
+    """Pool by ADC, re-rank the pool by exact distance."""
+    tsq = (
+        "ROUND(list_sum(list_transform(generate_series(1, len(v.e)),"
+        " i -> (v.e[i] - q.qe[i]) * (v.e[i] - q.qe[i]))), 6)"
+    )
+    base = _pq_sql()
+    # reuse the full ADC SQL up to (and including) the ranked CTE, then
+    # swap the final top-k for the pooled exact re-rank
+    head, _, _tail = base.rpartition("SELECT r.query_id,")
+    assert head, "unexpected _pq_sql shape"
+    return f"""{head.rstrip().rstrip(')')}),
+pool AS (
+  SELECT r.query_id, r.vec_id, r.adc_dist, {tsq} AS true_sqdist
+  FROM ranked r
+  JOIN e v ON v.vec_id = r.vec_id
+  JOIN q ON q.query_id = r.query_id
+  WHERE r.rank <= {PQ_RERANK_POOL}
+),
+rer AS (
+  SELECT query_id, vec_id, true_sqdist, adc_dist,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY true_sqdist ASC, vec_id ASC) AS rank
+  FROM pool
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, true_sqdist, adc_dist
+FROM rer WHERE rank <= {PQ_TOPK}
+ORDER BY query_id, rank
+"""
+
+
 def _pq_sql() -> str:
     """ADC top-k over the per-subspace chains."""
     qsq = (
@@ -971,6 +1045,7 @@ QUERIES = {
     "kmeans_ivf_codebook": kmeans_ivf_codebook,
     "dedup_semantic_semdedup": dedup_semantic_semdedup,
     "ann_pq_adc": ann_pq_adc,
+    "ann_pq_rerank": ann_pq_rerank,
 }
 
 ORACLE = {
@@ -983,4 +1058,5 @@ ORACLE = {
     "kmeans_ivf_codebook": _kmeans_sql(),
     "dedup_semantic_semdedup": _semdedup_sql(),
     "ann_pq_adc": _pq_sql(),
+    "ann_pq_rerank": _pq_rerank_sql(),
 }

@@ -105,6 +105,8 @@ GATE_QUERIES = [
     "dedup_impact_report",
     # three commits + a vacuum + read-back checks at fixture build
     "sink_snapshot_vacuum",
+    # same eager Lloyd class as ann_pq_adc, plus the pool re-rank
+    "ann_pq_rerank",
 ]
 
 

@@ -749,9 +749,14 @@ def test_rolling_zscore_matches_direct_frames(spark):
             frame = [v for _, _, v in evs[max(0, i - ZSCORE_FRAME) : i]]
             z_want = None
             if len(frame) >= 3:
-                mean = sum(frame) / len(frame)
-                var = sum((x - mean) ** 2 for x in frame) / (len(frame) - 1)
-                if var > 0:
+                n_f = len(frame)
+                sx = sum(frame)
+                sxx = sum(x * x for x in frame)
+                # same relative-variance floor as the engines (near-
+                # constant frames cancel catastrophically)
+                if n_f * sxx - sx * sx > 1e-9 * n_f * sxx:
+                    mean = sx / n_f
+                    var = (n_f * sxx - sx * sx) / (n_f * (n_f - 1))
                     z_want = (evs[i][2] - mean) / m.sqrt(var)
             z_got, a_got = got[(u, evs[i][1])]
             if z_want is None:

@@ -159,3 +159,60 @@ def test_pq_beats_blind_selection(spark, sf_dir):
     )
     # measured r8: 1.56 vs 1.99 at sf0.001/sf0.01 — pin a wide margin
     assert mean_pq < 0.9 * mean_all, (mean_pq, mean_all)
+
+
+def test_pq_rerank_orders_pool_by_true_distance(spark, sf_dir):
+    """The two-stage retrieval contract: (a) the emitted top-k is
+    ordered by TRUE distance; (b) every emitted neighbor comes from
+    the ADC pool; (c) re-rank recall@k against exact kNN is at least
+    the ADC-only ranking's (exact re-ordering of a superset can only
+    help)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+    from etl_gcp_function_tmabrasil_spark.functions.vector import (
+        as_double_array,
+    )
+    from etl_gcp_function_tmabrasil_spark.queries.similarity import (
+        PQ_QUERIES,
+        PQ_RERANK_POOL,
+        PQ_TOPK,
+        ann_pq_adc,
+        ann_pq_rerank,
+    )
+
+    adc = ann_pq_adc(spark, sf_dir).collect()
+    rer = ann_pq_rerank(spark, sf_dir).collect()
+    # exact top-k per query by brute force
+    rows = [
+        (r.vec_id, [float(v) for v in r.e])
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_array(F.col("embedding")).alias("e"))
+        .collect()
+    ]
+    qids = sorted(v for v, _ in rows)[:PQ_QUERIES]
+    vecs = dict(rows)
+    exact = {}
+    for q in qids:
+        d = sorted(
+            (sum((a - b) ** 2 for a, b in zip(vecs[v], vecs[q])), v)
+            for v in vecs
+            if v != q
+        )
+        exact[q] = {v for _, v in d[:PQ_TOPK]}
+    by_q = defaultdict(list)
+    for r in rer:
+        by_q[r.query_id].append(r)
+    assert set(by_q) == set(qids)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        dists = [r.true_sqdist for r in rs]
+        assert dists == sorted(dists), q  # (a)
+        assert len(rs) == PQ_TOPK
+    adc_hits = sum(
+        1 for r in adc if r.vec_id in exact[r.query_id]
+    )
+    rer_hits = sum(1 for r in rer if r.vec_id in exact[r.query_id])
+    assert rer_hits >= adc_hits, (rer_hits, adc_hits)  # (c)
