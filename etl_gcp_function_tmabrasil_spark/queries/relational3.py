@@ -809,3 +809,121 @@ ORACLE = {
     "q21_waiting_suppliers": _Q21_SQL,
     "q22_idle_customers": _Q22_SQL,
 }
+
+
+KCORE_K = 3  #: core threshold
+KCORE_UNROLL = 12  #: peeling rounds the oracle unrolls (hard-checked)
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE of the co-purchase graph (the maximal subgraph where
+    every node keeps degree >= KCORE_K) by iterative peeling
+    (Matula & Beck 1983; Montresor et al.'s distributed formulation):
+    repeatedly drop nodes whose CURRENT degree falls below K and the
+    edges they carried, until a fixpoint — the graph-curation step
+    that isolates the densely-connected part universe.
+
+    Peeling is monotone (nodes only ever leave), so the loop converges
+    in at most 'longest peeling chain' rounds — single digits on
+    co-occurrence graphs; the Spark loop HARD-FAILS if KCORE_UNROLL
+    rounds don't reach the fixpoint, which is exactly the bound the
+    DuckDB oracle unrolls (extra unrolled rounds are no-ops by
+    monotonicity, so the oracle is exact, not approximate).
+
+    Scale: each round is one degree rollup + one semi-join on the
+    persisted edge list — the CC/PageRank join-iteration shape; no
+    step is quadratic and the edge list shrinks monotonically.
+    Output: each core member with its WITHIN-CORE degree.
+    """
+    from etl_gcp_function_tmabrasil_spark.queries._util import (
+        managed_persist,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < _TRI_MAX_PART)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = managed_persist(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct(),
+        "relational3.kcore_edges",
+    )
+    e = edges
+    prev_n = -1
+    for _ in range(KCORE_UNROLL):
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = deg.filter(F.col("deg") >= KCORE_K).select("n")
+        n_alive = alive.count()
+        if n_alive == prev_n:
+            break
+        prev_n = n_alive
+        e = (
+            e.join(alive.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(alive.withColumnRenamed("n", "v"), "v", "left_semi")
+            .localCheckpoint()
+        )
+    else:
+        raise AssertionError(
+            f"k-core did not converge within {KCORE_UNROLL} rounds"
+        )
+    final_deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .filter(F.col("core_degree") >= KCORE_K)
+    )
+    return final_deg.select(
+        F.col("n").alias("part_id"), "core_degree"
+    ).orderBy("part_id")
+
+
+def _kcore_sql() -> str:
+    rounds = []
+    prev = "e0"
+    for i in range(1, KCORE_UNROLL + 1):
+        rounds.append(f"""
+d{i} AS MATERIALIZED (
+  SELECT n, COUNT(*) AS deg FROM (
+    SELECT u AS n FROM {prev} UNION ALL SELECT v FROM {prev}
+  ) GROUP BY n HAVING COUNT(*) >= {KCORE_K}
+),
+e{i} AS MATERIALIZED (
+  SELECT u, v FROM {prev}
+  WHERE u IN (SELECT n FROM d{i}) AND v IN (SELECT n FROM d{i})
+)""")
+        prev = f"e{i}"
+    return f"""
+WITH op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_partkey < {_TRI_MAX_PART}
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),{",".join(rounds)}
+SELECT n AS part_id, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+  SELECT u AS n FROM {prev} UNION ALL SELECT v FROM {prev}
+) GROUP BY n HAVING COUNT(*) >= {KCORE_K}
+ORDER BY part_id
+"""
+
+
+QUERIES["graph_kcore"] = graph_kcore
+ORACLE["graph_kcore"] = _kcore_sql()

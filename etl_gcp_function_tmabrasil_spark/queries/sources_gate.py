@@ -1817,7 +1817,96 @@ FROM v3 GROUP BY event_type ORDER BY event_type
 """
 
 
+def sink_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot RESTORE (Delta RESTORE / Iceberg rollback) — the
+    metadata-only undo: after v1 (slice A) and a bad v2 (overwrite
+    with mutated rows), `restore_snapshot(to_version=1)` publishes v3
+    referencing v1's FILES — no data read, copied, or rewritten.
+
+    Hard-checked at fixture build: the data directory's file set is
+    BYTE-IDENTICAL across the restore (metadata-only is the
+    contract), v3's manifest records `restored_from`, and a
+    subsequent `vacuum_snapshots(retain_last=2)` — which expires v1
+    itself — must NOT delete v1's files, because the retained restore
+    still references them (the reference-counting interplay that
+    makes restore + vacuum safe to compose). The gate returns the
+    post-restore newest-version rollup; the oracle recomputes slice
+    A from the base table.
+    """
+    from etl_gcp_function_tmabrasil_spark.queries._util import dsum
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        _load_manifest,
+        commit_snapshot,
+        read_snapshot,
+        restore_snapshot,
+        vacuum_snapshots,
+    )
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "snapshot_restore_table")
+
+    def _build(tmp: str) -> None:
+        table = os.path.join(tmp, "table")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        commit_snapshot(ev.filter(F.col("event_id") % 3 == 0), table,
+                        mode="overwrite")
+        commit_snapshot(
+            ev.select("event_id", "event_type",
+                      (F.col("value") * 2).alias("value")),
+            table, mode="overwrite",
+        )
+
+        def _data_files() -> set[str]:
+            out = set()
+            for root, _, fs in os.walk(os.path.join(table, "data")):
+                out.update(os.path.join(root, f) for f in fs)
+            return out
+
+        before = _data_files()
+        v3 = restore_snapshot(table, to_version=1)
+        if v3 != 3:
+            raise AssertionError(f"expected restore to publish v3, got {v3}")
+        if _data_files() != before:
+            raise AssertionError("restore touched data files (must be metadata-only)")
+        if _load_manifest(table, 3).get("restored_from") != 1:
+            raise AssertionError("restored manifest lost its provenance")
+        # vacuum expiring v1 must keep v1's files: v3 references them
+        stats = vacuum_snapshots(table, retain_last=2)
+        if stats["expired_versions"] != [1]:
+            raise AssertionError(f"expected v1 expiry: {stats}")
+        if stats["deleted_files"]:
+            raise AssertionError(
+                f"vacuum deleted restore-referenced files: {stats}"
+            )
+        n1 = read_snapshot(spark, table, version=3).count()
+        if n1 == 0:
+            raise AssertionError("restored version reads empty")
+
+    _ensure_fixture(fixture, _build)
+    table = os.path.join(fixture, "table")
+    return (
+        read_snapshot(spark, table)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SNAPSHOT_RESTORE_SQL = """
+SELECT event_type, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events WHERE event_id % 3 = 0
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "sink_snapshot_restore": sink_snapshot_restore,
     "sink_snapshot_vacuum": sink_snapshot_vacuum,
     "sink_snapshot_merge_upsert": sink_snapshot_merge_upsert,
     "sink_snapshot_version_diff": sink_snapshot_version_diff,
@@ -1844,6 +1933,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sink_snapshot_restore": _SNAPSHOT_RESTORE_SQL,
     "sink_snapshot_vacuum": _SNAPSHOT_VACUUM_SQL,
     "sink_snapshot_merge_upsert": _SNAPSHOT_MERGE_SQL,
     "sink_snapshot_version_diff": _SNAPSHOT_DIFF_SQL,

@@ -329,3 +329,50 @@ def vacuum_snapshots(table_dir: str, retain_last: int = 1) -> dict:
         "retained_versions": keep,
         "deleted_files": deleted,
     }
+
+
+def restore_snapshot(table_dir: str, to_version: int) -> int:
+    """METADATA-ONLY rollback (Delta RESTORE / Iceberg rollback): make
+    the table's newest version's content equal an older version's by
+    writing a NEW manifest that references the old version's files —
+    no data is read, copied, or rewritten, and history is preserved
+    (the bad versions stay time-travelable until a vacuum expires
+    them). Returns the new version number.
+
+    The restored manifest carries the source's schema and stats
+    verbatim and the NEWEST manifest's txn map (idempotence keys
+    accumulate monotonically; a restore must not resurrect retired
+    batch ids as 'unseen'). Same exclusive-create publish as
+    commit_snapshot — a concurrent-writer race raises rather than
+    silently dropping a commit.
+    """
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot committed at {table_dir}")
+    if to_version not in versions:
+        raise FileNotFoundError(
+            f"snapshot v{to_version} does not exist at {table_dir}"
+            f" (have {versions})"
+        )
+    src = _load_manifest(table_dir, to_version)
+    newest = _load_manifest(table_dir, versions[-1])
+    version = versions[-1] + 1
+    tmp = os.path.join(table_dir, f".manifest_v{version}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "version": version,
+                "files": src["files"],
+                "schema": src["schema"],
+                "stats": src.get("stats", {}),
+                "txn": dict(newest.get("txn", {})),
+                "restored_from": to_version,
+            },
+            fh,
+        )
+    dst = _manifest_path(table_dir, version)
+    try:
+        os.link(tmp, dst)
+    finally:
+        os.unlink(tmp)
+    return version

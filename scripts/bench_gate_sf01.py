@@ -107,6 +107,10 @@ GATE_QUERIES = [
     "sink_snapshot_vacuum",
     # same eager Lloyd class as ann_pq_adc, plus the pool re-rank
     "ann_pq_rerank",
+    # metadata-only restore + vacuum interplay checks at fixture build
+    "sink_snapshot_restore",
+    # eager peeling loop (CC/PageRank join-iteration class)
+    "graph_kcore",
 ]
 
 

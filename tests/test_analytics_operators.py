@@ -832,3 +832,45 @@ def test_holt_matches_textbook_recurrence(spark):
         assert abs(g.level - l) < 1e-4, u
         assert abs(g.trend - b) < 1e-4, u
         assert abs(g.forecast_1 - (l + b)) < 1e-4, u
+
+
+def test_kcore_matches_direct_peeling(spark):
+    """Peel the co-purchase graph directly in Python and compare the
+    surviving node set and within-core degrees; also assert the core
+    PROPERTY (every member's core degree >= K) and maximality (no
+    dropped node has >= K neighbors inside the core)."""
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+    from etl_gcp_function_tmabrasil_spark.queries.relational3 import (
+        _TRI_MAX_PART,
+        KCORE_K,
+        graph_kcore,
+    )
+
+    per_order = defaultdict(set)
+    for r in (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .filter(f"l_partkey < {_TRI_MAX_PART}")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    ):
+        per_order[r.l_orderkey].add(r.l_partkey)
+    adj = defaultdict(set)
+    for items in per_order.values():
+        s = sorted(items)
+        for i, u in enumerate(s):
+            for v in s[i + 1 :]:
+                adj[u].add(v)
+                adj[v].add(u)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive if len(adj[n] & alive) < KCORE_K}
+        if not drop:
+            break
+        alive -= drop
+    got = {r.part_id: r.core_degree for r in graph_kcore(spark, SF_SMOKE).collect()}
+    assert set(got) == alive
+    for n in alive:
+        want_deg = len(adj[n] & alive)
+        assert got[n] == want_deg and want_deg >= KCORE_K, n
+    for n in set(adj) - alive:
+        assert len(adj[n] & alive) < KCORE_K, n  # maximality
