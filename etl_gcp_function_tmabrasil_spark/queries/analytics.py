@@ -345,23 +345,31 @@ def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("l_orphans"))
     )
     combined = om.join(F.broadcast(lm)).join(F.broadcast(orph))
+    # empty-table semantics: ratio constraints are vacuously satisfied
+    # (metric 1.0, passed) — under ANSI mode a bare /o_n would raise
+    # DIVIDE_BY_ZERO on a freshly-truncated table (caught by the
+    # empty-input suite); the min-bound check has no rows to violate
     return combined.select(
         F.expr(
             "stack(6,"
             " 'orders.o_orderkey is unique',"
-            "   round(cast(o_nkey as double) / o_n, 6),"
+            "   case when o_n = 0 then 1.0"
+            "        else round(cast(o_nkey as double) / o_n, 6) end,"
             "   o_nkey = o_n,"
             " 'orders.o_custkey is complete',"
-            "   round(1.0 - cast(o_null_cust as double) / o_n, 6),"
+            "   case when o_n = 0 then 1.0"
+            "        else round(1.0 - cast(o_null_cust as double) / o_n, 6) end,"
             "   o_null_cust = 0,"
             " 'orders.o_totalprice >= 0',"
-            "   round(cast(o_min_price as double), 6),"
-            "   o_min_price >= 0,"
+            "   coalesce(round(cast(o_min_price as double), 6), 0.0),"
+            "   coalesce(o_min_price >= 0, true),"
             " 'orders.o_orderstatus in (O,F,P)',"
-            "   round(cast(o_status_ok as double) / o_n, 6),"
+            "   case when o_n = 0 then 1.0"
+            "        else round(cast(o_status_ok as double) / o_n, 6) end,"
             "   o_status_ok = o_n,"
             " 'lineitem.l_quantity in [1,50]',"
-            "   round(cast(l_qty_ok as double) / l_n, 6),"
+            "   case when l_n = 0 then 1.0"
+            "        else round(cast(l_qty_ok as double) / l_n, 6) end,"
             "   l_qty_ok = l_n,"
             " 'lineitem.l_orderkey references orders',"
             "   round(cast(l_orphans as double), 6),"
@@ -390,23 +398,32 @@ orph AS (
 ),
 v AS (
   SELECT 'orders.o_orderkey is unique' AS check_name,
-    ROUND(CAST(o_nkey AS DOUBLE) / o_n, 6) AS metric, o_nkey = o_n AS passed
+    CASE WHEN o_n = 0 THEN 1.0
+         ELSE ROUND(CAST(o_nkey AS DOUBLE) / o_n, 6) END AS metric,
+    o_nkey = o_n AS passed
   FROM om
   UNION ALL
   SELECT 'orders.o_custkey is complete',
-    ROUND(1.0 - CAST(o_null_cust AS DOUBLE) / o_n, 6), o_null_cust = 0
+    CASE WHEN o_n = 0 THEN 1.0
+         ELSE ROUND(1.0 - CAST(o_null_cust AS DOUBLE) / o_n, 6) END,
+    o_null_cust = 0
   FROM om
   UNION ALL
   SELECT 'orders.o_totalprice >= 0',
-    ROUND(CAST(o_min_price AS DOUBLE), 6), o_min_price >= 0
+    COALESCE(ROUND(CAST(o_min_price AS DOUBLE), 6), 0.0),
+    COALESCE(o_min_price >= 0, TRUE)
   FROM om
   UNION ALL
   SELECT 'orders.o_orderstatus in (O,F,P)',
-    ROUND(CAST(o_status_ok AS DOUBLE) / o_n, 6), o_status_ok = o_n
+    CASE WHEN o_n = 0 THEN 1.0
+         ELSE ROUND(CAST(o_status_ok AS DOUBLE) / o_n, 6) END,
+    o_status_ok = o_n
   FROM om
   UNION ALL
   SELECT 'lineitem.l_quantity in [1,50]',
-    ROUND(CAST(l_qty_ok AS DOUBLE) / l_n, 6), l_qty_ok = l_n
+    CASE WHEN l_n = 0 THEN 1.0
+         ELSE ROUND(CAST(l_qty_ok AS DOUBLE) / l_n, 6) END,
+    l_qty_ok = l_n
   FROM lm
   UNION ALL
   SELECT 'lineitem.l_orderkey references orders',

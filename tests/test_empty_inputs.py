@@ -82,6 +82,39 @@ _FAMILY_QUERIES = [
     ("ann_pq_adc", 0),
     ("text_ccnet_quality_buckets", 0),
     ("embedding_pca_power", 0),
+    # late-r9 analytics wave: behavioral rollups and stats collapse to
+    # zero rows; the DQ suite keeps its six verdict rows (metrics over
+    # an empty table are well-defined NULL/zero, never a crash); the
+    # mixture plan has no sources; k-core peels everything
+    ("events_retention_cohorts", 0),
+    ("events_markov_transitions", 0),
+    ("rfm_customer_segments", 0),
+    ("dq_constraint_suite", 6),
+    ("resample_daily_interpolate", 0),
+    ("ab_test_welch", 0),
+    ("text_word_pmi", 0),
+    ("survival_kaplan_meier", 0),
+    ("assoc_mi_chi2", 1),  # scalar agg: one row of nulls/zeros
+    ("window_moving_median", 0),
+    ("window_moving_distinct", 0),
+    ("pareto_contribution_8020", 0),
+    ("phrase_search_positional", 0),
+    ("profile_frequent_values", 0),
+    ("agg_linear_regression", 0),
+    ("vocab_oov_rate", 0),
+    ("mixture_sampling_plan", 0),
+    ("bigram_lm_kneser_ney", 0),
+    ("attribution_last_touch", 0),
+    ("agg_exact_mode", 0),
+    ("split_kfold_stratified", 0),
+    ("dq_benford_digits", 0),
+    ("ltv_time_decay", 0),
+    ("timeseries_rolling_zscore", 0),
+    ("basket_association_rules", 0),
+    ("timeseries_holt_linear", 0),
+    ("simjoin_prefix_jaccard", 0),
+    ("graph_kcore", 0),
+    ("ann_pq_rerank", 0),
 ]
 
 
