@@ -2175,6 +2175,126 @@ ORDER BY g.user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Decile lift / gains chart
+# ---------------------------------------------------------------------------
+
+LIFT_BINS = 10  #: score deciles
+
+
+def model_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / cumulative-gains readout — the standard scoring-
+    model evaluation: users ranked by a score (total event value here,
+    standing in for a model score) are cut into LIFT_BINS equi-depth
+    bins via the banded exact-quantile thresholds (broadcast, row-local
+    compare — never a global ntile single-task sort), and each bin
+    reports its conversion rate ('purchase' users), the cumulative
+    share of all converters captured from the top bin down, and lift
+    over the base rate.
+
+    Boundary rule matches the binning family (bin = 1 + Σ(score > t);
+    tied scores share a bin, so bins are equi-depth up to tie mass —
+    the documented threshold-binning trade, identical in the oracle).
+
+    Scale: one user rollup (score + label in the same pass),
+    thresholds from the bounded-memory quantile operator, and the
+    gains windows run over the 10-row bin table.
+    """
+    from etl_gcp_function_tmabrasil_spark.operators.quantiles import (
+        banded_exact_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    users = managed_persist(
+        ev.groupBy("user_id")
+        .agg(
+            dsum("value").alias("score"),
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("converted"),
+        )
+        .withColumn("g_all", F.lit("all")),
+        "analytics.lift_users",
+    )
+    qmap = {
+        f"t{i}": i / LIFT_BINS for i in range(1, LIFT_BINS)
+    }
+    th = banded_exact_quantiles(users, "g_all", "score", qmap)
+    bin_expr = F.lit(1)
+    for i in range(1, LIFT_BINS):
+        bin_expr = bin_expr + (F.col("score") > F.col(f"t{i}")).cast("int")
+    binned = users.join(F.broadcast(th.drop("g_all")), how="cross").select(
+        "user_id", "converted", bin_expr.alias("decile")
+    )
+    per_bin = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    w_all = W.partitionBy()
+    w_cum = W.orderBy(F.desc("decile")).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    base_rate = (
+        F.sum("n_converted").over(w_all).cast("double")
+        / F.sum("n_users").over(w_all)
+    )
+    return per_bin.select(
+        "decile",
+        "n_users",
+        "n_converted",
+        F.round(
+            F.col("n_converted").cast("double") / F.col("n_users"), 6
+        ).alias("conversion_rate"),
+        F.round(
+            F.sum("n_converted").over(w_cum).cast("double")
+            / F.sum("n_converted").over(w_all),
+            6,
+        ).alias("cum_gain"),
+        F.round(
+            (F.col("n_converted").cast("double") / F.col("n_users"))
+            / base_rate,
+            6,
+        ).alias("lift"),
+    ).orderBy(F.desc("decile"))
+
+
+def _lift_sql() -> str:
+    qs = ", ".join(
+        f"ROUND(quantile_cont(score, {i / LIFT_BINS}), 4) AS t{i}"
+        for i in range(1, LIFT_BINS)
+    )
+    bins = " + ".join(
+        f"CAST(u.score > t.t{i} AS INT)" for i in range(1, LIFT_BINS)
+    )
+    return f"""
+WITH users AS (
+  SELECT user_id,
+    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS score,
+    MAX(CAST(event_type = 'purchase' AS INT)) AS converted
+  FROM events GROUP BY user_id
+),
+th AS (SELECT {qs} FROM users),
+binned AS (
+  SELECT u.user_id, u.converted, 1 + {bins} AS decile
+  FROM users u CROSS JOIN th t
+),
+per_bin AS (
+  SELECT decile, COUNT(*) AS n_users, SUM(converted) AS n_converted
+  FROM binned GROUP BY decile
+)
+SELECT decile, n_users, CAST(n_converted AS BIGINT) AS n_converted,
+  ROUND(CAST(n_converted AS DOUBLE) / n_users, 6) AS conversion_rate,
+  ROUND(CAST(SUM(n_converted) OVER (ORDER BY decile DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / SUM(n_converted) OVER (), 6) AS cum_gain,
+  ROUND((CAST(n_converted AS DOUBLE) / n_users)
+        / (CAST(SUM(n_converted) OVER () AS DOUBLE)
+           / SUM(n_users) OVER ()), 6) AS lift
+FROM per_bin
+ORDER BY decile DESC
+"""
+
+
 QUERIES = {
     "events_retention_cohorts": events_retention_cohorts,
     "events_markov_transitions": events_markov_transitions,
@@ -2202,6 +2322,7 @@ QUERIES = {
     "timeseries_rolling_zscore": timeseries_rolling_zscore,
     "basket_association_rules": basket_association_rules,
     "timeseries_holt_linear": timeseries_holt_linear,
+    "model_decile_lift": model_decile_lift,
 }
 
 ORACLE = {
@@ -2231,4 +2352,5 @@ ORACLE = {
     "timeseries_rolling_zscore": _ZSCORE_SQL,
     "basket_association_rules": _BASKET_SQL,
     "timeseries_holt_linear": _holt_sql(),
+    "model_decile_lift": _lift_sql(),
 }

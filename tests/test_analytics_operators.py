@@ -874,3 +874,48 @@ def test_kcore_matches_direct_peeling(spark):
         assert got[n] == want_deg and want_deg >= KCORE_K, n
     for n in set(adj) - alive:
         assert len(adj[n] & alive) < KCORE_K, n  # maximality
+
+
+def test_decile_lift_matches_direct_computation(spark):
+    """Gains/lift recomputed from per-user rollups with the same
+    threshold-binning rule; plus the structural invariants (cum_gain
+    ends at 1.0 from the top; user counts total)."""
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        LIFT_BINS,
+        model_decile_lift,
+    )
+
+    per_user = defaultdict(lambda: [0.0, 0])
+    for r in _events(spark):
+        per_user[r.user_id][0] += float(r.value)
+        if r.event_type == "purchase":
+            per_user[r.user_id][1] = 1
+    scores = sorted(s for s, _ in per_user.values())
+    n = len(scores)
+
+    def q(p):  # interpolated quantile, rounded 4dp like the engines
+        rp = (n - 1) * p
+        lo, hi = int(rp), min(int(rp) + 1, n - 1)
+        frac = rp - int(rp)
+        return round(scores[lo] + (scores[hi] - scores[lo]) * frac, 4)
+
+    ts = [q(i / LIFT_BINS) for i in range(1, LIFT_BINS)]
+    bins = defaultdict(lambda: [0, 0])
+    for s, c in per_user.values():
+        b = 1 + sum(1 for t in ts if s > t)
+        bins[b][0] += 1
+        bins[b][1] += c
+    rows = model_decile_lift(spark, SF_SMOKE).collect()
+    got = {r.decile: r for r in rows}
+    assert {k: tuple(v) for k, v in bins.items()} == {
+        r.decile: (r.n_users, r.n_converted) for r in rows
+    }
+    total_conv = sum(c for _, c in bins.values())
+    base = total_conv / n
+    cum = 0
+    for r in rows:  # ordered decile DESC
+        cum += r.n_converted
+        assert abs(r.cum_gain - cum / total_conv) < 1e-6, r.decile
+        assert abs(r.lift - (r.n_converted / r.n_users) / base) < 1e-4
+    assert abs(rows[-1].cum_gain - 1.0) < 1e-9
+    assert sum(r.n_users for r in rows) == n
