@@ -158,13 +158,15 @@ _CHECK_FIRST = [
 #      the five analytics batches (retention/markov/rfm/dq/interp/
 #      welch/pmi, KM/assoc/moving-median/pareto/phrase/profile,
 #      OLS/moving-distinct/oov/mixture/KN, attribution/corrupt-scan/
-#      version-diff, mode/kfold/benford/impact/merge-upsert — all
-#      carry the "scheduled first in the r10 window" ledger note),
-#      then any r10 registrations (register new operators at the TOP
-#      of this list). 31 late-r9 rows alone fill most of the window:
-#      take them ALL in r10 (they have zero driver evidence yet —
-#      strictly older than any checked row), topping up the remaining
-#      ~19 slots from the oldest r6-era rows;
+#      version-diff, mode/kfold/benford/impact/merge-upsert,
+#      vacuum/restore/kcore/rerank, ltv/zscore/basket/holt/lift,
+#      streak — COUNT THEM PROGRAMMATICALLY: every ledger row whose
+#      note contains "scheduled first in the r10 window"; ~40 as of
+#      the r9 close), then any r10 registrations (register new
+#      operators at the TOP of this list). The late-r9 rows alone
+#      nearly fill the window: take as many as fit in r10 (they have
+#      zero driver evidence yet — strictly older than any checked
+#      row), rotating the remainder plus the r6-era wave into r11;
 #   1. the rows still holding round:6 evidence after the r10 ledger
 #      merge — whatever of the 50-row r6 wave didn't fit above rolls
 #      to r11 along with the r7 wave;

@@ -2295,7 +2295,77 @@ ORDER BY decile DESC
 """
 
 
+# ---------------------------------------------------------------------------
+# Longest daily-activity streak
+# ---------------------------------------------------------------------------
+
+
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of CONSECUTIVE active days per user — the classic
+    gaps-and-islands application (the engagement "streak" metric):
+    distinct active days, island key = day − row_number·1day (constant
+    within a consecutive run), longest island per user.
+
+    Scale: one user_id-keyed distinct + one window pass on the same
+    partitioning; islands are per-user-days-sized, never event-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    islands = days.select(
+        "user_id",
+        "d",
+        F.date_sub("d", F.row_number().over(w)).alias("island"),
+    )
+    runs = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        day(F.min(F.col("d").cast("timestamp"))).alias("run_start"),
+    )
+    w_best = W.partitionBy("user_id").orderBy(
+        F.desc("run_len"), "run_start"
+    )
+    return (
+        runs.withColumn("rk", F.row_number().over(w_best))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("run_len").alias("longest_streak_days"),
+            F.col("run_start").alias("streak_start"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_STREAK_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events
+),
+islands AS (
+  SELECT user_id, d,
+    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+             AS INT) AS island
+  FROM days
+),
+runs AS (
+  SELECT user_id, island, COUNT(*) AS run_len,
+    strftime(MIN(d), '%Y-%m-%d') AS run_start
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id, run_len AS longest_streak_days, run_start AS streak_start
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY run_len DESC, run_start) AS rk
+  FROM runs
+) WHERE rk = 1
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "events_longest_streak": events_longest_streak,
     "events_retention_cohorts": events_retention_cohorts,
     "events_markov_transitions": events_markov_transitions,
     "rfm_customer_segments": rfm_customer_segments,
@@ -2326,6 +2396,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_longest_streak": _STREAK_SQL,
     "events_retention_cohorts": _RETENTION_SQL,
     "events_markov_transitions": _MARKOV_SQL,
     "rfm_customer_segments": _RFM_SQL,

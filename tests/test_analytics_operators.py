@@ -919,3 +919,34 @@ def test_decile_lift_matches_direct_computation(spark):
         assert abs(r.lift - (r.n_converted / r.n_users) / base) < 1e-4
     assert abs(rows[-1].cum_gain - 1.0) < 1e-9
     assert sum(r.n_users for r in rows) == n
+
+
+def test_longest_streak_matches_direct_scan(spark):
+    from datetime import timedelta
+
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        events_longest_streak,
+    )
+
+    days = defaultdict(set)
+    for r in _events(spark):
+        days[r.user_id].add(r.ts.date())
+    want = {}
+    for u, ds in days.items():
+        best_len, best_start = 0, None
+        sds = sorted(ds)
+        i = 0
+        while i < len(sds):
+            j = i
+            while j + 1 < len(sds) and sds[j + 1] == sds[j] + timedelta(days=1):
+                j += 1
+            run = j - i + 1
+            if run > best_len:
+                best_len, best_start = run, sds[i]
+            i = j + 1
+        want[u] = (best_len, best_start.isoformat())
+    got = {
+        r.user_id: (r.longest_streak_days, r.streak_start)
+        for r in events_longest_streak(spark, SF_SMOKE).collect()
+    }
+    assert got == want
