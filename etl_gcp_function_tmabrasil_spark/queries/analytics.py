@@ -2364,8 +2364,223 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Next-event training sequences
+# ---------------------------------------------------------------------------
+
+SEQ_CONTEXT = 3  #: context length (events)
+
+
+def seq_next_event_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-model training-pair extraction: per user under the
+    total (ts, event_id) order, every event with SEQ_CONTEXT full
+    predecessors becomes a (context, label) example; the rollup counts
+    each distinct (context, label) — the dataset builder behind
+    next-action models, and the n-gram-style sufficient statistic for
+    sequence models that don't need raw rows.
+
+    Contexts are materialized with lag() columns (not a collected
+    frame array) so the expression is engine-portable and the row
+    stays fixed-width at any context length.
+
+    Scale: ONE user_id-keyed window pass emits examples row-locally;
+    the rollup is (event-type^(k+1))-sized — vocabulary-bounded, never
+    corpus-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [
+        F.lag("event_type", i).over(w).alias(f"l{i}")
+        for i in range(1, SEQ_CONTEXT + 1)
+    ]
+    ctx = F.concat_ws(
+        ">", *[F.col(f"l{i}") for i in range(SEQ_CONTEXT, 0, -1)]
+    )
+    examples = (
+        ev.select("event_type", *lags)
+        .filter(F.col(f"l{SEQ_CONTEXT}").isNotNull())
+        .select(ctx.alias("context"), F.col("event_type").alias("label"))
+    )
+    tot = W.partitionBy("context")
+    return (
+        examples.groupBy("context", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "context",
+            "label",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(tot), 6
+            ).alias("p_label"),
+        )
+        .orderBy("context", "label")
+    )
+
+
+def _seq_sql() -> str:
+    lags = ", ".join(
+        f"lag(event_type, {i}) OVER (PARTITION BY user_id"
+        f" ORDER BY ts, event_id) AS l{i}"
+        for i in range(1, SEQ_CONTEXT + 1)
+    )
+    ctx = " || '>' || ".join(f"l{i}" for i in range(SEQ_CONTEXT, 0, -1))
+    return f"""
+WITH lagged AS (SELECT event_type, {lags} FROM events),
+examples AS (
+  SELECT {ctx} AS context, event_type AS label
+  FROM lagged WHERE l{SEQ_CONTEXT} IS NOT NULL
+)
+SELECT context, label, COUNT(*) AS n,
+  ROUND(CAST(COUNT(*) AS DOUBLE)
+        / SUM(COUNT(*)) OVER (PARTITION BY context), 6) AS p_label
+FROM examples GROUP BY context, label
+ORDER BY context, label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Daily percentile bands
+# ---------------------------------------------------------------------------
+
+
+def timeseries_daily_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day exact p50/p95 bands of event value — the SRE/telemetry
+    dashboard rollup — via the banded exact-quantile operator with DAY
+    as the group (thresholds per group in one bounded-memory pass, no
+    per-day sort).
+
+    Scale: the quantile machinery shuffles on (day, band) — days are
+    a natural high-cardinality, evenly-loaded key; output is
+    calendar-sized.
+    """
+    from etl_gcp_function_tmabrasil_spark.operators.quantiles import (
+        banded_exact_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        day(F.date_trunc("day", "ts")).alias("d"), "value"
+    )
+    q = banded_exact_quantiles(
+        ev, "d", "value", {"p50": 0.5, "p95": 0.95}, band_width=50.0
+    )
+    return q.select(
+        F.col("d").alias("day"),
+        F.col("n_total").cast("long").alias("n_events"),
+        "p50",
+        "p95",
+    ).orderBy("day")
+
+
+_DAILY_PCT_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+  COUNT(value) AS n_events,
+  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+  ROUND(quantile_cont(value, 0.95), 4) AS p95
+FROM events GROUP BY 1 ORDER BY day
+"""
+
+# ---------------------------------------------------------------------------
+# Keyword trend lines
+# ---------------------------------------------------------------------------
+
+TREND_TOP_WORDS = 10  #: tracked keywords
+
+
+def text_keyword_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword trend lines: weekly occurrence counts of the corpus's
+    TREND_TOP_WORDS most frequent words (df DESC, word ASC), the
+    temporal text-analytics rollup — joined against event weeks via a
+    deterministic doc→week assignment (doc_id modulo the corpus's
+    distinct event weeks) since documents carry no timestamp; the
+    assignment is part of the operator contract and identical in the
+    oracle.
+
+    Scale: vocabulary selection windows over the vocab-sized df
+    table; the tracked-word table broadcasts; the trend rollup is
+    (weeks × K)-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    weeks = (
+        load_table(spark, sf_dir, "events")
+        .select(F.date_trunc("week", "ts").alias("w"))
+        .distinct()
+    )
+    w_rank = W.orderBy("w")
+    weeks_idx = weeks.select(
+        "w", (F.row_number().over(w_rank) - 1).alias("widx")
+    )
+    n_weeks = weeks_idx.agg(F.count(F.lit(1)).alias("n_weeks"))
+    dw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    top = (
+        docs.select(
+            F.explode(F.array_distinct(F.split("text", " "))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy(F.lit(1)).orderBy(F.desc("df"), "word")
+            ),
+        )
+        .filter(F.col("rk") <= TREND_TOP_WORDS)
+        .select("word")
+    )
+    assigned = (
+        dw.join(F.broadcast(top), "word")
+        .join(F.broadcast(n_weeks))
+        .select(
+            "word", (F.col("doc_id") % F.col("n_weeks")).alias("widx")
+        )
+    )
+    return (
+        assigned.groupBy("widx", "word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .join(F.broadcast(weeks_idx), "widx")
+        .select(
+            day("w").alias("week"),
+            "word",
+            "n_occurrences",
+        )
+        .orderBy("week", "word")
+    )
+
+
+_TREND_SQL = f"""
+WITH weeks AS (
+  SELECT w, row_number() OVER (ORDER BY w) - 1 AS widx FROM (
+    SELECT DISTINCT date_trunc('week', ts) AS w FROM events
+  )
+),
+nw AS (SELECT COUNT(*) AS n_weeks FROM weeks),
+dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       FROM documents),
+top AS (
+  SELECT word FROM (
+    SELECT word, row_number() OVER (ORDER BY COUNT(*) DESC, word) AS rk
+    FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents)
+    GROUP BY word
+  ) WHERE rk <= {TREND_TOP_WORDS}
+),
+assigned AS (
+  SELECT dw.word, dw.doc_id % nw.n_weeks AS widx
+  FROM dw JOIN top USING (word) CROSS JOIN nw
+)
+SELECT strftime(weeks.w, '%Y-%m-%d') AS week, a.word,
+  COUNT(*) AS n_occurrences
+FROM assigned a JOIN weeks ON weeks.widx = a.widx
+GROUP BY 1, 2 ORDER BY week, word
+"""
+
+
 QUERIES = {
     "events_longest_streak": events_longest_streak,
+    "seq_next_event_training": seq_next_event_training,
+    "timeseries_daily_percentiles": timeseries_daily_percentiles,
+    "text_keyword_trend": text_keyword_trend,
     "events_retention_cohorts": events_retention_cohorts,
     "events_markov_transitions": events_markov_transitions,
     "rfm_customer_segments": rfm_customer_segments,
@@ -2397,6 +2612,9 @@ QUERIES = {
 
 ORACLE = {
     "events_longest_streak": _STREAK_SQL,
+    "seq_next_event_training": _seq_sql(),
+    "timeseries_daily_percentiles": _DAILY_PCT_SQL,
+    "text_keyword_trend": _TREND_SQL,
     "events_retention_cohorts": _RETENTION_SQL,
     "events_markov_transitions": _MARKOV_SQL,
     "rfm_customer_segments": _RFM_SQL,

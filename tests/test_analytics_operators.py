@@ -950,3 +950,97 @@ def test_longest_streak_matches_direct_scan(spark):
         for r in events_longest_streak(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_seq_training_pairs_match_direct_scan(spark):
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        SEQ_CONTEXT,
+        seq_next_event_training,
+    )
+
+    seqs = defaultdict(list)
+    for r in _events(spark):
+        seqs[r.user_id].append((r.ts, r.event_id, r.event_type))
+    want = defaultdict(int)
+    for evs in seqs.values():
+        evs.sort()
+        types = [t for _, _, t in evs]
+        for i in range(SEQ_CONTEXT, len(types)):
+            ctx = ">".join(types[i - SEQ_CONTEXT : i])
+            want[(ctx, types[i])] += 1
+    rows = seq_next_event_training(spark, SF_SMOKE).collect()
+    got = {(r.context, r.label): r.n for r in rows}
+    assert got == dict(want)
+    per_ctx = defaultdict(float)
+    for r in rows:
+        per_ctx[r.context] += r.p_label
+    for ctx, s in per_ctx.items():
+        assert abs(s - 1.0) < 1e-4, ctx
+
+
+def test_daily_percentiles_match_sorted_frames(spark):
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        timeseries_daily_percentiles,
+    )
+
+    per_day = defaultdict(list)
+    for r in _events(spark):
+        per_day[r.ts.date().isoformat()].append(float(r.value))
+    got = {r.day: r for r in timeseries_daily_percentiles(spark, SF_SMOKE).collect()}
+    assert set(got) == set(per_day)
+
+    def q(vals, p):
+        vals = sorted(vals)
+        rp = (len(vals) - 1) * p
+        lo, hi = int(rp), min(int(rp) + 1, len(vals) - 1)
+        return vals[lo] + (vals[hi] - vals[lo]) * (rp - int(rp))
+
+    for d, vals in per_day.items():
+        g = got[d]
+        assert g.n_events == len(vals)
+        assert abs(g.p50 - q(vals, 0.5)) < 1e-3, d
+        assert abs(g.p95 - q(vals, 0.95)) < 1e-3, d
+
+
+def test_keyword_trend_counts_match_direct_scan(spark):
+    from collections import Counter
+
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        TREND_TOP_WORDS,
+        text_keyword_trend,
+    )
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    df = Counter()
+    for ws in docs.values():
+        for w in set(ws):
+            df[w] += 1
+    top = {
+        w
+        for w, _ in sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :TREND_TOP_WORDS
+        ]
+    }
+    weeks = sorted(
+        {
+            (r.ts.date() - __import__("datetime").timedelta(
+                days=r.ts.date().weekday()
+            )).isoformat()
+            for r in _events(spark)
+        }
+    )
+    want = Counter()
+    for doc_id, ws in docs.items():
+        wk = weeks[doc_id % len(weeks)]
+        for w in ws:
+            if w in top:
+                want[(wk, w)] += 1
+    got = {
+        (r.week, r.word): r.n_occurrences
+        for r in text_keyword_trend(spark, SF_SMOKE).collect()
+    }
+    assert got == dict(want)
