@@ -1448,3 +1448,162 @@ ORACLE = {
     "stream_cdc_merge": _CDC_MERGE_SQL,
     "stream_cdc_merge_partitioned": _CDC_MERGE_SQL,
 }
+
+
+SESSION_TIMEOUT_GAP_MIN = 30  #: session gap (minutes)
+
+
+def stream_state_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom sessionization through `applyInPandasWithState` with
+    EVENT-TIME TIMEOUTS — the one GroupStateTimeout mode the running-
+    totals gate (NoTimeout) leaves unexercised, and the canonical use
+    for it: the state holds each user's OPEN session; a later event
+    past the gap closes it INLINE, and the watermark closes it via
+    `state.hasTimedOut` when no such event ever arrives — exactly how
+    a hand-rolled sessionizer must work when `session_window` can't
+    express the per-session logic (here: integer-cents sums, the csum
+    discipline in state form).
+
+    Determinism: emitted sessions = sessions whose end + gap the
+    final watermark provably passed. Inline closes need a successor
+    event (end + gap < successor ts <= max ts) and timeout closes need
+    timeout_ts <= final watermark, so BOTH are complete for any
+    session with end + gap safely below max ts; the gate and oracle
+    filter to a 1-hour margin below max ts so no <=/<-boundary or
+    batch-lag subtlety can flip a row (the stream_late_data_drop
+    margin discipline). setTimeoutTimestamp must exceed the current
+    watermark — clamped with watermark + 1 ms, which cannot fire
+    before the next real boundary.
+
+    Scale: state is one fixed-width open session per user; rows
+    stream through user_id-partitioned state tasks once.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    root = _root(sf_dir, "state_timeout_sessions")
+    chunks = _shared_chunks(sf_dir)
+    gap_ms = SESSION_TIMEOUT_GAP_MIN * 60 * 1000
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("start_ms", T.LongType()),
+            T.StructField("end_ms", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_cents", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_ms", T.LongType()),
+            T.StructField("end_ms", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        uid = key[0]
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            s, e, n, c = state.get
+            closed.append((uid, s, e, n, c))
+            state.remove()
+        else:
+            cur = list(state.get) if state.exists else None
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            rows = rows.sort_values(["ts", "event_id"])
+            for ts, val in zip(rows["ts"], rows["value"]):
+                ms = int(ts.value // 1_000_000)  # ns -> ms epoch
+                cents = int(round(val * 100))
+                if cur is None:
+                    cur = [ms, ms, 1, cents]
+                elif ms > cur[1] + gap_ms:
+                    closed.append((uid, cur[0], cur[1], cur[2], cur[3]))
+                    cur = [ms, ms, 1, cents]
+                else:
+                    cur[1] = max(cur[1], ms)
+                    cur[2] += 1
+                    cur[3] += cents
+            state.update(tuple(cur))
+            state.setTimeoutTimestamp(
+                max(cur[1] + gap_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "start_ms", "end_ms", "n_events", "sum_cents"],
+            )
+
+    sessions = (
+        _stream(spark, chunks)
+        .withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    data = _run_to_parquet(sessions, root)
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    margin_ms = int(max_ts.timestamp() * 1000) - 3_600_000  # 1h margin
+    return (
+        spark.read.parquet(data)
+        .filter(F.col("end_ms") + F.lit(gap_ms) <= F.lit(margin_ms))
+        .select(
+            "user_id",
+            F.date_format(
+                F.timestamp_millis(F.col("start_ms")),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("session_start"),
+            "n_events",
+            (F.col("sum_cents") / F.lit(100.0)).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+_STATE_TIMEOUT_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts, value, event_id,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id)
+              > INTERVAL '{SESSION_TIMEOUT_GAP_MIN} minutes'
+         OR LAG(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+    SUM(new_session) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+rolled AS (
+  SELECT user_id, sid, MIN(ts) AS session_start_ts, MAX(ts) AS session_end_ts,
+    COUNT(*) AS n_events,
+    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+      AS sum_value
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id,
+  strftime(session_start_ts, '%Y-%m-%d %H:%M:%S') AS session_start,
+  n_events, sum_value
+FROM rolled
+WHERE session_end_ts + INTERVAL '{SESSION_TIMEOUT_GAP_MIN} minutes'
+      <= (SELECT MAX(ts) FROM events) - INTERVAL '1 hour'
+ORDER BY user_id, session_start
+"""
+
+QUERIES["stream_state_timeout_sessions"] = stream_state_timeout_sessions
+ORACLE["stream_state_timeout_sessions"] = _STATE_TIMEOUT_SQL

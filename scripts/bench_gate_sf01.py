@@ -111,6 +111,8 @@ GATE_QUERIES = [
     "sink_snapshot_restore",
     # eager peeling loop (CC/PageRank join-iteration class)
     "graph_kcore",
+    # checkpointed availableNow run with event-time TIMEOUT state
+    "stream_state_timeout_sessions",
 ]
 
 
