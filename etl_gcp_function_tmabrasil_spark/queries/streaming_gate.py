@@ -1478,14 +1478,24 @@ def stream_state_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale: state is one fixed-width open session per user; rows
     stream through user_id-partitioned state tasks once.
     """
+    root = _root(sf_dir, "state_timeout_sessions")
+    chunks = _shared_chunks(sf_dir)
+    sessions = timeout_session_stream(spark, chunks)
+    data = _run_to_parquet(sessions, root)
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    return finalized_timeout_sessions(spark, data, max_ts)
+
+
+def timeout_session_stream(spark: SparkSession, chunks: str) -> DataFrame:
+    """The EventTimeTimeout sessionizer as a streaming DataFrame over a
+    chunk directory — factored out so the restart stress test can run
+    the SAME state logic across checkpoint cuts."""
     from typing import Iterator
 
     import pandas as pd
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    root = _root(sf_dir, "state_timeout_sessions")
-    chunks = _shared_chunks(sf_dir)
     gap_ms = SESSION_TIMEOUT_GAP_MIN * 60 * 1000
     out_schema = T.StructType(
         [
@@ -1540,7 +1550,7 @@ def stream_state_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
                 columns=["user_id", "start_ms", "end_ms", "n_events", "sum_cents"],
             )
 
-    sessions = (
+    return (
         _stream(spark, chunks)
         .withWatermark("ts", "0 seconds")
         .groupBy("user_id")
@@ -1552,8 +1562,14 @@ def stream_state_timeout_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
-    data = _run_to_parquet(sessions, root)
-    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+
+
+def finalized_timeout_sessions(
+    spark: SparkSession, data: str, max_ts
+) -> DataFrame:
+    """Margin-filtered presentation of the sessionizer's sink (shared
+    by the gate and the restart stress test)."""
+    gap_ms = SESSION_TIMEOUT_GAP_MIN * 60 * 1000
     margin_ms = int(max_ts.timestamp() * 1000) - 3_600_000  # 1h margin
     return (
         spark.read.parquet(data)

@@ -994,3 +994,70 @@ def test_dynamic_gap_session_restart_mid_chunk(spark, tmp_path):
         f"restarted run diverged: {len(got)} vs {len(want)} sessions; "
         f"sample diff {set(got) ^ set(want) and sorted(set(got) ^ set(want))[:5]}"
     )
+
+
+def test_state_timeout_sessions_survive_restarts(spark, tmp_path):
+    """The EventTimeTimeout sessionizer stopped and restarted
+    mid-stream: state-store contents AND registered timeout timestamps
+    must recover from the checkpoint, and the combined emissions must
+    equal the uninterrupted run's finalized session set exactly (open
+    sessions straddling the cut carry across; timeouts registered in
+    incarnation 1 may fire in incarnation 2)."""
+    import shutil
+
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+    from etl_gcp_function_tmabrasil_spark.queries.streaming_gate import (
+        _shared_chunks,
+        finalized_timeout_sessions,
+        timeout_session_stream,
+    )
+
+    full = _shared_chunks(SF_SMOKE)
+    files = sorted(os.listdir(full))
+    assert len(files) >= 3
+    max_ts = (
+        load_table(spark, SF_SMOKE, "events").agg({"ts": "max"}).collect()[0][0]
+    )
+
+    def run(chunks_dir, sink, ck):
+        q = (
+            timeout_session_stream(spark, str(chunks_dir))
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ck))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    # uninterrupted baseline
+    base_sink = tmp_path / "base_data"
+    run(full, base_sink, tmp_path / "base_ck")
+    want = sorted(
+        tuple(r)
+        for r in finalized_timeout_sessions(
+            spark, str(base_sink), max_ts
+        ).collect()
+    )
+    assert want, "no finalized sessions at sf0.001 — fixture too small"
+
+    # restarted run: half the chunks, stop, rest of the chunks, restart
+    chunks = tmp_path / "chunks"
+    chunks.mkdir()
+    sink = tmp_path / "data"
+    ck = tmp_path / "ck"
+    half = len(files) // 2
+    for f in files[:half]:
+        shutil.copy(os.path.join(full, f), chunks / f)
+        time.sleep(0.02)
+    run(chunks, sink, ck)
+    for f in files[half:]:
+        shutil.copy(os.path.join(full, f), chunks / f)
+        time.sleep(0.02)
+    run(chunks, sink, ck)
+    got = sorted(
+        tuple(r)
+        for r in finalized_timeout_sessions(spark, str(sink), max_ts).collect()
+    )
+    assert got == want
