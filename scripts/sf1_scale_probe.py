@@ -203,6 +203,22 @@ PARITY = [
     "timeseries_holt_linear",
     "ltv_time_decay",
     "basket_association_rules",
+    # late-r9 batches 7-10: the EventTimeTimeout sessionizer replaying
+    # 1M events of state+timeouts (the 10x duplicate-ts fixture is
+    # what caught the original session-tie bug), lag-context training
+    # pairs under the same tie pressure, per-day banded quantiles at
+    # 10x duplicates, streak islands, gains deciles, restore/vacuum
+    # interplay and the kcore peel at 10x edges.
+    "stream_state_timeout_sessions",
+    "seq_next_event_training",
+    "timeseries_daily_percentiles",
+    "events_longest_streak",
+    "model_decile_lift",
+    "text_keyword_trend",
+    "sink_snapshot_restore",
+    "sink_snapshot_vacuum",
+    "graph_kcore",
+    "ann_pq_rerank",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.
