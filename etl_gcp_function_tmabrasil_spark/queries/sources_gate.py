@@ -1905,7 +1905,88 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def sink_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot OPTIMIZE / compaction — the last lifecycle verb
+    (commit / time-travel / diff / merge / vacuum / restore /
+    COMPACT): three small appends fragment the table into many files;
+    compaction reads the newest version and republishes it as ONE
+    coalesced file under a new version — content byte-identical, old
+    versions intact (still time-travelable until vacuumed), small-file
+    pressure gone. Exactly Delta's OPTIMIZE contract: a data-layout
+    change that must be invisible to readers.
+
+    Hard-checked at fixture build: v4's manifest lists STRICTLY fewer
+    files than v3's (and exactly 1 here), v4's rollup equals v3's
+    row-for-row (count compare; the oracle hash-proves the values),
+    and a vacuum retaining only v4 deletes every fragmented file while
+    v4 stays readable.
+    """
+    from etl_gcp_function_tmabrasil_spark.queries._util import dsum
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        commit_snapshot,
+        read_snapshot,
+        snapshot_files,
+        vacuum_snapshots,
+    )
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "snapshot_compact_table")
+
+    def _build(tmp: str) -> None:
+        table = os.path.join(tmp, "table")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        for m in range(3):  # three fragmented appends
+            commit_snapshot(
+                ev.filter(F.col("event_id") % 3 == m).repartition(4),
+                table,
+                mode="append" if m else "overwrite",
+            )
+        n_files_before = len(snapshot_files(table, 3))
+        if n_files_before < 3:
+            raise AssertionError(f"fixture not fragmented: {n_files_before}")
+        before = read_snapshot(spark, table, version=3)
+        n_before = before.count()
+        v4 = commit_snapshot(before.coalesce(1), table, mode="overwrite")
+        if v4 != 4:
+            raise AssertionError(f"expected compaction to publish v4: {v4}")
+        n_files_after = len(snapshot_files(table, 4))
+        if n_files_after >= n_files_before or n_files_after != 1:
+            raise AssertionError(
+                f"compaction did not shrink the file list: "
+                f"{n_files_before} -> {n_files_after}"
+            )
+        if read_snapshot(spark, table, version=4).count() != n_before:
+            raise AssertionError("compaction changed the row count")
+        stats = vacuum_snapshots(table, retain_last=1)
+        if len(stats["deleted_files"]) != n_files_before:
+            raise AssertionError(
+                f"vacuum after compaction should delete every fragment: {stats}"
+            )
+
+    _ensure_fixture(fixture, _build)
+    table = os.path.join(fixture, "table")
+    return (
+        read_snapshot(spark, table)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SNAPSHOT_COMPACT_SQL = """
+SELECT event_type, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "sink_snapshot_compact": sink_snapshot_compact,
     "sink_snapshot_restore": sink_snapshot_restore,
     "sink_snapshot_vacuum": sink_snapshot_vacuum,
     "sink_snapshot_merge_upsert": sink_snapshot_merge_upsert,
@@ -1933,6 +2014,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sink_snapshot_compact": _SNAPSHOT_COMPACT_SQL,
     "sink_snapshot_restore": _SNAPSHOT_RESTORE_SQL,
     "sink_snapshot_vacuum": _SNAPSHOT_VACUUM_SQL,
     "sink_snapshot_merge_upsert": _SNAPSHOT_MERGE_SQL,

@@ -113,6 +113,8 @@ GATE_QUERIES = [
     "graph_kcore",
     # checkpointed availableNow run with event-time TIMEOUT state
     "stream_state_timeout_sessions",
+    # three fragmented commits + OPTIMIZE + vacuum at fixture build
+    "sink_snapshot_compact",
 ]
 
 
