@@ -90,89 +90,81 @@ _MODULES = [
 # Everything else stays covered by tests/test_oracle_parity.py locally
 # (all registered queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
-    # --- the first nine round-9 registrations, latest first (they
-    #     displaced every r6 top-up — the window is exactly 9 r9 + 41
-    #     r5; later r9 registrations wait for the r10 window so the r5
-    #     rotation completes, per the r8 verdict's done-criterion) ---
-    "graph_triangle_count",
-    "simjoin_prefix_jaccard",
-    "timeseries_twa",
-    "stream_snapshot_exactly_once",
-    "text_gopher_rules",
-    "pareto_frontier_orders",
-    "interval_max_concurrency",
-    "sink_snapshot_stats_pruning",
-    "sink_snapshot_empty_schema",
-    # --- the 41 rows whose latest green round is 5 after the r8
-    #     ledger merge (verified programmatically): the TPC-H
-    #     adaptation wave, then the r5 agg/join/window stragglers ---
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_filter",
-    "q20_promo_volume_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "agg_argmax",
-    "agg_cube",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_robust_outliers",
-    "agg_rollup",
-    "agg_stats_moments",
-    "cdc_merge_upsert",
-    "join_anti",
-    "join_semi",
-    "join_left_outer",
-    "join_right_outer",
-    "join_range_bands",
-    "join_range_bucketed_pairs",
-    "rollup_time_multires",
-    "scalar_subquery_above_avg",
-    "scan_csv_json_roundtrip",
-    "scd2_user_history",
-    "window_ntile",
-    "window_rank_orders",
-    "window_running_sum",
+    # --- round-10 registrations go HERE (top of the window), each
+    #     displacing one r6 top-up from the tail so the 46 late-r9
+    #     rows below keep their slots ---
+    "sink_snapshot_point_skipping",
+    # --- the 46 late-r9 registrations with ZERO driver evidence
+    #     (ledger artifact: null after the r9 merge — verified
+    #     programmatically). Grouped: snapshot lifecycle, streaming
+    #     state, scans/diff, graph/ANN, ML-eval/splits, analytics,
+    #     text, timeseries, windows ---
+    "sink_snapshot_vacuum",
+    "sink_snapshot_restore",
+    "sink_snapshot_version_diff",
+    "sink_snapshot_merge_upsert",
+    "sink_snapshot_compact",
+    "stream_state_timeout_sessions",
+    "scan_json_corrupt_records",
+    "table_diff_checksum",
+    "graph_kcore",
+    "ann_pq_rerank",
+    "agg_correlation_matrix",
+    "agg_exact_mode",
+    "agg_linear_regression",
+    "split_kfold_stratified",
+    "model_decile_lift",
+    "feature_binning_equidepth",
+    "mixture_sampling_plan",
+    "dedup_impact_report",
+    "events_retention_cohorts",
+    "events_markov_transitions",
+    "events_longest_streak",
+    "seq_next_event_training",
+    "attribution_last_touch",
+    "rfm_customer_segments",
+    "ltv_time_decay",
+    "basket_association_rules",
+    "pareto_contribution_8020",
+    "survival_kaplan_meier",
+    "ab_test_welch",
+    "assoc_mi_chi2",
+    "dq_constraint_suite",
+    "dq_benford_digits",
+    "profile_frequent_values",
+    "bigram_lm_kneser_ney",
+    "vocab_oov_rate",
+    "text_word_pmi",
+    "text_token_entropy",
+    "text_keyword_trend",
+    "phrase_search_positional",
+    "timeseries_cusum",
+    "timeseries_holt_linear",
+    "timeseries_rolling_zscore",
+    "timeseries_daily_percentiles",
+    "resample_daily_interpolate",
+    "window_moving_median",
+    "window_moving_distinct",
+    # --- top-ups: the oldest r6-evidence rows (alphabetical), each
+    #     yielding its slot to a new r10 registration above ---
+    "agg_collect",
+    "agg_heavy_hitters",
+    "array_ops",
 ]
 
-# ROUND-10 ROTATION PLAN (for the next builder): the 50-slot window
-# should take, in order —
-#   0. the late-r9 registrations that missed the r9 window — now 31
-#      rows: the post-window wave (agg_correlation_matrix,
-#      table_diff_checksum, timeseries_twa companions, simjoin,
-#      triangle count, CUSUM, token entropy, feature binning) plus
-#      the five analytics batches (retention/markov/rfm/dq/interp/
-#      welch/pmi, KM/assoc/moving-median/pareto/phrase/profile,
-#      OLS/moving-distinct/oov/mixture/KN, attribution/corrupt-scan/
-#      version-diff, mode/kfold/benford/impact/merge-upsert,
-#      vacuum/restore/kcore/rerank, ltv/zscore/basket/holt/lift,
-#      streak — COUNT THEM PROGRAMMATICALLY: every ledger row whose
-#      note contains "scheduled first in the r10 window"; ~40 as of
-#      the r9 close), then any r10 registrations (register new
-#      operators at the TOP of this list). The late-r9 rows alone
-#      nearly fill the window: take as many as fit in r10 (they have
-#      zero driver evidence yet — strictly older than any checked
-#      row), rotating the remainder plus the r6-era wave into r11;
-#   1. the rows still holding round:6 evidence after the r10 ledger
-#      merge — whatever of the 50-row r6 wave didn't fit above rolls
-#      to r11 along with the r7 wave;
-#   2. the r8/r9-checked waves rotate r12+.
-# Run scripts/merge_correctness_ledger.py at round start (after
-# CORRECTNESS_r09.json lands) before re-planning.
+# ROUND-11 ROTATION PLAN (for the next builder): after the r10 ledger
+# merge, the stalest evidence is the 50-row round-6 wave (scalar
+# functions, collect/heavy-hitters/array/map, json family, dedup
+# exact/ngram/embedding, sorts, per-group top-k, lag/lead/first-last,
+# batch windows, xlsx/CloudEvent/compaction/schema-evolution scans,
+# pivot/unpivot, text lang-id/stats, tfidf, the UDF quartet, stratified
+# sampling, pipeline_curate_documents — list them programmatically:
+# every ledger row with round == 6, minus any r6 top-up re-checked in
+# r10). The r11 window = any r10/r11 registrations without driver
+# evidence (TOP of the list), then the r6 wave oldest-first until the
+# 50 slots fill; whatever r6 rows miss the cut lead r12 along with the
+# r7 wave. Run scripts/merge_correctness_ledger.py at round start
+# (after CORRECTNESS_r10.json lands) before re-planning.
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

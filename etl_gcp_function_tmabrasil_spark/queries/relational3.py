@@ -860,7 +860,13 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = edges
     prev_n = -1
-    for _ in range(KCORE_UNROLL):
+    # KCORE_UNROLL + 1 iterations: convergence is OBSERVED one round
+    # after the last real peel (n_alive == prev_n needs a no-op round),
+    # so the +1 lets the full KCORE_UNROLL peeling budget — exactly
+    # what the oracle unrolls — do real work before the hard fail
+    # (round-9 ADVICE; the observation round never peels, so the
+    # Spark side can't out-peel the oracle).
+    for _ in range(KCORE_UNROLL + 1):
         deg = (
             e.select(F.col("u").alias("n"))
             .unionAll(e.select(F.col("v").alias("n")))

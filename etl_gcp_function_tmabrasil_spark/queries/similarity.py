@@ -14,6 +14,17 @@ scans candidates once — linear, shuffle-free, but O(Q·N); the LSH path
 assigns each vector to a 12-bit bucket row-locally and joins within
 buckets, cutting candidate pairs by ~2^12 — that is the 100 TB shape
 (plus IVF/cell-probe variants on the same skeleton).
+
+CHOOSING A PATH — measured recall@5 at sf1 on this corpus
+(`scripts/ann_recall_probe.py`, ANN_RECALL_SF1.json; full analysis in
+SCALING.md "ANN recall"): IVF cell-probe 1.00, PQ-ADC + exact re-rank
+0.275, PQ-ADC alone 0.10, sign-LSH 0.00. Random vectors are PQ's
+worst case (no subspace structure to quantize), so on unstructured
+embeddings prefer `ann_ivf_cosine`; reach for PQ when memory must
+stay at code-width per vector AND the embedding space has learnable
+structure — and then ALWAYS with the re-rank stage. Sign-LSH is a
+near-dup candidate GENERATOR (high-cosine pairs collide), not a kNN
+answerer — use it for dedup blocking, never top-k retrieval.
 """
 
 from __future__ import annotations
@@ -963,10 +974,17 @@ def _pq_rerank_sql() -> str:
     )
     base = _pq_sql()
     # reuse the full ADC SQL up to (and including) the ranked CTE, then
-    # swap the final top-k for the pooled exact re-rank
-    head, _, _tail = base.rpartition("SELECT r.query_id,")
-    assert head, "unexpected _pq_sql shape"
-    return f"""{head.rstrip().rstrip(')')}),
+    # swap the final top-k for the pooled exact re-rank. The splice is
+    # anchored on an explicit marker in _pq_sql (round-9 ADVICE: the
+    # old rstrip(')') stripped ALL trailing parens, so a reformat
+    # nesting a ')' before the final SELECT would silently corrupt
+    # the oracle) — head ends exactly at the ranked CTE's close.
+    marker = "\n-- RERANK-SPLICE\n"
+    assert base.count(marker) == 1, "unexpected _pq_sql shape"
+    head, _, _tail = base.partition(marker)
+    head = head.rstrip()
+    assert head.endswith(")") and "ranked AS (" in head, head[-80:]
+    return f"""{head},
 pool AS (
   SELECT r.query_id, r.vec_id, r.adc_dist, {tsq} AS true_sqdist
   FROM ranked r
@@ -1025,6 +1043,7 @@ ranked AS (
                        ORDER BY adc_dist ASC, vec_id ASC) AS rank
   FROM adc WHERE vec_id <> query_id
 )
+-- RERANK-SPLICE
 SELECT r.query_id, CAST(r.rank AS INT) AS rank, r.vec_id, r.adc_dist,
   {tsq} AS true_sqdist
 FROM ranked r

@@ -1553,7 +1553,7 @@ def scan_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(
             f"corrupt-record routing lost lines: {n_bad} != {_N_CORRUPT}"
         )
-    return (
+    out = (
         parsed.filter(F.col("_corrupt_record").isNull())
         .select(
             "event_id",
@@ -1564,6 +1564,12 @@ def scan_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+    # the cache exists ONLY for the corrupt-only-column count above
+    # (round-9 ADVICE: leaving it pinned leaks executor memory for the
+    # session lifetime); the returned projection references real
+    # columns too, so it recomputes fine uncached
+    parsed.unpersist()
+    return out
 
 
 _CORRUPT_SQL = f"""
@@ -1985,7 +1991,111 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def sink_snapshot_point_skipping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Manifest DICTIONARY/BLOOM file skipping for POINT lookups
+    (`sinks/snapshot.py:snapshot_files(points=...)`) — the case MIN/MAX
+    stats structurally cannot prune: an equality predicate on a
+    high-cardinality key whose values INTERLEAVE across files (here:
+    hash-clustered on ``event_id % 8``, so every file's [min, max]
+    spans ~the whole id range). A commit records, per file per point
+    column, a bounded exact value dictionary (when the file's distinct
+    count fits) and a CRC-32 bloom filter sized to the per-file NDV —
+    the Parquet dictionary/bloom-page capability lifted to the
+    manifest, exactly as Delta/Iceberg layer bloom indexes over
+    min/max. Reading with ``points={col: v}`` keeps only files whose
+    dictionary contains v or whose bloom admits it (false keeps
+    possible, false skips never).
+
+    Hard-checks at fixture build, all scale-relative: (1) MIN/MAX
+    pruning on [v, v] keeps EVERY file (proving the layout defeats
+    range stats); (2) point skipping keeps a strict, non-empty subset;
+    (3) the one file that must survive (the hash bucket holding v)
+    does. The returned rows are the pruned+filtered point lookup; the
+    oracle computes the same lookup from the base table — a wrongly
+    skipped file loses rows and cannot hash-match.
+    """
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        commit_snapshot,
+        read_snapshot,
+        snapshot_files,
+    )
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "snapshot_points")
+
+    def _build(tmp: str) -> None:
+        table = os.path.join(tmp, "table")
+        base = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        # bounded scalar sentinels, off the hot path (fixture build)
+        n_rows, max_id = base.agg(
+            F.count(F.lit(1)), F.max("event_id")
+        ).collect()[0]
+        # the probed id: the largest existing id <= max//2 (exists at
+        # every sf; equals max//2 on dense ids)
+        vq = (
+            base.filter(F.col("event_id") <= max_id // 2)
+            .agg(F.max("event_id"))
+            .collect()[0][0]
+        )
+        # hash-cluster on id residue: every file's id RANGE spans the
+        # table, so range stats are useless and only dictionary/bloom
+        # metadata can skip. Bloom sized ~8 bits per per-file value
+        # (the Parquet rule), as a power of two >= n_rows — the fill
+        # ratio, hence the false-keep rate, stays constant as sf grows.
+        bloom_bits = 1 << max(10, int(n_rows).bit_length())
+        ev = base.repartition(8, F.pmod(F.col("event_id"), F.lit(8)))
+        commit_snapshot(
+            ev,
+            table,
+            stats_cols=["event_id"],
+            point_cols=["event_id"],
+            bloom_bits=bloom_bits,
+        )
+        total = snapshot_files(table)
+        by_range = snapshot_files(table, prune={"event_id": (vq, vq)})
+        by_point = snapshot_files(table, points={"event_id": int(vq)})
+        if len(total) < 2 or len(by_range) != len(total):
+            raise RuntimeError(
+                "fixture layout broken: min/max pruned "
+                f"{len(total) - len(by_range)} of {len(total)} files — "
+                "interleaved ids must defeat range stats"
+            )
+        if not by_point or len(by_point) >= len(total):
+            raise RuntimeError(
+                f"point skipping did not skip files: {len(by_point)} of "
+                f"{len(total)} kept for event_id={vq}"
+            )
+        (
+            read_snapshot(spark, table, points={"event_id": int(vq)})
+            .filter(F.col("event_id") == vq)
+            .select("event_id", "event_type", "value")
+            .write.parquet(os.path.join(tmp, "out"))
+        )
+
+    _ensure_fixture(fixture, _build)
+    return (
+        spark.read.parquet(os.path.join(fixture, "out"))
+        .orderBy("event_type", "value")
+    )
+
+
+_SNAPSHOT_POINTS_SQL = """
+SELECT event_id, event_type, value
+FROM events
+WHERE event_id = (
+  SELECT MAX(event_id) FROM events
+  WHERE event_id <= (SELECT CAST(FLOOR(MAX(event_id) / 2) AS BIGINT)
+                     FROM events))
+ORDER BY event_type, value
+"""
+
+
 QUERIES = {
+    "sink_snapshot_point_skipping": sink_snapshot_point_skipping,
     "sink_snapshot_compact": sink_snapshot_compact,
     "sink_snapshot_restore": sink_snapshot_restore,
     "sink_snapshot_vacuum": sink_snapshot_vacuum,
@@ -2014,6 +2124,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sink_snapshot_point_skipping": _SNAPSHOT_POINTS_SQL,
     "sink_snapshot_compact": _SNAPSHOT_COMPACT_SQL,
     "sink_snapshot_restore": _SNAPSHOT_RESTORE_SQL,
     "sink_snapshot_vacuum": _SNAPSHOT_VACUUM_SQL,

@@ -96,40 +96,175 @@ def _schema_signature(schema: StructType) -> list[tuple[str, str]]:
     return [(f.name, f.dataType.simpleString()) for f in schema.fields]
 
 
+def _publish_manifest(tmp: str, dst: str) -> None:
+    """Publish a fully-written manifest with EXCLUSIVE-create
+    semantics. Primary path: hard-link (atomic; a same-version race
+    raises FileExistsError instead of last-rename-wins orphaning the
+    loser's commit). Some filesystems (NFS/FUSE/object-store mounts)
+    raise a generic OSError for — or simply don't support — os.link;
+    there the fallback gets the SAME exclusive-create guarantee from
+    ``os.open(dst, O_CREAT | O_EXCL)`` and copies the bytes (round-9
+    ADVICE). A collision surfaces as FileExistsError on either path.
+    The tmp file is always removed."""
+    try:
+        try:
+            os.link(tmp, dst)
+            return
+        except FileExistsError:
+            raise
+        except OSError:
+            fd = os.open(dst, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                with open(tmp, "rb") as src:
+                    os.write(fd, src.read())
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+    finally:
+        os.unlink(tmp)
+
+
+#: per-file exact value-dictionary cap: a file whose distinct count for
+#: a point column fits records the values verbatim (exact skipping);
+#: above the cap only the bloom filter is recorded.
+_DICT_MAX = 32
+#: default per-file per-column bloom width in bits (stored as hex).
+#: Two salted CRC-32 hashes give a ~(fill)^2 false-keep rate. Size it
+#: to the data: writers pass ``bloom_bits ~ 8 x per-file NDV`` (the
+#: Parquet bloom-page sizing rule) — the width is recorded in the
+#: manifest per column, so readers always use the writer's width.
+_BLOOM_BITS = 1024
+
+#: Spark types whose ``CAST(col AS STRING)`` rendering is byte-exact
+#: reproducible driver-side with ``str(value)`` — the contract the
+#: bloom hashes and dictionary entries rely on. Floats/booleans/
+#: timestamps render differently between the JVM and Python and are
+#: rejected loudly rather than skipped wrongly.
+_POINT_TYPES = ("tinyint", "smallint", "int", "bigint", "string")
+
+
+def _point_render(v) -> str:
+    """The shared Spark/driver rendering of a point-lookup value."""
+    if isinstance(v, bool) or not isinstance(v, (int, str)):
+        raise ValueError(
+            "point skipping supports int/string values (types whose "
+            f"string rendering matches Spark's CAST), got {type(v)!r}"
+        )
+    return str(v)
+
+
+def _bloom_positions(rendered: str, bits: int) -> tuple[int, int]:
+    """The two bloom bit positions of a rendered value — CRC-32 of the
+    UTF-8 bytes, plain and '#'-salted, mod the filter width. Verified
+    identical to Spark's ``crc32(cast(cast(col as string) as binary))``
+    so the writer (Spark aggregation) and the reader (driver-side
+    manifest math) agree bit-for-bit."""
+    import zlib
+
+    return (
+        zlib.crc32(rendered.encode()) % bits,
+        zlib.crc32((rendered + "#").encode()) % bits,
+    )
+
+
 def _collect_file_stats(
-    spark: SparkSession, staging: str, rel_dir: str, stats_cols: list[str]
-) -> dict[str, dict[str, list]]:
-    """Per-file MIN/MAX for ``stats_cols`` over the freshly written
-    staging files: one aggregation job, one output row per file
-    (metadata-sized — the same scan Iceberg's writers fold into the
-    commit). Keys are table-root-relative paths."""
+    spark: SparkSession,
+    staging: str,
+    rel_dir: str,
+    stats_cols: list[str],
+    point_cols: list[str] | None = None,
+    bloom_bits: int = _BLOOM_BITS,
+) -> tuple[dict[str, dict[str, list]], dict[str, dict[str, dict]]]:
+    """Per-file MIN/MAX for ``stats_cols`` — plus, for ``point_cols``,
+    a bounded exact value dictionary and a ``bloom_bits``-wide bloom
+    filter (width recorded in the manifest per column, so readers use
+    the writer's sizing; size ~8 x per-file NDV like Parquet's bloom
+    pages) — over the freshly written staging files: ONE aggregation
+    job, one
+    output row per file (metadata-sized — the same scan Iceberg's
+    writers fold into the commit; Delta's dataSkippingNumIndexedCols /
+    Parquet's dictionary+bloom pages are the equivalents). Keys are
+    table-root-relative paths. Returns ``(stats, skipping)``."""
     from pyspark.sql import functions as F
 
+    point_cols = list(point_cols or [])
     back = spark.read.parquet(staging)
+    for c in point_cols:
+        t = back.schema[c].dataType.simpleString()
+        if t not in _POINT_TYPES:
+            raise ValueError(
+                f"point_cols column {c!r} has type {t}; point skipping "
+                f"requires one of {_POINT_TYPES} (string rendering must "
+                "match between Spark and the driver)"
+            )
     aggs = []
     for c in stats_cols:
         aggs.append(F.min(c).alias(f"min_{c}"))
         aggs.append(F.max(c).alias(f"max_{c}"))
+    for c in point_cols:
+        base = F.col(c).cast("string")
+        # dictionary: one value past the cap proves overflow without
+        # collecting the full distinct set
+        aggs.append(
+            F.slice(
+                F.sort_array(F.collect_set(base)), 1, _DICT_MAX + 1
+            ).alias(f"dv_{c}")
+        )
+        # bloom: collect the SET of bit positions (bounded by the
+        # filter width, never by the file's cardinality)
+        aggs.append(
+            F.collect_set(
+                F.pmod(F.crc32(base.cast("binary")), F.lit(bloom_bits))
+            ).alias(f"b1_{c}")
+        )
+        aggs.append(
+            F.collect_set(
+                F.pmod(
+                    F.crc32(F.concat(base, F.lit("#")).cast("binary")),
+                    F.lit(bloom_bits),
+                )
+            ).alias(f"b2_{c}")
+        )
     rows = (
-        back.select(F.input_file_name().alias("_file"), *stats_cols)
+        back.select(
+            F.input_file_name().alias("_file"),
+            *dict.fromkeys(stats_cols + point_cols),
+        )
         .groupBy("_file")
         .agg(*aggs)
         .collect()
     )
-    out: dict[str, dict[str, list]] = {}
+    stats: dict[str, dict[str, list]] = {}
+    skipping: dict[str, dict[str, dict]] = {}
     for r in rows:
         rel = os.path.join(rel_dir, os.path.basename(r["_file"]))
-        out[rel] = {
+        stats[rel] = {
             c: [_json_stat(r[f"min_{c}"]), _json_stat(r[f"max_{c}"])]
             for c in stats_cols
         }
-    return out
+        if point_cols:
+            entry: dict[str, dict] = {}
+            for c in point_cols:
+                dv = r[f"dv_{c}"]
+                bitmap = 0
+                for b in set(r[f"b1_{c}"]) | set(r[f"b2_{c}"]):
+                    bitmap |= 1 << b
+                entry[c] = {
+                    "dict": sorted(dv) if len(dv) <= _DICT_MAX else None,
+                    "bloom": f"{bitmap:x}",
+                    "bits": bloom_bits,
+                }
+            skipping[rel] = entry
+    return stats, skipping
 
 
 def _json_stat(v):
     """Stats values must survive a JSON round trip losslessly —
     numerics and strings pass through; dates/timestamps serialize to
-    their ISO string (which compares consistently as text)."""
+    their ISO string (which compares consistently as text). Prune
+    bounds pass through the SAME rendering (``snapshot_files``), so a
+    ``datetime.date``/``datetime`` bound compares against stored
+    temporal stats as ISO text instead of raising str-vs-date."""
     if v is None or isinstance(v, (int, float, str, bool)):
         return v
     return str(v)
@@ -141,6 +276,8 @@ def commit_snapshot(
     mode: str = "append",
     stats_cols: list[str] | None = None,
     txn_id: str | int | None = None,
+    point_cols: list[str] | None = None,
+    bloom_bits: int = _BLOOM_BITS,
 ) -> int:
     """Write ``df`` as a new snapshot of the table; returns the new
     version number. ``mode='append'`` carries the previous snapshot's
@@ -151,7 +288,11 @@ def commit_snapshot(
     schema, so the version reads back as an empty typed DataFrame.
     ``stats_cols`` records per-file MIN/MAX for those columns in the
     manifest, enabling ``read_snapshot(..., prune=...)`` file
-    skipping.
+    skipping. ``point_cols`` additionally records a bounded per-file
+    value DICTIONARY and a bloom filter for those columns, enabling
+    ``points={col: value}`` equality skipping where MIN/MAX cannot
+    prune (high-cardinality keys interleaved across files — the
+    Parquet dictionary/bloom-page capability lifted to the manifest).
 
     ``txn_id`` makes the commit IDEMPOTENT (Delta's txn/appId pattern):
     the manifest carries a cumulative ``txn -> version`` map, and a
@@ -178,9 +319,15 @@ def commit_snapshot(
         if f.endswith(".parquet") and not f.startswith((".", "_"))
     )
     stats: dict[str, dict[str, list]] = {}
-    if stats_cols and new_files:
-        stats = _collect_file_stats(
-            df.sparkSession, staging, rel_dir, list(stats_cols)
+    skipping: dict[str, dict[str, dict]] = {}
+    if (stats_cols or point_cols) and new_files:
+        stats, skipping = _collect_file_stats(
+            df.sparkSession,
+            staging,
+            rel_dir,
+            list(stats_cols or []),
+            list(point_cols or []),
+            bloom_bits,
         )
     files: list[str] = []
     if mode == "append" and prev is not None:
@@ -194,6 +341,7 @@ def commit_snapshot(
             )
         files = prev["files"]
         stats = {**prev.get("stats", {}), **stats}
+        skipping = {**prev.get("skipping", {}), **skipping}
     files = files + new_files
     version = (versions[-1] + 1) if versions else 1
     if txn_id is not None:
@@ -206,17 +354,12 @@ def commit_snapshot(
                 "files": files,
                 "schema": df.schema.json(),
                 "stats": stats,
+                "skipping": skipping,
                 "txn": txn,
             },
             fh,
         )
-    dst = _manifest_path(table_dir, version)
-    try:
-        # exclusive create: a same-version race RAISES (FileExistsError)
-        # instead of last-rename-wins silently orphaning a commit
-        os.link(tmp, dst)
-    finally:
-        os.unlink(tmp)
+    _publish_manifest(tmp, _manifest_path(table_dir, version))
     return version
 
 
@@ -224,12 +367,23 @@ def snapshot_files(
     table_dir: str,
     version: int | None = None,
     prune: dict[str, tuple] | None = None,
+    points: dict | None = None,
 ) -> list[str]:
     """The absolute data-file list of ``version`` after stats-based
     pruning: a file survives iff, for every ``col: (lo, hi)`` in
     ``prune``, its recorded [min, max] intersects [lo, hi] (``None``
-    bound = unbounded; missing stats = conservatively kept). Driver-
-    side interval math over the manifest — no data is scanned."""
+    bound = unbounded; missing stats = conservatively kept) AND, for
+    every ``col: value`` in ``points``, the file's recorded value
+    dictionary contains the value (exact) or its bloom filter admits
+    it (probabilistic false-keeps only, never false-skips; missing
+    skipping metadata = conservatively kept). Driver-side manifest
+    math — no data is scanned.
+
+    Prune bounds pass through the stats' own JSON rendering
+    (``_json_stat``), so temporal bounds may be given as
+    ``datetime.date``/``datetime`` objects OR their ISO strings; a
+    bound that still doesn't compare against the stored stat type
+    raises a ValueError instead of an opaque TypeError."""
     versions = _manifests(table_dir)
     if not versions:
         raise FileNotFoundError(f"no snapshot committed at {table_dir}")
@@ -240,18 +394,58 @@ def snapshot_files(
         )
     manifest = _load_manifest(table_dir, v)
     stats = manifest.get("stats", {})
+    skipping = manifest.get("skipping", {})
+    norm_prune = {
+        col: (
+            None if lo is None else _json_stat(lo),
+            None if hi is None else _json_stat(hi),
+        )
+        for col, (lo, hi) in (prune or {}).items()
+    }
+    norm_points = {
+        col: _point_render(val) for col, val in (points or {}).items()
+    }
     kept = []
     for rel in manifest["files"]:
         ok = True
-        for col, (lo, hi) in (prune or {}).items():
+        for col, (lo, hi) in norm_prune.items():
             s = stats.get(rel, {}).get(col)
             if s is None or s[0] is None or s[1] is None:
                 continue  # no stats -> cannot prune this file
-            if (hi is not None and s[0] > hi) or (
-                lo is not None and s[1] < lo
-            ):
-                ok = False
-                break
+            try:
+                if (hi is not None and s[0] > hi) or (
+                    lo is not None and s[1] < lo
+                ):
+                    ok = False
+                    break
+            except TypeError as exc:
+                raise ValueError(
+                    f"prune bound for {col!r} ({type((lo, hi))}) does "
+                    f"not compare with its stored stats "
+                    f"({type(s[0])!r}) — pass bounds in the column's "
+                    "native type; temporal bounds normalize to ISO "
+                    "strings"
+                ) from exc
+        if not ok:
+            continue
+        for col, rendered in norm_points.items():
+            sk = skipping.get(rel, {}).get(col)
+            if sk is None:
+                continue  # no skipping metadata -> keep
+            if sk.get("dict") is not None:
+                if rendered not in sk["dict"]:
+                    ok = False
+                    break
+                continue
+            bloom = sk.get("bloom")
+            if bloom is not None:
+                bitmap = int(bloom, 16)
+                h1, h2 = _bloom_positions(
+                    rendered, sk.get("bits", _BLOOM_BITS)
+                )
+                if not ((bitmap >> h1) & 1 and (bitmap >> h2) & 1):
+                    ok = False
+                    break
         if ok:
             kept.append(os.path.join(table_dir, rel))
     return kept
@@ -262,13 +456,15 @@ def read_snapshot(
     table_dir: str,
     version: int | None = None,
     prune: dict[str, tuple] | None = None,
+    points: dict | None = None,
 ) -> DataFrame:
     """The table as of ``version`` (default: the newest snapshot).
     Reads exactly the manifest's files — orphans from failed commits
     are structurally invisible. An empty snapshot returns an empty
     DataFrame with the manifest's recorded schema. ``prune`` skips
-    files by manifest MIN/MAX stats (see ``snapshot_files``); it is a
-    FILE filter — apply the actual row predicate on the result."""
+    files by manifest MIN/MAX stats and ``points`` by manifest
+    dictionary/bloom metadata (see ``snapshot_files``); both are FILE
+    filters — apply the actual row predicate on the result."""
     versions = _manifests(table_dir)
     if not versions:
         raise FileNotFoundError(f"no snapshot committed at {table_dir}")
@@ -279,7 +475,7 @@ def read_snapshot(
         )
     manifest = _load_manifest(table_dir, v)
     schema = StructType.fromJson(json.loads(manifest["schema"]))
-    files = snapshot_files(table_dir, v, prune)
+    files = snapshot_files(table_dir, v, prune, points)
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.parquet(*files)
@@ -365,14 +561,11 @@ def restore_snapshot(table_dir: str, to_version: int) -> int:
                 "files": src["files"],
                 "schema": src["schema"],
                 "stats": src.get("stats", {}),
+                "skipping": src.get("skipping", {}),
                 "txn": dict(newest.get("txn", {})),
                 "restored_from": to_version,
             },
             fh,
         )
-    dst = _manifest_path(table_dir, version)
-    try:
-        os.link(tmp, dst)
-    finally:
-        os.unlink(tmp)
+    _publish_manifest(tmp, _manifest_path(table_dir, version))
     return version

@@ -245,3 +245,167 @@ def test_vacuum_expires_versions_and_continues_numbering(spark, tmp_path):
     stats3 = vacuum_snapshots(table, retain_last=0)
     assert stats3["retained_versions"] == [4]
     assert read_snapshot(spark, table).count() == 30
+
+
+def test_point_skipping_dict_path_exact(spark, tmp_path):
+    """Dictionary path (per-file distinct count fits _DICT_MAX): a
+    point lookup keeps EXACTLY the files that contain the value —
+    never a false skip (checked for every committed value), and here
+    (disjoint files) never a false keep either."""
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        snapshot_files,
+    )
+
+    table = str(tmp_path / "t")
+    # 4 files, 10 ids each, interleaved residues: min/max spans all
+    df = spark.range(40).selectExpr("id", "id % 4 AS r")
+    commit_snapshot(
+        df.repartition(4, "r"), table,
+        stats_cols=["id"], point_cols=["id"],
+    )
+    total = snapshot_files(table)
+    assert len(total) >= 2  # residues may hash-share a file
+    # min/max cannot prune the interleaved layout
+    assert len(snapshot_files(table, prune={"id": (17, 17)})) == len(total)
+    for v in range(40):
+        kept = snapshot_files(table, points={"id": v})
+        assert len(kept) == 1, (v, kept)  # dict is exact on disjoint files
+    # absent value: dictionary proves absence -> nothing kept
+    assert snapshot_files(table, points={"id": 4040}) == []
+
+
+def test_point_skipping_bloom_path_no_false_skips(spark, tmp_path):
+    """Bloom path (dict overflows): the file holding the value is
+    ALWAYS kept (no false skips), and a right-sized filter skips at
+    least one file for an absent-from-most-files value."""
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        _DICT_MAX,
+        _load_manifest,
+        snapshot_files,
+    )
+
+    table = str(tmp_path / "t")
+    n = 400  # 4 files x 100 distinct >> _DICT_MAX -> bloom only
+    df = spark.range(n).selectExpr("id", "id % 4 AS r")
+    commit_snapshot(
+        df.repartition(4, "r"), table,
+        stats_cols=["id"], point_cols=["id"], bloom_bits=1024,
+    )
+    m = _load_manifest(table, 1)
+    for entry in m["skipping"].values():
+        assert entry["id"]["dict"] is None  # overflowed -> bloom only
+        assert entry["id"]["bits"] == 1024
+    total = snapshot_files(table)
+    assert len(total) >= 2
+    skipped_any = False
+    for v in range(0, n, 7):
+        kept = set(snapshot_files(table, points={"id": v}))
+        # the residue file holding v must survive: its read returns v
+        rows = read_snapshot(spark, table, points={"id": v}).filter(
+            f"id = {v}"
+        )
+        assert rows.count() == 1, v
+        if len(kept) < len(total):
+            skipped_any = True
+    assert skipped_any, "bloom sized 1024/100-ndv should skip sometimes"
+
+
+def test_point_skipping_rejects_unrenderable_types(spark, tmp_path):
+    """Types whose CAST-to-string rendering differs between the JVM
+    and Python are rejected loudly at commit AND at lookup."""
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        snapshot_files,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.range(5).selectExpr("id", "CAST(id AS DOUBLE) AS x")
+    with pytest.raises(ValueError, match="point_cols"):
+        commit_snapshot(df, table, point_cols=["x"])
+    commit_snapshot(df, table, point_cols=["id"])
+    with pytest.raises(ValueError, match="point skipping supports"):
+        snapshot_files(table, points={"id": 1.5})
+    with pytest.raises(ValueError, match="point skipping supports"):
+        snapshot_files(table, points={"id": True})
+
+
+def test_point_skipping_append_carries_metadata(spark, tmp_path):
+    """Append merges the previous snapshot's skipping metadata with the
+    new files' — old files stay point-prunable after an append, and a
+    restore carries the metadata verbatim."""
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        restore_snapshot,
+        snapshot_files,
+    )
+
+    table = str(tmp_path / "t")
+    commit_snapshot(spark.range(10).coalesce(1), table, point_cols=["id"])
+    commit_snapshot(
+        spark.range(100, 110).coalesce(1), table,
+        mode="append", point_cols=["id"],
+    )
+    # v2 has two files; a point lookup prunes to the right one
+    assert len(snapshot_files(table, 2)) == 2
+    assert len(snapshot_files(table, 2, points={"id": 3})) == 1
+    assert len(snapshot_files(table, 2, points={"id": 105})) == 1
+    v3 = restore_snapshot(table, 1)
+    assert len(snapshot_files(table, v3, points={"id": 3})) == 1
+    assert snapshot_files(table, v3, points={"id": 105}) == []
+
+
+def test_publish_fallback_without_hardlinks(spark, tmp_path, monkeypatch):
+    """On filesystems where os.link fails with a generic OSError, the
+    publish falls back to O_CREAT|O_EXCL with the same exclusive-create
+    guarantee: commits succeed, collisions still raise."""
+    from etl_gcp_function_tmabrasil_spark.sinks import snapshot as snap
+
+    def no_link(src, dst, **kw):
+        raise OSError(38, "Function not implemented")
+
+    monkeypatch.setattr(snap.os, "link", no_link)
+    table = str(tmp_path / "t")
+    assert commit_snapshot(spark.range(3), table) == 1
+    assert _ids(spark, table) == [0, 1, 2]
+    # collision under the fallback: plant v2, force a stale listing
+    winner = dict(json.load(open(os.path.join(table, "manifest_v1.json"))))
+    winner["version"] = 2
+    with open(os.path.join(table, "manifest_v2.json"), "w") as fh:
+        fh.write(json.dumps(winner))
+    monkeypatch.setattr(snap, "_manifests", lambda d: [1])
+    with pytest.raises(FileExistsError):
+        commit_snapshot(spark.range(3, 6), table, mode="append")
+    # no tmp residue either way
+    residue = [f for f in os.listdir(table) if f.endswith(".tmp")]
+    assert residue == []
+
+
+def test_temporal_prune_bounds_normalize(spark, tmp_path):
+    """Date/timestamp stats serialize to ISO strings in the manifest;
+    prune bounds given as datetime.date objects normalize through the
+    same rendering (round-9 ADVICE) — and a bound that still cannot
+    compare raises a ValueError, not a bare TypeError."""
+    import datetime
+
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        snapshot_files,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.range(60).selectExpr(
+        "id", "DATE_ADD(DATE'2024-01-01', CAST(id AS INT)) AS d"
+    )
+    commit_snapshot(
+        df.repartitionByRange(3, "d"), table, stats_cols=["d", "id"]
+    )
+    total = snapshot_files(table)
+    assert len(total) == 3
+    lo, hi = datetime.date(2024, 1, 5), datetime.date(2024, 1, 10)
+    kept_date = snapshot_files(table, prune={"d": (lo, hi)})
+    kept_iso = snapshot_files(table, prune={"d": ("2024-01-05", "2024-01-10")})
+    assert kept_date == kept_iso
+    assert 1 <= len(kept_date) < len(total)
+    # open-ended bounds normalize too
+    assert snapshot_files(table, prune={"d": (None, lo)}) == snapshot_files(
+        table, prune={"d": (None, "2024-01-05")}
+    )
+    with pytest.raises(ValueError, match="prune bound"):
+        snapshot_files(table, prune={"id": ("5", "10")})
