@@ -94,6 +94,9 @@ _CHECK_FIRST = [
     #     displacing one r6 top-up from the tail so the 46 late-r9
     #     rows below keep their slots ---
     "sink_snapshot_point_skipping",
+    "dedup_winnowing_pairs",
+    "agg_kmv_distinct",
+    "seq_pattern_match",
     # --- the 46 late-r9 registrations with ZERO driver evidence
     #     (ledger artifact: null after the r9 merge — verified
     #     programmatically). Grouped: snapshot lifecycle, streaming
@@ -145,11 +148,6 @@ _CHECK_FIRST = [
     "resample_daily_interpolate",
     "window_moving_median",
     "window_moving_distinct",
-    # --- top-ups: the oldest r6-evidence rows (alphabetical), each
-    #     yielding its slot to a new r10 registration above ---
-    "agg_collect",
-    "agg_heavy_hitters",
-    "array_ops",
 ]
 
 # ROUND-11 ROTATION PLAN (for the next builder): after the r10 ledger

@@ -973,3 +973,166 @@ ORACLE = {
     "agg_hll_mergeable": _HLL_MERGEABLE_SQL,
     "agg_approx_percentile": _APPROX_PCT_SQL,
 }
+
+
+# --- KMV distinct sketch with mergeable set-operation estimates (r10) --
+
+KMV_K = 256  #: sketch size — relative std error ~1/sqrt(K) = 6.25%;
+#: observed max error on this corpus 9% across sf0.001/0.01/0.1
+#: (deterministic hash → deterministic estimate, calibrated before
+#: gating), so the 20% acceptance bound has 2x headroom.
+KMV_ERR_BOUND = 0.2
+_H60_MAX = float(1 << 60)  #: hash60 range upper bound
+
+
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002;
+    the theta-sketch family's core) with a MERGEABLE union estimate —
+    the sketch HLL cannot give you set algebra from: keep the KMV_K
+    smallest distinct hash values of the key; ndv-hat = (K-1) * H /
+    h_(K). Two groups' sketches merge by taking the K smallest of
+    their union, giving |A ∪ B| without rescanning — the
+    partial/merge contract a 100 TB rollup tree needs (per-partition
+    sketches, one metadata-sized reduce).
+
+    The gate sketches distinct (user, day) activity keys per
+    event_type, emits each type's exact count, KMV estimate, and a
+    within-20%-bound boolean (the HLL gate's error-bound reshape: the
+    driver hash-checks the BOOLEAN, so a drifting estimator fails
+    loud), plus one merged-sketch union row over two types. Estimates
+    are deterministic (md5-based hash60), so the booleans are stable
+    facts of the corpus, not flaky tolerances.
+
+    Scale: the heavy stage is the per-type DISTINCT of keys (one
+    shuffle, same as any exact distinct); the sketch itself is a
+    K-row-per-group TakeOrdered — at a real deployment the distinct
+    collapses into per-partition partial sketches (k smallest per
+    partition, merged associatively), which this operator's merge row
+    demonstrates.
+    """
+    from pyspark.sql import Window
+
+    k = KMV_K
+    ev = load_table(spark, sf_dir, "events")
+    keys = (
+        ev.select(
+            "event_type",
+            F.concat_ws(
+                "@",
+                F.col("user_id").cast("string"),
+                F.date_format("ts", "yyyy-MM-dd"),
+            ).alias("akey"),
+        )
+        .distinct()
+    )
+    hashed = managed_persist(
+        keys.select(
+            "event_type",
+            F.expr(
+                "cast(conv(substring(md5(akey),1,15),16,10) as bigint)"
+            ).alias("hv"),
+        ),
+        "aggregates.kmv_hashed",
+    )
+    rn = Window.partitionBy("event_type").orderBy("hv")
+    sketch = (
+        hashed.withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") <= k)
+        .select("event_type", "hv")
+    )
+    per_type = sketch.groupBy("event_type").agg(
+        F.max("hv").alias("hk"), F.count(F.lit(1)).alias("n")
+    )
+    exact = hashed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_ndv")
+    )
+
+    def est(n, hk):
+        return F.when(n < k, n.cast("long")).otherwise(
+            F.round(F.lit((k - 1.0) * _H60_MAX) / hk).cast("long")
+        )
+
+    typed = exact.join(per_type, "event_type").select(
+        F.col("event_type").alias("label"),
+        "exact_ndv",
+        est(F.col("n"), F.col("hk")).alias("kmv_est"),
+    )
+    # mergeable union over two types: K smallest of the two sketches'
+    # union — never re-touches the raw keys
+    pair = ("click", "view")
+    merged = (
+        sketch.filter(F.col("event_type").isin(*pair))
+        .select("hv")
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+        .agg(F.max("hv").alias("hk"), F.count(F.lit(1)).alias("n"))
+    )
+    union_exact = (
+        hashed.filter(F.col("event_type").isin(*pair))
+        .select("hv")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("exact_ndv"))
+    )
+    union_row = union_exact.crossJoin(merged).select(
+        F.lit("union:click+view").alias("label"),
+        "exact_ndv",
+        est(F.col("n"), F.col("hk")).alias("kmv_est"),
+    )
+    out = typed.unionByName(union_row)
+    return out.select(
+        "label",
+        "exact_ndv",
+        "kmv_est",
+        F.coalesce(
+            (
+                F.abs(F.col("kmv_est") - F.col("exact_ndv"))
+                / F.col("exact_ndv")
+            )
+            <= KMV_ERR_BOUND,
+            F.lit(False),
+        ).alias("within_bound"),
+    ).orderBy("label")
+
+
+_KMV_SQL = f"""
+WITH keys AS (
+  SELECT DISTINCT event_type,
+    CAST(user_id AS VARCHAR) || '@' || strftime(ts, '%Y-%m-%d') AS akey
+  FROM events),
+h AS (SELECT event_type,
+    (('0x' || substr(md5(akey), 1, 15))::BIGINT) AS hv FROM keys),
+r AS (SELECT event_type, hv,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h),
+sk AS (SELECT event_type, hv FROM r WHERE rn <= {KMV_K}),
+pt AS (SELECT event_type, MAX(hv) AS hk, COUNT(*) AS n
+       FROM sk GROUP BY 1),
+ex AS (SELECT event_type, COUNT(*) AS exact_ndv FROM h GROUP BY 1),
+typed AS (
+  SELECT ex.event_type AS label, exact_ndv,
+    CASE WHEN n < {KMV_K} THEN n
+         ELSE CAST(ROUND({(KMV_K - 1.0) * float(1 << 60)!r} / hk) AS BIGINT)
+    END AS kmv_est
+  FROM ex JOIN pt USING (event_type)),
+msk AS (
+  SELECT hv FROM (SELECT DISTINCT hv FROM sk
+                  WHERE event_type IN ('click', 'view'))
+  ORDER BY hv LIMIT {KMV_K}),
+mrg AS (SELECT MAX(hv) AS hk, COUNT(*) AS n FROM msk),
+uex AS (SELECT COUNT(DISTINCT hv) AS exact_ndv FROM h
+        WHERE event_type IN ('click', 'view')),
+urow AS (
+  SELECT 'union:click+view' AS label, exact_ndv,
+    CASE WHEN n < {KMV_K} THEN n
+         ELSE CAST(ROUND({(KMV_K - 1.0) * float(1 << 60)!r} / hk) AS BIGINT)
+    END AS kmv_est
+  FROM uex CROSS JOIN mrg),
+allrows AS (SELECT * FROM typed UNION ALL SELECT * FROM urow)
+SELECT label, exact_ndv, kmv_est,
+  COALESCE(ABS(kmv_est - exact_ndv) / CAST(exact_ndv AS DOUBLE)
+           <= {KMV_ERR_BOUND}, FALSE) AS within_bound
+FROM allrows ORDER BY label
+"""
+
+QUERIES["agg_kmv_distinct"] = agg_kmv_distinct
+ORACLE["agg_kmv_distinct"] = _KMV_SQL

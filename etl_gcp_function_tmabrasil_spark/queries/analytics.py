@@ -2643,3 +2643,66 @@ ORACLE = {
     "timeseries_holt_linear": _holt_sql(),
     "model_decile_lift": _lift_sql(),
 }
+
+
+# --- Event-sequence pattern matching (round 10) ------------------------
+
+#: signup, then any run of clicks/views, then purchase — no error or
+#: second signup may intervene (each event type contributes its initial
+#: letter, which is unique across the five types)
+SEQ_PATTERN = "s[cv]*p"
+
+
+def seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-sequence pattern detection per user — the
+    MATCH_RECOGNIZE capability (SQL:2016 row pattern matching, as in
+    Flink CEP / Trino MATCH_RECOGNIZE), which Spark lacks natively,
+    recovered by compiling each user's event stream to a compact
+    symbol string and running the pattern as a regex: one symbol per
+    event (initial letter — unique across this taxonomy), sequence
+    ordered on the TOTAL key (ts, event_id) so duplicate timestamps
+    cannot flip symbols between engines, matches counted
+    non-overlapping leftmost (both engines' regex semantics).
+
+    Scale: one shuffle on user_id; per-user state is the bounded
+    symbol string (one char per event — a 10k-event user is a 10 KB
+    row); the regex scan is row-local. This is the batch shape; the
+    streaming analogue is applyInPandasWithState keeping the tail of
+    the symbol string per key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr(
+                "array_join(transform("
+                "array_sort(collect_list(struct(ts, event_id, event_type))),"
+                " x -> substring(x.event_type, 1, 1)), '')"
+            ).alias("s")
+        )
+    )
+    return (
+        seq.select(
+            "user_id",
+            F.length("s").alias("seq_len"),
+            F.regexp_count("s", F.lit(SEQ_PATTERN)).alias("n_matches"),
+        )
+        .filter(F.col("n_matches") >= 1)
+        .orderBy("user_id")
+    )
+
+
+_SEQ_PATTERN_SQL = f"""
+WITH seq AS (
+  SELECT user_id,
+    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id)
+SELECT user_id, length(s) AS seq_len,
+  length(regexp_extract_all(s, '{SEQ_PATTERN}')) AS n_matches
+FROM seq
+WHERE length(regexp_extract_all(s, '{SEQ_PATTERN}')) >= 1
+ORDER BY user_id
+"""
+
+QUERIES["seq_pattern_match"] = seq_pattern_match
+ORACLE["seq_pattern_match"] = _SEQ_PATTERN_SQL

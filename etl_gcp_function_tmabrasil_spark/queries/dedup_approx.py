@@ -1134,3 +1134,135 @@ ORDER BY doc_a, doc_b
 
 QUERIES["simjoin_prefix_jaccard"] = simjoin_prefix_jaccard
 ORACLE["simjoin_prefix_jaccard"] = _SSJOIN_SQL
+
+
+# --- Winnowing document fingerprints (round 10) -----------------------
+
+WINNOW_K = 20  #: char-gram width (profiled: 8-char grams of this
+#: vocabulary hit df 328/500 — the same rarity lesson as the simjoin's
+#: bigram degeneracy; 20-char grams reach max df 5, avg 1.08)
+WINNOW_W = 8  #: winnowing window (guarantee: any shared substring of
+#: length >= WINNOW_K + WINNOW_W - 1 shares a fingerprint)
+WINNOW_T = 10  #: shared-fingerprint floor for a reported pair
+#: (profiled: planted near-dups share 70-120, background pairs 1-2)
+WINNOW_MAXDF = 64  #: fingerprints in more docs are dropped before the
+#: pair join — the PPJoin prefix-filter lesson: candidate generation
+#: must never key on a common value (no-op on this corpus, max df 5;
+#: the guard is for corpora with boilerplate)
+_WINNOW_POS_BITS = 20  #: positions pack into the key's low 20 bits —
+#: fingerprinting covers the first 2^20-1 grams of a document (a
+#: stated bound, applied identically in the oracle)
+_WINNOW_POS_MOD = 1 << _WINNOW_POS_BITS
+
+
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm) and the
+    near-dup candidate pairs they induce: hash every WINNOW_K-char
+    gram, slide a WINNOW_W-wide window over the gram hashes, keep each
+    window's minimum (rightmost on ties), and report doc pairs sharing
+    at least WINNOW_T selected fingerprints. Winnowing's guarantee —
+    any match of length >= K + W - 1 is caught, and selection density
+    is ~2/(W+1) — makes it the fingerprint family for plagiarism/
+    boilerplate detection where MinHash's whole-document Jaccard is
+    too coarse (MinHash scores global overlap; winnowing localizes
+    shared PASSAGES).
+
+    Rightmost-min tie-breaking without argmin-over-frame machinery:
+    each gram's sort key packs (hash40 << 20) | (2^20 - 1 - pos), so a
+    plain MIN over the frame is min-hash-then-rightmost-position — one
+    bigint min, identical in both engines.
+
+    Scale: gram explode and key packing are row-local; the window min
+    is one per-doc sort; the pair join keys on SELECTED fingerprints
+    (density ~2/(W+1) of grams) with a WINNOW_MAXDF stoplist, so
+    candidate generation is a rare-key equi-join, never all-pairs —
+    the same shape as the PPJoin/LSH stages.
+    """
+    k, w = WINNOW_K, WINNOW_W
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= k)
+        .select(
+            "doc_id",
+            "text",
+            F.least(
+                F.length("text") - k + 1, F.lit(_WINNOW_POS_MOD - 1)
+            ).alias("ng"),
+        )
+    )
+    grams = docs.select(
+        "doc_id",
+        "ng",
+        F.explode(F.sequence(F.lit(1), F.col("ng"))).alias("p"),
+        F.expr(
+            f"cast(conv(substring(md5(substring(text, p, {k})),1,10),16,10)"
+            f" as bigint) * {_WINNOW_POS_MOD}L"
+            f" + ({_WINNOW_POS_MOD - 1}L - p)"
+        ).alias("key"),
+    )
+    frame = (
+        W.partitionBy("doc_id").orderBy("p").rowsBetween(0, w - 1)
+    )
+    sel = (
+        grams.withColumn("mk", F.min("key").over(frame))
+        .filter(F.col("p") <= F.greatest(F.lit(1), F.col("ng") - (w - 1)))
+        .select("doc_id", F.expr(f"mk DIV {_WINNOW_POS_MOD}L").alias("fp"))
+        .distinct()
+    )
+    keep = (
+        sel.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WINNOW_MAXDF)
+        .select("fp")
+    )
+    fpd = sel.join(keep, "fp")
+    a = fpd.alias("a")
+    b = fpd.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_WINNOW_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text AS t,
+    LEAST(length(text) - {WINNOW_K} + 1, {_WINNOW_POS_MOD - 1}) AS ng
+  FROM documents WHERE length(text) >= {WINNOW_K}),
+pos AS (SELECT doc_id, t, ng, unnest(generate_series(1, ng)) AS p FROM d),
+g AS (
+  SELECT doc_id, ng, p,
+    (('0x' || substr(md5(substr(t, p, {WINNOW_K})), 1, 10))::BIGINT)
+      * {_WINNOW_POS_MOD} + ({_WINNOW_POS_MOD - 1} - p) AS key
+  FROM pos),
+wmin AS (
+  SELECT doc_id, ng, p,
+    MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN CURRENT ROW
+                   AND {WINNOW_W - 1} FOLLOWING) AS mk
+  FROM g),
+sel AS (
+  SELECT DISTINCT doc_id, mk // {_WINNOW_POS_MOD} AS fp
+  FROM wmin WHERE p <= GREATEST(1, ng - {WINNOW_W - 1})),
+keep AS (
+  SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) <= {WINNOW_MAXDF}),
+fpd AS (SELECT sel.doc_id, sel.fp FROM sel JOIN keep USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= {WINNOW_T}
+ORDER BY doc_a, doc_b
+"""
+
+QUERIES["dedup_winnowing_pairs"] = dedup_winnowing_pairs
+ORACLE["dedup_winnowing_pairs"] = _WINNOW_SQL
