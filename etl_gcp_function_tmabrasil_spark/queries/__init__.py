@@ -150,19 +150,23 @@ _CHECK_FIRST = [
     "window_moving_distinct",
 ]
 
-# ROUND-11 ROTATION PLAN (for the next builder): after the r10 ledger
-# merge, the stalest evidence is the 50-row round-6 wave (scalar
-# functions, collect/heavy-hitters/array/map, json family, dedup
+# ROUND-11 ROTATION PLAN (for the next builder): the r11 window = the
+# late-r10 registrations without driver evidence FIRST (ledger rows
+# whose note contains "scheduled first in the r11 window":
+# timeseries_seasonal_decompose, agg_weighted_median,
+# corpus_divergence_js, quantile_normalize_profile,
+# agg_winsorized_mean, plus any registered after this comment), then
+# any r11 registrations (TOP of the list), then the 50-row round-6
+# wave oldest-first until the 50 slots fill (scalar functions,
+# collect/heavy-hitters/array/map, json family, dedup
 # exact/ngram/embedding, sorts, per-group top-k, lag/lead/first-last,
 # batch windows, xlsx/CloudEvent/compaction/schema-evolution scans,
-# pivot/unpivot, text lang-id/stats, tfidf, the UDF quartet, stratified
-# sampling, pipeline_curate_documents — list them programmatically:
-# every ledger row with round == 6, minus any r6 top-up re-checked in
-# r10). The r11 window = any r10/r11 registrations without driver
-# evidence (TOP of the list), then the r6 wave oldest-first until the
-# 50 slots fill; whatever r6 rows miss the cut lead r12 along with the
-# r7 wave. Run scripts/merge_correctness_ledger.py at round start
-# (after CORRECTNESS_r10.json lands) before re-planning.
+# pivot/unpivot, text lang-id/stats, tfidf, the UDF quartet,
+# stratified sampling, pipeline_curate_documents — list them
+# programmatically: every ledger row with round == 6). Whatever r6
+# rows miss the cut lead r12 along with the r7 wave. Run
+# scripts/merge_correctness_ledger.py at round start (after
+# CORRECTNESS_r10.json lands) before re-planning.
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

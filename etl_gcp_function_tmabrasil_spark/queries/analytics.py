@@ -2706,3 +2706,373 @@ ORDER BY user_id
 
 QUERIES["seq_pattern_match"] = seq_pattern_match
 ORACLE["seq_pattern_match"] = _SEQ_PATTERN_SQL
+
+
+# --- Seasonal decomposition (round 10) ----------------------------------
+
+SEAS_HALF = 3  #: centered moving-average half-width (7-day trend)
+
+
+def timeseries_seasonal_decompose(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classical additive seasonal decomposition of the per-type daily
+    revenue series (the moving-average step of STL, Cleveland et al.
+    1990): trend = centered 7-day moving average, seasonal = mean
+    detrended value per day-of-week, remainder = value - trend -
+    seasonal. The triple is the standard pre-step for anomaly
+    detection on seasonal business metrics (the rolling-zscore
+    operator's seasonal-aware companion).
+
+    Exactness: the trend average is a DECIMAL window sum divided by
+    the frame count (one IEEE division — no float accumulation
+    order); detrended values are re-quantized to DECIMAL(18,4) before
+    the seasonal mean so the group sum is exact in both engines;
+    day-of-week is epoch-day mod 7 (engine-neutral — DuckDB's
+    dayofweek is 0-based, Spark's 1-based).
+
+    Scale: one daily rollup shuffle, one per-key ordered window, one
+    vocabulary-sized (type x dow) seasonal join — no stage holds more
+    than a frame of state per row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("vd"))
+    frame = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-SEAS_HALF, SEAS_HALF)
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        F.col("vd").cast("double").alias("v"),
+        (
+            F.sum("vd").over(frame).cast("double")
+            / F.count(F.lit(1)).over(frame)
+        ).alias("trend"),
+        F.pmod(F.datediff("day", F.lit("1970-01-01")), F.lit(7)).alias(
+            "dow"
+        ),
+    )
+    seas = tr.groupBy("event_type", "dow").agg(
+        (
+            F.sum(
+                (F.col("v") - F.col("trend")).cast("decimal(18,4)")
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("seasonal")
+    )
+    return (
+        tr.join(seas, ["event_type", "dow"])
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day_s"),
+            F.round("v", 4).alias("v"),
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(
+                F.col("v") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("remainder"),
+        )
+        .orderBy("event_type", "day_s")
+    )
+
+
+_SEASONAL_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    SUM(CAST(value AS DECIMAL(18,4))) AS vd
+  FROM events GROUP BY 1, 2),
+tr AS (
+  SELECT event_type, day, CAST(vd AS DOUBLE) AS v,
+    CAST(SUM(vd) OVER w AS DOUBLE) / COUNT(*) OVER w AS trend,
+    (day - DATE '1970-01-01') % 7 AS dow
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {SEAS_HALF} PRECEDING
+               AND {SEAS_HALF} FOLLOWING)),
+seas AS (
+  SELECT event_type, dow,
+    CAST(SUM(CAST(v - trend AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+      AS seasonal
+  FROM tr GROUP BY 1, 2)
+SELECT tr.event_type, CAST(tr.day AS STRING) AS day_s,
+  ROUND(tr.v, 4) AS v, ROUND(tr.trend, 6) AS trend,
+  ROUND(seas.seasonal, 6) AS seasonal,
+  ROUND(tr.v - tr.trend - seas.seasonal, 6) AS remainder
+FROM tr JOIN seas ON tr.event_type = seas.event_type
+                 AND tr.dow = seas.dow
+ORDER BY tr.event_type, day_s
+"""
+
+QUERIES["timeseries_seasonal_decompose"] = timeseries_seasonal_decompose
+ORACLE["timeseries_seasonal_decompose"] = _SEASONAL_SQL
+
+
+# --- Exact weighted median (round 10) -----------------------------------
+
+
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median per group — the quantity-weighted price
+    midpoint (smallest price whose cumulative quantity reaches half
+    the total), the estimator banded quantiles cannot give you when
+    rows carry weights. Entirely in the DECIMAL domain: the crossing
+    test is 2*cumw >= total (no division), and the RANGE frame makes
+    the running weight include all price peers, so tie order between
+    engines cannot move the crossing.
+
+    Scale: one window sort per group + one rollup — the same shape as
+    any ordered-statistic pass; no per-group buffering beyond the
+    window machinery.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("w"),
+    )
+    part = W.partitionBy("l_returnflag")
+    cum = (
+        part.orderBy("price")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        li.select(
+            "l_returnflag",
+            "price",
+            F.sum("w").over(cum).alias("cumw"),
+            F.sum("w").over(part).alias("total"),
+        )
+        .filter(F.col("cumw") * 2 >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").cast("double").alias("weighted_median"),
+            F.max("total").cast("double").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_WMEDIAN_SQL = """
+WITH c AS (
+  SELECT l_returnflag, l_extendedprice AS price,
+    SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER
+      (PARTITION BY l_returnflag ORDER BY l_extendedprice
+       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+    SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER
+      (PARTITION BY l_returnflag) AS total
+  FROM lineitem)
+SELECT l_returnflag,
+  CAST(MIN(price) AS DOUBLE) AS weighted_median,
+  CAST(MAX(total) AS DOUBLE) AS total_weight
+FROM c WHERE cumw * 2 >= total
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+QUERIES["agg_weighted_median"] = agg_weighted_median
+ORACLE["agg_weighted_median"] = _WMEDIAN_SQL
+
+
+# --- Quantile normalization profile (round 10) ---------------------------
+
+QNORM_BINS = 20  #: equal-depth bins per source distribution
+
+
+def quantile_normalize_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile-normalization profile across sources (the microarray
+    normalization classic, Bolstad et al. 2003, applied to
+    heterogeneous score feeds): bin each priority class's price
+    distribution into QNORM_BINS equal-depth bins, take the per-bin
+    mean, and compute the cross-source REFERENCE profile (mean of the
+    per-source bin means) plus each source's additive adjustment —
+    what a pipeline applies to make scores from different graders /
+    feeds comparable before mixing.
+
+    Determinism: ntile runs over the TOTAL order (price, o_orderkey)
+    — ordered on price alone, equal prices would be framed
+    arbitrarily and bin populations could differ between engines (the
+    gaps-and-islands tie lesson). Means are decimal sums divided
+    once.
+
+    Scale: one window sort per source + two vocabulary-sized rollups;
+    the profile is (sources x bins) rows — metadata-sized.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("price"),
+        "o_orderkey",
+    )
+    binned = orders.withColumn(
+        "bin",
+        F.ntile(QNORM_BINS).over(
+            W.partitionBy("grp").orderBy("price", "o_orderkey")
+        ),
+    )
+    per_src = binned.groupBy("grp", "bin").agg(
+        (
+            F.sum(F.col("price").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("src_mean")
+    )
+    ref = per_src.groupBy("bin").agg(
+        (
+            F.sum(F.col("src_mean").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ref_mean")
+    )
+    return (
+        per_src.join(ref, "bin")
+        .select(
+            "grp",
+            "bin",
+            F.round("src_mean", 4).alias("src_mean"),
+            F.round("ref_mean", 4).alias("ref_mean"),
+            F.round(F.col("ref_mean") - F.col("src_mean"), 4).alias(
+                "adjustment"
+            ),
+        )
+        .orderBy("grp", "bin")
+    )
+
+
+_QNORM_SQL = f"""
+WITH binned AS (
+  SELECT o_orderpriority AS grp, o_totalprice AS price,
+    NTILE({QNORM_BINS}) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders),
+per_src AS (
+  SELECT grp, bin,
+    CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      AS src_mean
+  FROM binned GROUP BY 1, 2),
+ref AS (
+  SELECT bin,
+    CAST(SUM(CAST(src_mean AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+      AS ref_mean
+  FROM per_src GROUP BY 1)
+SELECT grp, per_src.bin AS bin, ROUND(src_mean, 4) AS src_mean,
+  ROUND(ref_mean, 4) AS ref_mean,
+  ROUND(ref_mean - src_mean, 4) AS adjustment
+FROM per_src JOIN ref ON per_src.bin = ref.bin
+ORDER BY grp, per_src.bin
+"""
+
+QUERIES["quantile_normalize_profile"] = quantile_normalize_profile
+ORACLE["quantile_normalize_profile"] = _QNORM_SQL
+
+
+# --- Winsorized robust mean (round 10) -----------------------------------
+
+
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (clip at the empirical p05/p95) + robust mean per
+    event type — the outlier TREATMENT that complements the detection
+    operators (IQR/MAD screens find outliers; winsorizing bounds their
+    leverage without dropping rows, the standard prep for
+    mean-sensitive downstream features).
+
+    The fences are type-1 (inverse-CDF) quantiles: smallest value
+    whose cumulative count reaches ceil(q*n), computed with integer
+    rank arithmetic ((n+19) DIV 20 and (19n+19) DIV 20 — no float
+    epsilon can move a fence) over a RANGE cumulative window (price
+    peers share a cumulative count, so tie order cannot move the
+    crossing). Clipped sums stay in the DECIMAL domain.
+
+    Scale: one window sort per group + one clip rollup; no per-group
+    buffering.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(18,4)").alias("v")
+    )
+    part = W.partitionBy("event_type")
+    cum = part.orderBy("v").rangeBetween(W.unboundedPreceding, W.currentRow)
+    ranked = ev.select(
+        "event_type",
+        "v",
+        F.count(F.lit(1)).over(cum).alias("cumn"),
+        F.count(F.lit(1)).over(part).alias("n"),
+    )
+    fences = (
+        ranked.groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cumn") >= F.expr("(n + 19) DIV 20"), F.col("v")
+                )
+            ).alias("p05"),
+            F.min(
+                F.when(
+                    F.col("cumn") >= F.expr("(n * 19 + 19) DIV 20"),
+                    F.col("v"),
+                )
+            ).alias("p95"),
+        )
+    )
+    clipped = ev.join(fences, "event_type").select(
+        "event_type",
+        "p05",
+        "p95",
+        F.when(F.col("v") < F.col("p05"), 1).otherwise(0).alias("lo"),
+        F.when(F.col("v") > F.col("p95"), 1).otherwise(0).alias("hi"),
+        F.greatest(F.least(F.col("v"), F.col("p95")), F.col("p05")).alias(
+            "cv"
+        ),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.max("p05").cast("double").alias("p05"),
+            F.max("p95").cast("double").alias("p95"),
+            F.sum("lo").alias("n_clipped_low"),
+            F.sum("hi").alias("n_clipped_high"),
+            (
+                F.sum("cv").cast("double") / F.count(F.lit(1))
+            ).alias("win_mean_raw"),
+        )
+        .select(
+            "event_type",
+            "p05",
+            "p95",
+            "n_clipped_low",
+            "n_clipped_high",
+            F.round("win_mean_raw", 6).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_WINSOR_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,4)) AS v FROM events),
+ranked AS (
+  SELECT event_type, v,
+    COUNT(*) OVER (PARTITION BY event_type ORDER BY v
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cumn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ev),
+fences AS (
+  SELECT event_type,
+    MIN(CASE WHEN cumn >= (n + 19) // 20 THEN v END) AS p05,
+    MIN(CASE WHEN cumn >= (n * 19 + 19) // 20 THEN v END) AS p95
+  FROM ranked GROUP BY 1),
+clipped AS (
+  SELECT ev.event_type, p05, p95,
+    CASE WHEN v < p05 THEN 1 ELSE 0 END AS lo,
+    CASE WHEN v > p95 THEN 1 ELSE 0 END AS hi,
+    GREATEST(LEAST(v, p95), p05) AS cv
+  FROM ev JOIN fences ON ev.event_type = fences.event_type)
+SELECT event_type,
+  CAST(MAX(p05) AS DOUBLE) AS p05, CAST(MAX(p95) AS DOUBLE) AS p95,
+  CAST(SUM(lo) AS BIGINT) AS n_clipped_low,
+  CAST(SUM(hi) AS BIGINT) AS n_clipped_high,
+  ROUND(CAST(SUM(cv) AS DOUBLE) / COUNT(*), 6) AS winsorized_mean
+FROM clipped GROUP BY 1 ORDER BY event_type
+"""
+
+QUERIES["agg_winsorized_mean"] = agg_winsorized_mean
+ORACLE["agg_winsorized_mean"] = _WINSOR_SQL

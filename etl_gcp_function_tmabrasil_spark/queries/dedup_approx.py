@@ -1204,11 +1204,16 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame = (
         W.partitionBy("doc_id").orderBy("p").rowsBetween(0, w - 1)
     )
-    sel = (
+    # sel feeds BOTH the df stoplist and the pair join-back: without
+    # materialization each consumer re-runs the gram explode + per-doc
+    # window sort (ReuseExchange does not dedupe them — the
+    # window_global_rownum lesson)
+    sel = managed_persist(
         grams.withColumn("mk", F.min("key").over(frame))
         .filter(F.col("p") <= F.greatest(F.lit(1), F.col("ng") - (w - 1)))
         .select("doc_id", F.expr(f"mk DIV {_WINNOW_POS_MOD}L").alias("fp"))
-        .distinct()
+        .distinct(),
+        "dedup_approx.winnow_sel",
     )
     keep = (
         sel.groupBy("fp")

@@ -573,3 +573,98 @@ ORACLE = {
     "text_fingerprint": _FINGERPRINT_SQL,
     "text_length_histogram": _HISTOGRAM_SQL,
 }
+
+
+# --- Corpus drift: Jensen-Shannon divergence per source (round 10) ------
+
+
+def corpus_divergence_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between each source's unigram
+    distribution and the whole-corpus distribution — the standard
+    corpus-drift / mixture-audit statistic (symmetric, bounded by
+    ln 2, defined even where a source is missing words, unlike raw
+    KL). A training-data pipeline tracks this per ingest source to
+    catch a feed whose token mix silently shifts.
+
+    JSD(P, C) = 0.5*KL(P||M) + 0.5*KL(C||M), M = (P+C)/2, with
+    0*ln(0) = 0 for words absent from a source. Exactness follows the
+    LM scorers' fixed-point idiom: each ln term is ROUNDed to 8 dp and
+    summed as DECIMAL(20,8) — no float-accumulation order between
+    engines.
+
+    Scale: word counts are the usual vocabulary-sized shuffles; the
+    KL(C||M) side needs every (source, vocab-word) pair, so the grid
+    is |sources| x |vocab| — sources are an enumerable handful, the
+    grid is a broadcast-shaped join, never corpus-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    wc_s = words.groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n_s = words.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    wc_g = words.groupBy("w").agg(F.count(F.lit(1)).alias("cg"))
+    n_g = words.agg(F.count(F.lit(1)).alias("ng"))
+    grid = (
+        n_s.crossJoin(F.broadcast(wc_g))
+        .crossJoin(F.broadcast(n_g))
+        .join(wc_s, ["source", "w"], "left")
+        .select(
+            "source",
+            "n",
+            (F.coalesce(F.col("c"), F.lit(0)) / F.col("n")).alias("p"),
+            (F.col("cg") / F.col("ng")).alias("q"),
+        )
+        .withColumn("m", (F.col("p") + F.col("q")) / 2)
+    )
+    term_p = F.when(
+        F.col("p") > 0, F.round(F.col("p") * F.log(F.col("p") / F.col("m")), 8)
+    ).otherwise(F.lit(0.0))
+    term_q = F.round(F.col("q") * F.log(F.col("q") / F.col("m")), 8)
+    return (
+        grid.groupBy("source", "n")
+        .agg(
+            F.sum(term_p.cast("decimal(20,8)")).alias("kl_pm"),
+            F.sum(term_q.cast("decimal(20,8)")).alias("kl_qm"),
+        )
+        .select(
+            "source",
+            F.col("n").alias("n_tokens"),
+            F.round(
+                ((F.col("kl_pm") + F.col("kl_qm")) / 2).cast("double"), 6
+            ).alias("jsd"),
+        )
+        .orderBy("source")
+    )
+
+
+_JSD_SQL = """
+WITH words AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+wf AS (SELECT source, w FROM words WHERE length(w) > 0),
+wc_s AS (SELECT source, w, COUNT(*) AS c FROM wf GROUP BY 1, 2),
+n_s AS (SELECT source, COUNT(*) AS n FROM wf GROUP BY 1),
+wc_g AS (SELECT w, COUNT(*) AS cg FROM wf GROUP BY 1),
+n_g AS (SELECT COUNT(*) AS ng FROM wf),
+grid AS (
+  SELECT n_s.source, n_s.n,
+    COALESCE(wc_s.c, 0) / CAST(n_s.n AS DOUBLE) AS p,
+    wc_g.cg / CAST(n_g.ng AS DOUBLE) AS q
+  FROM n_s CROSS JOIN wc_g CROSS JOIN n_g
+  LEFT JOIN wc_s ON wc_s.source = n_s.source AND wc_s.w = wc_g.w),
+terms AS (
+  SELECT source, n,
+    CASE WHEN p > 0
+         THEN CAST(ROUND(p * ln(p / ((p + q) / 2)), 8) AS DECIMAL(20,8))
+         ELSE CAST(0 AS DECIMAL(20,8)) END AS tp,
+    CAST(ROUND(q * ln(q / ((p + q) / 2)), 8) AS DECIMAL(20,8)) AS tq
+  FROM grid)
+SELECT source, n AS n_tokens,
+  ROUND(CAST((SUM(tp) + SUM(tq)) / 2 AS DOUBLE), 6) AS jsd
+FROM terms GROUP BY 1, 2 ORDER BY source
+"""
+
+QUERIES["corpus_divergence_js"] = corpus_divergence_js
+ORACLE["corpus_divergence_js"] = _JSD_SQL

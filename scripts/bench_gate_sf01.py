@@ -115,6 +115,9 @@ GATE_QUERIES = [
     "stream_state_timeout_sessions",
     # three fragmented commits + OPTIMIZE + vacuum at fixture build
     "sink_snapshot_compact",
+    # r10: commit with dictionary/bloom point metadata + three
+    # snapshot_files hard-checks at fixture build
+    "sink_snapshot_point_skipping",
 ]
 
 

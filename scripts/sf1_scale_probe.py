@@ -219,6 +219,21 @@ PARITY = [
     "sink_snapshot_vacuum",
     "graph_kcore",
     "ann_pq_rerank",
+    # r10: the tie-sensitive wave at 10x duplicate mass — winnowing's
+    # rightmost-min packing under hash ties, the weighted-median and
+    # winsorize RANGE-frame peer pooling, ntile bins over the total
+    # order, the symbol-string CEP under duplicate-ts pressure, the
+    # KMV order statistics at 10x key mass, the manifest point-lookup
+    # hard-checks at 10x file/row mass, seasonal decimal re-quantize
+    "dedup_winnowing_pairs",
+    "agg_weighted_median",
+    "agg_winsorized_mean",
+    "quantile_normalize_profile",
+    "seq_pattern_match",
+    "agg_kmv_distinct",
+    "sink_snapshot_point_skipping",
+    "timeseries_seasonal_decompose",
+    "corpus_divergence_js",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.

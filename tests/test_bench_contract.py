@@ -57,3 +57,15 @@ def test_stdout_line_is_parseable_and_min_only():
         "medians belong in BENCH_LOCAL.json, not the driver stdout line"
     )
     assert set(parsed) == {"metric", "value", "unit", "queries", "sf"}
+
+
+def test_extended_list_registered_and_disjoint():
+    """EXTENDED entries must be real registered queries, disjoint from
+    HEADLINE (they exist precisely because HEADLINE is at stdout
+    capacity), and lazy-appropriate names only — the eager gates live
+    in scripts/bench_gate_sf01.py."""
+    from etl_gcp_function_tmabrasil_spark.queries import all_queries
+
+    names = set(all_queries())
+    assert set(bench.EXTENDED) <= names
+    assert not set(bench.EXTENDED) & set(bench.HEADLINE)
