@@ -1623,3 +1623,108 @@ ORDER BY user_id, session_start
 
 QUERIES["stream_state_timeout_sessions"] = stream_state_timeout_sessions
 ORACLE["stream_state_timeout_sessions"] = _STATE_TIMEOUT_SQL
+
+
+def stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING event-sequence pattern matching — the CEP shape the
+    batch `seq_pattern_match` operator documents as its streaming
+    analogue: per-user arbitrary state (`applyInPandasWithState`)
+    accumulates the event-symbol string across micro-batches, and
+    each batch re-evaluates the non-overlapping regex count on the
+    key's full sequence, emitting the running (seq_len, n_matches) in
+    update mode. Flink CEP / MATCH_RECOGNIZE's streaming semantics on
+    a surface Spark lacks natively.
+
+    Ordering argument: the chunk fixture is GLOBALLY (ts, event_id)-
+    sorted and sliced contiguously, the file source admits chunks
+    oldest-first one per batch, and each batch's rows are re-sorted on
+    (ts, event_id) before appending — so every user's state string is
+    exactly its batch-side total-order sequence at every point in the
+    replay. State is one char per event per user (the batch
+    operator's own bound).
+
+    The final emission per user (largest seq_len — strictly growing
+    whenever the user appears in a batch) must equal the BATCH
+    operator's row, oracle-checked against the same SQL.
+    """
+    import re as _re
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        SEQ_PATTERN,
+    )
+
+    root = _root(sf_dir, "pattern_state")
+    chunks = _shared_chunks(sf_dir)
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("seq_len", T.IntegerType()),
+            T.StructField("n_matches", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("s", T.StringType())])
+    pat = _re.compile(SEQ_PATTERN)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (s,) = state.get if state.exists else ("",)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        s += "".join(batch["event_type"].str[0])
+        state.update((s,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "seq_len": [len(s)],
+                "n_matches": [len(pat.findall(s))],
+            }
+        )
+
+    matched = (
+        _stream(spark, chunks)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    data = os.path.join(root, "data")
+
+    def append(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(data)
+
+    _await(
+        matched.writeStream.foreachBatch(append)
+        .option("checkpointLocation", os.path.join(root, "ck"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sink = spark.read.parquet(data)
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.max("seq_len").alias("seq_len"),
+            F.max_by("n_matches", "seq_len").alias("n_matches"),
+        )
+        .filter(F.col("n_matches") >= 1)
+        .orderBy("user_id")
+    )
+
+
+QUERIES["stream_pattern_match"] = stream_pattern_match
+# the streaming run must converge to the BATCH operator's exact output
+from etl_gcp_function_tmabrasil_spark.queries.analytics import (  # noqa: E402
+    _SEQ_PATTERN_SQL as _STREAM_PATTERN_SQL,
+)
+
+ORACLE["stream_pattern_match"] = _STREAM_PATTERN_SQL

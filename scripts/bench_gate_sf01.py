@@ -118,6 +118,8 @@ GATE_QUERIES = [
     # r10: commit with dictionary/bloom point metadata + three
     # snapshot_files hard-checks at fixture build
     "sink_snapshot_point_skipping",
+    # r10: checkpointed availableNow CEP run at construction
+    "stream_pattern_match",
 ]
 
 

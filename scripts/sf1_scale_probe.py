@@ -234,6 +234,9 @@ PARITY = [
     "sink_snapshot_point_skipping",
     "timeseries_seasonal_decompose",
     "corpus_divergence_js",
+    # r10: the streaming CEP replaying 1M events of symbol-string
+    # state through checkpointed availableNow at 10x key mass
+    "stream_pattern_match",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.

@@ -1,0 +1,94 @@
+"""Plan-shape guardrails for the round-10 operators: pin the physical
+properties each SCALING.md entry claims — per-doc window passes (never
+a global single-task sort), equi-keyed candidate joins (never a
+cartesian pair space), broadcast vocabulary grids, and decimal window
+frames keyed on the group."""
+
+from __future__ import annotations
+
+from etl_gcp_function_tmabrasil_spark.plans.inspect import (
+    count_exchanges,
+    explain_str,
+)
+from etl_gcp_function_tmabrasil_spark.queries.aggregates import (
+    agg_kmv_distinct,
+)
+from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+    agg_weighted_median,
+    agg_winsorized_mean,
+    quantile_normalize_profile,
+    seq_pattern_match,
+    timeseries_seasonal_decompose,
+)
+from etl_gcp_function_tmabrasil_spark.queries.dedup_approx import (
+    dedup_winnowing_pairs,
+)
+from etl_gcp_function_tmabrasil_spark.queries.text_analysis import (
+    corpus_divergence_js,
+)
+
+
+def test_winnowing_pair_join_is_equi_on_fingerprint(spark, sf_dir):
+    """The pair stage must key on the selected fingerprint — a
+    cartesian doc-pair space would be the degenerate-shingle failure
+    the gram width was profiled against."""
+    df = dedup_winnowing_pairs(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # the window is keyed per document, not global
+    assert "hashpartitioning(doc_id" in plan, "winnow window not per-doc"
+
+
+def test_seq_pattern_single_user_shuffle(spark, sf_dir):
+    df = seq_pattern_match(spark, sf_dir)
+    plan = explain_str(df)
+    assert "hashpartitioning(user_id" in plan
+    # one agg shuffle + the presentation sort
+    assert count_exchanges(df) <= 3, plan
+
+
+def test_weighted_median_window_keyed_on_group(spark, sf_dir):
+    df = agg_weighted_median(spark, sf_dir)
+    plan = explain_str(df)
+    assert "hashpartitioning(l_returnflag" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winsorize_window_keyed_on_group(spark, sf_dir):
+    df = agg_winsorized_mean(spark, sf_dir)
+    plan = explain_str(df)
+    assert "hashpartitioning(event_type" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_seasonal_window_keyed_on_type(spark, sf_dir):
+    df = timeseries_seasonal_decompose(spark, sf_dir)
+    plan = explain_str(df)
+    assert "hashpartitioning(event_type" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_qnorm_ntile_keyed_per_source(spark, sf_dir):
+    df = quantile_normalize_profile(spark, sf_dir)
+    plan = explain_str(df)
+    assert "hashpartitioning(grp" in plan, "ntile not partitioned by source"
+
+
+def test_jsd_vocab_grid_broadcasts(spark, sf_dir):
+    """The |sources| x |vocab| grid must come from BROADCAST joins of
+    the vocabulary-sized sides — a shuffled cartesian would grow with
+    the corpus instead of the vocabulary."""
+    df = corpus_divergence_js(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_kmv_sketch_is_windowed_not_collected(spark, sf_dir):
+    """The per-type sketch must be a keyed window top-K, and the merge
+    row a K-row limit — no corpus-sized global sort."""
+    df = agg_kmv_distinct(spark, sf_dir)
+    plan = explain_str(df)
+    assert "hashpartitioning(event_type" in plan
+    assert "CartesianProduct" not in plan

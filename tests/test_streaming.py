@@ -1061,3 +1061,120 @@ def test_state_timeout_sessions_survive_restarts(spark, tmp_path):
         for r in finalized_timeout_sessions(spark, str(sink), max_ts).collect()
     )
     assert got == want
+
+
+def test_stream_pattern_match_state_survives_restarts(spark, tmp_path):
+    """The CEP symbol-string state stopped and restarted mid-stream:
+    the per-user sequence accumulated in incarnation 1 must recover
+    from the checkpoint so incarnation 2's final emission equals the
+    uninterrupted batch semantics — a truncated state string would
+    undercount matches for every user whose pattern straddles the
+    cut."""
+    import re
+    import shutil
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F, types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        SEQ_PATTERN,
+    )
+    from etl_gcp_function_tmabrasil_spark.queries.streaming_gate import (
+        EVENTS_SCHEMA,
+        _shared_chunks,
+    )
+
+    full = _shared_chunks(SF_SMOKE)
+    files = sorted(os.listdir(full))
+    assert len(files) >= 3
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("seq_len", T.IntegerType()),
+            T.StructField("n_matches", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("s", T.StringType())])
+    pat = re.compile(SEQ_PATTERN)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (s,) = state.get if state.exists else ("",)
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        s += "".join(batch["event_type"].str[0])
+        state.update((s,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "seq_len": [len(s)],
+                "n_matches": [len(pat.findall(s))],
+            }
+        )
+
+    def run(chunks_dir, data, ck):
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(chunks_dir))
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=out_schema,
+                stateStructType=state_schema,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(str(data))
+            )
+            .option("checkpointLocation", str(ck))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    chunks = tmp_path / "chunks"
+    chunks.mkdir()
+    data, ck = tmp_path / "data", tmp_path / "ck"
+    half = len(files) // 2
+    for f in files[:half]:
+        shutil.copy(os.path.join(full, f), chunks / f)
+        time.sleep(0.02)
+    run(chunks, data, ck)
+    for f in files[half:]:
+        shutil.copy(os.path.join(full, f), chunks / f)
+        time.sleep(0.02)
+    run(chunks, data, ck)
+
+    sink = spark.read.parquet(str(data))
+    got = {
+        r.user_id: (r.seq_len, r.n_matches)
+        for r in sink.groupBy("user_id")
+        .agg(
+            F.max("seq_len").alias("seq_len"),
+            F.max_by("n_matches", "seq_len").alias("n_matches"),
+        )
+        .collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    seqs = {}
+    for r in ev.collect():
+        seqs.setdefault(r.user_id, []).append(
+            (r.ts, r.event_id, r.event_type[0])
+        )
+    for u, rows in seqs.items():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        s = "".join(c for _, _, c in rows)
+        assert got[u] == (len(s), len(pat.findall(s))), u
