@@ -107,6 +107,8 @@ EXTENDED = [
     "corpus_divergence_js",         # per-source JSD vs corpus unigrams
     "quantile_normalize_profile",   # cross-source equal-depth profile
     "agg_winsorized_mean",          # type-1 fences + clipped mean
+    "drift_psi",                    # PSI drift over reference deciles
+    "profile_key_skew",             # shuffle-key skew diagnostics
     # (sink_snapshot_point_skipping is EAGER — fixture commits run at
     # construction — so it belongs to scripts/bench_gate_sf01.py)
 ]

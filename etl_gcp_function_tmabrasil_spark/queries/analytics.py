@@ -3076,3 +3076,292 @@ FROM clipped GROUP BY 1 ORDER BY event_type
 
 QUERIES["agg_winsorized_mean"] = agg_winsorized_mean
 ORACLE["agg_winsorized_mean"] = _WINSOR_SQL
+
+
+# --- Population stability index (round 10) -------------------------------
+
+PSI_BINS = 10  #: equal-depth bins derived from the REFERENCE window
+PSI_FLOOR = 1.0e-4  #: standard zero-proportion floor
+
+
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type — the model-monitoring
+    drift statistic (banking scorecard practice; the binned companion
+    of the corpus JSD operator): bin edges are type-1 deciles of the
+    REFERENCE window (the timeline's first half), both windows'
+    proportions are measured against those fixed edges, and
+    PSI = sum((q-p) * ln(q/p)) with the standard 1e-4 zero floor.
+    Rule of thumb thresholds (<0.1 stable, >0.25 shifted) ship as a
+    verdict column so the gate hashes the decision, not just the
+    number.
+
+    Determinism: the timeline midpoint is epoch-integer arithmetic;
+    edges come from integer ceil-ranks over a RANGE cumulative window
+    (peers pooled — the winsorize fences' machinery); bin assignment
+    compares decimals; ln terms follow the fixed-point idiom.
+
+    Scale: one window sort over the reference half per type, two
+    grouped counts, a bins-per-type broadcast join — no stage holds
+    more than the edge list per row.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+        F.unix_timestamp("ts").alias("es"),
+    )
+    bounds = ev.agg(
+        ((F.min("es") + F.max("es")) / 2).cast("long").alias("mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "v",
+        F.when(F.col("es") < F.col("mid"), F.lit("ref"))
+        .otherwise(F.lit("cur"))
+        .alias("half"),
+    )
+    ref = tagged.filter(F.col("half") == "ref")
+    part = W.partitionBy("event_type")
+    cum = part.orderBy("v").rangeBetween(W.unboundedPreceding, W.currentRow)
+    ranked = ref.select(
+        "event_type",
+        "v",
+        F.count(F.lit(1)).over(cum).alias("cumn"),
+        F.count(F.lit(1)).over(part).alias("n"),
+    )
+    edge_aggs = [
+        F.min(
+            F.when(
+                F.col("cumn") >= F.expr(f"(n * {i} + {PSI_BINS - 1}) DIV {PSI_BINS}"),
+                F.col("v"),
+            )
+        ).alias(f"e{i}")
+        for i in range(1, PSI_BINS)
+    ]
+    edges = ranked.groupBy("event_type").agg(*edge_aggs)
+    bin_expr = F.lit(1)
+    for i in range(1, PSI_BINS):
+        bin_expr = bin_expr + F.when(F.col("v") > F.col(f"e{i}"), 1).otherwise(0)
+    binned = tagged.join(F.broadcast(edges), "event_type").select(
+        "event_type", "half", bin_expr.alias("bin")
+    )
+    counts = binned.groupBy("event_type", "half", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = counts.groupBy("event_type", "half").agg(
+        F.sum("c").alias("tot")
+    )
+    # full (type x half x bin) grid so empty bins floor instead of drop
+    grid = (
+        totals.select("event_type", "half", "tot")
+        .crossJoin(F.broadcast(spark.range(1, PSI_BINS + 1).select(
+            F.col("id").cast("int").alias("bin"))))
+        .join(counts, ["event_type", "half", "bin"], "left")
+        .select(
+            "event_type",
+            "half",
+            "bin",
+            F.greatest(
+                F.coalesce(F.col("c"), F.lit(0)) / F.col("tot"),
+                F.lit(PSI_FLOOR),
+            ).alias("prop"),
+        )
+    )
+    wide = (
+        grid.groupBy("event_type", "bin")
+        .pivot("half", ["ref", "cur"])
+        .agg(F.first("prop"))
+    )
+    term = F.round(
+        (F.col("cur") - F.col("ref")) * F.log(F.col("cur") / F.col("ref")), 8
+    )
+    return (
+        wide.groupBy("event_type")
+        .agg(F.sum(term.cast("decimal(20,8)")).alias("psi_d"))
+        .select(
+            "event_type",
+            F.round(F.col("psi_d").cast("double"), 6).alias("psi"),
+            F.when(F.col("psi_d") < 0.1, "stable")
+            .when(F.col("psi_d") < 0.25, "moderate")
+            .otherwise("shifted")
+            .alias("verdict"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _psi_sql() -> str:
+    edge_cols = ",\n    ".join(
+        f"MIN(CASE WHEN cumn >= (n * {i} + {PSI_BINS - 1}) // {PSI_BINS}"
+        f" THEN v END) AS e{i}"
+        for i in range(1, PSI_BINS)
+    )
+    bin_expr = " + ".join(
+        f"CASE WHEN v > e{i} THEN 1 ELSE 0 END" for i in range(1, PSI_BINS)
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,4)) AS v,
+    CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+  FROM events),
+b AS (SELECT CAST((MIN(es) + MAX(es)) / 2 AS BIGINT) AS mid FROM ev),
+tagged AS (
+  SELECT event_type, v,
+    CASE WHEN es < mid THEN 'ref' ELSE 'cur' END AS half
+  FROM ev CROSS JOIN b),
+ranked AS (
+  SELECT event_type, v,
+    COUNT(*) OVER (PARTITION BY event_type ORDER BY v
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cumn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM tagged WHERE half = 'ref'),
+edges AS (
+  SELECT event_type, {edge_cols}
+  FROM ranked GROUP BY event_type),
+binned AS (
+  SELECT t.event_type, t.half, 1 + {bin_expr} AS bin
+  FROM tagged t JOIN edges USING (event_type)),
+counts AS (
+  SELECT event_type, half, bin, COUNT(*) AS c
+  FROM binned GROUP BY 1, 2, 3),
+totals AS (
+  SELECT event_type, half, SUM(c) AS tot FROM counts GROUP BY 1, 2),
+grid AS (
+  SELECT totals.event_type, totals.half, bins.bin,
+    GREATEST(COALESCE(c, 0) / CAST(tot AS DOUBLE), {PSI_FLOOR}) AS prop
+  FROM totals
+  CROSS JOIN (SELECT unnest(generate_series(1, {PSI_BINS})) AS bin) bins
+  LEFT JOIN counts ON counts.event_type = totals.event_type
+    AND counts.half = totals.half AND counts.bin = bins.bin),
+wide AS (
+  SELECT event_type, bin,
+    MAX(CASE WHEN half = 'ref' THEN prop END) AS ref,
+    MAX(CASE WHEN half = 'cur' THEN prop END) AS cur
+  FROM grid GROUP BY 1, 2),
+psi AS (
+  SELECT event_type,
+    SUM(CAST(ROUND((cur - ref) * ln(cur / ref), 8) AS DECIMAL(20,8)))
+      AS psi_d
+  FROM wide GROUP BY 1)
+SELECT event_type, ROUND(CAST(psi_d AS DOUBLE), 6) AS psi,
+  CASE WHEN psi_d < 0.1 THEN 'stable'
+       WHEN psi_d < 0.25 THEN 'moderate'
+       ELSE 'shifted' END AS verdict
+FROM psi ORDER BY event_type
+"""
+
+
+QUERIES["drift_psi"] = drift_psi
+ORACLE["drift_psi"] = _psi_sql()
+
+
+# --- Join-key skew profiler (round 10) -----------------------------------
+
+_SKEW_COLS = ["l_orderkey", "l_partkey", "l_suppkey"]
+
+
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics over candidate shuffle keys — the
+    planner input for "does this join need salting / AQE skew
+    handling": for each candidate key column, the key-count
+    distribution's max / p99 / median (type-1 ranks), the
+    max-to-median skew ratio, the hottest key's row share, and the
+    Herfindahl concentration index (sum of squared shares — 1/HHI is
+    the effective key count). All three columns profile in ONE
+    unpivoted pass (the RFM lesson: never N funnels for N columns).
+
+    Scale: stack is row-local; one count shuffle keyed on
+    (column, key); the per-column stats run over key-count rows
+    (bounded by distinct keys), with integer-rank order statistics —
+    no float epsilon in any fence.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    stacked = li.select(
+        F.expr(
+            "stack(3, "
+            + ", ".join(f"'{c}', {c}" for c in _SKEW_COLS)
+            + ") AS (col_name, key)"
+        )
+    )
+    kc = stacked.groupBy("col_name", "key").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    part = W.partitionBy("col_name")
+    cum = part.orderBy("c").rangeBetween(W.unboundedPreceding, W.currentRow)
+    ranked = kc.select(
+        "col_name",
+        "c",
+        F.count(F.lit(1)).over(cum).alias("cumk"),
+        F.count(F.lit(1)).over(part).alias("d"),
+        F.sum("c").over(part).alias("n"),
+    )
+    return (
+        ranked.groupBy("col_name")
+        .agg(
+            F.max("n").alias("n_rows"),
+            F.max("d").alias("n_keys"),
+            F.max("c").alias("max_count"),
+            F.min(
+                F.when(
+                    F.col("cumk") >= F.expr("(d * 99 + 99) DIV 100"),
+                    F.col("c"),
+                )
+            ).alias("p99_count"),
+            F.min(
+                F.when(F.col("cumk") >= F.expr("(d + 1) DIV 2"), F.col("c"))
+            ).alias("median_count"),
+            F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        )
+        .select(
+            "col_name",
+            "n_rows",
+            "n_keys",
+            "max_count",
+            "p99_count",
+            "median_count",
+            F.round(
+                F.col("max_count") / F.col("median_count"), 6
+            ).alias("skew_ratio"),
+            F.round(F.col("max_count") / F.col("n_rows"), 8).alias(
+                "top1_share"
+            ),
+            F.round(
+                F.col("sum_c2") / (F.col("n_rows") * F.col("n_rows")), 8
+            ).alias("hhi"),
+        )
+        .orderBy("col_name")
+    )
+
+
+_KEY_SKEW_SQL = f"""
+WITH stacked AS (
+  {" UNION ALL ".join(
+      f"SELECT '{c}' AS col_name, {c} AS key FROM lineitem"
+      for c in _SKEW_COLS)}),
+kc AS (SELECT col_name, key, COUNT(*) AS c FROM stacked GROUP BY 1, 2),
+ranked AS (
+  SELECT col_name, c,
+    COUNT(*) OVER (PARTITION BY col_name ORDER BY c
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cumk,
+    COUNT(*) OVER (PARTITION BY col_name) AS d,
+    SUM(c) OVER (PARTITION BY col_name) AS n
+  FROM kc)
+SELECT col_name,
+  CAST(MAX(n) AS BIGINT) AS n_rows,
+  CAST(MAX(d) AS BIGINT) AS n_keys,
+  CAST(MAX(c) AS BIGINT) AS max_count,
+  CAST(MIN(CASE WHEN cumk >= (d * 99 + 99) // 100 THEN c END) AS BIGINT)
+    AS p99_count,
+  CAST(MIN(CASE WHEN cumk >= (d + 1) // 2 THEN c END) AS BIGINT)
+    AS median_count,
+  ROUND(CAST(MAX(c) AS DOUBLE)
+        / MIN(CASE WHEN cumk >= (d + 1) // 2 THEN c END), 6)
+    AS skew_ratio,
+  ROUND(CAST(MAX(c) AS DOUBLE) / MAX(n), 8) AS top1_share,
+  ROUND(CAST(SUM(c * c) AS DOUBLE) / (MAX(n) * MAX(n)), 8) AS hhi
+FROM ranked GROUP BY col_name ORDER BY col_name
+"""
+
+QUERIES["profile_key_skew"] = profile_key_skew
+ORACLE["profile_key_skew"] = _KEY_SKEW_SQL

@@ -2094,7 +2094,84 @@ ORDER BY event_type, value
 """
 
 
+def sink_snapshot_time_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP time travel on the snapshot sink (Delta's
+    ``timestampAsOf`` / Iceberg's snapshot-log lookup,
+    `sinks/snapshot.py:resolve_version_at`): every commit records its
+    wall-clock instant in the manifest, and a reader asking for the
+    table "as of T" gets the newest version committed at or before T —
+    the audit/reproducibility verb version numbers alone can't give a
+    user who only knows WHEN their downstream job ran.
+
+    The fixture commits three thirds of `events` with EXPLICIT,
+    deterministic commit timestamps (1000/2000/3000) and hard-checks
+    the resolution boundaries: as_of mid-window resolves the middle
+    version, as_of exactly at a commit instant includes it, as_of
+    before the first commit raises. The returned rollup reads
+    as_of=2500 — exactly versions 1+2's rows; the oracle recomputes
+    that two-thirds subset from the base table, so a resolution that
+    drifted one version either way cannot hash-match.
+    """
+    from etl_gcp_function_tmabrasil_spark.queries._util import dsum
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        commit_snapshot,
+        read_snapshot,
+        resolve_version_at,
+    )
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "snapshot_as_of")
+
+    def _build(tmp: str) -> None:
+        table = os.path.join(tmp, "table")
+        base = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        for m, ts in ((0, 1000.0), (1, 2000.0), (2, 3000.0)):
+            commit_snapshot(
+                base.filter(F.col("event_id") % 3 == m),
+                table,
+                mode="append" if m else "overwrite",
+                commit_ts=ts,
+            )
+        if resolve_version_at(table, 2500.0) != 2:
+            raise AssertionError("mid-window as_of must resolve v2")
+        if resolve_version_at(table, 2000.0) != 2:
+            raise AssertionError("as_of AT a commit instant includes it")
+        if resolve_version_at(table, 9999.0) != 3:
+            raise AssertionError("late as_of must resolve the newest")
+        try:
+            resolve_version_at(table, 500.0)
+        except FileNotFoundError:
+            pass
+        else:
+            raise AssertionError("pre-history as_of must raise")
+        (
+            read_snapshot(spark, table, as_of=2500.0)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                dsum("value", 4).alias("sum_value"),
+            )
+            .write.parquet(os.path.join(tmp, "out"))
+        )
+
+    _ensure_fixture(fixture, _build)
+    return (
+        spark.read.parquet(os.path.join(fixture, "out")).orderBy("event_type")
+    )
+
+
+_SNAPSHOT_AS_OF_SQL = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events WHERE event_id % 3 < 2
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "sink_snapshot_time_as_of": sink_snapshot_time_as_of,
     "sink_snapshot_point_skipping": sink_snapshot_point_skipping,
     "sink_snapshot_compact": sink_snapshot_compact,
     "sink_snapshot_restore": sink_snapshot_restore,
@@ -2124,6 +2201,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sink_snapshot_time_as_of": _SNAPSHOT_AS_OF_SQL,
     "sink_snapshot_point_skipping": _SNAPSHOT_POINTS_SQL,
     "sink_snapshot_compact": _SNAPSHOT_COMPACT_SQL,
     "sink_snapshot_restore": _SNAPSHOT_RESTORE_SQL,

@@ -62,6 +62,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -278,6 +279,7 @@ def commit_snapshot(
     txn_id: str | int | None = None,
     point_cols: list[str] | None = None,
     bloom_bits: int = _BLOOM_BITS,
+    commit_ts: float | None = None,
 ) -> int:
     """Write ``df`` as a new snapshot of the table; returns the new
     version number. ``mode='append'`` carries the previous snapshot's
@@ -293,6 +295,13 @@ def commit_snapshot(
     ``points={col: value}`` equality skipping where MIN/MAX cannot
     prune (high-cardinality keys interleaved across files — the
     Parquet dictionary/bloom-page capability lifted to the manifest).
+
+    ``commit_ts`` (epoch seconds; defaults to the wall clock) is
+    recorded in the manifest and drives timestamp time travel —
+    ``read_snapshot(..., as_of=ts)`` resolves the newest version
+    whose commit time is <= ts (Delta's ``timestampAsOf`` /
+    Iceberg's snapshot-log lookup). Pass it explicitly for
+    deterministic fixtures.
 
     ``txn_id`` makes the commit IDEMPOTENT (Delta's txn/appId pattern):
     the manifest carries a cumulative ``txn -> version`` map, and a
@@ -356,11 +365,37 @@ def commit_snapshot(
                 "stats": stats,
                 "skipping": skipping,
                 "txn": txn,
+                "commit_ts": time.time() if commit_ts is None else commit_ts,
             },
             fh,
         )
     _publish_manifest(tmp, _manifest_path(table_dir, version))
     return version
+
+
+def resolve_version_at(table_dir: str, as_of: float) -> int:
+    """Timestamp time travel (Delta ``timestampAsOf`` / Iceberg
+    snapshot-log lookup): the newest version whose recorded
+    ``commit_ts`` is <= ``as_of`` (epoch seconds). Versions committed
+    before the field existed sort as commit_ts -inf (always eligible
+    — a reader never loses access to old data by upgrading). Raises
+    FileNotFoundError when every version is newer than ``as_of``.
+
+    Driver-side manifest reads only — O(versions), no data touched."""
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot committed at {table_dir}")
+    eligible = [
+        v
+        for v in versions
+        if _load_manifest(table_dir, v).get("commit_ts", float("-inf"))
+        <= as_of
+    ]
+    if not eligible:
+        raise FileNotFoundError(
+            f"no snapshot at {table_dir} committed at or before {as_of}"
+        )
+    return max(eligible)
 
 
 def snapshot_files(
@@ -457,14 +492,21 @@ def read_snapshot(
     version: int | None = None,
     prune: dict[str, tuple] | None = None,
     points: dict | None = None,
+    as_of: float | None = None,
 ) -> DataFrame:
-    """The table as of ``version`` (default: the newest snapshot).
+    """The table as of ``version`` (default: the newest snapshot), or
+    — mutually exclusive — as of the wall-clock instant ``as_of``
+    (epoch seconds; see ``resolve_version_at``).
     Reads exactly the manifest's files — orphans from failed commits
     are structurally invisible. An empty snapshot returns an empty
     DataFrame with the manifest's recorded schema. ``prune`` skips
     files by manifest MIN/MAX stats and ``points`` by manifest
     dictionary/bloom metadata (see ``snapshot_files``); both are FILE
     filters — apply the actual row predicate on the result."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass either version or as_of, not both")
+        version = resolve_version_at(table_dir, as_of)
     versions = _manifests(table_dir)
     if not versions:
         raise FileNotFoundError(f"no snapshot committed at {table_dir}")
@@ -527,7 +569,9 @@ def vacuum_snapshots(table_dir: str, retain_last: int = 1) -> dict:
     }
 
 
-def restore_snapshot(table_dir: str, to_version: int) -> int:
+def restore_snapshot(
+    table_dir: str, to_version: int, commit_ts: float | None = None
+) -> int:
     """METADATA-ONLY rollback (Delta RESTORE / Iceberg rollback): make
     the table's newest version's content equal an older version's by
     writing a NEW manifest that references the old version's files —
@@ -564,6 +608,7 @@ def restore_snapshot(table_dir: str, to_version: int) -> int:
                 "skipping": src.get("skipping", {}),
                 "txn": dict(newest.get("txn", {})),
                 "restored_from": to_version,
+                "commit_ts": time.time() if commit_ts is None else commit_ts,
             },
             fh,
         )

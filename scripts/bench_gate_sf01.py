@@ -120,6 +120,8 @@ GATE_QUERIES = [
     "sink_snapshot_point_skipping",
     # r10: checkpointed availableNow CEP run at construction
     "stream_pattern_match",
+    # r10: three timestamped commits + resolution hard-checks at build
+    "sink_snapshot_time_as_of",
 ]
 
 

@@ -237,6 +237,11 @@ PARITY = [
     # r10: the streaming CEP replaying 1M events of symbol-string
     # state through checkpointed availableNow at 10x key mass
     "stream_pattern_match",
+    # r10: PSI reference-decile fences at 10x duplicate-value mass;
+    # the skew profiler's integer-rank order stats at 6M lineitem rows
+    "drift_psi",
+    "profile_key_skew",
+    "sink_snapshot_time_as_of",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.

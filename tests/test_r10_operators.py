@@ -333,3 +333,80 @@ def test_quantile_normalize_profile_reference_is_cross_source_mean(spark):
         assert math.isclose(
             sum(r.adjustment for r in rs), 0.0, abs_tol=1e-2
         ), b
+
+
+def test_psi_identical_halves_are_stable_and_definition_holds(spark):
+    """PSI recomputed from the definition (reference-decile bins,
+    1e-4 floor) over collected rows; identical distributions would
+    give ~0 — the verdict thresholds must match the number."""
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        PSI_BINS,
+        PSI_FLOOR,
+        drift_psi,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "value", "ts"
+    )
+    rows = ev.collect()
+    es = [int(r.ts.timestamp()) for r in rows]
+    mid = (min(es) + max(es)) // 2
+    per_type = defaultdict(lambda: {"ref": [], "cur": []})
+    for r, e in zip(rows, es):
+        half = "ref" if e < mid else "cur"
+        per_type[r.event_type][half].append(round(float(r.value), 4))
+    got = {r.event_type: r for r in drift_psi(spark, SF_SMOKE).collect()}
+    for et, halves in per_type.items():
+        ref = sorted(halves["ref"])
+        n = len(ref)
+        edges = [
+            ref[(n * i + PSI_BINS - 1) // PSI_BINS - 1]
+            for i in range(1, PSI_BINS)
+        ]
+
+        def props(vals):
+            cnt = [0] * PSI_BINS
+            for v in vals:
+                b = sum(1 for e in edges if v > e)
+                cnt[b] += 1
+            return [max(c / len(vals), PSI_FLOOR) for c in cnt]
+
+        p, q = props(halves["ref"]), props(halves["cur"])
+        psi = sum(
+            round((qi - pi) * math.log(qi / pi), 8) for pi, qi in zip(p, q)
+        )
+        assert math.isclose(got[et].psi, psi, abs_tol=2e-6), et
+        want_verdict = (
+            "stable" if psi < 0.1 else "moderate" if psi < 0.25 else "shifted"
+        )
+        assert got[et].verdict == want_verdict, et
+
+
+def test_key_skew_profile_definition(spark):
+    """Key-count order statistics recomputed by direct counting."""
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        _SKEW_COLS,
+        profile_key_skew,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(*_SKEW_COLS)
+    rows = li.collect()
+    got = {r.col_name: r for r in profile_key_skew(spark, SF_SMOKE).collect()}
+    for c in _SKEW_COLS:
+        counts = defaultdict(int)
+        for r in rows:
+            counts[r[c]] += 1
+        cs = sorted(counts.values())
+        d, n = len(cs), sum(cs)
+        p99 = cs[(d * 99 + 99) // 100 - 1]
+        med = cs[(d + 1) // 2 - 1]
+        r = got[c]
+        assert (r.n_rows, r.n_keys, r.max_count) == (n, d, cs[-1]), c
+        assert (r.p99_count, r.median_count) == (p99, med), c
+        assert math.isclose(r.skew_ratio, cs[-1] / med, abs_tol=1e-6)
+        assert math.isclose(r.top1_share, cs[-1] / n, abs_tol=1e-8)
+        assert math.isclose(
+            r.hhi, sum(x * x for x in cs) / (n * n), abs_tol=1e-8
+        )

@@ -409,3 +409,42 @@ def test_temporal_prune_bounds_normalize(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="prune bound"):
         snapshot_files(table, prune={"id": ("5", "10")})
+
+
+def test_timestamp_time_travel_resolution(spark, tmp_path):
+    """as_of resolves newest-at-or-before; pre-commit-ts manifests
+    (legacy tables) stay always-eligible; version and as_of are
+    mutually exclusive."""
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        resolve_version_at,
+    )
+
+    table = str(tmp_path / "t")
+    commit_snapshot(spark.range(3), table, commit_ts=100.0)
+    commit_snapshot(
+        spark.range(3, 6), table, mode="append", commit_ts=200.0
+    )
+    assert resolve_version_at(table, 150.0) == 1
+    assert resolve_version_at(table, 200.0) == 2
+    assert _ids(spark, table) != _ids(spark, table, version=1)
+    assert sorted(
+        r.id for r in read_snapshot(spark, table, as_of=150.0).collect()
+    ) == [0, 1, 2]
+    with pytest.raises(FileNotFoundError):
+        resolve_version_at(table, 50.0)
+    with pytest.raises(ValueError, match="not both"):
+        read_snapshot(spark, table, version=1, as_of=150.0)
+    # legacy manifest without commit_ts: always eligible (sorts -inf)
+    m = json.load(open(os.path.join(table, "manifest_v1.json")))
+    del m["commit_ts"]
+    with open(os.path.join(table, "manifest_v1.json"), "w") as fh:
+        json.dump(m, fh)
+    assert resolve_version_at(table, 50.0) == 1
+    # a restore is a commit with its own instant
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        restore_snapshot,
+    )
+
+    v3 = restore_snapshot(table, 1, commit_ts=300.0)
+    assert resolve_version_at(table, 300.0) == v3
+    assert resolve_version_at(table, 250.0) == 2
