@@ -2170,7 +2170,113 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def sink_snapshot_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema EVOLUTION on the snapshot sink (Delta ``mergeSchema`` /
+    Iceberg add-column, `sinks/snapshot.py:_merge_schemas`): an append
+    may ADD nullable columns (manifest schema becomes the union,
+    previous order first) or OMIT existing ones (new files null-fill
+    at read) — while silent type changes and un-flagged drift still
+    raise. Readers scan every version's files under the manifest's
+    DECLARED schema, so pre-evolution files null-fill the newer
+    columns, exactly the lakehouse read-time contract.
+
+    The fixture evolves the table three ways: v1 has no `value`
+    column, v2 adds it (merge_schema append), v3 appends rows missing
+    `event_type`. Hard-checks: un-flagged drift still raises; a type
+    change raises EVEN WITH merge_schema. The returned rollup groups
+    the union table by the nullable column — a reader that dropped
+    the null-filled rows or mis-merged the schema cannot hash-match
+    the oracle's explicit three-way UNION.
+    """
+    from etl_gcp_function_tmabrasil_spark.queries._util import dsum
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        commit_snapshot,
+        read_snapshot,
+    )
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "snapshot_schema_merge")
+
+    def _build(tmp: str) -> None:
+        table = os.path.join(tmp, "table")
+        base = load_table(spark, sf_dir, "events")
+        commit_snapshot(
+            base.filter(F.col("event_id") % 3 == 0).select(
+                "event_id", "event_type"
+            ),
+            table,
+            mode="overwrite",
+        )
+        with_value = base.filter(F.col("event_id") % 3 == 1).select(
+            "event_id", "event_type", "value"
+        )
+        try:
+            commit_snapshot(with_value, table, mode="append")
+        except ValueError:
+            pass
+        else:
+            raise AssertionError("un-flagged schema drift must raise")
+        commit_snapshot(with_value, table, mode="append", merge_schema=True)
+        try:
+            commit_snapshot(
+                base.filter(F.col("event_id") % 3 == 2).select(
+                    "event_id", F.col("value").cast("string").alias("value")
+                ),
+                table,
+                mode="append",
+                merge_schema=True,
+            )
+        except ValueError:
+            pass
+        else:
+            raise AssertionError("type change must raise under merge")
+        commit_snapshot(
+            base.filter(F.col("event_id") % 3 == 2).select(
+                "event_id", "value"
+            ),
+            table,
+            mode="append",
+            merge_schema=True,
+        )
+        (
+            read_snapshot(spark, table)
+            .groupBy(
+                F.coalesce(F.col("event_type"), F.lit("none")).alias(
+                    "event_type"
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count("value").alias("n_value"),
+                dsum("value", 4).alias("sum_value"),
+            )
+            .write.parquet(os.path.join(tmp, "out"))
+        )
+
+    _ensure_fixture(fixture, _build)
+    return (
+        spark.read.parquet(os.path.join(fixture, "out")).orderBy("event_type")
+    )
+
+
+_SNAPSHOT_SCHEMA_MERGE_SQL = """
+WITH t AS (
+  SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS value
+  FROM events WHERE event_id % 3 = 0
+  UNION ALL
+  SELECT event_id, event_type, value FROM events WHERE event_id % 3 = 1
+  UNION ALL
+  SELECT event_id, CAST(NULL AS VARCHAR), value
+  FROM events WHERE event_id % 3 = 2)
+SELECT COALESCE(event_type, 'none') AS event_type, COUNT(*) AS n,
+  COUNT(value) AS n_value,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM t GROUP BY 1 ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "sink_snapshot_schema_merge": sink_snapshot_schema_merge,
     "sink_snapshot_time_as_of": sink_snapshot_time_as_of,
     "sink_snapshot_point_skipping": sink_snapshot_point_skipping,
     "sink_snapshot_compact": sink_snapshot_compact,
@@ -2201,6 +2307,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sink_snapshot_schema_merge": _SNAPSHOT_SCHEMA_MERGE_SQL,
     "sink_snapshot_time_as_of": _SNAPSHOT_AS_OF_SQL,
     "sink_snapshot_point_skipping": _SNAPSHOT_POINTS_SQL,
     "sink_snapshot_compact": _SNAPSHOT_COMPACT_SQL,

@@ -271,6 +271,34 @@ def _json_stat(v):
     return str(v)
 
 
+def _merge_schemas(prev: StructType, new: StructType) -> StructType:
+    """Delta-mergeSchema-style union for an evolving append: fields
+    common to both must match name+type exactly (no silent widening or
+    renames); fields present on either side survive, previous-schema
+    order first, new columns appended — every field nullable, because
+    files written before a column existed null-fill it at read."""
+    from pyspark.sql.types import StructField
+
+    prev_types = {f.name: f.dataType.simpleString() for f in prev.fields}
+    for f in new.fields:
+        if f.name in prev_types and (
+            f.dataType.simpleString() != prev_types[f.name]
+        ):
+            raise ValueError(
+                f"merge_schema cannot change column {f.name!r} from "
+                f"{prev_types[f.name]} to {f.dataType.simpleString()} — "
+                "type changes need mode='overwrite'"
+            )
+    merged = [StructField(f.name, f.dataType, True) for f in prev.fields]
+    seen = set(prev_types)
+    merged += [
+        StructField(f.name, f.dataType, True)
+        for f in new.fields
+        if f.name not in seen
+    ]
+    return StructType(merged)
+
+
 def commit_snapshot(
     df: DataFrame,
     table_dir: str,
@@ -280,6 +308,7 @@ def commit_snapshot(
     point_cols: list[str] | None = None,
     bloom_bits: int = _BLOOM_BITS,
     commit_ts: float | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Write ``df`` as a new snapshot of the table; returns the new
     version number. ``mode='append'`` carries the previous snapshot's
@@ -339,14 +368,18 @@ def commit_snapshot(
             bloom_bits,
         )
     files: list[str] = []
+    table_schema = df.schema
     if mode == "append" and prev is not None:
         prev_schema = StructType.fromJson(json.loads(prev["schema"]))
-        if _schema_signature(prev_schema) != _schema_signature(df.schema):
+        if merge_schema:
+            table_schema = _merge_schemas(prev_schema, df.schema)
+        elif _schema_signature(prev_schema) != _schema_signature(df.schema):
             raise ValueError(
                 "append-time schema drift: snapshot "
                 f"v{prev['version']} has {prev_schema.simpleString()}, "
                 f"append has {df.schema.simpleString()} — use "
-                "mode='overwrite' to change the table's schema"
+                "mode='overwrite' to change the table's schema, or "
+                "merge_schema=True to ADD nullable columns"
             )
         files = prev["files"]
         stats = {**prev.get("stats", {}), **stats}
@@ -361,7 +394,7 @@ def commit_snapshot(
             {
                 "version": version,
                 "files": files,
-                "schema": df.schema.json(),
+                "schema": table_schema.json(),
                 "stats": stats,
                 "skipping": skipping,
                 "txn": txn,
@@ -520,7 +553,11 @@ def read_snapshot(
     files = snapshot_files(table_dir, v, prune, points)
     if not files:
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*files)
+    # read under the manifest's DECLARED schema: files written before a
+    # merge_schema append lack the newer columns and null-fill, exactly
+    # Delta/Iceberg's read-time evolution contract (and a manifest is
+    # authoritative over whatever file Spark would sample for inference)
+    return spark.read.schema(schema).parquet(*files)
 
 
 def vacuum_snapshots(table_dir: str, retain_last: int = 1) -> dict:

@@ -122,6 +122,8 @@ GATE_QUERIES = [
     "stream_pattern_match",
     # r10: three timestamped commits + resolution hard-checks at build
     "sink_snapshot_time_as_of",
+    # r10: three evolving commits + two must-raise checks at build
+    "sink_snapshot_schema_merge",
 ]
 
 

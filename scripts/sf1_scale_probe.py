@@ -242,6 +242,7 @@ PARITY = [
     "drift_psi",
     "profile_key_skew",
     "sink_snapshot_time_as_of",
+    "sink_snapshot_schema_merge",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.

@@ -448,3 +448,44 @@ def test_timestamp_time_travel_resolution(spark, tmp_path):
     v3 = restore_snapshot(table, 1, commit_ts=300.0)
     assert resolve_version_at(table, 300.0) == v3
     assert resolve_version_at(table, 250.0) == 2
+
+
+def test_merge_schema_evolution_protocol(spark, tmp_path):
+    """merge_schema adds nullable columns (union schema, old order
+    first), tolerates missing columns on later appends (null-filled),
+    rejects type changes, and keeps every OLD version reading under
+    its own recorded schema."""
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "t")
+    commit_snapshot(spark.range(3).selectExpr("id"), table)
+    commit_snapshot(
+        spark.range(3, 6).selectExpr("id", "id * 2 AS v"),
+        table,
+        mode="append",
+        merge_schema=True,
+    )
+    cur = read_snapshot(spark, table)
+    assert [f.name for f in cur.schema.fields] == ["id", "v"]
+    rows = {r.id: r.v for r in cur.collect()}
+    assert rows == {0: None, 1: None, 2: None, 3: 6, 4: 8, 5: 10}
+    # v1 still reads under its own one-column schema
+    assert read_snapshot(spark, table, version=1).columns == ["id"]
+    # missing column on append: fine under merge, null-filled
+    commit_snapshot(
+        spark.range(6, 8).selectExpr("id"),
+        table,
+        mode="append",
+        merge_schema=True,
+    )
+    assert read_snapshot(spark, table).filter(
+        F.col("id") >= 6
+    ).select("v").distinct().collect()[0][0] is None
+    # type change rejected even with merge
+    with pytest.raises(ValueError, match="type changes"):
+        commit_snapshot(
+            spark.range(8, 9).selectExpr("id", "CAST(id AS STRING) AS v"),
+            table,
+            mode="append",
+            merge_schema=True,
+        )
