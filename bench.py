@@ -109,6 +109,7 @@ EXTENDED = [
     "agg_winsorized_mean",          # type-1 fences + clipped mean
     "drift_psi",                    # PSI drift over reference deciles
     "profile_key_skew",             # shuffle-key skew diagnostics
+    "sample_neyman_allocation",     # variance-optimal sample allocation
     # (sink_snapshot_point_skipping is EAGER — fixture commits run at
     # construction — so it belongs to scripts/bench_gate_sf01.py)
 ]

@@ -3365,3 +3365,109 @@ FROM ranked GROUP BY col_name ORDER BY col_name
 
 QUERIES["profile_key_skew"] = profile_key_skew
 ORACLE["profile_key_skew"] = _KEY_SKEW_SQL
+
+
+# --- Neyman-allocation sampling plan (round 10) --------------------------
+
+NEYMAN_FRAC = 10  #: total sample = N DIV NEYMAN_FRAC (scale-relative)
+
+
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-OPTIMAL stratified sample allocation (Neyman 1934):
+    given a total sample budget, allocate each stratum
+    n_h ∝ N_h * S_h — more samples where the stratum is big OR noisy —
+    against the naive proportional plan (n_h ∝ N_h) for contrast.
+    This is the planner a 100 TB sampling job runs FIRST: one cheap
+    moments pass decides how many rows each stratum contributes before
+    any row is drawn (the row-local draw itself is the existing
+    deterministic-hash sampling family).
+
+    Exactness: per-stratum std comes from decimal moment sums (one
+    sqrt per stratum); allocation shares use the 6-dp-rounded stds and
+    decimal-summed products so no cross-stratum float accumulation
+    order exists; the budget is integer N DIV NEYMAN_FRAC.
+
+    Scale: ONE grouped moments pass over the fact (count + decimal
+    sum + decimal sum-of-squares), then arithmetic over |strata| rows.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("stratum"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+    )
+    mom = orders.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    # sample std from exact decimal moments, one double sqrt
+    std = F.round(
+        F.sqrt(
+            (
+                F.col("n_rows") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            )
+            / (F.col("n_rows") * (F.col("n_rows") - 1))
+        ),
+        6,
+    )
+    w = mom.select("stratum", "n_rows", std.alias("std_x")).withColumn(
+        "ns", (F.col("n_rows") * F.col("std_x")).cast("decimal(28,6)")
+    )
+    tot = w.agg(
+        F.sum("ns").alias("tot_ns"), F.sum("n_rows").alias("tot_n")
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_rows",
+            "std_x",
+            F.round(
+                F.expr(f"tot_n DIV {NEYMAN_FRAC}")
+                * (F.col("ns") / F.col("tot_ns")).cast("double")
+            )
+            .cast("long")
+            .alias("alloc_neyman"),
+            F.round(
+                F.expr(f"tot_n DIV {NEYMAN_FRAC}")
+                * (
+                    F.col("n_rows")
+                    / F.col("tot_n").cast("double")
+                )
+            )
+            .cast("long")
+            .alias("alloc_proportional"),
+        )
+        .orderBy("stratum")
+    )
+
+
+_NEYMAN_SQL = f"""
+WITH mom AS (
+  SELECT o_orderpriority AS stratum, COUNT(*) AS n_rows,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sx,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))
+        * CAST(o_totalprice AS DECIMAL(19,2))) AS sxx
+  FROM orders GROUP BY 1),
+w AS (
+  SELECT stratum, n_rows,
+    ROUND(SQRT((n_rows * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / (n_rows * (n_rows - 1))), 6) AS std_x
+  FROM mom),
+w2 AS (
+  SELECT stratum, n_rows, std_x,
+    CAST(n_rows * std_x AS DECIMAL(28,6)) AS ns
+  FROM w),
+tot AS (SELECT SUM(ns) AS tot_ns, SUM(n_rows) AS tot_n FROM w2)
+SELECT stratum, n_rows, std_x,
+  CAST(ROUND((tot_n // {NEYMAN_FRAC})
+             * CAST(ns / tot_ns AS DOUBLE)) AS BIGINT) AS alloc_neyman,
+  CAST(ROUND((tot_n // {NEYMAN_FRAC})
+             * (n_rows / CAST(tot_n AS DOUBLE))) AS BIGINT)
+    AS alloc_proportional
+FROM w2 CROSS JOIN tot ORDER BY stratum
+"""
+
+QUERIES["sample_neyman_allocation"] = sample_neyman_allocation
+ORACLE["sample_neyman_allocation"] = _NEYMAN_SQL

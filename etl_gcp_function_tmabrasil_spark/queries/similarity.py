@@ -18,13 +18,17 @@ buckets, cutting candidate pairs by ~2^12 — that is the 100 TB shape
 CHOOSING A PATH — measured recall@5 at sf1 on this corpus
 (`scripts/ann_recall_probe.py`, ANN_RECALL_SF1.json; full analysis in
 SCALING.md "ANN recall"): IVF cell-probe 1.00, PQ-ADC + exact re-rank
-0.275, PQ-ADC alone 0.10, sign-LSH 0.00. Random vectors are PQ's
-worst case (no subspace structure to quantize), so on unstructured
-embeddings prefer `ann_ivf_cosine`; reach for PQ when memory must
-stay at code-width per vector AND the embedding space has learnable
-structure — and then ALWAYS with the re-rank stage. Sign-LSH is a
-near-dup candidate GENERATOR (high-cosine pairs collide), not a kNN
-answerer — use it for dedup blocking, never top-k retrieval.
+0.275, PQ-ADC alone 0.10, IVF-PQ 0.00, sign-LSH 0.00. Random vectors
+are PQ's worst case (no subspace structure to quantize), so on
+unstructured embeddings prefer `ann_ivf_cosine`; reach for PQ when
+memory must stay at code-width per vector AND the embedding space has
+learnable structure — and then ALWAYS with the re-rank stage. IVF-PQ
+(`ann_ivfpq`) is the production-scale shape (cells cut candidates,
+residual codes cut bytes) but COMPOUNDS both approximations — on this
+unstructured corpus its recall collapses to zero, the honest floor of
+deploying IVFADC without structured embeddings or a re-rank. Sign-LSH
+is a near-dup candidate GENERATOR (high-cosine pairs collide), not a
+kNN answerer — use it for dedup blocking, never top-k retrieval.
 """
 
 from __future__ import annotations
@@ -877,12 +881,14 @@ def pq_topk(emb: DataFrame, rerank_pool: int | None = None) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _pq_cte_prefix() -> str:
+def _pq_cte_prefix(src: str = "e") -> str:
     """Per-subspace unrolled-Lloyd chains + final-codebook encoding,
     mirroring ann_pq_adc bit-for-bit (the _kmeans_cte_prefix
     construction, parameterized by subspace slice): after it,
     ``enc{m}`` is (vec_id, code) under subspace m's FINAL centroids
-    ``cm{m}_{PQ_ITERS}``."""
+    ``cm{m}_{PQ_ITERS}``. ``src`` names the (vec_id, e) CTE the
+    subspace slices read — ``e`` for raw embeddings (ADC/re-rank),
+    ``er`` for coarse-cell residuals (IVF-PQ)."""
     sq = (
         "ROUND(list_sum(list_transform(generate_series(1, len(v.e)),"
         " i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]))), 6)"
@@ -891,7 +897,7 @@ def _pq_cte_prefix() -> str:
     for m in range(PQ_M):
         lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
         parts.append(f"""
-em{m} AS (SELECT vec_id, e[{lo}:{hi}] AS e FROM e),
+em{m} AS (SELECT vec_id, e[{lo}:{hi}] AS e FROM {src}),
 cm{m}_0 AS (
   SELECT cell_id, ce FROM (
     SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell_id, e AS ce
@@ -1079,3 +1085,263 @@ ORACLE = {
     "ann_pq_adc": _pq_sql(),
     "ann_pq_rerank": _pq_rerank_sql(),
 }
+
+
+# --- IVF-PQ (IVFADC) — round 10 ------------------------------------------
+
+IVFPQ_CELLS = 8  #: coarse inverted-file cells (deterministic codebook)
+IVFPQ_NPROBE = 2  #: cells probed per query
+
+
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ / IVFADC (Jégou et al. TPAMI 2011 §VI — the faiss
+    `IVFx,PQy` production standard): the two approximations composed —
+    a coarse inverted file restricts each query's scan to
+    IVFPQ_NPROBE cells, and product quantization of the RESIDUAL
+    (vector minus its coarse centroid) compresses what that scan
+    reads to PQ_M one-byte codes. Residual encoding is the part that
+    makes the composition non-trivial: one PQ codebook family is
+    trained on residuals across all cells, and each query builds a
+    SEPARATE distance table per probed cell (its residual differs per
+    cell).
+
+    100 TB shape: coarse assignment and residual computation are
+    row-local broadcast math (zero shuffle); PQ training touches each
+    residual subspace once; the ADC scan reads codes of probed-cell
+    vectors only — cells cut the candidate set, codes cut the bytes
+    per candidate, and raw vectors are read only to decorate the
+    winners with true distance.
+
+    EXACT oracle: coarse argmin and table entries rounded to 6 dp
+    with cell/code tiebreaks, ADC summed as DECIMAL(25,6), rank ties
+    on vec_id; the DuckDB twin reuses the unrolled-Lloyd PQ prefix
+    SOURCED FROM the residual CTE (`_pq_cte_prefix("er")`), so coarse
+    cells, residuals, codebooks, codes, and rankings are
+    bit-identical.
+    """
+    from functools import reduce
+
+    from etl_gcp_function_tmabrasil_spark.operators.kmeans import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True).select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    coarse = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < IVFPQ_CELLS
+    ).select(
+        F.col("vec_id").alias("cell_id"),
+        _as_double(F.col("embedding")).alias("ce"),
+    )
+    centarr = centroid_array(coarse, "cell_id", "ce")
+
+    def sqm(vec: str) -> str:
+        return (
+            f"round(aggregate(zip_with({vec}, c.ce, (x, y) ->"
+            " (x - y) * (x - y)), cast(0.0 as double),"
+            " (s, v) -> s + v), 6)"
+        )
+
+    assigned = emb.crossJoin(centarr).select(
+        "vec_id", "e", argmin_cell(sqm("e"))["cell_id"].alias("cell_id")
+    )
+    resid = assigned.join(F.broadcast(coarse), "cell_id").select(
+        "vec_id",
+        "cell_id",
+        F.expr("zip_with(e, ce, (x, y) -> x - y)").alias("e"),
+    )
+    code_frames, cent_frames = [], []
+    for m in range(PQ_M):
+        sub = resid.select(
+            "vec_id", F.slice("e", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("e")
+        )
+        cent, _ = kmeans_fit(sub, k=PQ_K, iters=PQ_ITERS)
+        code_frames.append(
+            kmeans_assign(sub, cent).select(
+                "vec_id", F.lit(m).alias("sub"), F.col("cell_id").alias("code")
+            )
+        )
+        cent_frames.append(
+            cent.select(
+                F.lit(m).alias("sub"),
+                F.col("cell_id").alias("code"),
+                F.col("ce").alias("pqce"),
+            )
+        )
+    codes = reduce(DataFrame.unionByName, code_frames)
+    pqcents = reduce(DataFrame.unionByName, cent_frames)
+
+    q = (
+        emb.orderBy("vec_id")
+        .limit(PQ_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    )
+    qprobe = (
+        q.crossJoin(centarr)
+        .select(
+            "query_id",
+            "qe",
+            F.explode(top_cells(sqm("qe"), IVFPQ_NPROBE)).alias("pc"),
+        )
+        .select("query_id", "qe", F.col("pc.cell_id").alias("cell_id"))
+    )
+    qres = qprobe.join(F.broadcast(coarse), "cell_id").select(
+        "query_id",
+        "cell_id",
+        F.expr("zip_with(qe, ce, (x, y) -> x - y)").alias("qr"),
+    )
+    q_sub = qres.select(
+        "query_id",
+        "cell_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("qr", m * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("sub", "qs"),
+    )
+    sqd = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        " cast(0.0 as double), (s, v) -> s + v)"
+    )
+    dtable = q_sub.join(F.broadcast(pqcents), "sub").select(
+        "query_id",
+        "cell_id",
+        "sub",
+        "code",
+        F.round(F.expr(sqd.format(a="qs", b="pqce")), 6).alias("d"),
+    )
+    adc = (
+        codes.join(assigned.select("vec_id", "cell_id"), "vec_id")
+        .join(F.broadcast(dtable), ["cell_id", "sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum(F.col("d").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("adc_dist")
+        )
+    )
+    ranked = (
+        adc.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+            ),
+        )
+        .filter(F.col("rank") <= PQ_TOPK)
+    )
+    return (
+        ranked.join(emb, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "rank",
+            "vec_id",
+            "adc_dist",
+            F.round(F.expr(sqd.format(a="e", b="qe")), 6).alias(
+                "true_sqdist"
+            ),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ivfpq_sql() -> str:
+    """Coarse assignment + residual CTE, then the shared unrolled-Lloyd
+    PQ body sourced from the residuals, then probe-restricted ADC."""
+    sqr = (
+        "ROUND(list_sum(list_transform(generate_series(1, len(v.e)),"
+        " i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]))), 6)"
+    )
+    sqr_q = (
+        "ROUND(list_sum(list_transform(generate_series(1, len(q.qe)),"
+        " i -> (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i]))), 6)"
+    )
+    tsq = (
+        "ROUND(list_sum(list_transform(generate_series(1, len(v.e)),"
+        " i -> (v.e[i] - q.qe[i]) * (v.e[i] - q.qe[i]))), 6)"
+    )
+    pq_body = _pq_cte_prefix("er")
+    # strip the prefix's own WITH header (e over raw embeddings) — the
+    # IVF-PQ CTE chain defines e/cc/asg/er first, then the body
+    marker = " FROM embeddings),"
+    head, sep, body = pq_body.partition(marker)
+    assert sep, "unexpected _pq_cte_prefix shape"
+    dt_parts = []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+        dt_parts.append(f"""
+SELECT s.query_id, s.cell_id, {m} AS sub, c.cell_id AS code,
+  ROUND(list_sum(list_transform(generate_series(1, {PQ_SUBDIM}),
+    i -> (s.qs[i] - c.ce[i]) * (s.qs[i] - c.ce[i]))), 6) AS d
+FROM (SELECT query_id, cell_id, qr[{lo}:{hi}] AS qs FROM qrs) s
+CROSS JOIN cm{m}_{PQ_ITERS} c""")
+    codes_union = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS sub, code FROM enc{m}" for m in range(PQ_M)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cc AS (SELECT vec_id AS cell_id, e AS ce FROM e
+       WHERE vec_id < {IVFPQ_CELLS}),
+asg AS (
+  SELECT vec_id, e, cell_id FROM (
+    SELECT v.vec_id, v.e, c.cell_id,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                         ORDER BY {sqr} ASC, c.cell_id ASC) AS rn
+    FROM e v CROSS JOIN cc c
+  ) t WHERE rn = 1),
+er AS (
+  SELECT a.vec_id,
+    list_transform(generate_series(1, len(a.e)),
+                   i -> a.e[i] - c.ce[i]) AS e
+  FROM asg a JOIN cc c USING (cell_id)),{body},
+q AS (
+  SELECT vec_id AS query_id, e AS qe FROM e ORDER BY vec_id
+  LIMIT {PQ_QUERIES}
+),
+qp AS (
+  SELECT query_id, qe, cell_id FROM (
+    SELECT q.query_id, q.qe, c.cell_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id
+                         ORDER BY {sqr_q} ASC, c.cell_id ASC) AS rn
+    FROM q CROSS JOIN cc c
+  ) t WHERE rn <= {IVFPQ_NPROBE}),
+qrs AS (
+  SELECT query_id, qp.cell_id AS cell_id,
+    list_transform(generate_series(1, len(qe)),
+                   i -> qe[i] - c.ce[i]) AS qr
+  FROM qp JOIN cc c ON c.cell_id = qp.cell_id),
+dt AS ({" UNION ALL ".join(dt_parts)}),
+codes AS ({codes_union}),
+adc AS (
+  SELECT dt.query_id, codes.vec_id,
+    CAST(SUM(CAST(dt.d AS DECIMAL(25,6))) AS DOUBLE) AS adc_dist
+  FROM codes
+  JOIN asg ON asg.vec_id = codes.vec_id
+  JOIN dt ON dt.cell_id = asg.cell_id
+         AND dt.sub = codes.sub AND dt.code = codes.code
+  GROUP BY dt.query_id, codes.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, adc_dist,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc_dist ASC, vec_id ASC) AS rank
+  FROM adc WHERE vec_id <> query_id
+)
+SELECT r.query_id, CAST(r.rank AS INT) AS rank, r.vec_id, r.adc_dist,
+  {tsq} AS true_sqdist
+FROM ranked r
+JOIN e v ON v.vec_id = r.vec_id
+JOIN q ON q.query_id = r.query_id
+WHERE r.rank <= {PQ_TOPK}
+ORDER BY r.query_id, r.rank
+"""
+
+
+QUERIES["ann_ivfpq"] = ann_ivfpq
+ORACLE["ann_ivfpq"] = _ivfpq_sql()

@@ -124,6 +124,8 @@ GATE_QUERIES = [
     "sink_snapshot_time_as_of",
     # r10: three evolving commits + two must-raise checks at build
     "sink_snapshot_schema_merge",
+    # r10: eager Lloyd class (coarse assign + per-subspace residual PQ)
+    "ann_ivfpq",
 ]
 
 

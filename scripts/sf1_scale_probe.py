@@ -243,6 +243,11 @@ PARITY = [
     "profile_key_skew",
     "sink_snapshot_time_as_of",
     "sink_snapshot_schema_merge",
+    # r10: IVFADC at 10x vectors (residual codebooks + probe-restricted
+    # ADC; the per-copy rotation preserves within-copy structure);
+    # Neyman moments at 10x strata mass
+    "ann_ivfpq",
+    "sample_neyman_allocation",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.
