@@ -206,3 +206,33 @@ def test_arrow_l2_batches_sliced_list_array():
         [[1.0], [], [9.0, 9.0]], type=pa.list_(pa.float64())
     )
     assert run(with_empty.slice(0, 2)) == [1.0, 0.0]
+
+
+#: round-10 wave over empty tables (same contract: empty or a
+#: well-defined scalar/grid — never a throw). Winnowing/KMV/seq/PSI
+#: families each exercise a distinct empty-input hazard: an empty
+#: window frame, a K-undersized sketch, an empty regex corpus, an
+#: all-empty bin grid, zero-weight medians, empty strata.
+_R10_EMPTY = [
+    ("dedup_winnowing_pairs", 0),
+    # the merged-union row is a GLOBAL agg: one well-defined row over
+    # empty input (exact 0, est 0, bound false) — same class as q6
+    ("agg_kmv_distinct", 1),
+    ("seq_pattern_match", 0),
+    ("timeseries_seasonal_decompose", 0),
+    ("agg_weighted_median", 0),
+    ("corpus_divergence_js", 0),
+    ("quantile_normalize_profile", 0),
+    ("agg_winsorized_mean", 0),
+    ("drift_psi", 0),
+    ("profile_key_skew", 0),
+    ("sample_neyman_allocation", 0),
+]
+
+
+@pytest.mark.parametrize("name,expected", _R10_EMPTY)
+def test_r10_wave_empty_inputs(spark, empty_sf_dir, name, expected):
+    from etl_gcp_function_tmabrasil_spark.queries import all_queries
+
+    df = all_queries()[name](spark, empty_sf_dir)
+    assert df.count() == expected, name
