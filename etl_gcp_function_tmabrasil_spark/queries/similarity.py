@@ -1147,10 +1147,20 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = emb.crossJoin(centarr).select(
         "vec_id", "e", argmin_cell(sqm("e"))["cell_id"].alias("cell_id")
     )
-    resid = assigned.join(F.broadcast(coarse), "cell_id").select(
-        "vec_id",
-        "cell_id",
-        F.expr("zip_with(e, ce, (x, y) -> x - y)").alias("e"),
+    # resid feeds 4 subspaces x (Lloyd iterations + encode) EAGER scans
+    # plus the ADC cell join — without materialization each one would
+    # recompute the coarse argmin over the whole corpus
+    from etl_gcp_function_tmabrasil_spark.queries._util import (
+        managed_persist,
+    )
+
+    resid = managed_persist(
+        assigned.join(F.broadcast(coarse), "cell_id").select(
+            "vec_id",
+            "cell_id",
+            F.expr("zip_with(e, ce, (x, y) -> x - y)").alias("e"),
+        ),
+        "similarity.ivfpq_resid",
     )
     code_frames, cent_frames = [], []
     for m in range(PQ_M):
@@ -1216,7 +1226,7 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(sqd.format(a="qs", b="pqce")), 6).alias("d"),
     )
     adc = (
-        codes.join(assigned.select("vec_id", "cell_id"), "vec_id")
+        codes.join(resid.select("vec_id", "cell_id"), "vec_id")
         .join(F.broadcast(dtable), ["cell_id", "sub", "code"])
         .groupBy("query_id", "vec_id")
         .agg(

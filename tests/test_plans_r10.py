@@ -92,3 +92,43 @@ def test_kmv_sketch_is_windowed_not_collected(spark, sf_dir):
     plan = explain_str(df)
     assert "hashpartitioning(event_type" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_psi_windows_keyed_and_dims_broadcast(spark, sf_dir):
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import drift_psi
+
+    df = drift_psi(spark, sf_dir)
+    plan = explain_str(df)
+    assert "hashpartitioning(event_type" in plan
+    assert "CartesianProduct" not in plan
+    # the timeline midpoint and edge/bin tables ride broadcasts
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_key_skew_single_stack_pass(spark, sf_dir):
+    """All candidate key columns must profile from ONE unpivoted scan
+    of lineitem — the RFM never-N-funnels rule."""
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        profile_key_skew,
+    )
+
+    import re
+
+    df = profile_key_skew(spark, sf_dir)
+    plan = explain_str(df)
+    # count physical scan NODES (formatted explain prints each node in
+    # the tree AND in the detail listing)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "hashpartitioning(col_name" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_neyman_totals_broadcast(spark, sf_dir):
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        sample_neyman_allocation,
+    )
+
+    df = sample_neyman_allocation(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
