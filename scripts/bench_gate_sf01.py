@@ -126,6 +126,8 @@ GATE_QUERIES = [
     "sink_snapshot_schema_merge",
     # r10: eager Lloyd class (coarse assign + per-subspace residual PQ)
     "ann_ivfpq",
+    # r10: two sketched commits + manifest-only NDV reads at build
+    "sink_snapshot_ndv_stats",
 ]
 
 

@@ -248,6 +248,9 @@ PARITY = [
     # Neyman moments at 10x strata mass
     "ann_ivfpq",
     "sample_neyman_allocation",
+    # r10: per-file NDV sketch merge at 10x file/row mass (the k-min
+    # union must stay the global sketch)
+    "sink_snapshot_ndv_stats",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.

@@ -489,3 +489,37 @@ def test_merge_schema_evolution_protocol(spark, tmp_path):
             mode="append",
             merge_schema=True,
         )
+
+
+def test_ndv_sketch_merge_is_lossless_and_tracks_lifecycle(spark, tmp_path):
+    """Per-file k-min union must equal the global sketch (exact counts
+    below K), survive appends/vacuum/restore, and raise loudly for
+    unsketched columns."""
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        restore_snapshot,
+        snapshot_ndv,
+        vacuum_snapshots,
+    )
+
+    table = str(tmp_path / "t")
+    commit_snapshot(
+        spark.range(50).selectExpr("id", "id % 7 AS g").repartition(4),
+        table,
+        ndv_cols=["id", "g"],
+    )
+    assert snapshot_ndv(table, "id") == 50  # below K -> exact
+    assert snapshot_ndv(table, "g") == 7
+    commit_snapshot(
+        spark.range(25, 80).selectExpr("id", "id % 7 AS g").repartition(3),
+        table,
+        mode="append",
+        ndv_cols=["id", "g"],
+    )
+    assert snapshot_ndv(table, "id") == 80  # overlap dedupes via hashes
+    assert snapshot_ndv(table, "id", version=1) == 50  # time travel
+    with pytest.raises(KeyError, match="no NDV sketch"):
+        snapshot_ndv(table, "value")
+    v3 = restore_snapshot(table, 1)
+    assert snapshot_ndv(table, "id", version=v3) == 50
+    vacuum_snapshots(table, retain_last=1)
+    assert snapshot_ndv(table, "id") == 50  # v3 content survives vacuum
