@@ -110,6 +110,7 @@ EXTENDED = [
     "drift_psi",                    # PSI drift over reference deciles
     "profile_key_skew",             # shuffle-key skew diagnostics
     "sample_neyman_allocation",     # variance-optimal sample allocation
+    "dedup_winnowing_containment",  # asymmetric fingerprint share pairs
     # (sink_snapshot_point_skipping is EAGER — fixture commits run at
     # construction — so it belongs to scripts/bench_gate_sf01.py)
 ]

@@ -151,15 +151,15 @@ _CHECK_FIRST = [
 ]
 
 # ROUND-11 ROTATION PLAN (for the next builder): the r11 window = the
-# 13 late-r10 registrations without driver evidence FIRST (ledger rows
+# 14 late-r10 registrations without driver evidence FIRST (ledger rows
 # whose note contains "scheduled first in the r11 window" — verify
 # programmatically): timeseries_seasonal_decompose,
 # agg_weighted_median, corpus_divergence_js,
 # quantile_normalize_profile, agg_winsorized_mean,
 # stream_pattern_match, drift_psi, profile_key_skew,
 # sink_snapshot_time_as_of, sink_snapshot_schema_merge,
-# sample_neyman_allocation, ann_ivfpq, sink_snapshot_ndv_stats —
-# then any r11 registrations
+# sample_neyman_allocation, ann_ivfpq, sink_snapshot_ndv_stats,
+# dedup_winnowing_containment (14 total) — then any r11 registrations
 # (TOP of the list), then the 50-row round-6 wave oldest-first until
 # the 50 slots fill (scalar functions, collect/heavy-hitters/array/
 # map, json family, dedup exact/ngram/embedding, sorts, per-group
@@ -169,7 +169,7 @@ _CHECK_FIRST = [
 # pipeline_curate_documents — list them programmatically: every
 # ledger row with round == 6). Whatever r6 rows miss the cut lead r12
 # along with the r7 wave. ALSO at the r11 boundary: amend SURVEY §2.2
-# with the 17 round-10 registrations (the frozen-table rule). Run
+# with the 18 round-10 registrations (the frozen-table rule). Run
 # scripts/merge_correctness_ledger.py at round start (after
 # CORRECTNESS_r10.json lands) before re-planning.
 

@@ -1155,30 +1155,14 @@ _WINNOW_POS_BITS = 20  #: positions pack into the key's low 20 bits —
 _WINNOW_POS_MOD = 1 << _WINNOW_POS_BITS
 
 
-def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
-    SIGMOD 2003 — the MOSS local fingerprinting algorithm) and the
-    near-dup candidate pairs they induce: hash every WINNOW_K-char
-    gram, slide a WINNOW_W-wide window over the gram hashes, keep each
-    window's minimum (rightmost on ties), and report doc pairs sharing
-    at least WINNOW_T selected fingerprints. Winnowing's guarantee —
-    any match of length >= K + W - 1 is caught, and selection density
-    is ~2/(W+1) — makes it the fingerprint family for plagiarism/
-    boilerplate detection where MinHash's whole-document Jaccard is
-    too coarse (MinHash scores global overlap; winnowing localizes
-    shared PASSAGES).
-
-    Rightmost-min tie-breaking without argmin-over-frame machinery:
-    each gram's sort key packs (hash40 << 20) | (2^20 - 1 - pos), so a
-    plain MIN over the frame is min-hash-then-rightmost-position — one
-    bigint min, identical in both engines.
-
-    Scale: gram explode and key packing are row-local; the window min
-    is one per-doc sort; the pair join keys on SELECTED fingerprints
-    (density ~2/(W+1) of grams) with a WINNOW_MAXDF stoplist, so
-    candidate generation is a rare-key equi-join, never all-pairs —
-    the same shape as the PPJoin/LSH stages.
-    """
+def _winnow_fpd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selected (doc_id, fp) winnowing fingerprints after the
+    WINNOW_MAXDF stoplist — the shared front of the pair and
+    containment queries. Grams explode row-locally, the window min is
+    one per-doc sort, and the selection is materialized because BOTH
+    the stoplist and every downstream join consume it (ReuseExchange
+    does not dedupe the window recompute — the window_global_rownum
+    lesson)."""
     k, w = WINNOW_K, WINNOW_W
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -1204,10 +1188,6 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame = (
         W.partitionBy("doc_id").orderBy("p").rowsBetween(0, w - 1)
     )
-    # sel feeds BOTH the df stoplist and the pair join-back: without
-    # materialization each consumer re-runs the gram explode + per-doc
-    # window sort (ReuseExchange does not dedupe them — the
-    # window_global_rownum lesson)
     sel = managed_persist(
         grams.withColumn("mk", F.min("key").over(frame))
         .filter(F.col("p") <= F.greatest(F.lit(1), F.col("ng") - (w - 1)))
@@ -1221,7 +1201,34 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= WINNOW_MAXDF)
         .select("fp")
     )
-    fpd = sel.join(keep, "fp")
+    return sel.join(keep, "fp")
+
+
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm) and the
+    near-dup candidate pairs they induce: hash every WINNOW_K-char
+    gram, slide a WINNOW_W-wide window over the gram hashes, keep each
+    window's minimum (rightmost on ties), and report doc pairs sharing
+    at least WINNOW_T selected fingerprints. Winnowing's guarantee —
+    any match of length >= K + W - 1 is caught, and selection density
+    is ~2/(W+1) — makes it the fingerprint family for plagiarism/
+    boilerplate detection where MinHash's whole-document Jaccard is
+    too coarse (MinHash scores global overlap; winnowing localizes
+    shared PASSAGES).
+
+    Rightmost-min tie-breaking without argmin-over-frame machinery:
+    each gram's sort key packs (hash40 << 20) | (2^20 - 1 - pos), so a
+    plain MIN over the frame is min-hash-then-rightmost-position — one
+    bigint min, identical in both engines.
+
+    Scale: gram explode and key packing are row-local; the window min
+    is one per-doc sort; the pair join keys on SELECTED fingerprints
+    (density ~2/(W+1) of grams) with a WINNOW_MAXDF stoplist, so
+    candidate generation is a rare-key equi-join, never all-pairs —
+    the same shape as the PPJoin/LSH stages.
+    """
+    fpd = _winnow_fpd(spark, sf_dir)
     a = fpd.alias("a")
     b = fpd.alias("b")
     return (
@@ -1271,3 +1278,112 @@ ORDER BY doc_a, doc_b
 
 QUERIES["dedup_winnowing_pairs"] = dedup_winnowing_pairs
 ORACLE["dedup_winnowing_pairs"] = _WINNOW_SQL
+
+
+WINNOW_CONTAIN = 0.5  #: containment floor (profiled: the planted
+#: subset/near-dup pairs sit >= 0.5 with >= 8 shared fingerprints;
+#: background pairs < 0.2)
+WINNOW_CONTAIN_MIN_SHARED = 5  #: tiny-doc noise floor on |shared|
+
+
+def dedup_winnowing_containment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Winnowing CONTAINMENT pairs — the asymmetric detection the
+    absolute shared-count threshold misses: a short document quoted
+    inside a long one shares few fingerprints in absolute terms but a
+    large FRACTION of the smaller side's set. This is what MOSS
+    actually reports (match share per submission, not raw counts):
+    containment = |shared| / min(|fps_a|, |fps_b|), reported for
+    pairs >= WINNOW_CONTAIN with a small absolute floor against
+    one-fingerprint coincidences.
+
+    Scale: identical candidate shape to `dedup_winnowing_pairs` (the
+    shared `_winnow_fpd` front — rare-key equi-join, never
+    all-pairs); the per-doc fingerprint counts are one extra
+    vocabulary-shaped rollup broadcast into the pair rows.
+    """
+    fpd = _winnow_fpd(spark, sf_dir)
+    nf = fpd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = fpd.alias("a")
+    b = fpd.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = nf.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+    )
+    nb = nf.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+    )
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / F.least(F.col("na"), F.col("nb")).cast("double"),
+                4,
+            ).alias("containment"),
+        )
+        .filter(
+            (F.col("containment") >= WINNOW_CONTAIN)
+            & (F.col("n_shared") >= WINNOW_CONTAIN_MIN_SHARED)
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_WINNOW_CONTAIN_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text AS t,
+    LEAST(length(text) - {WINNOW_K} + 1, {_WINNOW_POS_MOD - 1}) AS ng
+  FROM documents WHERE length(text) >= {WINNOW_K}),
+pos AS (SELECT doc_id, t, ng, unnest(generate_series(1, ng)) AS p FROM d),
+g AS (
+  SELECT doc_id, ng, p,
+    (('0x' || substr(md5(substr(t, p, {WINNOW_K})), 1, 10))::BIGINT)
+      * {_WINNOW_POS_MOD} + ({_WINNOW_POS_MOD - 1} - p) AS key
+  FROM pos),
+wmin AS (
+  SELECT doc_id, ng, p,
+    MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN CURRENT ROW
+                   AND {WINNOW_W - 1} FOLLOWING) AS mk
+  FROM g),
+sel AS (
+  SELECT DISTINCT doc_id, mk // {_WINNOW_POS_MOD} AS fp
+  FROM wmin WHERE p <= GREATEST(1, ng - {WINNOW_W - 1})),
+keep AS (
+  SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) <= {WINNOW_MAXDF}),
+fpd AS (SELECT sel.doc_id, sel.fp FROM sel JOIN keep USING (fp)),
+nf AS (SELECT doc_id, COUNT(*) AS n FROM fpd GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_shared,
+  ROUND(n_shared / CAST(LEAST(na.n, nb.n) AS DOUBLE), 4) AS containment
+FROM pairs
+JOIN nf na ON na.doc_id = doc_a
+JOIN nf nb ON nb.doc_id = doc_b
+WHERE ROUND(n_shared / CAST(LEAST(na.n, nb.n) AS DOUBLE), 4)
+      >= {WINNOW_CONTAIN}
+  AND n_shared >= {WINNOW_CONTAIN_MIN_SHARED}
+ORDER BY doc_a, doc_b
+"""
+
+QUERIES["dedup_winnowing_containment"] = dedup_winnowing_containment
+ORACLE["dedup_winnowing_containment"] = _WINNOW_CONTAIN_SQL

@@ -249,8 +249,10 @@ PARITY = [
     "ann_ivfpq",
     "sample_neyman_allocation",
     # r10: per-file NDV sketch merge at 10x file/row mass (the k-min
-    # union must stay the global sketch)
+    # union must stay the global sketch); the containment share under
+    # 10x fingerprint mass
     "sink_snapshot_ndv_stats",
+    "dedup_winnowing_containment",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.
