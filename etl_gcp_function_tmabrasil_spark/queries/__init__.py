@@ -150,28 +150,38 @@ _CHECK_FIRST = [
     "window_moving_distinct",
 ]
 
-# ROUND-11 ROTATION PLAN (for the next builder): the r11 window = the
-# 14 late-r10 registrations without driver evidence FIRST (ledger rows
-# whose note contains "scheduled first in the r11 window" — verify
-# programmatically): timeseries_seasonal_decompose,
+# ROUND-11 NOTE (what actually happened): the round-10 driver gate
+# artifact NEVER LANDED — the driver's round-10 commit (840f86a)
+# touched only ADVICE.md and BENCH_LOCAL.json; no CORRECTNESS_r10.json
+# exists on disk or in git, so the ledger remains merged through r09
+# and every row the r10 window was meant to verify still has
+# artifact: null. Consequence: the window ABOVE (4 early-r10
+# registrations + the 46 late-r9 rows — all zero-evidence, the
+# FIFO-oldest 50 of the 64-row backlog) KEEPS its slots for the r11
+# gate; the original r11 plan (pinned at the r10 close-out, premised
+# on CORRECTNESS_r10.json landing) is superseded.
+#
+# ROUND-12 ROTATION PLAN (for the next builder): FIRST run
+# scripts/merge_correctness_ledger.py (it picks up
+# CORRECTNESS_r11.json). Then the r12 window = the 14 late-r10
+# registrations still without driver evidence (ledger artifact:null —
+# verify programmatically): timeseries_seasonal_decompose,
 # agg_weighted_median, corpus_divergence_js,
 # quantile_normalize_profile, agg_winsorized_mean,
 # stream_pattern_match, drift_psi, profile_key_skew,
 # sink_snapshot_time_as_of, sink_snapshot_schema_merge,
 # sample_neyman_allocation, ann_ivfpq, sink_snapshot_ndv_stats,
-# dedup_winnowing_containment (14 total) — then any r11 registrations
-# (TOP of the list), then the 50-row round-6 wave oldest-first until
-# the 50 slots fill (scalar functions, collect/heavy-hitters/array/
-# map, json family, dedup exact/ngram/embedding, sorts, per-group
-# top-k, lag/lead/first-last, batch windows, xlsx/CloudEvent/
-# compaction/schema-evolution scans, pivot/unpivot, text
-# lang-id/stats, tfidf, the UDF quartet, stratified sampling,
-# pipeline_curate_documents — list them programmatically: every
-# ledger row with round == 6). Whatever r6 rows miss the cut lead r12
-# along with the r7 wave. ALSO at the r11 boundary: amend SURVEY §2.2
-# with the 18 round-10 registrations (the frozen-table rule). Run
-# scripts/merge_correctness_ledger.py at round start (after
-# CORRECTNESS_r10.json lands) before re-planning.
+# dedup_winnowing_containment — then the round-11 registrations
+# (every ledger row whose note says "registered r11"), then the
+# round-6 wave oldest-first until the 50 slots fill (scalar
+# functions, collect/heavy-hitters/array/map, json family, dedup
+# exact/ngram/embedding, sorts, per-group top-k, lag/lead/first-last,
+# batch windows, xlsx/CloudEvent/compaction/schema-evolution scans,
+# pivot/unpivot, text lang-id/stats, tfidf, the UDF quartet,
+# stratified sampling, pipeline_curate_documents — programmatically:
+# every ledger row with round == 6). Whatever r6 rows miss the cut
+# lead r13 with the r7 wave. ALSO at the r12 boundary: amend SURVEY
+# §2.2 with the round-11 registrations (the frozen-table rule).
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -3109,8 +3109,12 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("decimal(18,4)").alias("v"),
         F.unix_timestamp("ts").alias("es"),
     )
+    # Integer floor-division on BOTH engines: Spark's ((min+max)/2)
+    # .cast('long') truncates an odd sum down while DuckDB's
+    # CAST(../2 AS BIGINT) rounds it up — an event at the floor
+    # midpoint would land in different halves (r10 ADVICE item).
     bounds = ev.agg(
-        ((F.min("es") + F.max("es")) / 2).cast("long").alias("mid")
+        F.expr("(min(es) + max(es)) DIV 2").alias("mid")
     )
     tagged = ev.crossJoin(F.broadcast(bounds)).select(
         "event_type",
@@ -3203,7 +3207,7 @@ WITH ev AS (
   SELECT event_type, CAST(value AS DECIMAL(18,4)) AS v,
     CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
   FROM events),
-b AS (SELECT CAST((MIN(es) + MAX(es)) / 2 AS BIGINT) AS mid FROM ev),
+b AS (SELECT (MIN(es) + MAX(es)) // 2 AS mid FROM ev),
 tagged AS (
   SELECT event_type, v,
     CASE WHEN es < mid THEN 'ref' ELSE 'cur' END AS half

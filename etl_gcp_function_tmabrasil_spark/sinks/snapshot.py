@@ -104,9 +104,14 @@ def _publish_manifest(tmp: str, dst: str) -> None:
     loser's commit). Some filesystems (NFS/FUSE/object-store mounts)
     raise a generic OSError for — or simply don't support — os.link;
     there the fallback gets the SAME exclusive-create guarantee from
-    ``os.open(dst, O_CREAT | O_EXCL)`` and copies the bytes (round-9
-    ADVICE). A collision surfaces as FileExistsError on either path.
-    The tmp file is always removed."""
+    ``os.open(dst, O_CREAT | O_EXCL)`` used as a LOCK, then publishes
+    the bytes with a same-directory ``os.rename`` over it (round-10
+    ADVICE: a partial ``os.write`` into the O_EXCL fd could leave a
+    truncated-but-visible manifest; rename swaps in the fully-written,
+    fsynced copy in one step, and any failure after the lock exists
+    unlinks it before re-raising so no short manifest survives). A
+    collision surfaces as FileExistsError on either path. The tmp
+    file is always removed."""
     try:
         try:
             os.link(tmp, dst)
@@ -115,12 +120,27 @@ def _publish_manifest(tmp: str, dst: str) -> None:
             raise
         except OSError:
             fd = os.open(dst, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
             try:
-                with open(tmp, "rb") as src:
-                    os.write(fd, src.read())
-                os.fsync(fd)
-            finally:
-                os.close(fd)
+                copy = tmp + ".publish"
+                cfd = os.open(copy, os.O_CREAT | os.O_TRUNC | os.O_WRONLY)
+                try:
+                    with open(tmp, "rb") as src:
+                        data = src.read()
+                    view = memoryview(data)
+                    while view:
+                        view = view[os.write(cfd, view):]
+                    os.fsync(cfd)
+                finally:
+                    os.close(cfd)
+                os.rename(copy, dst)
+            except BaseException:
+                for leftover in (copy, dst):
+                    try:
+                        os.unlink(leftover)
+                    except OSError:
+                        pass
+                raise
     finally:
         os.unlink(tmp)
 
@@ -427,13 +447,40 @@ def commit_snapshot(
     version = (versions[-1] + 1) if versions else 1
     if txn_id is not None:
         txn[str(txn_id)] = version
+    _write_manifest(
+        table_dir,
+        version,
+        files,
+        table_schema.json(),
+        stats,
+        skipping,
+        ndv,
+        txn,
+        commit_ts,
+    )
+    return version
+
+
+def _write_manifest(
+    table_dir: str,
+    version: int,
+    files: list[str],
+    schema_json: str,
+    stats: dict,
+    skipping: dict,
+    ndv: dict,
+    txn: dict,
+    commit_ts: float | None,
+) -> None:
+    """Compose and atomically publish ``manifest_v{version}.json`` —
+    the single commit point shared by every snapshot-mutating verb."""
     tmp = os.path.join(table_dir, f".manifest_v{version}.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(
             {
                 "version": version,
                 "files": files,
-                "schema": table_schema.json(),
+                "schema": schema_json,
                 "stats": stats,
                 "skipping": skipping,
                 "ndv": ndv,
@@ -443,7 +490,281 @@ def commit_snapshot(
             fh,
         )
     _publish_manifest(tmp, _manifest_path(table_dir, version))
-    return version
+
+
+def _rel_of_input_file(path: str, table_dir: str) -> str:
+    """Map Spark's ``input_file_name()`` URI back to a table-root-
+    relative manifest path (handles file: scheme and percent
+    encoding)."""
+    from urllib.parse import unquote, urlparse
+
+    p = urlparse(path)
+    local = unquote(p.path) if p.scheme else path
+    return os.path.relpath(local, os.path.abspath(table_dir))
+
+
+def _rewrite_where(
+    spark: SparkSession,
+    table_dir: str,
+    condition: str,
+    prune: dict | None,
+    points: dict | None,
+    stats_cols: list[str] | None,
+    point_cols: list[str] | None,
+    bloom_bits: int,
+    ndv_cols: list[str] | None,
+) -> dict:
+    """Shared copy-on-write core of DELETE WHERE / REPLACE WHERE:
+    find the files that actually CONTAIN rows matching ``condition``
+    (file-level stats/point pruning first, then one bounded per-file
+    match count — one output row per candidate file), rewrite ONLY
+    those files without the matching rows, and return everything the
+    caller needs to compose the next manifest. Untouched files are
+    carried forward byte-identical along with their stats metadata.
+
+    Returns a dict with the previous manifest, declared schema, the
+    surviving file list (untouched rel paths + freshly written
+    survivor rel paths), kept/rewritten/deleted counts, and the
+    stats/skipping/ndv metadata covering exactly those files."""
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot committed at {table_dir}")
+    prev = _load_manifest(table_dir, versions[-1])
+    schema = StructType.fromJson(json.loads(prev["schema"]))
+    candidates = snapshot_files(table_dir, versions[-1], prune, points)
+    touched_rel: set[str] = set()
+    rows_deleted = 0
+    if candidates:
+        from pyspark.sql import functions as F
+
+        per_file = (
+            spark.read.schema(schema)
+            .parquet(*candidates)
+            .withColumn("_f", F.input_file_name())
+            .filter(condition)
+            .groupBy("_f")
+            .count()
+            .collect()  # bounded: one row per candidate file
+        )
+        for r in per_file:
+            touched_rel.add(_rel_of_input_file(r["_f"], table_dir))
+            rows_deleted += r["count"]
+    stats = {
+        k: v for k, v in prev.get("stats", {}).items()
+        if k not in touched_rel
+    }
+    skipping = {
+        k: v for k, v in prev.get("skipping", {}).items()
+        if k not in touched_rel
+    }
+    ndv = {
+        k: v for k, v in prev.get("ndv", {}).items()
+        if k not in touched_rel
+    }
+    kept = [f for f in prev["files"] if f not in touched_rel]
+    new_files: list[str] = []
+    if touched_rel:
+        data_dir = os.path.join(table_dir, "data")
+        staging_name = f"rewrite-{uuid.uuid4().hex}"
+        staging = os.path.join(data_dir, staging_name)
+        touched_abs = [
+            os.path.join(table_dir, rel) for rel in sorted(touched_rel)
+        ]
+        (
+            spark.read.schema(schema)
+            .parquet(*touched_abs)
+            # keep every row where the predicate is not TRUE — SQL
+            # DELETE does not remove NULL-predicate rows
+            .filter(f"NOT coalesce(({condition}), false)")
+            .write.parquet(staging)
+        )
+        rel_dir = os.path.join("data", staging_name)
+        new_files = sorted(
+            os.path.join(rel_dir, f)
+            for f in os.listdir(staging)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        if (stats_cols or point_cols or ndv_cols) and new_files:
+            s2, k2, n2 = _collect_file_stats(
+                spark,
+                staging,
+                rel_dir,
+                list(stats_cols or []),
+                list(point_cols or []),
+                bloom_bits,
+                list(ndv_cols or []),
+            )
+            stats.update(s2)
+            skipping.update(k2)
+            ndv.update(n2)
+    return {
+        "prev": prev,
+        "schema": schema,
+        "files": kept + new_files,
+        "files_kept": len(kept),
+        "files_rewritten": len(touched_rel),
+        "rows_deleted": rows_deleted,
+        "stats": stats,
+        "skipping": skipping,
+        "ndv": ndv,
+    }
+
+
+def delete_where(
+    spark: SparkSession,
+    table_dir: str,
+    condition: str,
+    prune: dict | None = None,
+    points: dict | None = None,
+    stats_cols: list[str] | None = None,
+    point_cols: list[str] | None = None,
+    bloom_bits: int = _BLOOM_BITS,
+    ndv_cols: list[str] | None = None,
+    commit_ts: float | None = None,
+    txn_id: str | int | None = None,
+) -> dict:
+    """Row-level DELETE as a copy-on-write snapshot commit (Delta
+    ``DELETE FROM ... WHERE`` / Iceberg copy-on-write delete): only
+    the files that actually CONTAIN matching rows are rewritten
+    (without those rows); every other file is carried forward
+    byte-identical, metadata included — at 100 TB a selective delete
+    touches the few files holding the keys, never the table.
+    ``condition`` is a Spark SQL boolean expression over the table's
+    columns. ``prune``/``points`` (same contract as
+    ``read_snapshot``) let the caller hand the manifest a file-level
+    bound IMPLIED BY the condition so candidate detection skips
+    irrelevant files without scanning them; correctness does not
+    depend on them (a kept candidate with no matches is detected by
+    the match count and left alone). ``stats_cols``/``point_cols``/
+    ``ndv_cols`` re-record metadata for the rewritten files.
+    Old versions remain readable (time travel shows pre-delete data
+    until VACUUM). Returns ``{"version", "files_rewritten",
+    "files_kept", "rows_deleted"}``; a no-match delete still commits
+    a (metadata-only) version, keeping ``txn_id`` idempotency
+    uniform."""
+    versions = _manifests(table_dir)
+    if versions:
+        head = _load_manifest(table_dir, versions[-1])
+        txn = dict(head.get("txn", {}))
+        if txn_id is not None and str(txn_id) in txn:
+            return {
+                "version": txn[str(txn_id)],
+                "files_rewritten": 0,
+                "files_kept": len(head["files"]),
+                "rows_deleted": 0,
+            }
+    rw = _rewrite_where(
+        spark, table_dir, condition, prune, points,
+        stats_cols, point_cols, bloom_bits, ndv_cols,
+    )
+    txn = dict(rw["prev"].get("txn", {}))
+    version = rw["prev"]["version"] + 1
+    if txn_id is not None:
+        txn[str(txn_id)] = version
+    _write_manifest(
+        table_dir, version, rw["files"], rw["prev"]["schema"],
+        rw["stats"], rw["skipping"], rw["ndv"], txn, commit_ts,
+    )
+    return {
+        "version": version,
+        "files_rewritten": rw["files_rewritten"],
+        "files_kept": rw["files_kept"],
+        "rows_deleted": rw["rows_deleted"],
+    }
+
+
+def replace_where(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    condition: str,
+    prune: dict | None = None,
+    points: dict | None = None,
+    stats_cols: list[str] | None = None,
+    point_cols: list[str] | None = None,
+    bloom_bits: int = _BLOOM_BITS,
+    ndv_cols: list[str] | None = None,
+    commit_ts: float | None = None,
+    txn_id: str | int | None = None,
+    validate: bool = True,
+) -> dict:
+    """Predicate-scoped overwrite in ONE atomic version (Delta's
+    ``option("replaceWhere", ...)``): delete every existing row
+    matching ``condition`` AND insert ``df`` — the idempotent
+    backfill idiom (re-materialize one day/partition of a 100 TB
+    table without touching the rest). Copy-on-write like
+    ``delete_where``; ``df``'s schema must match the table's.
+    ``validate=True`` (Delta's default) rejects a ``df`` containing
+    rows OUTSIDE the predicate — the guard that keeps a backfill from
+    silently bleeding into ranges it did not replace. Readers see the
+    table before the swap or after it, never between."""
+    versions = _manifests(table_dir)
+    if versions:
+        head = _load_manifest(table_dir, versions[-1])
+        txn = dict(head.get("txn", {}))
+        if txn_id is not None and str(txn_id) in txn:
+            return {
+                "version": txn[str(txn_id)],
+                "files_rewritten": 0,
+                "files_kept": len(head["files"]),
+                "rows_deleted": 0,
+                "files_inserted": 0,
+            }
+    if validate:
+        stray = df.filter(f"NOT coalesce(({condition}), false)").count()
+        if stray:
+            raise ValueError(
+                f"replace_where: {stray} insert rows do NOT match the "
+                f"predicate {condition!r} — a scoped overwrite must "
+                "stay inside its predicate (pass validate=False to "
+                "override)"
+            )
+    rw = _rewrite_where(
+        spark, table_dir, condition, prune, points,
+        stats_cols, point_cols, bloom_bits, ndv_cols,
+    )
+    if _schema_signature(rw["schema"]) != _schema_signature(df.schema):
+        raise ValueError(
+            f"replace_where schema drift: table has "
+            f"{rw['schema'].simpleString()}, insert has "
+            f"{df.schema.simpleString()}"
+        )
+    data_dir = os.path.join(table_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    staging_name = f"commit-{uuid.uuid4().hex}"
+    staging = os.path.join(data_dir, staging_name)
+    df.write.parquet(staging)
+    rel_dir = os.path.join("data", staging_name)
+    inserted = sorted(
+        os.path.join(rel_dir, f)
+        for f in os.listdir(staging)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    if (stats_cols or point_cols or ndv_cols) and inserted:
+        s2, k2, n2 = _collect_file_stats(
+            spark, staging, rel_dir,
+            list(stats_cols or []), list(point_cols or []),
+            bloom_bits, list(ndv_cols or []),
+        )
+        rw["stats"].update(s2)
+        rw["skipping"].update(k2)
+        rw["ndv"].update(n2)
+    txn = dict(rw["prev"].get("txn", {}))
+    version = rw["prev"]["version"] + 1
+    if txn_id is not None:
+        txn[str(txn_id)] = version
+    _write_manifest(
+        table_dir, version, rw["files"] + inserted,
+        rw["prev"]["schema"], rw["stats"], rw["skipping"], rw["ndv"],
+        txn, commit_ts,
+    )
+    return {
+        "version": version,
+        "files_rewritten": rw["files_rewritten"],
+        "files_kept": rw["files_kept"],
+        "rows_deleted": rw["rows_deleted"],
+        "files_inserted": len(inserted),
+    }
 
 
 def resolve_version_at(table_dir: str, as_of: float) -> int:
@@ -564,7 +885,8 @@ def snapshot_ndv(
     col: str,
     version: int | None = None,
     as_of: float | None = None,
-) -> int:
+    allow_partial: bool = False,
+) -> int | tuple[int, float]:
     """Distinct-count ESTIMATE for ``col`` at ``version`` (or
     ``as_of``) from manifest metadata alone — no data scanned: merging
     the per-file K-minimum-values sketches of the version's files
@@ -573,8 +895,17 @@ def snapshot_ndv(
     (K-1)*H/h_(K) estimator (exact when fewer than K distinct hashes
     exist). Relative std error ~1/sqrt(K) = 8.8% at K=128 — the
     NDV input a cost-based planner or monitoring job wants per
-    version without replaying history. Raises KeyError when the
-    column was not sketched at commit time (``ndv_cols=...``)."""
+    version without replaying history. Raises KeyError when any of
+    the version's files lacks the column's sketch — on a table whose
+    EARLY commits predate ``ndv_cols`` those files are carried
+    forward on every append, so mixed history is permanent, not
+    transient (r10 ADVICE). For such tables pass
+    ``allow_partial=True``: the estimate then covers only the
+    sketched files and the return value becomes a ``(estimate,
+    coverage)`` tuple, coverage = sketched-file fraction, so the
+    caller sees exactly how partial the number is instead of a
+    KeyError or a silently-low estimate. Still raises when NO file
+    carries the sketch."""
     if as_of is not None:
         if version is not None:
             raise ValueError("pass either version or as_of, not both")
@@ -590,20 +921,38 @@ def snapshot_ndv(
     manifest = _load_manifest(table_dir, v)
     ndv = manifest.get("ndv", {})
     merged: set[int] = set()
+    sketched = 0
     for rel in manifest["files"]:
         per_file = ndv.get(rel, {})
         if col not in per_file:
+            if allow_partial:
+                continue
             raise KeyError(
-                f"column {col!r} has no NDV sketch in snapshot v{v} of "
-                f"{table_dir} — commit with ndv_cols=[{col!r}]"
+                f"column {col!r} has no NDV sketch for file {rel!r} in "
+                f"snapshot v{v} of {table_dir} — commit with "
+                f"ndv_cols=[{col!r}] from the table's FIRST commit, or "
+                "pass allow_partial=True for a coverage-flagged "
+                "estimate over the sketched files"
             )
+        sketched += 1
         merged.update(per_file[col])
+    n_files = len(manifest["files"])
+    if allow_partial and sketched == 0 and n_files > 0:
+        raise KeyError(
+            f"column {col!r} has no NDV sketch in ANY file of snapshot "
+            f"v{v} of {table_dir} — commit with ndv_cols=[{col!r}]"
+        )
     sketch = sorted(merged)[:_NDV_SKETCH_K]
     if len(sketch) < _NDV_SKETCH_K:
-        return len(sketch)
-    return round(
-        (_NDV_SKETCH_K - 1.0) * float(1 << 60) / sketch[-1]
-    )
+        est = len(sketch)
+    else:
+        est = round(
+            (_NDV_SKETCH_K - 1.0) * float(1 << 60) / sketch[-1]
+        )
+    if allow_partial:
+        coverage = 1.0 if n_files == 0 else sketched / n_files
+        return est, coverage
+    return est
 
 
 def read_snapshot(

@@ -373,9 +373,16 @@ def test_publish_fallback_without_hardlinks(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(snap, "_manifests", lambda d: [1])
     with pytest.raises(FileExistsError):
         commit_snapshot(spark.range(3, 6), table, mode="append")
-    # no tmp residue either way
-    residue = [f for f in os.listdir(table) if f.endswith(".tmp")]
+    # no tmp or publish-copy residue either way (the r10-ADVICE
+    # rename fallback stages the bytes in a second file)
+    residue = [
+        f
+        for f in os.listdir(table)
+        if f.endswith(".tmp") or f.endswith(".publish")
+    ]
     assert residue == []
+    # and the published manifest is COMPLETE json, not a short write
+    json.load(open(os.path.join(table, "manifest_v1.json")))
 
 
 def test_temporal_prune_bounds_normalize(spark, tmp_path):
@@ -523,3 +530,123 @@ def test_ndv_sketch_merge_is_lossless_and_tracks_lifecycle(spark, tmp_path):
     assert snapshot_ndv(table, "id", version=v3) == 50
     vacuum_snapshots(table, retain_last=1)
     assert snapshot_ndv(table, "id") == 50  # v3 content survives vacuum
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    """DELETE rewrites only files containing matches, keeps
+    NULL-predicate rows, leaves old versions readable, and is
+    txn-idempotent."""
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        _load_manifest,
+        delete_where,
+        read_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.range(100).selectExpr(
+        "id", "CASE WHEN id % 10 = 0 THEN NULL ELSE id % 4 END AS g"
+    )
+    commit_snapshot(
+        df.repartitionByRange(4, "id"), table, stats_cols=["id"]
+    )
+    res = delete_where(
+        spark,
+        table,
+        "id >= 25 AND id < 50 AND g IS NOT NULL",
+        prune={"id": (25, 49)},
+        stats_cols=["id"],
+    )
+    # ids 30, 40 have NULL g -> predicate NULL -> kept per SQL DELETE
+    assert res["rows_deleted"] == 25 - 2
+    assert 0 < res["files_rewritten"] < 4
+    m1, m2 = _load_manifest(table, 1), _load_manifest(table, 2)
+    assert len(set(m1["files"]) & set(m2["files"])) == (
+        len(m1["files"]) - res["files_rewritten"]
+    )
+    ids = {r.id for r in read_snapshot(spark, table).collect()}
+    assert 30 in ids and 40 in ids and 31 not in ids and 24 in ids
+    assert read_snapshot(spark, table, version=1).count() == 100
+    # carried-forward stats still prune on the new version
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        snapshot_files,
+    )
+
+    assert len(snapshot_files(table, 2, prune={"id": (90, 95)})) < len(
+        m2["files"]
+    )
+    # txn idempotency: a replayed delete is a no-op returning the
+    # recorded version
+    v = delete_where(spark, table, "id = 99", txn_id="b7")["version"]
+    again = delete_where(spark, table, "id = 98", txn_id="b7")
+    assert again["version"] == v and again["rows_deleted"] == 0
+    assert 98 in {r.id for r in read_snapshot(spark, table).collect()}
+
+
+def test_replace_where_scoped_backfill(spark, tmp_path):
+    """REPLACE WHERE deletes the predicate's rows and inserts the new
+    frame in ONE version; out-of-scope inserts are rejected; schema
+    drift is rejected."""
+    import pytest as _pt
+
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        read_snapshot,
+        replace_where,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.range(60).selectExpr("id", "id % 3 AS g")
+    commit_snapshot(df.repartition(3, "g"), table)
+    fresh = spark.range(200, 206).selectExpr("id", "CAST(1 AS BIGINT) AS g")
+    res = replace_where(spark, fresh, table, "g = 1")
+    assert res["version"] == 2 and res["rows_deleted"] == 20
+    got = sorted(
+        r.id for r in read_snapshot(spark, table).filter("g = 1").collect()
+    )
+    assert got == [200, 201, 202, 203, 204, 205]
+    assert read_snapshot(spark, table).count() == 40 + 6
+    assert read_snapshot(spark, table, version=1).count() == 60
+    with _pt.raises(ValueError, match="do NOT match"):
+        replace_where(
+            spark,
+            spark.range(2).selectExpr("id", "CAST(2 AS BIGINT) AS g"),
+            table,
+            "g = 1",
+        )
+    with _pt.raises(ValueError, match="schema drift"):
+        replace_where(
+            spark,
+            spark.range(2).selectExpr("id", "CAST(1 AS INT) AS g"),
+            table,
+            "g = 1",
+        )
+
+
+def test_ndv_mixed_history_partial_estimate(spark, tmp_path):
+    """Enabling ndv_cols on a PRE-EXISTING table leaves the early
+    files unsketched forever (appends carry them forward). Default
+    raises loudly; allow_partial returns a coverage-flagged estimate
+    over the sketched files instead (round-10 ADVICE)."""
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        snapshot_ndv,
+    )
+
+    table = str(tmp_path / "t")
+    commit_snapshot(spark.range(40).repartition(2), table)  # no sketch
+    commit_snapshot(
+        spark.range(40, 70).repartition(2),
+        table,
+        mode="append",
+        ndv_cols=["id"],
+    )
+    with pytest.raises(KeyError, match="allow_partial"):
+        snapshot_ndv(table, "id")
+    est, coverage = snapshot_ndv(table, "id", allow_partial=True)
+    assert est == 30  # only the sketched files' distincts
+    assert coverage == pytest.approx(0.5)
+    # full-coverage table: partial mode degrades to (exact, 1.0)
+    full = str(tmp_path / "full")
+    commit_snapshot(spark.range(9), full, ndv_cols=["id"])
+    assert snapshot_ndv(full, "id", allow_partial=True) == (9, 1.0)
+    # zero sketched files still raises even in partial mode
+    with pytest.raises(KeyError, match="ANY file"):
+        snapshot_ndv(table, "id", version=1, allow_partial=True)
