@@ -2380,7 +2380,218 @@ FROM est ORDER BY version
 """
 
 
+def sink_snapshot_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write row-level DELETE on the snapshot sink
+    (`sinks/snapshot.py:delete_where` — Delta ``DELETE FROM ... WHERE``
+    / Iceberg copy-on-write delete): the commit rewrites ONLY the
+    files that actually contain matching rows and carries every other
+    file forward byte-identical, so a selective delete on a 100 TB
+    table touches the few files holding the keys, never the table.
+    Candidate files come from manifest MIN/MAX pruning on a bound the
+    predicate implies; the per-file match count then drops candidates
+    with no matches from the rewrite set.
+
+    Hard-checks at fixture build: (1) the rewrite set is a strict,
+    non-empty subset of the table's files; (2) every untouched file's
+    rel path appears UNCHANGED in the new manifest (copy-on-write,
+    not copy-the-table); (3) the pre-delete version still reads back
+    complete (time travel). The returned rows aggregate the
+    post-delete table; the oracle recomputes the same aggregate from
+    ``orders`` under the negated predicate (NULL-predicate rows kept,
+    per SQL DELETE) — a lost or doubly-deleted row cannot hash-match.
+    """
+    from etl_gcp_function_tmabrasil_spark.queries._util import csum
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        _load_manifest,
+        commit_snapshot,
+        delete_where,
+        read_snapshot,
+    )
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "snapshot_delete")
+
+    def _build(tmp: str) -> None:
+        table = os.path.join(tmp, "table")
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        # scale-relative key band (gotcha: absolute bounds go empty at
+        # sf0.001); one bounded scalar sentinel at fixture build
+        max_key = base.agg(F.max("o_orderkey")).collect()[0][0]
+        lo, hi = max_key // 4, max_key // 2
+        n_before = base.count()
+        commit_snapshot(
+            base.repartitionByRange(8, "o_orderkey"),
+            table,
+            stats_cols=["o_orderkey"],
+        )
+        cond = (
+            f"o_orderkey BETWEEN {lo} AND {hi} "
+            "AND o_orderstatus = 'F'"
+        )
+        res = delete_where(
+            spark,
+            table,
+            cond,
+            prune={"o_orderkey": (lo, hi)},
+            stats_cols=["o_orderkey"],
+        )
+        m1, m2 = _load_manifest(table, 1), _load_manifest(table, 2)
+        untouched = set(m1["files"]) & set(m2["files"])
+        if not (0 < res["files_rewritten"] < len(m1["files"])):
+            raise RuntimeError(
+                f"delete rewrote {res['files_rewritten']} of "
+                f"{len(m1['files'])} files — expected a strict, "
+                "non-empty copy-on-write subset"
+            )
+        if len(untouched) != len(m1["files"]) - res["files_rewritten"]:
+            raise RuntimeError(
+                "untouched files were not carried forward byte-identical"
+            )
+        if read_snapshot(spark, table, version=1).count() != n_before:
+            raise RuntimeError("pre-delete version lost rows")
+        (
+            read_snapshot(spark, table)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                csum("o_totalprice", 4).alias("total_price"),
+            )
+            .write.parquet(os.path.join(tmp, "out"))
+        )
+
+    _ensure_fixture(fixture, _build)
+    return (
+        spark.read.parquet(os.path.join(fixture, "out"))
+        .orderBy("o_orderstatus")
+    )
+
+
+_SNAPSHOT_DELETE_SQL = """
+WITH b AS (
+  SELECT (MAX(o_orderkey) // 4) AS lo, (MAX(o_orderkey) // 2) AS hi
+  FROM orders)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders, b
+WHERE NOT COALESCE(
+  o_orderkey BETWEEN b.lo AND b.hi AND o_orderstatus = 'F', FALSE)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def sink_snapshot_replace_where(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Predicate-scoped atomic overwrite on the snapshot sink
+    (`sinks/snapshot.py:replace_where` — Delta's
+    ``option("replaceWhere", ...)``): delete every row matching the
+    predicate AND insert the replacement frame in ONE manifest
+    version — the idempotent-backfill idiom (re-materialize one
+    day/segment of a 100 TB table without touching the rest). The
+    insert is VALIDATED against the predicate: a backfill bleeding
+    outside its scope raises instead of silently corrupting
+    neighboring ranges.
+
+    The gate backfills one customer segment of ``orders`` with
+    re-priced rows (5% decimal discount). Hard-checks: the validate
+    guard rejects an out-of-scope insert; the rewrite is a strict
+    copy-on-write subset; versions before the swap read back intact.
+    The oracle applies the same CASE re-pricing to the base table.
+    """
+    from etl_gcp_function_tmabrasil_spark.queries._util import csum
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        _load_manifest,
+        commit_snapshot,
+        read_snapshot,
+        replace_where,
+    )
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "snapshot_replace")
+
+    def _build(tmp: str) -> None:
+        table = os.path.join(tmp, "table")
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        base = (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_orderkey", "c_mktsegment", "o_totalprice")
+        )
+        commit_snapshot(
+            base.repartition(6, "c_mktsegment"), table
+        )
+        repriced = (
+            base.filter(F.col("c_mktsegment") == "BUILDING")
+            .withColumn(
+                "o_totalprice",
+                (
+                    F.col("o_totalprice").cast("decimal(18,4)")
+                    * F.lit("0.95").cast("decimal(6,2)")
+                ).cast("double"),
+            )
+        )
+        # guard: an insert row OUTSIDE the predicate must raise
+        try:
+            replace_where(
+                spark,
+                base.limit(5),
+                table,
+                "c_mktsegment = 'BUILDING'",
+            )
+        except ValueError:
+            pass
+        else:
+            raise RuntimeError(
+                "replace_where accepted rows outside its predicate"
+            )
+        res = replace_where(
+            spark, repriced, table, "c_mktsegment = 'BUILDING'"
+        )
+        m1 = _load_manifest(table, 1)
+        if not (0 < res["files_rewritten"] <= len(m1["files"])):
+            raise RuntimeError(
+                f"replace rewrote {res['files_rewritten']} of "
+                f"{len(m1['files'])} files — expected a non-empty "
+                "copy-on-write subset"
+            )
+        if read_snapshot(spark, table, version=1).count() != base.count():
+            raise RuntimeError("pre-replace version lost rows")
+        (
+            read_snapshot(spark, table)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                csum("o_totalprice", 4).alias("total_price"),
+            )
+            .write.parquet(os.path.join(tmp, "out"))
+        )
+
+    _ensure_fixture(fixture, _build)
+    return (
+        spark.read.parquet(os.path.join(fixture, "out"))
+        .orderBy("c_mktsegment")
+    )
+
+
+_SNAPSHOT_REPLACE_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(CASE WHEN c_mktsegment = 'BUILDING'
+    THEN CAST(CAST(o_totalprice AS DECIMAL(18,4))
+              * CAST('0.95' AS DECIMAL(6,2)) AS DOUBLE)
+    ELSE o_totalprice END AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
+    "sink_snapshot_delete_where": sink_snapshot_delete_where,
+    "sink_snapshot_replace_where": sink_snapshot_replace_where,
     "sink_snapshot_ndv_stats": sink_snapshot_ndv_stats,
     "sink_snapshot_schema_merge": sink_snapshot_schema_merge,
     "sink_snapshot_time_as_of": sink_snapshot_time_as_of,
@@ -2413,6 +2624,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sink_snapshot_delete_where": _SNAPSHOT_DELETE_SQL,
+    "sink_snapshot_replace_where": _SNAPSHOT_REPLACE_SQL,
     "sink_snapshot_ndv_stats": _SNAPSHOT_NDV_SQL,
     "sink_snapshot_schema_merge": _SNAPSHOT_SCHEMA_MERGE_SQL,
     "sink_snapshot_time_as_of": _SNAPSHOT_AS_OF_SQL,
