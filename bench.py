@@ -113,6 +113,18 @@ EXTENDED = [
     "dedup_winnowing_containment",  # asymmetric fingerprint share pairs
     # (sink_snapshot_point_skipping is EAGER — fixture commits run at
     # construction — so it belongs to scripts/bench_gate_sf01.py)
+    # round-11 additions (lazy construction; the snapshot delete/
+    # replace and exchange-reuse gates are eager -> gate-bench script)
+    "agg_spearman_corr",            # mid-rank windows + decimal Pearson
+    "timeseries_acf",               # demeaned lag products, one window
+    "vocab_zipf_fit",               # log-log OLS over the vocab head
+    "dedup_url_canonical",          # row-local URL canonicalize + count
+    "sample_importance_dsir",       # DSIR hashed-bigram importance
+    "text_unicode_nfc_profile",     # pandas-UDF NFC normalization
+    "knn_mmr_rerank",               # unrolled greedy MMR over pools
+    # (graph_bfs_distances and agg_count_min_sketch run driver
+    # loops / driver-side sketch reads at CONSTRUCTION — eager, so
+    # they bench in scripts/bench_gate_sf01.py like kmeans/kcore)
 ]
 
 

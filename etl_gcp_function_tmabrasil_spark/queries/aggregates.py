@@ -1136,3 +1136,180 @@ FROM allrows ORDER BY label
 
 QUERIES["agg_kmv_distinct"] = agg_kmv_distinct
 ORACLE["agg_kmv_distinct"] = _KMV_SQL
+
+
+# --- Spearman rank correlation (round 11) --------------------------------
+
+
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per return flag between quantity and
+    extended price — the robust (monotone, outlier-insensitive)
+    companion of the r9 Pearson correlation matrix: rank-transform
+    both variables with AVERAGE ranks over ties (the textbook
+    mid-rank convention), then Pearson on the ranks.
+
+    Cross-engine determinism: ranks are kept as DOUBLED integers
+    (2*avg_rank = 2*min_rank + ties - 1 — always integral, so no
+    float rank ever enters a sum; Pearson is affine-invariant so the
+    doubling cancels), sums run in wide decimals (DECIMAL(19,0)
+    operands force DuckDB's INT128 multiply path — r9 gotcha), and
+    the final statistic is one double expression evaluated in the
+    same parenthesization on both engines, rounded to 6 dp.
+
+    Scale: two rank windows per group key (one sort each, same
+    partitioning) and ONE partial+final aggregation — no per-pair
+    work, no collect; the group count is the only driver-side-free
+    reduction. At 100 TB the windows are the cost: they shuffle on
+    l_returnflag once (co-partitioned for both rank passes and the
+    final agg).
+    """
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    part = W.partitionBy("l_returnflag")
+
+    def rank2(c: str) -> Column:
+        rmin = F.rank().over(part.orderBy(c))
+        ties = F.count(F.lit(1)).over(W.partitionBy("l_returnflag", c))
+        return (
+            (F.lit(2) * rmin + ties - F.lit(1))
+            .cast("decimal(19,0)")
+        )
+
+    ranked = li.select(
+        "l_returnflag", rank2("x").alias("rx"), rank2("y").alias("ry")
+    )
+    agg = ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    rho = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.round(rho, 6).alias("spearman_rho"),
+    ).orderBy("l_returnflag")
+
+
+_SPEARMAN_SQL = """
+WITH ranked AS (
+  SELECT l_returnflag,
+    CAST(2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+         + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity)
+         - 1 AS DECIMAL(19,0)) AS rx,
+    CAST(2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+         + COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice)
+         - 1 AS DECIMAL(19,0)) AS ry
+  FROM lineitem),
+agg AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+    SUM(rx) AS sx, SUM(ry) AS sy,
+    SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy, SUM(rx * ry) AS sxy
+  FROM ranked GROUP BY 1)
+SELECT l_returnflag, n AS n_rows,
+  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+    AS spearman_rho
+FROM agg ORDER BY l_returnflag
+"""
+
+QUERIES["agg_spearman_corr"] = agg_spearman_corr
+ORACLE["agg_spearman_corr"] = _SPEARMAN_SQL
+
+
+# --- Count-min sketch frequency estimates (round 11) ----------------------
+
+#: CMS accuracy knobs: eps bounds the over-count at eps * N (row count),
+#: confidence bounds the probability the bound holds per query.
+CMS_EPS = 0.001
+CMS_CONF = 0.99
+
+
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (Cormode & Muthukrishnan
+    2005) via Spark's built-in `DataFrame.stat.countMinSketch` — the
+    streaming-friendly frequency sketch: fixed O(1/eps * ln(1/delta))
+    memory, mergeable across partitions, NEVER undercounts, and
+    overcounts by at most eps*N with probability >= confidence.
+
+    Gate shaping (the HLL/KMV error-bound reshape): the sketch is
+    engine-specific, so the output pairs each order-priority's EXACT
+    count with two BOOLEANS the driver hash-checks — `never_under`
+    (est >= exact: the CMS structural guarantee, a hard fact, not a
+    tolerance) and `within_bound` (est <= exact + eps*N). The sketch
+    is seeded, so both are stable facts of the corpus.
+
+    Scale: the sketch is the SQL aggregate `count_min_sketch` — a
+    true partial+final pass (per-partition sketches merged
+    associatively JVM-side; the serialized sketch, not the rows,
+    crosses the exchange); the exact twin is one hash agg over a
+    5-value key. Estimates for the BOUNDED key list are read
+    driver-side from the metadata-sized sketch (deserialized via the
+    JVM CountMinSketch reader), like the Misra-Gries heavy-hitters
+    gate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    total, blob = orders.agg(
+        F.count(F.lit(1)),
+        F.count_min_sketch(
+            "o_orderpriority",
+            F.lit(float(CMS_EPS)),
+            F.lit(float(CMS_CONF)),
+            F.lit(42),
+        ),
+    ).collect()[0]
+    jvm = spark._jvm
+    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(blob))
+    )
+    exact = (
+        orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .collect()  # bounded: 5 priority values
+    )
+    rows = [
+        (r["o_orderpriority"], r["exact_n"],
+         sketch.estimateCount(r["o_orderpriority"]))
+        for r in exact
+    ]
+    out = spark.createDataFrame(
+        rows, "o_orderpriority string, exact_n long, cms_est long"
+    )
+    bound = F.lit(float(CMS_EPS)) * F.lit(total)
+    return out.select(
+        "o_orderpriority",
+        "exact_n",
+        (F.col("cms_est") >= F.col("exact_n")).alias("never_under"),
+        (
+            F.col("cms_est").cast("double")
+            <= F.col("exact_n").cast("double") + bound
+        ).alias("within_bound"),
+    ).orderBy("o_orderpriority")
+
+
+_CMS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS exact_n,
+  TRUE AS never_under, TRUE AS within_bound
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+QUERIES["agg_count_min_sketch"] = agg_count_min_sketch
+ORACLE["agg_count_min_sketch"] = _CMS_SQL

@@ -3475,3 +3475,114 @@ FROM w2 CROSS JOIN tot ORDER BY stratum
 
 QUERIES["sample_neyman_allocation"] = sample_neyman_allocation
 ORACLE["sample_neyman_allocation"] = _NEYMAN_SQL
+
+
+# --- Autocorrelation function (round 11) ----------------------------------
+
+ACF_MAX_LAG = 3  #: lags reported per series
+
+
+def timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation function per event type at lags
+    1..ACF_MAX_LAG — the Box-Jenkins model-identification statistic
+    (is this series AR-ish? how fast does memory decay?) and the
+    seasonal-decomposition row's diagnostic companion:
+    r_L = sum_{t>L}((x_t - mean)(x_{t-L} - mean)) /
+          sum_t((x_t - mean)^2), with the series ordered by the TOTAL
+    key (ts, event_id) (duplicate-ts gotcha: a bare ts order frames
+    ties arbitrarily and differently per engine).
+
+    Determinism: the mean is exact-decimal-sum / count (one double
+    division); deviations and their products are plain double
+    arithmetic in the same order on both engines; each product is
+    rounded to 6 dp before the exact decimal sum (the fixed-point
+    logprob idiom); the final ratio is one double division rounded to
+    6 dp.
+
+    Scale: one broadcast join of the per-type means (group count =
+    event types), then ONE window pass per type computing all
+    ACF_MAX_LAG lag columns over the same (type; ts, event_id) sort —
+    Catalyst evaluates the three lags in a single WindowExec, so the
+    series shuffles once regardless of how many lags are reported.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", F.col("value").alias("v")
+    )
+    means = ev.groupBy("event_type").agg(
+        (
+            F.sum(F.col("v").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    dev = ev.join(F.broadcast(means), "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        "n_obs",
+        (F.col("v") - F.col("mu")).alias("d"),
+    )
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = dev.select(
+        "event_type",
+        "n_obs",
+        F.round(F.col("d") * F.col("d"), 6)
+        .cast("decimal(20,6)")
+        .alias("dd"),
+        *[
+            F.round(F.col("d") * F.lag("d", L).over(w), 6)
+            .cast("decimal(20,6)")
+            .alias(f"dl{L}")
+            for L in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    agg = lagged.groupBy("event_type").agg(
+        F.max("n_obs").alias("n_obs"),
+        F.sum("dd").alias("den"),
+        *[F.sum(f"dl{L}").alias(f"num{L}") for L in range(1, ACF_MAX_LAG + 1)],
+    )
+    acf_cols = [
+        F.round(
+            F.col(f"num{L}").cast("double") / F.col("den").cast("double"), 6
+        ).alias(f"acf_lag{L}")
+        for L in range(1, ACF_MAX_LAG + 1)
+    ]
+    return agg.select("event_type", "n_obs", *acf_cols).orderBy(
+        "event_type"
+    )
+
+
+_ACF_SQL = f"""
+WITH mu AS (
+  SELECT event_type,
+    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mu,
+    COUNT(*) AS n_obs
+  FROM events GROUP BY 1),
+dev AS (
+  SELECT e.event_type, n_obs, e.ts, e.event_id, (e.value - mu.mu) AS d
+  FROM events e JOIN mu ON e.event_type = mu.event_type),
+lagged AS (
+  SELECT event_type, n_obs,
+    CAST(ROUND(d * d, 6) AS DECIMAL(20,6)) AS dd,
+    {", ".join(
+        "CAST(ROUND(d * LAG(d, %d) OVER "
+        "(PARTITION BY event_type ORDER BY ts, event_id), 6) "
+        "AS DECIMAL(20,6)) AS dl%d" % (L, L)
+        for L in range(1, ACF_MAX_LAG + 1)
+    )}
+  FROM dev),
+agg AS (
+  SELECT event_type, MAX(n_obs) AS n_obs, SUM(dd) AS den,
+    {", ".join("SUM(dl%d) AS num%d" % (L, L)
+               for L in range(1, ACF_MAX_LAG + 1))}
+  FROM lagged GROUP BY 1)
+SELECT event_type, n_obs,
+  {", ".join(
+      "ROUND(CAST(num%d AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf_lag%d"
+      % (L, L) for L in range(1, ACF_MAX_LAG + 1)
+  )}
+FROM agg ORDER BY event_type
+"""
+
+QUERIES["timeseries_acf"] = timeseries_acf
+ORACLE["timeseries_acf"] = _ACF_SQL

@@ -637,3 +637,261 @@ ORACLE = {
     "chunk_documents": _CHUNK_SQL,
     "embedding_quantize_int8": _QUANT_SQL,
 }
+
+
+# --- Zipf-law fit over the vocabulary head (round 11) ---------------------
+
+ZIPF_TOP_N = 100  #: head size the log-log regression is fit on
+
+
+def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent of the corpus vocabulary: OLS of ln(tf) on
+    ln(rank) over the frequency head — the one-row corpus-health
+    fingerprint (natural text sits near slope -1; template/boilerplate
+    corpora flatten, spam steepens) that complements the raw
+    vocab_doc_frequency listing. Slope, intercept, and R² come from
+    the r9 OLS idiom: 8-dp-rounded logs into exact decimal sums, one
+    double expression at the end.
+
+    Scale: term frequencies are the canonical word-count shape
+    (partial agg before the exchange); the head selection is
+    orderBy().limit() — TakeOrderedAndProject (per-partition heaps,
+    no global sort); ranking and the regression then run over
+    ZIPF_TOP_N rows (driver-bounded, one task), so no stage's cost
+    follows the vocabulary size.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(ZIPF_TOP_N)
+    )
+    ranked = tf.select(
+        F.row_number()
+        .over(W.orderBy(F.desc("tf"), F.asc("token")))
+        .alias("rnk"),
+        "tf",
+    )
+    logs = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")), 8)
+        .cast("decimal(12,8)")
+        .alias("lx"),
+        F.round(F.log(F.col("tf").cast("double")), 8)
+        .cast("decimal(12,8)")
+        .alias("ly"),
+    )
+    agg = logs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = (
+        (n * sxy - sx * sy)
+        * (n * sxy - sx * sy)
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    )
+    return agg.select(
+        F.col("n").alias("n_head_tokens"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+        F.round(r2, 6).alias("r_squared"),
+    )
+
+
+_ZIPF_SQL = f"""
+WITH tf AS (
+  SELECT token, COUNT(*) AS tf
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents) t
+  GROUP BY token ORDER BY tf DESC, token ASC LIMIT {ZIPF_TOP_N}),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY tf DESC, token ASC) AS rnk, tf
+  FROM tf),
+logs AS (
+  SELECT CAST(ROUND(ln(CAST(rnk AS DOUBLE)), 8) AS DECIMAL(12,8)) AS lx,
+         CAST(ROUND(ln(CAST(tf AS DOUBLE)), 8) AS DECIMAL(12,8)) AS ly
+  FROM ranked),
+agg AS (
+  SELECT COUNT(*) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+    SUM(lx * lx) AS sxx, SUM(ly * ly) AS syy, SUM(lx * ly) AS sxy
+  FROM logs)
+SELECT n AS n_head_tokens,
+  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope,
+  ROUND((CAST(sy AS DOUBLE)
+         - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+    AS zipf_intercept,
+  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+    AS r_squared
+FROM agg
+"""
+
+QUERIES["vocab_zipf_fit"] = vocab_zipf_fit
+ORACLE["vocab_zipf_fit"] = _ZIPF_SQL
+
+
+# --- URL canonicalization dedup (round 11) ---------------------------------
+
+URL_TOP_N = 10  #: collided canonical URLs reported
+
+
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the first scrub of any web-crawl
+    pipeline (the same page arrives as http/HTTPS, with/without www.,
+    with tracking parameters, default ports, trailing slashes, and
+    fragments; CommonCrawl-style dedup keys on the canonical form).
+    Canonicalization is pure row-local string work (scan-speed
+    projection, zero shuffles): lowercase scheme+host, strip a
+    default :443 port and the www. prefix, drop the fragment, strip a
+    trailing slash, and remove utm_*/gclid/fbclid tracking parameters
+    — keeping NON-tracking query parameters, which stay identity-
+    bearing. The only shuffle is the word-count-shaped canonical
+    groupBy.
+
+    URLs are fabricated deterministically from ``orders`` (four
+    representation variants per key-residue class — the driver tables
+    carry no URL column; the SAME concat runs on both engines), so
+    the collision structure is a stable fact the oracle reproduces.
+
+    Returns the URL_TOP_N most-collided canonical URLs with raw/
+    distinct-representation counts.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    raw = orders.select(
+        F.expr(
+            """
+            CASE CAST(o_orderkey % 4 AS INT)
+              WHEN 0 THEN concat('https://www.shop',
+                CAST(o_orderkey % 3 AS STRING), '.com/item/',
+                CAST(o_orderkey % 500 AS STRING))
+              WHEN 1 THEN concat('HTTPS://WWW.SHOP',
+                CAST(o_orderkey % 3 AS STRING), '.COM/item/',
+                CAST(o_orderkey % 500 AS STRING), '/')
+              WHEN 2 THEN concat('https://shop',
+                CAST(o_orderkey % 3 AS STRING), '.com/item/',
+                CAST(o_orderkey % 500 AS STRING),
+                '?utm_source=news&gclid=xyz#frag')
+              ELSE concat('https://www.shop',
+                CAST(o_orderkey % 3 AS STRING), '.com:443/item/',
+                CAST(o_orderkey % 500 AS STRING), '?ref=',
+                CAST(o_custkey % 7 AS STRING))
+            END
+            """
+        ).alias("url")
+    )
+    no_frag = F.regexp_replace("url", "#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, "^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(no_frag, "^[A-Za-z]+://([^/?#]*)", 1)),
+            ":443$",
+            "",
+        ),
+        "^www[.]",
+        "",
+    )
+    rest = F.regexp_extract(no_frag, "^[A-Za-z]+://[^/?#]*(.*)$", 1)
+    path = F.regexp_replace(
+        F.regexp_extract(rest, "^([^?]*)", 1), "/$", ""
+    )
+    query = F.regexp_replace(
+        F.concat(F.lit("&"), F.regexp_extract(rest, "[?](.*)$", 1)),
+        "&(utm_[a-z]+|gclid|fbclid)=[^&]*",
+        "",
+    )
+    query = F.regexp_replace(query, "^&", "")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(query == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), query)
+        ),
+    )
+    return (
+        raw.select(canon.alias("canonical_url"), "url")
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.countDistinct("url").alias("n_representations"),
+        )
+        .orderBy(F.desc("n_raw"), F.asc("canonical_url"))
+        .limit(URL_TOP_N)
+    )
+
+
+_URL_CANON_SQL = f"""
+WITH raw AS (
+  SELECT CASE CAST(o_orderkey % 4 AS INT)
+    WHEN 0 THEN concat('https://www.shop',
+      CAST(o_orderkey % 3 AS VARCHAR), '.com/item/',
+      CAST(o_orderkey % 500 AS VARCHAR))
+    WHEN 1 THEN concat('HTTPS://WWW.SHOP',
+      CAST(o_orderkey % 3 AS VARCHAR), '.COM/item/',
+      CAST(o_orderkey % 500 AS VARCHAR), '/')
+    WHEN 2 THEN concat('https://shop',
+      CAST(o_orderkey % 3 AS VARCHAR), '.com/item/',
+      CAST(o_orderkey % 500 AS VARCHAR),
+      '?utm_source=news&gclid=xyz#frag')
+    ELSE concat('https://www.shop',
+      CAST(o_orderkey % 3 AS VARCHAR), '.com:443/item/',
+      CAST(o_orderkey % 500 AS VARCHAR), '?ref=',
+      CAST(o_custkey % 7 AS VARCHAR))
+    END AS url
+  FROM orders),
+parts AS (
+  SELECT url, regexp_replace(url, '#.*$', '') AS nf FROM raw),
+pieces AS (
+  SELECT url,
+    lower(regexp_extract(nf, '^([A-Za-z]+)://', 1)) AS scheme,
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(nf, '^[A-Za-z]+://([^/?#]*)', 1)),
+      ':443$', ''), '^www[.]', '') AS host,
+    regexp_replace(
+      regexp_extract(regexp_extract(nf, '^[A-Za-z]+://[^/?#]*(.*)$', 1),
+                     '^([^?]*)', 1), '/$', '') AS path,
+    regexp_replace(regexp_replace(
+      concat('&', regexp_extract(regexp_extract(
+        nf, '^[A-Za-z]+://[^/?#]*(.*)$', 1), '[?](.*)$', 1)),
+      '&(utm_[a-z]+|gclid|fbclid)=[^&]*', '', 'g'), '^&', '') AS query
+  FROM parts),
+canon AS (
+  SELECT concat(scheme, '://', host, path,
+    CASE WHEN query = '' THEN '' ELSE concat('?', query) END)
+      AS canonical_url,
+    url
+  FROM pieces)
+SELECT canonical_url, COUNT(*) AS n_raw,
+  COUNT(DISTINCT url) AS n_representations
+FROM canon GROUP BY canonical_url
+ORDER BY n_raw DESC, canonical_url ASC LIMIT {URL_TOP_N}
+"""
+
+QUERIES["dedup_url_canonical"] = dedup_url_canonical
+ORACLE["dedup_url_canonical"] = _URL_CANON_SQL

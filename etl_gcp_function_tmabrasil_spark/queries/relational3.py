@@ -933,3 +933,121 @@ ORDER BY part_id
 
 QUERIES["graph_kcore"] = graph_kcore
 ORACLE["graph_kcore"] = _kcore_sql()
+
+
+# --- Multi-source BFS hop distances (round 11) -----------------------------
+
+BFS_SEEDS = 3  #: smallest part ids in the graph seed the search
+BFS_MAX_HOPS = 4  #: bounded frontier rounds (oracle unrolls the same)
+
+
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source breadth-first search over the co-purchase graph
+    (same edge set as triangles/k-core): hop distance from the seed
+    set (the BFS_SEEDS smallest part ids in the graph) to every
+    reachable node within BFS_MAX_HOPS — the graph-proximity primitive
+    behind influence radii, recall expansion, and contamination blast
+    zones. The Pregel frontier shape: each round joins the CURRENT
+    frontier to the symmetric edge list and anti-joins already-visited
+    nodes, so work per round follows the frontier, never the graph;
+    per-round localCheckpoint truncates the 4-deep join lineage (the
+    PageRank/k-core lesson).
+
+    Bounded unroll contract: the DuckDB oracle unrolls exactly
+    BFS_MAX_HOPS reach-set expansions (monotone — extra rounds are
+    no-ops once the frontier empties), so both engines compute the
+    same bounded-depth distances; the output histograms min-hop
+    distances with an 'unreachable' bucket (-1).
+    """
+    from etl_gcp_function_tmabrasil_spark.queries._util import (
+        managed_persist,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < _TRI_MAX_PART)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = managed_persist(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct(),
+        "relational3.bfs_edges",
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    nodes = managed_persist(
+        sym.select(F.col("u").alias("n")).distinct(),
+        "relational3.bfs_nodes",
+    )
+    seeds = nodes.orderBy("n").limit(BFS_SEEDS).select("n")
+    dist = seeds.select("n", F.lit(0).alias("hops")).localCheckpoint()
+    frontier = dist.select("n")
+    for h in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(sym, frontier["n"] == sym["u"])
+            .select(F.col("v").alias("n"))
+            .distinct()
+            .join(dist, "n", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionAll(
+            nxt.select("n", F.lit(h).alias("hops"))
+        ).localCheckpoint()
+        frontier = nxt
+    full = nodes.join(dist, "n", "left").select(
+        "n", F.coalesce("hops", F.lit(-1)).alias("hops")
+    )
+    return (
+        full.groupBy("hops")
+        .agg(F.count(F.lit(1)).alias("n_parts"), F.min("n").alias("min_part"))
+        .orderBy("hops")
+    )
+
+
+def _bfs_sql() -> str:
+    reach = [
+        f"r0 AS (SELECT n FROM seeds)",
+    ]
+    for h in range(1, BFS_MAX_HOPS + 1):
+        reach.append(
+            f"r{h} AS (SELECT n FROM r{h-1} UNION "
+            f"SELECT e.v AS n FROM r{h-1} f JOIN sym e ON f.n = e.u)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT n, {h} AS h FROM r{h}" for h in range(BFS_MAX_HOPS + 1)
+    )
+    return f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_partkey < {_TRI_MAX_PART}),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+sym AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+nodes AS (SELECT DISTINCT u AS n FROM sym),
+seeds AS (SELECT n FROM nodes ORDER BY n LIMIT {BFS_SEEDS}),
+{", ".join(reach)},
+dist AS (
+  SELECT n, MIN(h) AS hops FROM ({unions}) t GROUP BY n)
+SELECT COALESCE(d.hops, -1) AS hops,
+  COUNT(*) AS n_parts, MIN(nodes.n) AS min_part
+FROM nodes LEFT JOIN dist d ON nodes.n = d.n
+GROUP BY 1 ORDER BY hops
+"""
+
+
+QUERIES["graph_bfs_distances"] = graph_bfs_distances
+ORACLE["graph_bfs_distances"] = _bfs_sql()

@@ -1355,3 +1355,225 @@ ORDER BY r.query_id, r.rank
 
 QUERIES["ann_ivfpq"] = ann_ivfpq
 ORACLE["ann_ivfpq"] = _ivfpq_sql()
+
+
+# --- MMR diversified re-rank (round 11) -------------------------------------
+
+MMR_POOL = 12  #: relevance pool per query the greedy pass re-ranks
+MMR_K = 4  #: results returned per query
+#: trade-off weight — 0.7·relevance − 0.3·max-similarity-to-selected,
+#: held as exact decimals so the greedy argmax is engine-identical
+_MMR_LAM = "CAST(0.7 AS DECIMAL(2,1))"
+_MMR_MU = "CAST(0.3 AS DECIMAL(2,1))"
+
+
+def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR
+    1998) — the diversified-retrieval stage of a RAG pipeline: from
+    each query's top-MMR_POOL cosine pool, greedily select MMR_K
+    results maximizing lam*relevance - (1-lam)*max_sim_to_already_
+    selected, so near-duplicate passages don't crowd the context
+    window. The greedy recurrence is UNROLLED MMR_K times as plain
+    joins/argmax windows (k is a product constant, not data): every
+    step is distributed, and the oracle unrolls the identical steps.
+
+    Determinism without floats: relevance and pairwise cosines are
+    4-dp DECIMALS and the MMR score stays in the decimal domain
+    (0.7/0.3 are exact DECIMAL(2,1)), so the per-step argmax ordering
+    (score DESC, vec_id ASC) is bit-identical across engines.
+
+    Scale: the pool pass is the brute-force kNN shape (at production
+    scale swap in IVF/PQ candidates — same re-rank); pairwise sims are
+    POOL² per query (a constant), computed once and reused by every
+    unrolled step via one persisted frame.
+    """
+    from etl_gcp_function_tmabrasil_spark.queries._util import (
+        managed_persist,
+    )
+
+    emb = _with_norm(
+        load_table(spark, sf_dir, "embeddings", rebalance=True), "vec_id"
+    )
+    q = _with_norm(
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < N_QUERIES
+        ),
+        "vec_id",
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    rel = F.round(
+        _dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm")), 4
+    ).cast("decimal(8,4)")
+    wpool = W.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("vec_id")
+    )
+    pool = managed_persist(
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", rel.alias("rel"), "e", "nrm")
+        .withColumn("prn", F.row_number().over(wpool))
+        .filter(F.col("prn") <= MMR_POOL)
+        .drop("prn"),
+        "similarity.mmr_pool",
+    )
+    a = pool.select(
+        "query_id",
+        F.col("vec_id").alias("va"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = pool.select(
+        F.col("query_id").alias("qb"),
+        F.col("vec_id").alias("vb"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = managed_persist(
+        a.join(
+            b,
+            (F.col("query_id") == F.col("qb"))
+            & (F.col("va") != F.col("vb")),
+        ).select(
+            "query_id",
+            "va",
+            "vb",
+            F.round(
+                _dot(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb")),
+                4,
+            )
+            .cast("decimal(8,4)")
+            .alias("sim"),
+        ),
+        "similarity.mmr_pairs",
+    )
+    lam, mu = F.expr(_MMR_LAM), F.expr(_MMR_MU)
+    warg = W.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    sel = (
+        pool.select(
+            "query_id", "vec_id", "rel", (lam * F.col("rel")).alias("score")
+        )
+        .withColumn("rn", F.row_number().over(warg))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "vec_id", "rel", "score", F.lit(1).alias("step"))
+    )
+    for i in range(2, MMR_K + 1):
+        cand = pool.join(
+            sel.select("query_id", "vec_id"), ["query_id", "vec_id"],
+            "left_anti",
+        ).select("query_id", "vec_id", "rel")
+        msim = (
+            pairs.join(
+                sel.select(
+                    "query_id", F.col("vec_id").alias("vb")
+                ),
+                ["query_id", "vb"],
+            )
+            .groupBy("query_id", F.col("va").alias("vec_id"))
+            .agg(F.max("sim").alias("msim"))
+        )
+        step = (
+            cand.join(msim, ["query_id", "vec_id"])
+            .select(
+                "query_id",
+                "vec_id",
+                "rel",
+                (lam * F.col("rel") - mu * F.col("msim")).alias("score"),
+            )
+            .withColumn("rn", F.row_number().over(warg))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id", "vec_id", "rel", "score", F.lit(i).alias("step")
+            )
+        )
+        sel = sel.unionByName(step)
+    return sel.select(
+        "query_id",
+        "step",
+        F.col("vec_id").alias("selected_id"),
+        F.col("rel").cast("double").alias("rel_cosine"),
+        F.col("score").cast("double").alias("mmr_score"),
+    ).orderBy("query_id", "step")
+
+
+def _mmr_sql() -> str:
+    dot = _SQL_DOT.format(a="q.e", b="c.e")
+    na = _SQL_NORM.format(a="q.e")
+    nb = _SQL_NORM.format(a="c.e")
+    pdot = _SQL_DOT.format(a="p1.e", b="p2.e")
+    pna = _SQL_NORM.format(a="p1.e")
+    pnb = _SQL_NORM.format(a="p2.e")
+    steps = [
+        f"""sel1 AS (
+  SELECT query_id, vec_id, rel, {_MMR_LAM} * rel AS score, 1 AS step
+  FROM (SELECT query_id, vec_id, rel,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY {_MMR_LAM} * rel DESC, vec_id ASC)
+            AS rn
+        FROM pool) t WHERE rn = 1)"""
+    ]
+    for i in range(2, MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT query_id, vec_id, rel, score, step FROM sel{j}"
+            for j in range(1, i)
+        )
+        steps.append(
+            f"""prev{i} AS ({prev}),
+cand{i} AS (
+  SELECT p.query_id, p.vec_id, p.rel FROM pool p
+  WHERE NOT EXISTS (SELECT 1 FROM prev{i} s
+                    WHERE s.query_id = p.query_id
+                      AND s.vec_id = p.vec_id)),
+msim{i} AS (
+  SELECT pr.query_id, pr.va AS vec_id, MAX(pr.sim) AS msim
+  FROM pairs pr JOIN prev{i} s
+    ON pr.query_id = s.query_id AND pr.vb = s.vec_id
+  GROUP BY 1, 2),
+sel{i} AS (
+  SELECT query_id, vec_id, rel, score, {i} AS step
+  FROM (SELECT c.query_id, c.vec_id, c.rel,
+          {_MMR_LAM} * c.rel - {_MMR_MU} * m.msim AS score,
+          ROW_NUMBER() OVER (PARTITION BY c.query_id
+            ORDER BY {_MMR_LAM} * c.rel - {_MMR_MU} * m.msim DESC,
+                     c.vec_id ASC) AS rn
+        FROM cand{i} c JOIN msim{i} m
+          ON c.query_id = m.query_id AND c.vec_id = m.vec_id) t
+  WHERE rn = 1)"""
+        )
+    final = " UNION ALL ".join(
+        f"SELECT query_id, vec_id, rel, score, step FROM sel{j}"
+        for j in range(1, MMR_K + 1)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e FROM e WHERE vec_id < {N_QUERIES}),
+pool AS (
+  SELECT query_id, vec_id, rel, e FROM (
+    SELECT q.query_id, c.vec_id,
+      CAST(ROUND({dot} / ({na} * {nb}), 4) AS DECIMAL(8,4)) AS rel,
+      c.e,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        ORDER BY CAST(ROUND({dot} / ({na} * {nb}), 4) AS DECIMAL(8,4))
+                   DESC,
+                 c.vec_id ASC) AS prn
+    FROM e c CROSS JOIN q WHERE c.vec_id <> q.query_id) t
+  WHERE prn <= {MMR_POOL}),
+pairs AS (
+  SELECT p1.query_id, p1.vec_id AS va, p2.vec_id AS vb,
+    CAST(ROUND({pdot} / ({pna} * {pnb}), 4) AS DECIMAL(8,4)) AS sim
+  FROM pool p1 JOIN pool p2
+    ON p1.query_id = p2.query_id AND p1.vec_id <> p2.vec_id),
+{", ".join(steps)}
+SELECT query_id, step, vec_id AS selected_id,
+  CAST(rel AS DOUBLE) AS rel_cosine, CAST(score AS DOUBLE) AS mmr_score
+FROM ({final}) f ORDER BY query_id, step
+"""
+
+
+QUERIES["knn_mmr_rerank"] = knn_mmr_rerank
+ORACLE["knn_mmr_rerank"] = _mmr_sql()

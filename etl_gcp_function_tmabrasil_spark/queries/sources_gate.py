@@ -2589,7 +2589,82 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def plan_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange reuse across self-referencing subtrees — the Catalyst
+    ReuseExchange rule, hard-checked: a rollup joined with its own
+    re-aggregation (monthly quantity share within each return flag)
+    contains the SAME shuffle twice in the logical plan; physically
+    the second subtree must read the FIRST's shuffle files
+    (`ReusedExchange`) instead of re-scanning and re-shuffling the
+    fact table. At 100 TB that is the difference between one
+    fact-table pass and two — and it is exactly the plan shape every
+    share-of-total / ratio-to-report query produces.
+
+    The gate EXECUTES the join and raises at fixture build if the
+    executed plan lacks a ReusedExchange node (reuse is
+    semantics-preserving, so a silent regression could never turn
+    the oracle red — the plan check IS the gate; the r7
+    repartitionByRange lesson says reuse must be VERIFIED, never
+    assumed). The oracle recomputes the shares from the base table.
+    """
+    from etl_gcp_function_tmabrasil_spark.queries._util import csum
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "exchange_reuse")
+
+    def _build(tmp: str) -> None:
+        li = load_table(spark, sf_dir, "lineitem")
+        base = li.groupBy(
+            "l_returnflag",
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        ).agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q")
+        )
+        tot = base.groupBy("l_returnflag").agg(F.sum("q").alias("tq"))
+        out = base.join(tot, "l_returnflag").select(
+            "l_returnflag",
+            "ship_month",
+            F.col("q").cast("double").alias("qty"),
+            F.round(
+                F.col("q").cast("double") / F.col("tq").cast("double"), 6
+            ).alias("share"),
+        )
+        # execute via collect so THIS DataFrame's query execution is
+        # the finalized one (a .write spawns its own QE and the
+        # unexecuted plan has no AQE-materialized reuse node); the
+        # result is bounded (flags x months)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "ReusedExchange" not in plan:
+            raise RuntimeError(
+                "executed plan re-shuffled the rollup instead of "
+                "reusing its exchange — ReuseExchange regressed"
+            )
+        out.write.parquet(os.path.join(tmp, "out"))
+
+    _ensure_fixture(fixture, _build)
+    return (
+        spark.read.parquet(os.path.join(fixture, "out"))
+        .orderBy("l_returnflag", "ship_month")
+    )
+
+
+_EXCHANGE_REUSE_SQL = """
+WITH base AS (
+  SELECT l_returnflag, strftime(l_shipdate, '%Y-%m') AS ship_month,
+    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS q
+  FROM lineitem GROUP BY 1, 2),
+tot AS (SELECT l_returnflag, SUM(q) AS tq FROM base GROUP BY 1)
+SELECT base.l_returnflag, ship_month,
+  CAST(q AS DOUBLE) AS qty,
+  ROUND(CAST(q AS DOUBLE) / CAST(tq AS DOUBLE), 6) AS share
+FROM base JOIN tot ON base.l_returnflag = tot.l_returnflag
+ORDER BY base.l_returnflag, ship_month
+"""
+
+
 QUERIES = {
+    "plan_exchange_reuse": plan_exchange_reuse,
     "sink_snapshot_delete_where": sink_snapshot_delete_where,
     "sink_snapshot_replace_where": sink_snapshot_replace_where,
     "sink_snapshot_ndv_stats": sink_snapshot_ndv_stats,
@@ -2624,6 +2699,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "plan_exchange_reuse": _EXCHANGE_REUSE_SQL,
     "sink_snapshot_delete_where": _SNAPSHOT_DELETE_SQL,
     "sink_snapshot_replace_where": _SNAPSHOT_REPLACE_SQL,
     "sink_snapshot_ndv_stats": _SNAPSHOT_NDV_SQL,

@@ -3,11 +3,15 @@ pipeline operators"): stats, token counting, language-ID heuristic,
 quality scoring, document fingerprinting.
 
 All hot-path expressions are built-in column functions (JVM-side,
-codegen'd) — no Python UDFs. Fingerprints use md5 so the oracle can
-reproduce them bit-for-bit.
+codegen'd) — no Python UDFs, with ONE deliberate exception: Unicode
+NFC normalization (text_unicode_nfc_profile) has no Spark builtin and
+runs as an Arrow-batched pandas UDF (row-local, scan-speed).
+Fingerprints use md5 so the oracle can reproduce them bit-for-bit.
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -668,3 +672,91 @@ FROM terms GROUP BY 1, 2 ORDER BY source
 
 QUERIES["corpus_divergence_js"] = corpus_divergence_js
 ORACLE["corpus_divergence_js"] = _JSD_SQL
+
+
+# --- Unicode NFC normalization profile (round 11) ---------------------------
+
+#: U+0301 COMBINING ACUTE ACCENT / U+00E1 a-acute / U+00E9 e-acute
+_COMB_ACUTE = "́"
+_A_ACUTE = "á"
+_E_ACUTE = "é"
+
+
+def text_unicode_nfc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization profile — the canonicalization step
+    every multilingual corpus needs before hashing/dedup (the SAME
+    visible text arrives precomposed on one crawl and decomposed on
+    another; un-normalized, their digests differ and every dedup
+    operator silently misses the pair). Normalization itself is a
+    vectorized pandas UDF over `unicodedata.normalize('NFC', ...)`
+    (row-local, scan-speed, zero shuffles); the profile is one
+    grouped agg counting docs CHANGED by NFC and the code-point
+    shrinkage per source.
+
+    The synthetic corpus is pure ASCII (NFC would be a no-op and the
+    gate would assert nothing), so the fixture derives accent-bearing
+    variants deterministically on BOTH engines: one residue class per
+    doc gets decomposed a+COMBINING-ACUTE (NFC composes it — changed
+    rows), one gets precomposed e-acute (already NFC — unchanged),
+    one stays ASCII. DuckDB's `nfc_normalize` is the oracle's
+    independent implementation of the same Unicode standard.
+    """
+    @F.pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    docs = load_table(spark, sf_dir, "documents")
+    variant = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.regexp_replace("text", "a", "a" + _COMB_ACUTE),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.regexp_replace("text", "e", _E_ACUTE),
+        )
+        .otherwise(F.col("text"))
+    )
+    staged = docs.select("doc_id", "source", variant.alias("raw"))
+    normed = staged.select(
+        "source",
+        F.length("raw").alias("cp_raw"),
+        F.length(nfc(F.col("raw"))).alias("cp_nfc"),
+        (nfc(F.col("raw")) != F.col("raw")).alias("changed"),
+    )
+    return (
+        normed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("changed").cast("int")).alias("n_changed"),
+            F.sum("cp_raw").alias("cp_before"),
+            F.sum("cp_nfc").alias("cp_after"),
+        )
+        .orderBy("source")
+    )
+
+
+_NFC_SQL = f"""
+WITH staged AS (
+  SELECT doc_id, source,
+    CASE
+      WHEN doc_id % 3 = 0 THEN replace(text, 'a', 'a' || chr(769))
+      WHEN doc_id % 3 = 1 THEN replace(text, 'e', chr(233))
+      ELSE text END AS raw
+  FROM documents),
+normed AS (
+  SELECT source, length(raw) AS cp_raw,
+    length(nfc_normalize(raw)) AS cp_nfc,
+    nfc_normalize(raw) <> raw AS changed
+  FROM staged)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+  CAST(SUM(cp_raw) AS BIGINT) AS cp_before,
+  CAST(SUM(cp_nfc) AS BIGINT) AS cp_after
+FROM normed GROUP BY source ORDER BY source
+"""
+
+QUERIES["text_unicode_nfc_profile"] = text_unicode_nfc_profile
+ORACLE["text_unicode_nfc_profile"] = _NFC_SQL

@@ -1194,3 +1194,162 @@ FROM x{PCA_ITERS} x ORDER BY dim
 
 QUERIES["embedding_pca_power"] = embedding_pca_power
 ORACLE["embedding_pca_power"] = _pca_power_sql()
+
+
+# --- DSIR importance weights (round 11) ------------------------------------
+
+DSIR_BUCKETS = 64  #: hashed bigram feature space (Xie et al. use 10k)
+DSIR_TOP_N = 20  #: highest-weight raw docs reported
+
+
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): score every RAW-domain document by how much it
+    looks like the TARGET domain under hashed-bigram unigram models —
+    log w(doc) = sum_f count_doc(f) * (ln p_target(f) - ln p_raw(f)),
+    features = bigrams hashed into DSIR_BUCKETS buckets, both
+    distributions add-1 smoothed. The weights feed Gumbel-top-k /
+    logprob-threshold resampling; the score pass is the distributed
+    work. Target here = the 'src0' documents, raw = the rest (the
+    paper's target is e.g. Wikipedia; the split is a corpus fact both
+    engines share).
+
+    Determinism: bucket assignment is the engine-reproducible md5
+    hash60 mod buckets; the log-ratio per bucket follows the
+    fixed-point idiom (8-dp round into exact decimal sums), so every
+    doc's weight is a stable decimal; ties in the top-N break on
+    doc_id.
+
+    Scale: two word-count-shaped aggs (bucket histograms of each
+    domain — DSIR_BUCKETS rows each), a BROADCAST join of the
+    64-row log-ratio table onto per-doc bucket counts, and one
+    per-doc sum — the corpus shuffles once, keyed on (doc_id,
+    bucket), already partially aggregated. No stage is wider than
+    the corpus token stream's distinct (doc, bucket) pairs.
+    """
+    from etl_gcp_function_tmabrasil_spark.queries._util import managed_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = SPARK_HASH60.format(expr="pair")
+    feats = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.split("text", " ").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1),"
+                    " slice(toks, 2, size(toks) - 1),"
+                    " (a, b) -> concat(a, ' ', b))"
+                )
+            ).alias("pair"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.expr(f"pmod({h}, {DSIR_BUCKETS})").alias("b"),
+        )
+    )
+    feats = managed_persist(feats, "traindata2.dsir_feats")
+    is_target = F.col("source") == "src0"
+    hist = feats.groupBy("b").agg(
+        F.sum(F.when(is_target, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(is_target, 0).otherwise(1)).alias("cr"),
+    )
+    totals = feats.agg(
+        F.sum(F.when(is_target, 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(is_target, 0).otherwise(1)).alias("nr"),
+    )
+    ratio = (
+        spark.range(DSIR_BUCKETS)
+        .select(F.col("id").cast("bigint").alias("b"))
+        .join(hist, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("nt") + DSIR_BUCKETS)
+                )
+                - F.log(
+                    (F.coalesce(F.col("cr"), F.lit(0)) + 1).cast("double")
+                    / (F.col("nr") + DSIR_BUCKETS)
+                ),
+                8,
+            )
+            # (12,8) keeps the c*lr product inside Spark's 38-digit
+            # cap (bigint*decimal(20,8) silently DROPS scale to 6)
+            .cast("decimal(12,8)")
+            .alias("lr"),
+        )
+    )
+    doc_buckets = (
+        feats.filter(~is_target)
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        doc_buckets.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum(
+                F.col("c").cast("decimal(10,0)") * F.col("lr")
+            ).alias("lw"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            F.round(F.col("lw").cast("double"), 6).alias("log_weight"),
+        )
+        .orderBy(F.desc("log_weight"), F.asc("doc_id"))
+        .limit(DSIR_TOP_N)
+    )
+
+
+_DSIR_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, source,
+    {SQL_HASH60.format(expr="pair")} % {DSIR_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, source,
+      UNNEST(list_transform(generate_series(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i + 1])) AS pair
+    FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+          FROM documents) t0) t1),
+hist AS (
+  SELECT b,
+    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+    SUM(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS cr
+  FROM feats GROUP BY b),
+totals AS (
+  SELECT SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS nt,
+         SUM(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS nr
+  FROM feats),
+ratio AS (
+  SELECT g.b,
+    CAST(ROUND(ln((COALESCE(ct, 0) + 1)
+                  / CAST(nt + {DSIR_BUCKETS} AS DOUBLE))
+               - ln((COALESCE(cr, 0) + 1)
+                    / CAST(nr + {DSIR_BUCKETS} AS DOUBLE)), 8)
+         AS DECIMAL(12,8)) AS lr
+  FROM (SELECT UNNEST(generate_series(0, {DSIR_BUCKETS - 1})) AS b) g
+  LEFT JOIN hist ON g.b = hist.b CROSS JOIN totals),
+doc_buckets AS (
+  SELECT doc_id, b, COUNT(*) AS c FROM feats
+  WHERE source <> 'src0' GROUP BY doc_id, b)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+  ROUND(CAST(SUM(CAST(c AS DECIMAL(10,0)) * lr) AS DOUBLE), 6)
+    AS log_weight
+FROM doc_buckets JOIN ratio USING (b)
+GROUP BY doc_id
+ORDER BY log_weight DESC, doc_id ASC LIMIT {DSIR_TOP_N}
+"""
+
+QUERIES["sample_importance_dsir"] = sample_importance_dsir
+ORACLE["sample_importance_dsir"] = _DSIR_SQL

@@ -128,6 +128,16 @@ GATE_QUERIES = [
     "ann_ivfpq",
     # r10: two sketched commits + manifest-only NDV reads at build
     "sink_snapshot_ndv_stats",
+    # r11: copy-on-write delete/replace commits + strict-subset
+    # hard-checks at fixture build
+    "sink_snapshot_delete_where",
+    "sink_snapshot_replace_where",
+    # r11: executes the self-join and asserts ReusedExchange
+    "plan_exchange_reuse",
+    # r11: eager frontier loop (Pregel class, like graph_kcore)
+    "graph_bfs_distances",
+    # r11: driver-side sketch read after the one-pass CMS aggregate
+    "agg_count_min_sketch",
 ]
 
 

@@ -236,3 +236,31 @@ def test_r10_wave_empty_inputs(spark, empty_sf_dir, name, expected):
 
     df = all_queries()[name](spark, empty_sf_dir)
     assert df.count() == expected, name
+
+
+#: round-11 wave over empty tables (same contract). The eager gates
+#: (snapshot delete/replace, exchange-reuse, BFS, CMS) build fixtures /
+#: run driver loops at construction and are covered by their own unit
+#: tests; the lazy wave must keep the empty-in/empty-or-scalar-out
+#: contract: empty rank windows, an empty OLS head (one all-null
+#: scalar row, the q6 class), an empty canonical-URL corpus, empty
+#: DSIR domains (ln of smoothed uniform ratios over zero counts),
+#: an empty NFC profile, and empty MMR pools through four unrolled
+#: greedy steps.
+_R11_EMPTY = [
+    ("agg_spearman_corr", 0),
+    ("timeseries_acf", 0),
+    ("vocab_zipf_fit", 1),
+    ("dedup_url_canonical", 0),
+    ("sample_importance_dsir", 0),
+    ("text_unicode_nfc_profile", 0),
+    ("knn_mmr_rerank", 0),
+]
+
+
+@pytest.mark.parametrize("name,expected", _R11_EMPTY)
+def test_r11_wave_empty_inputs(spark, empty_sf_dir, name, expected):
+    from etl_gcp_function_tmabrasil_spark.queries import all_queries
+
+    df = all_queries()[name](spark, empty_sf_dir)
+    assert df.count() == expected, name
