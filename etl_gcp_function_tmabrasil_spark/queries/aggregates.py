@@ -1156,12 +1156,18 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final statistic is one double expression evaluated in the
     same parenthesization on both engines, rounded to 6 dp.
 
-    Scale: two rank windows per group key (one sort each, same
-    partitioning) and ONE partial+final aggregation — no per-pair
-    work, no collect; the group count is the only driver-side-free
-    reduction. At 100 TB the windows are the cost: they shuffle on
-    l_returnflag once (co-partitioned for both rank passes and the
-    final agg).
+    Scale — NO whole-group rank window (a low-cardinality group key
+    would funnel millions of rows through single-task sorts): ranks
+    come from the banded-rank decomposition the exact-quantile
+    operator uses (`operators/quantiles.py`). Per variable: value
+    counts per (group, band, value) — a balanced partial+final agg —
+    then band offsets via a window over the O(bands) band table and
+    within-band exclusive prefixes via a window over each band's
+    bounded value list; mid-rank = band offset + in-band prefix +
+    ties. The rank maps join back to the rows on the (group, value)
+    equi-key, and ONE moment aggregation finishes. The oracle keeps
+    the textbook whole-partition RANK() formulation — hash equality
+    proves the banded decomposition IS the rank transform.
     """
     from pyspark.sql import Window as W
 
@@ -1170,18 +1176,61 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").alias("x"),
         F.col("l_extendedprice").alias("y"),
     )
-    part = W.partitionBy("l_returnflag")
 
-    def rank2(c: str) -> Column:
-        rmin = F.rank().over(part.orderBy(c))
-        ties = F.count(F.lit(1)).over(W.partitionBy("l_returnflag", c))
+    def rank2_map(col: str, band_width: float) -> DataFrame:
+        """(l_returnflag, <col>, r2) — doubled mid-ranks of `col`
+        within each group, built without any whole-group window."""
+        d = li.select(
+            "l_returnflag",
+            F.col(col).alias("v"),
+            F.floor(F.col(col) / band_width).cast("long").alias("band"),
+        )
+        vc = d.groupBy("l_returnflag", "band", "v").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        bc = vc.groupBy("l_returnflag", "band").agg(
+            F.sum("c").alias("n_band")
+        )
+        w_band = (
+            W.partitionBy("l_returnflag")
+            .orderBy("band")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        offsets = bc.withColumn(
+            "off", F.coalesce(F.sum("n_band").over(w_band), F.lit(0))
+        ).select("l_returnflag", "band", "off")
+        w_in = (
+            W.partitionBy("l_returnflag", "band")
+            .orderBy("v")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
         return (
-            (F.lit(2) * rmin + ties - F.lit(1))
-            .cast("decimal(19,0)")
+            vc.withColumn(
+                "excl", F.coalesce(F.sum("c").over(w_in), F.lit(0))
+            )
+            .join(offsets, ["l_returnflag", "band"])
+            .select(
+                "l_returnflag",
+                F.col("v").alias(col),
+                # 2*rank_min + ties - 1, rank_min = off + excl + 1
+                (
+                    F.lit(2) * (F.col("off") + F.col("excl") + 1)
+                    + F.col("c")
+                    - F.lit(1)
+                )
+                .cast("decimal(19,0)")
+                .alias(f"r2_{col}"),
+            )
         )
 
-    ranked = li.select(
-        "l_returnflag", rank2("x").alias("rx"), rank2("y").alias("ry")
+    ranked = (
+        li.join(rank2_map("x", 8.0), ["l_returnflag", "x"])
+        .join(rank2_map("y", 1000.0), ["l_returnflag", "y"])
+        .select(
+            "l_returnflag",
+            F.col("r2_x").alias("rx"),
+            F.col("r2_y").alias("ry"),
+        )
     )
     agg = ranked.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
