@@ -125,6 +125,8 @@ EXTENDED = [
     # (graph_bfs_distances and agg_count_min_sketch run driver
     # loops / driver-side sketch reads at CONSTRUCTION — eager, so
     # they bench in scripts/bench_gate_sf01.py like kmeans/kcore)
+    "funnel_time_to_convert",       # two-stage funnel delay quantiles
+    "multimodal_phash_dedup",       # dHash buckets over decoded media
 ]
 
 

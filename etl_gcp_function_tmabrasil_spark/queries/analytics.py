@@ -3586,3 +3586,97 @@ FROM agg ORDER BY event_type
 
 QUERIES["timeseries_acf"] = timeseries_acf
 ORACLE["timeseries_acf"] = _ACF_SQL
+
+
+# --- Funnel time-to-convert bands (round 11) -------------------------------
+
+
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution of the view→purchase funnel: for
+    every user whose first purchase FOLLOWS their first view, the
+    conversion delay in seconds, banded into exact p25/median/p75 per
+    day-of-week of the first view — the funnel row's (r8) latency
+    companion (how LONG conversion takes, not just whether it
+    happens), and the input to SLA/abandonment analysis.
+
+    Scale: two per-user min aggregations (one shuffle on user_id,
+    both stages from the same grouped pass), a row-local delay
+    computation, then the banded-rank exact quantiles — no group's
+    delays are ever buffered (operators/quantiles.py).
+
+    Determinism: delays are integer seconds (epoch FLOOR on both
+    engines); quantiles follow the shared quantile_cont linear
+    interpolation; day-of-week uses DuckDB's 0-based dayofweek
+    convention (Sunday=0) mapped explicitly on the Spark side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+                "first_view"
+            ),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("first_purchase"),
+        )
+        .filter(
+            F.col("first_view").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") > F.col("first_view"))
+        )
+    )
+    delays = firsts.select(
+        # DuckDB dayofweek is 0-based Sunday; Spark dayofweek 1-based
+        (F.dayofweek("first_view") - 1).alias("view_dow"),
+        (
+            F.floor(F.unix_micros("first_purchase") / 1_000_000)
+            - F.floor(F.unix_micros("first_view") / 1_000_000)
+        )
+        .cast("double")
+        .alias("delay_s"),
+    )
+    from etl_gcp_function_tmabrasil_spark.operators.quantiles import (
+        banded_exact_quantiles,
+    )
+
+    q = banded_exact_quantiles(
+        delays,
+        "view_dow",
+        "delay_s",
+        {"p25_s": 0.25, "median_s": 0.5, "p75_s": 0.75},
+        band_width=3600.0,
+    )
+    return q.select(
+        "view_dow",
+        F.col("n_total").alias("n_converters"),
+        "p25_s",
+        "median_s",
+        "p75_s",
+    ).orderBy("view_dow")
+
+
+_FUNNEL_TTC_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY user_id),
+delays AS (
+  SELECT dayofweek(first_view) AS view_dow,
+    CAST(FLOOR(epoch(first_purchase)) - FLOOR(epoch(first_view))
+         AS DOUBLE) AS delay_s
+  FROM firsts
+  WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+    AND first_purchase > first_view)
+SELECT view_dow, COUNT(*) AS n_converters,
+  ROUND(quantile_cont(delay_s, 0.25), 4) AS p25_s,
+  ROUND(quantile_cont(delay_s, 0.5), 4) AS median_s,
+  ROUND(quantile_cont(delay_s, 0.75), 4) AS p75_s
+FROM delays GROUP BY view_dow ORDER BY view_dow
+"""
+
+QUERIES["funnel_time_to_convert"] = funnel_time_to_convert
+ORACLE["funnel_time_to_convert"] = _FUNNEL_TTC_SQL

@@ -321,3 +321,94 @@ ORACLE = {
     "multimodal_resize_stats": _RESIZE_STATS_SQL,
     "multimodal_embed_knn": _embed_knn_sql(),
 }
+
+
+# --- Perceptual-hash dedup (round 11) ---------------------------------------
+
+DHASH_BITS = 8  #: adjacent-sample comparisons per media (dHash width)
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (dHash-style) near-duplicate detection over the
+    media corpus — the image-dedup step of a multimodal training
+    pipeline (pHash/dHash buckets are how web-scale image dedup
+    avoids pairwise pixel comparison: gradient-sign bits are stable
+    under re-encoding/resizing, so one exact groupBy on the hash
+    replaces an O(n²) similarity join). The decode runs through the
+    SAME mapInPandas plumbing as the other multimodal operators
+    (bytes never enter a shuffle; the hash is row-local numpy over
+    the decoded samples), and clusters are the canonical word-count
+    shape on (kind, n_pairs, dhash).
+
+    The synthetic codec's samples are closed-form in media_id, so the
+    oracle recomputes every gradient bit with integer arithmetic over
+    `range(96)` — the hash derivation, the mapInPandas plumbing, and
+    the cluster rollup are all value-exact-checked.
+    """
+    from etl_gcp_function_tmabrasil_spark.operators.multimodal import (
+        FakeCodec,
+    )
+
+    media = synth_media_table(spark, n=_N_MEDIA)
+    codec = FakeCodec()
+    schema = "media_id long, kind string, n_pairs int, dhash long"
+
+    def dhash(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                body = codec.frames(bytes(content))
+                pairs = min(DHASH_BITS, max(len(body) - 1, 0))
+                h = 0
+                for j in range(pairs):
+                    if body[j + 1] > body[j]:
+                        h |= 1 << j
+                out.append((int(mid), kind, pairs, h))
+            yield pd.DataFrame(
+                out, columns=["media_id", "kind", "n_pairs", "dhash"]
+            )
+
+    hashed = media.mapInPandas(dhash, schema)
+    return (
+        hashed.groupBy("kind", "n_pairs", "dhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.min("media_id").alias("rep_media"),
+        )
+        .filter(F.col("n_media") >= 2)
+        .orderBy("kind", "n_pairs", "dhash")
+    )
+
+
+_PHASH_SQL = f"""
+WITH m AS (
+  SELECT i AS media_id,
+    CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+                            WHEN 1 THEN 'audio'
+                            ELSE 'video' END AS kind,
+    1 + i % 7 AS n_frames
+  FROM (SELECT UNNEST(generate_series(0, {_N_MEDIA - 1})) AS i) t),
+hashed AS (
+  SELECT media_id, kind,
+    CAST(LEAST({DHASH_BITS}, GREATEST(n_frames - 1, 0)) AS INT)
+      AS n_pairs,
+    CAST(COALESCE(list_sum(list_transform(
+      generate_series(0, CAST(LEAST({DHASH_BITS},
+                                    GREATEST(n_frames - 1, 0)) AS INT) - 1),
+      j -> CASE WHEN ((media_id * 31 + j + 1) % 251)
+                     > ((media_id * 31 + j) % 251)
+                THEN 1 << j ELSE 0 END)), 0) AS BIGINT) AS dhash
+  FROM m)
+SELECT kind, n_pairs, dhash, COUNT(*) AS n_media,
+  MIN(media_id) AS rep_media
+FROM hashed GROUP BY 1, 2, 3
+HAVING COUNT(*) >= 2
+ORDER BY kind, n_pairs, dhash
+"""
+
+QUERIES["multimodal_phash_dedup"] = multimodal_phash_dedup
+ORACLE["multimodal_phash_dedup"] = _PHASH_SQL

@@ -2663,7 +2663,104 @@ ORDER BY base.l_returnflag, ship_month
 """
 
 
+def sink_snapshot_zorder_optimize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OPTIMIZE ZORDER on the snapshot sink
+    (`sinks/snapshot.py:optimize_layout`): republish the newest
+    version re-clustered on the Morton key of (user bucket, day
+    bucket) — the r7 z-order layout row lifted into the manifest
+    lifecycle, where the IMPROVEMENT is hard-checked against the
+    table's own pre-optimize layout rather than a side-by-side
+    control: the base commit is time-sorted (every file's user-bucket
+    interval spans the table, so min/max pruning on a user band keeps
+    ALL files), and after the z rewrite the SAME prune must keep a
+    strict, non-empty subset. Content identity across the rewrite is
+    hard-checked too (row count + decimal value sum per version).
+
+    The returned rows are the pruned+filtered band lookup off the
+    optimized version; the oracle recomputes the band from `events` —
+    a file wrongly skipped by the freshly recorded stats loses rows
+    and cannot hash-match.
+    """
+    from etl_gcp_function_tmabrasil_spark.queries._util import csum
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        commit_snapshot,
+        optimize_layout,
+        read_snapshot,
+        snapshot_files,
+    )
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "snapshot_zorder")
+
+    def _build(tmp: str) -> None:
+        table = os.path.join(tmp, "table")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "ts",
+            "value",
+            (F.col("user_id") % (1 << _Z_BITS)).cast("int").alias("xb"),
+            (F.dayofyear("ts") % (1 << _Z_BITS)).cast("int").alias("yb"),
+        )
+        commit_snapshot(
+            ev.repartitionByRange(8, "ts"), table, stats_cols=["xb"]
+        )
+        base_files = snapshot_files(table)
+        band = (3, 4)  # a quarter of the 16 xb buckets
+        kept_before = snapshot_files(table, prune={"xb": band})
+        if len(base_files) < 2 or len(kept_before) != len(base_files):
+            raise RuntimeError(
+                "time-sorted base layout should defeat xb pruning "
+                f"(kept {len(kept_before)} of {len(base_files)})"
+            )
+        v2 = optimize_layout(
+            spark, table, _Z_EXPR, 8, stats_cols=["xb"]
+        )
+        kept_after = snapshot_files(table, v2, prune={"xb": band})
+        if not kept_after or len(kept_after) >= len(base_files):
+            raise RuntimeError(
+                f"z-order optimize did not improve pruning: "
+                f"{len(kept_after)} of {len(snapshot_files(table, v2))} "
+                "files kept"
+            )
+        sums = [
+            read_snapshot(spark, table, version=v)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,4)")).alias("s"),
+            )
+            .collect()[0]
+            for v in (1, v2)
+        ]
+        if (sums[0]["n"], sums[0]["s"]) != (sums[1]["n"], sums[1]["s"]):
+            raise RuntimeError("optimize changed the table's content")
+        (
+            read_snapshot(spark, table, version=v2, prune={"xb": band})
+            .filter(F.col("xb").between(*band))
+            .groupBy("xb")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                csum("value").alias("sum_value"),
+            )
+            .write.parquet(os.path.join(tmp, "out"))
+        )
+
+    _ensure_fixture(fixture, _build)
+    return spark.read.parquet(os.path.join(fixture, "out")).orderBy("xb")
+
+
+_SNAPSHOT_ZORDER_SQL = f"""
+SELECT CAST(user_id % {1 << _Z_BITS} AS INT) AS xb, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+WHERE user_id % {1 << _Z_BITS} BETWEEN 3 AND 4
+GROUP BY 1 ORDER BY xb
+"""
+
+
 QUERIES = {
+    "sink_snapshot_zorder_optimize": sink_snapshot_zorder_optimize,
     "plan_exchange_reuse": plan_exchange_reuse,
     "sink_snapshot_delete_where": sink_snapshot_delete_where,
     "sink_snapshot_replace_where": sink_snapshot_replace_where,
@@ -2699,6 +2796,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sink_snapshot_zorder_optimize": _SNAPSHOT_ZORDER_SQL,
     "plan_exchange_reuse": _EXCHANGE_REUSE_SQL,
     "sink_snapshot_delete_where": _SNAPSHOT_DELETE_SQL,
     "sink_snapshot_replace_where": _SNAPSHOT_REPLACE_SQL,

@@ -1728,3 +1728,71 @@ from etl_gcp_function_tmabrasil_spark.queries.analytics import (  # noqa: E402
 )
 
 ORACLE["stream_pattern_match"] = _STREAM_PATTERN_SQL
+
+
+# --- Complete output mode: running leaderboard (round 11) -------------------
+
+
+def stream_complete_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE output mode through the real streaming runtime — the
+    one output mode the gate surface had not pinned (append: every
+    windowed gate; update-style: the foreachBatch CDC merges). A
+    running per-type leaderboard re-emits the FULL aggregate each
+    micro-batch into a memory sink; after the availableNow run the
+    final emission must equal the batch aggregation of all events —
+    the complete-mode contract (state holds every group; no watermark
+    required; emitted rows are replaced, not appended).
+
+    Restart safety: the memory sink is per-process transient, so the
+    final table snapshots to parquet next to the checkpoint; a
+    re-invocation in the same process reads the snapshot instead of
+    no-op-restarting into an EMPTY memory table (availableNow on a
+    finished checkpoint admits zero files, and complete mode would
+    then re-emit nothing).
+
+    Scale: complete mode keeps O(groups) state (5 event types) and
+    re-emits it per batch — the right tool ONLY for bounded-key
+    aggregations; unbounded keys belong to append/update modes (the
+    docstring is the contract a user needs at 100 TB).
+    """
+    root = _root(sf_dir, "complete")
+    out = os.path.join(root, "out")
+    if not os.path.isdir(out):
+        chunks = _shared_chunks(sf_dir)
+        agg = (
+            _stream(spark, chunks)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                csum("value").alias("sum_value"),
+            )
+        )
+        name = f"complete_leaderboard_{abs(hash(root)) % (1 << 30)}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(root, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        tmp = out + ".tmp"
+        spark.table(name).write.parquet(tmp)
+        os.rename(tmp, out)
+    return (
+        spark.read.parquet(out)
+        .select("event_type", "n", "sum_value")
+        .orderBy(F.desc("n"), F.asc("event_type"))
+    )
+
+
+_COMPLETE_SQL = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+ORDER BY n DESC, event_type ASC
+"""
+
+QUERIES["stream_complete_leaderboard"] = stream_complete_leaderboard
+ORACLE["stream_complete_leaderboard"] = _COMPLETE_SQL

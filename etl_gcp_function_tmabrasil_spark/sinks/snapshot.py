@@ -996,6 +996,52 @@ def read_snapshot(
     return spark.read.schema(schema).parquet(*files)
 
 
+def optimize_layout(
+    spark: SparkSession,
+    table_dir: str,
+    order_expr: str,
+    n_files: int,
+    stats_cols: list[str] | None = None,
+    point_cols: list[str] | None = None,
+    bloom_bits: int = _BLOOM_BITS,
+    ndv_cols: list[str] | None = None,
+    commit_ts: float | None = None,
+) -> int:
+    """OPTIMIZE ... ZORDER-style layout rewrite: republish the newest
+    version's CONTENT re-clustered by ``order_expr`` (any SQL
+    expression over the table's columns — a Morton/Hilbert curve key,
+    a sort column, a bucketing hash) as a NEW version: rows are
+    range-partitioned on the expression into ``n_files`` files and
+    sorted by it within each file, so the freshly recorded per-file
+    stats (``stats_cols``) turn into tight, disjoint-ish intervals
+    the reader's pruning can use — Delta's OPTIMIZE ZORDER / Iceberg's
+    rewrite_data_files(sort_order), expressed through the manifest.
+
+    Content is untouched (same rows, new layout); old versions stay
+    readable until VACUUM, exactly like the r9 compaction verb. One
+    shuffle (the range partitioning) — the same price as any
+    partitioned write of the table."""
+    from pyspark.sql import functions as F
+
+    df = read_snapshot(spark, table_dir)
+    clustered = (
+        df.withColumn("__cluster", F.expr(order_expr))
+        .repartitionByRange(n_files, "__cluster")
+        .sortWithinPartitions("__cluster")
+        .drop("__cluster")
+    )
+    return commit_snapshot(
+        clustered,
+        table_dir,
+        mode="overwrite",
+        stats_cols=stats_cols,
+        point_cols=point_cols,
+        bloom_bits=bloom_bits,
+        ndv_cols=ndv_cols,
+        commit_ts=commit_ts,
+    )
+
+
 def vacuum_snapshots(table_dir: str, retain_last: int = 1) -> dict:
     """Expire all but the newest ``retain_last`` versions and delete
     the data files no RETAINED manifest references — the Delta VACUUM /

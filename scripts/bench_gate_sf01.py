@@ -138,6 +138,10 @@ GATE_QUERIES = [
     "graph_bfs_distances",
     # r11: driver-side sketch read after the one-pass CMS aggregate
     "agg_count_min_sketch",
+    # r11: two commits + optimize rewrite + pruning hard-checks at build
+    "sink_snapshot_zorder_optimize",
+    # r11: checkpointed availableNow complete-mode run at construction
+    "stream_complete_leaderboard",
 ]
 
 

@@ -379,3 +379,134 @@ def test_exchange_reuse_shares_sum_to_one(spark):
         by_flag[r.l_returnflag] += r.share
     for flag, s in by_flag.items():
         assert abs(s - 1.0) < 1e-3, (flag, s)
+
+
+def test_optimize_layout_reclusters_without_changing_content(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        commit_snapshot,
+        optimize_layout,
+        read_snapshot,
+        snapshot_files,
+    )
+
+    table = str(tmp_path / "t")
+    # interleaved key: time-sorted layout defeats min/max pruning on k
+    df = spark.range(400).selectExpr("id", "id % 16 AS k")
+    commit_snapshot(df.repartitionByRange(4, "id"), table, stats_cols=["k"])
+    assert len(snapshot_files(table, prune={"k": (3, 4)})) == 4
+    v2 = optimize_layout(spark, table, "k", 4, stats_cols=["k"])
+    kept = snapshot_files(table, v2, prune={"k": (3, 4)})
+    assert 0 < len(kept) < 4
+    ids_before = sorted(r.id for r in read_snapshot(spark, table, 1).collect())
+    ids_after = sorted(r.id for r in read_snapshot(spark, table, v2).collect())
+    assert ids_before == ids_after  # content identical, layout new
+    # rows inside each optimized file are sorted by the cluster expr
+    one = spark.read.parquet(kept[0]).select("k").collect()
+    ks = [r.k for r in one]
+    assert ks == sorted(ks)
+
+
+def test_complete_leaderboard_equals_batch_and_survives_reinvocation(spark):
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+    from etl_gcp_function_tmabrasil_spark.queries.streaming_gate import (
+        stream_complete_leaderboard,
+    )
+
+    got = stream_complete_leaderboard(spark, SF_SMOKE).collect()
+    batch = {
+        (r.event_type, r.n)
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert {(r.event_type, r.n) for r in got} == batch
+    # second invocation in the same process must return the snapshot,
+    # not an empty no-op-restart memory table
+    again = stream_complete_leaderboard(spark, SF_SMOKE).collect()
+    assert {(r.event_type, r.n) for r in again} == batch
+
+
+def test_phash_matches_byte_reference(spark):
+    from etl_gcp_function_tmabrasil_spark.operators.multimodal import (
+        encode_fake_media,
+    )
+    from etl_gcp_function_tmabrasil_spark.queries.multimodal_q import (
+        _N_MEDIA,
+        DHASH_BITS,
+        multimodal_phash_dedup,
+    )
+
+    clusters = Counter()
+    reps = {}
+    for i in range(_N_MEDIA):
+        kind = ["image", "audio", "video"][i % 3]
+        frames = 1 + i % 7
+        body = bytes((i * 31 + j) % 251 for j in range(frames))
+        pairs = min(DHASH_BITS, max(len(body) - 1, 0))
+        h = 0
+        for j in range(pairs):
+            if body[j + 1] > body[j]:
+                h |= 1 << j
+        key = (kind, pairs, h)
+        clusters[key] += 1
+        reps.setdefault(key, i)
+        # sanity: the encoded payload's body is exactly these bytes
+        assert encode_fake_media(i, kind, 64, 48, frames).endswith(body)
+    expected = {
+        (k, p, h, n, reps[(k, p, h)])
+        for (k, p, h), n in clusters.items()
+        if n >= 2
+    }
+    got = {
+        (r.kind, r.n_pairs, r.dhash, r.n_media, r.rep_media)
+        for r in multimodal_phash_dedup(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    assert got  # the corpus actually produces near-dup clusters
+
+
+def test_funnel_ttc_matches_interpolated_quantiles(spark):
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        funnel_time_to_convert,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_type", "ts"
+    ).collect()
+    firsts = defaultdict(lambda: [None, None])
+    for r in ev:
+        if r.event_type == "view":
+            cur = firsts[r.user_id][0]
+            if cur is None or r.ts < cur:
+                firsts[r.user_id][0] = r.ts
+        elif r.event_type == "purchase":
+            cur = firsts[r.user_id][1]
+            if cur is None or r.ts < cur:
+                firsts[r.user_id][1] = r.ts
+    delays = defaultdict(list)
+    for v, p in firsts.values():
+        if v is not None and p is not None and p > v:
+            dow = (v.weekday() + 1) % 7  # python Mon=0 -> Sunday=0
+            delays[dow].append(
+                math.floor(p.timestamp()) - math.floor(v.timestamp())
+            )
+
+    def qcont(vals, q):
+        s = sorted(vals)
+        pos = (len(s) - 1) * q
+        lo, hi = math.floor(pos), math.ceil(pos)
+        return s[lo] + (s[hi] - s[lo]) * (pos - lo)
+
+    got = {r.view_dow: r for r in funnel_time_to_convert(spark, SF_SMOKE).collect()}
+    assert set(got) == set(delays)
+    for dow, ds in delays.items():
+        g = got[dow]
+        assert g.n_converters == len(ds), dow
+        assert abs(g.median_s - qcont(ds, 0.5)) < 1e-6, dow
+        assert abs(g.p25_s - qcont(ds, 0.25)) < 1e-6, dow
+        assert abs(g.p75_s - qcont(ds, 0.75)) < 1e-6, dow
