@@ -253,6 +253,36 @@ PARITY = [
     # 10x fingerprint mass
     "sink_snapshot_ndv_stats",
     "dedup_winnowing_containment",
+    # r11: the banded-rank Spearman at 6M lineitem rows (the
+    # decomposition exists exactly for this scale — 2M-row groups
+    # must never hit a whole-group sort), CMS guarantees at 1.5M
+    # orders, the ACF lag window under 10x duplicate-ts tie mass,
+    # zipf/URL/DSIR/NFC over the 10x corpus (DSIR's md5 bigram
+    # histograms at ~15M features; NFC's pandas UDF at 500k docs),
+    # BFS at 10x edge mass, exchange reuse re-checked on the executed
+    # 6M-row plan, the copy-on-write delete/replace and z-order
+    # optimize rebuilding 2M-row tables with strict-subset
+    # hard-checks, complete-mode streaming replaying 1M events, and
+    # the funnel quantiles at 10x converter mass.
+    # (knn_mmr_rerank is timed-not-oracle-checked at sf1: its oracle
+    # recomputes the brute-force pool in DuckDB lambdas — the same
+    # minutes-at-50k-vectors class as knn_bruteforce_cosine, whose
+    # parity likewise pins at sf0.01; multimodal_phash_dedup reads
+    # the fixed 96-row synthetic media table, sf-independent.)
+    "agg_spearman_corr",
+    "agg_count_min_sketch",
+    "timeseries_acf",
+    "vocab_zipf_fit",
+    "dedup_url_canonical",
+    "sample_importance_dsir",
+    "text_unicode_nfc_profile",
+    "graph_bfs_distances",
+    "plan_exchange_reuse",
+    "sink_snapshot_delete_where",
+    "sink_snapshot_replace_where",
+    "sink_snapshot_zorder_optimize",
+    "stream_complete_leaderboard",
+    "funnel_time_to_convert",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.
@@ -267,6 +297,9 @@ TIMED = [
     # stays out of PARITY at this scale; Spark-side timing is the
     # scale check here)
     "simjoin_prefix_jaccard",
+    # r11: pool + pairwise + 4 unrolled greedy steps at 50k vectors
+    # (timed like the other brute-force-pool vector ops)
+    "knn_mmr_rerank",
 ]
 
 

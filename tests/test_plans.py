@@ -676,3 +676,48 @@ def test_repeated_substrings_broadcasts_dup_set(spark, sf_dir):
         "duplicate set did not broadcast — the window table is paying a "
         "join shuffle"
     )
+
+
+def test_dsir_ratio_table_broadcasts(spark, sf_dir):
+    """DSIR's 64-row log-ratio table must reach the per-doc counts as
+    a broadcast — a shuffled join here would re-shuffle the corpus'
+    (doc, bucket) rows on the bucket key for nothing."""
+    from etl_gcp_function_tmabrasil_spark.queries.traindata2 import (
+        sample_importance_dsir,
+    )
+
+    plan = explain_str(sample_importance_dsir(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_acf_means_broadcast(spark, sf_dir):
+    """The per-type means (one row per event type) join back to the
+    series as a broadcast; the lag window is the only series-sized
+    sort."""
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        timeseries_acf,
+    )
+
+    plan = explain_str(timeseries_acf(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_spearman_has_no_whole_group_sort_window(spark, sf_dir):
+    """The banded Spearman must keep every window on the BAND tables:
+    a Window whose partition spec is the bare 3-value group key would
+    re-introduce the single-task whole-group sort the decomposition
+    exists to avoid. Band windows partition by (flag, band) or order
+    the O(bands) band table — both specs carry 'band'."""
+    from etl_gcp_function_tmabrasil_spark.queries.aggregates import (
+        agg_spearman_corr,
+    )
+
+    plan = explain_str(agg_spearman_corr(spark, sf_dir))
+    specs = [
+        line
+        for line in plan.splitlines()
+        if "windowspecdefinition" in line
+    ]
+    assert specs, "expected band-table Window operators in the plan"
+    for spec in specs:
+        assert "band" in spec, f"whole-group window crept in: {spec}"
