@@ -130,6 +130,56 @@ EXTENDED = [
 ]
 
 
+def _time_query(spark, fn, name: str, sf_dir: str) -> tuple[float, float]:
+    """Warmup + min/median of 3 timed runs, with the eager-construction
+    guard: construction must stay lazy (e.g. PySpark 4 localCheckpoint
+    executes even with eager=False) or engine work escapes the timer
+    and the reported number is fake.
+
+    The guard fails only when slow construction PERSISTS (3 strikes):
+    a multi-second construction stall can equally be a host/GC pause —
+    measured r11: three different LAZY queries tripped a 2-strike
+    guard in three consecutive bench runs on a stall-prone host, each
+    a different query, none reproducible standalone. A genuinely eager
+    query stalls on EVERY construction, so it still exhausts the
+    strikes (and its stalled samples never enter the timing set —
+    each strike discards the sample and retries the run)."""
+    best = float("inf")
+    samples: list[float] = []
+    slow = 0
+    runs = 0
+    while len(samples) < 3 and runs < 8:
+        # Queries that persist() intermediates would otherwise be
+        # served from cache on the repeat run (Spark's CacheManager
+        # matches canonicalized plans across DataFrame objects) —
+        # clear so every timed run is a cold query.
+        spark.catalog.clearCache()
+        tc = time.perf_counter()
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        t1 = time.perf_counter()
+        runs += 1
+        if runs == 1:
+            continue  # run 0 is warmup (codegen compile, JIT, workers)
+        ref = best if samples else (t1 - t0)
+        if t0 - tc > max(1.0, 3 * ref):
+            slow += 1
+            if slow >= 3:
+                raise RuntimeError(
+                    f"{name}: construction took {t0 - tc:.2f}s vs "
+                    f"{ref:.2f}s timed on {slow} runs — eager work is "
+                    "escaping the timer"
+                )
+            continue  # host stall: discard the sample, retry the run
+        samples.append(t1 - t0)
+        best = min(samples)
+    # median alongside min: a round-over-round swing in `queries` is
+    # classifiable as host noise (median stable, min moved) vs a real
+    # regression (both moved) without a bisect.
+    return round(best, 3), round(sorted(samples)[len(samples) // 2], 3)
+
+
 def _bench_streaming(spark, sf_dir: str) -> tuple[float, float]:
     """Round-6 streaming headline: time one end-to-end checkpointed
     availableNow run of the watermarked tumbling agg (the r5 gate's
@@ -194,65 +244,18 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_ORDER") == "reverse":
         order.reverse()
     for name in order:
-        best = float("inf")
-        samples: list[float] = []
-        slow_constructions = 0
-        for i in range(4):
-            # Queries that persist() intermediates would otherwise be
-            # served from cache on the repeat run (Spark's CacheManager
-            # matches canonicalized plans across DataFrame objects) —
-            # clear so every timed run is a cold query.
-            spark.catalog.clearCache()
-            tc = time.perf_counter()
-            df = queries[name](spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            if i > 0:  # run 0 is warmup
-                samples.append(time.perf_counter() - t0)
-                best = min(samples)
-                # Construction must stay lazy: eager materialization
-                # (e.g. PySpark 4 localCheckpoint, which executes even
-                # with eager=False) would move engine work outside the
-                # timer and report a fake number. Raise only when slow
-                # construction REPRODUCES — a single >1 s stall can be
-                # a GC pause / Py4J hiccup on a loaded machine, and
-                # aborting the whole bench on one sample reports
-                # nothing for the other 25 queries.
-                if t0 - tc > max(1.0, 3 * best):
-                    slow_constructions += 1
-                    if slow_constructions >= 2:
-                        raise RuntimeError(
-                            f"{name}: construction took {t0 - tc:.2f}s vs "
-                            f"{best:.2f}s timed (x{slow_constructions}) — "
-                            "eager work is escaping the timer"
-                        )
-        timings[name] = round(best, 3)
-        # median of the timed runs, alongside min: a round-over-round
-        # swing in `queries` is classifiable as host noise (median
-        # stable, min moved) vs a real regression (both moved) without
-        # a bisect.
-        medians[name] = round(sorted(samples)[len(samples) // 2], 3)
+        timings[name], medians[name] = _time_query(
+            spark, queries[name], name, sf_dir
+        )
     # EXTENDED: same machinery, recorded only in BENCH_LOCAL.json (the
     # stdout line is at capacity and HEADLINE is append-only — see the
     # EXTENDED docstring above).
     ext_timings: dict[str, float] = {}
     ext_medians: dict[str, float] = {}
     for name in EXTENDED:
-        samples = []
-        for i in range(4):
-            spark.catalog.clearCache()
-            tc = time.perf_counter()
-            df = queries[name](spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            if i > 0:
-                samples.append(time.perf_counter() - t0)
-                if t0 - tc > max(1.0, 3 * min(samples)):
-                    raise RuntimeError(
-                        f"{name}: eager construction escaping the timer"
-                    )
-        ext_timings[name] = round(min(samples), 3)
-        ext_medians[name] = round(sorted(samples)[len(samples) // 2], 3)
+        ext_timings[name], ext_medians[name] = _time_query(
+            spark, queries[name], name, sf_dir
+        )
     # streaming headline (eager end-to-end run; own timing path — the
     # lazy-construction loop above cannot time a streaming job)
     timings["stream_tumbling_e2e"], medians["stream_tumbling_e2e"] = (
