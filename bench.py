@@ -115,7 +115,7 @@ EXTENDED = [
     # construction — so it belongs to scripts/bench_gate_sf01.py)
     # round-11 additions (lazy construction; the snapshot delete/
     # replace and exchange-reuse gates are eager -> gate-bench script)
-    "agg_spearman_corr",            # mid-rank windows + decimal Pearson
+    "agg_spearman_corr",            # banded mid-ranks + decimal Pearson
     "timeseries_acf",               # demeaned lag products, one window
     "vocab_zipf_fit",               # log-log OLS over the vocab head
     "dedup_url_canonical",          # row-local URL canonicalize + count
@@ -127,6 +127,7 @@ EXTENDED = [
     # they bench in scripts/bench_gate_sf01.py like kmeans/kcore)
     "funnel_time_to_convert",       # two-stage funnel delay quantiles
     "multimodal_phash_dedup",       # dHash buckets over decoded media
+    "stats_bootstrap_ci",           # one-pass Poisson bootstrap CIs
 ]
 
 

@@ -3680,3 +3680,153 @@ FROM delays GROUP BY view_dow ORDER BY view_dow
 
 QUERIES["funnel_time_to_convert"] = funnel_time_to_convert
 ORACLE["funnel_time_to_convert"] = _FUNNEL_TTC_SQL
+
+
+# --- Poisson bootstrap confidence intervals (round 11) ----------------------
+
+BOOT_REPLICAS = 64  #: bootstrap resamples (one corpus pass, all of them)
+#: Cumulative Poisson(1) CDF thresholds for k = 0..7 — the inverse-CDF
+#: ladder that turns one uniform into a bootstrap weight. Literals are
+#: shared verbatim with the oracle so the weight is engine-identical.
+_POIS_CDF = [
+    0.367879441, 0.735758882, 0.919698603, 0.981011843,
+    0.996340153, 0.999405815, 0.999916758, 0.999989750,
+]
+
+
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for each event type's mean value
+    via the POISSON bootstrap (Hanley & MacGibbon 2006; the
+    map-reduce-friendly bootstrap: per (row, replica), a Poisson(1)
+    weight approximates multinomial resampling without materializing
+    resamples — the only bootstrap that works in ONE pass over a
+    distributed corpus, which is why production A/B systems use it).
+    64 replicas ride one explode: weight = inverse-CDF ladder over a
+    deterministic hash-uniform, replica means from decimal sums, and
+    the 2.5/97.5 percentile of the 64 means per type gives the CI.
+
+    Determinism: u = hash60(event_id # replica) / 2^60 is the same
+    double on both engines; the CDF ladder literals are shared
+    verbatim; replica means are exact-decimal-sum / weight-count; the
+    percentile interpolates over a SORTED bounded array (64 values per
+    type — collect_list is bounded by BOOT_REPLICAS, never by data).
+
+    Scale: the corpus is scanned once and exploded x64 into a
+    word-count-shaped (type, replica) agg — partial aggregation
+    collapses each task's contribution before the exchange, so the
+    shuffle carries types x replicas rows, not the exploded stream.
+    """
+    from etl_gcp_function_tmabrasil_spark.queries._util import SPARK_HASH60
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.col("value").alias("v")
+    )
+    h = SPARK_HASH60.format(
+        expr="concat(cast(event_id as string), '#', cast(r as string))"
+    )
+    reps = ev.select(
+        "event_type", "event_id", "v",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPLICAS - 1))).alias("r"),
+    ).select(
+        "event_type",
+        "r",
+        "v",
+        (F.expr(h) / F.lit(float(1 << 60))).alias("u"),
+    )
+    w = F.lit(len(_POIS_CDF))
+    for k in reversed(range(len(_POIS_CDF))):
+        w = F.when(F.col("u") < _POIS_CDF[k], F.lit(k)).otherwise(w)
+    weighted = reps.select(
+        "event_type", "r", w.alias("w"), "v"
+    ).filter(F.col("w") > 0)
+    means = weighted.groupBy("event_type", "r").agg(
+        (
+            F.sum(
+                (F.col("v") * F.col("w")).cast("decimal(18,4)")
+            ).cast("double")
+            / F.sum("w")
+        ).alias("m")
+    )
+    def _q(arr, p: float):
+        import math as _math
+
+        pp = (BOOT_REPLICAS - 1) * p
+        lo, hi = _math.floor(pp), _math.ceil(pp)
+        frac = pp - lo
+        return (
+            F.element_at(arr, lo + 1)
+            + (F.element_at(arr, hi + 1) - F.element_at(arr, lo + 1))
+            * F.lit(frac)
+        )
+
+    point = ev.groupBy("event_type").agg(
+        (
+            F.sum(F.col("v").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("point_mean")
+    )
+    ci = means.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_replicas"),
+        F.array_sort(F.collect_list("m")).alias("ms"),
+    )
+    return (
+        point.join(ci, "event_type")
+        .select(
+            "event_type",
+            F.round("point_mean", 6).alias("point_mean"),
+            F.round(_q(F.col("ms"), 0.025), 6).alias("ci_lo"),
+            F.round(_q(F.col("ms"), 0.975), 6).alias("ci_hi"),
+            "n_replicas",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _boot_sql() -> str:
+    from etl_gcp_function_tmabrasil_spark.queries._util import SQL_HASH60
+
+    h = SQL_HASH60.format(
+        expr="(CAST(event_id AS VARCHAR) || '#' || CAST(r AS VARCHAR))"
+    )
+    ladder = f"{len(_POIS_CDF)}"
+    for k in reversed(range(len(_POIS_CDF))):
+        ladder = f"CASE WHEN u < {_POIS_CDF[k]!r} THEN {k} ELSE {ladder} END"
+    n1 = BOOT_REPLICAS - 1
+    lo_lo, lo_hi = int(n1 * 0.025), int(n1 * 0.025) + 1
+    lo_frac = n1 * 0.025 - int(n1 * 0.025)
+    hi_lo, hi_hi = int(n1 * 0.975), int(n1 * 0.975) + 1
+    hi_frac = n1 * 0.975 - int(n1 * 0.975)
+    return f"""
+WITH reps AS (
+  SELECT event_type, r, value AS v,
+    {h} / {float(1 << 60)!r} AS u
+  FROM events, (SELECT UNNEST(generate_series(0, {n1})) AS r) t),
+weighted AS (
+  SELECT event_type, r, v, {ladder} AS w FROM reps),
+means AS (
+  SELECT event_type, r,
+    CAST(SUM(CAST(v * w AS DECIMAL(18,4))) AS DOUBLE) / SUM(w) AS m
+  FROM weighted WHERE w > 0 GROUP BY event_type, r),
+point AS (
+  SELECT event_type,
+    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+      AS point_mean
+  FROM events GROUP BY event_type),
+ci AS (
+  SELECT event_type AS ci_event_type, COUNT(*) AS n_replicas,
+    list_sort(list(m)) AS ms
+  FROM means GROUP BY event_type)
+SELECT point.event_type,
+  ROUND(point_mean, 6) AS point_mean,
+  ROUND(ms[{lo_lo + 1}] + (ms[{lo_hi + 1}] - ms[{lo_lo + 1}])
+        * {lo_frac!r}, 6) AS ci_lo,
+  ROUND(ms[{hi_lo + 1}] + (ms[{hi_hi + 1}] - ms[{hi_lo + 1}])
+        * {hi_frac!r}, 6) AS ci_hi,
+  n_replicas
+FROM point JOIN ci ON point.event_type = ci.ci_event_type
+ORDER BY point.event_type
+"""
+
+
+QUERIES["stats_bootstrap_ci"] = stats_bootstrap_ci
+ORACLE["stats_bootstrap_ci"] = _boot_sql()

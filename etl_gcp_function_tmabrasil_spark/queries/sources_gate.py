@@ -2759,7 +2759,99 @@ GROUP BY 1 ORDER BY xb
 """
 
 
+def sink_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view — the delta
+    algebra the r6 incremental-rollup row left open: with deltas on
+    BOTH sides, the view's increment is
+    ΔV = (ΔA ⋈ B_new) ∪ (A_old ⋈ ΔB)
+    (the ΔA⋈ΔB cross term rides inside the first factor when B_new =
+    B_old + ΔB), and the maintenance step touches ONLY delta-sized
+    joins — at 100 TB a micro-batch of orders/customers maintains the
+    materialized join without ever rescanning it (Materialize/Delta
+    Live Tables semantics, expressed through the snapshot sink's
+    append commit).
+
+    Fixture: orders/customer each split into old + delta on key
+    residues; V1 = A_old⋈B_old committed, then ONE append commit of
+    the two delta terms. Hard-checks: every delta term (including the
+    implicit ΔA⋈ΔB pairs) is non-empty — the fixture genuinely
+    exercises the full algebra; V1 stays readable (time travel) at
+    its original count. The oracle recomputes the FULL join from the
+    base tables — hash equality proves the incremental view IS the
+    full join.
+    """
+    from etl_gcp_function_tmabrasil_spark.queries._util import csum
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        commit_snapshot,
+        read_snapshot,
+    )
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "ivm_join")
+
+    def _build(tmp: str) -> None:
+        table = os.path.join(tmp, "view")
+        a = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        b = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        a_old = a.filter(F.col("o_orderkey") % 5 != 0)
+        da = a.filter(F.col("o_orderkey") % 5 == 0)
+        b_old = b.filter(F.col("c_custkey") % 7 != 0)
+        db = b.filter(F.col("c_custkey") % 7 == 0)
+        join_cols = ["o_orderkey", "c_mktsegment", "o_totalprice"]
+
+        def j(left, right):
+            return left.join(
+                F.broadcast(right),
+                F.col("o_custkey") == F.col("c_custkey"),
+            ).select(*join_cols)
+
+        v1_rows = j(a_old, b_old)
+        commit_snapshot(v1_rows.repartition(4), table, mode="overwrite")
+        n_v1 = read_snapshot(spark, table).count()
+        # maintenance: delta-sized joins only — never rescans the view
+        delta = j(da, b).unionByName(j(a_old, db))
+        commit_snapshot(delta.repartition(2), table, mode="append")
+        # the fixture must exercise every term of the delta algebra
+        for label, term in (
+            ("dA x B_old", j(da, b_old)),
+            ("A_old x dB", j(a_old, db)),
+            ("dA x dB", j(da, db)),
+        ):
+            if term.limit(1).isEmpty():
+                raise RuntimeError(f"IVM fixture term {label} is empty")
+        if read_snapshot(spark, table, version=1).count() != n_v1:
+            raise RuntimeError("pre-maintenance view version lost rows")
+        (
+            read_snapshot(spark, table)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                csum("o_totalprice").alias("total_price"),
+            )
+            .write.parquet(os.path.join(tmp, "out"))
+        )
+
+    _ensure_fixture(fixture, _build)
+    return (
+        spark.read.parquet(os.path.join(fixture, "out"))
+        .orderBy("c_mktsegment")
+    )
+
+
+_IVM_JOIN_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
+    "sink_incremental_join_view": sink_incremental_join_view,
     "sink_snapshot_zorder_optimize": sink_snapshot_zorder_optimize,
     "plan_exchange_reuse": plan_exchange_reuse,
     "sink_snapshot_delete_where": sink_snapshot_delete_where,
@@ -2796,6 +2888,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sink_incremental_join_view": _IVM_JOIN_SQL,
     "sink_snapshot_zorder_optimize": _SNAPSHOT_ZORDER_SQL,
     "plan_exchange_reuse": _EXCHANGE_REUSE_SQL,
     "sink_snapshot_delete_where": _SNAPSHOT_DELETE_SQL,

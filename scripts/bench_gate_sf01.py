@@ -142,6 +142,8 @@ GATE_QUERIES = [
     "sink_snapshot_zorder_optimize",
     # r11: checkpointed availableNow complete-mode run at construction
     "stream_complete_leaderboard",
+    # r11: two snapshot commits (view + delta maintenance) at build
+    "sink_incremental_join_view",
 ]
 
 

@@ -256,6 +256,7 @@ _R11_EMPTY = [
     ("text_unicode_nfc_profile", 0),
     ("knn_mmr_rerank", 0),
     ("funnel_time_to_convert", 0),
+    ("stats_bootstrap_ci", 0),
     # multimodal_phash_dedup reads the fixed synthetic media table
     # (sf-independent) — covered by its byte-reference test instead
 ]

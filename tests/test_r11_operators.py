@@ -510,3 +510,82 @@ def test_funnel_ttc_matches_interpolated_quantiles(spark):
         assert abs(g.median_s - qcont(ds, 0.5)) < 1e-6, dow
         assert abs(g.p25_s - qcont(ds, 0.25)) < 1e-6, dow
         assert abs(g.p75_s - qcont(ds, 0.75)) < 1e-6, dow
+
+
+def test_bootstrap_ci_matches_hash_seeded_reference(spark):
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        _POIS_CDF,
+        BOOT_REPLICAS,
+        stats_bootstrap_ci,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "event_id", "value"
+    ).collect()
+    sums = defaultdict(lambda: defaultdict(float))
+    wsum = defaultdict(lambda: defaultdict(int))
+    points = defaultdict(list)
+    for r in ev:
+        points[r.event_type].append(r.value)
+        for rep in range(BOOT_REPLICAS):
+            u = int(
+                hashlib.md5(f"{r.event_id}#{rep}".encode()).hexdigest()[:15],
+                16,
+            ) / float(1 << 60)
+            w = len(_POIS_CDF)
+            for k, thr in enumerate(_POIS_CDF):
+                if u < thr:
+                    w = k
+                    break
+            if w:
+                # engine order: per-term rounding of v*w to decimal(18,4)
+                sums[r.event_type][rep] += round(r.value * w, 4)
+                wsum[r.event_type][rep] += w
+    got = {r.event_type: r for r in stats_bootstrap_ci(spark, SF_SMOKE).collect()}
+    assert set(got) == set(points)
+    for et, vals in points.items():
+        g = got[et]
+        assert abs(g.point_mean - sum(vals) / len(vals)) < 1e-4
+        ms = sorted(
+            sums[et][rep] / wsum[et][rep] for rep in sums[et]
+        )
+        assert g.n_replicas == len(ms)
+
+        def qc(p):
+            pos = (BOOT_REPLICAS - 1) * p
+            lo, hi = math.floor(pos), math.ceil(pos)
+            return ms[lo] + (ms[hi] - ms[lo]) * (pos - lo)
+
+        assert abs(g.ci_lo - qc(0.025)) < 1e-4, et
+        assert abs(g.ci_hi - qc(0.975)) < 1e-4, et
+        assert g.ci_lo <= g.point_mean <= g.ci_hi, et
+
+
+def test_incremental_join_view_gate_runs(spark):
+    """The gate's own hard-checks (non-empty delta terms, time-travel
+    row retention) plus the share identity: the maintained view's
+    totals must equal a direct in-memory join."""
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+    from etl_gcp_function_tmabrasil_spark.queries.sources_gate import (
+        sink_incremental_join_view,
+    )
+
+    got = {
+        r.c_mktsegment: (r.n_orders, r.total_price)
+        for r in sink_incremental_join_view(spark, SF_SMOKE).collect()
+    }
+    direct = (
+        load_table(spark, SF_SMOKE, "orders")
+        .join(
+            load_table(spark, SF_SMOKE, "customer"),
+            load_table(spark, SF_SMOKE, "orders").o_custkey
+            == load_table(spark, SF_SMOKE, "customer").c_custkey,
+        )
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    assert {r.c_mktsegment: r["count"] for r in direct} == {
+        k: v[0] for k, v in got.items()
+    }
