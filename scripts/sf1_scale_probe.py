@@ -283,6 +283,10 @@ PARITY = [
     "sink_snapshot_zorder_optimize",
     "stream_complete_leaderboard",
     "funnel_time_to_convert",
+    # late-r11: bootstrap weights at 64M (row, replica) pairs; the IVM
+    # view maintained over 2M-row deltas
+    "stats_bootstrap_ci",
+    "sink_incremental_join_view",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.
