@@ -1755,6 +1755,8 @@ def stream_complete_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations; unbounded keys belong to append/update modes (the
     docstring is the contract a user needs at 100 TB).
     """
+    import uuid as _uuid
+
     root = _root(sf_dir, "complete")
     out = os.path.join(root, "out")
     if not os.path.isdir(out):
@@ -1767,12 +1769,17 @@ def stream_complete_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 csum("value").alias("sum_value"),
             )
         )
-        name = f"complete_leaderboard_{abs(hash(root)) % (1 << 30)}"
+        # fresh checkpoint + query name PER ATTEMPT: a crash between
+        # the run and the rename must not leave a same-process retry
+        # no-op-restarting on the old checkpoint (complete mode would
+        # then re-emit nothing and snapshot an EMPTY table)
+        attempt = _uuid.uuid4().hex
+        name = f"complete_leaderboard_{attempt}"
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
             .outputMode("complete")
-            .option("checkpointLocation", os.path.join(root, "ck"))
+            .option("checkpointLocation", os.path.join(root, f"ck-{attempt}"))
             .trigger(availableNow=True)
             .start()
         )
