@@ -171,17 +171,21 @@ _CHECK_FIRST = [
 # stream_pattern_match, drift_psi, profile_key_skew,
 # sink_snapshot_time_as_of, sink_snapshot_schema_merge,
 # sample_neyman_allocation, ann_ivfpq, sink_snapshot_ndv_stats,
-# dedup_winnowing_containment — then the round-11 registrations
-# (every ledger row whose note says "registered r11"), then the
-# round-6 wave oldest-first until the 50 slots fill (scalar
+# dedup_winnowing_containment — then the 18 round-11 registrations
+# (every ledger row whose note says "registered r11": the snapshot
+# delete/replace/zorder/IVM verbs, exchange reuse, Spearman, CMS,
+# ACF, zipf, URL dedup, DSIR, NFC, MMR, BFS, phash dedup, funnel TTC,
+# complete-mode stream, bootstrap CIs) — 14 + 18 = 32 slots — then
+# the round-6 wave oldest-first for the remaining 18 slots (scalar
 # functions, collect/heavy-hitters/array/map, json family, dedup
 # exact/ngram/embedding, sorts, per-group top-k, lag/lead/first-last,
 # batch windows, xlsx/CloudEvent/compaction/schema-evolution scans,
 # pivot/unpivot, text lang-id/stats, tfidf, the UDF quartet,
 # stratified sampling, pipeline_curate_documents — programmatically:
-# every ledger row with round == 6). Whatever r6 rows miss the cut
-# lead r13 with the r7 wave. ALSO at the r12 boundary: amend SURVEY
-# §2.2 with the round-11 registrations (the frozen-table rule).
+# every ledger row with round == 6, oldest first). Whatever r6 rows
+# miss the cut lead r13 with the r7 wave. ALSO at the r12 boundary:
+# amend SURVEY §2.2 with the round-11 registrations (the frozen-table
+# rule).
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
