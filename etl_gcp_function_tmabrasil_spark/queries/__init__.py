@@ -90,102 +90,78 @@ _MODULES = [
 # Everything else stays covered by tests/test_oracle_parity.py locally
 # (all registered queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
-    # --- round-10 registrations go HERE (top of the window), each
-    #     displacing one r6 top-up from the tail so the 46 late-r9
-    #     rows below keep their slots ---
-    "sink_snapshot_point_skipping",
-    "dedup_winnowing_pairs",
-    "agg_kmv_distinct",
-    "seq_pattern_match",
-    # --- the 46 late-r9 registrations with ZERO driver evidence
-    #     (ledger artifact: null after the r9 merge — verified
-    #     programmatically). Grouped: snapshot lifecycle, streaming
-    #     state, scans/diff, graph/ANN, ML-eval/splits, analytics,
-    #     text, timeseries, windows ---
-    "sink_snapshot_vacuum",
-    "sink_snapshot_restore",
-    "sink_snapshot_version_diff",
-    "sink_snapshot_merge_upsert",
-    "sink_snapshot_compact",
-    "stream_state_timeout_sessions",
-    "scan_json_corrupt_records",
-    "table_diff_checksum",
-    "graph_kcore",
-    "ann_pq_rerank",
-    "agg_correlation_matrix",
-    "agg_exact_mode",
-    "agg_linear_regression",
-    "split_kfold_stratified",
-    "model_decile_lift",
-    "feature_binning_equidepth",
-    "mixture_sampling_plan",
-    "dedup_impact_report",
-    "events_retention_cohorts",
-    "events_markov_transitions",
-    "events_longest_streak",
-    "seq_next_event_training",
-    "attribution_last_touch",
-    "rfm_customer_segments",
-    "ltv_time_decay",
-    "basket_association_rules",
-    "pareto_contribution_8020",
-    "survival_kaplan_meier",
-    "ab_test_welch",
-    "assoc_mi_chi2",
-    "dq_constraint_suite",
-    "dq_benford_digits",
-    "profile_frequent_values",
-    "bigram_lm_kneser_ney",
-    "vocab_oov_rate",
-    "text_word_pmi",
-    "text_token_entropy",
-    "text_keyword_trend",
-    "phrase_search_positional",
-    "timeseries_cusum",
-    "timeseries_holt_linear",
-    "timeseries_rolling_zscore",
-    "timeseries_daily_percentiles",
-    "resample_daily_interpolate",
-    "window_moving_median",
-    "window_moving_distinct",
+    # --- ROUND-12 WINDOW (executes the r11-verdict rotation plan).
+    # The r11 gate landed green (CORRECTNESS_r11.json, 50/50) and the
+    # ledger is merged through r11. This window = ALL 34 queries whose
+    # ledger row has round: null (computed programmatically, registry
+    # order — the 14 late-r10 registrations + the 20 round-11
+    # registrations, including the two ledger rows seeded at the r12
+    # boundary: agg_kmv_set_algebra and stream_update_mode_emissions,
+    # per r11 ADVICE), topped up to exactly 50 with the first 16
+    # round-6 rows in registry order. After r12 lands, NO registered
+    # query is without driver evidence. ---
+    # 34 zero-evidence rows (late-r10 + r11 registrations):
+    "timeseries_seasonal_decompose",
+    "agg_weighted_median",
+    "quantile_normalize_profile",
+    "agg_winsorized_mean",
+    "drift_psi",
+    "profile_key_skew",
+    "sample_neyman_allocation",
+    "timeseries_acf",
+    "funnel_time_to_convert",
+    "stats_bootstrap_ci",
+    "graph_bfs_distances",
+    "agg_spearman_corr",
+    "agg_count_min_sketch",
+    "agg_kmv_set_algebra",
+    "corpus_divergence_js",
+    "text_unicode_nfc_profile",
+    "dedup_winnowing_containment",
+    "vocab_zipf_fit",
+    "dedup_url_canonical",
+    "ann_ivfpq",
+    "knn_mmr_rerank",
+    "sink_incremental_join_view",
+    "sink_snapshot_zorder_optimize",
+    "plan_exchange_reuse",
+    "sink_snapshot_delete_where",
+    "sink_snapshot_replace_where",
+    "sink_snapshot_ndv_stats",
+    "sink_snapshot_schema_merge",
+    "sink_snapshot_time_as_of",
+    "stream_pattern_match",
+    "stream_complete_leaderboard",
+    "stream_update_mode_emissions",
+    "multimodal_phash_dedup",
+    "sample_importance_dsir",
+    # 16 round-6 top-ups (oldest evidence, registry order):
+    "pivot_status_by_segment",
+    "unpivot_nation_counts",
+    "join_full_outer",
+    "join_cross",
+    "agg_collect",
+    "window_first_last",
+    "window_lag_lead",
+    "window_topk_per_group",
+    "sort_topk_orders",
+    "sort_multi_key",
+    "dedup_exact_rows",
+    "dedup_pick_latest",
+    "filter_reference_path_predicate",
+    "func_strings",
+    "func_dates",
+    "func_math",
 ]
 
-# ROUND-11 NOTE (what actually happened): the round-10 driver gate
-# artifact NEVER LANDED — the driver's round-10 commit (840f86a)
-# touched only ADVICE.md and BENCH_LOCAL.json; no CORRECTNESS_r10.json
-# exists on disk or in git, so the ledger remains merged through r09
-# and every row the r10 window was meant to verify still has
-# artifact: null. Consequence: the window ABOVE (4 early-r10
-# registrations + the 46 late-r9 rows — all zero-evidence, the
-# FIFO-oldest 50 of the 64-row backlog) KEEPS its slots for the r11
-# gate; the original r11 plan (pinned at the r10 close-out, premised
-# on CORRECTNESS_r10.json landing) is superseded.
-#
-# ROUND-12 ROTATION PLAN (for the next builder): FIRST run
-# scripts/merge_correctness_ledger.py (it picks up
-# CORRECTNESS_r11.json). Then the r12 window = the 14 late-r10
-# registrations still without driver evidence (ledger artifact:null —
-# verify programmatically): timeseries_seasonal_decompose,
-# agg_weighted_median, corpus_divergence_js,
-# quantile_normalize_profile, agg_winsorized_mean,
-# stream_pattern_match, drift_psi, profile_key_skew,
-# sink_snapshot_time_as_of, sink_snapshot_schema_merge,
-# sample_neyman_allocation, ann_ivfpq, sink_snapshot_ndv_stats,
-# dedup_winnowing_containment — then the 18 round-11 registrations
-# (every ledger row whose note says "registered r11": the snapshot
-# delete/replace/zorder/IVM verbs, exchange reuse, Spearman, CMS,
-# ACF, zipf, URL dedup, DSIR, NFC, MMR, BFS, phash dedup, funnel TTC,
-# complete-mode stream, bootstrap CIs) — 14 + 18 = 32 slots — then
-# the round-6 wave oldest-first for the remaining 18 slots (scalar
-# functions, collect/heavy-hitters/array/map, json family, dedup
-# exact/ngram/embedding, sorts, per-group top-k, lag/lead/first-last,
-# batch windows, xlsx/CloudEvent/compaction/schema-evolution scans,
-# pivot/unpivot, text lang-id/stats, tfidf, the UDF quartet,
-# stratified sampling, pipeline_curate_documents — programmatically:
-# every ledger row with round == 6, oldest first). Whatever r6 rows
-# miss the cut lead r13 with the r7 wave. ALSO at the r12 boundary:
-# amend SURVEY §2.2 with the round-11 registrations (the frozen-table
-# rule).
+# ROUND-13 ROTATION PLAN (for the next builder): FIRST run
+# scripts/merge_correctness_ledger.py (it picks up CORRECTNESS_r12.json).
+# Then the r13 window = any round-12 registrations without driver
+# evidence (top of the window), then the remaining 34 round-6 rows
+# (every ledger row with round == 6 not refreshed by r12, registry
+# order), topped up to 50 with the oldest r7 rows (compute
+# programmatically from the ledger — do NOT trust a hand count; the
+# r11 close-out miscounted its own registrations by two).
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
