@@ -76,9 +76,17 @@ def _manifests(table_dir: str) -> list[int]:
     for f in os.listdir(table_dir):
         if f.startswith("manifest_v") and f.endswith(".json"):
             try:
-                out.append(int(f[len("manifest_v") : -len(".json")]))
+                v = int(f[len("manifest_v") : -len(".json")])
             except ValueError:
                 continue
+            try:
+                # defense in depth vs a torn publish: a zero-byte
+                # manifest is never a valid commit — skip, don't poison
+                if os.path.getsize(os.path.join(table_dir, f)) == 0:
+                    continue
+            except OSError:
+                continue
+            out.append(v)
     return sorted(out)
 
 
@@ -97,21 +105,55 @@ def _schema_signature(schema: StructType) -> list[tuple[str, str]]:
     return [(f.name, f.dataType.simpleString()) for f in schema.fields]
 
 
+#: seconds after which a leftover publish lock from a hard-killed
+#: committer (its manifest never appeared) may be broken by a retry.
+_LOCK_STALE_S = 60.0
+
+
+def _acquire_publish_lock(lock: str, dst: str) -> None:
+    """O_EXCL-create ``lock``; on collision, fail fast if ``dst`` is
+    already published, break the lock if it is stale (older than
+    ``_LOCK_STALE_S`` with no manifest — a hard-killed committer), else
+    surface the live contender as FileExistsError."""
+    for _ in range(2):
+        try:
+            os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            return
+        except FileExistsError:
+            if os.path.exists(dst):
+                raise FileExistsError(dst) from None
+            try:
+                age = time.time() - os.stat(lock).st_mtime
+            except OSError:
+                continue  # holder just released/broke it — retry
+            if age > _LOCK_STALE_S:
+                try:
+                    os.unlink(lock)
+                except OSError:
+                    pass
+                continue
+            raise
+    raise FileExistsError(lock)
+
+
 def _publish_manifest(tmp: str, dst: str) -> None:
     """Publish a fully-written manifest with EXCLUSIVE-create
     semantics. Primary path: hard-link (atomic; a same-version race
     raises FileExistsError instead of last-rename-wins orphaning the
     loser's commit). Some filesystems (NFS/FUSE/object-store mounts)
     raise a generic OSError for — or simply don't support — os.link;
-    there the fallback gets the SAME exclusive-create guarantee from
-    ``os.open(dst, O_CREAT | O_EXCL)`` used as a LOCK, then publishes
-    the bytes with a same-directory ``os.rename`` over it (round-10
-    ADVICE: a partial ``os.write`` into the O_EXCL fd could leave a
-    truncated-but-visible manifest; rename swaps in the fully-written,
-    fsynced copy in one step, and any failure after the lock exists
-    unlinks it before re-raising so no short manifest survives). A
-    collision surfaces as FileExistsError on either path. The tmp
-    file is always removed."""
+    there the fallback takes an O_EXCL lock at a SIDECAR name that
+    ``_manifests()`` ignores (round-11 ADVICE: the old fallback created
+    the lock AT the manifest path, so readers between the create and
+    the rename — or forever, after a hard kill in that window — saw a
+    zero-byte manifest and every retry of that version hit
+    FileExistsError), then publishes the fsynced copy onto the real
+    manifest path with a same-directory ``os.rename`` and unlinks the
+    lock. A hard kill leaves at worst the sidecar lock (invisible to
+    readers, broken by the next committer after ``_LOCK_STALE_S``) and
+    the never-visible ``.publish`` copy. A same-version collision
+    surfaces as FileExistsError on either path. The tmp file is always
+    removed."""
     try:
         try:
             os.link(tmp, dst)
@@ -119,10 +161,14 @@ def _publish_manifest(tmp: str, dst: str) -> None:
         except FileExistsError:
             raise
         except OSError:
-            fd = os.open(dst, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
+            lock = os.path.join(
+                os.path.dirname(dst), "." + os.path.basename(dst) + ".lock"
+            )
+            _acquire_publish_lock(lock, dst)
+            copy = tmp + ".publish"
             try:
-                copy = tmp + ".publish"
+                if os.path.exists(dst):
+                    raise FileExistsError(dst)
                 cfd = os.open(copy, os.O_CREAT | os.O_TRUNC | os.O_WRONLY)
                 try:
                     with open(tmp, "rb") as src:
@@ -135,12 +181,16 @@ def _publish_manifest(tmp: str, dst: str) -> None:
                     os.close(cfd)
                 os.rename(copy, dst)
             except BaseException:
-                for leftover in (copy, dst):
-                    try:
-                        os.unlink(leftover)
-                    except OSError:
-                        pass
+                try:
+                    os.unlink(copy)
+                except OSError:
+                    pass
                 raise
+            finally:
+                try:
+                    os.unlink(lock)
+                except OSError:
+                    pass
     finally:
         os.unlink(tmp)
 
@@ -513,6 +563,7 @@ def _rewrite_where(
     point_cols: list[str] | None,
     bloom_bits: int,
     ndv_cols: list[str] | None,
+    verify_prune: bool = False,
 ) -> dict:
     """Shared copy-on-write core of DELETE WHERE / REPLACE WHERE:
     find the files that actually CONTAIN rows matching ``condition``
@@ -532,6 +583,34 @@ def _rewrite_where(
     prev = _load_manifest(table_dir, versions[-1])
     schema = StructType.fromJson(json.loads(prev["schema"]))
     candidates = snapshot_files(table_dir, versions[-1], prune, points)
+    # r11 ADVICE: prune/points are CALLER-ASSERTED bounds — a bound not
+    # actually implied by `condition` would silently skip files holding
+    # matching rows and commit an incomplete DELETE as success (the
+    # reference Delta engine derives pruning from the predicate itself,
+    # so this failure mode cannot occur there). Surface the risk in the
+    # result (files_pruned) and, under verify_prune=True, scan the
+    # pruned-out files for any match and refuse to commit if one exists.
+    pruned_out: list[str] = []
+    if prune or points:
+        all_files = snapshot_files(table_dir, versions[-1], None, None)
+        pruned_out = sorted(set(all_files) - set(candidates))
+    if verify_prune and pruned_out:
+        from pyspark.sql import functions as F
+
+        stray = (
+            spark.read.schema(schema)
+            .parquet(*pruned_out)
+            .filter(condition)
+            .limit(1)
+            .count()
+        )
+        if stray:
+            raise ValueError(
+                "prune/points bound is NOT implied by the condition: a "
+                f"pruned-out file contains rows matching {condition!r} — "
+                "refusing to commit an incomplete rewrite (fix the bound "
+                "or drop prune/points)"
+            )
     touched_rel: set[str] = set()
     rows_deleted = 0
     if candidates:
@@ -603,6 +682,7 @@ def _rewrite_where(
         "files": kept + new_files,
         "files_kept": len(kept),
         "files_rewritten": len(touched_rel),
+        "files_pruned": len(pruned_out),
         "rows_deleted": rows_deleted,
         "stats": stats,
         "skipping": skipping,
@@ -622,6 +702,7 @@ def delete_where(
     ndv_cols: list[str] | None = None,
     commit_ts: float | None = None,
     txn_id: str | int | None = None,
+    verify_prune: bool = False,
 ) -> dict:
     """Row-level DELETE as a copy-on-write snapshot commit (Delta
     ``DELETE FROM ... WHERE`` / Iceberg copy-on-write delete): only
@@ -633,15 +714,21 @@ def delete_where(
     columns. ``prune``/``points`` (same contract as
     ``read_snapshot``) let the caller hand the manifest a file-level
     bound IMPLIED BY the condition so candidate detection skips
-    irrelevant files without scanning them; correctness does not
-    depend on them (a kept candidate with no matches is detected by
-    the match count and left alone). ``stats_cols``/``point_cols``/
-    ``ndv_cols`` re-record metadata for the rewritten files.
+    irrelevant files without scanning them. A kept candidate with no
+    matches is detected by the match count and left alone, but a bound
+    NOT implied by the condition skips files holding matching rows —
+    an incomplete delete (r11 ADVICE). The returned ``files_pruned``
+    count makes a caller-asserted bound auditable, and
+    ``verify_prune=True`` scans the pruned-out files for any match and
+    raises instead of committing an incomplete rewrite (it costs one
+    extra filtered scan of the pruned files — cheap insurance for a
+    hand-written bound). ``stats_cols``/``point_cols``/``ndv_cols``
+    re-record metadata for the rewritten files.
     Old versions remain readable (time travel shows pre-delete data
     until VACUUM). Returns ``{"version", "files_rewritten",
-    "files_kept", "rows_deleted"}``; a no-match delete still commits
-    a (metadata-only) version, keeping ``txn_id`` idempotency
-    uniform."""
+    "files_kept", "files_pruned", "rows_deleted"}``; a no-match delete
+    still commits a (metadata-only) version, keeping ``txn_id``
+    idempotency uniform."""
     versions = _manifests(table_dir)
     if versions:
         head = _load_manifest(table_dir, versions[-1])
@@ -651,11 +738,13 @@ def delete_where(
                 "version": txn[str(txn_id)],
                 "files_rewritten": 0,
                 "files_kept": len(head["files"]),
+                "files_pruned": 0,
                 "rows_deleted": 0,
             }
     rw = _rewrite_where(
         spark, table_dir, condition, prune, points,
         stats_cols, point_cols, bloom_bits, ndv_cols,
+        verify_prune=verify_prune,
     )
     txn = dict(rw["prev"].get("txn", {}))
     version = rw["prev"]["version"] + 1
@@ -669,6 +758,7 @@ def delete_where(
         "version": version,
         "files_rewritten": rw["files_rewritten"],
         "files_kept": rw["files_kept"],
+        "files_pruned": rw["files_pruned"],
         "rows_deleted": rw["rows_deleted"],
     }
 
@@ -687,6 +777,7 @@ def replace_where(
     commit_ts: float | None = None,
     txn_id: str | int | None = None,
     validate: bool = True,
+    verify_prune: bool = False,
 ) -> dict:
     """Predicate-scoped overwrite in ONE atomic version (Delta's
     ``option("replaceWhere", ...)``): delete every existing row
@@ -707,6 +798,7 @@ def replace_where(
                 "version": txn[str(txn_id)],
                 "files_rewritten": 0,
                 "files_kept": len(head["files"]),
+                "files_pruned": 0,
                 "rows_deleted": 0,
                 "files_inserted": 0,
             }
@@ -722,6 +814,7 @@ def replace_where(
     rw = _rewrite_where(
         spark, table_dir, condition, prune, points,
         stats_cols, point_cols, bloom_bits, ndv_cols,
+        verify_prune=verify_prune,
     )
     if _schema_signature(rw["schema"]) != _schema_signature(df.schema):
         raise ValueError(
@@ -762,6 +855,7 @@ def replace_where(
         "version": version,
         "files_rewritten": rw["files_rewritten"],
         "files_kept": rw["files_kept"],
+        "files_pruned": rw["files_pruned"],
         "rows_deleted": rw["rows_deleted"],
         "files_inserted": len(inserted),
     }

@@ -385,6 +385,87 @@ def test_publish_fallback_without_hardlinks(spark, tmp_path, monkeypatch):
     json.load(open(os.path.join(table, "manifest_v1.json")))
 
 
+def test_publish_fallback_crash_window_leaves_no_manifest(
+    spark, tmp_path, monkeypatch
+):
+    """r11 ADVICE (medium): the old fallback O_EXCL-created the lock AT
+    the manifest path, so a hard kill between the create and the rename
+    left a zero-byte manifest_vN.json that poisoned reads and made every
+    retry raise FileExistsError. Now the lock is a sidecar dotfile:
+    a crash mid-publish leaves NO manifest at all, readers see the prior
+    version, and a retry succeeds (stale-lock takeover)."""
+    from etl_gcp_function_tmabrasil_spark.sinks import snapshot as snap
+
+    monkeypatch.setattr(
+        snap.os, "link", lambda *a, **k: (_ for _ in ()).throw(OSError(38, "no link"))
+    )
+    table = str(tmp_path / "t")
+    assert commit_snapshot(spark.range(3), table) == 1
+
+    # simulate SIGKILL between lock acquisition and the rename: the
+    # rename never happens and nothing after it runs (BaseException
+    # cleanup can't help a hard kill, so also skip the lock unlink)
+    real_rename = snap.os.rename
+
+    def crash_rename(src, dst_):
+        raise KeyboardInterrupt  # stand-in for the hard kill
+
+    monkeypatch.setattr(snap.os, "rename", crash_rename)
+    real_unlink = snap.os.unlink
+    monkeypatch.setattr(snap.os, "unlink", lambda p: None)  # hard kill: no cleanup
+    with pytest.raises(KeyboardInterrupt):
+        commit_snapshot(spark.range(3, 6), table, mode="append")
+    monkeypatch.setattr(snap.os, "rename", real_rename)
+    monkeypatch.setattr(snap.os, "unlink", real_unlink)
+
+    # no manifest_v2 is visible — zero-byte or otherwise
+    assert not os.path.exists(os.path.join(table, "manifest_v2.json"))
+    assert snap._manifests(table) == [1]
+    assert _ids(spark, table) == [0, 1, 2]  # reads still healthy
+
+    # the leftover sidecar lock exists; age it past the stale window and
+    # the retry takes it over and commits cleanly
+    lock = os.path.join(table, ".manifest_v2.json.lock")
+    assert os.path.exists(lock)
+    old = snap.time.time() - 2 * snap._LOCK_STALE_S
+    os.utime(lock, (old, old))
+    assert commit_snapshot(spark.range(3, 6), table, mode="append") == 2
+    assert _ids(spark, table) == [0, 1, 2, 3, 4, 5]
+    assert not os.path.exists(lock)
+
+
+def test_publish_fallback_live_lock_blocks(spark, tmp_path, monkeypatch):
+    """A FRESH sidecar lock (live contender mid-publish) makes a
+    same-version commit fail fast with FileExistsError instead of
+    racing the rename."""
+    from etl_gcp_function_tmabrasil_spark.sinks import snapshot as snap
+
+    monkeypatch.setattr(
+        snap.os, "link", lambda *a, **k: (_ for _ in ()).throw(OSError(38, "no link"))
+    )
+    table = str(tmp_path / "t")
+    assert commit_snapshot(spark.range(3), table) == 1
+    lock = os.path.join(table, ".manifest_v2.json.lock")
+    open(lock, "w").close()  # fresh mtime = live contender
+    with pytest.raises(FileExistsError):
+        commit_snapshot(spark.range(3, 6), table, mode="append")
+    os.unlink(lock)
+    assert commit_snapshot(spark.range(3, 6), table, mode="append") == 2
+
+
+def test_manifests_skip_zero_byte(spark, tmp_path):
+    """Defense in depth: a torn zero-byte manifest (pre-fix residue or
+    exotic filesystem) is invisible to _manifests rather than breaking
+    every read with a JSON decode error."""
+    from etl_gcp_function_tmabrasil_spark.sinks import snapshot as snap
+
+    table = str(tmp_path / "t")
+    commit_snapshot(spark.range(3), table)
+    open(os.path.join(table, "manifest_v2.json"), "w").close()
+    assert snap._manifests(table) == [1]
+    assert _ids(spark, table) == [0, 1, 2]
+
+
 def test_temporal_prune_bounds_normalize(spark, tmp_path):
     """Date/timestamp stats serialize to ISO strings in the manifest;
     prune bounds given as datetime.date objects normalize through the
@@ -580,6 +661,49 @@ def test_delete_where_copy_on_write(spark, tmp_path):
     again = delete_where(spark, table, "id = 98", txn_id="b7")
     assert again["version"] == v and again["rows_deleted"] == 0
     assert 98 in {r.id for r in read_snapshot(spark, table).collect()}
+
+
+def test_delete_where_verify_prune_catches_bad_bound(spark, tmp_path):
+    """r11 ADVICE: prune/points are caller-asserted — a bound NOT
+    implied by the condition silently skips files with matching rows.
+    files_pruned makes the skip auditable; verify_prune=True scans the
+    pruned-out files and refuses to commit the incomplete delete."""
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        delete_where,
+        read_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    commit_snapshot(
+        spark.range(100).selectExpr("id").repartitionByRange(4, "id"),
+        table,
+        stats_cols=["id"],
+    )
+    # the condition matches ids 10..59, but the bound asserts 10..24 —
+    # files holding 25..59 are wrongly pruned out
+    bad = dict(condition="id >= 10 AND id < 60", prune={"id": (10, 24)})
+    with pytest.raises(ValueError, match="NOT implied"):
+        delete_where(
+            spark, table, bad["condition"], prune=bad["prune"],
+            verify_prune=True,
+        )
+    # nothing committed: the table is untouched at v1
+    assert read_snapshot(spark, table).count() == 100
+    # without verify_prune the incomplete delete commits, but the
+    # returned files_pruned makes the asserted skip auditable
+    res = delete_where(
+        spark, table, bad["condition"], prune=bad["prune"]
+    )
+    assert res["files_pruned"] > 0
+    assert read_snapshot(spark, table).count() > 40  # incomplete, by design
+    # a CORRECT bound passes verification and deletes exactly the rest
+    res2 = delete_where(
+        spark, table, "id >= 10 AND id < 60", prune={"id": (10, 59)},
+        verify_prune=True,
+    )
+    ids = {r.id for r in read_snapshot(spark, table).collect()}
+    assert ids == set(range(10)) | set(range(60, 100))
+    assert res2["files_pruned"] >= 0
 
 
 def test_replace_where_scoped_backfill(spark, tmp_path):
