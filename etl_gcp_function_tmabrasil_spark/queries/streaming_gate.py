@@ -36,6 +36,7 @@ the same plan shape at any corpus size.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import time
 
@@ -1769,10 +1770,12 @@ def stream_complete_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 csum("value").alias("sum_value"),
             )
         )
-        # fresh checkpoint + query name PER ATTEMPT: a crash between
-        # the run and the rename must not leave a same-process retry
-        # no-op-restarting on the old checkpoint (complete mode would
-        # then re-emit nothing and snapshot an EMPTY table)
+        # fresh checkpoint + query name + tmp snapshot path PER ATTEMPT:
+        # a crash between the run and the rename must not leave a
+        # same-process retry no-op-restarting on the old checkpoint
+        # (complete mode would then re-emit nothing and snapshot an
+        # EMPTY table), and a leftover tmp dir from the crashed attempt
+        # must not wedge the retry's write.parquet (r11 ADVICE)
         attempt = _uuid.uuid4().hex
         name = f"complete_leaderboard_{attempt}"
         q = (
@@ -1784,9 +1787,14 @@ def stream_complete_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         _await(q)
-        tmp = out + ".tmp"
+        tmp = out + f".tmp-{attempt}"
         spark.table(name).write.parquet(tmp)
-        os.rename(tmp, out)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            if not os.path.isdir(out):  # lost a publish race: out won
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
     return (
         spark.read.parquet(out)
         .select("event_type", "n", "sum_value")
@@ -1838,7 +1846,16 @@ def stream_update_mode_emissions(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(root, "out")
     if not os.path.isdir(out):
         chunks = _shared_chunks(sf_dir)
-        emissions = os.path.join(root, "emissions")
+        # checkpoint, emissions dir AND tmp snapshot are all scoped to
+        # this attempt (r11 ADVICE, matching the complete-mode fix): a
+        # crashed attempt's leftover emission rows would otherwise be
+        # appended to by the retry's full replay — duplicate (day,bid)
+        # rows inflating n_emitted past the selectivity cap, and the
+        # max-bid final-state pick silently reading across attempts
+        # whose bids each restart at 0 — and a stale out.tmp would
+        # wedge every retry's write.parquet
+        attempt = _uuid.uuid4().hex
+        emissions = os.path.join(root, f"emissions-{attempt}")
         agg = (
             _stream(spark, chunks)
             .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
@@ -1847,17 +1864,14 @@ def stream_update_mode_emissions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 csum("value").alias("sum_value"),
             )
         )
-        seen = {"batches": 0}
 
         def emit(batch_df, bid: int) -> None:
-            seen["batches"] += 1
             (
                 batch_df.withColumn("bid", F.lit(int(bid)))
                 .write.mode("append")
                 .parquet(emissions)
             )
 
-        attempt = _uuid.uuid4().hex
         q = (
             agg.writeStream.outputMode("update")
             .foreachBatch(emit)
@@ -1871,7 +1885,9 @@ def stream_update_mode_emissions(spark: SparkSession, sf_dir: str) -> DataFrame:
         em = spark.read.parquet(emissions)
         n_emitted = em.count()
         n_days = em.select("day").distinct().count()
-        n_batches = seen["batches"]
+        # batch count from the emissions DATA, not a driver-side
+        # counter (r11 ADVICE) — the data is what the cap reasons about
+        n_batches = em.select("bid").distinct().count()
         if n_batches > 2 and n_emitted >= n_batches * n_days / 2:
             raise RuntimeError(
                 f"update mode emitted {n_emitted} rows over "
@@ -1884,9 +1900,14 @@ def stream_update_mode_emissions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("day", "n", "sum_value")
         )
-        tmp = out + ".tmp"
+        tmp = out + f".tmp-{attempt}"
         final.write.parquet(tmp)
-        os.rename(tmp, out)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            if not os.path.isdir(out):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(out).orderBy("day")
 
 

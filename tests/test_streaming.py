@@ -1178,3 +1178,102 @@ def test_stream_pattern_match_state_survives_restarts(spark, tmp_path):
         rows.sort(key=lambda t: (t[0], t[1]))
         s = "".join(c for _, _, c in rows)
         assert got[u] == (len(s), len(pat.findall(s))), u
+
+
+def test_complete_leaderboard_crash_before_publish_retries_clean(
+    spark, tmp_path, monkeypatch
+):
+    """r11 ADVICE: a crash between the complete-mode snapshot's
+    write.parquet and the publish rename used to leave a fixed out.tmp
+    that wedged every retry. The tmp path is now per-attempt: the
+    crashed attempt's leftovers are inert and the retry publishes the
+    correct leaderboard."""
+    from etl_gcp_function_tmabrasil_spark.queries import streaming_gate as sg
+
+    monkeypatch.setattr(sg, "_ROOT", str(tmp_path))
+
+    real_rename = os.rename
+
+    def crash_rename(src, dst):
+        if "/out.tmp-" in src.replace(os.sep, "/"):
+            raise KeyboardInterrupt  # simulated hard kill pre-publish
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(sg.os, "rename", crash_rename)
+    with pytest.raises(KeyboardInterrupt):
+        sg.stream_complete_leaderboard(spark, SF_SMOKE)
+    monkeypatch.setattr(sg.os, "rename", real_rename)
+
+    root = sg._root(SF_SMOKE, "complete")
+    assert not os.path.isdir(os.path.join(root, "out"))
+    leftovers = [f for f in os.listdir(root) if f.startswith("out.tmp-")]
+    assert leftovers  # the crashed attempt's tmp survives ...
+    got = {
+        r["event_type"]: (r["n"], round(r["sum_value"], 4))
+        for r in sg.stream_complete_leaderboard(spark, SF_SMOKE).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], round(r["sum_value"], 4))
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want  # ... but the retry's result is exact
+
+
+def test_update_mode_crash_retry_does_not_double_count(
+    spark, tmp_path, monkeypatch
+):
+    """r11 ADVICE: the update-mode gate's emissions dir is now scoped
+    per attempt like its checkpoint — a crashed attempt's emission rows
+    must not be appended to by the retry's full replay (duplicate
+    (day,bid) rows inflated n_emitted past the selectivity cap, and the
+    max-bid final pick read across attempts)."""
+    from pyspark.sql import Window as W
+
+    from etl_gcp_function_tmabrasil_spark.queries import streaming_gate as sg
+
+    monkeypatch.setattr(sg, "_ROOT", str(tmp_path))
+
+    real_await = sg._await
+
+    def crash_await(q, timeout=300):
+        real_await(q, timeout)  # the stream RAN: emissions are on disk
+        raise KeyboardInterrupt  # then the driver dies pre-publish
+
+    monkeypatch.setattr(sg, "_await", crash_await)
+    with pytest.raises(KeyboardInterrupt):
+        sg.stream_update_mode_emissions(spark, SF_SMOKE)
+    monkeypatch.setattr(sg, "_await", real_await)
+
+    root = sg._root(SF_SMOKE, "update_mode")
+    crashed = [f for f in os.listdir(root) if f.startswith("emissions-")]
+    assert len(crashed) == 1  # the crashed attempt's emissions survive
+
+    got = {
+        r["day"]: (r["n"], round(r["sum_value"], 4))
+        for r in sg.stream_update_mode_emissions(spark, SF_SMOKE).collect()
+    }
+    want = {
+        r["day"]: (r["n"], round(r["sum_value"], 4))
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want  # exact counts — nothing doubled by the replay
+    # and the retry used its OWN emissions dir, not the crashed one
+    assert (
+        len([f for f in os.listdir(root) if f.startswith("emissions-")]) == 2
+    )
