@@ -87,11 +87,31 @@ def test_jsd_vocab_grid_broadcasts(spark, sf_dir):
 
 def test_kmv_sketch_is_windowed_not_collected(spark, sf_dir):
     """The per-type sketch must be a keyed window top-K, and the merge
-    row a K-row limit — no corpus-sized global sort."""
+    row a K-row limit — no corpus-sized global sort. r11 VERDICT: the
+    rank+filter shape is scale-safe only while Spark's
+    InferWindowGroupLimit rewrite fires (map-side top-K BEFORE the
+    exchange); with 2 event types a silent regression means two tasks
+    each sorting ALL distinct hashes, so the rewrite itself is pinned."""
     df = agg_kmv_distinct(spark, sf_dir)
     plan = explain_str(df)
     assert "hashpartitioning(event_type" in plan
     assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan, (
+        "InferWindowGroupLimit stopped firing: the KMV k-smallest set "
+        "now needs a per-group FULL sort of every distinct hash"
+    )
+
+
+def test_kmv_set_algebra_window_group_limit_pinned(spark, sf_dir):
+    from etl_gcp_function_tmabrasil_spark.queries.aggregates import (
+        agg_kmv_set_algebra,
+    )
+
+    df = agg_kmv_set_algebra(spark, sf_dir)
+    plan = explain_str(df)
+    assert "hashpartitioning(event_type" in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
 
 
 def test_psi_windows_keyed_and_dims_broadcast(spark, sf_dir):
