@@ -881,14 +881,21 @@ def pq_topk(emb: DataFrame, rerank_pool: int | None = None) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _pq_cte_prefix(src: str = "e") -> str:
+def _pq_cte_prefix(src: str = "e", train_where: str = "") -> str:
     """Per-subspace unrolled-Lloyd chains + final-codebook encoding,
     mirroring ann_pq_adc bit-for-bit (the _kmeans_cte_prefix
     construction, parameterized by subspace slice): after it,
     ``enc{m}`` is (vec_id, code) under subspace m's FINAL centroids
     ``cm{m}_{PQ_ITERS}``. ``src`` names the (vec_id, e) CTE the
     subspace slices read — ``e`` for raw embeddings (ADC/re-rank),
-    ``er`` for coarse-cell residuals (IVF-PQ)."""
+    ``er`` for coarse-cell residuals (IVF-PQ). ``train_where``
+    (a SQL predicate over vec_id) restricts the rows the codebooks
+    TRAIN on — init and every Lloyd step — while encoding still
+    covers every row; IVF-PQ passes ``vec_id >= IVFPQ_CELLS`` because
+    the coarse exemplars' residuals are exactly zero and a k-lowest-
+    vec_id init would otherwise start all PQ_K centroids at the zero
+    vector and collapse the codebook to one code (the r11 recall-0.0
+    root cause)."""
     sq = (
         "ROUND(list_sum(list_transform(generate_series(1, len(v.e)),"
         " i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]))), 6)"
@@ -896,12 +903,13 @@ def _pq_cte_prefix(src: str = "e") -> str:
     parts = []
     for m in range(PQ_M):
         lo, hi = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+        tw = f" WHERE {train_where}" if train_where else ""
         parts.append(f"""
 em{m} AS (SELECT vec_id, e[{lo}:{hi}] AS e FROM {src}),
 cm{m}_0 AS (
   SELECT cell_id, ce FROM (
     SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cell_id, e AS ce
-    FROM em{m}
+    FROM em{m}{tw}
   ) t WHERE cell_id <= {PQ_K}
 )""")
         prev = f"cm{m}_0"
@@ -909,7 +917,7 @@ cm{m}_0 AS (
             parts.append(f"""
 sm{m}_{n} AS (
   SELECT v.vec_id, v.e, c.cell_id, {sq} AS sq
-  FROM em{m} v CROSS JOIN {prev} c
+  FROM (SELECT * FROM em{m}{tw}) v CROSS JOIN {prev} c
 ),
 am{m}_{n} AS (
   SELECT vec_id, e, cell_id FROM (
@@ -1167,7 +1175,18 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         sub = resid.select(
             "vec_id", F.slice("e", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("e")
         )
-        cent, _ = kmeans_fit(sub, k=PQ_K, iters=PQ_ITERS)
+        # TRAIN on rows that are not coarse exemplars: vec_id <
+        # IVFPQ_CELLS have residual EXACTLY zero (they are their own
+        # cell centroid), so the k-lowest-vec_id init would start all
+        # PQ_K centroids at the zero vector, the lowest-cell tiebreak
+        # would sweep every row into cell 1, and the codebook would
+        # collapse to ONE code — constant ADC distance, the measured
+        # recall-0.0 (r11 verdict). Encoding still covers every row.
+        cent, _ = kmeans_fit(
+            sub.filter(F.col("vec_id") >= IVFPQ_CELLS),
+            k=PQ_K,
+            iters=PQ_ITERS,
+        )
         code_frames.append(
             kmeans_assign(sub, cent).select(
                 "vec_id", F.lit(m).alias("sub"), F.col("cell_id").alias("code")
@@ -1276,7 +1295,7 @@ def _ivfpq_sql() -> str:
         "ROUND(list_sum(list_transform(generate_series(1, len(v.e)),"
         " i -> (v.e[i] - q.qe[i]) * (v.e[i] - q.qe[i]))), 6)"
     )
-    pq_body = _pq_cte_prefix("er")
+    pq_body = _pq_cte_prefix("er", train_where=f"vec_id >= {IVFPQ_CELLS}")
     # strip the prefix's own WITH header (e over raw embeddings) — the
     # IVF-PQ CTE chain defines e/cc/asg/er first, then the body
     marker = " FROM embeddings),"

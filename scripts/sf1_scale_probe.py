@@ -287,6 +287,12 @@ PARITY = [
     # view maintained over 2M-row deltas
     "stats_bootstrap_ci",
     "sink_incremental_join_view",
+    # r12 (verdict item 8 — the pair the r11 close-out registered after
+    # c38a98b's probe ran): KMV union/intersection estimates at 10x
+    # distinct-key mass; update-mode selective emissions replaying 1M
+    # events through checkpointed foreachBatch
+    "agg_kmv_set_algebra",
+    "stream_update_mode_emissions",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.
@@ -426,8 +432,17 @@ def main() -> None:
     qs, osql = all_queries(), all_oracle_sql()
     out: dict = {"parity_sf1": {}, "timings": {}}
 
+    # optional argv filter: `python scripts/sf1_scale_probe.py name...`
+    # probes ONLY the named PARITY rows (skipping TIMED + semdedup) —
+    # for probing late registrations without a full multi-hour re-run
+    only = set(sys.argv[1:])
+    parity_names = [n for n in PARITY if not only or n in only]
+    unknown = only - set(PARITY)
+    if unknown:
+        raise SystemExit(f"not in PARITY: {sorted(unknown)}")
+
     con = duckdb_connection(SF1)
-    for name in PARITY:
+    for name in parity_names:
         t0 = time.perf_counter()
         problems = compare(qs[name](spark, SF1), con.execute(osql[name]).fetchdf(), name)
         out["parity_sf1"][name] = {

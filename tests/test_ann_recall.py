@@ -216,3 +216,44 @@ def test_pq_rerank_orders_pool_by_true_distance(spark, sf_dir):
     )
     rer_hits = sum(1 for r in rer if r.vec_id in exact[r.query_id])
     assert rer_hits >= adc_hits, (rer_hits, adc_hits)  # (c)
+
+
+def test_ivfpq_recall_on_planted_clusters(spark, tmp_path, monkeypatch):
+    """r11 verdict item 4: IVF-PQ measured recall@5 = 0.0 — root cause
+    was a degenerate PQ codebook (coarse exemplars' residuals are
+    exactly zero, and the k-lowest-vec_id init started every centroid
+    at the zero vector, collapsing all codes to one). On a
+    planted-cluster corpus where recall IS achievable (each query has
+    5 tight mates), the fixed IVFADC must find >= 0.8 of the true
+    top-5; the random-corpus floor stays documented in
+    ANN_RECALL_SF1.json."""
+    import numpy as np
+
+    from etl_gcp_function_tmabrasil_spark.queries import similarity as sim
+    from scripts.ann_recall_probe import build_clustered
+
+    d = str(tmp_path / "clustered")
+    build_clustered(d, n_clusters=333, per=6)  # ~2k vectors, fast
+    monkeypatch.setattr(sim, "TOP_K", 5)
+    monkeypatch.setattr(sim, "PQ_QUERIES", 6)
+    got: dict[int, set[int]] = {}
+    for r in sim.ann_ivfpq(spark, d).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+
+    rows = (
+        spark.read.parquet(d + "/embeddings.parquet")
+        .selectExpr("vec_id", "cast(embedding as array<double>) e")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.e for r in rows])
+    hits = total = 0
+    for q in range(6):
+        qi = int(np.where(ids == q)[0][0])
+        dist = ((mat - mat[qi]) ** 2).sum(axis=1)
+        order = np.lexsort((ids, dist))
+        exact = {int(ids[j]) for j in order if ids[j] != q}
+        exact = set(list(sorted(exact, key=lambda v: (dist[np.where(ids == v)[0][0]], v)))[:5])
+        hits += len(exact & got.get(q, set()))
+        total += 5
+    assert hits / total >= 0.8, f"ivfpq recall {hits/total} < 0.8"
