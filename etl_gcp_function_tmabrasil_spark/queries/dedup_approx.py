@@ -1387,3 +1387,122 @@ ORDER BY doc_a, doc_b
 
 QUERIES["dedup_winnowing_containment"] = dedup_winnowing_containment
 ORACLE["dedup_winnowing_containment"] = _WINNOW_CONTAIN_SQL
+
+
+# --- Sorted-neighborhood blocking (round 12) ---------------------------------
+
+SNM_WINDOW = 4  #: neighbors compared per side in the sorted order
+SNM_KEY_LEN = 24  #: chars of the normalized text used as the sort key
+SNM_MIN_JACCARD = 0.9  #: emit pairs at/above this token-set Jaccard
+#: (p95 of window-pair Jaccard on the shared-vocabulary driver corpus —
+#: below it the verify would pass nearly every window pair)
+
+
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-Neighborhood Method blocking (Hernández & Stolfo, SIGMOD
+    1995) — the third classic candidate generator next to banding
+    (MinHash/SimHash) and prefix filtering (PPJoin): sort the corpus by
+    a domain key (here the first SNM_KEY_LEN chars of the
+    whitespace-normalized lowercased text), slide a window of
+    SNM_WINDOW positions, and compare only records that fall within a
+    window of each other. Near-duplicates share long prefixes, so they
+    sort adjacently; candidates are O(n x w) instead of O(n^2).
+
+    Scale shape: the global sort order is materialized WITHOUT a
+    single-task window via the banded-rank decomposition
+    (operators/banded_rank.py — the band is a 4-char key prefix,
+    monotone in the sort order), and the windowed pairing is an
+    EQUI-join: each row joins buckets floor(rank/w) and +1, then the
+    |rank difference| <= w filter keeps exactly the window pairs —
+    never a cartesian, never a range join. Verification (token-set
+    Jaccard) is row-local array math on the w-bounded pairs.
+
+    EXACT oracle: rank ties break on doc_id; Jaccard rounded to 4 dp
+    on both engines.
+    """
+    from etl_gcp_function_tmabrasil_spark.operators.banded_rank import (
+        banded_global_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.regexp_replace(F.trim("text"), WS_CLASS, " ")).alias(
+            "norm"
+        ),
+    )
+    keyed = docs.select(
+        "doc_id",
+        F.substring("norm", 1, SNM_KEY_LEN).alias("k"),
+        F.array_distinct(F.split("norm", " ")).alias("toks"),
+    ).withColumn("band", F.substring("k", 1, 4))
+    ranked = banded_global_rank(
+        keyed, "band", [F.col("k"), F.col("doc_id")], rank_col="r"
+    ).select(
+        "doc_id", "toks", "r", (F.floor((F.col("r") - 1) / SNM_WINDOW)).alias("bkt")
+    )
+    left = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("ta"),
+        F.col("r").alias("ra"),
+        F.explode(
+            F.array(F.col("bkt"), F.col("bkt") + 1)
+        ).alias("jb"),
+    )
+    right = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("tb"),
+        F.col("r").alias("rb"),
+        F.col("bkt").alias("jb"),
+    )
+    jac = F.round(
+        F.size(F.array_intersect("ta", "tb"))
+        / F.size(F.array_union("ta", "tb")),
+        4,
+    )
+    return (
+        left.join(right, "jb")
+        .filter(
+            (F.col("rb") > F.col("ra"))
+            & (F.col("rb") - F.col("ra") <= SNM_WINDOW)
+        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        # bucket b appears under join keys b and b-1's +1 — the pair
+        # (ra, rb) can match through both when they straddle buckets;
+        # it is produced once per shared key, so dedup on the pair
+        .distinct()
+        .filter(F.col("jaccard") >= SNM_MIN_JACCARD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_SNM_SQL = f"""
+WITH n AS (
+  SELECT doc_id,
+    LOWER(REGEXP_REPLACE(TRIM(text), '{WS_CLASS}', ' ', 'g')) AS norm
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, SUBSTR(norm, 1, {SNM_KEY_LEN}) AS k,
+    list_distinct(string_split(norm, ' ')) AS toks
+  FROM n
+),
+ranked AS (
+  SELECT doc_id, toks,
+    ROW_NUMBER() OVER (ORDER BY k, doc_id) AS r
+  FROM keyed
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.toks, b.toks))), 4)
+      AS jaccard
+  FROM ranked a JOIN ranked b
+    ON b.r > a.r AND b.r - a.r <= {SNM_WINDOW}
+)
+SELECT doc_a, doc_b, jaccard FROM pairs
+WHERE jaccard >= {SNM_MIN_JACCARD}
+ORDER BY doc_a, doc_b
+"""
+
+QUERIES["dedup_sorted_neighborhood"] = dedup_sorted_neighborhood
+ORACLE["dedup_sorted_neighborhood"] = _SNM_SQL

@@ -1101,7 +1101,9 @@ IVFPQ_CELLS = 8  #: coarse inverted-file cells (deterministic codebook)
 IVFPQ_NPROBE = 2  #: cells probed per query
 
 
-def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivfpq(
+    spark: SparkSession, sf_dir: str, rerank_pool: int | None = None
+) -> DataFrame:
     """IVF-PQ / IVFADC (Jégou et al. TPAMI 2011 §VI — the faiss
     `IVFx,PQy` production standard): the two approximations composed —
     a coarse inverted file restricts each query's scan to
@@ -1254,6 +1256,7 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("adc_dist")
         )
     )
+    pool = rerank_pool if rerank_pool is not None else PQ_TOPK
     ranked = (
         adc.filter(F.col("vec_id") != F.col("query_id"))
         .withColumn(
@@ -1262,9 +1265,9 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 W.partitionBy("query_id").orderBy("adc_dist", "vec_id")
             ),
         )
-        .filter(F.col("rank") <= PQ_TOPK)
+        .filter(F.col("rank") <= pool)
     )
-    return (
+    decorated = (
         ranked.join(emb, "vec_id")
         .join(F.broadcast(q), "query_id")
         .select(
@@ -1276,13 +1279,51 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "true_sqdist"
             ),
         )
-        .orderBy("query_id", "rank")
     )
+    if rerank_pool is None:
+        return decorated.orderBy("query_id", "rank")
+    rer = decorated.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy("true_sqdist", "vec_id")
+        ),
+    ).filter(F.col("rank") <= PQ_TOPK)
+    return rer.select(
+        "query_id", "rank", "vec_id", "true_sqdist", "adc_dist"
+    ).orderBy("query_id", "rank")
 
 
-def _ivfpq_sql() -> str:
+IVFPQ_RERANK_POOL = 25  #: ADC pool per query for the exact re-rank
+
+
+def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC-R (Jégou et al. §V "re-ranking with source coding", as
+    composed with the inverted file in faiss's `IVFx,PQy` + refine):
+    the IVF-PQ candidate generator keeps its top-IVFPQ_RERANK_POOL by
+    ADC distance, then an EXACT re-rank of just those candidates
+    orders the emitted top-PQ_TOPK by true squared L2. This is the
+    production configuration: ADC-only ordering cannot separate
+    near-ties (on the planted-duplicate recall corpus all cluster
+    mates share codes — ADC-only measured 0.625 recall@5, re-rank
+    recovers it; ANN_RECALL_CLUSTERED.json), while the re-rank touches
+    raw vectors for only pool-size rows per query.
+
+    Scale: identical to ann_ivfpq (cells cut candidates, codes cut
+    bytes) plus one bounded pool x raw-vector join per query — the
+    re-rank cost is O(queries x pool), independent of corpus size.
+
+    EXACT oracle: same generated CTE chain as ann_ivfpq with the pool
+    rank on (adc_dist, vec_id) and the final rank on (true_sqdist,
+    vec_id), both 6-dp rounded on both engines.
+    """
+    return ann_ivfpq(spark, sf_dir, rerank_pool=IVFPQ_RERANK_POOL)
+
+
+def _ivfpq_sql(rerank: bool = False) -> str:
     """Coarse assignment + residual CTE, then the shared unrolled-Lloyd
-    PQ body sourced from the residuals, then probe-restricted ADC."""
+    PQ body sourced from the residuals, then probe-restricted ADC;
+    ``rerank=True`` keeps an IVFPQ_RERANK_POOL ADC pool and re-ranks
+    it by exact squared L2 (IVFADC-R)."""
     sqr = (
         "ROUND(list_sum(list_transform(generate_series(1, len(v.e)),"
         " i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]))), 6)"
@@ -1313,6 +1354,34 @@ CROSS JOIN cm{m}_{PQ_ITERS} c""")
     codes_union = " UNION ALL ".join(
         f"SELECT vec_id, {m} AS sub, code FROM enc{m}" for m in range(PQ_M)
     )
+    if rerank:
+        rerank_ctes = f""",
+pool AS (
+  SELECT r.query_id, r.vec_id, r.adc_dist, {tsq} AS true_sqdist
+  FROM ranked r
+  JOIN e v ON v.vec_id = r.vec_id
+  JOIN q ON q.query_id = r.query_id
+  WHERE r.rank <= {IVFPQ_RERANK_POOL}
+),
+rer AS (
+  SELECT query_id, vec_id, true_sqdist, adc_dist,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY true_sqdist ASC, vec_id ASC) AS rank
+  FROM pool
+)"""
+        final_select = f"""SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+  true_sqdist, adc_dist
+FROM rer WHERE rank <= {PQ_TOPK}
+ORDER BY query_id, rank"""
+    else:
+        rerank_ctes = ""
+        final_select = f"""SELECT r.query_id, CAST(r.rank AS INT) AS rank, r.vec_id, r.adc_dist,
+  {tsq} AS true_sqdist
+FROM ranked r
+JOIN e v ON v.vec_id = r.vec_id
+JOIN q ON q.query_id = r.query_id
+WHERE r.rank <= {PQ_TOPK}
+ORDER BY r.query_id, r.rank"""
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 cc AS (SELECT vec_id AS cell_id, e AS ce FROM e
@@ -1361,19 +1430,15 @@ ranked AS (
     ROW_NUMBER() OVER (PARTITION BY query_id
                        ORDER BY adc_dist ASC, vec_id ASC) AS rank
   FROM adc WHERE vec_id <> query_id
-)
-SELECT r.query_id, CAST(r.rank AS INT) AS rank, r.vec_id, r.adc_dist,
-  {tsq} AS true_sqdist
-FROM ranked r
-JOIN e v ON v.vec_id = r.vec_id
-JOIN q ON q.query_id = r.query_id
-WHERE r.rank <= {PQ_TOPK}
-ORDER BY r.query_id, r.rank
+){rerank_ctes}
+{final_select}
 """
 
 
 QUERIES["ann_ivfpq"] = ann_ivfpq
 ORACLE["ann_ivfpq"] = _ivfpq_sql()
+QUERIES["ann_ivfpq_rerank"] = ann_ivfpq_rerank
+ORACLE["ann_ivfpq_rerank"] = _ivfpq_sql(rerank=True)
 
 
 # --- MMR diversified re-rank (round 11) -------------------------------------

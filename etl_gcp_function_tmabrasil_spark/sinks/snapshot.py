@@ -1136,6 +1136,86 @@ def optimize_layout(
     )
 
 
+def clone_snapshot(
+    src_dir: str,
+    dst_dir: str,
+    version: int | None = None,
+    commit_ts: float | None = None,
+) -> dict:
+    """SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW CLONE``): create
+    a NEW table at ``dst_dir`` whose v1 manifest references the source
+    version's data files BY PATH — zero data bytes copied, metadata
+    only. The clone then evolves independently: appends land in the
+    clone's own ``data/``, copy-on-write rewrites (delete_where /
+    replace_where / optimize) replace source references with
+    clone-local files one file at a time, and the source never sees
+    any of it — the cheap-dev-copy / experiment-branch idiom that at
+    100 TB is the difference between an instant metadata commit and a
+    multi-hour copy.
+
+    Referenced paths are stored relative to the CLONE root (the
+    manifest contract), so source files appear as ``../``-escaping
+    relpaths; they stay valid as long as source and clone move
+    together (Delta stores absolute URIs for the same reason shallow
+    clones there break if the source moves). Per-file stats/skipping/
+    NDV metadata is carried over re-keyed, so file pruning works on
+    the clone immediately. ``vacuum_snapshots`` never deletes files
+    OUTSIDE the table root, so vacuuming a clone cannot reach through
+    a ``..`` reference and destroy source data (the documented Delta
+    shallow-clone vacuum hazard, guarded here structurally).
+
+    Returns ``{"version": 1, "files_referenced", "cloned_from"}``.
+    Raises FileExistsError if ``dst_dir`` already has a manifest.
+    """
+    versions = _manifests(src_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot committed at {src_dir}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions} at {src_dir}")
+    if _manifests(dst_dir):
+        raise FileExistsError(f"{dst_dir} already holds a snapshot table")
+    src = _load_manifest(src_dir, v)
+    os.makedirs(os.path.join(dst_dir, "data"), exist_ok=True)
+    src_abs = os.path.abspath(src_dir)
+    dst_abs = os.path.abspath(dst_dir)
+    remap = {
+        rel: os.path.relpath(os.path.join(src_abs, rel), dst_abs)
+        for rel in src["files"]
+    }
+    files = [remap[rel] for rel in src["files"]]
+    stats = {remap[k]: s for k, s in src.get("stats", {}).items() if k in remap}
+    skipping = {
+        remap[k]: s for k, s in src.get("skipping", {}).items() if k in remap
+    }
+    ndv = {remap[k]: s for k, s in src.get("ndv", {}).items() if k in remap}
+    tmp = os.path.join(dst_dir, ".manifest_v1.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "version": 1,
+                "files": files,
+                "schema": src["schema"],
+                "stats": stats,
+                "skipping": skipping,
+                "ndv": ndv,
+                "txn": {},
+                "commit_ts": time.time() if commit_ts is None else commit_ts,
+                "cloned_from": {
+                    "path": os.path.relpath(src_abs, dst_abs),
+                    "version": v,
+                },
+            },
+            fh,
+        )
+    _publish_manifest(tmp, _manifest_path(dst_dir, 1))
+    return {
+        "version": 1,
+        "files_referenced": len(files),
+        "cloned_from": {"path": src_dir, "version": v},
+    }
+
+
 def vacuum_snapshots(table_dir: str, retain_last: int = 1) -> dict:
     """Expire all but the newest ``retain_last`` versions and delete
     the data files no RETAINED manifest references — the Delta VACUUM /
@@ -1170,8 +1250,15 @@ def vacuum_snapshots(table_dir: str, retain_last: int = 1) -> dict:
     for v in drop:
         os.unlink(_manifest_path(table_dir, v))
     deleted: list[str] = []
+    root = os.path.abspath(table_dir)
     for rel in sorted(dropped_refs - referenced):
-        p = os.path.join(table_dir, rel)
+        p = os.path.abspath(os.path.join(table_dir, rel))
+        # never delete OUTSIDE the table root: a shallow clone's
+        # manifests reference the source's files via `..` relpaths,
+        # and vacuuming the clone must not reach through them and
+        # destroy source data (the Delta shallow-clone vacuum hazard)
+        if os.path.commonpath([root, p]) != root:
+            continue
         if os.path.exists(p):
             os.unlink(p)
             deleted.append(rel)

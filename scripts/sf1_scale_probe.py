@@ -453,7 +453,7 @@ def main() -> None:
         print(name, out["parity_sf1"][name], flush=True)
     con.close()
 
-    for sf_name, sf_dir in [("sf0.1", SF01), ("sf1", SF1)]:
+    for sf_name, sf_dir in [("sf0.1", SF01), ("sf1", SF1)] if not only else []:
         for name in TIMED:
             samples = []
             for i in range(4):
@@ -478,6 +478,11 @@ def main() -> None:
     # should grow ~linearly in N; the registered gate's fixed k=8
     # would instead grow the pair join ~100x, which is exactly the
     # misconfiguration the k-contract exists to rule out.
+    if only:
+        print(json.dumps(out))
+        spark.stop()
+        return
+
     from pyspark.sql import functions as F
 
     from etl_gcp_function_tmabrasil_spark.catalog import load_table
