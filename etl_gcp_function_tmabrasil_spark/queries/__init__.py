@@ -100,6 +100,11 @@ _CHECK_FIRST = [
     # per r11 ADVICE), topped up to exactly 50 with the first 16
     # round-6 rows in registry order. After r12 lands, NO registered
     # query is without driver evidence. ---
+    # 3 round-12 registrations (top of the window, displacing the
+    # last three r6 top-ups, which keep their r6 evidence):
+    "ann_ivfpq_rerank",
+    "dedup_sorted_neighborhood",
+    "sink_snapshot_clone",
     # 34 zero-evidence rows (late-r10 + r11 registrations):
     "timeseries_seasonal_decompose",
     "agg_weighted_median",
@@ -135,7 +140,7 @@ _CHECK_FIRST = [
     "stream_update_mode_emissions",
     "multimodal_phash_dedup",
     "sample_importance_dsir",
-    # 16 round-6 top-ups (oldest evidence, registry order):
+    # 13 round-6 top-ups (oldest evidence, registry order):
     "pivot_status_by_segment",
     "unpivot_nation_counts",
     "join_full_outer",
@@ -149,9 +154,6 @@ _CHECK_FIRST = [
     "dedup_exact_rows",
     "dedup_pick_latest",
     "filter_reference_path_predicate",
-    "func_strings",
-    "func_dates",
-    "func_math",
 ]
 
 # ROUND-13 ROTATION PLAN (for the next builder): FIRST run

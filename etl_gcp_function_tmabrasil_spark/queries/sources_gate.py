@@ -2850,6 +2850,102 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+
+# --- Snapshot SHALLOW CLONE (round 12) ---------------------------------------
+
+
+def sink_snapshot_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW
+    CLONE``) — the zero-copy table branch: the clone's v1 manifest
+    references the source version's data files BY PATH (metadata-only
+    commit), then the two tables diverge independently — the clone
+    takes an append and a full overwrite while the source stays
+    byte-identical. At 100 TB this is the dev-copy / experiment-branch
+    verb: an instant metadata commit instead of a multi-hour copy.
+
+    Hard-checked at fixture build: (a) the clone's own data/ directory
+    is EMPTY right after the clone (zero data bytes copied), (b) the
+    clone@v1 read equals the source read, (c) appending to the clone
+    leaves the source's row count unchanged, (d) vacuuming the clone
+    after its overwrite deletes ONLY clone-local files — the `..`
+    source references are structurally out of vacuum's reach (the
+    documented Delta shallow-clone vacuum hazard), and the source
+    still reads green afterwards. The gate returns the clone's final
+    (post-overwrite) rollup; the oracle recomputes it from the base
+    table.
+
+    Reference parity: extends the snapshot-manifest sink family
+    (SURVEY §2.2 sources/sinks; reference main.py:17 delegates all
+    storage semantics to its placeholder).
+    """
+    from etl_gcp_function_tmabrasil_spark.queries._util import dsum
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        clone_snapshot,
+        commit_snapshot,
+        read_snapshot,
+        vacuum_snapshots,
+    )
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "snapshot_clone_table")
+
+    def _build(tmp: str) -> None:
+        src = os.path.join(tmp, "src")
+        dst = os.path.join(tmp, "clone")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        commit_snapshot(ev.filter(F.col("event_id") % 4 == 0), src)
+        commit_snapshot(
+            ev.filter(F.col("event_id") % 4 == 1), src, mode="append"
+        )
+        n_src = read_snapshot(spark, src).count()
+        info = clone_snapshot(src, dst)
+        if info["files_referenced"] == 0:
+            raise AssertionError("clone references no files")
+        clone_data = os.path.join(dst, "data")
+        if any(os.scandir(clone_data)):
+            raise AssertionError("shallow clone copied data bytes")
+        if read_snapshot(spark, dst).count() != n_src:
+            raise AssertionError("clone@v1 does not equal the source")
+        # diverge: append to the CLONE only
+        commit_snapshot(
+            ev.filter(F.col("event_id") % 4 == 2), dst, mode="append"
+        )
+        if read_snapshot(spark, src).count() != n_src:
+            raise AssertionError("clone append leaked into the source")
+        # overwrite the clone with its final contents (all three
+        # slices), making v1/v2's source references dead...
+        final = ev.filter(F.col("event_id") % 4 != 3)
+        commit_snapshot(final, dst, mode="overwrite")
+        # ...then vacuum: deletes must stay INSIDE the clone root
+        stats = vacuum_snapshots(dst, retain_last=1)
+        if any(f.startswith("..") for f in stats["deleted_files"]):
+            raise AssertionError(
+                f"vacuum reached through the clone into the source: {stats}"
+            )
+        if read_snapshot(spark, src).count() != n_src:
+            raise AssertionError("vacuuming the clone destroyed source data")
+
+    _ensure_fixture(fixture, _build)
+    return (
+        read_snapshot(spark, os.path.join(fixture, "clone"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SNAPSHOT_CLONE_SQL = """
+SELECT event_type, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events WHERE event_id % 4 <> 3
+GROUP BY event_type ORDER BY event_type
+"""
+
 QUERIES = {
     "sink_incremental_join_view": sink_incremental_join_view,
     "sink_snapshot_zorder_optimize": sink_snapshot_zorder_optimize,
@@ -2885,6 +2981,7 @@ QUERIES = {
     "scan_schema_evolution": scan_schema_evolution,
     "sink_bucketed_colocated_join": sink_bucketed_colocated_join,
     "sink_incremental_rollup": sink_incremental_rollup,
+    "sink_snapshot_clone": sink_snapshot_clone,
 }
 
 ORACLE = {
@@ -2922,4 +3019,5 @@ ORACLE = {
     "sink_compaction_roundtrip": _COMPACTION_SQL,
     "scan_schema_evolution": _EVOLUTION_SQL,
     "sink_bucketed_colocated_join": _BUCKETED_JOIN_SQL,
+    "sink_snapshot_clone": _SNAPSHOT_CLONE_SQL,
 }

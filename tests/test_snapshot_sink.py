@@ -466,6 +466,58 @@ def test_manifests_skip_zero_byte(spark, tmp_path):
     assert _ids(spark, table) == [0, 1, 2]
 
 
+def test_shallow_clone_zero_copy_divergence_and_vacuum_guard(
+    spark, tmp_path
+):
+    """SHALLOW CLONE: metadata-only (no data bytes copied), reads equal
+    the source version, divergence is one-way, stats metadata carries
+    over re-keyed, and vacuuming the clone can never delete through a
+    `..` reference into the source."""
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        _load_manifest,
+        clone_snapshot,
+        delete_where,
+        read_snapshot,
+        snapshot_files,
+        vacuum_snapshots,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "clone")
+    commit_snapshot(
+        spark.range(100).selectExpr("id").repartitionByRange(4, "id"),
+        src,
+        stats_cols=["id"],
+    )
+    info = clone_snapshot(src, dst)
+    assert info["cloned_from"]["version"] == 1
+    assert os.listdir(os.path.join(dst, "data")) == []  # zero bytes
+    assert _ids(spark, dst) == list(range(100))
+    # stats carried over re-keyed -> pruning works on the clone
+    assert len(snapshot_files(dst, 1, prune={"id": (0, 10)})) < 4
+    # provenance recorded
+    assert _load_manifest(dst, 1)["cloned_from"]["version"] == 1
+    # a second clone into the same dir refuses
+    with pytest.raises(FileExistsError):
+        clone_snapshot(src, dst)
+    # copy-on-write divergence: delete on the CLONE rewrites into the
+    # clone's own data dir; source unchanged
+    delete_where(spark, dst, "id < 50")
+    assert _ids(spark, dst) == list(range(50, 100))
+    assert _ids(spark, src) == list(range(100))
+    src_files = set()
+    for root, _, fs in os.walk(os.path.join(src, "data")):
+        src_files.update(os.path.join(root, f) for f in fs)
+    # vacuum the clone down to the rewritten version: v1's dropped
+    # refs are ../src files — the root guard must skip every one
+    stats = vacuum_snapshots(dst, retain_last=1)
+    assert stats["expired_versions"] == [1]
+    assert all(not f.startswith("..") for f in stats["deleted_files"])
+    for f in src_files:
+        assert os.path.exists(f), f"vacuum deleted source file {f}"
+    assert _ids(spark, src) == list(range(100))
+
+
 def test_temporal_prune_bounds_normalize(spark, tmp_path):
     """Date/timestamp stats serialize to ISO strings in the manifest;
     prune bounds given as datetime.date objects normalize through the
