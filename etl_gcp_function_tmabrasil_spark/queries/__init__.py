@@ -159,11 +159,16 @@ _CHECK_FIRST = [
 # ROUND-13 ROTATION PLAN (for the next builder): FIRST run
 # scripts/merge_correctness_ledger.py (it picks up CORRECTNESS_r12.json).
 # Then the r13 window = any round-12 registrations without driver
-# evidence (top of the window), then the remaining 34 round-6 rows
+# evidence (top of the window), then the remaining 37 round-6 rows
 # (every ledger row with round == 6 not refreshed by r12, registry
-# order), topped up to 50 with the oldest r7 rows (compute
-# programmatically from the ledger — do NOT trust a hand count; the
-# r11 close-out miscounted its own registrations by two).
+# order — includes func_strings/func_dates/func_math, displaced from
+# the r12 window by the r12 registrations), topped up to 50 with the
+# oldest r7 rows (compute programmatically from the ledger — do NOT
+# trust a hand count; the r11 close-out miscounted its own
+# registrations by two). ALSO at the r13 boundary: amend SURVEY §2.2
+# with the round-12 registrations (ann_ivfpq_rerank,
+# dedup_sorted_neighborhood, sink_snapshot_clone + any later ones —
+# count programmatically).
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
