@@ -1051,3 +1051,126 @@ GROUP BY 1 ORDER BY hops
 
 QUERIES["graph_bfs_distances"] = graph_bfs_distances
 ORACLE["graph_bfs_distances"] = _bfs_sql()
+
+
+# --- Label propagation communities (round 12) --------------------------------
+
+LPA_ROUNDS = 3  #: synchronous rounds, unrolled identically in the oracle
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the co-purchase graph (the triangles/k-core/BFS
+    edge set): every node starts as its own label; each round it
+    adopts the most frequent label among its neighbors (ties to the
+    SMALLEST label — the determinism rule that makes synchronous LPA
+    engine-exact). After LPA_ROUNDS bounded rounds the label table is
+    rolled up into communities — the cluster-the-catalog primitive
+    behind co-view merchandising groups and near-dup part families.
+
+    Bounded-unroll contract (the k-core/BFS pattern): synchronous LPA
+    with a deterministic tie-break is a pure function of (graph,
+    round count), so the DuckDB oracle unrolls exactly LPA_ROUNDS
+    rounds and both engines agree bit-for-bit — no convergence
+    assumption needed (plain LPA may oscillate; the bounded run IS
+    the operator).
+
+    Scale: each round is one frontier-shaped join (neighbor labels) +
+    one keyed count + one per-node argmax window — Pregel's
+    message-combine step as DataFrame ops; per-round localCheckpoint
+    truncates the growing lineage. No stage is quadratic.
+    """
+    from etl_gcp_function_tmabrasil_spark.queries._util import (
+        managed_persist,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < _TRI_MAX_PART)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = managed_persist(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct(),
+        "relational3.lpa_edges",
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = (
+        sym.select(F.col("u").alias("n"))
+        .distinct()
+        .select("n", F.col("n").alias("label"))
+        .localCheckpoint()
+    )
+    w = W.partitionBy("n").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(LPA_ROUNDS):
+        neigh = (
+            sym.join(labels.withColumnRenamed("n", "v"), "v")
+            .groupBy(F.col("u").alias("n"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            neigh.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("n", "label")
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("n").alias("min_part"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy(F.desc("n_members"), F.asc("label"))
+    )
+
+
+def _lpa_sql() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, LPA_ROUNDS + 1):
+        rounds.append(f"""
+c{i} AS MATERIALIZED (
+  SELECT e.u AS n, l.label, COUNT(*) AS c
+  FROM sym e JOIN {prev} l ON l.n = e.v
+  GROUP BY 1, 2
+),
+l{i} AS MATERIALIZED (
+  SELECT n, label FROM (
+    SELECT n, label,
+      ROW_NUMBER() OVER (PARTITION BY n
+                         ORDER BY c DESC, label ASC) AS rn
+    FROM c{i}
+  ) t WHERE rn = 1
+)""")
+        prev = f"l{i}"
+    return f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_partkey < {_TRI_MAX_PART}),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+sym AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+l0 AS (SELECT DISTINCT u AS n, u AS label FROM sym),{",".join(rounds)}
+SELECT label, COUNT(*) AS n_members, MIN(n) AS min_part
+FROM {prev}
+GROUP BY label HAVING COUNT(*) >= 2
+ORDER BY n_members DESC, label ASC
+"""
+
+
+QUERIES["graph_label_propagation"] = graph_label_propagation
+ORACLE["graph_label_propagation"] = _lpa_sql()

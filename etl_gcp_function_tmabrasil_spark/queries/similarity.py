@@ -1661,3 +1661,170 @@ FROM ({final}) f ORDER BY query_id, step
 
 QUERIES["knn_mmr_rerank"] = knn_mmr_rerank
 ORACLE["knn_mmr_rerank"] = _mmr_sql()
+
+
+# --- Multi-band sign-LSH kNN (round 12) --------------------------------------
+
+MB_BANDS = 4  #: OR-composed hash tables
+MB_BITS = 8  #: sign bits per band (bucket fan-out 2^8 per table)
+
+
+def _mb_hyperplanes() -> list[list[float]]:
+    """MB_BANDS x MB_BITS deterministic hyperplanes (seed 43, 6-dp
+    rounded so the literals embed exactly in both engines) — separate
+    from the single-table 12-plane set so the two LSH queries stay
+    independently reproducible."""
+    rng = np.random.RandomState(43)
+    return [
+        [round(float(v), 6) for v in row]
+        for row in rng.randn(MB_BANDS * MB_BITS, DIM)
+    ]
+
+
+def _mb_bands(emb: DataFrame) -> DataFrame:
+    """(vec_id, e, nrm) -> (vec_id, e, nrm, band, bkt): MB_BANDS
+    8-bit sign buckets per row, exploded one row per band. Row-local:
+    32 dot products against broadcast literal planes, zero shuffle."""
+    planes = _mb_hyperplanes()
+    bands = []
+    for j in range(MB_BANDS):
+        bucket = None
+        for i in range(MB_BITS):
+            p = planes[j * MB_BITS + i]
+            lit = F.array(*[F.lit(v) for v in p])
+            bit = F.when(
+                F.round(_dot(F.col("e"), lit), 6) > 0, F.lit(2**i)
+            ).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        bands.append(F.struct(F.lit(j).alias("band"), bucket.alias("bkt")))
+    return emb.select(
+        "vec_id", "e", "nrm", F.explode(F.array(*bands)).alias("bb")
+    ).select("vec_id", "e", "nrm", "bb.band", "bb.bkt")
+
+
+def ann_lsh_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH kNN (Indyk-Motwani banding, the OR
+    construction): MB_BANDS independent 8-bit hash tables; a candidate
+    pair is any two vectors sharing ANY band's bucket, ranked by exact
+    cosine. This is the collision-probability fix for the single-table
+    12-bit query (`ann_lsh_cosine`): per-plane agreement p = 1 - θ/π
+    gives per-band collision p^8 >> p^12, OR'd over 4 tables → at the
+    ~60° angles of this corpus's nearest neighbors ~12x the
+    single-table candidate recall, and near-certain collision in the
+    near-duplicate regime (measured on the planted-cluster corpus:
+    recall@5 in ANN_RECALL_CLUSTERED.json).
+
+    Scale: bucketing is 32 row-local dot products; each band's
+    self-join is an equi-join on (band, bkt) whose bucket sizes shrink
+    geometrically in MB_BITS — at production, bits-per-band grows with
+    log(N) to hold bucket sizes constant, and bands trade recall for
+    candidate volume (the s-curve knobs, same as the MinHash dedup).
+    The OR is a union + per-pair distinct, never a cross join.
+
+    EXACT oracle: identical plane literals, 6-dp bit rounding, 4-dp
+    cosines, (cosine DESC, neighbor ASC) rank ties.
+    """
+    emb = _with_norm(
+        load_table(spark, sf_dir, "embeddings", rebalance=True), "vec_id"
+    )
+    b = _mb_bands(emb)
+    x, y = b.alias("x"), b.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkt") == F.col("y.bkt"))
+            & (F.col("x.vec_id") != F.col("y.vec_id")),
+        )
+        .groupBy(
+            F.col("x.vec_id").alias("query_id"),
+            F.col("y.vec_id").alias("neighbor_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+    )
+    e1 = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    e2 = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ne"),
+        F.col("nrm").alias("nn"),
+    )
+    cos = _dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn"))
+    scored = (
+        cand.join(e1, "query_id")
+        .join(e2, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "shared_bands",
+            F.round(cos, 4).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "neighbor_id", "shared_bands", "cosine")
+        .orderBy("query_id")
+    )
+
+
+def _mb_sql() -> str:
+    planes = _mb_hyperplanes()
+    band_rows = []
+    for j in range(MB_BANDS):
+        bits = []
+        for i in range(MB_BITS):
+            lit = (
+                "(["
+                + ", ".join(str(v) for v in planes[j * MB_BITS + i])
+                + "]::DOUBLE[])"
+            )
+            dot = _SQL_DOT.format(a="e", b=lit)
+            bits.append(
+                f"(CASE WHEN ROUND({dot}, 6) > 0 THEN {2**i} ELSE 0 END)"
+            )
+        band_rows.append(
+            f"SELECT vec_id, e, {j} AS band, "
+            + " + ".join(bits)
+            + " AS bkt FROM e"
+        )
+    bands_union = " UNION ALL ".join(band_rows)
+    cos = "{dot} / ({nx} * {ny})".format(
+        dot=_SQL_DOT.format(a="q.e", b="n.e"),
+        nx=_SQL_NORM.format(a="q.e"),
+        ny=_SQL_NORM.format(a="n.e"),
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS ({bands_union}),
+cand AS (
+  SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
+    COUNT(*) AS shared_bands
+  FROM b x JOIN b y
+    ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id <> y.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, c.shared_bands,
+    ROUND({cos}, 4) AS cosine
+  FROM cand c
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, shared_bands, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored
+) t WHERE rn = 1
+ORDER BY query_id
+"""
+
+
+QUERIES["ann_lsh_multiband"] = ann_lsh_multiband
+ORACLE["ann_lsh_multiband"] = _mb_sql()

@@ -174,6 +174,37 @@ def measure(spark, data_dir: str) -> dict:
         "neighbor_id",
     )
 
+    # multi-band LSH (r12): the engine's 4x8-bit OR'd tables with the
+    # rank-1 filter widened to K — same candidates, same scoring join
+    mb = sim._mb_bands(emb)
+    mx, my = mb.alias("x"), mb.alias("y")
+    mb_cand = (
+        mx.filter(F.col("x.vec_id") < N_Q)
+        .join(
+            my,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkt") == F.col("y.bkt"))
+            & (F.col("x.vec_id") != F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("query_id"),
+            F.col("y.vec_id").alias("neighbor_id"),
+            F.round(
+                sim._dot(F.col("x.e"), F.col("y.e"))
+                / (F.col("x.nrm") * F.col("y.nrm")),
+                4,
+            ).alias("cosine"),
+        )
+        .distinct()
+    )
+    mb_top = _topk(
+        mb_cand.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= K
+        ),
+        "query_id",
+        "neighbor_id",
+    )
+
     # exact L2 ground truth for the PQ family (numpy, probe-side)
     import numpy as np
 
@@ -201,6 +232,7 @@ def measure(spark, data_dir: str) -> dict:
         "recall_at_5": {
             "ivf_vs_exact_cosine": _recall(ivf, exact_cos),
             "lsh_vs_exact_cosine": _recall(lsh, exact_cos),
+            "lsh_multiband_vs_exact_cosine": _recall(mb_top, exact_cos),
             "pq_adc_vs_exact_l2": _recall(pq, exact_l2),
             "pq_rerank_vs_exact_l2": _recall(pq_rerank, exact_l2),
             "ivfpq_vs_exact_l2": _recall(ivfpq, exact_l2),
