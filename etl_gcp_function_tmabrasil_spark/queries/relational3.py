@@ -1112,7 +1112,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n", F.col("n").alias("label"))
         .localCheckpoint()
     )
-    w = W.partitionBy("n").orderBy(F.desc("c"), F.asc("label"))
+    w = Window.partitionBy("n").orderBy(F.desc("c"), F.asc("label"))
     for _ in range(LPA_ROUNDS):
         neigh = (
             sym.join(labels.withColumnRenamed("n", "v"), "v")
