@@ -97,18 +97,20 @@ _CHECK_FIRST = [
     # order — the 14 late-r10 registrations + the 20 round-11
     # registrations, including the two ledger rows seeded at the r12
     # boundary: agg_kmv_set_algebra and stream_update_mode_emissions,
-    # per r11 ADVICE), plus the 6 round-12 registrations at the top,
-    # topped up to exactly 50 with the first 10 round-6 rows in
+    # per r11 ADVICE), plus the 8 round-12 registrations at the top,
+    # topped up to exactly 50 with the first 8 round-6 rows in
     # registry order. After r12 lands, NO pre-r12 query is without
     # driver evidence and every r12 registration has a fresh row. ---
-    # 6 round-12 registrations (top of the window, displacing six r6
-    # top-ups, which keep their r6 evidence):
+    # 8 round-12 registrations (top of the window, displacing eight
+    # r6 top-ups, which keep their r6 evidence):
     "ann_ivfpq_rerank",
     "dedup_sorted_neighborhood",
     "sink_snapshot_clone",
     "graph_label_propagation",
     "link_fellegi_sunter",
     "ann_lsh_multiband",
+    "ab_test_ratio_delta",
+    "seq_path_topk",
     # 34 zero-evidence rows (late-r10 + r11 registrations):
     "timeseries_seasonal_decompose",
     "agg_weighted_median",
@@ -144,7 +146,7 @@ _CHECK_FIRST = [
     "stream_update_mode_emissions",
     "multimodal_phash_dedup",
     "sample_importance_dsir",
-    # 10 round-6 top-ups (oldest evidence, registry order):
+    # 8 round-6 top-ups (oldest evidence, registry order):
     "pivot_status_by_segment",
     "unpivot_nation_counts",
     "join_full_outer",
@@ -153,26 +155,25 @@ _CHECK_FIRST = [
     "window_first_last",
     "window_lag_lead",
     "window_topk_per_group",
-    "sort_topk_orders",
-    "sort_multi_key",
 ]
 
 # ROUND-13 ROTATION PLAN (for the next builder): FIRST run
 # scripts/merge_correctness_ledger.py (it picks up CORRECTNESS_r12.json).
 # Then the r13 window = any round-12 registrations without driver
-# evidence (top of the window), then the remaining 37 round-6 rows
+# evidence (top of the window), then the remaining 42 round-6 rows
 # (every ledger row with round == 6 not refreshed by r12, registry
-# order — includes dedup_exact_rows/dedup_pick_latest/
-# filter_reference_path_predicate/func_strings/func_dates/func_math,
-# displaced from
-# the r12 window by the r12 registrations), topped up to 50 with the
+# order — includes the rows the r12 registrations displaced:
+# sort_topk_orders/sort_multi_key/dedup_exact_rows/dedup_pick_latest/
+# filter_reference_path_predicate/func_strings/func_dates/func_math),
+# topped up to 50 with the
 # oldest r7 rows (compute programmatically from the ledger — do NOT
 # trust a hand count; the r11 close-out miscounted its own
 # registrations by two). ALSO at the r13 boundary: amend SURVEY §2.2
 # with the round-12 registrations (ann_ivfpq_rerank,
 # dedup_sorted_neighborhood, sink_snapshot_clone,
-# graph_label_propagation, link_fellegi_sunter, ann_lsh_multiband +
-# any later ones — count programmatically).
+# graph_label_propagation, link_fellegi_sunter, ann_lsh_multiband,
+# ab_test_ratio_delta, seq_path_topk + any later ones — count
+# programmatically).
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -3830,3 +3830,233 @@ ORDER BY point.event_type
 
 QUERIES["stats_bootstrap_ci"] = stats_bootstrap_ci
 ORACLE["stats_bootstrap_ci"] = _boot_sql()
+
+
+# --- Delta-method ratio-metric A/B test (round 12) ---------------------------
+
+
+def ab_test_ratio_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample z-test for a RATIO metric (value per event) with
+    delta-method variance over per-user clusters — the experiment
+    readout Welch's t cannot give: when the metric is sum(x)/sum(y)
+    per variant and users contribute multiple correlated events,
+    event-level variance is wrong (users are the i.i.d. unit, not
+    events) and the ratio's variance needs the delta method
+    (Deng et al., KDD 2018's practitioner formulation):
+
+        Var(R) ~= (s_xx - 2 R s_xy + R^2 s_yy) / (n * ybar^2)
+
+    over the per-user sums (x_u, y_u). Variants are the deterministic
+    user_id parity split, per event type.
+
+    Scale: one per-(type, user) partial aggregation (the natural
+    pre-shuffle combine), then one type-sized conditional rollup of
+    the five moment sums; the test statistic is row-local arithmetic.
+    Exactness: per-user sums and all cross moments accumulate as
+    DECIMALS; doubles appear only in the closed-form stats, rounded
+    to 6 dp on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy("event_type", "user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("x"),
+            F.count(F.lit(1)).cast("decimal(18,0)").alias("y"),
+        )
+        .select(
+            "event_type",
+            "user_id",
+            "x",
+            "y",
+            (F.col("x") * F.col("x")).cast("decimal(38,8)").alias("xx"),
+            (F.col("x") * F.col("y")).cast("decimal(38,8)").alias("xy"),
+            (F.col("y") * F.col("y")).cast("decimal(38,0)").alias("yy"),
+        )
+    )
+    va = F.col("user_id") % 2 == 0
+
+    def msum(col, cond, sfx, prec):
+        return (
+            F.sum(F.when(cond, F.col(col)).cast(prec))
+            .cast("double")
+            .alias(f"{col}_{sfx}")
+        )
+
+    def grp(cond, sfx):
+        return [
+            F.count(F.when(cond, F.lit(1))).cast("double").alias(f"n_{sfx}"),
+            msum("x", cond, sfx, "decimal(38,4)"),
+            msum("y", cond, sfx, "decimal(38,0)"),
+            msum("xx", cond, sfx, "decimal(38,8)"),
+            msum("xy", cond, sfx, "decimal(38,8)"),
+            msum("yy", cond, sfx, "decimal(38,0)"),
+        ]
+
+    base = per_user.groupBy("event_type").agg(
+        *grp(va, "a"), *grp(~va, "b")
+    )
+
+    def ratio_var(sfx):
+        n = F.col(f"n_{sfx}")
+        sx, sy = F.col(f"x_{sfx}"), F.col(f"y_{sfx}")
+        sxx, sxy, syy = (
+            F.col(f"xx_{sfx}"),
+            F.col(f"xy_{sfx}"),
+            F.col(f"yy_{sfx}"),
+        )
+        r = sx / sy
+        ybar = sy / n
+        s_xx = (n * sxx - sx * sx) / (n * (n - 1))
+        s_xy = (n * sxy - sx * sy) / (n * (n - 1))
+        s_yy = (n * syy - sy * sy) / (n * (n - 1))
+        var = (s_xx - 2 * r * s_xy + r * r * s_yy) / (n * ybar * ybar)
+        return n, r, var
+
+    na, ra, vara = ratio_var("a")
+    nb, rb, varb = ratio_var("b")
+    z = (ra - rb) / F.sqrt(vara + varb)
+    return base.select(
+        "event_type",
+        na.cast("long").alias("n_users_a"),
+        nb.cast("long").alias("n_users_b"),
+        F.round(ra, 6).alias("ratio_a"),
+        F.round(rb, 6).alias("ratio_b"),
+        F.round(ra - rb, 6).alias("diff"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > WELCH_CRIT).alias("significant"),
+    ).orderBy("event_type")
+
+
+_RATIO_DELTA_SQL = f"""
+WITH per_user AS (
+  SELECT event_type, user_id,
+    SUM(CAST(value AS DECIMAL(18,4))) AS x,
+    CAST(COUNT(*) AS DECIMAL(18,0)) AS y
+  FROM events GROUP BY event_type, user_id
+),
+m AS (
+  SELECT event_type, user_id, x, y,
+    CAST(x * x AS DECIMAL(38,8)) AS xx,
+    CAST(x * y AS DECIMAL(38,8)) AS xy,
+    CAST(y * y AS DECIMAL(38,0)) AS yy
+  FROM per_user
+),
+base AS (
+  SELECT event_type,
+    CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS DOUBLE) AS n_a,
+    CAST(SUM(CAST(x AS DECIMAL(38,4))) FILTER (WHERE user_id % 2 = 0) AS DOUBLE) AS x_a,
+    CAST(SUM(CAST(y AS DECIMAL(38,0))) FILTER (WHERE user_id % 2 = 0) AS DOUBLE) AS y_a,
+    CAST(SUM(xx) FILTER (WHERE user_id % 2 = 0) AS DOUBLE) AS xx_a,
+    CAST(SUM(xy) FILTER (WHERE user_id % 2 = 0) AS DOUBLE) AS xy_a,
+    CAST(SUM(yy) FILTER (WHERE user_id % 2 = 0) AS DOUBLE) AS yy_a,
+    CAST(COUNT(*) FILTER (WHERE user_id % 2 <> 0) AS DOUBLE) AS n_b,
+    CAST(SUM(CAST(x AS DECIMAL(38,4))) FILTER (WHERE user_id % 2 <> 0) AS DOUBLE) AS x_b,
+    CAST(SUM(CAST(y AS DECIMAL(38,0))) FILTER (WHERE user_id % 2 <> 0) AS DOUBLE) AS y_b,
+    CAST(SUM(xx) FILTER (WHERE user_id % 2 <> 0) AS DOUBLE) AS xx_b,
+    CAST(SUM(xy) FILTER (WHERE user_id % 2 <> 0) AS DOUBLE) AS xy_b,
+    CAST(SUM(yy) FILTER (WHERE user_id % 2 <> 0) AS DOUBLE) AS yy_b
+  FROM m GROUP BY event_type
+),
+s AS (
+  SELECT event_type, n_a, n_b,
+    x_a / y_a AS r_a, x_b / y_b AS r_b,
+    ((n_a * xx_a - x_a * x_a) / (n_a * (n_a - 1))
+      - 2 * (x_a / y_a) * ((n_a * xy_a - x_a * y_a) / (n_a * (n_a - 1)))
+      + (x_a / y_a) * (x_a / y_a)
+        * ((n_a * yy_a - y_a * y_a) / (n_a * (n_a - 1))))
+      / (n_a * (y_a / n_a) * (y_a / n_a)) AS var_a,
+    ((n_b * xx_b - x_b * x_b) / (n_b * (n_b - 1))
+      - 2 * (x_b / y_b) * ((n_b * xy_b - x_b * y_b) / (n_b * (n_b - 1)))
+      + (x_b / y_b) * (x_b / y_b)
+        * ((n_b * yy_b - y_b * y_b) / (n_b * (n_b - 1))))
+      / (n_b * (y_b / n_b) * (y_b / n_b)) AS var_b
+  FROM base
+)
+SELECT event_type,
+  CAST(n_a AS BIGINT) AS n_users_a, CAST(n_b AS BIGINT) AS n_users_b,
+  ROUND(r_a, 6) AS ratio_a, ROUND(r_b, 6) AS ratio_b,
+  ROUND(r_a - r_b, 6) AS diff,
+  ROUND((r_a - r_b) / sqrt(var_a + var_b), 6) AS z_stat,
+  abs((r_a - r_b) / sqrt(var_a + var_b)) > {WELCH_CRIT} AS significant
+FROM s ORDER BY event_type
+"""
+
+QUERIES["ab_test_ratio_delta"] = ab_test_ratio_delta
+ORACLE["ab_test_ratio_delta"] = _RATIO_DELTA_SQL
+
+
+# --- Top-k daily behavior paths (round 12) -----------------------------------
+
+PATH_TOPK = 10  #: most frequent (user, day) symbol paths reported
+
+
+def seq_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most frequent daily behavior paths — the clickstream
+    "common journeys" report: each (user, day) renders its time-ordered
+    event-type symbols into one path string (the CEP symbol rendering:
+    first letter per event, total (ts, event_id) order), paths are
+    counted corpus-wide, and the PATH_TOPK most common are returned
+    with share-of-sessions. next_event transition pairs give the
+    1st-order Markov view; this is the exact full-path complement.
+
+    Scale: the rendering is one partial-aggregable groupBy over
+    (user, day) with per-group bounded arrays (a day's events per
+    user); the count rollup is word-count-shaped on path strings; the
+    top-k is a K-row limit. Ties rank deterministically on
+    (n_sessions DESC, path ASC).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    paths = (
+        ev.groupBy(
+            "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.expr(
+                "array_join(transform("
+                "array_sort(collect_list(struct(ts, event_id, event_type))),"
+                " x -> substring(x.event_type, 1, 1)), '')"
+            ).alias("path")
+        )
+    )
+    total = paths.count()  # scalar: number of (user, day) sessions
+    counted = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    # TakeOrdered top-K first (distributed partial top-K per partition,
+    # never a global window sort over all distinct paths), THEN the
+    # rank window runs over exactly K rows
+    top = counted.orderBy(F.desc("n_sessions"), F.asc("path")).limit(
+        PATH_TOPK
+    )
+    w = W.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "path",
+        "n_sessions",
+        F.round(F.col("n_sessions") / F.lit(total), 6).alias("share"),
+    ).orderBy("rank")
+
+
+_PATH_TOPK_SQL = f"""
+WITH paths AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS path
+  FROM events GROUP BY user_id, day
+),
+counted AS (
+  SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path
+),
+tot AS (SELECT COUNT(*) AS t FROM paths)
+SELECT CAST(rank AS INT) AS rank, path, n_sessions,
+  ROUND(n_sessions / CAST(t AS DOUBLE), 6) AS share
+FROM (
+  SELECT path, n_sessions,
+    ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path ASC) AS rank
+  FROM counted
+) r CROSS JOIN tot
+WHERE rank <= {PATH_TOPK}
+ORDER BY rank
+"""
+
+QUERIES["seq_path_topk"] = seq_path_topk
+ORACLE["seq_path_topk"] = _PATH_TOPK_SQL
