@@ -4018,10 +4018,12 @@ def seq_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("path")
         )
     )
-    total = paths.count()  # scalar: number of (user, day) sessions
     counted = paths.groupBy("path").agg(
         F.count(F.lit(1)).alias("n_sessions")
     )
+    # session total as a broadcast one-row frame (fully lazy — no
+    # driver-side count at construction; bench contract)
+    total = counted.agg(F.sum("n_sessions").alias("t"))
     # TakeOrdered top-K first (distributed partial top-K per partition,
     # never a global window sort over all distinct paths), THEN the
     # rank window runs over exactly K rows
@@ -4029,12 +4031,16 @@ def seq_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         PATH_TOPK
     )
     w = W.orderBy(F.desc("n_sessions"), F.asc("path"))
-    return top.select(
-        F.row_number().over(w).alias("rank"),
-        "path",
-        "n_sessions",
-        F.round(F.col("n_sessions") / F.lit(total), 6).alias("share"),
-    ).orderBy("rank")
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "path",
+            "n_sessions",
+            F.round(F.col("n_sessions") / F.col("t"), 6).alias("share"),
+        )
+        .orderBy("rank")
+    )
 
 
 _PATH_TOPK_SQL = f"""
