@@ -128,6 +128,14 @@ EXTENDED = [
     "funnel_time_to_convert",       # two-stage funnel delay quantiles
     "multimodal_phash_dedup",       # dHash buckets over decoded media
     "stats_bootstrap_ci",           # one-pass Poisson bootstrap CIs
+    # round-12 lazy registrations (graph_label_propagation,
+    # ann_ivfpq_rerank, sink_snapshot_clone, and the update-mode
+    # stream are eager -> scripts/bench_gate_sf01.py)
+    "dedup_sorted_neighborhood",    # banded-rank SNM window pairs
+    "link_fellegi_sunter",          # FS weights over FastSS blocks
+    "ann_lsh_multiband",            # 4x8-bit OR'd LSH tables
+    "ab_test_ratio_delta",          # delta-method ratio z-test
+    "seq_path_topk",                # daily path strings top-k
 ]
 
 

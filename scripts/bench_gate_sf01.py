@@ -144,6 +144,13 @@ GATE_QUERIES = [
     "stream_complete_leaderboard",
     # r11: two snapshot commits (view + delta maintenance) at build
     "sink_incremental_join_view",
+    # r12: checkpointed update-mode run; 4-commit clone fixture; the
+    # LPA localCheckpoint loop; residual-codebook training (all at
+    # construction — eager, like their family members above)
+    "stream_update_mode_emissions",
+    "sink_snapshot_clone",
+    "graph_label_propagation",
+    "ann_ivfpq_rerank",
 ]
 
 

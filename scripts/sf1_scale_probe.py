@@ -293,6 +293,20 @@ PARITY = [
     # events through checkpointed foreachBatch
     "agg_kmv_set_algebra",
     "stream_update_mode_emissions",
+    # r12 wave (cheap-oracle subset): SNM banded-rank window pairs at
+    # 500k docs (2M windowed list-Jaccard verifies in the oracle), the
+    # bounded LPA graph under 10x edge multiplicity, the shallow-clone
+    # divergence fixture at 2M events, the clustered ratio z-test and
+    # path top-k over 2M events, IVFADC-R at 20k vectors.
+    # (link_fellegi_sunter and ann_lsh_multiband are timed-not-parity
+    # at sf1: their oracles are the quadratic levenshtein join and a
+    # 6M-pair DuckDB lambda cosine scan — the fuzzy_name_match class.)
+    "dedup_sorted_neighborhood",
+    "graph_label_propagation",
+    "sink_snapshot_clone",
+    "ab_test_ratio_delta",
+    "seq_path_topk",
+    "ann_ivfpq_rerank",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.
