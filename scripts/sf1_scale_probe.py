@@ -324,6 +324,10 @@ TIMED = [
     # r11: pool + pairwise + 4 unrolled greedy steps at 50k vectors
     # (timed like the other brute-force-pool vector ops)
     "knn_mmr_rerank",
+    # r12: the two quadratic-oracle registrations — Spark-side timing
+    # is the scale check here (their oracles pin parity at sf0.01)
+    "link_fellegi_sunter",
+    "ann_lsh_multiband",
 ]
 
 
