@@ -136,6 +136,8 @@ EXTENDED = [
     "ann_lsh_multiband",            # 4x8-bit OR'd LSH tables
     "ab_test_ratio_delta",          # delta-method ratio z-test
     "seq_path_topk",                # daily path strings top-k
+    "text_feature_hashing",         # hashing-trick vectorizer
+    "feature_target_encode_oof",    # leave-one-fold-out target means
 ]
 
 

@@ -97,11 +97,11 @@ _CHECK_FIRST = [
     # order — the 14 late-r10 registrations + the 20 round-11
     # registrations, including the two ledger rows seeded at the r12
     # boundary: agg_kmv_set_algebra and stream_update_mode_emissions,
-    # per r11 ADVICE), plus the 8 round-12 registrations at the top,
-    # topped up to exactly 50 with the first 8 round-6 rows in
+    # per r11 ADVICE), plus the 10 round-12 registrations at the top,
+    # topped up to exactly 50 with the first 6 round-6 rows in
     # registry order. After r12 lands, NO pre-r12 query is without
     # driver evidence and every r12 registration has a fresh row. ---
-    # 8 round-12 registrations (top of the window, displacing eight
+    # 10 round-12 registrations (top of the window, displacing ten
     # r6 top-ups, which keep their r6 evidence):
     "ann_ivfpq_rerank",
     "dedup_sorted_neighborhood",
@@ -111,6 +111,8 @@ _CHECK_FIRST = [
     "ann_lsh_multiband",
     "ab_test_ratio_delta",
     "seq_path_topk",
+    "text_feature_hashing",
+    "feature_target_encode_oof",
     # 34 zero-evidence rows (late-r10 + r11 registrations):
     "timeseries_seasonal_decompose",
     "agg_weighted_median",
@@ -146,21 +148,19 @@ _CHECK_FIRST = [
     "stream_update_mode_emissions",
     "multimodal_phash_dedup",
     "sample_importance_dsir",
-    # 8 round-6 top-ups (oldest evidence, registry order):
+    # 6 round-6 top-ups (oldest evidence, registry order):
     "pivot_status_by_segment",
     "unpivot_nation_counts",
     "join_full_outer",
     "join_cross",
     "agg_collect",
     "window_first_last",
-    "window_lag_lead",
-    "window_topk_per_group",
 ]
 
 # ROUND-13 ROTATION PLAN (for the next builder): FIRST run
 # scripts/merge_correctness_ledger.py (it picks up CORRECTNESS_r12.json).
 # Then the r13 window = any round-12 registrations without driver
-# evidence (top of the window), then the remaining 42 round-6 rows
+# evidence (top of the window), then the remaining 44 round-6 rows
 # (every ledger row with round == 6 not refreshed by r12, registry
 # order — includes the rows the r12 registrations displaced:
 # sort_topk_orders/sort_multi_key/dedup_exact_rows/dedup_pick_latest/
@@ -172,7 +172,8 @@ _CHECK_FIRST = [
 # with the round-12 registrations (ann_ivfpq_rerank,
 # dedup_sorted_neighborhood, sink_snapshot_clone,
 # graph_label_propagation, link_fellegi_sunter, ann_lsh_multiband,
-# ab_test_ratio_delta, seq_path_topk + any later ones — count
+# ab_test_ratio_delta, seq_path_topk, text_feature_hashing,
+# feature_target_encode_oof + any later ones — count
 # programmatically).
 
 

@@ -1550,3 +1550,74 @@ FROM calc
 
 QUERIES["agg_kmv_set_algebra"] = agg_kmv_set_algebra
 ORACLE["agg_kmv_set_algebra"] = _KMV_ALG_SQL
+
+
+# --- Out-of-fold target encoding (round 12) -----------------------------------
+
+TENC_FOLDS = 5  #: deterministic fold count (o_orderkey modulo)
+
+
+def feature_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding (the leak-safe mean-target feature,
+    standard in gradient-boosting pipelines; the scheme CatBoost
+    formalizes): each category's encoding for fold k is the target
+    mean over every OTHER fold — a row never sees its own fold's
+    statistics, so the feature carries no label leakage. Categories =
+    o_orderpriority, target = o_totalprice, folds = o_orderkey %
+    TENC_FOLDS (the deterministic hash-fold idiom the split operators
+    use).
+
+    Output is the ENCODING TABLE itself — (category, fold) ->
+    oof_mean + counts — which is what a training pipeline broadcasts
+    back onto the rows (category-count-sized, not row-sized).
+
+    Scale: ONE (category, fold) partial-aggregable moments pass; the
+    leave-one-fold-out arithmetic is a within-category window over
+    TENC_FOLDS rows (decimal sums, so the subtraction is exact).
+    """
+    odr = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    grp = odr.groupBy(
+        F.col("o_orderpriority").alias("category"),
+        (F.col("o_orderkey") % TENC_FOLDS).alias("fold"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_in_fold"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("s"),
+    )
+    w = Window.partitionBy("category")
+    tot_s = F.sum("s").over(w)
+    tot_n = F.sum("n_in_fold").over(w)
+    return (
+        grp.select(
+            "category",
+            "fold",
+            "n_in_fold",
+            F.round(
+                ((tot_s - F.col("s")) / (tot_n - F.col("n_in_fold"))).cast(
+                    "double"
+                ),
+                6,
+            ).alias("oof_mean"),
+        )
+        .orderBy("category", "fold")
+    )
+
+
+_TENC_SQL = f"""
+WITH grp AS (
+  SELECT o_orderpriority AS category, o_orderkey % {TENC_FOLDS} AS fold,
+    COUNT(*) AS n_in_fold,
+    SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS s
+  FROM orders GROUP BY 1, 2
+)
+SELECT category, fold, n_in_fold,
+  ROUND(CAST(
+    (SUM(s) OVER (PARTITION BY category) - s)
+    / (SUM(n_in_fold) OVER (PARTITION BY category) - n_in_fold)
+  AS DOUBLE), 6) AS oof_mean
+FROM grp ORDER BY category, fold
+"""
+
+QUERIES["feature_target_encode_oof"] = feature_target_encode_oof
+ORACLE["feature_target_encode_oof"] = _TENC_SQL

@@ -760,3 +760,65 @@ FROM normed GROUP BY source ORDER BY source
 
 QUERIES["text_unicode_nfc_profile"] = text_unicode_nfc_profile
 ORACLE["text_unicode_nfc_profile"] = _NFC_SQL
+
+
+# --- Feature hashing / hashing trick (round 12) -------------------------------
+
+FEATHASH_DIM = 16  #: hashed feature space size (2^k at production scale)
+
+
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al., ICML 2009): map every
+    token to one of FEATHASH_DIM buckets by hash and count — the
+    fixed-width, vocabulary-free text vectorizer that needs NO fitted
+    dictionary (the property that makes it the default featurizer for
+    streaming/out-of-core training). Output is the sparse long form
+    (doc_id, bucket, n): zero buckets are simply absent, which is the
+    point of the representation.
+
+    Scale: tokenize-explode → one (doc, bucket) partial-aggregable
+    count — the word-count shape; the bucket hash is the engine's
+    md5-based hash60 mod FEATHASH_DIM, identical in both engines (no
+    fitted state to ship — the 100 TB win over a vocabulary join).
+    """
+    from etl_gcp_function_tmabrasil_spark.queries._util import (
+        SPARK_HASH60,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.regexp_replace(F.trim("text"), WS_CLASS, " ")), " ")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bucket = F.expr(
+        f"pmod({SPARK_HASH60.format(expr='tok')}, {FEATHASH_DIM})"
+    )
+    return (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("doc_id", "bucket")
+    )
+
+
+def _feathash_sql() -> str:
+    from etl_gcp_function_tmabrasil_spark.queries._util import SQL_HASH60
+
+    h = SQL_HASH60.format(expr="tok")
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    UNNEST(string_split(LOWER(REGEXP_REPLACE(TRIM(text), '{WS_CLASS}', ' ', 'g')), ' ')) AS tok
+  FROM documents
+)
+SELECT doc_id, {h} % {FEATHASH_DIM} AS bucket, COUNT(*) AS n
+FROM toks WHERE tok <> ''
+GROUP BY doc_id, bucket
+ORDER BY doc_id, bucket
+"""
+
+
+QUERIES["text_feature_hashing"] = text_feature_hashing
+ORACLE["text_feature_hashing"] = _feathash_sql()

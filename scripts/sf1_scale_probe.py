@@ -307,6 +307,10 @@ PARITY = [
     "ab_test_ratio_delta",
     "seq_path_topk",
     "ann_ivfpq_rerank",
+    # r12 late pair: hashing-trick buckets over the 10x token stream;
+    # OOF fold means at 1.5M orders
+    "text_feature_hashing",
+    "feature_target_encode_oof",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.
