@@ -138,6 +138,7 @@ EXTENDED = [
     "seq_path_topk",                # daily path strings top-k
     "text_feature_hashing",         # hashing-trick vectorizer
     "feature_target_encode_oof",    # leave-one-fold-out target means
+    "join_asof_nearest",            # nearest as-of with tolerance
 ]
 
 

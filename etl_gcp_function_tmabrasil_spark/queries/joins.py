@@ -439,3 +439,138 @@ ORACLE = {
     "join_asof_purchase": _ASOF_SQL,
     "join_salted_hot_key": _SALTED_JOIN_SQL,
 }
+
+
+# --- Nearest as-of join with tolerance (round 12) -----------------------------
+
+ASOF_NEAREST_TOL_US = 86_400_000_000  #: 1 day, in microseconds
+
+
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction with tolerance (pandas
+    ``merge_asof(direction='nearest', tolerance=...)``): for each click
+    the closest purchase by the same user in EITHER time direction,
+    kept only within ASOF_NEAREST_TOL_US; backward wins exact ties.
+    The sensor-alignment / quote-trade matching shape the backward-only
+    as-of cannot express.
+
+    Same single-shuffle plan family as join_asof_purchase: union the
+    two streams, ONE window pass per direction over (user_id, ts,
+    side, src_eid) — last-before via an unbounded-preceding frame,
+    first-after via an unbounded-following frame — then row-local
+    nearest/tolerance arithmetic. No per-row lookups, no range join;
+    deltas compare in exact MICROSECONDS on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id",
+        F.lit(None).cast("double").alias("p_value"),
+        F.col("event_id").alias("src_eid"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"), "ts", "user_id",
+        F.col("value").alias("p_value"),
+        F.col("event_id").alias("src_eid"),
+    )
+    # purchases sort BEFORE clicks at identical (user, ts): the
+    # backward frame sees exact ties ("at-or-before"), the forward
+    # frame starting after the click does not double-count them
+    unioned = clicks.unionByName(purchases).withColumn(
+        "is_click", (F.col("event_id").isNotNull()).cast("int")
+    ).withColumn("p_us", F.when(F.col("is_click") == 0, F.unix_micros("ts")))
+    back = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_click", "src_eid")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    fwd = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_click", "src_eid")
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    annotated = (
+        unioned
+        .withColumn("b_val", F.last("p_value", ignorenulls=True).over(back))
+        .withColumn("b_us", F.last("p_us", ignorenulls=True).over(back))
+        .withColumn("f_val", F.first("p_value", ignorenulls=True).over(fwd))
+        .withColumn("f_us", F.first("p_us", ignorenulls=True).over(fwd))
+        .filter(F.col("is_click") == 1)
+    )
+    c_us = F.unix_micros("ts")
+    d_back = c_us - F.col("b_us")
+    d_fwd = F.col("f_us") - c_us
+    use_back = F.col("b_us").isNotNull() & (
+        F.col("f_us").isNull() | (d_back <= d_fwd)
+    )
+    nearest_d = F.when(use_back, d_back).otherwise(d_fwd)
+    nearest_v = F.when(use_back, F.col("b_val")).otherwise(F.col("f_val"))
+    in_tol = nearest_d <= F.lit(ASOF_NEAREST_TOL_US)
+    return annotated.select(
+        "event_id",
+        "user_id",
+        F.when(
+            (F.col("b_us").isNotNull() | F.col("f_us").isNotNull()) & in_tol,
+            F.when(use_back, F.lit("backward")).otherwise(F.lit("forward")),
+        ).otherwise(F.lit("none")).alias("direction"),
+        F.when(
+            (F.col("b_us").isNotNull() | F.col("f_us").isNotNull()) & in_tol,
+            nearest_v,
+        ).otherwise(F.lit(-1.0)).alias("nearest_purchase_value"),
+        F.when(
+            (F.col("b_us").isNotNull() | F.col("f_us").isNotNull()) & in_tol,
+            nearest_d,
+        ).alias("delta_us"),
+    ).orderBy("event_id")
+
+
+_ASOF_NEAREST_SQL = f"""
+WITH u AS (
+  SELECT event_id, ts, user_id, NULL::DOUBLE AS p_value,
+    event_id AS src_eid, 1 AS is_click, NULL::BIGINT AS p_us
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT NULL::BIGINT, ts, user_id, value, event_id, 0,
+    epoch_us(ts)
+  FROM events WHERE event_type = 'purchase'
+),
+ann AS (
+  SELECT *,
+    LAST_VALUE(p_value IGNORE NULLS) OVER w_back AS b_val,
+    LAST_VALUE(p_us IGNORE NULLS) OVER w_back AS b_us,
+    FIRST_VALUE(p_value IGNORE NULLS) OVER w_fwd AS f_val,
+    FIRST_VALUE(p_us IGNORE NULLS) OVER w_fwd AS f_us
+  FROM u
+  WINDOW
+    w_back AS (PARTITION BY user_id ORDER BY ts, is_click, src_eid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_fwd AS (PARTITION BY user_id ORDER BY ts, is_click, src_eid
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS c_us,
+    b_val, b_us, f_val, f_us,
+    (b_us IS NOT NULL AND (f_us IS NULL OR epoch_us(ts) - b_us
+                           <= f_us - epoch_us(ts))) AS use_back
+  FROM ann WHERE is_click = 1
+)
+SELECT event_id, user_id,
+  CASE WHEN (b_us IS NOT NULL OR f_us IS NOT NULL)
+        AND (CASE WHEN use_back THEN c_us - b_us ELSE f_us - c_us END)
+            <= {ASOF_NEAREST_TOL_US}
+    THEN CASE WHEN use_back THEN 'backward' ELSE 'forward' END
+    ELSE 'none' END AS direction,
+  CASE WHEN (b_us IS NOT NULL OR f_us IS NOT NULL)
+        AND (CASE WHEN use_back THEN c_us - b_us ELSE f_us - c_us END)
+            <= {ASOF_NEAREST_TOL_US}
+    THEN CASE WHEN use_back THEN b_val ELSE f_val END
+    ELSE -1.0 END AS nearest_purchase_value,
+  CASE WHEN (b_us IS NOT NULL OR f_us IS NOT NULL)
+        AND (CASE WHEN use_back THEN c_us - b_us ELSE f_us - c_us END)
+            <= {ASOF_NEAREST_TOL_US}
+    THEN CASE WHEN use_back THEN c_us - b_us ELSE f_us - c_us END
+    END AS delta_us
+FROM c ORDER BY event_id
+"""
+
+QUERIES["join_asof_nearest"] = join_asof_nearest
+ORACLE["join_asof_nearest"] = _ASOF_NEAREST_SQL

@@ -311,6 +311,9 @@ PARITY = [
     # OOF fold means at 1.5M orders
     "text_feature_hashing",
     "feature_target_encode_oof",
+    # r12: nearest as-of under 10x duplicate-ts tie mass (the same
+    # total-order tie pressure that caught the r8 session-split bug)
+    "join_asof_nearest",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.
