@@ -139,6 +139,7 @@ EXTENDED = [
     "text_feature_hashing",         # hashing-trick vectorizer
     "feature_target_encode_oof",    # leave-one-fold-out target means
     "join_asof_nearest",            # nearest as-of with tolerance
+    "sample_balanced_classes",      # banded-rank minority downsample
 ]
 
 

@@ -97,12 +97,12 @@ _CHECK_FIRST = [
     # order — the 14 late-r10 registrations + the 20 round-11
     # registrations, including the two ledger rows seeded at the r12
     # boundary: agg_kmv_set_algebra and stream_update_mode_emissions,
-    # per r11 ADVICE), plus the 11 round-12 registrations at the top,
-    # topped up to exactly 50 with the first 5 round-6 rows in
+    # per r11 ADVICE), plus the 12 round-12 registrations at the top,
+    # topped up to exactly 50 with the first 4 round-6 rows in
     # registry order. After r12 lands, NO pre-r12 query is without
     # driver evidence and every r12 registration has a fresh row. ---
-    # 11 round-12 registrations (top of the window, displacing
-    # eleven r6 top-ups, which keep their r6 evidence):
+    # 12 round-12 registrations (top of the window, displacing
+    # twelve r6 top-ups, which keep their r6 evidence):
     "ann_ivfpq_rerank",
     "dedup_sorted_neighborhood",
     "sink_snapshot_clone",
@@ -114,6 +114,7 @@ _CHECK_FIRST = [
     "text_feature_hashing",
     "feature_target_encode_oof",
     "join_asof_nearest",
+    "sample_balanced_classes",
     # 34 zero-evidence rows (late-r10 + r11 registrations):
     "timeseries_seasonal_decompose",
     "agg_weighted_median",
@@ -149,18 +150,17 @@ _CHECK_FIRST = [
     "stream_update_mode_emissions",
     "multimodal_phash_dedup",
     "sample_importance_dsir",
-    # 5 round-6 top-ups (oldest evidence, registry order):
+    # 4 round-6 top-ups (oldest evidence, registry order):
     "pivot_status_by_segment",
     "unpivot_nation_counts",
     "join_full_outer",
     "join_cross",
-    "agg_collect",
 ]
 
 # ROUND-13 ROTATION PLAN (for the next builder): FIRST run
 # scripts/merge_correctness_ledger.py (it picks up CORRECTNESS_r12.json).
 # Then the r13 window = any round-12 registrations without driver
-# evidence (top of the window), then the remaining 45 round-6 rows
+# evidence (top of the window), then the remaining 46 round-6 rows
 # (every ledger row with round == 6 not refreshed by r12, registry
 # order — includes the rows the r12 registrations displaced:
 # sort_topk_orders/sort_multi_key/dedup_exact_rows/dedup_pick_latest/
@@ -173,8 +173,8 @@ _CHECK_FIRST = [
 # dedup_sorted_neighborhood, sink_snapshot_clone,
 # graph_label_propagation, link_fellegi_sunter, ann_lsh_multiband,
 # ab_test_ratio_delta, seq_path_topk, text_feature_hashing,
-# feature_target_encode_oof, join_asof_nearest + any later ones —
-# count programmatically).
+# feature_target_encode_oof, join_asof_nearest,
+# sample_balanced_classes + any later ones — count programmatically).
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

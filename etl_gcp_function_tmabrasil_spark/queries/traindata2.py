@@ -1353,3 +1353,93 @@ ORDER BY log_weight DESC, doc_id ASC LIMIT {DSIR_TOP_N}
 
 QUERIES["sample_importance_dsir"] = sample_importance_dsir
 ORACLE["sample_importance_dsir"] = _DSIR_SQL
+
+
+# --- Balanced class downsampling (round 12) -----------------------------------
+
+
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced downsampling to the minority-class count — the class-
+    rebalancing step before training on skewed labels: every event
+    type keeps exactly min-class-count rows, selected by deterministic
+    hash order (md5 hash60 of event_id, the engine's reproducible
+    sampling idiom — a uniform draw under hash uniformity, identical
+    on every engine and rerun).
+
+    Scale: the per-class hash rank comes from the BANDED global-rank
+    decomposition (operators/banded_rank.py, band = top hash nibble,
+    group = class) — never a whole-class single-task window sort; the
+    minority count is a broadcast one-row aggregate. Output is the
+    per-class post-sample rollup (count + value sum + the selection's
+    max rank, which must equal the minority count — the balance proof
+    riding in the result).
+    """
+    from etl_gcp_function_tmabrasil_spark.operators.banded_rank import (
+        banded_global_rank,
+    )
+    from etl_gcp_function_tmabrasil_spark.queries._util import (
+        SPARK_HASH60,
+        csum,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.expr(SPARK_HASH60.format(expr="cast(event_id as string)")).alias(
+            "hv"
+        ),
+    )
+    # 16 bands over the 60-bit hash: monotone in (hv, event_id) order
+    banded = ev.withColumn(
+        "band", F.expr("hv DIV 72057594037927936")
+    )
+    ranked = banded_global_rank(
+        banded, "band", [F.col("hv"), F.col("event_id")],
+        group=["event_type"], rank_col="r",
+    )
+    min_n = ev.groupBy("event_type").count().agg(
+        F.min("count").alias("min_n")
+    )
+    picked = ranked.crossJoin(F.broadcast(min_n)).filter(
+        F.col("r") <= F.col("min_n")
+    )
+    return (
+        picked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            csum("value").alias("sum_value"),
+            F.max("r").alias("max_rank"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _balanced_sql() -> str:
+    from etl_gcp_function_tmabrasil_spark.queries._util import SQL_HASH60
+
+    h = SQL_HASH60.format(expr="CAST(event_id AS VARCHAR)")
+    return f"""
+WITH ev AS (
+  SELECT event_id, event_type, value, {h} AS hv FROM events
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY hv, event_id) AS r
+  FROM ev
+),
+mn AS (
+  SELECT MIN(c) AS min_n FROM (
+    SELECT COUNT(*) AS c FROM ev GROUP BY event_type)
+)
+SELECT event_type, COUNT(*) AS n_sampled,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+  MAX(r) AS max_rank
+FROM ranked CROSS JOIN mn
+WHERE r <= min_n
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES["sample_balanced_classes"] = sample_balanced_classes
+ORACLE["sample_balanced_classes"] = _balanced_sql()

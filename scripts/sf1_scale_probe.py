@@ -314,6 +314,8 @@ PARITY = [
     # r12: nearest as-of under 10x duplicate-ts tie mass (the same
     # total-order tie pressure that caught the r8 session-split bug)
     "join_asof_nearest",
+    # r12: banded-rank class rebalancing at 2M events
+    "sample_balanced_classes",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.
