@@ -114,7 +114,15 @@ def _acquire_publish_lock(lock: str, dst: str) -> None:
     """O_EXCL-create ``lock``; on collision, fail fast if ``dst`` is
     already published, break the lock if it is stale (older than
     ``_LOCK_STALE_S`` with no manifest — a hard-killed committer), else
-    surface the live contender as FileExistsError."""
+    surface the live contender as FileExistsError.
+
+    Stale locks are broken by an atomic RENAME to a unique tombstone
+    name, not unlink: exactly ONE of two simultaneous breakers wins the
+    rename (the loser's rename raises ENOENT), so the unlink-then-
+    create window where both contenders end up holding "the" lock —
+    and later both rename manifests onto ``dst``, silently orphaning
+    one commit's data files — cannot occur. The tombstone is removed
+    by its winner after re-acquisition."""
     for _ in range(2):
         try:
             os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
@@ -127,8 +135,13 @@ def _acquire_publish_lock(lock: str, dst: str) -> None:
             except OSError:
                 continue  # holder just released/broke it — retry
             if age > _LOCK_STALE_S:
+                tomb = lock + "." + uuid.uuid4().hex
                 try:
-                    os.unlink(lock)
+                    os.rename(lock, tomb)  # atomic: one breaker wins
+                except OSError:
+                    continue  # another breaker won — retry O_EXCL
+                try:
+                    os.unlink(tomb)
                 except OSError:
                     pass
                 continue
