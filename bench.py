@@ -143,6 +143,23 @@ EXTENDED = [
 ]
 
 
+#: Absolute floor (seconds) for the eager-construction strike
+#: threshold. Construction cost is driver-side Py4J plan building —
+#: it tracks plan width, not execution time, so the bar must not be
+#: derived from a fast query's execution (see _time_query docstring).
+_CONSTRUCT_FLOOR_S = 2.5
+
+
+class ConstructionGuardTripped(RuntimeError):
+    """Eager-construction guard exhausted its strikes for one query.
+
+    Raised (and caught PER QUERY in main) so a single guard trip can
+    never nullify the whole artifact: BENCH_r12.json came back
+    ``parsed: null`` because one false-positive trip on a stalling
+    driver host crashed the run at query 50/54 and lost every number.
+    """
+
+
 def _time_query(spark, fn, name: str, sf_dir: str) -> tuple[float, float]:
     """Warmup + min/median of 3 timed runs, with the eager-construction
     guard: construction must stay lazy (e.g. PySpark 4 localCheckpoint
@@ -156,7 +173,18 @@ def _time_query(spark, fn, name: str, sf_dir: str) -> tuple[float, float]:
     a different query, none reproducible standalone. A genuinely eager
     query stalls on EVERY construction, so it still exhausts the
     strikes (and its stalled samples never enter the timing set —
-    each strike discards the sample and retries the run)."""
+    each strike discards the sample and retries the run).
+
+    The strike threshold is floored at an ABSOLUTE 2.5 s, not a
+    multiple of the query's own execution time: construction is
+    driver-side Py4J plan building, whose cost tracks plan WIDTH
+    (number of operators crossed over Py4J), not execution cost. A
+    fast multi-stage query (r12 casualty: text_token_entropy, 0.41 s
+    execution, explode→agg→join→agg construction) gets a ~1.2 s bar
+    under a 3×-execution rule — inside ordinary stall range on a
+    loaded host — while a genuinely eager query (kmeans' driver-
+    coordinated Lloyd iterations, snapshot fixture commits) blows
+    through 2.5 s on every single construction regardless."""
     best = float("inf")
     samples: list[float] = []
     slow = 0
@@ -176,10 +204,10 @@ def _time_query(spark, fn, name: str, sf_dir: str) -> tuple[float, float]:
         if runs == 1:
             continue  # run 0 is warmup (codegen compile, JIT, workers)
         ref = best if samples else (t1 - t0)
-        if t0 - tc > max(1.0, 3 * ref):
+        if t0 - tc > max(_CONSTRUCT_FLOOR_S, 3 * ref):
             slow += 1
             if slow >= 3:
-                raise RuntimeError(
+                raise ConstructionGuardTripped(
                     f"{name}: construction took {t0 - tc:.2f}s vs "
                     f"{ref:.2f}s timed on {slow} runs — eager work is "
                     "escaping the timer"
@@ -191,6 +219,29 @@ def _time_query(spark, fn, name: str, sf_dir: str) -> tuple[float, float]:
     # classifiable as host noise (median stable, min moved) vs a real
     # regression (both moved) without a bisect.
     return round(best, 3), round(sorted(samples)[len(samples) // 2], 3)
+
+
+def _time_query_isolated(
+    spark,
+    fn,
+    name: str,
+    sf_dir: str,
+    errors: dict[str, str],
+) -> tuple[float | None, float | None]:
+    """Per-query failure isolation around ``_time_query``.
+
+    A guard trip or any per-query exception records a ``None``
+    sentinel (rendered ``null`` in JSON) plus the error text in
+    ``errors``, and benching CONTINUES — the stdout contract line is
+    always emitted with every other query's real number. One flaky
+    query must never again cost the round its entire perf artifact
+    (BENCH_r12.json, rc=1/parsed:null)."""
+    try:
+        return _time_query(spark, fn, name, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — isolation is the point
+        errors[name] = f"{type(exc).__name__}: {exc}"
+        print(f"bench: {name} FAILED ({errors[name]})", file=sys.stderr)
+        return None, None
 
 
 def _bench_streaming(spark, sf_dir: str) -> tuple[float, float]:
@@ -247,8 +298,9 @@ def main() -> None:
     # plan building is not engine execution); every headline query is
     # fully lazy, so all cluster work lands inside the timed action —
     # pinned by the construction-laziness check below.
-    timings: dict[str, float] = {}
-    medians: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
+    medians: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     # Probe knob (scripts/bench_order_probe.py): run the list reversed
     # to classify tail-half inflation as positional (JVM/GC/state
     # accumulating over the run) vs query-identity (load coincidence).
@@ -257,24 +309,37 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_ORDER") == "reverse":
         order.reverse()
     for name in order:
-        timings[name], medians[name] = _time_query(
-            spark, queries[name], name, sf_dir
+        timings[name], medians[name] = _time_query_isolated(
+            spark, queries[name], name, sf_dir, errors
         )
     # EXTENDED: same machinery, recorded only in BENCH_LOCAL.json (the
     # stdout line is at capacity and HEADLINE is append-only — see the
     # EXTENDED docstring above).
-    ext_timings: dict[str, float] = {}
-    ext_medians: dict[str, float] = {}
+    ext_timings: dict[str, float | None] = {}
+    ext_medians: dict[str, float | None] = {}
     for name in EXTENDED:
-        ext_timings[name], ext_medians[name] = _time_query(
-            spark, queries[name], name, sf_dir
+        ext_timings[name], ext_medians[name] = _time_query_isolated(
+            spark, queries[name], name, sf_dir, errors
         )
     # streaming headline (eager end-to-end run; own timing path — the
-    # lazy-construction loop above cannot time a streaming job)
-    timings["stream_tumbling_e2e"], medians["stream_tumbling_e2e"] = (
-        _bench_streaming(spark, sf_dir)
-    )
-    total = round(sum(timings.values()), 3)
+    # lazy-construction loop above cannot time a streaming job). Same
+    # isolation: a streaming hiccup must not nullify the batch numbers.
+    try:
+        timings["stream_tumbling_e2e"], medians["stream_tumbling_e2e"] = (
+            _bench_streaming(spark, sf_dir)
+        )
+    except Exception as exc:  # noqa: BLE001 — isolation is the point
+        errors["stream_tumbling_e2e"] = f"{type(exc).__name__}: {exc}"
+        print(
+            f"bench: stream_tumbling_e2e FAILED ({errors['stream_tumbling_e2e']})",
+            file=sys.stderr,
+        )
+        timings["stream_tumbling_e2e"] = None
+        medians["stream_tumbling_e2e"] = None
+    # Total over the queries that produced numbers; a null entry in
+    # `queries` plus its name in `errors` marks the gap explicitly —
+    # round-over-round total comparisons must check `errors` is empty.
+    total = round(sum(v for v in timings.values() if v is not None), 3)
     # The driver captures only a ~2 KB TAIL of stdout and parses the
     # JSON line out of it (BENCH_r06.json came back parsed:null when
     # the line — 34 min + 34 median entries — outgrew the window and
@@ -290,6 +355,7 @@ def main() -> None:
         "queries_median": medians,
         "queries_extended": ext_timings,
         "queries_extended_median": ext_medians,
+        "errors": errors,
         "sf": sf,
     }
     here = os.path.dirname(os.path.abspath(__file__))

@@ -90,91 +90,83 @@ _MODULES = [
 # Everything else stays covered by tests/test_oracle_parity.py locally
 # (all registered queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
-    # --- ROUND-12 WINDOW (executes the r11-verdict rotation plan).
-    # The r11 gate landed green (CORRECTNESS_r11.json, 50/50) and the
-    # ledger is merged through r11. This window = ALL 34 queries whose
-    # ledger row has round: null (computed programmatically, registry
-    # order — the 14 late-r10 registrations + the 20 round-11
-    # registrations, including the two ledger rows seeded at the r12
-    # boundary: agg_kmv_set_algebra and stream_update_mode_emissions,
-    # per r11 ADVICE), plus the 12 round-12 registrations at the top,
-    # topped up to exactly 50 with the first 4 round-6 rows in
-    # registry order. After r12 lands, NO pre-r12 query is without
-    # driver evidence and every r12 registration has a fresh row. ---
-    # 12 round-12 registrations (top of the window, displacing
-    # twelve r6 top-ups, which keep their r6 evidence):
-    "ann_ivfpq_rerank",
-    "dedup_sorted_neighborhood",
-    "sink_snapshot_clone",
-    "graph_label_propagation",
-    "link_fellegi_sunter",
-    "ann_lsh_multiband",
-    "ab_test_ratio_delta",
-    "seq_path_topk",
-    "text_feature_hashing",
-    "feature_target_encode_oof",
-    "join_asof_nearest",
-    "sample_balanced_classes",
-    # 34 zero-evidence rows (late-r10 + r11 registrations):
-    "timeseries_seasonal_decompose",
-    "agg_weighted_median",
-    "quantile_normalize_profile",
-    "agg_winsorized_mean",
-    "drift_psi",
-    "profile_key_skew",
-    "sample_neyman_allocation",
-    "timeseries_acf",
-    "funnel_time_to_convert",
-    "stats_bootstrap_ci",
-    "graph_bfs_distances",
-    "agg_spearman_corr",
-    "agg_count_min_sketch",
-    "agg_kmv_set_algebra",
-    "corpus_divergence_js",
-    "text_unicode_nfc_profile",
-    "dedup_winnowing_containment",
-    "vocab_zipf_fit",
-    "dedup_url_canonical",
-    "ann_ivfpq",
-    "knn_mmr_rerank",
-    "sink_incremental_join_view",
-    "sink_snapshot_zorder_optimize",
-    "plan_exchange_reuse",
-    "sink_snapshot_delete_where",
-    "sink_snapshot_replace_where",
-    "sink_snapshot_ndv_stats",
-    "sink_snapshot_schema_merge",
-    "sink_snapshot_time_as_of",
-    "stream_pattern_match",
-    "stream_complete_leaderboard",
-    "stream_update_mode_emissions",
-    "multimodal_phash_dedup",
-    "sample_importance_dsir",
-    # 4 round-6 top-ups (oldest evidence, registry order):
-    "pivot_status_by_segment",
-    "unpivot_nation_counts",
-    "join_full_outer",
-    "join_cross",
+    # --- ROUND-13 WINDOW (executes the r12-verdict rotation plan:
+    # bounded staleness, oldest evidence first). The r12 gate landed
+    # green (CORRECTNESS_r12.json, 50/50) and the ledger is merged
+    # through r12 (zero null-round rows; every r12 registration has a
+    # fresh row, so nothing displaces from the top). This window =
+    # the 46 ledger rows whose latest green round is 6 (the stalest
+    # evidence in the repo — computed programmatically from
+    # CORRECTNESS_CUMULATIVE.json, registry order), topped up to
+    # exactly 50 with the first 4 round-7 rows in registry order.
+    # Round-13 registrations, if any, go at the TOP and displace the
+    # r7 top-ups first, then the tail of the r6 block (displaced rows
+    # keep their existing evidence; max age after r13 = 6 rounds). ---
+    # 46 round-6 rows (registry order):
+    "agg_collect",
+    "window_first_last",
+    "window_lag_lead",
+    "window_topk_per_group",
+    "sort_topk_orders",
+    "sort_multi_key",
+    "dedup_exact_rows",
+    "dedup_pick_latest",
+    "filter_reference_path_predicate",
+    "func_strings",
+    "func_dates",
+    "func_math",
+    "func_conditional",
+    "func_casts",
+    "func_array_predicates",
+    "func_try_arithmetic",
+    "json_extract_props",
+    "json_schema_inference",
+    "json_agg_by_key",
+    "array_ops",
+    "map_ops",
+    "window_tumbling_batch",
+    "window_sliding_batch",
+    "window_session_batch",
+    "xlsx_ingest_roundtrip",
+    "text_stats",
+    "text_lang_id",
+    "dedup_ngram_jaccard",
+    "decontaminate_ngram",
+    "pii_mask_customer",
+    "vocab_doc_frequency",
+    "agg_heavy_hitters",
+    "embedding_cosine_dedup",
+    "tfidf_top_terms",
+    "udtf_token_positions",
+    "udf_pandas_scaled_value",
+    "udf_grouped_zscore",
+    "udf_grouped_agg_range",
+    "sql_segment_status_rollup",
+    "sink_partitioned_roundtrip",
+    "scan_cloudevent_datasource",
+    "sink_compaction_roundtrip",
+    "scan_schema_evolution",
+    "stream_sliding_watermark",
+    "pipeline_curate_documents",
+    "sample_stratified_docs",
+    # 4 round-7 top-ups (oldest r7 evidence, registry order):
+    "agg_approx_percentile",
+    "window_global_rownum_scalable",
+    "distinct_count_full_rows",
+    "func_json_encode",
 ]
 
-# ROUND-13 ROTATION PLAN (for the next builder): FIRST run
-# scripts/merge_correctness_ledger.py (it picks up CORRECTNESS_r12.json).
-# Then the r13 window = any round-12 registrations without driver
-# evidence (top of the window), then the remaining 46 round-6 rows
-# (every ledger row with round == 6 not refreshed by r12, registry
-# order — includes the rows the r12 registrations displaced:
-# sort_topk_orders/sort_multi_key/dedup_exact_rows/dedup_pick_latest/
-# filter_reference_path_predicate/func_strings/func_dates/func_math),
-# topped up to 50 with the
-# oldest r7 rows (compute programmatically from the ledger — do NOT
+# ROUND-14 ROTATION PLAN (for the next builder): FIRST run
+# scripts/merge_correctness_ledger.py (it picks up CORRECTNESS_r13.json).
+# Then the r14 window = any round-13 registrations without driver
+# evidence (top of the window), then the stalest ledger rows oldest
+# round first in registry order (after r13 lands that is the 46 rows
+# with round == 7 not already refreshed, then round == 8), topped up
+# to exactly 50 (compute programmatically from the ledger — do NOT
 # trust a hand count; the r11 close-out miscounted its own
-# registrations by two). ALSO at the r13 boundary: amend SURVEY §2.2
-# with the round-12 registrations (ann_ivfpq_rerank,
-# dedup_sorted_neighborhood, sink_snapshot_clone,
-# graph_label_propagation, link_fellegi_sunter, ann_lsh_multiband,
-# ab_test_ratio_delta, seq_path_topk, text_feature_hashing,
-# feature_target_encode_oof, join_asof_nearest,
-# sample_balanced_classes + any later ones — count programmatically).
+# registrations by two). ALSO at the r14 boundary: amend SURVEY §2.2
+# with the round-13 registrations (count programmatically — compare
+# all_queries() keys against the §2.2 query-name column).
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -59,6 +59,46 @@ def test_stdout_line_is_parseable_and_min_only():
     assert set(parsed) == {"metric", "value", "unit", "queries", "sf"}
 
 
+def test_guard_trip_is_isolated_per_query(monkeypatch):
+    """A guard trip (or any per-query failure) records a null sentinel
+    and benching continues — r12's artifact came back parsed:null
+    because one false-positive trip crashed the whole run."""
+
+    def boom(spark, fn, name, sf_dir):
+        raise bench.ConstructionGuardTripped(f"{name}: eager")
+
+    monkeypatch.setattr(bench, "_time_query", boom)
+    errors: dict[str, str] = {}
+    got = bench._time_query_isolated(None, None, "q_fake", "/tmp", errors)
+    assert got == (None, None)
+    assert "q_fake" in errors and "eager" in errors["q_fake"]
+
+
+def test_stdout_line_fits_with_null_sentinels():
+    """null entries (failed queries) must keep the stdout line parseable
+    and inside the capture window."""
+    names = list(bench.HEADLINE) + ["stream_tumbling_e2e"]
+    timings = {name: (None if i % 7 == 0 else 9999.999) for i, name in enumerate(names)}
+    payload = {
+        "metric": "headline_queries_total_time",
+        "value": round(sum(v for v in timings.values() if v is not None), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    assert len(line.encode()) <= DRIVER_TAIL_BYTES - HEADROOM
+    assert json.loads(line)["queries"][names[0]] is None
+
+
+def test_construction_floor_is_absolute():
+    """The strike threshold floor is an absolute constant, not a
+    multiple of a fast query's execution time (the r12 false-positive
+    mechanism: 3 × 0.41 s execution = 1.23 s bar, inside ordinary
+    driver-host stall range)."""
+    assert bench._CONSTRUCT_FLOOR_S >= 2.5
+
+
 def test_extended_list_registered_and_disjoint():
     """EXTENDED entries must be real registered queries, disjoint from
     HEADLINE (they exist precisely because HEADLINE is at stdout

@@ -402,20 +402,21 @@ def test_publish_fallback_crash_window_leaves_no_manifest(
     table = str(tmp_path / "t")
     assert commit_snapshot(spark.range(3), table) == 1
 
-    # simulate SIGKILL between lock acquisition and the rename: the
-    # rename never happens and nothing after it runs (BaseException
-    # cleanup can't help a hard kill, so also skip the lock unlink)
-    real_rename = snap.os.rename
+    # simulate SIGKILL between lock acquisition and the publish rename
+    # (now renameat2-NOREPLACE): the rename never happens and nothing
+    # after it runs (BaseException cleanup can't help a hard kill, so
+    # also skip the lock unlink)
+    real_publish_rename = snap._rename_noreplace
 
     def crash_rename(src, dst_):
         raise KeyboardInterrupt  # stand-in for the hard kill
 
-    monkeypatch.setattr(snap.os, "rename", crash_rename)
+    monkeypatch.setattr(snap, "_rename_noreplace", crash_rename)
     real_unlink = snap.os.unlink
     monkeypatch.setattr(snap.os, "unlink", lambda p: None)  # hard kill: no cleanup
     with pytest.raises(KeyboardInterrupt):
         commit_snapshot(spark.range(3, 6), table, mode="append")
-    monkeypatch.setattr(snap.os, "rename", real_rename)
+    monkeypatch.setattr(snap, "_rename_noreplace", real_publish_rename)
     monkeypatch.setattr(snap.os, "unlink", real_unlink)
 
     # no manifest_v2 is visible — zero-byte or otherwise
@@ -451,6 +452,83 @@ def test_publish_fallback_live_lock_blocks(spark, tmp_path, monkeypatch):
         commit_snapshot(spark.range(3, 6), table, mode="append")
     os.unlink(lock)
     assert commit_snapshot(spark.range(3, 6), table, mode="append") == 2
+
+
+def test_publish_lock_steal_cannot_clobber(tmp_path, monkeypatch):
+    """r12 verdict item 5: a committer frozen past _LOCK_STALE_S whose
+    lock is stale-broken by a contender must NOT be able to clobber the
+    contender's published manifest when it wakes. Two independent
+    defenses, both exercised here: renameat2(RENAME_NOREPLACE) refuses
+    the clobber atomically, and the lock-identity (inode) re-check that
+    guards the plain-rename fallback detects the steal."""
+    import json as _json
+    import time as _time
+
+    from etl_gcp_function_tmabrasil_spark.sinks import snapshot as snap
+
+    table = tmp_path / "t"
+    table.mkdir()
+    dst = str(table / "manifest_v1.json")
+    lock = str(table / ".manifest_v1.json.lock")
+
+    # Committer A acquires the lock and stages its copy, then freezes
+    # long enough that its heartbeat stops and the lock goes stale.
+    token = snap._acquire_publish_lock(lock, dst)
+    copy_a = str(table / "a.tmp.publish")
+    with open(copy_a, "w") as fh:
+        fh.write('{"who": "A"}')
+    old = _time.time() - 2 * snap._LOCK_STALE_S
+    os.utime(lock, (old, old))
+
+    # Committer B sees the stale lock, steals it, and publishes its
+    # manifest through the full fallback path (os.link disabled).
+    monkeypatch.setattr(
+        snap.os,
+        "link",
+        lambda *a, **k: (_ for _ in ()).throw(OSError(38, "no link")),
+    )
+    tmp_b = str(table / "b.tmp")
+    with open(tmp_b, "w") as fh:
+        fh.write('{"who": "B"}')
+    snap._publish_manifest(tmp_b, dst)
+    assert _json.load(open(dst))["who"] == "B"
+
+    # A wakes and tries to finish its publish.
+    # Defense 1 — the atomic path refuses to replace B's manifest:
+    with pytest.raises(FileExistsError):
+        snap._rename_noreplace(copy_a, dst)
+    # Defense 2 — the fallback's identity re-check detects the steal
+    # (B's takeover replaced A's lock inode, and B then removed it):
+    assert not snap._lock_identity_intact(lock, token)
+    # B's manifest is intact either way.
+    assert _json.load(open(dst))["who"] == "B"
+
+
+def test_publish_heartbeat_keeps_live_lock_fresh(tmp_path, monkeypatch):
+    """A live committer's copy loop heartbeats the lock mtime, so a
+    slow-but-alive publish can never age past _LOCK_STALE_S and be
+    stolen mid-copy (r12 ADVICE)."""
+    from etl_gcp_function_tmabrasil_spark.sinks import snapshot as snap
+
+    table = tmp_path / "t"
+    table.mkdir()
+    dst = str(table / "manifest_v1.json")
+    lock = str(table / ".manifest_v1.json.lock")
+    monkeypatch.setattr(
+        snap.os,
+        "link",
+        lambda *a, **k: (_ for _ in ()).throw(OSError(38, "no link")),
+    )
+    touched = []
+    real_utime = os.utime
+    monkeypatch.setattr(
+        snap.os, "utime", lambda p, *a, **k: (touched.append(p), real_utime(p, *a, **k))
+    )
+    tmp = str(table / "m.tmp")
+    with open(tmp, "w") as fh:
+        fh.write('{"who": "live"}')
+    snap._publish_manifest(tmp, dst)
+    assert lock in touched, "copy loop must refresh the lock mtime"
 
 
 def test_manifests_skip_zero_byte(spark, tmp_path):
