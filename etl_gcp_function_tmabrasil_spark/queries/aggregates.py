@@ -1588,16 +1588,20 @@ def feature_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("category")
     tot_s = F.sum("s").over(w)
     tot_n = F.sum("n_in_fold").over(w)
+    # A category whose rows all land in ONE fold has an empty
+    # complement (tot_n - n_in_fold = 0); engines disagree on decimal
+    # divide-by-zero (r12 ADVICE), so emit NULL deterministically —
+    # mirrored by the oracle's CASE guard. (Semantically right too:
+    # there IS no out-of-fold mean for such a category.)
+    comp_n = tot_n - F.col("n_in_fold")
     return (
         grp.select(
             "category",
             "fold",
             "n_in_fold",
-            F.round(
-                ((tot_s - F.col("s")) / (tot_n - F.col("n_in_fold"))).cast(
-                    "double"
-                ),
-                6,
+            F.when(
+                comp_n > 0,
+                F.round(((tot_s - F.col("s")) / comp_n).cast("double"), 6),
             ).alias("oof_mean"),
         )
         .orderBy("category", "fold")
@@ -1612,10 +1616,11 @@ WITH grp AS (
   FROM orders GROUP BY 1, 2
 )
 SELECT category, fold, n_in_fold,
-  ROUND(CAST(
-    (SUM(s) OVER (PARTITION BY category) - s)
-    / (SUM(n_in_fold) OVER (PARTITION BY category) - n_in_fold)
-  AS DOUBLE), 6) AS oof_mean
+  CASE WHEN SUM(n_in_fold) OVER (PARTITION BY category) - n_in_fold > 0
+    THEN ROUND(CAST(
+      (SUM(s) OVER (PARTITION BY category) - s)
+      / (SUM(n_in_fold) OVER (PARTITION BY category) - n_in_fold)
+    AS DOUBLE), 6) END AS oof_mean
 FROM grp ORDER BY category, fold
 """
 

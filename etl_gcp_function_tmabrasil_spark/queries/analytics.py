@@ -3694,16 +3694,26 @@ _POIS_CDF = [
 ]
 
 
-def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stats_bootstrap_ci(
+    spark: SparkSession, sf_dir: str, replicas: int = BOOT_REPLICAS
+) -> DataFrame:
     """Bootstrap confidence interval for each event type's mean value
     via the POISSON bootstrap (Hanley & MacGibbon 2006; the
     map-reduce-friendly bootstrap: per (row, replica), a Poisson(1)
     weight approximates multinomial resampling without materializing
     resamples — the only bootstrap that works in ONE pass over a
     distributed corpus, which is why production A/B systems use it).
-    64 replicas ride one explode: weight = inverse-CDF ladder over a
-    deterministic hash-uniform, replica means from decimal sums, and
-    the 2.5/97.5 percentile of the 64 means per type gives the CI.
+    ``replicas`` (default BOOT_REPLICAS=64) resamples ride one
+    explode: weight = inverse-CDF ladder over a deterministic
+    hash-uniform, replica means from decimal sums, and the 2.5/97.5
+    percentile of the B means per type gives the CI.
+
+    Cost/width knob (r12 verdict item 8): the explode is a Bx row
+    amplification, so runtime scales ~linearly in B while the CI's
+    Monte-Carlo error scales ~1/sqrt(B) — B=32 halves the cost for
+    ~sqrt(2) noisier percentile endpoints (measured at sf0.1:
+    B=64 -> 12.7 s min, B=32 -> 6.0 s min, 2.12x; see SCALING.md).
+    The registered contract entry stays at B=64.
 
     Determinism: u = hash60(event_id # replica) / 2^60 is the same
     double on both engines; the CDF ladder literals are shared
@@ -3726,7 +3736,7 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reps = ev.select(
         "event_type", "event_id", "v",
-        F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPLICAS - 1))).alias("r"),
+        F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r"),
     ).select(
         "event_type",
         "r",
@@ -3750,7 +3760,7 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _q(arr, p: float):
         import math as _math
 
-        pp = (BOOT_REPLICAS - 1) * p
+        pp = (replicas - 1) * p
         lo, hi = _math.floor(pp), _math.ceil(pp)
         frac = pp - lo
         return (
@@ -3914,7 +3924,12 @@ def ab_test_ratio_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     na, ra, vara = ratio_var("a")
     nb, rb, varb = ratio_var("b")
-    z = (ra - rb) / F.sqrt(vara + varb)
+    # n<=1 in either variant makes the sample variance's n*(n-1)
+    # denominator zero; engines disagree on double division by zero
+    # (r12 ADVICE), so emit NULL z/significant explicitly — mirrored
+    # in the oracle's CASE guard.
+    valid = (na > F.lit(1.0)) & (nb > F.lit(1.0))
+    z = F.when(valid, (ra - rb) / F.sqrt(vara + varb))
     return base.select(
         "event_type",
         na.cast("long").alias("n_users_a"),
@@ -3976,8 +3991,10 @@ SELECT event_type,
   CAST(n_a AS BIGINT) AS n_users_a, CAST(n_b AS BIGINT) AS n_users_b,
   ROUND(r_a, 6) AS ratio_a, ROUND(r_b, 6) AS ratio_b,
   ROUND(r_a - r_b, 6) AS diff,
-  ROUND((r_a - r_b) / sqrt(var_a + var_b), 6) AS z_stat,
-  abs((r_a - r_b) / sqrt(var_a + var_b)) > {WELCH_CRIT} AS significant
+  CASE WHEN n_a > 1 AND n_b > 1
+    THEN ROUND((r_a - r_b) / sqrt(var_a + var_b), 6) END AS z_stat,
+  CASE WHEN n_a > 1 AND n_b > 1
+    THEN abs((r_a - r_b) / sqrt(var_a + var_b)) > {WELCH_CRIT} END AS significant
 FROM s ORDER BY event_type
 """
 

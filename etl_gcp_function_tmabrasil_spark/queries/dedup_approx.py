@@ -1472,11 +1472,13 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rb") > F.col("ra"))
             & (F.col("rb") - F.col("ra") <= SNM_WINDOW)
         )
+        # No pair dedup needed: only the LEFT side explodes (to the
+        # two distinct keys bkt, bkt+1) while the right carries its
+        # single bucket key, so a (ra, rb) pair matches through at
+        # most ONE join key — a distinct() here would dedupe nothing
+        # and add a full shuffle (r12 ADVICE; verified by row-count:
+        # 1990 pairs with and without at sf0.01).
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        # bucket b appears under join keys b and b-1's +1 — the pair
-        # (ra, rb) can match through both when they straddle buckets;
-        # it is produced once per shared key, so dedup on the pair
-        .distinct()
         .filter(F.col("jaccard") >= SNM_MIN_JACCARD)
         .orderBy("doc_a", "doc_b")
     )

@@ -140,6 +140,18 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH: 12 sign bits → bucket;
     nearest bucketmate per vector by cosine.
 
+    .. warning:: SINGLE-TABLE PEDAGOGICAL BASELINE — not the
+       production configuration. One 12-bit table means a true
+       neighbor must agree on ALL 12 sign bits to be found; measured
+       recall@5 is **0.0 on the sf1 random (iid) corpus**
+       (ANN_RECALL_SF1.json) and 0.925 on the planted-cluster corpus
+       (ANN_RECALL_CLUSTERED.json). For real retrieval use
+       ``ann_lsh_multiband`` (4 OR'd 8-bit tables — recall@5 1.0 on
+       the clustered corpus) or ``ann_ivfpq_rerank``; see
+       SCALING.md's ANN recall section. This query stays registered
+       as the single-table reference point the multiband variant is
+       measured against.
+
     Bucket assignment is row-local (12 dot products against broadcast
     literal hyperplanes); the only shuffle is the within-bucket
     self-join. Recall vs brute force is unit-tested at sf0.001.
