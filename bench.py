@@ -140,6 +140,13 @@ EXTENDED = [
     "feature_target_encode_oof",    # leave-one-fold-out target means
     "join_asof_nearest",            # nearest as-of with tolerance
     "sample_balanced_classes",      # banded-rank minority downsample
+    # round-13 lazy registrations
+    "ab_test_cuped",                # CUPED variance-reduced A/B readout
+    "ab_test_did",                  # difference-in-differences, user-clustered
+    "feature_woe_iv",               # weight-of-evidence + information value
+    "period_over_period_growth",    # DoD/WoW exact-date growth joins
+    "forecast_backtest_smape",      # naive/seasonal-naive sMAPE backtest
+    "graph_adamic_adar",            # degree-capped wedge link prediction
 ]
 
 

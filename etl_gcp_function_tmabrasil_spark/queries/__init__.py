@@ -99,10 +99,17 @@ _CHECK_FIRST = [
     # evidence in the repo — computed programmatically from
     # CORRECTNESS_CUMULATIVE.json, registry order), topped up to
     # exactly 50 with the first 4 round-7 rows in registry order.
-    # Round-13 registrations, if any, go at the TOP and displace the
-    # r7 top-ups first, then the tail of the r6 block (displaced rows
-    # keep their existing evidence; max age after r13 = 6 rounds). ---
-    # 46 round-6 rows (registry order):
+    # Round-13 registrations go at the TOP and displace the r7
+    # top-ups first, then the tail of the r6 block (displaced rows
+    # keep their existing evidence and rotate FIRST in r14). ---
+    # round-13 registrations (top of the window):
+    "ab_test_cuped",
+    "ab_test_did",
+    "feature_woe_iv",
+    "period_over_period_growth",
+    "forecast_backtest_smape",
+    "graph_adamic_adar",
+    # round-6 rows (registry order):
     "agg_collect",
     "window_first_last",
     "window_lag_lead",
@@ -147,13 +154,12 @@ _CHECK_FIRST = [
     "sink_compaction_roundtrip",
     "scan_schema_evolution",
     "stream_sliding_watermark",
-    "pipeline_curate_documents",
-    "sample_stratified_docs",
-    # 4 round-7 top-ups (oldest r7 evidence, registry order):
-    "agg_approx_percentile",
-    "window_global_rownum_scalable",
-    "distinct_count_full_rows",
-    "func_json_encode",
+    # (the 4 r7 top-ups agg_approx_percentile /
+    # window_global_rownum_scalable / distinct_count_full_rows /
+    # func_json_encode and the r6 tail rows pipeline_curate_documents
+    # / sample_stratified_docs were displaced by the r13
+    # registrations above; they keep their r6/r7 evidence and rotate
+    # first in r14)
 ]
 
 # ROUND-14 ROTATION PLAN (for the next builder): FIRST run

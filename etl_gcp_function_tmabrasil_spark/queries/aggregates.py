@@ -1626,3 +1626,107 @@ FROM grp ORDER BY category, fold
 
 QUERIES["feature_target_encode_oof"] = feature_target_encode_oof
 ORACLE["feature_target_encode_oof"] = _TENC_SQL
+
+
+# --- Weight-of-evidence / information value encoding (round 13) --------------
+
+WOE_SMOOTH = 0.5  #: Laplace half-count per cell — keeps ln() finite when a
+#: category has zero events or zero non-events at small scale factors.
+
+
+def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding + information value (the credit-
+    scoring standard; Siddiqi, "Credit Risk Scorecards" 2006): for a
+    categorical feature vs a binary target,
+    WoE_i = ln(P(cat_i | non-event) / P(cat_i | event)) with Laplace
+    half-counts, and IV = Σ_i (P_i(non-event) − P_i(event)) · WoE_i —
+    the feature-screening statistic (IV < 0.02 ≈ useless,
+    > 0.3 ≈ strong). Feature = o_orderpriority, event =
+    o_orderstatus = 'F' (order fully shipped).
+
+    Scale: ONE conditional-count aggregation over orders (map-side
+    combine collapses to |categories| rows), totals ride back via a
+    one-row broadcast cross join, and WoE/IV are row-local; the total
+    IV broadcasts back from a second bounded (|categories|-row) agg.
+    Every count is exact; doubles only in the logs, rounded 6 dp.
+    """
+    odr = load_table(spark, sf_dir, "orders")
+    ev = F.col("o_orderstatus") == "F"
+    grp = odr.groupBy(F.col("o_orderpriority").alias("category")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(ev, F.lit(1))).alias("n_event"),
+    )
+    tot = grp.agg(
+        F.sum("n_event").alias("tot_event"),
+        F.sum(F.col("n") - F.col("n_event")).alias("tot_nonevent"),
+    )
+    g = grp.crossJoin(F.broadcast(tot))
+    p_non = (F.col("n") - F.col("n_event") + F.lit(WOE_SMOOTH)) / F.col(
+        "tot_nonevent"
+    )
+    p_evt = (F.col("n_event") + F.lit(WOE_SMOOTH)) / F.col("tot_event")
+    woe = F.log(p_non / p_evt)
+    iv_c = (
+        (F.col("n") - F.col("n_event")) / F.col("tot_nonevent")
+        - F.col("n_event") / F.col("tot_event")
+    ) * woe
+    scored = g.select(
+        "category",
+        "n",
+        "n_event",
+        F.round(F.col("n_event") / F.col("n"), 6).alias("event_rate"),
+        F.round(woe, 6).alias("woe"),
+        F.round(iv_c, 6).alias("iv_contrib"),
+        iv_c.alias("_ivc"),
+    )
+    iv_tot = scored.agg(F.sum("_ivc").alias("iv_total"))
+    return (
+        scored.crossJoin(F.broadcast(iv_tot))
+        .select(
+            "category",
+            "n",
+            "n_event",
+            "event_rate",
+            "woe",
+            "iv_contrib",
+            F.round("iv_total", 6).alias("iv_total"),
+        )
+        .orderBy("category")
+    )
+
+
+_WOE_SQL = f"""
+WITH grp AS (
+  SELECT o_orderpriority AS category,
+    COUNT(*) AS n,
+    COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_event
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT SUM(n_event) AS tot_event, SUM(n - n_event) AS tot_nonevent
+  FROM grp
+),
+scored AS (
+  SELECT category, n, n_event,
+    n_event / CAST(n AS DOUBLE) AS event_rate,
+    ln(((n - n_event + {WOE_SMOOTH}) / CAST(tot_nonevent AS DOUBLE))
+       / ((n_event + {WOE_SMOOTH}) / CAST(tot_event AS DOUBLE))) AS woe,
+    ((n - n_event) / CAST(tot_nonevent AS DOUBLE)
+      - n_event / CAST(tot_event AS DOUBLE))
+      * ln(((n - n_event + {WOE_SMOOTH}) / CAST(tot_nonevent AS DOUBLE))
+           / ((n_event + {WOE_SMOOTH}) / CAST(tot_event AS DOUBLE)))
+      AS iv_contrib
+  FROM grp CROSS JOIN tot
+),
+ivt AS (SELECT SUM(iv_contrib) AS iv_total FROM scored)
+SELECT category, n, n_event,
+  ROUND(event_rate, 6) AS event_rate,
+  ROUND(woe, 6) AS woe,
+  ROUND(iv_contrib, 6) AS iv_contrib,
+  ROUND(iv_total, 6) AS iv_total
+FROM scored CROSS JOIN ivt
+ORDER BY category
+"""
+
+QUERIES["feature_woe_iv"] = feature_woe_iv
+ORACLE["feature_woe_iv"] = _WOE_SQL

@@ -4083,3 +4083,508 @@ ORDER BY rank
 
 QUERIES["seq_path_topk"] = seq_path_topk
 ORACLE["seq_path_topk"] = _PATH_TOPK_SQL
+
+
+# --- CUPED variance reduction + difference-in-differences (round 13) ---------
+#
+# Both experiment estimators share one per-(event_type, user) pre/post
+# decimal-sum frame: the experiment period is split at the corpus
+# midpoint timestamp (scale-relative — an absolute date would go
+# one-sided at other scale factors), users are the i.i.d. unit (the
+# ratio-delta/Welch convention), and the variant is the deterministic
+# user_id parity split.
+
+
+def _user_prepost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, user_id): decimal pre/post value sums around
+    the global midpoint-of-time split, plus the parity variant flag.
+    ONE grouped pass (the natural pre-shuffle combine); the midpoint
+    scalar rides in via a one-row broadcast cross join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.unix_timestamp("ts").alias("se"),
+        F.col("value").alias("v"),
+    )
+    bounds = ev.agg(
+        F.expr("(min(se) + max(se)) DIV 2").alias("mid_se")
+    )
+    pre = F.col("se") < F.col("mid_se")
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(pre, F.col("v")).cast("decimal(18,4)")),
+                F.lit(0).cast("decimal(18,4)"),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(~pre, F.col("v")).cast("decimal(18,4)")),
+                F.lit(0).cast("decimal(18,4)"),
+            ).alias("y"),
+        )
+        .select(
+            "event_type",
+            "user_id",
+            "x",
+            "y",
+            (F.col("user_id") % 2 == 0).alias("is_a"),
+        )
+    )
+
+
+_PREPOST_SQL = """
+WITH ev AS (
+  SELECT event_type, user_id,
+    CAST(FLOOR(epoch(ts)) AS BIGINT) AS se, value AS v
+  FROM events
+),
+bounds AS (SELECT (MIN(se) + MAX(se)) // 2 AS mid_se FROM ev),
+pp AS (
+  SELECT event_type, user_id,
+    COALESCE(SUM(CAST(v AS DECIMAL(18,4))) FILTER (WHERE se < mid_se),
+             CAST(0 AS DECIMAL(18,4))) AS x,
+    COALESCE(SUM(CAST(v AS DECIMAL(18,4))) FILTER (WHERE se >= mid_se),
+             CAST(0 AS DECIMAL(18,4))) AS y,
+    user_id % 2 = 0 AS is_a
+  FROM ev CROSS JOIN bounds GROUP BY event_type, user_id
+)
+"""
+
+
+def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013):
+    adjust each user's experiment-period metric Y by their
+    PRE-experiment covariate X — Y_adj = Y − θ(X − E[X]) with
+    θ = cov(X,Y)/var(X) — which leaves the treatment-effect estimate
+    unbiased (X predates assignment, so E[X|variant] is equal) while
+    shrinking its variance by the squared X↔Y correlation. The
+    industry-standard sensitivity lever for online experiments.
+
+    Emits, per event type: the raw and CUPED-adjusted mean differences
+    (they agree in expectation; adjusted shown to 6 dp), θ, and the
+    achieved variance-reduction ratio 1 − Var_adj/Var_raw of the
+    difference estimator.
+
+    Scale: the per-user frame is one grouped pass; everything after is
+    ONE event-type-sized conditional rollup of decimal cross-moments
+    (n, Σx, Σy, Σxx, Σyy, Σxy per variant — pooled moments are the
+    a+b sums, no second scan) and row-local closed forms. θ's
+    var(X)=0 / n≤1 edges emit NULL deterministically on both engines.
+    """
+    pp = _user_prepost(spark, sf_dir)
+    pp = pp.select(
+        "event_type",
+        "is_a",
+        "x",
+        "y",
+        (F.col("x") * F.col("x")).cast("decimal(38,8)").alias("xx"),
+        (F.col("x") * F.col("y")).cast("decimal(38,8)").alias("xy"),
+        (F.col("y") * F.col("y")).cast("decimal(38,8)").alias("yy"),
+    )
+
+    def msums(cond, sfx):
+        return [
+            F.count(F.when(cond, F.lit(1))).cast("double").alias(f"n_{sfx}"),
+            F.sum(F.when(cond, F.col("x")).cast("decimal(38,4)"))
+            .cast("double")
+            .alias(f"sx_{sfx}"),
+            F.sum(F.when(cond, F.col("y")).cast("decimal(38,4)"))
+            .cast("double")
+            .alias(f"sy_{sfx}"),
+            F.sum(F.when(cond, F.col("xx")).cast("decimal(38,8)"))
+            .cast("double")
+            .alias(f"sxx_{sfx}"),
+            F.sum(F.when(cond, F.col("xy")).cast("decimal(38,8)"))
+            .cast("double")
+            .alias(f"sxy_{sfx}"),
+            F.sum(F.when(cond, F.col("yy")).cast("decimal(38,8)"))
+            .cast("double")
+            .alias(f"syy_{sfx}"),
+        ]
+
+    a = F.col("is_a")
+    base = pp.groupBy("event_type").agg(*msums(a, "a"), *msums(~a, "b"))
+
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    n = n_a + n_b
+    sx = F.col("sx_a") + F.col("sx_b")
+    sy = F.col("sy_a") + F.col("sy_b")
+    sxx = F.col("sxx_a") + F.col("sxx_b")
+    sxy = F.col("sxy_a") + F.col("sxy_b")
+    # pooled (biased-denominator-free: the n factors cancel in theta)
+    var_x = n * sxx - sx * sx
+    cov_xy = n * sxy - sx * sy
+    ok = (n_a > 1) & (n_b > 1) & (var_x > 0)
+    theta = F.when(ok, cov_xy / var_x)
+    mean_x = sx / n
+
+    def per_variant(sfx):
+        nn = F.col(f"n_{sfx}")
+        mx = F.col(f"sx_{sfx}") / nn
+        my = F.col(f"sy_{sfx}") / nn
+        vx = (nn * F.col(f"sxx_{sfx}") - F.col(f"sx_{sfx}") ** 2) / (
+            nn * (nn - 1)
+        )
+        vy = (nn * F.col(f"syy_{sfx}") - F.col(f"sy_{sfx}") ** 2) / (
+            nn * (nn - 1)
+        )
+        cxy = (
+            nn * F.col(f"sxy_{sfx}")
+            - F.col(f"sx_{sfx}") * F.col(f"sy_{sfx}")
+        ) / (nn * (nn - 1))
+        my_adj = my - theta * (mx - mean_x)
+        vy_adj = vy + theta * theta * vx - 2 * theta * cxy
+        return nn, my, my_adj, vy, vy_adj
+
+    na_, mya, mya_adj, vya, vya_adj = per_variant("a")
+    nb_, myb, myb_adj, vyb, vyb_adj = per_variant("b")
+    var_raw = vya / na_ + vyb / nb_
+    var_adj = vya_adj / na_ + vyb_adj / nb_
+    return base.select(
+        "event_type",
+        na_.cast("long").alias("n_users_a"),
+        nb_.cast("long").alias("n_users_b"),
+        F.round(theta, 6).alias("theta"),
+        F.round(mya - myb, 6).alias("diff_raw"),
+        F.round(mya_adj - myb_adj, 6).alias("diff_cuped"),
+        F.round(F.when(ok, F.lit(1) - var_adj / var_raw), 6).alias(
+            "var_reduction"
+        ),
+    ).orderBy("event_type")
+
+
+_CUPED_SQL = (
+    _PREPOST_SQL
+    + """,
+m AS (
+  SELECT event_type, is_a, x, y,
+    CAST(x * x AS DECIMAL(38,8)) AS xx,
+    CAST(x * y AS DECIMAL(38,8)) AS xy,
+    CAST(y * y AS DECIMAL(38,8)) AS yy
+  FROM pp
+),
+base AS (
+  SELECT event_type,
+    CAST(COUNT(*) FILTER (WHERE is_a) AS DOUBLE) AS n_a,
+    CAST(SUM(CAST(x AS DECIMAL(38,4))) FILTER (WHERE is_a) AS DOUBLE) AS sx_a,
+    CAST(SUM(CAST(y AS DECIMAL(38,4))) FILTER (WHERE is_a) AS DOUBLE) AS sy_a,
+    CAST(SUM(xx) FILTER (WHERE is_a) AS DOUBLE) AS sxx_a,
+    CAST(SUM(xy) FILTER (WHERE is_a) AS DOUBLE) AS sxy_a,
+    CAST(SUM(yy) FILTER (WHERE is_a) AS DOUBLE) AS syy_a,
+    CAST(COUNT(*) FILTER (WHERE NOT is_a) AS DOUBLE) AS n_b,
+    CAST(SUM(CAST(x AS DECIMAL(38,4))) FILTER (WHERE NOT is_a) AS DOUBLE) AS sx_b,
+    CAST(SUM(CAST(y AS DECIMAL(38,4))) FILTER (WHERE NOT is_a) AS DOUBLE) AS sy_b,
+    CAST(SUM(xx) FILTER (WHERE NOT is_a) AS DOUBLE) AS sxx_b,
+    CAST(SUM(xy) FILTER (WHERE NOT is_a) AS DOUBLE) AS sxy_b,
+    CAST(SUM(yy) FILTER (WHERE NOT is_a) AS DOUBLE) AS syy_b
+  FROM m GROUP BY event_type
+),
+s AS (
+  SELECT *,
+    n_a + n_b AS n, sx_a + sx_b AS sx, sy_a + sy_b AS sy,
+    sxx_a + sxx_b AS sxx, sxy_a + sxy_b AS sxy,
+    n_a > 1 AND n_b > 1
+      AND (n_a + n_b) * (sxx_a + sxx_b) - (sx_a + sx_b) * (sx_a + sx_b) > 0
+      AS ok
+  FROM base
+),
+t AS (
+  SELECT *,
+    CASE WHEN ok THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS theta,
+    sx / n AS mean_x
+  FROM s
+),
+v AS (
+  SELECT event_type, n_a, n_b, theta, ok,
+    sy_a / n_a AS my_a, sy_b / n_b AS my_b,
+    (sy_a / n_a - theta * (sx_a / n_a - mean_x))
+      - (sy_b / n_b - theta * (sx_b / n_b - mean_x)) AS diff_cuped,
+    ((n_a * syy_a - sy_a * sy_a) / (n_a * (n_a - 1))) / n_a
+      + ((n_b * syy_b - sy_b * sy_b) / (n_b * (n_b - 1))) / n_b AS var_raw,
+    ((n_a * syy_a - sy_a * sy_a) / (n_a * (n_a - 1))
+      + theta * theta * ((n_a * sxx_a - sx_a * sx_a) / (n_a * (n_a - 1)))
+      - 2 * theta * ((n_a * sxy_a - sx_a * sy_a) / (n_a * (n_a - 1)))) / n_a
+    + ((n_b * syy_b - sy_b * sy_b) / (n_b * (n_b - 1))
+      + theta * theta * ((n_b * sxx_b - sx_b * sx_b) / (n_b * (n_b - 1)))
+      - 2 * theta * ((n_b * sxy_b - sx_b * sy_b) / (n_b * (n_b - 1)))) / n_b
+      AS var_adj
+  FROM t
+)
+SELECT event_type,
+  CAST(n_a AS BIGINT) AS n_users_a, CAST(n_b AS BIGINT) AS n_users_b,
+  ROUND(theta, 6) AS theta,
+  ROUND(my_a - my_b, 6) AS diff_raw,
+  ROUND(diff_cuped, 6) AS diff_cuped,
+  ROUND(CASE WHEN ok THEN 1 - var_adj / var_raw END, 6) AS var_reduction
+FROM v ORDER BY event_type
+"""
+)
+
+QUERIES["ab_test_cuped"] = ab_test_cuped
+ORACLE["ab_test_cuped"] = _CUPED_SQL
+
+
+def ab_test_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator per event type (Card &
+    Krueger's two-group/two-period design): effect = (ȳ_B,post −
+    ȳ_B,pre) − (ȳ_A,post − ȳ_A,pre), inference clustered at the USER
+    level — each user contributes one pre/post difference d = y − x,
+    so DiD = d̄_B − d̄_A with a plain two-sample z on the per-user
+    diffs. This is the panel-robust formulation (event-level variance
+    would understate SEs exactly the way the ratio-delta docstring
+    describes).
+
+    Scale: reuses the shared per-(type, user) pre/post frame (one
+    grouped pass) and one event-type-sized conditional moments rollup;
+    test statistics are row-local. n≤1 edges emit NULL z/significant
+    on both engines.
+    """
+    pp = _user_prepost(spark, sf_dir)
+    d = (F.col("y") - F.col("x")).cast("decimal(19,4)")
+    pp = pp.select(
+        "event_type",
+        "is_a",
+        d.alias("d"),
+        (d * d).cast("decimal(38,8)").alias("dd"),
+    )
+
+    def msums(cond, sfx):
+        return [
+            F.count(F.when(cond, F.lit(1))).cast("double").alias(f"n_{sfx}"),
+            F.sum(F.when(cond, F.col("d")).cast("decimal(38,4)"))
+            .cast("double")
+            .alias(f"sd_{sfx}"),
+            F.sum(F.when(cond, F.col("dd")).cast("decimal(38,8)"))
+            .cast("double")
+            .alias(f"sdd_{sfx}"),
+        ]
+
+    a = F.col("is_a")
+    base = pp.groupBy("event_type").agg(*msums(a, "a"), *msums(~a, "b"))
+
+    def stats(sfx):
+        nn = F.col(f"n_{sfx}")
+        sd = F.col(f"sd_{sfx}")
+        sdd = F.col(f"sdd_{sfx}")
+        return nn, sd / nn, (nn * sdd - sd * sd) / (nn * (nn - 1))
+
+    na, mda, vda = stats("a")
+    nb, mdb, vdb = stats("b")
+    ok = (na > 1) & (nb > 1)
+    did = mdb - mda
+    z = F.when(ok, did / F.sqrt(vda / na + vdb / nb))
+    return base.select(
+        "event_type",
+        na.cast("long").alias("n_users_a"),
+        nb.cast("long").alias("n_users_b"),
+        F.round(mda, 6).alias("mean_diff_a"),
+        F.round(mdb, 6).alias("mean_diff_b"),
+        F.round(did, 6).alias("did"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > WELCH_CRIT).alias("significant"),
+    ).orderBy("event_type")
+
+
+_DID_SQL = (
+    _PREPOST_SQL
+    + f""",
+m AS (
+  SELECT event_type, is_a,
+    CAST(y - x AS DECIMAL(19,4)) AS d,
+    CAST(CAST(y - x AS DECIMAL(19,4)) * CAST(y - x AS DECIMAL(19,4))
+         AS DECIMAL(38,8)) AS dd
+  FROM pp
+),
+base AS (
+  SELECT event_type,
+    CAST(COUNT(*) FILTER (WHERE is_a) AS DOUBLE) AS n_a,
+    CAST(SUM(CAST(d AS DECIMAL(38,4))) FILTER (WHERE is_a) AS DOUBLE) AS sd_a,
+    CAST(SUM(dd) FILTER (WHERE is_a) AS DOUBLE) AS sdd_a,
+    CAST(COUNT(*) FILTER (WHERE NOT is_a) AS DOUBLE) AS n_b,
+    CAST(SUM(CAST(d AS DECIMAL(38,4))) FILTER (WHERE NOT is_a) AS DOUBLE) AS sd_b,
+    CAST(SUM(dd) FILTER (WHERE NOT is_a) AS DOUBLE) AS sdd_b
+  FROM m GROUP BY event_type
+),
+s AS (
+  SELECT event_type, n_a, n_b,
+    sd_a / n_a AS md_a, sd_b / n_b AS md_b,
+    (n_a * sdd_a - sd_a * sd_a) / (n_a * (n_a - 1)) AS vd_a,
+    (n_b * sdd_b - sd_b * sd_b) / (n_b * (n_b - 1)) AS vd_b,
+    n_a > 1 AND n_b > 1 AS ok
+  FROM base
+)
+SELECT event_type,
+  CAST(n_a AS BIGINT) AS n_users_a, CAST(n_b AS BIGINT) AS n_users_b,
+  ROUND(md_a, 6) AS mean_diff_a, ROUND(md_b, 6) AS mean_diff_b,
+  ROUND(md_b - md_a, 6) AS did,
+  CASE WHEN ok THEN
+    ROUND((md_b - md_a) / sqrt(vd_a / n_a + vd_b / n_b), 6) END AS z_stat,
+  CASE WHEN ok THEN
+    abs((md_b - md_a) / sqrt(vd_a / n_a + vd_b / n_b)) > {WELCH_CRIT}
+  END AS significant
+FROM s ORDER BY event_type
+"""
+)
+
+QUERIES["ab_test_did"] = ab_test_did
+ORACLE["ab_test_did"] = _DID_SQL
+
+
+# --- Period-over-period growth + forecast backtesting (round 13) -------------
+
+
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day exact-decimal order revenue keyed by DATE (shared by the
+    PoP growth and backtest operators). One grouped pass."""
+    odr = load_table(spark, sf_dir, "orders")
+    return odr.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+
+
+_DAILY_REV_SQL = """
+WITH rev AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+)
+"""
+
+
+def period_over_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day and week-over-week revenue growth — the standard
+    BI trend readout. Prior values come from EXACT-date self-joins on
+    day−1 / day−7 (calendar-aligned; a LAG window would silently
+    compare against the previous PRESENT day across gaps, and a
+    global-order window funnels all days into one task): missing
+    prior date → NULL growth, zero prior → NULL (guarded identically
+    in both engines).
+
+    Scale: the daily frame is one grouped pass; the two self-joins
+    shuffle on the date key only (days-sized frames, years ≪ rows).
+    Growth doubles are rounded 6 dp; revenue stays decimal-exact
+    until the final double render.
+    """
+    rev = _daily_revenue(spark, sf_dir)
+    cur = rev.alias("c")
+    d1 = rev.select(
+        F.date_add("day", 1).alias("day"), F.col("rev").alias("rev_d1")
+    ).alias("p1")
+    d7 = rev.select(
+        F.date_add("day", 7).alias("day"), F.col("rev").alias("rev_d7")
+    ).alias("p7")
+
+    def growth(prev):
+        # subtract in DECIMAL (exact), divide in DOUBLE — Spark's
+        # decimal-division scale rules would otherwise truncate at a
+        # different digit than the oracle's double division
+        return F.when(
+            prev.isNotNull() & (prev > 0),
+            (F.col("c.rev") - prev).cast("double") / prev.cast("double"),
+        )
+
+    return (
+        cur.join(d1, "day", "left")
+        .join(d7, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("c.rev").cast("double").alias("revenue"),
+            F.round(growth(F.col("rev_d1")), 6).alias("dod_growth"),
+            F.round(growth(F.col("rev_d7")), 6).alias("wow_growth"),
+        )
+        .orderBy("day")
+    )
+
+
+_POP_SQL = (
+    _DAILY_REV_SQL
+    + """
+SELECT strftime(c.day, '%Y-%m-%d') AS day,
+  CAST(c.rev AS DOUBLE) AS revenue,
+  ROUND(CASE WHEN p1.rev > 0 THEN
+    CAST(c.rev - p1.rev AS DOUBLE) / CAST(p1.rev AS DOUBLE) END, 6)
+    AS dod_growth,
+  ROUND(CASE WHEN p7.rev > 0 THEN
+    CAST(c.rev - p7.rev AS DOUBLE) / CAST(p7.rev AS DOUBLE) END, 6)
+    AS wow_growth
+FROM rev c
+LEFT JOIN rev p1 ON c.day = p1.day + 1
+LEFT JOIN rev p7 ON c.day = p7.day + 7
+ORDER BY day
+"""
+)
+
+QUERIES["period_over_period_growth"] = period_over_period_growth
+ORACLE["period_over_period_growth"] = _POP_SQL
+
+
+def forecast_backtest_smape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the two forecasting BASELINES every
+    real model must beat (Hyndman & Athanasopoulos, FPP: "a model
+    that can't beat the naive methods is not a model"): naive
+    (ŷ_t = y_{t−1}) and seasonal-naive (ŷ_t = y_{t−7}), scored by
+    monthly sMAPE = mean(2·|ŷ−y| / (|ŷ|+|y|)) — the scale-free
+    error metric of the M-competitions.
+
+    Scale: exact-date self-joins produce (actual, forecast) pairs
+    (shuffle on the date key, days-sized), then one month-sized
+    rollup per method; only days whose reference date exists are
+    scored (inner join — the honest backtest convention).
+    """
+    rev = _daily_revenue(spark, sf_dir)
+
+    def method(offset: int, name: str) -> DataFrame:
+        fc = rev.select(
+            F.date_add("day", offset).alias("day"),
+            F.col("rev").alias("fc"),
+        )
+        return (
+            rev.join(fc, "day")
+            .select(
+                F.lit(name).alias("method"),
+                F.date_format("day", "yyyy-MM").alias("month"),
+                (
+                    F.lit(2)
+                    * F.abs(F.col("fc") - F.col("rev")).cast("double")
+                    / (
+                        F.abs(F.col("fc")).cast("double")
+                        + F.abs(F.col("rev")).cast("double")
+                    )
+                ).alias("ape"),
+            )
+        )
+
+    scored = method(1, "naive").unionByName(method(7, "seasonal_naive"))
+    return (
+        scored.groupBy("method", "month")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg("ape"), 6).alias("smape"),
+        )
+        .orderBy("method", "month")
+    )
+
+
+_BACKTEST_SQL = (
+    _DAILY_REV_SQL
+    + """,
+scored AS (
+  SELECT 'naive' AS method, strftime(a.day, '%Y-%m') AS month,
+    2 * CAST(abs(f.rev - a.rev) AS DOUBLE)
+      / (CAST(abs(f.rev) AS DOUBLE) + CAST(abs(a.rev) AS DOUBLE)) AS ape
+  FROM rev a JOIN rev f ON a.day = f.day + 1
+  UNION ALL
+  SELECT 'seasonal_naive' AS method, strftime(a.day, '%Y-%m') AS month,
+    2 * CAST(abs(f.rev - a.rev) AS DOUBLE)
+      / (CAST(abs(f.rev) AS DOUBLE) + CAST(abs(a.rev) AS DOUBLE)) AS ape
+  FROM rev a JOIN rev f ON a.day = f.day + 7
+)
+SELECT method, month, COUNT(*) AS n_days, ROUND(AVG(ape), 6) AS smape
+FROM scored GROUP BY method, month
+ORDER BY method, month
+"""
+)
+
+QUERIES["forecast_backtest_smape"] = forecast_backtest_smape
+ORACLE["forecast_backtest_smape"] = _BACKTEST_SQL

@@ -1174,3 +1174,152 @@ ORDER BY n_members DESC, label ASC
 
 QUERIES["graph_label_propagation"] = graph_label_propagation
 ORACLE["graph_label_propagation"] = _lpa_sql()
+
+
+# --- Adamic-Adar link prediction (round 13) ----------------------------------
+
+AA_MAX_DEG = 64  #: wedge-center degree cap — a hub of degree d spawns
+#: d^2 wedges while contributing only 1/ln(d) per pair, so capping
+#: centers bounds the wedge join at O(m * AA_MAX_DEG) with negligible
+#: score loss (the standard big-graph AA mitigation).
+AA_TOPK = 20  #: predicted links reported
+_AA_FIX = 10**12  #: fixed-point scale for 1/ln(deg) weights — double
+#: sums are partition-order-dependent; bigint sums are exact.
+
+
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003; the
+    common-neighbor index of Liben-Nowell & Kleinberg 2003) over the
+    co-purchase graph: for each UNLINKED pair (x, y), score
+    AA(x,y) = Σ_{w ∈ N(x)∩N(y)} 1/ln(deg(w)) — shared rare neighbors
+    count more than shared hubs. Top-AA pairs are the 'customers who
+    bought X also bought Y' recommendation candidates.
+
+    Scale shape: wedges enumerate through each CENTER w as a self
+    equi-join of the symmetric adjacency on w (never an all-pairs
+    join); centers are degree-capped at AA_MAX_DEG (see constant —
+    hubs cost d^2 wedges for ~zero weight). Existing edges drop via
+    one anti-join; the top-k is a TakeOrderedAndProject limit, never
+    a global rank window. Weights are fixed-point bigints so the
+    per-pair sums are exact and partitioning-invariant; ln appears
+    only in the final row-local render.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < _TRI_MAX_PART)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    sym = e.select("u", "v").unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("w")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    # fixed-point 1/ln(deg) weight per center (deg >= 2 for any wedge
+    # center, so ln(deg) > 0 on every surviving row)
+    centers = (
+        deg.filter((F.col("deg") >= 2) & (F.col("deg") <= AA_MAX_DEG))
+        .select(
+            "w",
+            F.round(F.lit(_AA_FIX) / F.log(F.col("deg").cast("double")))
+            .cast("long")
+            .alias("wt"),
+        )
+    )
+    adj = sym.select(F.col("u").alias("w"), F.col("v").alias("x")).join(
+        centers, "w"
+    )
+    l, r = adj.alias("l"), adj.alias("r")
+    wedges = l.join(
+        r,
+        (F.col("l.w") == F.col("r.w")) & (F.col("l.x") < F.col("r.x")),
+    ).select(
+        F.col("l.x").alias("x"),
+        F.col("r.x").alias("y"),
+        F.col("l.wt").alias("wt"),
+    )
+    scored = (
+        wedges.join(
+            e,
+            (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
+            "left_anti",
+        )
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum("wt").alias("s"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("s").desc(), F.col("x").asc(), F.col("y").asc()
+    ).limit(AA_TOPK)
+    from pyspark.sql import Window as _W
+
+    return top.select(
+        F.row_number()
+        .over(_W.orderBy(F.col("s").desc(), F.col("x").asc(), F.col("y").asc()))
+        .alias("rank"),
+        F.col("x").alias("node_x"),
+        F.col("y").alias("node_y"),
+        "common_neighbors",
+        F.round(F.col("s") / F.lit(float(_AA_FIX)), 6).alias("aa_score"),
+    ).orderBy("rank")
+
+
+def _aa_sql() -> str:
+    return f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_partkey < {_TRI_MAX_PART}
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (
+  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+),
+deg AS (SELECT u AS w, COUNT(*) AS deg FROM sym GROUP BY u),
+centers AS (
+  SELECT w, CAST(ROUND({_AA_FIX} / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS wt
+  FROM deg WHERE deg >= 2 AND deg <= {AA_MAX_DEG}
+),
+adj AS (
+  SELECT sym.u AS w, sym.v AS x, wt FROM sym JOIN centers ON sym.u = centers.w
+),
+wedges AS (
+  SELECT l.x AS x, r.x AS y, l.wt AS wt
+  FROM adj l JOIN adj r ON l.w = r.w AND l.x < r.x
+),
+scored AS (
+  SELECT x, y, COUNT(*) AS common_neighbors, SUM(wt) AS s
+  FROM wedges
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = wedges.x AND e.v = wedges.y)
+  GROUP BY x, y
+),
+top AS (
+  SELECT * FROM scored ORDER BY s DESC, x ASC, y ASC LIMIT {AA_TOPK}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY s DESC, x ASC, y ASC) AS INT) AS rank,
+  x AS node_x, y AS node_y, common_neighbors,
+  ROUND(s / {float(_AA_FIX)!r}, 6) AS aa_score
+FROM top ORDER BY rank
+"""
+
+
+QUERIES["graph_adamic_adar"] = graph_adamic_adar
+ORACLE["graph_adamic_adar"] = _aa_sql()
