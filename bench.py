@@ -140,13 +140,18 @@ EXTENDED = [
     "feature_target_encode_oof",    # leave-one-fold-out target means
     "join_asof_nearest",            # nearest as-of with tolerance
     "sample_balanced_classes",      # banded-rank minority downsample
-    # round-13 lazy registrations
+    # round-13 lazy registrations (sink_snapshot_wap is eager ->
+    # scripts/bench_gate_sf01.py)
     "ab_test_cuped",                # CUPED variance-reduced A/B readout
     "ab_test_did",                  # difference-in-differences, user-clustered
     "feature_woe_iv",               # weight-of-evidence + information value
     "period_over_period_growth",    # DoD/WoW exact-date growth joins
     "forecast_backtest_smape",      # naive/seasonal-naive sMAPE backtest
     "graph_adamic_adar",            # degree-capped wedge link prediction
+    "dedup_incremental_bloom",      # bloom-prefiltered batch-vs-corpus dedup
+    "batch_length_bucketing",       # power-of-two padding-waste planner
+    "text_readability",             # Flesch reading-ease bands
+    "knn_radius_cells",             # exact radius search, cell-pruned
 ]
 
 

@@ -109,6 +109,11 @@ _CHECK_FIRST = [
     "period_over_period_growth",
     "forecast_backtest_smape",
     "graph_adamic_adar",
+    "dedup_incremental_bloom",
+    "batch_length_bucketing",
+    "text_readability",
+    "knn_radius_cells",
+    "sink_snapshot_wap",
     # round-6 rows (registry order):
     "agg_collect",
     "window_first_last",
@@ -149,17 +154,15 @@ _CHECK_FIRST = [
     "udf_grouped_zscore",
     "udf_grouped_agg_range",
     "sql_segment_status_rollup",
-    "sink_partitioned_roundtrip",
-    "scan_cloudevent_datasource",
-    "sink_compaction_roundtrip",
-    "scan_schema_evolution",
-    "stream_sliding_watermark",
     # (the 4 r7 top-ups agg_approx_percentile /
     # window_global_rownum_scalable / distinct_count_full_rows /
-    # func_json_encode and the r6 tail rows pipeline_curate_documents
-    # / sample_stratified_docs were displaced by the r13
+    # func_json_encode and the 7 r6 tail rows
+    # sink_partitioned_roundtrip / scan_cloudevent_datasource /
+    # sink_compaction_roundtrip / scan_schema_evolution /
+    # stream_sliding_watermark / pipeline_curate_documents /
+    # sample_stratified_docs were displaced by the 11 r13
     # registrations above; they keep their r6/r7 evidence and rotate
-    # first in r14)
+    # FIRST in r14)
 ]
 
 # ROUND-14 ROTATION PLAN (for the next builder): FIRST run

@@ -1675,3 +1675,108 @@ FROM scored ORDER BY key1, key2
 
 QUERIES["link_fellegi_sunter"] = link_fellegi_sunter
 ORACLE["link_fellegi_sunter"] = _FS_SQL
+
+
+# --- Incremental batch-vs-corpus dedup with a bloom prefilter (round 13) -----
+
+BLOOM_M = 4096  #: bloom bit-array width. FIXTURE constant so the oracle
+#: computes the identical filter; production sizes m ~ 8 x corpus NDV
+#: (the parquet bloom-page rule sinks/snapshot.py applies). Exactness
+#: does NOT depend on m: a saturated filter only degrades the prune.
+
+
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — which docs of an arriving BATCH are
+    genuinely new vs an existing CORPUS — with a bloom prefilter
+    (Bloom 1970; the Delta/Iceberg ingest-dedup pattern): the corpus's
+    content fingerprints are summarized as a bit set, each batch doc
+    probes its two salted bit positions, and only the docs whose BOTH
+    bits are set (possible duplicates, including bloom false
+    positives) pay the exact verification join. Definite misses skip
+    the join entirely — at 100 TB that is the difference between
+    shuffling the whole batch against the corpus and shuffling the
+    ~duplicate-rate fraction of it.
+
+    Result is EXACT (the verify join removes every false positive):
+    each new doc is emitted with its route — 'bloom_miss' (proven new
+    by the filter alone) or 'verified_new' (bloom candidate that the
+    exact join cleared). Corpus/batch = the deterministic doc_id%10
+    split. The bit set is represented RELATIONALLY (a <= BLOOM_M-row
+    table of set positions, broadcast to both probe joins) — the
+    filter itself is distributed state, no driver-side bitmap.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.trim("text"), WS_CLASS, " ")).alias("k"),
+    )
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+
+    def pos(salt: str):
+        h = SPARK_HASH60.format(expr=f"concat('{salt}#', k)")
+        return F.expr(h) % BLOOM_M
+
+    bits = (
+        corpus.select(pos("b1").alias("p"))
+        .unionAll(corpus.select(pos("b2").alias("p")))
+        .distinct()
+    )
+    probed = (
+        batch.select("doc_id", "k", pos("b1").alias("p1"), pos("b2").alias("p2"))
+        .join(
+            F.broadcast(bits.select(F.col("p").alias("p1"), F.lit(1).alias("h1"))),
+            "p1",
+            "left",
+        )
+        .join(
+            F.broadcast(bits.select(F.col("p").alias("p2"), F.lit(1).alias("h2"))),
+            "p2",
+            "left",
+        )
+    )
+    cand = F.col("h1").isNotNull() & F.col("h2").isNotNull()
+    misses = probed.filter(~cand).select(
+        "doc_id", F.lit("bloom_miss").alias("route")
+    )
+    verified = (
+        probed.filter(cand)
+        .join(corpus.select("k"), "k", "left_anti")
+        .select("doc_id", F.lit("verified_new").alias("route"))
+    )
+    return misses.unionByName(verified).orderBy("doc_id")
+
+
+def _incr_bloom_sql() -> str:
+    p1 = SQL_HASH60.format(expr="('b1#' || k)") + f" % {BLOOM_M}"
+    p2 = SQL_HASH60.format(expr="('b2#' || k)") + f" % {BLOOM_M}"
+    return f"""
+WITH n AS (
+  SELECT doc_id,
+    md5(REGEXP_REPLACE(TRIM(text), '{WS_CLASS}', ' ', 'g')) AS k
+  FROM documents
+),
+corpus AS (SELECT * FROM n WHERE doc_id % 10 <> 0),
+batch AS (
+  SELECT doc_id, k, {p1} AS p1, {p2} AS p2
+  FROM n WHERE doc_id % 10 = 0
+),
+bits AS (
+  SELECT DISTINCT {p1} AS p FROM corpus
+  UNION
+  SELECT DISTINCT {p2} AS p FROM corpus
+),
+probed AS (
+  SELECT b.doc_id, b.k,
+    b.p1 IN (SELECT p FROM bits) AND b.p2 IN (SELECT p FROM bits) AS cand
+  FROM batch b
+)
+SELECT doc_id, 'bloom_miss' AS route FROM probed WHERE NOT cand
+UNION ALL
+SELECT doc_id, 'verified_new' AS route FROM probed
+WHERE cand AND k NOT IN (SELECT k FROM corpus)
+ORDER BY doc_id
+"""
+
+
+QUERIES["dedup_incremental_bloom"] = dedup_incremental_bloom
+ORACLE["dedup_incremental_bloom"] = _incr_bloom_sql()

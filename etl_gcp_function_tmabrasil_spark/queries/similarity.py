@@ -1840,3 +1840,152 @@ ORDER BY query_id
 
 QUERIES["ann_lsh_multiband"] = ann_lsh_multiband
 ORACLE["ann_lsh_multiband"] = _mb_sql()
+
+
+# --- Exact radius (range) similarity search with cell pruning (round 13) -----
+
+RADIUS_COS = 0.35  #: report every neighbor with cosine >= this.
+#: Profiled on the actual corpus before gating (the gopher-rules
+#: lesson): the sf tables' embeddings are iid — max query cosine is
+#: ~0.4-0.5 and there are ZERO pairs at the 0.95 near-dup band, so a
+#: production-style 0.95 radius returns empty at every sf. 0.35
+#: yields 6 (sf0.001) / 9 (sf0.01) true neighbors; on an iid corpus
+#: the ball nearly spans the sphere so the cell prune rarely fires
+#: (honest floor, same contract as the ANN recall docs) — on
+#: clustered corpora the same plan prunes to the ball-overlap
+#: fraction.
+_RADIUS_SLACK = 1e-5  #: conservative margin absorbing the 6-dp rounding
+#: of distances on both engines — may only ADD cells, never drop one
+
+
+def knn_radius_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT radius search — every corpus vector with cosine >=
+    RADIUS_COS of each query — with metric cell pruning (the ball-tree
+    bound of Omohundro 1989 applied to IVF cells): on unit vectors
+    cos(q,x) >= t  <=>  ||q̂−x̂|| <= r = sqrt(2−2t), so a cell c with
+    member radius R_c = max ||x̂−ĉ|| can be SKIPPED whenever
+    ||q̂−ĉ|| − R_c > r — the triangle inequality guarantees no member
+    can be inside the query ball. Unlike the ANN operators this loses
+    NOTHING: pruning is conservative (slack absorbs the shared 6-dp
+    rounding), and the oracle is the brute-force radius scan, so hash
+    equality proves prune-exactness.
+
+    Scale: assignment/radii are one broadcast-centroid pass over the
+    corpus (row-local argmax + one grouped MAX); the query×cell prune
+    is queries × N_CELLS row-local math; only SURVIVING (query, cell)
+    pairs join cell members — on clustered corpora the scan fraction
+    is the ball-overlap fraction, and on hostile iid corpora it
+    degrades to a full scan while staying exact (same honest-floor
+    contract as the ANN recall docs).
+    """
+    emb = _with_norm(
+        load_table(spark, sf_dir, "embeddings", rebalance=True), "vec_id"
+    )
+    cent = _with_norm(
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < N_CELLS
+        ),
+        "vec_id",
+    ).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+    )
+
+    def neg_cos(row_vec: str, row_nrm: str) -> str:
+        return (
+            f"-round(aggregate(zip_with({row_vec}, c.ce, (x, y) -> x * y),"
+            f" cast(0.0 as double), (s, x) -> s + x) / ({row_nrm} * c.cnrm), 6)"
+        )
+
+    centarr = centroid_array(cent, "cell_id", "ce", "cnrm")
+    assigned = emb.crossJoin(centarr).select(
+        "vec_id",
+        "e",
+        "nrm",
+        argmin_cell(neg_cos("e", "nrm"))["cell_id"].alias("cell_id"),
+    )
+    # distance of each member to ITS centroid (unit sphere):
+    # d = sqrt(2 - 2 cos), rounded 6 dp like every cell decision here
+    cos_xc = _dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    # clamp the radicand at 0: a centroid is a MEMBER of its own cell
+    # and its self-cosine can float to 1+eps, making sqrt() NaN — and
+    # Spark's max() treats NaN as greatest, so one NaN poisons the
+    # whole cell_r and the prune then drops the entire cell (caught by
+    # the brute-force oracle at sf0.001: cell 4's true neighbor
+    # vanished)
+    member_d = assigned.join(F.broadcast(cent), "cell_id").select(
+        "cell_id",
+        "vec_id",
+        F.round(
+            F.sqrt(F.greatest(F.lit(2.0) - F.lit(2.0) * cos_xc, F.lit(0.0))),
+            6,
+        ).alias("d"),
+    )
+    radii = member_d.groupBy("cell_id").agg(F.max("d").alias("cell_r"))
+    q = _with_norm(
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < N_QUERIES
+        ),
+        "vec_id",
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos_qc = _dot(F.col("qe"), F.col("ce")) / (F.col("qnrm") * F.col("cnrm"))
+    ball_r = float((2.0 - 2.0 * RADIUS_COS) ** 0.5)
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qe",
+            "qnrm",
+            "cell_id",
+            F.round(
+                F.sqrt(
+                    F.greatest(F.lit(2.0) - F.lit(2.0) * cos_qc, F.lit(0.0))
+                ),
+                6,
+            ).alias("dq"),
+        )
+        .join(F.broadcast(radii), "cell_id")
+        .filter(
+            F.col("dq") - F.col("cell_r") <= F.lit(ball_r + _RADIUS_SLACK)
+        )
+        .select("query_id", "qe", "qnrm", "cell_id")
+    )
+    cos = _dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))
+    return (
+        F.broadcast(probes)
+        .join(assigned, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= RADIUS_COS)
+        .orderBy("query_id", "neighbor_id")
+    )
+
+
+def _radius_sql() -> str:
+    # brute force IS the oracle: prune-exactness means the cell-pruned
+    # plan must hash-match the full scan
+    dot = _SQL_DOT.format(a="q.e", b="c.e")
+    na = _SQL_NORM.format(a="q.e")
+    nb = _SQL_NORM.format(a="c.e")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id, e FROM e WHERE vec_id < {N_QUERIES})
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+  ROUND({dot} / ({na} * {nb}), 4) AS cosine
+FROM q JOIN e c ON c.vec_id <> q.vec_id
+WHERE ROUND({dot} / ({na} * {nb}), 4) >= {RADIUS_COS}
+ORDER BY query_id, neighbor_id
+"""
+
+
+QUERIES["knn_radius_cells"] = knn_radius_cells
+ORACLE["knn_radius_cells"] = _radius_sql()

@@ -3021,3 +3021,120 @@ ORACLE = {
     "sink_bucketed_colocated_join": _BUCKETED_JOIN_SQL,
     "sink_snapshot_clone": _SNAPSHOT_CLONE_SQL,
 }
+
+
+def sink_snapshot_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH (Iceberg's ``wap.id`` staging-branch flow;
+    Netflix's WAP pattern): candidate batches land in an ISOLATED
+    staging snapshot table, data-quality audits run against the
+    staging read, and only a passing batch is PROMOTED into the main
+    table — as a metadata-only append referencing the staged files by
+    path (sinks/snapshot.promote_staged), so publish cost is
+    O(manifest) regardless of batch bytes and a failed audit leaves
+    the main table structurally untouched.
+
+    Hard-checked at fixture build: (a) a BAD batch (planted NULL
+    event_type rows) fails the audit and the main table's version
+    list, manifest bytes, and row count are bit-unchanged after the
+    rejection; (b) the GOOD batch passes, promote bumps main by ONE
+    version whose read equals slice₀ ∪ slice₁, with ZERO new files in
+    main's own data/ (metadata-only publish); (c) re-promoting the
+    same txn_id is an idempotent no-op (same version returned, no new
+    manifest). The gate returns the published table's rollup; the
+    oracle recomputes it from the base events.
+
+    Reference parity: the dead-letter branch of the reference's
+    trigger (main.py:13-16 routes rejects away from the processing
+    path) lifted to table commits — audit-reject instead of
+    log-and-drop.
+    """
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        commit_snapshot,
+        promote_staged,
+        read_snapshot,
+        _manifests,
+    )
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "snapshot_wap_table")
+
+    def _audit(df: DataFrame) -> bool:
+        bad = df.filter(F.col("event_type").isNull()).limit(1).count()
+        return bad == 0 and df.limit(1).count() > 0
+
+    def _build(tmp: str) -> None:
+        main = os.path.join(tmp, "main")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        commit_snapshot(ev.filter(F.col("event_id") % 3 == 0), main)
+        v0 = _manifests(main)
+        n0 = read_snapshot(spark, main).count()
+        files0 = sorted(os.listdir(os.path.join(main, "data")))
+
+        # round 1: BAD batch — planted NULL event_type rows
+        bad_batch = ev.filter(F.col("event_id") % 3 == 2).withColumn(
+            "event_type",
+            F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+                F.col("event_type")
+            ),
+        )
+        stage_bad = os.path.join(tmp, "stage_bad")
+        commit_snapshot(bad_batch, stage_bad)
+        if _audit(read_snapshot(spark, stage_bad)):
+            raise AssertionError("bad batch passed the audit")
+        # audit failed -> NO promote; main must be bit-unchanged
+        if _manifests(main) != v0:
+            raise AssertionError("rejected batch changed main's versions")
+        if read_snapshot(spark, main).count() != n0:
+            raise AssertionError("rejected batch changed main's rows")
+        if sorted(os.listdir(os.path.join(main, "data"))) != files0:
+            raise AssertionError("rejected batch wrote into main's data/")
+
+        # round 2: GOOD batch — passes audit, promotes metadata-only
+        good_batch = ev.filter(F.col("event_id") % 3 == 1)
+        stage_good = os.path.join(tmp, "stage_good")
+        commit_snapshot(good_batch, stage_good)
+        if not _audit(read_snapshot(spark, stage_good)):
+            raise AssertionError("good batch failed the audit")
+        n_good = read_snapshot(spark, stage_good).count()
+        info = promote_staged(stage_good, main, txn_id="wap-good-1")
+        if info["version"] != v0[-1] + 1:
+            raise AssertionError(f"promote skipped a version: {info}")
+        if info["files_referenced"] == 0:
+            raise AssertionError("promote referenced no files")
+        if sorted(os.listdir(os.path.join(main, "data"))) != files0:
+            raise AssertionError("promote copied data bytes into main")
+        if read_snapshot(spark, main).count() != n0 + n_good:
+            raise AssertionError("published table missing promoted rows")
+        # idempotent replay: same txn -> same version, no new manifest
+        replay = promote_staged(stage_good, main, txn_id="wap-good-1")
+        if replay["version"] != info["version"]:
+            raise AssertionError("txn replay produced a new version")
+        if _manifests(main) != v0 + [info["version"]]:
+            raise AssertionError("txn replay wrote a manifest")
+
+    _ensure_fixture(fixture, _build)
+    from etl_gcp_function_tmabrasil_spark.queries._util import dsum
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import read_snapshot
+
+    return (
+        read_snapshot(spark, os.path.join(fixture, "main"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SNAPSHOT_WAP_SQL = """
+SELECT event_type, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events WHERE event_id % 3 IN (0, 1)
+GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["sink_snapshot_wap"] = sink_snapshot_wap
+ORACLE["sink_snapshot_wap"] = _SNAPSHOT_WAP_SQL

@@ -822,3 +822,81 @@ ORDER BY doc_id, bucket
 
 QUERIES["text_feature_hashing"] = text_feature_hashing
 ORACLE["text_feature_hashing"] = _feathash_sql()
+
+
+# --- Readability scoring (round 13) ------------------------------------------
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (Flesch 1948; the readability
+    band corpora like OpenWebText/CCNet report as a quality facet):
+    score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/word),
+    bucketed into the standard bands. Syllables use the vowel-GROUP
+    proxy (runs of [aeiouy] per word — the classic approximation; the
+    synthetic corpus has no dictionary anyway), sentences count
+    terminal-punctuation runs floored at 1.
+
+    Scale: entirely row-local built-ins (regexp_count/size — one scan,
+    no shuffle but the final sort); counts are exact integers, the
+    two divisions are IEEE doubles rounded 4 dp. Non-overlapping
+    regexp counts agree between Spark's regexp_count and DuckDB's
+    len(regexp_extract_all) (both leftmost non-overlapping).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim("text"), WS_CLASS, " ")
+    words = F.size(F.split(norm, " "))
+    sentences = F.greatest(
+        F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1)
+    )
+    syllables = F.greatest(
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")), F.lit(1)
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / words.cast("double"))
+    )
+    band = (
+        F.when(score >= 90, "very_easy")
+        .when(score >= 60, "standard")
+        .when(score >= 30, "difficult")
+        .otherwise("very_confusing")
+    )
+    return docs.select(
+        "doc_id",
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        F.round(score, 4).alias("flesch"),
+        band.alias("band"),
+    ).orderBy("doc_id")
+
+
+_READABILITY_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+    len(string_split(REGEXP_REPLACE(TRIM(text), '{WS_CLASS}', ' ', 'g'), ' '))
+      AS n_words,
+    GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+    GREATEST(len(regexp_extract_all(LOWER(text), '[aeiouy]+')), 1)
+      AS n_syllables
+  FROM documents
+),
+scored AS (
+  SELECT *,
+    206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+      - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+      AS score
+  FROM s
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+  ROUND(score, 4) AS flesch,
+  CASE WHEN score >= 90 THEN 'very_easy'
+       WHEN score >= 60 THEN 'standard'
+       WHEN score >= 30 THEN 'difficult'
+       ELSE 'very_confusing' END AS band
+FROM scored ORDER BY doc_id
+"""
+
+QUERIES["text_readability"] = text_readability
+ORACLE["text_readability"] = _READABILITY_SQL

@@ -35,7 +35,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from etl_gcp_function_tmabrasil_spark.catalog import load_table
-from etl_gcp_function_tmabrasil_spark.queries._util import SPARK_HASH60, SQL_HASH60
+from etl_gcp_function_tmabrasil_spark.queries._util import (
+    SPARK_HASH60,
+    SQL_HASH60,
+    WS_CLASS,
+)
 
 BPE_TOP_N = 40
 
@@ -1443,3 +1447,81 @@ GROUP BY event_type ORDER BY event_type
 
 QUERIES["sample_balanced_classes"] = sample_balanced_classes
 ORACLE["sample_balanced_classes"] = _balanced_sql()
+
+
+# --- Sequence-length bucketing for batch assembly (round 13) -----------------
+
+#: power-of-two sequence-length caps; docs longer than the last cap get
+#: their own overflow bucket so padding stays defined for every row.
+BUCKET_CAPS = [32, 64, 128, 256, 512, 1024, 2048, 4096, 8192]
+BUCKET_OVERFLOW = 16384
+
+
+def batch_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing — the batch-assembly planner every
+    trainer runs before padding variable-length documents into fixed
+    tensors: assign each doc to the smallest power-of-two length cap
+    that holds it, then account the PADDING WASTE each bucket would
+    pay (sum over docs of cap − len, and its share of the bucket's
+    token budget n_docs × cap). Bucketed batching is why training
+    pipelines sort-by-length: unbucketed padding to the global max
+    wastes most of the FLOPs on pad tokens.
+
+    Scale: token counts are row-local; the rollup is one
+    word-count-shaped groupBy over ≤ len(BUCKET_CAPS)+1 buckets with
+    map-side combine. Exact integer arithmetic throughout; the only
+    doubles are the final waste ratios (round 6).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.size(
+            F.split(F.regexp_replace(F.trim("text"), WS_CLASS, " "), " ")
+        ).alias("n_tok")
+    )
+    cap = F.lit(BUCKET_OVERFLOW)
+    for c in reversed(BUCKET_CAPS):
+        cap = F.when(F.col("n_tok") <= c, F.lit(c)).otherwise(cap)
+    return (
+        docs.select(cap.alias("bucket_cap"), "n_tok")
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+            F.sum(F.col("bucket_cap") - F.col("n_tok")).alias("pad_tokens"),
+        )
+        .select(
+            "bucket_cap",
+            "n_docs",
+            "sum_tokens",
+            "pad_tokens",
+            F.round(
+                F.col("pad_tokens").cast("double")
+                / (F.col("n_docs") * F.col("bucket_cap")).cast("double"),
+                6,
+            ).alias("pad_waste"),
+        )
+        .orderBy("bucket_cap")
+    )
+
+
+def _bucketing_sql() -> str:
+    ladder = str(BUCKET_OVERFLOW)
+    for c in reversed(BUCKET_CAPS):
+        ladder = f"CASE WHEN n_tok <= {c} THEN {c} ELSE {ladder} END"
+    return f"""
+WITH toks AS (
+  SELECT len(string_split(
+    REGEXP_REPLACE(TRIM(text), '{WS_CLASS}', ' ', 'g'), ' ')) AS n_tok
+  FROM documents
+),
+bucketed AS (SELECT {ladder} AS bucket_cap, n_tok FROM toks)
+SELECT bucket_cap, COUNT(*) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+  CAST(SUM(bucket_cap - n_tok) AS BIGINT) AS pad_tokens,
+  ROUND(CAST(SUM(bucket_cap - n_tok) AS DOUBLE)
+        / CAST(COUNT(*) * bucket_cap AS DOUBLE), 6) AS pad_waste
+FROM bucketed GROUP BY bucket_cap ORDER BY bucket_cap
+"""
+
+
+QUERIES["batch_length_bucketing"] = batch_length_bucketing
+ORACLE["batch_length_bucketing"] = _bucketing_sql()

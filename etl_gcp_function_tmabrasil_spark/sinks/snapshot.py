@@ -1318,6 +1318,98 @@ def clone_snapshot(
     }
 
 
+def promote_staged(
+    staging_dir: str,
+    table_dir: str,
+    version: int | None = None,
+    commit_ts: float | None = None,
+    txn_id: str | int | None = None,
+) -> dict:
+    """PUBLISH a staged table into ``table_dir`` as ONE append version
+    referencing the staging files BY PATH — the metadata-only publish
+    step of the write-audit-publish (WAP) pattern (Iceberg's
+    ``wap.id`` branch promote / Delta's staging-table swap): writers
+    land candidate data in an isolated staging table, audits run
+    against the staging read, and only a PASSING batch is promoted —
+    a failed audit leaves the main table untouched because nothing
+    about the staging write ever mutated it.
+
+    Like :func:`clone_snapshot`, the promote copies zero data bytes
+    (the 100 TB point: publish is O(metadata)); per-file
+    stats/skipping/NDV metadata carries over re-keyed so pruning works
+    on the promoted rows immediately. Schema must match the target's
+    current schema exactly (append contract). ``txn_id`` gives the
+    promote the same idempotent-replay semantics as
+    :func:`commit_snapshot`. Returns ``{"version",
+    "files_referenced"}``.
+    """
+    svs = _manifests(staging_dir)
+    if not svs:
+        raise FileNotFoundError(f"no snapshot committed at {staging_dir}")
+    sv = svs[-1] if version is None else version
+    if sv not in svs:
+        raise ValueError(f"version {sv} not in {svs} at {staging_dir}")
+    staged = _load_manifest(staging_dir, sv)
+    versions = _manifests(table_dir)
+    prev = _load_manifest(table_dir, versions[-1]) if versions else None
+    txn: dict[str, int] = dict(prev.get("txn", {})) if prev else {}
+    if txn_id is not None and str(txn_id) in txn:
+        return {"version": txn[str(txn_id)], "files_referenced": 0}
+    if prev is not None:
+        prev_schema = StructType.fromJson(json.loads(prev["schema"]))
+        staged_schema = StructType.fromJson(json.loads(staged["schema"]))
+        if _schema_signature(prev_schema) != _schema_signature(staged_schema):
+            raise ValueError(
+                "promote-time schema drift: table "
+                f"v{prev['version']} has {prev_schema.simpleString()}, "
+                f"staging has {staged_schema.simpleString()}"
+            )
+    os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
+    staging_abs = os.path.abspath(staging_dir)
+    table_abs = os.path.abspath(table_dir)
+    remap = {
+        rel: os.path.relpath(os.path.join(staging_abs, rel), table_abs)
+        for rel in staged["files"]
+    }
+    files = (prev["files"] if prev else []) + [
+        remap[rel] for rel in staged["files"]
+    ]
+    stats = dict(prev.get("stats", {})) if prev else {}
+    skipping = dict(prev.get("skipping", {})) if prev else {}
+    ndv = dict(prev.get("ndv", {})) if prev else {}
+    stats.update(
+        {remap[k]: s for k, s in staged.get("stats", {}).items() if k in remap}
+    )
+    skipping.update(
+        {
+            remap[k]: s
+            for k, s in staged.get("skipping", {}).items()
+            if k in remap
+        }
+    )
+    ndv.update(
+        {remap[k]: s for k, s in staged.get("ndv", {}).items() if k in remap}
+    )
+    new_version = (versions[-1] + 1) if versions else 1
+    if txn_id is not None:
+        txn[str(txn_id)] = new_version
+    _write_manifest(
+        table_dir,
+        new_version,
+        files,
+        prev["schema"] if prev else staged["schema"],
+        stats,
+        skipping,
+        ndv,
+        txn,
+        commit_ts,
+    )
+    return {
+        "version": new_version,
+        "files_referenced": len(staged["files"]),
+    }
+
+
 def vacuum_snapshots(table_dir: str, retain_last: int = 1) -> dict:
     """Expire all but the newest ``retain_last`` versions and delete
     the data files no RETAINED manifest references — the Delta VACUUM /

@@ -151,6 +151,10 @@ GATE_QUERIES = [
     "sink_snapshot_clone",
     "graph_label_propagation",
     "ann_ivfpq_rerank",
+    # r13: write-audit-publish — two staging commits, a rejected-audit
+    # round, a metadata-only promote, and an idempotent-replay check,
+    # all at fixture build
+    "sink_snapshot_wap",
 ]
 
 
