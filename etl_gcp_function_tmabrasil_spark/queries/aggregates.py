@@ -1650,11 +1650,20 @@ def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     IV broadcasts back from a second bounded (|categories|-row) agg.
     Every count is exact; doubles only in the logs, rounded 6 dp.
     """
+    from etl_gcp_function_tmabrasil_spark.queries._util import managed_persist
+
     odr = load_table(spark, sf_dir, "orders")
     ev = F.col("o_orderstatus") == "F"
-    grp = odr.groupBy(F.col("o_orderpriority").alias("category")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count(F.when(ev, F.lit(1))).alias("n_event"),
+    # the |categories|-row rollup feeds THREE consumers (totals, the
+    # scored frame, and the IV-total agg) — persist it or each one
+    # re-runs the full orders scan (audited: 11 exchanges -> 3 scans
+    # of the fact unpersisted)
+    grp = managed_persist(
+        odr.groupBy(F.col("o_orderpriority").alias("category")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(ev, F.lit(1))).alias("n_event"),
+        ),
+        "feature_woe_iv.grp",
     )
     tot = grp.agg(
         F.sum("n_event").alias("tot_event"),

@@ -4436,10 +4436,18 @@ ORACLE["ab_test_did"] = _DID_SQL
 
 def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day exact-decimal order revenue keyed by DATE (shared by the
-    PoP growth and backtest operators). One grouped pass."""
+    PoP growth and backtest operators). One grouped pass, PERSISTED:
+    both consumers self-join it 2-3 times, and without the persist
+    each alias re-runs the full orders scan — the frame itself is only
+    days-sized."""
+    from etl_gcp_function_tmabrasil_spark.queries._util import managed_persist
+
     odr = load_table(spark, sf_dir, "orders")
-    return odr.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    return managed_persist(
+        odr.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        ),
+        "analytics._daily_revenue",
     )
 
 

@@ -1211,7 +1211,13 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     a, b = li.alias("a"), li.alias("b")
-    e = (
+    # the edge list feeds FOUR consumers (both union legs of sym, the
+    # wedge adjacency, and the existing-edge anti-join) — persist it
+    # once or each consumer re-runs the lineitem scan + distinct join
+    # (audited: 41 exchanges unpersisted vs 13 persisted)
+    from etl_gcp_function_tmabrasil_spark.queries._util import managed_persist
+
+    e = managed_persist(
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -1220,7 +1226,8 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
-        .distinct()
+        .distinct(),
+        "graph_adamic_adar.edges",
     )
     sym = e.select("u", "v").unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
