@@ -164,13 +164,21 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _with_norm(
         load_table(spark, sf_dir, "embeddings", rebalance=True), "vec_id"
     )
-    bucket = None
+    # one SQL string per bit (see _mb_bands: per-dim F.lit() costs
+    # hundreds of Py4J round trips of driver-side construction)
+    bits = []
     for i, p in enumerate(planes):
-        lit = F.array(*[F.lit(v) for v in p])
-        bit = F.when(F.round(_dot(F.col("e"), lit), 6) > 0, F.lit(2**i)).otherwise(
-            F.lit(0)
+        lit = (
+            "cast(array("
+            + ", ".join(str(v) for v in p)
+            + ") as array<double>)"
         )
-        bucket = bit if bucket is None else bucket + bit
+        dot = (
+            f"aggregate(zip_with(e, {lit}, (x, y) -> x * y), "
+            "cast(0.0 as double), (s, x) -> s + x)"
+        )
+        bits.append(f"(CASE WHEN round({dot}, 6) > 0 THEN {2**i} ELSE 0 END)")
+    bucket = F.expr(" + ".join(bits))
     b = emb.select("vec_id", "e", "nrm", bucket.alias("bucket"))
     x, y = b.alias("x"), b.alias("y")
     cos = _dot(F.col("x.e"), F.col("y.e")) / (F.col("x.nrm") * F.col("y.nrm"))
@@ -434,17 +442,25 @@ _DEDUP_BAND_BITS = 4  # 3 bands x 4 bits carved from the 12 hyperplanes
 
 def _band_bits(e_col: str, band: int) -> Column:
     """4-bit band value for `band` from the shared hyperplane family —
-    row-local sign bits, same literals as the SQL oracle."""
+    row-local sign bits, same literals as the SQL oracle. Composed as
+    ONE SQL string (one Py4J call) instead of per-dim F.lit() — the
+    Column-API form cost hundreds of Py4J round trips of driver-side
+    construction per band (see _mb_bands)."""
     planes = _hyperplanes()
-    val: Column | None = None
+    bits = []
     for j in range(_DEDUP_BAND_BITS):
         p = planes[band * _DEDUP_BAND_BITS + j]
-        lit = F.array(*[F.lit(v) for v in p])
-        bit = F.when(
-            F.round(_dot(F.col(e_col), lit), 6) > 0, F.lit(2**j)
-        ).otherwise(F.lit(0))
-        val = bit if val is None else val + bit
-    return val
+        lit = (
+            "cast(array("
+            + ", ".join(str(v) for v in p)
+            + ") as array<double>)"
+        )
+        dot = (
+            f"aggregate(zip_with({e_col}, {lit}, (x, y) -> x * y), "
+            "cast(0.0 as double), (s, x) -> s + x)"
+        )
+        bits.append(f"(CASE WHEN round({dot}, 6) > 0 THEN {2**j} ELSE 0 END)")
+    return F.expr(" + ".join(bits))
 
 
 def cosine_dedup_candidates(emb: DataFrame) -> DataFrame:
@@ -1696,21 +1712,40 @@ def _mb_hyperplanes() -> list[list[float]]:
 def _mb_bands(emb: DataFrame) -> DataFrame:
     """(vec_id, e, nrm) -> (vec_id, e, nrm, band, bkt): MB_BANDS
     8-bit sign buckets per row, exploded one row per band. Row-local:
-    32 dot products against broadcast literal planes, zero shuffle."""
+    32 dot products against broadcast literal planes, zero shuffle.
+
+    The whole bucket expression is composed as ONE SQL string and
+    parsed JVM-side: the original Column-API form built 32 planes x
+    64 dims of F.lit() — ~2048 Py4J round trips, measured 10-40 s of
+    DRIVER-side construction per invocation (r13: it tripped bench's
+    eager-construction guard, which cannot tell Py4J width from eager
+    engine work). One F.expr parse is <0.5 s and bit-identical — the
+    fold order, 6-dp rounding, and literal values are unchanged (the
+    oracle compares exactly)."""
     planes = _mb_hyperplanes()
-    bands = []
+    bands_sql = []
     for j in range(MB_BANDS):
-        bucket = None
+        bits = []
         for i in range(MB_BITS):
             p = planes[j * MB_BITS + i]
-            lit = F.array(*[F.lit(v) for v in p])
-            bit = F.when(
-                F.round(_dot(F.col("e"), lit), 6) > 0, F.lit(2**i)
-            ).otherwise(F.lit(0))
-            bucket = bit if bucket is None else bucket + bit
-        bands.append(F.struct(F.lit(j).alias("band"), bucket.alias("bkt")))
+            lit = (
+                "cast(array("
+                + ", ".join(str(v) for v in p)
+                + ") as array<double>)"
+            )
+            dot = (
+                f"aggregate(zip_with(e, {lit}, (x, y) -> x * y), "
+                "cast(0.0 as double), (s, x) -> s + x)"
+            )
+            bits.append(
+                f"(CASE WHEN round({dot}, 6) > 0 THEN {2**i} ELSE 0 END)"
+            )
+        bands_sql.append(
+            f"named_struct('band', {j}, 'bkt', " + " + ".join(bits) + ")"
+        )
+    arr = "array(" + ", ".join(bands_sql) + ")"
     return emb.select(
-        "vec_id", "e", "nrm", F.explode(F.array(*bands)).alias("bb")
+        "vec_id", "e", "nrm", F.explode(F.expr(arr)).alias("bb")
     ).select("vec_id", "e", "nrm", "bb.band", "bb.bkt")
 
 
