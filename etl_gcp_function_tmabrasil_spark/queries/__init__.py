@@ -169,13 +169,21 @@ _CHECK_FIRST = [
 # scripts/merge_correctness_ledger.py (it picks up CORRECTNESS_r13.json).
 # Then the r14 window = any round-13 registrations without driver
 # evidence (top of the window), then the stalest ledger rows oldest
-# round first in registry order (after r13 lands that is the 46 rows
-# with round == 7 not already refreshed, then round == 8), topped up
-# to exactly 50 (compute programmatically from the ledger — do NOT
-# trust a hand count; the r11 close-out miscounted its own
-# registrations by two). ALSO at the r14 boundary: amend SURVEY §2.2
-# with the round-13 registrations (count programmatically — compare
-# all_queries() keys against the §2.2 query-name column).
+# round first in registry order — after r13 lands that is the 7
+# round-6 rows the r13 registrations displaced
+# (sink_partitioned_roundtrip, scan_cloudevent_datasource,
+# sink_compaction_roundtrip, scan_schema_evolution,
+# stream_sliding_watermark, pipeline_curate_documents,
+# sample_stratified_docs), then the round-7 rows (including the 4
+# displaced top-ups) — topped up to exactly 50 (compute
+# programmatically from the ledger — do NOT trust a hand count; the
+# r11 close-out miscounted its own registrations by two). ALSO at the
+# r14 boundary: amend SURVEY §2.2 with the 11 round-13 registrations
+# (ab_test_cuped, ab_test_did, feature_woe_iv,
+# period_over_period_growth, forecast_backtest_smape,
+# graph_adamic_adar, dedup_incremental_bloom, batch_length_bucketing,
+# text_readability, knn_radius_cells, sink_snapshot_wap + any later
+# ones — count programmatically against the §2.2 query-name column).
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
