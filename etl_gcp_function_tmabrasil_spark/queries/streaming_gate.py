@@ -1919,3 +1919,90 @@ FROM events GROUP BY day ORDER BY day
 
 QUERIES["stream_update_mode_emissions"] = stream_update_mode_emissions
 ORACLE["stream_update_mode_emissions"] = _UPDATE_MODE_SQL
+
+
+# --- Stream-static SCD2 as-of enrichment (round 13) ---------------------------
+
+_ASOF_OPEN_END = "9999-12-31 00:00:00"
+
+
+def stream_scd2_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream enrichment against a TYPE-2 dimension AS OF event time —
+    the late-arriving-fact / slowly-changing-dimension join every
+    warehouse loader needs: each replayed event picks the dimension
+    VERSION that was valid at its timestamp (orders as the SCD2
+    source: per customer, each order's priority is valid from its
+    order date until the next), not the current version a plain
+    stream-static equi-join would give. Events from users with no
+    prior order pass through with null enrichment (the reference's
+    null-tolerant R2 semantics, main.py:6-9).
+
+    Mechanics: the SCD2 history is derived in batch (one user-keyed
+    LEAD window — the scd2_user_history shape) and joined
+    stream-static per micro-batch on user EQUALITY plus the interval
+    range predicate; intervals partition time, so the left join is
+    row-preserving by construction. Through the real runtime:
+    checkpointed availableNow replay over the shared chunk fixture,
+    re-invocation exercises the restart path. The sink rollup must
+    equal the batch as-of join of `events` against the same history.
+
+    Scale: the equi key (user) leads the join, so the range predicate
+    only filters within a user's version chain — never a range join
+    across users; the dimension build is one shuffle by customer.
+    """
+    root = _root(sf_dir, "scd2_asof")
+    chunks = _shared_chunks(sf_dir)
+    from pyspark.sql import Window as W
+
+    odr = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    nxt = F.lead("o_orderdate").over(w)
+    dim = odr.select(
+        F.col("o_custkey").alias("duser"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("vfrom"),
+        F.coalesce(nxt, F.lit(_ASOF_OPEN_END).cast("timestamp")).alias("vto"),
+    )
+    ev = _stream(spark, chunks)
+    enriched = ev.join(
+        dim,
+        (ev["user_id"] == dim["duser"])
+        & (ev["ts"] >= dim["vfrom"])
+        & (ev["ts"] < dim["vto"]),
+        "left",
+    ).select("user_id", "value", F.col("priority"))
+    data = _run_to_parquet(enriched, root)
+    return (
+        spark.read.parquet(data)
+        .groupBy(F.coalesce("priority", F.lit("none")).alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            csum("value").alias("sum_value"),
+        )
+        .orderBy("priority")
+    )
+
+
+_SCD2_ASOF_SQL = f"""
+WITH dim AS (
+  SELECT o_custkey AS duser, o_orderpriority AS priority,
+    o_orderdate AS vfrom,
+    COALESCE(LEAD(o_orderdate) OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+      TIMESTAMP '{_ASOF_OPEN_END}') AS vto
+  FROM orders
+)
+SELECT COALESCE(d.priority, 'none') AS priority,
+  COUNT(*) AS n, COUNT(DISTINCT e.user_id) AS n_users,
+  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events e
+LEFT JOIN dim d
+  ON e.user_id = d.duser AND e.ts >= d.vfrom AND e.ts < d.vto
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["stream_scd2_asof_enrichment"] = stream_scd2_asof_enrichment
+ORACLE["stream_scd2_asof_enrichment"] = _SCD2_ASOF_SQL

@@ -155,6 +155,9 @@ GATE_QUERIES = [
     # round, a metadata-only promote, and an idempotent-replay check,
     # all at fixture build
     "sink_snapshot_wap",
+    # r13: checkpointed availableNow replay with the stream-static
+    # SCD2 as-of join per micro-batch
+    "stream_scd2_asof_enrichment",
 ]
 
 

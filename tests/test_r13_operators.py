@@ -357,6 +357,46 @@ def test_radius_search_equals_bruteforce(spark):
     assert want, "fixture must exercise non-empty radius results"
 
 
+def test_stream_scd2_asof_matches_python_interval_scan(spark):
+    """The streaming gate's rollup must equal a plain-Python as-of
+    join: for each event, walk the user's date-ordered order history
+    and pick the version valid at the event's timestamp."""
+    from collections import defaultdict as dd
+
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+    from etl_gcp_function_tmabrasil_spark.queries.streaming_gate import (
+        stream_scd2_asof_enrichment,
+    )
+
+    got = {
+        r.priority: (r.n, r.n_users, r.sum_value)
+        for r in stream_scd2_asof_enrichment(spark, SF_SMOKE).collect()
+    }
+    orders = load_table(spark, SF_SMOKE, "orders").collect()
+    hist: dict = dd(list)
+    for o in orders:
+        hist[o.o_custkey].append((o.o_orderdate, o.o_orderkey, o.o_orderpriority))
+    for h in hist.values():
+        h.sort()
+    agg: dict = dd(lambda: [0, set(), 0.0])
+    for e in load_table(spark, SF_SMOKE, "events").collect():
+        prio = "none"
+        versions = hist.get(e.user_id, [])
+        for i, (d, _, p) in enumerate(versions):
+            nxt = versions[i + 1][0] if i + 1 < len(versions) else None
+            if e.ts >= d and (nxt is None or e.ts < nxt):
+                prio = p
+                break
+        slot = agg[prio]
+        slot[0] += 1
+        slot[1].add(e.user_id)
+        slot[2] += round(e.value, 2)
+    assert set(got) == set(agg)
+    for p, (n, users, sv) in agg.items():
+        assert got[p][0] == n and got[p][1] == len(users)
+        assert got[p][2] == pytest.approx(sv, abs=1e-6)
+
+
 def test_promote_staged_is_metadata_only_and_idempotent(spark, tmp_path):
     import os
 
