@@ -152,6 +152,8 @@ EXTENDED = [
     "batch_length_bucketing",       # power-of-two padding-waste planner
     "text_readability",             # Flesch reading-ease bands
     "knn_radius_cells",             # exact radius search, cell-pruned
+    "stats_power_mde",              # power analysis / MDE closed forms
+    "conformal_interval_split",     # split-conformal banded order statistic
 ]
 
 

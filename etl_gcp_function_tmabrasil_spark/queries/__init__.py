@@ -115,6 +115,8 @@ _CHECK_FIRST = [
     "knn_radius_cells",
     "sink_snapshot_wap",
     "stream_scd2_asof_enrichment",
+    "stats_power_mde",
+    "conformal_interval_split",
     # round-6 rows (registry order):
     "agg_collect",
     "window_first_last",
@@ -152,38 +154,39 @@ _CHECK_FIRST = [
     "tfidf_top_terms",
     "udtf_token_positions",
     "udf_pandas_scaled_value",
-    "udf_grouped_zscore",
-    "udf_grouped_agg_range",
     # (the 4 r7 top-ups agg_approx_percentile /
     # window_global_rownum_scalable / distinct_count_full_rows /
-    # func_json_encode and the 7 r6 tail rows
+    # func_json_encode and the 10 r6 tail rows
     # sink_partitioned_roundtrip / scan_cloudevent_datasource /
     # sink_compaction_roundtrip / scan_schema_evolution /
     # stream_sliding_watermark / pipeline_curate_documents /
-    # sample_stratified_docs / sql_segment_status_rollup were
-    # displaced by the 12 r13 registrations above; they keep their
-    # r6/r7 evidence and rotate FIRST in r14)
+    # sample_stratified_docs / sql_segment_status_rollup /
+    # udf_grouped_zscore / udf_grouped_agg_range were displaced by
+    # the 14 r13 registrations above; they keep their r6/r7 evidence
+    # and rotate FIRST in r14)
 ]
 
 # ROUND-14 ROTATION PLAN (for the next builder): FIRST run
 # scripts/merge_correctness_ledger.py (it picks up CORRECTNESS_r13.json).
 # Then the r14 window = any round-13 registrations without driver
 # evidence (top of the window), then the stalest ledger rows oldest
-# round first in registry order — after r13 lands that is the 8
+# round first in registry order — after r13 lands that is the 10
 # round-6 rows the r13 registrations displaced
-# (sql_segment_status_rollup, sink_partitioned_roundtrip, scan_cloudevent_datasource,
+# (udf_grouped_zscore, udf_grouped_agg_range,
+# sql_segment_status_rollup, sink_partitioned_roundtrip, scan_cloudevent_datasource,
 # sink_compaction_roundtrip, scan_schema_evolution,
 # stream_sliding_watermark, pipeline_curate_documents,
 # sample_stratified_docs), then the round-7 rows (including the 4
 # displaced top-ups) — topped up to exactly 50 (compute
 # programmatically from the ledger — do NOT trust a hand count; the
 # r11 close-out miscounted its own registrations by two). ALSO at the
-# r14 boundary: amend SURVEY §2.2 with the 12 round-13 registrations
+# r14 boundary: amend SURVEY §2.2 with the 14 round-13 registrations
 # (ab_test_cuped, ab_test_did, feature_woe_iv,
 # period_over_period_growth, forecast_backtest_smape,
 # graph_adamic_adar, dedup_incremental_bloom, batch_length_bucketing,
 # text_readability, knn_radius_cells, sink_snapshot_wap,
-# stream_scd2_asof_enrichment + any later ones — count
+# stream_scd2_asof_enrichment, stats_power_mde,
+# conformal_interval_split + any later ones — count
 # programmatically against the §2.2 query-name column).
 
 

@@ -4596,3 +4596,300 @@ ORDER BY method, month
 
 QUERIES["forecast_backtest_smape"] = forecast_backtest_smape
 ORACLE["forecast_backtest_smape"] = _BACKTEST_SQL
+
+
+# --- Power analysis / minimum detectable effect (round 13) -------------------
+
+Z_ALPHA2 = 1.959964  #: two-sided alpha = 0.05
+Z_BETA = 0.841621  #: power = 0.80
+MDE_REL_TARGET = 0.01  #: the "how long must we run for 1%?" readout
+
+
+def stats_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis per event type — the question every
+    A/B test answers BEFORE it runs (the standard two-sample normal
+    approximation, e.g. van Belle's rule of thumb): with the observed
+    per-user metric variance and current traffic, the minimum
+    detectable effect at alpha=0.05 / power=0.8 is
+    MDE = (z_{a/2} + z_b) * s * sqrt(1/n_a + 1/n_b), and the sample
+    size needed PER ARM to detect a 1% lift of the mean is
+    n = 2 * (z_{a/2} + z_b)^2 * s^2 / (0.01 * mean)^2.
+
+    Built on the same i.i.d.-unit discipline as Welch/CUPED: the unit
+    is the per-user value sum, variance is the pooled per-user sample
+    variance, and everything reduces to ONE event-type-sized
+    conditional moments rollup over the per-(type, user) frame with
+    row-local closed forms. n<=1 / zero-variance / zero-mean edges
+    emit NULL deterministically on both engines.
+    """
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("y"))
+        .select(
+            "event_type",
+            (F.col("user_id") % 2 == 0).alias("is_a"),
+            "y",
+            (F.col("y") * F.col("y")).cast("decimal(38,8)").alias("yy"),
+        )
+    )
+    a = F.col("is_a")
+    base = per_user.groupBy("event_type").agg(
+        F.count(F.when(a, F.lit(1))).cast("double").alias("n_a"),
+        F.count(F.when(~a, F.lit(1))).cast("double").alias("n_b"),
+        F.sum(F.col("y").cast("decimal(38,4)")).cast("double").alias("sy"),
+        F.sum("yy").cast("double").alias("syy"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    mean = F.col("sy") / n
+    var = (n * F.col("syy") - F.col("sy") * F.col("sy")) / (n * (n - 1))
+    z = F.lit(Z_ALPHA2 + Z_BETA)
+    ok = (F.col("n_a") > 1) & (F.col("n_b") > 1) & (var > 0) & (mean != 0)
+    mde_abs = F.when(
+        ok, z * F.sqrt(var) * F.sqrt(1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    n_per_arm = F.when(
+        ok,
+        F.ceil(
+            F.lit(2.0) * z * z * var / (F.lit(MDE_REL_TARGET) * mean) ** 2
+        ).cast("long"),
+    )
+    return base.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_users_a"),
+        F.col("n_b").cast("long").alias("n_users_b"),
+        F.round(mean, 6).alias("mean_y"),
+        F.round(F.when(ok, F.sqrt(var)), 6).alias("sd_y"),
+        F.round(mde_abs, 6).alias("mde_abs"),
+        F.round(mde_abs / mean, 6).alias("mde_rel"),
+        n_per_arm.alias("n_per_arm_1pct"),
+    ).orderBy("event_type")
+
+
+_POWER_SQL = f"""
+WITH per_user AS (
+  SELECT event_type, user_id % 2 = 0 AS is_a,
+    SUM(CAST(value AS DECIMAL(18,4))) AS y
+  FROM events GROUP BY event_type, user_id
+),
+m AS (
+  SELECT event_type, is_a, y,
+    CAST(y * y AS DECIMAL(38,8)) AS yy
+  FROM per_user
+),
+base AS (
+  SELECT event_type,
+    CAST(COUNT(*) FILTER (WHERE is_a) AS DOUBLE) AS n_a,
+    CAST(COUNT(*) FILTER (WHERE NOT is_a) AS DOUBLE) AS n_b,
+    CAST(SUM(CAST(y AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+    CAST(SUM(yy) AS DOUBLE) AS syy
+  FROM m GROUP BY event_type
+),
+s AS (
+  SELECT event_type, n_a, n_b,
+    sy / (n_a + n_b) AS mean,
+    ((n_a + n_b) * syy - sy * sy) / ((n_a + n_b) * (n_a + n_b - 1)) AS var,
+    n_a > 1 AND n_b > 1
+      AND ((n_a + n_b) * syy - sy * sy) > 0
+      AND sy <> 0 AS ok
+  FROM base
+)
+SELECT event_type,
+  CAST(n_a AS BIGINT) AS n_users_a, CAST(n_b AS BIGINT) AS n_users_b,
+  ROUND(mean, 6) AS mean_y,
+  ROUND(CASE WHEN ok THEN sqrt(var) END, 6) AS sd_y,
+  ROUND(CASE WHEN ok THEN
+    {Z_ALPHA2 + Z_BETA} * sqrt(var) * sqrt(1 / n_a + 1 / n_b) END, 6)
+    AS mde_abs,
+  ROUND(CASE WHEN ok THEN
+    {Z_ALPHA2 + Z_BETA} * sqrt(var) * sqrt(1 / n_a + 1 / n_b) / mean END, 6)
+    AS mde_rel,
+  CASE WHEN ok THEN CAST(CEIL(
+    2.0 * {Z_ALPHA2 + Z_BETA} * {Z_ALPHA2 + Z_BETA} * var
+    / (({MDE_REL_TARGET} * mean) * ({MDE_REL_TARGET} * mean))) AS BIGINT)
+  END AS n_per_arm_1pct
+FROM s ORDER BY event_type
+"""
+
+QUERIES["stats_power_mde"] = stats_power_mde
+ORACLE["stats_power_mde"] = _POWER_SQL
+
+
+# --- Split-conformal prediction intervals (round 13) -------------------------
+
+CONF_ALPHA = 0.1  #: 90% intervals
+CONF_BAND_W = 10.0  #: residual band width for the banded rank selection
+
+
+def conformal_interval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals per event type (Vovk's
+    inductive conformal; Papadopoulos et al. 2002; Lei et al. 2018
+    formulation): fit a predictor on a TRAIN split (per-type decimal
+    mean, even users), take the ⌈(1−α)(n_cal+1)⌉-th smallest absolute
+    residual on the disjoint CALIBRATION split (odd users) as the
+    interval half-width q, and report the finite-sample-valid interval
+    ŷ ± q with its achieved calibration coverage (≥ 1−α by the
+    conformal guarantee, exchangeability assumed).
+
+    The order statistic is selected EXACTLY without any per-group sort
+    or buffering, with the banded-rank pattern (operators/quantiles):
+    one pass builds per-(type, band) counts, a prefix-sum window over
+    the BAND table (band-count-sized, never row-sized) locates the
+    target band, and only that band's rows re-scan and rank. The
+    conformal rank k = ceil((1−α)(n+1)) is PER-GROUP data (clamped to
+    n_cal), which is why this inlines the pattern instead of calling
+    banded_exact_quantiles (constant-p interpolated ranks).
+
+    Exactness: ŷ is rounded to 6 dp before residuals on both engines,
+    so every residual double is bit-identical; the k-th VALUE is
+    well-defined under ties regardless of row order.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        (F.col("user_id") % 2 == 0).alias("is_train"),
+        F.col("value").alias("v"),
+    )
+    from etl_gcp_function_tmabrasil_spark.queries._util import managed_persist
+
+    yhat = (
+        ev.filter("is_train")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("yhat"),
+            F.count(F.lit(1)).alias("n_train"),
+        )
+    )
+    cal = (
+        ev.filter(~F.col("is_train"))
+        .join(F.broadcast(yhat), "event_type")
+        .select(
+            "event_type",
+            "yhat",
+            "n_train",
+            F.abs(F.col("v") - F.col("yhat")).alias("r"),
+        )
+    )
+    d = cal.select(
+        "event_type",
+        "r",
+        F.floor(F.col("r") / CONF_BAND_W).cast("long").alias("band"),
+    )
+    # band table: counts + prefix offsets (band-count-sized windows)
+    bc = managed_persist(
+        d.groupBy("event_type", "band").agg(F.count(F.lit(1)).alias("n_band")),
+        "conformal.bands",
+    )
+    w_off = (
+        W.partitionBy("event_type")
+        .orderBy("band")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    bands = bc.withColumn(
+        "offset", F.coalesce(F.sum("n_band").over(w_off), F.lit(0))
+    )
+    totals = bc.groupBy("event_type").agg(F.sum("n_band").alias("n_cal"))
+    # conformal rank (1-based), clamped to n_cal for tiny groups
+    needed = totals.select(
+        "event_type",
+        "n_cal",
+        F.least(
+            F.ceil(F.lit(1 - CONF_ALPHA) * (F.col("n_cal") + 1)).cast("long"),
+            F.col("n_cal"),
+        ).alias("k"),
+    )
+    target = (
+        bands.join(F.broadcast(needed), "event_type")
+        .filter(
+            (F.col("k") > F.col("offset"))
+            & (F.col("k") <= F.col("offset") + F.col("n_band"))
+        )
+        .select("event_type", "band", "offset", "k")
+    )
+    w_in = W.partitionBy("event_type", "band").orderBy("r")
+    q = (
+        d.join(F.broadcast(target), ["event_type", "band"])
+        .withColumn("rk", F.col("offset") + F.row_number().over(w_in))
+        .filter(F.col("rk") == F.col("k"))
+        .select("event_type", F.round("r", 6).alias("q"))
+    )
+    cov = (
+        cal.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_cal"),
+            F.max("yhat").alias("yhat"),
+            F.max("n_train").alias("n_train"),
+            F.max("q").alias("qv"),
+            F.round(
+                F.count(F.when(F.col("r") <= F.round(F.col("q"), 6), F.lit(1)))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("coverage"),
+        )
+    )
+    return cov.select(
+        "event_type",
+        "n_train",
+        "n_cal",
+        F.round("yhat", 6).alias("yhat"),
+        F.col("qv").alias("q90"),
+        F.round(F.col("yhat") - F.col("qv"), 6).alias("lo"),
+        F.round(F.col("yhat") + F.col("qv"), 6).alias("hi"),
+        "coverage",
+        (F.col("coverage") >= F.lit(1 - CONF_ALPHA)).alias("valid"),
+    ).orderBy("event_type")
+
+
+_CONFORMAL_SQL = f"""
+WITH ev AS (
+  SELECT event_type, user_id % 2 = 0 AS is_train, value AS v
+  FROM events
+),
+yhat AS (
+  SELECT event_type,
+    ROUND(CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6)
+      AS yhat,
+    COUNT(*) AS n_train
+  FROM ev WHERE is_train GROUP BY event_type
+),
+cal AS (
+  SELECT e.event_type, y.yhat, y.n_train, abs(e.v - y.yhat) AS r
+  FROM ev e JOIN yhat y ON e.event_type = y.event_type
+  WHERE NOT e.is_train
+),
+tot AS (SELECT event_type, COUNT(*) AS n_cal FROM cal GROUP BY event_type),
+kk AS (
+  SELECT event_type, n_cal,
+    LEAST(CAST(CEIL({1 - CONF_ALPHA} * (n_cal + 1)) AS BIGINT), n_cal) AS k
+  FROM tot
+),
+q AS (
+  SELECT event_type, ROUND(r, 6) AS q FROM (
+    SELECT c.event_type, c.r,
+      ROW_NUMBER() OVER (PARTITION BY c.event_type ORDER BY c.r) AS rk,
+      kk.k
+    FROM cal c JOIN kk ON c.event_type = kk.event_type
+  ) t WHERE rk = k
+)
+SELECT c.event_type,
+  MAX(c.n_train) AS n_train,
+  COUNT(*) AS n_cal,
+  ROUND(MAX(c.yhat), 6) AS yhat,
+  MAX(q.q) AS q90,
+  ROUND(MAX(c.yhat) - MAX(q.q), 6) AS lo,
+  ROUND(MAX(c.yhat) + MAX(q.q), 6) AS hi,
+  ROUND(COUNT(*) FILTER (WHERE c.r <= q.q) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS coverage,
+  ROUND(COUNT(*) FILTER (WHERE c.r <= q.q) / CAST(COUNT(*) AS DOUBLE), 6)
+    >= {1 - CONF_ALPHA} AS valid
+FROM cal c JOIN q ON c.event_type = q.event_type
+GROUP BY c.event_type ORDER BY c.event_type
+"""
+
+QUERIES["conformal_interval_split"] = conformal_interval_split
+ORACLE["conformal_interval_split"] = _CONFORMAL_SQL

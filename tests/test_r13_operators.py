@@ -357,6 +357,69 @@ def test_radius_search_equals_bruteforce(spark):
     assert want, "fixture must exercise non-empty radius results"
 
 
+def test_power_mde_matches_python_moments(spark):
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        MDE_REL_TARGET,
+        Z_ALPHA2,
+        Z_BETA,
+        stats_power_mde,
+    )
+
+    got = {r.event_type: r for r in stats_power_mde(spark, SF_SMOKE).collect()}
+    per_user: dict = defaultdict(float)
+    for e in _events(spark):
+        per_user[(e.event_type, e.user_id)] += round(e.value, 4)
+    by_type: dict = defaultdict(list)
+    for (et, uid), y in per_user.items():
+        by_type[et].append((uid % 2 == 0, y))
+    for et, rows in by_type.items():
+        ys = [y for _, y in rows]
+        n = len(ys)
+        mean = sum(ys) / n
+        var = sum((y - mean) ** 2 for y in ys) / (n - 1)
+        z = Z_ALPHA2 + Z_BETA
+        n_a = sum(1 for a, _ in rows if a)
+        n_b = n - n_a
+        mde = z * math.sqrt(var) * math.sqrt(1 / n_a + 1 / n_b)
+        r = got[et]
+        assert (r.n_users_a, r.n_users_b) == (n_a, n_b)
+        assert r.mean_y == pytest.approx(mean, abs=2e-6)
+        assert r.mde_abs == pytest.approx(mde, abs=2e-5)
+        assert r.n_per_arm_1pct == math.ceil(
+            2 * z * z * var / (MDE_REL_TARGET * mean) ** 2
+        )
+
+
+def test_conformal_interval_matches_python_order_statistic(spark):
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        CONF_ALPHA,
+        conformal_interval_split,
+    )
+
+    got = {
+        r.event_type: r
+        for r in conformal_interval_split(spark, SF_SMOKE).collect()
+    }
+    train: dict = defaultdict(list)
+    cal: dict = defaultdict(list)
+    for e in _events(spark):
+        (train if e.user_id % 2 == 0 else cal)[e.event_type].append(e.value)
+    for et in got:
+        # predictor mean at 4dp-exact sums, rounded 6dp like the engine
+        yhat = round(sum(round(v, 4) for v in train[et]) / len(train[et]), 6)
+        resid = sorted(abs(v - yhat) for v in cal[et])
+        n = len(resid)
+        k = min(math.ceil((1 - CONF_ALPHA) * (n + 1)), n)
+        q = round(resid[k - 1], 6)
+        r = got[et]
+        assert (r.n_train, r.n_cal) == (len(train[et]), n)
+        assert r.q90 == pytest.approx(q, abs=1e-9)
+        # the conformal guarantee: coverage >= k/(n+1) ~ 1 - alpha
+        cov = sum(1 for x in resid if x <= q) / n
+        assert r.coverage == pytest.approx(cov, abs=2e-6)
+        assert r.valid == (cov >= 1 - CONF_ALPHA)
+
+
 def test_stream_scd2_asof_matches_python_interval_scan(spark):
     """The streaming gate's rollup must equal a plain-Python as-of
     join: for each event, walk the user's date-ordered order history
