@@ -90,104 +90,79 @@ _MODULES = [
 # Everything else stays covered by tests/test_oracle_parity.py locally
 # (all registered queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
-    # --- ROUND-13 WINDOW (executes the r12-verdict rotation plan:
-    # bounded staleness, oldest evidence first). The r12 gate landed
-    # green (CORRECTNESS_r12.json, 50/50) and the ledger is merged
-    # through r12 (zero null-round rows; every r12 registration has a
-    # fresh row, so nothing displaces from the top). This window =
-    # the 46 ledger rows whose latest green round is 6 (the stalest
-    # evidence in the repo — computed programmatically from
-    # CORRECTNESS_CUMULATIVE.json, registry order), topped up to
-    # exactly 50 with the first 4 round-7 rows in registry order.
-    # Round-13 registrations go at the TOP and displace the r7
-    # top-ups first, then the tail of the r6 block (displaced rows
-    # keep their existing evidence and rotate FIRST in r14). ---
-    # round-13 registrations (top of the window):
-    "ab_test_cuped",
-    "ab_test_did",
-    "feature_woe_iv",
-    "period_over_period_growth",
-    "forecast_backtest_smape",
-    "graph_adamic_adar",
-    "dedup_incremental_bloom",
-    "batch_length_bucketing",
-    "text_readability",
-    "knn_radius_cells",
-    "sink_snapshot_wap",
-    "stream_scd2_asof_enrichment",
-    "stats_power_mde",
-    "conformal_interval_split",
-    # round-6 rows (registry order):
-    "agg_collect",
-    "window_first_last",
-    "window_lag_lead",
-    "window_topk_per_group",
-    "sort_topk_orders",
-    "sort_multi_key",
-    "dedup_exact_rows",
-    "dedup_pick_latest",
-    "filter_reference_path_predicate",
-    "func_strings",
-    "func_dates",
-    "func_math",
-    "func_conditional",
-    "func_casts",
-    "func_array_predicates",
-    "func_try_arithmetic",
-    "json_extract_props",
-    "json_schema_inference",
-    "json_agg_by_key",
-    "array_ops",
-    "map_ops",
-    "window_tumbling_batch",
-    "window_sliding_batch",
-    "window_session_batch",
-    "xlsx_ingest_roundtrip",
-    "text_stats",
-    "text_lang_id",
-    "dedup_ngram_jaccard",
-    "decontaminate_ngram",
-    "pii_mask_customer",
-    "vocab_doc_frequency",
-    "agg_heavy_hitters",
-    "embedding_cosine_dedup",
-    "tfidf_top_terms",
-    "udtf_token_positions",
-    "udf_pandas_scaled_value",
-    # (the 4 r7 top-ups agg_approx_percentile /
-    # window_global_rownum_scalable / distinct_count_full_rows /
-    # func_json_encode and the 10 r6 tail rows
-    # sink_partitioned_roundtrip / scan_cloudevent_datasource /
-    # sink_compaction_roundtrip / scan_schema_evolution /
-    # stream_sliding_watermark / pipeline_curate_documents /
-    # sample_stratified_docs / sql_segment_status_rollup /
-    # udf_grouped_zscore / udf_grouped_agg_range were displaced by
-    # the 14 r13 registrations above; they keep their r6/r7 evidence
-    # and rotate FIRST in r14)
+    # --- ROUND-14 WINDOW (computed PROGRAMMATICALLY from the merged
+    # ledger, per the r13 rotation plan below — never hand-counted):
+    # the 4 round-14 registrations (stats_sequential_msprt,
+    # model_calibration_brier, ann_silhouette_cells,
+    # sink_snapshot_fsck) at the top, then the 10 round-6 rows the r13
+    # registrations displaced, then the 36 oldest round-7 rows in
+    # registry order — exactly 50. After r14 lands, max evidence age
+    # is r7 (14 rows), trending down per the staleness contract. ---
+    "stats_sequential_msprt",
+    "model_calibration_brier",
+    "ann_silhouette_cells",
+    "sink_snapshot_fsck",
+    "udf_grouped_zscore",
+    "udf_grouped_agg_range",
+    "sql_segment_status_rollup",
+    "sink_partitioned_roundtrip",
+    "scan_cloudevent_datasource",
+    "sink_compaction_roundtrip",
+    "scan_schema_evolution",
+    "stream_sliding_watermark",
+    "pipeline_curate_documents",
+    "sample_stratified_docs",
+    "agg_approx_percentile",
+    "window_global_rownum_scalable",
+    "distinct_count_full_rows",
+    "func_json_encode",
+    "agg_bitwise_stringagg",
+    "timeseries_ewma",
+    "json_variant_ops",
+    "text_length_histogram",
+    "dedup_exact_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_cluster_representative",
+    "dedup_corpus_lines",
+    "dedup_repeated_substrings",
+    "embedding_quantize_int8",
+    "knn_bruteforce_cosine",
+    "ann_lsh_cosine",
+    "ann_ivf_cosine",
+    "embedding_stats",
+    "embedding_dim_profile",
+    "kmeans_ivf_codebook",
+    "dedup_semantic_semdedup",
+    "dedup_minhash_mllib",
+    "ann_brp_mllib",
+    "udf_arrow_vector_norms",
+    "sql_lateral_topk",
+    "sql_recursive_cte_index",
+    "scan_binaryfile_source",
+    "sink_zorder_layout",
+    "join_dpp_partitioned",
+    "join_runtime_bloom_filter",
+    "scan_orc_roundtrip",
+    "scan_xml_roundtrip",
+    "stream_cloudevent_source",
+    "sink_cloudevent_writer",
+    "sink_bucketed_colocated_join",
+    "sink_incremental_rollup",
 ]
 
-# ROUND-14 ROTATION PLAN (for the next builder): FIRST run
-# scripts/merge_correctness_ledger.py (it picks up CORRECTNESS_r13.json).
-# Then the r14 window = any round-13 registrations without driver
+# ROUND-15 ROTATION PLAN (for the next builder): FIRST run
+# scripts/merge_correctness_ledger.py (it picks up CORRECTNESS_r14.json).
+# Then the r15 window = any round-14 registrations without driver
 # evidence (top of the window), then the stalest ledger rows oldest
-# round first in registry order — after r13 lands that is the 10
-# round-6 rows the r13 registrations displaced
-# (udf_grouped_zscore, udf_grouped_agg_range,
-# sql_segment_status_rollup, sink_partitioned_roundtrip, scan_cloudevent_datasource,
-# sink_compaction_roundtrip, scan_schema_evolution,
-# stream_sliding_watermark, pipeline_curate_documents,
-# sample_stratified_docs), then the round-7 rows (including the 4
-# displaced top-ups) — topped up to exactly 50 (compute
-# programmatically from the ledger — do NOT trust a hand count; the
-# r11 close-out miscounted its own registrations by two). ALSO at the
-# r14 boundary: amend SURVEY §2.2 with the 14 round-13 registrations
-# (ab_test_cuped, ab_test_did, feature_woe_iv,
-# period_over_period_growth, forecast_backtest_smape,
-# graph_adamic_adar, dedup_incremental_bloom, batch_length_bucketing,
-# text_readability, knn_radius_cells, sink_snapshot_wap,
-# stream_scd2_asof_enrichment, stats_power_mde,
-# conformal_interval_split + any later ones — count
-# programmatically against the §2.2 query-name column).
+# round first in registry order — after r14 lands that is the 14
+# remaining round-7 rows, then the round-8 rows — topped up to
+# exactly 50 (compute programmatically from the ledger — do NOT
+# trust a hand count; the r11 close-out miscounted its own
+# registrations by two). ALSO at the r15 boundary: amend SURVEY §2.2
+# with the round-14 registrations (stats_sequential_msprt,
+# model_calibration_brier, ann_silhouette_cells, sink_snapshot_fsck
+# + any later ones — count programmatically against the §2.2
+# query-name column).
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

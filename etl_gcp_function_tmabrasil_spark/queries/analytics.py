@@ -4893,3 +4893,329 @@ GROUP BY c.event_type ORDER BY c.event_type
 
 QUERIES["conformal_interval_split"] = conformal_interval_split
 ORACLE["conformal_interval_split"] = _CONFORMAL_SQL
+
+
+# --- Always-valid sequential testing: mSPRT (round 14) ------------------------
+
+TAU2_MSPRT = 25.0  #: normal mixing variance τ² — sized to the per-event
+#: value scale (sd ≈ 30, so τ = 5 targets MDE-sized effects; Johari et
+#: al. recommend matching τ to the effect sizes worth detecting).
+MSPRT_ALPHA = 0.05  #: always-valid rejection level
+
+
+def stats_sequential_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B readout per (event_type, day) — the
+    mixture SPRT of Johari, Koomen, Pekelis & Walsh ("Peeking at A/B
+    Tests", KDD 2017): with the normal mixing prior N(0, τ²) over the
+    effect, the likelihood-ratio martingale against H0: Δ=0 has the
+    closed form
+
+        Λ_n = sqrt(V_n / (V_n + τ²)) ·
+              exp( Δ̂_n² τ² / (2 V_n (V_n + τ²)) )
+
+    where Δ̂_n is the observed mean difference through day n and
+    V_n = s²_n (1/n_A + 1/n_B) its estimated variance. The ALWAYS-VALID
+    p-value is p_n = min(1, min_{t<=n} 1/Λ_t) — monotone, and valid at
+    EVERY peek, which is the question an experimenter asks right after
+    :func:`stats_power_mde`: "can I look mid-run?". Arms are the same
+    deterministic user-parity A/A split as the CUPED/DiD family, so a
+    correct implementation should (and does) never reject.
+
+    Scale: one per-(type, day, arm) moments rollup (decimal sums — the
+    only corpus-sized pass), a days-deep cumulative window per type
+    (calendar-sized state), then row-local closed forms; the running
+    min that makes p monotone is a second calendar-sized window. Both
+    engines round log Λ to 6 dp BEFORE the running extremum so libm
+    ulp drift can never flip which day attains it. n<=1 per arm or
+    zero variance emit NULL (MIN/MAX skip NULLs identically in both
+    engines).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        day("ts").alias("d"),
+        (F.col("user_id") % 2 == 0).alias("is_a"),
+        F.col("value").alias("v"),
+    )
+    a = F.col("is_a")
+    daily = ev.groupBy("event_type", "d").agg(
+        F.count(F.when(a, F.lit(1))).alias("dn_a"),
+        F.count(F.when(~a, F.lit(1))).alias("dn_b"),
+        F.sum(F.when(a, F.col("v")).cast("decimal(18,4)")).alias("ds_a"),
+        F.sum(F.when(~a, F.col("v")).cast("decimal(18,4)")).alias("ds_b"),
+        F.sum(
+            (F.col("v") * F.col("v")).cast("decimal(38,8)")
+        ).alias("dss"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = daily.select(
+        "event_type",
+        "d",
+        F.sum("dn_a").over(w).cast("double").alias("n_a"),
+        F.sum("dn_b").over(w).cast("double").alias("n_b"),
+        F.sum("ds_a").over(w).cast("double").alias("s_a"),
+        F.sum("ds_b").over(w).cast("double").alias("s_b"),
+        F.sum("dss").over(w).cast("double").alias("ss"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    ma, mb = F.col("s_a") / na, F.col("s_b") / nb
+    # pooled two-sample variance from cumulative moments
+    var = (F.col("ss") - na * ma * ma - nb * mb * mb) / (na + nb - 2)
+    ok = (na > 1) & (nb > 1) & (var > 0)
+    delta = ma - mb
+    vn = var * (1 / na + 1 / nb)
+    t2 = F.lit(TAU2_MSPRT)
+    log_lam = F.round(
+        F.lit(0.5) * F.log(vn / (vn + t2))
+        + delta * delta * t2 / (F.lit(2.0) * vn * (vn + t2)),
+        6,
+    )
+    scored = cum.select(
+        "event_type",
+        "d",
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.when((na > 0) & (nb > 0), F.round(delta, 6)).alias("delta"),
+        F.when(ok, log_lam).alias("log_lambda"),
+    )
+    wmax = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = F.max("log_lambda").over(wmax)
+    p = F.round(F.least(F.lit(1.0), F.exp(-run)), 6)
+    return scored.select(
+        "event_type",
+        "d",
+        "n_a",
+        "n_b",
+        "delta",
+        "log_lambda",
+        p.alias("p_always_valid"),
+        # p is never NULL: least(1.0, x) skips NULL x on BOTH engines,
+        # so pre-informative days read p=1 (the always-valid p starts
+        # at 1 by definition) and reject is a total boolean
+        (p <= F.lit(MSPRT_ALPHA)).alias("reject"),
+    ).orderBy("event_type", "d")
+
+
+_MSPRT_SQL = f"""
+WITH daily AS (
+  SELECT event_type, STRFTIME(ts, '%Y-%m-%d') AS d,
+    COUNT(*) FILTER (WHERE user_id % 2 = 0) AS dn_a,
+    COUNT(*) FILTER (WHERE user_id % 2 <> 0) AS dn_b,
+    SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE user_id % 2 = 0) AS ds_a,
+    SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE user_id % 2 <> 0) AS ds_b,
+    SUM(CAST(value * value AS DECIMAL(38,8))) AS dss
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, d,
+    CAST(SUM(dn_a) OVER w AS DOUBLE) AS n_a,
+    CAST(SUM(dn_b) OVER w AS DOUBLE) AS n_b,
+    CAST(SUM(ds_a) OVER w AS DOUBLE) AS s_a,
+    CAST(SUM(ds_b) OVER w AS DOUBLE) AS s_b,
+    CAST(SUM(dss) OVER w AS DOUBLE) AS ss
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS UNBOUNDED PRECEDING)
+),
+scored AS (
+  SELECT event_type, d,
+    CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+    CASE WHEN n_a > 0 AND n_b > 0
+      THEN ROUND(s_a / n_a - s_b / n_b, 6) END AS delta,
+    CASE WHEN n_a > 1 AND n_b > 1
+      AND (ss - n_a * (s_a/n_a) * (s_a/n_a)
+              - n_b * (s_b/n_b) * (s_b/n_b)) / (n_a + n_b - 2) > 0
+    THEN ROUND(
+      0.5 * LN(
+        ((ss - n_a*(s_a/n_a)*(s_a/n_a) - n_b*(s_b/n_b)*(s_b/n_b))
+          / (n_a + n_b - 2) * (1/n_a + 1/n_b))
+        / ((ss - n_a*(s_a/n_a)*(s_a/n_a) - n_b*(s_b/n_b)*(s_b/n_b))
+          / (n_a + n_b - 2) * (1/n_a + 1/n_b) + {TAU2_MSPRT}))
+      + (s_a/n_a - s_b/n_b) * (s_a/n_a - s_b/n_b) * {TAU2_MSPRT}
+        / (2.0
+           * ((ss - n_a*(s_a/n_a)*(s_a/n_a) - n_b*(s_b/n_b)*(s_b/n_b))
+              / (n_a + n_b - 2) * (1/n_a + 1/n_b))
+           * ((ss - n_a*(s_a/n_a)*(s_a/n_a) - n_b*(s_b/n_b)*(s_b/n_b))
+              / (n_a + n_b - 2) * (1/n_a + 1/n_b) + {TAU2_MSPRT})), 6)
+    END AS log_lambda
+  FROM cum
+)
+SELECT event_type, d, n_a, n_b, delta, log_lambda,
+  ROUND(LEAST(1.0, EXP(-MAX(log_lambda) OVER
+    (PARTITION BY event_type ORDER BY d ROWS UNBOUNDED PRECEDING))), 6)
+    AS p_always_valid,
+  ROUND(LEAST(1.0, EXP(-MAX(log_lambda) OVER
+    (PARTITION BY event_type ORDER BY d ROWS UNBOUNDED PRECEDING))), 6)
+    <= {MSPRT_ALPHA} AS reject
+FROM scored ORDER BY event_type, d
+"""
+
+QUERIES["stats_sequential_msprt"] = stats_sequential_msprt
+ORACLE["stats_sequential_msprt"] = _MSPRT_SQL
+
+
+# --- Probability calibration: reliability bins + Brier decomposition ---------
+
+CALIB_BINS = 9  #: forecast support: p̂ ∈ {0.15, 0.25, …, 0.95}
+
+
+def model_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + exact Murphy (1973) Brier decomposition
+    for a deterministic activity-based conversion forecaster: the unit
+    is a (user, day) pair, the outcome o is "had a purchase that day",
+    and the forecast is the discrete monotone rule
+    p̂ = min(n_events, 9)/10 + 0.05 (profiled against this corpus: the
+    observed per-count conversion rates run 0.21 → 0.86, so the rule
+    is deliberately imperfectly calibrated — the readout has signal).
+    Because the forecast takes finitely many values, Murphy's partition
+    is exactly the forecast support and the decomposition
+
+        Brier = Reliability − Resolution + Uncertainty
+
+    holds as an IDENTITY (within-bin forecast variance is zero), which
+    tests/test_r14_operators.py asserts against the returned row.
+
+    Output: one row per occupied bin (n_units, p_hat, o_rate) with the
+    global Brier/REL/RES/UNC repeated per row. Exactness discipline:
+    the bin index is INTEGER math (min(n, 9) — no float binning), the
+    Brier sum is a per-row 6-dp decimal (order-independent), and the
+    ≤9-bin REL/RES sums are 12-dp decimals, so partition order can
+    never move a hash on either engine.
+
+    Scale: one (user, day)-keyed rollup (the only corpus-sized
+    shuffle), a ≤9-row bin table, and a broadcast single-row global —
+    reliability analysis is calendar × support sized, never row-sized.
+    """
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", day("ts").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("o"),
+        )
+        .select(
+            F.least(F.col("n"), F.lit(CALIB_BINS)).alias("bin"),
+            F.col("o"),
+        )
+    )
+    p_hat = F.col("bin") * F.lit(0.1) + F.lit(0.05)
+    scored = ud.select(
+        "bin",
+        "o",
+        p_hat.alias("p"),
+        F.round((p_hat - F.col("o")) * (p_hat - F.col("o")), 6)
+        .cast("decimal(18,6)")
+        .alias("sqerr"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("o").alias("s_o"),
+        F.sum("sqerr").alias("s_sqerr"),
+    )
+    glob = F.broadcast(
+        bins.groupBy().agg(
+            F.sum("n_units").alias("N"),
+            F.sum("s_o").alias("SO"),
+            F.sum("s_sqerr").cast("double").alias("SSQ"),
+            F.sum(
+                F.round(
+                    F.col("n_units")
+                    * (
+                        F.col("bin") * F.lit(0.1)
+                        + F.lit(0.05)
+                        - F.col("s_o") / F.col("n_units")
+                    )
+                    ** 2,
+                    12,
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("REL_NUM"),
+        )
+    )
+    # resolution needs ō, a global — second tiny pass over the bin table
+    res_num = F.round(
+        F.col("n_units")
+        * (F.col("s_o") / F.col("n_units") - F.col("SO") / F.col("N")) ** 2,
+        12,
+    ).cast("decimal(38,12)")
+    enriched = bins.crossJoin(glob)
+    res_tot = F.broadcast(
+        enriched.groupBy().agg(
+            F.sum(res_num).cast("double").alias("RES_NUM")
+        )
+    )
+    obar = F.col("SO") / F.col("N")
+    return (
+        enriched.crossJoin(res_tot)
+        .select(
+            "bin",
+            "n_units",
+            F.round(F.col("bin") * F.lit(0.1) + F.lit(0.05), 2).alias(
+                "p_hat"
+            ),
+            F.round(F.col("s_o") / F.col("n_units"), 6).alias("o_rate"),
+            F.round(F.col("SSQ") / F.col("N"), 6).alias("brier"),
+            F.round(F.col("REL_NUM") / F.col("N"), 6).alias("reliability"),
+            F.round(F.col("RES_NUM") / F.col("N"), 6).alias("resolution"),
+            F.round(obar * (1 - obar), 6).alias("uncertainty"),
+        )
+        .orderBy("bin")
+    )
+
+
+_CALIB_SQL = f"""
+WITH ud AS (
+  SELECT LEAST(COUNT(*), {CALIB_BINS}) AS bin,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS o
+  FROM events GROUP BY user_id, STRFTIME(ts, '%Y-%m-%d')
+),
+scored AS (
+  SELECT bin, o,
+    CAST(ROUND((bin * 0.1 + 0.05 - o) * (bin * 0.1 + 0.05 - o), 6)
+         AS DECIMAL(18,6)) AS sqerr
+  FROM ud
+),
+bins AS (
+  SELECT bin, COUNT(*) AS n_units, SUM(o) AS s_o, SUM(sqerr) AS s_sqerr
+  FROM scored GROUP BY bin
+),
+gstats AS (
+  SELECT SUM(n_units) AS N, SUM(s_o) AS SO,
+    CAST(SUM(s_sqerr) AS DOUBLE) AS SSQ,
+    CAST(SUM(CAST(ROUND(n_units *
+      (bin * 0.1 + 0.05 - CAST(s_o AS DOUBLE) / n_units)
+      * (bin * 0.1 + 0.05 - CAST(s_o AS DOUBLE) / n_units), 12)
+      AS DECIMAL(38,12))) AS DOUBLE) AS REL_NUM
+  FROM bins
+),
+res AS (
+  SELECT CAST(SUM(CAST(ROUND(b.n_units *
+      (CAST(b.s_o AS DOUBLE) / b.n_units - CAST(g.SO AS DOUBLE) / g.N)
+      * (CAST(b.s_o AS DOUBLE) / b.n_units - CAST(g.SO AS DOUBLE) / g.N),
+      12) AS DECIMAL(38,12))) AS DOUBLE) AS RES_NUM
+  FROM bins b CROSS JOIN gstats g
+)
+SELECT b.bin, b.n_units,
+  ROUND(b.bin * 0.1 + 0.05, 2) AS p_hat,
+  ROUND(CAST(b.s_o AS DOUBLE) / b.n_units, 6) AS o_rate,
+  ROUND(g.SSQ / g.N, 6) AS brier,
+  ROUND(g.REL_NUM / g.N, 6) AS reliability,
+  ROUND(r.RES_NUM / g.N, 6) AS resolution,
+  ROUND((CAST(g.SO AS DOUBLE) / g.N) * (1 - CAST(g.SO AS DOUBLE) / g.N), 6)
+    AS uncertainty
+FROM bins b CROSS JOIN gstats g CROSS JOIN res r
+ORDER BY b.bin
+"""
+
+QUERIES["model_calibration_brier"] = model_calibration_brier
+ORACLE["model_calibration_brier"] = _CALIB_SQL

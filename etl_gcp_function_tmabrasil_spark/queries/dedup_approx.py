@@ -1766,14 +1766,21 @@ bits AS (
   SELECT DISTINCT {p2} AS p FROM corpus
 ),
 probed AS (
+  -- COALESCE + NOT EXISTS keep the oracle NULL-sound: a NULL text
+  -- (k = md5(NULL) = NULL) makes the IN probes NULL and would poison
+  -- NOT IN, silently dropping the row from BOTH branches, while the
+  -- Spark side's left joins + left_anti route the same row as
+  -- bloom_miss / verified_new (r13 ADVICE).
   SELECT b.doc_id, b.k,
-    b.p1 IN (SELECT p FROM bits) AND b.p2 IN (SELECT p FROM bits) AS cand
+    COALESCE(
+      b.p1 IN (SELECT p FROM bits) AND b.p2 IN (SELECT p FROM bits),
+      FALSE) AS cand
   FROM batch b
 )
 SELECT doc_id, 'bloom_miss' AS route FROM probed WHERE NOT cand
 UNION ALL
-SELECT doc_id, 'verified_new' AS route FROM probed
-WHERE cand AND k NOT IN (SELECT k FROM corpus)
+SELECT doc_id, 'verified_new' AS route FROM probed p
+WHERE cand AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.k = p.k)
 ORDER BY doc_id
 """
 

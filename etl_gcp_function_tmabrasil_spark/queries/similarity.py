@@ -1891,6 +1891,12 @@ RADIUS_COS = 0.35  #: report every neighbor with cosine >= this.
 #: fraction.
 _RADIUS_SLACK = 1e-5  #: conservative margin absorbing the 6-dp rounding
 #: of distances on both engines — may only ADD cells, never drop one
+_RADIUS_COS_ROUND = 0.5e-4  #: the reported cosine is ROUND(·, 4), so the
+#: final filter admits true cosines down to RADIUS_COS - 0.5e-4; the
+#: prune ball must be sized from THAT threshold, not the nominal one —
+#: otherwise a cell whose only in-ball member sits at true cosine
+#: ~0.34995 (distance up to ball_r + ~4.4e-5) can be pruned while the
+#: brute-force oracle keeps the row (r13 ADVICE, medium).
 
 
 def _radius_parts(spark: SparkSession, sf_dir: str) -> dict:
@@ -1952,7 +1958,10 @@ def _radius_parts(spark: SparkSession, sf_dir: str) -> dict:
         F.col("nrm").alias("qnrm"),
     )
     cos_qc = _dot(F.col("qe"), F.col("ce")) / (F.col("qnrm") * F.col("cnrm"))
-    ball_r = float((2.0 - 2.0 * RADIUS_COS) ** 0.5)
+    # size the ball from the ROUNDING-ADMITTED cosine threshold (the 4-dp
+    # reported cosine keeps rows down to RADIUS_COS - 0.5e-4), so the
+    # prune can never drop a cell holding an oracle-admitted neighbor
+    ball_r = float((2.0 - 2.0 * (RADIUS_COS - _RADIUS_COS_ROUND)) ** 0.5)
     probes = (
         q.crossJoin(F.broadcast(cent))
         .select(
@@ -1984,9 +1993,11 @@ def knn_radius_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     member radius R_c = max ||x̂−ĉ|| can be SKIPPED whenever
     ||q̂−ĉ|| − R_c > r — the triangle inequality guarantees no member
     can be inside the query ball. Unlike the ANN operators this loses
-    NOTHING: pruning is conservative (slack absorbs the shared 6-dp
-    rounding), and the oracle is the brute-force radius scan, so hash
-    equality proves prune-exactness.
+    NOTHING: pruning is conservative — the ball is sized from the
+    4-dp-rounding-admitted cosine threshold (RADIUS_COS − 0.5e-4, since
+    the reported cosine is ROUND(·,4)) and the slack absorbs the shared
+    6-dp distance rounding — and the oracle is the brute-force radius
+    scan, so hash equality proves prune-exactness.
 
     Scale: assignment/radii are one broadcast-centroid pass over the
     corpus (row-local argmax + one grouped MAX); the query×cell prune
@@ -2036,3 +2047,121 @@ ORDER BY query_id, neighbor_id
 
 QUERIES["knn_radius_cells"] = knn_radius_cells
 ORACLE["knn_radius_cells"] = _radius_sql()
+
+
+# --- Clustering quality: simplified silhouette per IVF cell (round 14) -------
+
+
+def ann_silhouette_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per IVF cell — the clustering-quality
+    readout for the ANN family (the centroid-based silhouette of
+    Hruschka et al. 2004, the standard O(N·K) surrogate for Rousseeuw
+    1987's O(N²) silhouette): for each vector, a = distance to its OWN
+    cell centroid, b = distance to the NEAREST OTHER centroid, and
+    s = (b − a) / max(a, b) ∈ [−1, 1]. Per-cell mean s quantifies how
+    cleanly that cell separates — the number that explains the
+    measured prune/recall contrast between clustered and iid corpora
+    (RADIUS_PRUNE_CLUSTERED.json's 92.2% prune vs the sf1 iid floor's
+    0%: near-zero silhouette IS the iid floor).
+
+    Distances are cosine distances d = 1 − round(cos, 6) against the
+    same deterministic centroid set as the IVF/radius family
+    (vec_id < N_CELLS). Both a and b fall out of ONE row-local
+    pass: the broadcast centroid array yields the sorted
+    (metric, cell_id) struct list, whose first element is the
+    assignment (ties on lower cell_id, as everywhere in the family)
+    and whose second is the nearest-other distance — zero shuffle
+    until the final N_CELLS-row rollup, so the plan is scan-shaped at
+    any corpus size.
+    """
+    emb = _with_norm(
+        load_table(spark, sf_dir, "embeddings", rebalance=True), "vec_id"
+    )
+    cent = _with_norm(
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < N_CELLS
+        ),
+        "vec_id",
+    ).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+    )
+    neg_cos = (
+        "-round(aggregate(zip_with(e, c.ce, (x, y) -> x * y),"
+        " cast(0.0 as double), (s, x) -> s + x) / (nrm * c.cnrm), 6)"
+    )
+    centarr = centroid_array(cent, "cell_id", "ce", "cnrm")
+    two = emb.crossJoin(centarr).select(
+        "vec_id", top_cells(neg_cos, 2).alias("nearest2")
+    )
+    a_d = F.lit(1.0) + F.col("nearest2")[0]["metric"]
+    b_d = F.lit(1.0) + F.col("nearest2")[1]["metric"]
+    s = F.when(
+        F.greatest(a_d, b_d) > 0, (b_d - a_d) / F.greatest(a_d, b_d)
+    ).otherwise(F.lit(0.0))
+    per_vec = two.select(
+        F.col("nearest2")[0]["cell_id"].alias("cell_id"),
+        F.round(a_d, 6).cast("decimal(18,6)").alias("a_d"),
+        F.round(b_d, 6).cast("decimal(18,6)").alias("b_d"),
+        F.round(s, 6).cast("decimal(18,6)").alias("s"),
+    )
+    return (
+        per_vec.groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.sum("a_d").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_a"),
+            F.round(
+                F.sum("b_d").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_b"),
+            F.round(
+                F.sum("s").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("cell_id")
+    )
+
+
+def _silhouette_sql() -> str:
+    cos = "ROUND({dot} / ({na} * {nb}), 6)".format(
+        dot=_SQL_DOT.format(a="x.e", b="c.ce"),
+        na=_SQL_NORM.format(a="x.e"),
+        nb=_SQL_NORM.format(a="c.ce"),
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent AS (SELECT vec_id AS cell_id, e AS ce FROM e WHERE vec_id < {N_CELLS}),
+ranked AS (
+  SELECT x.vec_id, c.cell_id, 1 - {cos} AS d,
+    ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                       ORDER BY {cos} DESC, c.cell_id ASC) AS rn
+  FROM e x CROSS JOIN cent c
+),
+per_vec AS (
+  SELECT vec_id,
+    MAX(CASE WHEN rn = 1 THEN cell_id END) AS cell_id,
+    MAX(CASE WHEN rn = 1 THEN d END) AS a_d,
+    MAX(CASE WHEN rn = 2 THEN d END) AS b_d
+  FROM ranked WHERE rn <= 2 GROUP BY vec_id
+),
+scored AS (
+  SELECT cell_id,
+    CAST(ROUND(a_d, 6) AS DECIMAL(18,6)) AS a_d,
+    CAST(ROUND(b_d, 6) AS DECIMAL(18,6)) AS b_d,
+    CAST(ROUND(CASE WHEN GREATEST(a_d, b_d) > 0
+      THEN (b_d - a_d) / GREATEST(a_d, b_d) ELSE 0.0 END, 6)
+      AS DECIMAL(18,6)) AS s
+  FROM per_vec
+)
+SELECT cell_id, COUNT(*) AS n_vectors,
+  ROUND(CAST(SUM(a_d) AS DOUBLE) / COUNT(*), 6) AS mean_a,
+  ROUND(CAST(SUM(b_d) AS DOUBLE) / COUNT(*), 6) AS mean_b,
+  ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS mean_silhouette
+FROM scored GROUP BY cell_id ORDER BY cell_id
+"""
+
+
+QUERIES["ann_silhouette_cells"] = ann_silhouette_cells
+ORACLE["ann_silhouette_cells"] = _silhouette_sql()

@@ -3138,3 +3138,132 @@ GROUP BY event_type ORDER BY event_type
 
 QUERIES["sink_snapshot_wap"] = sink_snapshot_wap
 ORACLE["sink_snapshot_wap"] = _SNAPSHOT_WAP_SQL
+
+
+def sink_snapshot_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot manifest-integrity audit (round 14) — the lakehouse
+    ``fsck``: prove every still-referenced data file exists with the
+    row count and order-independent row hash the committing writer
+    recorded (``commit_snapshot(..., integrity=True)``), and report
+    data-directory orphans the next vacuum may claim. The natural WAP
+    companion (``sink_snapshot_wap`` audits the incoming BATCH; this
+    audits the TABLE).
+
+    Fixture: four single-file commits (event_id % 4 slices, integrity
+    recorded), then three planted faults — slice 1's file is rewritten
+    with a row subset (its Hadoop ``.crc`` sidecar removed, so the
+    damage is only detectable by CONTENT, exactly the bitrot/partial-
+    overwrite case row hashes exist for), slice 2's file is deleted,
+    and an unreferenced copy is planted as an orphan. Hard-checked at
+    build: fsck attributes each fault to the right file with the right
+    recorded row count, the intact slices stay ``ok``, and a pre-fault
+    audit is all-``ok``. The gate returns the per-status rollup; the
+    oracle derives the same rollup from the base events (file
+    populations are the deterministic % 4 slices).
+
+    Scale: fsck's verification is ONE grouped scan per distinct schema
+    (per-file fallback only on unreadable batches) and the orphan walk
+    is a metadata listing — the report is file-count-sized, so the
+    driver-side aggregation here is metadata-sized by construction.
+    """
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        commit_snapshot,
+        fsck_snapshot,
+    )
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "snapshot_fsck_table")
+
+    def _build(tmp: str) -> None:
+        import glob as _glob
+        import shutil as _shutil
+
+        import pyarrow.parquet as _pq
+
+        table = os.path.join(tmp, "table")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        for i in range(4):
+            commit_snapshot(
+                ev.filter(F.col("event_id") % 4 == i).coalesce(1),
+                table,
+                integrity=True,
+            )
+        pre = fsck_snapshot(spark, table)
+        if {r["status"] for r in pre} != {"ok"} or len(pre) != 4:
+            raise AssertionError(f"pre-fault fsck not all-ok: {pre}")
+        # manifest order == commit order: commit i wrote files[i]
+        from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+            _load_manifest,
+            _manifests,
+        )
+
+        files = [
+            os.path.join(table, _load_manifest(table, v)["files"][-1])
+            for v in _manifests(table)
+        ]
+        # fault 1: content corruption (subset rewrite, crc removed)
+        tb = _pq.read_table(files[1])
+        _pq.write_table(tb.slice(0, max(1, tb.num_rows // 2)), files[1])
+        crc = os.path.join(
+            os.path.dirname(files[1]),
+            "." + os.path.basename(files[1]) + ".crc",
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
+        # fault 2: missing file
+        os.remove(files[2])
+        # fault 3: orphan
+        _shutil.copy(
+            files[3], os.path.join(table, "data", "orphan-planted.parquet")
+        )
+        rep = fsck_snapshot(spark, table)
+        by = {r["file"]: r for r in rep}
+        rel = [os.path.relpath(f, table) for f in files]
+        if by[rel[1]]["status"] != "corrupt" or by[rel[1]]["hash_ok"]:
+            raise AssertionError(f"corruption not attributed: {by[rel[1]]}")
+        if by[rel[2]]["status"] != "missing":
+            raise AssertionError(f"missing not attributed: {by[rel[2]]}")
+        if by[rel[0]]["status"] != "ok" or by[rel[3]]["status"] != "ok":
+            raise AssertionError("intact files not ok")
+        if by["data/orphan-planted.parquet"]["status"] != "orphan":
+            raise AssertionError("planted orphan not reported")
+
+    _ensure_fixture(fixture, _build)
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import fsck_snapshot
+
+    rep = fsck_snapshot(spark, os.path.join(fixture, "table"))
+    schema = T.StructType(
+        [
+            T.StructField("status", T.StringType()),
+            T.StructField("rows_recorded", T.LongType()),
+        ]
+    )
+    return (
+        spark.createDataFrame(
+            [(r["status"], r["rows_recorded"]) for r in rep], schema
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("rows_recorded").alias("rows_recorded"),
+        )
+        .orderBy("status")
+    )
+
+
+_SNAPSHOT_FSCK_SQL = """
+WITH c AS (
+  SELECT event_id % 4 AS m, COUNT(*) AS n FROM events GROUP BY 1
+)
+SELECT 'corrupt' AS status, CAST(1 AS BIGINT) AS n_files,
+  (SELECT n FROM c WHERE m = 1) AS rows_recorded
+UNION ALL SELECT 'missing', 1, (SELECT n FROM c WHERE m = 2)
+UNION ALL SELECT 'ok', 2, (SELECT SUM(n) FROM c WHERE m IN (0, 3))
+UNION ALL SELECT 'orphan', 1, NULL
+ORDER BY status
+"""
+
+QUERIES["sink_snapshot_fsck"] = sink_snapshot_fsck
+ORACLE["sink_snapshot_fsck"] = _SNAPSHOT_FSCK_SQL

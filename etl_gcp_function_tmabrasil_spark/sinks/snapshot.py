@@ -64,6 +64,7 @@ import ctypes
 import errno
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -289,10 +290,16 @@ def _publish_manifest(tmp: str, dst: str) -> None:
                     pass
                 raise
             finally:
-                try:
-                    os.unlink(lock)
-                except OSError:
-                    pass
+                # Only the OWNER removes its lock: if the abort path just
+                # proved the lock was stale-broken by a contender, the
+                # file now belongs to a LIVE thief mid-publish —
+                # unlinking it would let a third committer enter while
+                # the thief is still copying (r13 ADVICE).
+                if _lock_identity_intact(lock, token):
+                    try:
+                        os.unlink(lock)
+                    except OSError:
+                        pass
     finally:
         os.unlink(tmp)
 
@@ -517,6 +524,7 @@ def commit_snapshot(
     commit_ts: float | None = None,
     merge_schema: bool = False,
     ndv_cols: list[str] | None = None,
+    integrity: bool = False,
 ) -> int:
     """Write ``df`` as a new snapshot of the table; returns the new
     version number. ``mode='append'`` carries the previous snapshot's
@@ -539,6 +547,17 @@ def commit_snapshot(
     whose commit time is <= ts (Delta's ``timestampAsOf`` /
     Iceberg's snapshot-log lookup). Pass it explicitly for
     deterministic fixtures.
+
+    ``integrity=True`` additionally records, per fresh file, its exact
+    row count and an ORDER-INDEPENDENT content hash (the decimal sum of
+    per-row ``xxhash64`` over every declared column — the same
+    row-hash-rollup machinery as ``table_diff_checksum``), computed in
+    one distributed pass over the staging read. ``fsck_snapshot``
+    later re-derives both and proves each still-referenced file is
+    bit-equivalent to what the commit recorded. Append commits carry
+    prior integrity entries forward; rewriting verbs
+    (delete/replace/optimize) drop entries for the files they rewrite
+    — fsck degrades honestly to existence-only ("exists") there.
 
     ``txn_id`` makes the commit IDEMPOTENT (Delta's txn/appId pattern):
     the manifest carries a cumulative ``txn -> version`` map, and a
@@ -577,6 +596,9 @@ def commit_snapshot(
             bloom_bits,
             list(ndv_cols or []),
         )
+    integ: dict[str, dict] = {}
+    if integrity and new_files:
+        integ = _collect_integrity(df.sparkSession, staging, table_dir)
     files: list[str] = []
     table_schema = df.schema
     if mode == "append" and prev is not None:
@@ -595,6 +617,7 @@ def commit_snapshot(
         stats = {**prev.get("stats", {}), **stats}
         skipping = {**prev.get("skipping", {}), **skipping}
         ndv = {**prev.get("ndv", {}), **ndv}
+        integ = {**prev.get("integrity", {}), **integ}
     files = files + new_files
     version = (versions[-1] + 1) if versions else 1
     if txn_id is not None:
@@ -609,8 +632,207 @@ def commit_snapshot(
         ndv,
         txn,
         commit_ts,
+        integrity=integ,
     )
     return version
+
+
+def _collect_integrity(
+    spark: SparkSession, staging: str, table_dir: str
+) -> dict[str, dict]:
+    """Per-file ``{"rows": n, "xxh": decimal-string}`` over freshly
+    written staging files — ONE distributed aggregation, one output row
+    per file. The hash is the DECIMAL(38,0) sum of per-row ``xxhash64``
+    over every column in schema order: order-independent (a sum), so a
+    re-read under any partitioning reproduces it, and exact (decimal,
+    never a lossy double fold). Keys are table-root-relative paths."""
+    from pyspark.sql import functions as F
+
+    back = spark.read.parquet(staging)
+    cols = [f.name for f in back.schema.fields]
+    rows = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.coalesce(
+                F.sum(F.xxhash64(*cols).cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("xxh"),
+        )
+        .collect()
+    )
+    return {
+        _rel_of_input_file(r["f"], table_dir): {
+            "rows": int(r["rows"]),
+            "xxh": str(r["xxh"]),
+        }
+        for r in rows
+    }
+
+
+def fsck_snapshot(
+    spark: SparkSession, table_dir: str, verify: bool = True
+) -> list[dict]:
+    """Manifest integrity audit — the lakehouse ``fsck`` (Delta's
+    FSCK REPAIR diagnosis pass / Iceberg's orphan-file scan): proves
+    the table's metadata and its data directory agree, file by file.
+
+    For every file referenced by ANY still-retained manifest:
+
+    - ``missing`` — the manifest names it but it is gone from disk
+      (the break a staging-table drop after a path-referencing
+      ``promote_staged`` causes, or an over-eager manual delete);
+    - ``corrupt`` — it exists but its re-derived row count or
+      order-independent row hash disagrees with what the committing
+      writer recorded (``commit_snapshot(..., integrity=True)``), or
+      it no longer parses;
+    - ``ok`` — exists and both integrity checks pass;
+    - ``exists`` — exists but the manifest carries no integrity record
+      for it (pre-integrity commits, rewritten files), so only
+      presence is provable.
+
+    Plus every ``*.parquet`` under ``data/`` that NO retained manifest
+    references is reported as ``orphan`` — structurally invisible to
+    readers and fair game for the next ``vacuum_snapshots``.
+
+    Scale: verification is one distributed scan PER DISTINCT SCHEMA
+    over the present recorded files (grouped by ``input_file_name`` —
+    never a per-file driver loop); the orphan walk is a metadata
+    listing. Returns one dict per finding:
+    ``{"file", "status", "rows_recorded", "rows_actual", "hash_ok"}``,
+    sorted by (status, file) for determinism.
+    """
+    from pyspark.sql import functions as F
+
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot committed at {table_dir}")
+    referenced: dict[str, dict | None] = {}
+    schema_of: dict[str, str] = {}
+    for v in versions:
+        man = _load_manifest(table_dir, v)
+        integ = man.get("integrity", {})
+        for rel in man["files"]:
+            # newest manifest wins for schema; integrity from any
+            # manifest that recorded it (entries are immutable per file)
+            schema_of[rel] = man["schema"]
+            if referenced.get(rel) is None:
+                referenced[rel] = integ.get(rel)
+    out: list[dict] = []
+    # group the present, integrity-recorded files by declared schema:
+    # one verification scan per distinct schema
+    by_schema: dict[str, list[str]] = {}
+    for rel, integ in referenced.items():
+        path = os.path.join(table_dir, rel)
+        if not os.path.exists(path):
+            out.append(
+                {
+                    "file": rel,
+                    "status": "missing",
+                    "rows_recorded": integ["rows"] if integ else None,
+                    "rows_actual": None,
+                    "hash_ok": None,
+                }
+            )
+        elif integ is None or not verify:
+            out.append(
+                {
+                    "file": rel,
+                    "status": "exists",
+                    "rows_recorded": integ["rows"] if integ else None,
+                    "rows_actual": None,
+                    "hash_ok": None,
+                }
+            )
+        else:
+            by_schema.setdefault(schema_of[rel], []).append(rel)
+    def _scan(schema: StructType, paths: list[str]) -> dict[str, tuple]:
+        cols = [f.name for f in schema.fields]
+        back = spark.read.schema(schema).parquet(*paths)
+        return {
+            _rel_of_input_file(r["f"], table_dir): (
+                int(r["rows"]),
+                str(r["xxh"]),
+            )
+            for r in back.groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.coalesce(
+                    F.sum(F.xxhash64(*cols).cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias("xxh"),
+            )
+            .collect()
+        }
+
+    for schema_json, rels in by_schema.items():
+        schema = StructType.fromJson(json.loads(schema_json))
+        actual: dict[str, tuple[int, str] | None] = {}
+        try:
+            actual = _scan(
+                schema, [os.path.join(table_dir, r) for r in rels]
+            )
+        except Exception:
+            # ONE unreadable file aborts the whole batch scan (Hadoop
+            # surfaces local .crc sidecar mismatches this way) — fall
+            # back to per-file scans so the damage is attributed to
+            # the file that carries it, not the whole group
+            actual = {}
+        for rel in rels:
+            if rel not in actual:
+                try:
+                    got = _scan(schema, [os.path.join(table_dir, rel)])
+                    # an EMPTY file yields no group row at all
+                    actual[rel] = got.get(rel, (0, "0"))
+                except Exception:
+                    actual[rel] = None  # genuinely unreadable
+        for rel in rels:
+            integ = referenced[rel]
+            got = actual[rel]
+            if got is None:
+                out.append(
+                    {
+                        "file": rel,
+                        "status": "corrupt",
+                        "rows_recorded": integ["rows"],
+                        "rows_actual": None,
+                        "hash_ok": False,
+                    }
+                )
+                continue
+            rows_a, xxh_a = got
+            good = rows_a == integ["rows"] and xxh_a == integ["xxh"]
+            out.append(
+                {
+                    "file": rel,
+                    "status": "ok" if good else "corrupt",
+                    "rows_recorded": integ["rows"],
+                    "rows_actual": rows_a,
+                    "hash_ok": xxh_a == integ["xxh"],
+                }
+            )
+    data_root = os.path.join(table_dir, "data")
+    if os.path.isdir(data_root):
+        for dirpath, _dirs, fnames in os.walk(data_root):
+            for fname in fnames:
+                if not fname.endswith(".parquet") or fname.startswith(
+                    (".", "_")
+                ):
+                    continue
+                rel = os.path.relpath(
+                    os.path.join(dirpath, fname), table_dir
+                )
+                if rel not in referenced:
+                    out.append(
+                        {
+                            "file": rel,
+                            "status": "orphan",
+                            "rows_recorded": None,
+                            "rows_actual": None,
+                            "hash_ok": None,
+                        }
+                    )
+    return sorted(out, key=lambda r: (r["status"], r["file"]))
 
 
 def _write_manifest(
@@ -623,24 +845,25 @@ def _write_manifest(
     ndv: dict,
     txn: dict,
     commit_ts: float | None,
+    integrity: dict | None = None,
 ) -> None:
     """Compose and atomically publish ``manifest_v{version}.json`` —
     the single commit point shared by every snapshot-mutating verb."""
     tmp = os.path.join(table_dir, f".manifest_v{version}.json.tmp")
+    payload = {
+        "version": version,
+        "files": files,
+        "schema": schema_json,
+        "stats": stats,
+        "skipping": skipping,
+        "ndv": ndv,
+        "txn": txn,
+        "commit_ts": time.time() if commit_ts is None else commit_ts,
+    }
+    if integrity:
+        payload["integrity"] = integrity
     with open(tmp, "w") as fh:
-        json.dump(
-            {
-                "version": version,
-                "files": files,
-                "schema": schema_json,
-                "stats": stats,
-                "skipping": skipping,
-                "ndv": ndv,
-                "txn": txn,
-                "commit_ts": time.time() if commit_ts is None else commit_ts,
-            },
-            fh,
-        )
+        json.dump(payload, fh)
     _publish_manifest(tmp, _manifest_path(table_dir, version))
 
 
@@ -1324,6 +1547,7 @@ def promote_staged(
     version: int | None = None,
     commit_ts: float | None = None,
     txn_id: str | int | None = None,
+    link_files: bool = False,
 ) -> dict:
     """PUBLISH a staged table into ``table_dir`` as ONE append version
     referencing the staging files BY PATH — the metadata-only publish
@@ -1342,6 +1566,19 @@ def promote_staged(
     promote the same idempotent-replay semantics as
     :func:`commit_snapshot`. Returns ``{"version",
     "files_referenced"}``.
+
+    LIFETIME COUPLING (default ``link_files=False``): the promoted
+    manifest references the staging files BY PATH (``../stage/...``),
+    so the main table stays readable only while those staged files
+    exist — overwriting, vacuuming-after-overwrite, or deleting the
+    staging table silently breaks the promoted rows (the same contract
+    as :func:`clone_snapshot`; Iceberg avoids it by staging the WAP
+    branch inside the table location). Pass ``link_files=True`` to
+    sever the coupling at promote time: each staged file is
+    hard-linked (copy fallback across filesystems) into
+    ``table_dir/data/`` and the manifest references the in-table path
+    — still O(metadata) on a hard-link filesystem, and the staging
+    table can then be dropped freely (r13 ADVICE).
     """
     svs = _manifests(staging_dir)
     if not svs:
@@ -1367,10 +1604,28 @@ def promote_staged(
     os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
     staging_abs = os.path.abspath(staging_dir)
     table_abs = os.path.abspath(table_dir)
-    remap = {
-        rel: os.path.relpath(os.path.join(staging_abs, rel), table_abs)
-        for rel in staged["files"]
-    }
+    if link_files:
+        # rebase staged files INTO the table location: hard-link (zero
+        # copy, same filesystem) with a byte-copy fallback; unique
+        # names so repeated promotes of re-staged data never collide
+        remap = {}
+        for rel in staged["files"]:
+            new_rel = os.path.join(
+                "data",
+                f"promoted-{uuid.uuid4().hex}-{os.path.basename(rel)}",
+            )
+            src_path = os.path.join(staging_abs, rel)
+            dst_path = os.path.join(table_abs, new_rel)
+            try:
+                os.link(src_path, dst_path)
+            except OSError:
+                shutil.copy2(src_path, dst_path)
+            remap[rel] = new_rel
+    else:
+        remap = {
+            rel: os.path.relpath(os.path.join(staging_abs, rel), table_abs)
+            for rel in staged["files"]
+        }
     files = (prev["files"] if prev else []) + [
         remap[rel] for rel in staged["files"]
     ]

@@ -158,6 +158,9 @@ GATE_QUERIES = [
     # r13: checkpointed availableNow replay with the stream-static
     # SCD2 as-of join per micro-batch
     "stream_scd2_asof_enrichment",
+    # r14: four integrity-recorded commits, three planted faults, and
+    # two fsck audits at fixture build; fsck re-runs per invocation
+    "sink_snapshot_fsck",
 ]
 
 

@@ -33,7 +33,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run(order: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_BENCH_ORDER=order)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_BENCH_ORDER=order,
+        # probe runs are builder-side: write the committed-artifact name
+        # (bench.py defaults to the gitignored BENCH_LOCAL_DRIVE.json)
+        SPARK_GRAFT_BENCH_ARTIFACT="BENCH_LOCAL.json",
+    )
     subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         cwd=REPO,

@@ -1,0 +1,295 @@
+"""Independent brute-force verification of the round-14 wave.
+
+Same contract as tests/test_r13_operators.py: every registered query is
+oracle-gated, but these tests recompute each operator from its
+DEFINITION in plain Python over collected sf0.001 rows, so an author-
+shared misconception in both the Spark and SQL twins cannot hash green
+here. Also covers the r13-ADVICE hardening (promote_staged file
+rebasing, the radius-ball rounding bound).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+# --- r13 ADVICE: promote_staged(link_files=True) severs the staging
+# lifetime coupling -----------------------------------------------------
+
+
+def test_promote_staged_link_files_survives_staging_drop(spark, tmp_path):
+    import os
+    import shutil
+
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        commit_snapshot,
+        promote_staged,
+        read_snapshot,
+    )
+
+    main = str(tmp_path / "main")
+    stage = str(tmp_path / "stage")
+    commit_snapshot(spark.range(0, 5), main)
+    commit_snapshot(spark.range(5, 9), stage)
+    info = promote_staged(stage, main, txn_id="t1", link_files=True)
+    assert info["version"] == 2 and info["files_referenced"] > 0
+    # the promoted files were rebased INTO the table location
+    promoted = [
+        f
+        for f in os.listdir(os.path.join(main, "data"))
+        if f.startswith("promoted-")
+    ]
+    assert len(promoted) == info["files_referenced"]
+    # dropping the staging table must not break the main table
+    shutil.rmtree(stage)
+    assert sorted(r.id for r in read_snapshot(spark, main).collect()) == list(
+        range(9)
+    )
+
+
+def test_promote_staged_default_documents_coupling(spark, tmp_path):
+    """Default (metadata-only) promote references ../stage paths — the
+    documented coupling: staged files must outlive the promote."""
+    import os
+
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        _load_manifest,
+        commit_snapshot,
+        promote_staged,
+    )
+
+    main = str(tmp_path / "main")
+    stage = str(tmp_path / "stage")
+    commit_snapshot(spark.range(0, 5), main)
+    commit_snapshot(spark.range(5, 9), stage)
+    promote_staged(stage, main)
+    man = _load_manifest(main, 2)
+    outside = [f for f in man["files"] if f.startswith("..")]
+    assert outside, "default promote should reference staged paths"
+    assert "link_files" in promote_staged.__doc__
+    assert os.path.isdir(os.path.join(stage, "data"))
+
+
+def _events(spark):
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+
+    return load_table(spark, SF_SMOKE, "events").collect()
+
+
+# --- stats_sequential_msprt: recompute from the mSPRT definition ------------
+
+
+def test_msprt_matches_python_definition(spark):
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        MSPRT_ALPHA,
+        TAU2_MSPRT,
+        stats_sequential_msprt,
+    )
+
+    by = defaultdict(lambda: defaultdict(lambda: [0, 0, 0.0, 0.0, 0.0]))
+    for e in _events(spark):
+        d = e.ts.strftime("%Y-%m-%d")
+        slot = by[e.event_type][d]
+        if e.user_id % 2 == 0:
+            slot[0] += 1
+            slot[2] += e.value
+        else:
+            slot[1] += 1
+            slot[3] += e.value
+        slot[4] += e.value * e.value
+    got = {
+        (r.event_type, r.d): r
+        for r in stats_sequential_msprt(spark, SF_SMOKE).collect()
+    }
+    for et, days in by.items():
+        na = nb = 0
+        sa = sb = ss = 0.0
+        run_max = None
+        for d in sorted(days):
+            dn_a, dn_b, ds_a, ds_b, dss = days[d]
+            na, nb = na + dn_a, nb + dn_b
+            sa, sb, ss = sa + ds_a, sb + ds_b, ss + dss
+            r = got[(et, d)]
+            assert (r.n_a, r.n_b) == (na, nb)
+            ma = sa / na if na else None
+            mb = sb / nb if nb else None
+            if na and nb:
+                assert r.delta == pytest.approx(ma - mb, abs=2e-4)
+            ok = na > 1 and nb > 1
+            if ok:
+                var = (ss - na * ma * ma - nb * mb * mb) / (na + nb - 2)
+                ok = var > 0
+            if ok:
+                vn = var * (1 / na + 1 / nb)
+                log_lam = 0.5 * math.log(vn / (vn + TAU2_MSPRT)) + (
+                    (ma - mb) ** 2
+                    * TAU2_MSPRT
+                    / (2 * vn * (vn + TAU2_MSPRT))
+                )
+                assert r.log_lambda == pytest.approx(log_lam, abs=2e-4)
+                run_max = (
+                    log_lam if run_max is None else max(run_max, log_lam)
+                )
+            p = min(1.0, math.exp(-run_max)) if run_max is not None else 1.0
+            assert r.p_always_valid == pytest.approx(p, abs=2e-4)
+            assert r.reject == (r.p_always_valid <= MSPRT_ALPHA)
+    # the arms are an A/A split: always-valid means NO rejection, and
+    # p must be monotone non-increasing within each event_type
+    rows = stats_sequential_msprt(spark, SF_SMOKE).collect()
+    assert not any(r.reject for r in rows)
+    last = {}
+    for r in rows:  # already ordered by (event_type, d)
+        if r.event_type in last:
+            assert r.p_always_valid <= last[r.event_type] + 1e-12
+        last[r.event_type] = r.p_always_valid
+
+
+# --- model_calibration_brier: Murphy identity + per-bin recompute -----------
+
+
+def test_calibration_brier_murphy_identity(spark):
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        CALIB_BINS,
+        model_calibration_brier,
+    )
+
+    units = defaultdict(lambda: [0, 0])
+    for e in _events(spark):
+        slot = units[(e.user_id, e.ts.strftime("%Y-%m-%d"))]
+        slot[0] += 1
+        slot[1] = max(slot[1], 1 if e.event_type == "purchase" else 0)
+    per_bin = defaultdict(lambda: [0, 0])
+    brier_num = 0.0
+    for n, o in units.values():
+        b = min(n, CALIB_BINS)
+        per_bin[b][0] += 1
+        per_bin[b][1] += o
+        brier_num += round((b * 0.1 + 0.05 - o) ** 2, 6)
+    N = sum(v[0] for v in per_bin.values())
+    SO = sum(v[1] for v in per_bin.values())
+    obar = SO / N
+    rel = sum(
+        nk * (b * 0.1 + 0.05 - so / nk) ** 2
+        for b, (nk, so) in per_bin.items()
+    ) / N
+    res = sum(
+        nk * (so / nk - obar) ** 2 for b, (nk, so) in per_bin.items()
+    ) / N
+    unc = obar * (1 - obar)
+    rows = model_calibration_brier(spark, SF_SMOKE).collect()
+    assert {r.bin for r in rows} == set(per_bin)
+    for r in rows:
+        nk, so = per_bin[r.bin]
+        assert r.n_units == nk
+        assert r.o_rate == pytest.approx(so / nk, abs=1e-6)
+        assert r.p_hat == pytest.approx(r.bin * 0.1 + 0.05, abs=1e-9)
+        assert r.brier == pytest.approx(brier_num / N, abs=2e-6)
+        assert r.reliability == pytest.approx(rel, abs=2e-6)
+        assert r.resolution == pytest.approx(res, abs=2e-6)
+        assert r.uncertainty == pytest.approx(unc, abs=2e-6)
+        # Murphy 1973: with a discrete forecast the decomposition is
+        # an identity, not an approximation
+        assert r.brier == pytest.approx(
+            r.reliability - r.resolution + r.uncertainty, abs=5e-6
+        )
+
+
+# --- ann_silhouette_cells: brute-force centroid silhouette -------------------
+
+
+def test_silhouette_matches_bruteforce(spark):
+    import numpy as np
+
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+    from etl_gcp_function_tmabrasil_spark.queries.similarity import (
+        N_CELLS,
+        ann_silhouette_cells,
+    )
+
+    rows = load_table(spark, SF_SMOKE, "embeddings").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    cents = {cid: vecs[cid] for cid in range(N_CELLS)}
+    agg = defaultdict(lambda: [0, 0.0, 0.0, 0.0])
+    for vid, v in vecs.items():
+        d = {
+            cid: 1.0
+            - round(
+                float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c))), 6
+            )
+            for cid, c in cents.items()
+        }
+        # nearest two, ties on lower cell_id
+        order = sorted(d, key=lambda cid: (d[cid], cid))
+        own, other = order[0], order[1]
+        a, b = d[own], d[other]
+        s = (b - a) / max(a, b) if max(a, b) > 0 else 0.0
+        slot = agg[own]
+        slot[0] += 1
+        slot[1] += round(a, 6)
+        slot[2] += round(b, 6)
+        slot[3] += round(s, 6)
+    got = {r.cell_id: r for r in ann_silhouette_cells(spark, SF_SMOKE).collect()}
+    assert set(got) == set(agg)
+    for cid, (n, sa, sb, ssil) in agg.items():
+        r = got[cid]
+        assert r.n_vectors == n
+        assert r.mean_a == pytest.approx(sa / n, abs=2e-6)
+        assert r.mean_b == pytest.approx(sb / n, abs=2e-6)
+        assert r.mean_silhouette == pytest.approx(ssil / n, abs=2e-6)
+
+
+# --- fsck: fault attribution on a synthetic table ----------------------------
+
+
+def test_fsck_attributes_each_fault(spark, tmp_path):
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        commit_snapshot,
+        fsck_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    for i in range(4):
+        commit_snapshot(
+            spark.range(i * 10, i * 10 + 10).coalesce(1), t, integrity=True
+        )
+    pre = fsck_snapshot(spark, t)
+    assert [r["status"] for r in pre] == ["ok"] * 4
+    assert all(r["rows_recorded"] == r["rows_actual"] == 10 for r in pre)
+    files = sorted(glob.glob(os.path.join(t, "data", "commit-*", "*.parquet")))
+    # content corruption detectable only by the recorded row hash
+    tb = pq.read_table(files[0])
+    pq.write_table(tb.slice(0, 7), files[0])
+    crc = os.path.join(
+        os.path.dirname(files[0]), "." + os.path.basename(files[0]) + ".crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    # unreadable corruption (stale hadoop .crc sidecar)
+    tb1 = pq.read_table(files[1])
+    pq.write_table(tb1.slice(0, 3), files[1])
+    os.remove(files[2])
+    shutil.copy(files[3], os.path.join(t, "data", "orphan.parquet"))
+    rep = {r["file"]: r for r in fsck_snapshot(spark, t)}
+    rel = [os.path.relpath(f, t) for f in files]
+    assert rep[rel[0]]["status"] == "corrupt"
+    assert rep[rel[0]]["rows_actual"] == 7 and not rep[rel[0]]["hash_ok"]
+    assert rep[rel[1]]["status"] == "corrupt"
+    assert rep[rel[2]]["status"] == "missing"
+    assert rep[rel[2]]["rows_recorded"] == 10
+    assert rep[rel[3]]["status"] == "ok"
+    assert rep["data/orphan.parquet"]["status"] == "orphan"
+    # integrity-less commits degrade to existence-only
+    t2 = str(tmp_path / "tbl2")
+    commit_snapshot(spark.range(5), t2)
+    assert {r["status"] for r in fsck_snapshot(spark, t2)} == {"exists"}
