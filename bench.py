@@ -160,6 +160,9 @@ EXTENDED = [
     "stats_sequential_msprt",       # always-valid mSPRT p-values
     "model_calibration_brier",      # reliability bins + Brier decomposition
     "ann_silhouette_cells",         # simplified silhouette per IVF cell
+    "stats_group_sequential_peto",  # Haybittle-Peto group-sequential looks
+    "model_eval_auc_binned",        # exact tie-aware AUC from score bins
+    "model_calibration_isotonic",   # PAV calibration via minimax segments
 ]
 
 

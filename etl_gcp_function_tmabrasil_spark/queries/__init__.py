@@ -94,14 +94,22 @@ _CHECK_FIRST = [
     # ledger, per the r13 rotation plan below — never hand-counted):
     # the 4 round-14 registrations (stats_sequential_msprt,
     # model_calibration_brier, ann_silhouette_cells,
-    # sink_snapshot_fsck) at the top, then the 10 round-6 rows the r13
-    # registrations displaced, then the 36 oldest round-7 rows in
-    # registry order — exactly 50. After r14 lands, max evidence age
-    # is r7 (14 rows), trending down per the staleness contract. ---
+    # sink_snapshot_fsck, then the wave-2 trio
+    # stats_group_sequential_peto / model_eval_auc_binned /
+    # model_calibration_isotonic) at the top, then the 10 round-6 rows
+    # the r13 registrations displaced, then the 33 oldest round-7 rows
+    # in registry order — exactly 50 (the 3 r7 rows the wave-2 trio
+    # displaced — stream_cloudevent_source, sink_cloudevent_writer,
+    # sink_bucketed_colocated_join — keep their r7 evidence and rotate
+    # FIRST in r15). After r14 lands, max evidence age is r7 (17
+    # rows), trending down per the staleness contract. ---
     "stats_sequential_msprt",
     "model_calibration_brier",
     "ann_silhouette_cells",
     "sink_snapshot_fsck",
+    "stats_group_sequential_peto",
+    "model_eval_auc_binned",
+    "model_calibration_isotonic",
     "udf_grouped_zscore",
     "udf_grouped_agg_range",
     "sql_segment_status_rollup",
@@ -144,9 +152,6 @@ _CHECK_FIRST = [
     "join_runtime_bloom_filter",
     "scan_orc_roundtrip",
     "scan_xml_roundtrip",
-    "stream_cloudevent_source",
-    "sink_cloudevent_writer",
-    "sink_bucketed_colocated_join",
     "sink_incremental_rollup",
 ]
 
@@ -154,15 +159,18 @@ _CHECK_FIRST = [
 # scripts/merge_correctness_ledger.py (it picks up CORRECTNESS_r14.json).
 # Then the r15 window = any round-14 registrations without driver
 # evidence (top of the window), then the stalest ledger rows oldest
-# round first in registry order — after r14 lands that is the 14
-# remaining round-7 rows, then the round-8 rows — topped up to
-# exactly 50 (compute programmatically from the ledger — do NOT
-# trust a hand count; the r11 close-out miscounted its own
+# round first in registry order — after r14 lands that is the 17
+# remaining round-7 rows (the 3 displaced by the wave-2 trio —
+# stream_cloudevent_source, sink_cloudevent_writer,
+# sink_bucketed_colocated_join — first), then the round-8 rows —
+# topped up to exactly 50 (compute programmatically from the ledger —
+# do NOT trust a hand count; the r11 close-out miscounted its own
 # registrations by two). ALSO at the r15 boundary: amend SURVEY §2.2
 # with the round-14 registrations (stats_sequential_msprt,
-# model_calibration_brier, ann_silhouette_cells, sink_snapshot_fsck
-# + any later ones — count programmatically against the §2.2
-# query-name column).
+# model_calibration_brier, ann_silhouette_cells, sink_snapshot_fsck,
+# stats_group_sequential_peto, model_eval_auc_binned,
+# model_calibration_isotonic + any later ones — count
+# programmatically against the §2.2 query-name column).
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -5116,10 +5116,17 @@ def model_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,6)")
         .alias("sqerr"),
     )
-    bins = scored.groupBy("bin").agg(
-        F.count(F.lit(1)).alias("n_units"),
-        F.sum("o").alias("s_o"),
-        F.sum("sqerr").alias("s_sqerr"),
+    # the bin table feeds THREE consumers (per-bin rows, the global
+    # REL/Brier rollup, the RES rollup) — persist it so the plan scans
+    # the corpus ONCE, not once per consumer (r14 plan audit: the
+    # unpersisted shape re-read events 4x)
+    bins = managed_persist(
+        scored.groupBy("bin").agg(
+            F.count(F.lit(1)).alias("n_units"),
+            F.sum("o").alias("s_o"),
+            F.sum("sqerr").alias("s_sqerr"),
+        ),
+        "analytics.calib_bins",
     )
     glob = F.broadcast(
         bins.groupBy().agg(
@@ -5219,3 +5226,376 @@ ORDER BY b.bin
 
 QUERIES["model_calibration_brier"] = model_calibration_brier
 ORACLE["model_calibration_brier"] = _CALIB_SQL
+
+
+# --- Group-sequential testing: Haybittle–Peto boundary (round 14) ------------
+
+PETO_INTERIM_Z = 3.0  #: interim-look boundary (Haybittle 1971, Peto 1976)
+PETO_FINAL_Z = 1.959964  #: final-look boundary = fixed-horizon z at α=0.05
+
+
+def stats_group_sequential_peto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential monitoring per (event_type, day) with the
+    Haybittle–Peto rule (Haybittle 1971; Peto et al. 1976) — the
+    simplest published group-sequential procedure and the practical
+    complement to :func:`stats_sequential_msprt`: every interim look
+    uses one fixed stringent boundary |z| >= 3, and only the FINAL look
+    uses the fixed-horizon z(α/2) ≈ 1.96, so the overall type-I
+    inflation is negligible without per-K boundary constants (the
+    reason many real monitoring dashboards prefer it to O'Brien-
+    Fleming's tabulated constants). Same cumulative-moments machinery
+    and A/A parity arms as the mSPRT operator: one per-(type, day)
+    decimal rollup, a calendar-sized cumulative window, row-local z,
+    and a final-day marker window.
+
+    Output per (type, day): look number k, cumulative z, the boundary
+    in force (3.0 interim, 1.96 on each type's last day), and the
+    crossing flag (total boolean: an undefined z counts as "no
+    crossing"). On the A/A split crossings should be rare and
+    transient: none at sf0.01+, while sf0.001's earliest looks (n<20
+    per arm, where the normal approximation is loose) can brush the
+    interim boundary — exactly the small-sample noise the stringent
+    |z|>=3 interim rule exists to absorb. z is NULL below 2 units per
+    arm or at zero variance — identical NULL routing on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        day("ts").alias("d"),
+        (F.col("user_id") % 2 == 0).alias("is_a"),
+        F.col("value").alias("v"),
+    )
+    a = F.col("is_a")
+    daily = ev.groupBy("event_type", "d").agg(
+        F.count(F.when(a, F.lit(1))).alias("dn_a"),
+        F.count(F.when(~a, F.lit(1))).alias("dn_b"),
+        F.sum(F.when(a, F.col("v")).cast("decimal(18,4)")).alias("ds_a"),
+        F.sum(F.when(~a, F.col("v")).cast("decimal(18,4)")).alias("ds_b"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,8)")).alias("dss"),
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "d",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("d"))
+        .alias("look"),
+        F.count(F.lit(1)).over(wall).alias("n_looks"),
+        F.sum("dn_a").over(wcum).cast("double").alias("n_a"),
+        F.sum("dn_b").over(wcum).cast("double").alias("n_b"),
+        F.sum("ds_a").over(wcum).cast("double").alias("s_a"),
+        F.sum("ds_b").over(wcum).cast("double").alias("s_b"),
+        F.sum("dss").over(wcum).cast("double").alias("ss"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    ma, mb = F.col("s_a") / na, F.col("s_b") / nb
+    var = (F.col("ss") - na * ma * ma - nb * mb * mb) / (na + nb - 2)
+    ok = (na > 1) & (nb > 1) & (var > 0)
+    z = F.round(
+        (ma - mb) / F.sqrt(var * (1 / na + 1 / nb)), 6
+    )
+    bound = F.when(
+        F.col("look") < F.col("n_looks"), F.lit(PETO_INTERIM_Z)
+    ).otherwise(F.lit(PETO_FINAL_Z))
+    zcol = F.when(ok, z)
+    return cum.select(
+        "event_type",
+        "d",
+        "look",
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        zcol.alias("z"),
+        F.round(bound, 6).alias("boundary"),
+        # total boolean: an undefined z (tiny n / zero variance) is
+        # "no crossing at this look" on BOTH engines, never NULL
+        F.coalesce(F.abs(zcol) >= bound, F.lit(False)).alias("crossed"),
+    ).orderBy("event_type", "d")
+
+
+_PETO_SQL = f"""
+WITH daily AS (
+  SELECT event_type, STRFTIME(ts, '%Y-%m-%d') AS d,
+    COUNT(*) FILTER (WHERE user_id % 2 = 0) AS dn_a,
+    COUNT(*) FILTER (WHERE user_id % 2 <> 0) AS dn_b,
+    SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE user_id % 2 = 0) AS ds_a,
+    SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE user_id % 2 <> 0) AS ds_b,
+    SUM(CAST(value * value AS DECIMAL(38,8))) AS dss
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, d,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS look,
+    COUNT(*) OVER (PARTITION BY event_type) AS n_looks,
+    CAST(SUM(dn_a) OVER w AS DOUBLE) AS n_a,
+    CAST(SUM(dn_b) OVER w AS DOUBLE) AS n_b,
+    CAST(SUM(ds_a) OVER w AS DOUBLE) AS s_a,
+    CAST(SUM(ds_b) OVER w AS DOUBLE) AS s_b,
+    CAST(SUM(dss) OVER w AS DOUBLE) AS ss
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS UNBOUNDED PRECEDING)
+),
+scored AS (
+  SELECT event_type, d, look,
+    CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+    CASE WHEN n_a > 1 AND n_b > 1
+      AND (ss - n_a*(s_a/n_a)*(s_a/n_a) - n_b*(s_b/n_b)*(s_b/n_b))
+          / (n_a + n_b - 2) > 0
+    THEN ROUND((s_a/n_a - s_b/n_b) / SQRT(
+      (ss - n_a*(s_a/n_a)*(s_a/n_a) - n_b*(s_b/n_b)*(s_b/n_b))
+      / (n_a + n_b - 2) * (1/n_a + 1/n_b)), 6)
+    END AS z,
+    ROUND(CASE WHEN look < n_looks THEN {PETO_INTERIM_Z}
+               ELSE {PETO_FINAL_Z} END, 6) AS boundary
+  FROM cum
+)
+SELECT event_type, d, look, n_a, n_b, z, boundary,
+  COALESCE(ABS(z) >= boundary, FALSE) AS crossed
+FROM scored ORDER BY event_type, d
+"""
+
+QUERIES["stats_group_sequential_peto"] = stats_group_sequential_peto
+ORACLE["stats_group_sequential_peto"] = _PETO_SQL
+
+
+# --- Binned AUC / Gini for the activity forecaster (round 14) ----------------
+
+
+def model_eval_auc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC and Gini for the discrete activity forecaster of
+    :func:`model_calibration_brier`, computed EXACTLY from the score
+    histogram — no per-row ranking anywhere: with scores taking K
+    discrete values, AUC = P(s⁺ > s⁻) + ½·P(s⁺ = s⁻) (the Mann-
+    Whitney U with midrank tie handling, Hanley & McNeil 1982) reduces
+    to a K-row cumulative readout
+
+        AUC = Σ_b pos_b · (2·cumneg_{<b} + neg_b) / (2·P·N)
+
+    kept in INTEGER arithmetic until the final division, so both
+    engines agree bit-for-bit. The unit, forecast, and outcome are
+    exactly the calibration operator's ((user, day), min(n,9) bin,
+    any-purchase), making AUC/Gini the discrimination half and
+    Brier/reliability the calibration half of one eval suite.
+
+    Scale: one (user, day)-keyed rollup, then a ≤9-row histogram
+    window — the same shape every sketch-rollup readout uses.
+    """
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", day("ts").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("o"),
+        )
+        .select(
+            F.least(F.col("n"), F.lit(CALIB_BINS)).alias("bin"), F.col("o")
+        )
+    )
+    hist = ud.groupBy("bin").agg(
+        F.sum("o").alias("pos"),
+        F.sum(F.lit(1) - F.col("o")).alias("neg"),
+    )
+    wcum = (
+        W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    scored = hist.select(
+        "bin",
+        "pos",
+        "neg",
+        (F.sum("neg").over(wcum) - F.col("neg")).alias("cumneg_below"),
+    )
+    return scored.groupBy().agg(
+        (F.sum("pos") + F.sum("neg")).alias("n_units"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        F.round(
+            F.sum(
+                F.col("pos")
+                * (F.lit(2) * F.col("cumneg_below") + F.col("neg"))
+            ).cast("double")
+            / (F.lit(2.0) * F.sum("pos") * F.sum("neg")),
+            6,
+        ).alias("auc"),
+        F.round(
+            F.sum(
+                F.col("pos")
+                * (F.lit(2) * F.col("cumneg_below") + F.col("neg"))
+            ).cast("double")
+            / (F.sum("pos") * F.sum("neg"))
+            - F.lit(1.0),
+            6,
+        ).alias("gini"),
+    )
+
+
+_AUC_SQL = f"""
+WITH ud AS (
+  SELECT LEAST(COUNT(*), {CALIB_BINS}) AS bin,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS o
+  FROM events GROUP BY user_id, STRFTIME(ts, '%Y-%m-%d')
+),
+hist AS (
+  SELECT bin, SUM(o) AS pos, SUM(1 - o) AS neg FROM ud GROUP BY bin
+),
+scored AS (
+  SELECT bin, pos, neg,
+    SUM(neg) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) - neg
+      AS cumneg_below
+  FROM hist
+)
+SELECT CAST(SUM(pos) + SUM(neg) AS BIGINT) AS n_units,
+  CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg,
+  ROUND(CAST(SUM(pos * (2 * cumneg_below + neg)) AS DOUBLE)
+        / (2.0 * SUM(pos) * SUM(neg)), 6) AS auc,
+  ROUND(CAST(SUM(pos * (2 * cumneg_below + neg)) AS DOUBLE)
+        / (CAST(SUM(pos) AS DOUBLE) * SUM(neg)) - 1.0, 6) AS gini
+FROM scored
+"""
+
+QUERIES["model_eval_auc_binned"] = model_eval_auc_binned
+ORACLE["model_eval_auc_binned"] = _AUC_SQL
+
+
+# --- Isotonic (PAV) calibration over the reliability bins (round 14) ---------
+
+
+def model_calibration_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic-regression calibration map for the activity forecaster
+    — the pool-adjacent-violators fit (Ayer et al. 1955; Zadrozny &
+    Elkan 2002 for probability calibration) computed via the MINIMAX
+    identity instead of the sequential pooling loop: the isotonic fit
+    at bin i equals
+
+        iso_i = max_{a<=i} min_{b>=i}  ( Σ_{k=a..b} o_k ) / ( Σ n_k )
+
+    (Robertson, Wright & Dykstra 1988, thm 1.4.4) — a closed form over
+    SEGMENT MEANS, which turns the inherently sequential PAV sweep into
+    a relational expression: cumulative (n, o) sums over the bin table,
+    an a<=i<=b segment expansion (≤K³ rows for K bins), and a min/max
+    rollup. With K = 9 the expansion is 165 rows — driver-free,
+    engine-exact (segment means are single divisions of integers), and
+    the same shape at ANY corpus size because it runs on the HISTOGRAM,
+    never the rows.
+
+    Output per occupied bin: raw forecast, empirical rate, and the
+    isotonic calibrated probability (monotone by construction —
+    asserted by the brute-force PAV sweep in tests/test_r14_operators).
+    """
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", day("ts").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("o"),
+        )
+        .select(
+            F.least(F.col("n"), F.lit(CALIB_BINS)).alias("bin"), F.col("o")
+        )
+    )
+    wcum = (
+        W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    bins = managed_persist(
+        ud.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_units"), F.sum("o").alias("s_o"))
+        .select(
+            "bin",
+            "n_units",
+            "s_o",
+            F.sum("n_units").over(wcum).alias("cn"),
+            F.sum("s_o").over(wcum).alias("co"),
+        ),
+        "analytics.iso_bins",
+    )
+    lo = bins.select(
+        F.col("bin").alias("a"),
+        (F.col("cn") - F.col("n_units")).alias("cn_lo"),
+        (F.col("co") - F.col("s_o")).alias("co_lo"),
+    )
+    hi = bins.select(
+        F.col("bin").alias("b"),
+        F.col("cn").alias("cn_hi"),
+        F.col("co").alias("co_hi"),
+    )
+    seg = (
+        F.broadcast(lo)
+        .crossJoin(F.broadcast(hi))
+        .filter(F.col("a") <= F.col("b"))
+        .select(
+            "a",
+            "b",
+            (
+                (F.col("co_hi") - F.col("co_lo")).cast("double")
+                / (F.col("cn_hi") - F.col("cn_lo"))
+            ).alias("m"),
+        )
+    )
+    # iso_i = max_{a<=i} min_{b>=i} m(a,b): expand each segment to the
+    # bins it covers, inner min over b per (i, a), outer max over a
+    covered = (
+        seg.join(
+            F.broadcast(bins.select(F.col("bin").alias("i"))),
+            (F.col("a") <= F.col("i")) & (F.col("i") <= F.col("b")),
+        )
+        .groupBy("i", "a")
+        .agg(F.min("m").alias("min_b"))
+        .groupBy("i")
+        .agg(F.round(F.max("min_b"), 6).alias("p_isotonic"))
+    )
+    return (
+        bins.join(covered, bins.bin == covered.i)
+        .select(
+            "bin",
+            "n_units",
+            F.round(F.col("bin") * F.lit(0.1) + F.lit(0.05), 2).alias(
+                "p_hat"
+            ),
+            F.round(
+                F.col("s_o").cast("double") / F.col("n_units"), 6
+            ).alias("o_rate"),
+            "p_isotonic",
+        )
+        .orderBy("bin")
+    )
+
+
+_ISO_SQL = f"""
+WITH ud AS (
+  SELECT LEAST(COUNT(*), {CALIB_BINS}) AS bin,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS o
+  FROM events GROUP BY user_id, STRFTIME(ts, '%Y-%m-%d')
+),
+bins AS (
+  SELECT bin, COUNT(*) AS n_units, SUM(o) AS s_o,
+    SUM(COUNT(*)) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+    SUM(SUM(o)) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS co
+  FROM ud GROUP BY bin
+),
+seg AS (
+  SELECT lo.bin AS a, hi.bin AS b,
+    CAST(hi.co - (lo.co - lo.s_o) AS DOUBLE)
+      / (hi.cn - (lo.cn - lo.n_units)) AS m
+  FROM bins lo JOIN bins hi ON lo.bin <= hi.bin
+),
+covered AS (
+  SELECT i.bin AS i, s.a, MIN(s.m) AS min_b
+  FROM seg s JOIN bins i ON s.a <= i.bin AND i.bin <= s.b
+  GROUP BY i.bin, s.a
+),
+iso AS (
+  SELECT i, ROUND(MAX(min_b), 6) AS p_isotonic FROM covered GROUP BY i
+)
+SELECT b.bin, b.n_units,
+  ROUND(b.bin * 0.1 + 0.05, 2) AS p_hat,
+  ROUND(CAST(b.s_o AS DOUBLE) / b.n_units, 6) AS o_rate,
+  iso.p_isotonic
+FROM bins b JOIN iso ON b.bin = iso.i
+ORDER BY b.bin
+"""
+
+QUERIES["model_calibration_isotonic"] = model_calibration_isotonic
+ORACLE["model_calibration_isotonic"] = _ISO_SQL

@@ -316,6 +316,20 @@ PARITY = [
     "join_asof_nearest",
     # r12: banded-rank class rebalancing at 2M events
     "sample_balanced_classes",
+    # r14 wave: cumulative mSPRT windows over 2M events (10x per-day
+    # moment mass), the (user, day) calibration rollup at 10x units,
+    # the one-pass silhouette at 20k vectors x 16 cells, and the fsck
+    # gate rebuilding its 4-commit + 3-fault fixture from 2M events
+    "stats_sequential_msprt",
+    "model_calibration_brier",
+    "ann_silhouette_cells",
+    "sink_snapshot_fsck",
+    # r14 wave 2: cumulative z trajectory at 10x moment mass; the
+    # binned AUC and minimax-PAV isotonic fit over 10x (user, day)
+    # units (their bin tables stay <=9 rows at any scale)
+    "stats_group_sequential_peto",
+    "model_eval_auc_binned",
+    "model_calibration_isotonic",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.

@@ -293,3 +293,128 @@ def test_fsck_attributes_each_fault(spark, tmp_path):
     t2 = str(tmp_path / "tbl2")
     commit_snapshot(spark.range(5), t2)
     assert {r["status"] for r in fsck_snapshot(spark, t2)} == {"exists"}
+
+
+# --- stats_group_sequential_peto: z trajectory + boundary recompute ----------
+
+
+def test_peto_matches_python_definition(spark):
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        PETO_FINAL_Z,
+        PETO_INTERIM_Z,
+        stats_group_sequential_peto,
+    )
+
+    by = defaultdict(lambda: defaultdict(lambda: [0, 0, 0.0, 0.0, 0.0]))
+    for e in _events(spark):
+        d = e.ts.strftime("%Y-%m-%d")
+        slot = by[e.event_type][d]
+        if e.user_id % 2 == 0:
+            slot[0] += 1
+            slot[2] += e.value
+        else:
+            slot[1] += 1
+            slot[3] += e.value
+        slot[4] += e.value * e.value
+    got = {
+        (r.event_type, r.d): r
+        for r in stats_group_sequential_peto(spark, SF_SMOKE).collect()
+    }
+    for et, days in by.items():
+        na = nb = 0
+        sa = sb = ss = 0.0
+        ordered = sorted(days)
+        for k, d in enumerate(ordered, start=1):
+            dn_a, dn_b, ds_a, ds_b, dss = days[d]
+            na, nb = na + dn_a, nb + dn_b
+            sa, sb, ss = sa + ds_a, sb + ds_b, ss + dss
+            r = got[(et, d)]
+            assert r.look == k and (r.n_a, r.n_b) == (na, nb)
+            bound = PETO_INTERIM_Z if k < len(ordered) else PETO_FINAL_Z
+            assert r.boundary == pytest.approx(bound, abs=1e-6)
+            if na > 1 and nb > 1:
+                ma, mb = sa / na, sb / nb
+                var = (ss - na * ma * ma - nb * mb * mb) / (na + nb - 2)
+                if var > 0:
+                    z = (ma - mb) / math.sqrt(var * (1 / na + 1 / nb))
+                    assert r.z == pytest.approx(z, abs=2e-4)
+                    assert r.crossed == (abs(r.z) >= r.boundary)
+                    continue
+            assert r.z is None and r.crossed is False
+
+
+# --- model_eval_auc_binned: exact pairwise AUC --------------------------------
+
+
+def test_auc_binned_equals_pairwise(spark):
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        CALIB_BINS,
+        model_eval_auc_binned,
+    )
+
+    units = defaultdict(lambda: [0, 0])
+    for e in _events(spark):
+        slot = units[(e.user_id, e.ts.strftime("%Y-%m-%d"))]
+        slot[0] += 1
+        slot[1] = max(slot[1], 1 if e.event_type == "purchase" else 0)
+    scores = [(min(n, CALIB_BINS), o) for n, o in units.values()]
+    pos = [s for s, o in scores if o]
+    neg = [s for s, o in scores if not o]
+    # literal Mann-Whitney with midrank ties: O(P*N), fine at sf0.001
+    num = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg
+    )
+    auc = num / (len(pos) * len(neg))
+    row = model_eval_auc_binned(spark, SF_SMOKE).collect()[0]
+    assert row.n_units == len(scores)
+    assert row.n_pos == len(pos) and row.n_neg == len(neg)
+    assert row.auc == pytest.approx(auc, abs=2e-6)
+    assert row.gini == pytest.approx(2 * auc - 1, abs=4e-6)
+    assert 0.5 < row.auc <= 1.0, "count forecaster must discriminate"
+
+
+# --- model_calibration_isotonic: sequential PAV sweep == minimax form --------
+
+
+def test_isotonic_minimax_equals_pav_sweep(spark):
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        CALIB_BINS,
+        model_calibration_isotonic,
+    )
+
+    units = defaultdict(lambda: [0, 0])
+    for e in _events(spark):
+        slot = units[(e.user_id, e.ts.strftime("%Y-%m-%d"))]
+        slot[0] += 1
+        slot[1] = max(slot[1], 1 if e.event_type == "purchase" else 0)
+    per_bin = defaultdict(lambda: [0, 0])
+    for n, o in units.values():
+        b = min(n, CALIB_BINS)
+        per_bin[b][0] += 1
+        per_bin[b][1] += o
+    # the textbook sequential PAV sweep (Ayer et al. 1955)
+    blocks = []  # [sum_o, sum_n, bins]
+    for b in sorted(per_bin):
+        nk, so = per_bin[b]
+        blocks.append([so, nk, [b]])
+        while len(blocks) > 1 and (
+            blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]
+        ):
+            so2, n2, bs2 = blocks.pop()
+            blocks[-1][0] += so2
+            blocks[-1][1] += n2
+            blocks[-1][2].extend(bs2)
+    want = {}
+    for so, nk, bs in blocks:
+        for b in bs:
+            want[b] = so / nk
+    got = {
+        r.bin: r for r in model_calibration_isotonic(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    prev = -1.0
+    for b in sorted(want):
+        assert got[b].p_isotonic == pytest.approx(want[b], abs=2e-6)
+        assert got[b].p_isotonic >= prev - 1e-9, "isotonic fit must be monotone"
+        prev = got[b].p_isotonic
+        assert got[b].n_units == per_bin[b][0]
