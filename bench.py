@@ -163,6 +163,10 @@ EXTENDED = [
     "stats_group_sequential_peto",  # Haybittle-Peto group-sequential looks
     "model_eval_auc_binned",        # exact tie-aware AUC from score bins
     "model_calibration_isotonic",   # PAV calibration via minimax segments
+    "ab_test_srm_check",            # sample-ratio-mismatch chi-square gate
+    "embedding_matryoshka_fidelity",  # prefix-dim top-1 agreement + cos error
+    # (sink_snapshot_merge is eager — 4 commits + a real merge at
+    # fixture build -> scripts/bench_gate_sf01.py)
 ]
 
 

@@ -92,17 +92,19 @@ _MODULES = [
 _CHECK_FIRST = [
     # --- ROUND-14 WINDOW (computed PROGRAMMATICALLY from the merged
     # ledger, per the r13 rotation plan below — never hand-counted):
-    # the 4 round-14 registrations (stats_sequential_msprt,
+    # the 10 round-14 registrations (stats_sequential_msprt,
     # model_calibration_brier, ann_silhouette_cells,
-    # sink_snapshot_fsck, then the wave-2 trio
-    # stats_group_sequential_peto / model_eval_auc_binned /
-    # model_calibration_isotonic) at the top, then the 10 round-6 rows
-    # the r13 registrations displaced, then the 33 oldest round-7 rows
-    # in registry order — exactly 50 (the 3 r7 rows the wave-2 trio
-    # displaced — stream_cloudevent_source, sink_cloudevent_writer,
-    # sink_bucketed_colocated_join — keep their r7 evidence and rotate
-    # FIRST in r15). After r14 lands, max evidence age is r7 (17
-    # rows), trending down per the staleness contract. ---
+    # sink_snapshot_fsck, the wave-2 trio stats_group_sequential_peto
+    # / model_eval_auc_binned / model_calibration_isotonic, and the
+    # wave-3 trio sink_snapshot_merge / ab_test_srm_check /
+    # embedding_matryoshka_fidelity) at the top, then the 10 round-6
+    # rows the r13 registrations displaced, then the 30 oldest round-7
+    # rows in registry order — exactly 50 (the 6 r7 rows the wave-2/3
+    # trios displaced — stream_cloudevent_source, sink_cloudevent_writer,
+    # sink_bucketed_colocated_join, scan_orc_roundtrip,
+    # scan_xml_roundtrip, sink_incremental_rollup — keep their r7
+    # evidence and rotate FIRST in r15). After r14 lands, max evidence
+    # age is r7 (20 rows), trending down per the staleness contract. ---
     "stats_sequential_msprt",
     "model_calibration_brier",
     "ann_silhouette_cells",
@@ -110,6 +112,9 @@ _CHECK_FIRST = [
     "stats_group_sequential_peto",
     "model_eval_auc_binned",
     "model_calibration_isotonic",
+    "sink_snapshot_merge",
+    "ab_test_srm_check",
+    "embedding_matryoshka_fidelity",
     "udf_grouped_zscore",
     "udf_grouped_agg_range",
     "sql_segment_status_rollup",
@@ -150,26 +155,25 @@ _CHECK_FIRST = [
     "sink_zorder_layout",
     "join_dpp_partitioned",
     "join_runtime_bloom_filter",
-    "scan_orc_roundtrip",
-    "scan_xml_roundtrip",
-    "sink_incremental_rollup",
 ]
 
 # ROUND-15 ROTATION PLAN (for the next builder): FIRST run
 # scripts/merge_correctness_ledger.py (it picks up CORRECTNESS_r14.json).
 # Then the r15 window = any round-14 registrations without driver
 # evidence (top of the window), then the stalest ledger rows oldest
-# round first in registry order — after r14 lands that is the 17
-# remaining round-7 rows (the 3 displaced by the wave-2 trio —
+# round first in registry order — after r14 lands that is the 20
+# remaining round-7 rows (the 6 displaced by the wave-2/3 trios —
 # stream_cloudevent_source, sink_cloudevent_writer,
-# sink_bucketed_colocated_join — first), then the round-8 rows —
+# sink_bucketed_colocated_join, scan_orc_roundtrip, scan_xml_roundtrip,
+# sink_incremental_rollup — first), then the round-8 rows —
 # topped up to exactly 50 (compute programmatically from the ledger —
 # do NOT trust a hand count; the r11 close-out miscounted its own
 # registrations by two). ALSO at the r15 boundary: amend SURVEY §2.2
 # with the round-14 registrations (stats_sequential_msprt,
 # model_calibration_brier, ann_silhouette_cells, sink_snapshot_fsck,
 # stats_group_sequential_peto, model_eval_auc_binned,
-# model_calibration_isotonic + any later ones — count
+# model_calibration_isotonic, sink_snapshot_merge, ab_test_srm_check,
+# embedding_matryoshka_fidelity + any later ones — count
 # programmatically against the §2.2 query-name column).
 
 

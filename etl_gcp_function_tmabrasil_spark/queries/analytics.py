@@ -5599,3 +5599,73 @@ ORDER BY b.bin
 
 QUERIES["model_calibration_isotonic"] = model_calibration_isotonic
 ORACLE["model_calibration_isotonic"] = _ISO_SQL
+
+
+# --- Sample-ratio-mismatch (SRM) guardrail (round 14) -------------------------
+
+SRM_CHI2_CRIT = 3.841459  #: chi-square 1-df critical value at α = 0.05
+
+
+def ab_test_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check per event type — the #1 A/B trust
+    gate (Fabijan et al., KDD 2019: "Diagnosing Sample Ratio
+    Mismatch"): before reading ANY metric, verify the unit counts
+    actually landed in the designed 50/50 split. The statistic is the
+    1-df chi-square against the expected equal split,
+    χ² = (n_A − n_B)² / (n_A + n_B), flagged at the 0.05 critical
+    value — on the deterministic user-parity split the flag fires only
+    where the population's parity mix is itself skewed, which is
+    exactly what an SRM guardrail is for (randomization bugs, not
+    metric movement). Units are DISTINCT USERS per (type, arm) — the
+    randomization unit, never event counts.
+
+    Scale: one distinct-user rollup per (type, arm) — the classic
+    two-level distinct aggregation — then row-local arithmetic on a
+    type-count-sized frame.
+    """
+    per = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "user_id",
+            (F.col("user_id") % 2 == 0).alias("is_a"),
+        )
+        .distinct()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("is_a"), F.lit(1))).alias("n_a"),
+            F.count(F.when(~F.col("is_a"), F.lit(1))).alias("n_b"),
+        )
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    chi2 = (na - nb) * (na - nb) / (na + nb)
+    return per.select(
+        "event_type",
+        F.col("n_a").alias("n_users_a"),
+        F.col("n_b").alias("n_users_b"),
+        F.round(na / (na + nb), 6).alias("share_a"),
+        F.round(chi2, 6).alias("chi2"),
+        (F.round(chi2, 6) > F.lit(SRM_CHI2_CRIT)).alias("srm_detected"),
+    ).orderBy("event_type")
+
+
+_SRM_SQL = f"""
+WITH per AS (
+  SELECT event_type,
+    COUNT(*) FILTER (WHERE is_a) AS n_a,
+    COUNT(*) FILTER (WHERE NOT is_a) AS n_b
+  FROM (
+    SELECT DISTINCT event_type, user_id, user_id % 2 = 0 AS is_a
+    FROM events
+  ) GROUP BY event_type
+)
+SELECT event_type, n_a AS n_users_a, n_b AS n_users_b,
+  ROUND(CAST(n_a AS DOUBLE) / (n_a + n_b), 6) AS share_a,
+  ROUND(CAST(n_a - n_b AS DOUBLE) * (n_a - n_b) / (n_a + n_b), 6) AS chi2,
+  ROUND(CAST(n_a - n_b AS DOUBLE) * (n_a - n_b) / (n_a + n_b), 6)
+    > {SRM_CHI2_CRIT} AS srm_detected
+FROM per ORDER BY event_type
+"""
+
+QUERIES["ab_test_srm_check"] = ab_test_srm_check
+ORACLE["ab_test_srm_check"] = _SRM_SQL

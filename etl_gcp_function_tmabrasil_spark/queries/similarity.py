@@ -2165,3 +2165,168 @@ FROM scored GROUP BY cell_id ORDER BY cell_id
 
 QUERIES["ann_silhouette_cells"] = ann_silhouette_cells
 ORACLE["ann_silhouette_cells"] = _silhouette_sql()
+
+
+# --- Matryoshka prefix-dimension fidelity (round 14) --------------------------
+
+MRL_DIMS = [8, 16, 32, 64]  #: prefix dims profiled (64 = full width)
+
+
+def embedding_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation quality readout (Kusupati et al. 2022,
+    arXiv:2205.13147): how faithful is nearest-neighbor search when
+    vectors are truncated to a prefix of their dimensions — the
+    decision input for the standard MRL serving trade (short prefixes
+    for the ANN shortlist, full width for re-rank). For each prefix
+    width D the operator reports (a) top-1 agreement: the fraction of
+    queries whose D-dim top-1 neighbor equals their full-width top-1
+    (ties broken on lower neighbor_id, as everywhere in the family),
+    and (b) the mean absolute cosine error |cos_D − cos_full| over all
+    query-corpus pairs (6-dp decimal sums — order-independent).
+
+    Note the honest-fixture caveat shared with the ANN recall docs:
+    these embeddings are iid, not MRL-trained, so agreement at small D
+    reads as the UNTRAINED floor — the operator measures whatever
+    corpus it is given.
+
+    Scale: the bounded query set (N_QUERIES rows) broadcast-cross-
+    joins the corpus once; every per-pair quantity (4 prefix cosines)
+    is row-local; the per-(query, D) argmax is a max-of-struct
+    aggregate (no window over the corpus), and the final rollup is
+    len(MRL_DIMS)-row. One corpus scan total.
+    """
+    emb = _with_norm(
+        load_table(spark, sf_dir, "embeddings", rebalance=True), "vec_id"
+    )
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            _as_double(F.col("embedding")).alias("qe"),
+        )
+    )
+
+    def cos_at(d: int) -> str:
+        return (
+            f"round(aggregate(zip_with(slice(qe, 1, {d}), slice(e, 1, {d}),"
+            " (x, y) -> x * y), cast(0.0 as double), (s, x) -> s + x)"
+            f" / (sqrt(aggregate(slice(qe, 1, {d}), cast(0.0 as double),"
+            " (s, x) -> s + x * x))"
+            f" * sqrt(aggregate(slice(e, 1, {d}), cast(0.0 as double),"
+            " (s, x) -> s + x * x))), 6)"
+        )
+
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(emb.select("vec_id", "e"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            *[F.expr(cos_at(d)).alias(f"c{d}") for d in MRL_DIMS],
+        )
+    )
+    stacked = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.expr(
+            "stack("
+            + str(len(MRL_DIMS))
+            + ", "
+            + ", ".join(f"{d}, c{d}" for d in MRL_DIMS)
+            + ") as (dim, cos)"
+        ),
+        F.col(f"c{MRL_DIMS[-1]}").alias("cos_full"),
+    )
+    from etl_gcp_function_tmabrasil_spark.queries._util import managed_persist
+
+    # deterministic argmax without structs: pack the 6-dp cosine and
+    # the tiebreak id into ONE bigint — pk = cos6*1e11 - id (ids are
+    # far below 1e11; |pk| <= 1e17 fits long) — then unpack the winner
+    # id as pmod(-max_pk, 1e11). Identical arithmetic in the oracle.
+    pack = (
+        F.round(F.col("cos") * 1e6).cast("long") * F.lit(100_000_000_000)
+        - F.col("neighbor_id")
+    )
+    per_qd = managed_persist(
+        stacked.groupBy("query_id", "dim").agg(
+            F.pmod(-F.max(pack), F.lit(100_000_000_000)).alias("top1_id"),
+            F.sum(
+                F.round(F.abs(F.col("cos") - F.col("cos_full")), 6).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("abs_err_sum"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        ),
+        "similarity.mrl_per_qd",
+    )
+    full = per_qd.filter(F.col("dim") == MRL_DIMS[-1]).select(
+        "query_id", F.col("top1_id").alias("top1_full")
+    )
+    return (
+        per_qd.join(F.broadcast(full), "query_id")
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(
+                F.avg(
+                    (F.col("top1_id") == F.col("top1_full")).cast("int")
+                ),
+                6,
+            ).alias("top1_agreement"),
+            F.round(
+                F.sum("abs_err_sum").cast("double") / F.sum("n_pairs"), 6
+            ).alias("mean_abs_cos_err"),
+        )
+        .orderBy("dim")
+    )
+
+
+def _mrl_sql() -> str:
+    def cos_at(d: int) -> str:
+        a, b = f"q.qe[1:{d}]", f"c.e[1:{d}]"
+        dot = _SQL_DOT.format(a=a, b=b)
+        na = _SQL_NORM.format(a=a)
+        nb = _SQL_NORM.format(a=b)
+        return f"ROUND({dot} / ({na} * {nb}), 6)"
+
+    stack_rows = " UNION ALL ".join(
+        f"SELECT query_id, neighbor_id, {d} AS dim, c{d} AS cos, c{MRL_DIMS[-1]} AS cos_full FROM pairs"
+        for d in MRL_DIMS
+    )
+    cols = ", ".join(f"{cos_at(d)} AS c{d}" for d in MRL_DIMS)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM e WHERE vec_id < {N_QUERIES}),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {cols}
+  FROM q JOIN e c ON c.vec_id <> q.query_id
+),
+stacked AS ({stack_rows}),
+per_qd AS (
+  SELECT query_id, dim,
+    ((-(MAX(CAST(ROUND(cos * 1e6) AS BIGINT) * 100000000000
+           - neighbor_id)) % 100000000000) + 100000000000)
+      % 100000000000 AS top1_id,
+    SUM(CAST(ROUND(ABS(cos - cos_full), 6) AS DECIMAL(18,6)))
+      AS abs_err_sum,
+    COUNT(*) AS n_pairs
+  FROM stacked GROUP BY query_id, dim
+),
+fullq AS (
+  SELECT query_id, top1_id AS top1_full FROM per_qd
+  WHERE dim = {MRL_DIMS[-1]}
+)
+SELECT f.dim, COUNT(*) AS n_queries,
+  ROUND(AVG(CASE WHEN f.top1_id = fq.top1_full
+                 THEN 1 ELSE 0 END), 6) AS top1_agreement,
+  ROUND(CAST(SUM(f.abs_err_sum) AS DOUBLE) / SUM(f.n_pairs), 6)
+    AS mean_abs_cos_err
+FROM per_qd f JOIN fullq fq ON f.query_id = fq.query_id
+GROUP BY f.dim ORDER BY f.dim
+"""
+
+
+QUERIES["embedding_matryoshka_fidelity"] = embedding_matryoshka_fidelity
+ORACLE["embedding_matryoshka_fidelity"] = _mrl_sql()

@@ -3267,3 +3267,138 @@ ORDER BY status
 
 QUERIES["sink_snapshot_fsck"] = sink_snapshot_fsck
 ORACLE["sink_snapshot_fsck"] = _SNAPSHOT_FSCK_SQL
+
+
+def sink_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE INTO (round 14) — the Delta-style batch upsert as
+    ONE copy-on-write snapshot commit (sinks/snapshot.merge_snapshot):
+    source rows whose event_id exists in the table REPLACE the stored
+    row, the rest INSERT, and only the files actually holding a
+    matched key are rewritten.
+
+    The r9 gate ``sink_snapshot_merge_upsert`` composes the same
+    semantics from primitives as a FULL-TABLE overwrite commit; this
+    verb is its scale path — O(matched files), not O(table).
+
+    Fixture hard-checks at build: (a) the base table is committed as
+    FOUR files keyed by event_id ranges, and a merge whose updates
+    touch only the first range rewrites exactly ONE file — the other
+    three carry forward byte-identical (copy-on-write selectivity
+    proven on disk, not asserted); (b) the merged read equals
+    base − matched + source exactly; (c) update/insert counts match
+    the slice arithmetic; (d) replaying the same txn_id is a no-op;
+    (e) a source with duplicate keys raises the multiple-match error.
+    The gate returns the merged table's per-type rollup; the oracle
+    recomputes it from base events (matched rows carry value+100).
+
+    Reference parity: main.py:17's placeholder is the load step of an
+    ETL whose real-world form is exactly this keyed upsert into a
+    warehouse table.
+    """
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        commit_snapshot,
+        merge_snapshot,
+        read_snapshot,
+    )
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(_gate_root(), sf_name, "snapshot_merge_cow_table")
+
+    def _build(tmp: str) -> None:
+        from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+            _load_manifest,
+            _manifests,
+        )
+
+        table = os.path.join(tmp, "table")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        base = ev.filter(F.col("event_id") % 3 != 2)
+        # four mod-keyed files: the update keys (%12==1) all live in
+        # the %4==1 file, so copy-on-write must rewrite EXACTLY one
+        for m in range(4):
+            commit_snapshot(
+                base.filter(F.col("event_id") % 4 == m).coalesce(1), table
+            )
+        files0 = list(_load_manifest(table, 4)["files"])
+        n_base = read_snapshot(spark, table).count()
+        updates = base.filter(F.col("event_id") % 12 == 1).withColumn(
+            "value", F.col("value") + F.lit(100.0)
+        )
+        inserts = ev.filter(F.col("event_id") % 3 == 2)
+        source = updates.unionByName(inserts)
+        n_upd = updates.count()
+        n_ins = inserts.count()
+        if not n_upd or not n_ins:
+            raise AssertionError("fixture slices must be non-empty")
+        info = merge_snapshot(
+            spark, table, source, "event_id", txn_id="merge-1"
+        )
+        if info["rows_updated"] != n_upd or info["rows_inserted"] != n_ins:
+            raise AssertionError(f"merge counts off: {info}")
+        if info["files_rewritten"] != 1:
+            raise AssertionError(
+                f"expected exactly 1 rewritten file: {info}"
+            )
+        # the new manifest must CARRY the three unmatched files
+        # verbatim and drop exactly the one holding the matched keys
+        man1 = _load_manifest(table, info["version"])
+        carried = [f for f in files0 if f in set(man1["files"])]
+        if len(carried) != 3 or info["files_kept"] != 3:
+            raise AssertionError(
+                f"copy-on-write carried {len(carried)} of 4 files"
+            )
+        # dropped file still on disk (old version stays readable)
+        dropped = next(f for f in files0 if f not in set(man1["files"]))
+        if not os.path.exists(os.path.join(table, dropped)):
+            raise AssertionError("rewritten file deleted eagerly")
+        if read_snapshot(spark, table, version=4).count() != n_base:
+            raise AssertionError("pre-merge version no longer readable")
+        merged = read_snapshot(spark, table)
+        if merged.count() != n_base + n_ins:
+            raise AssertionError("merged row count off")
+        # idempotent replay
+        replay = merge_snapshot(
+            spark, table, source, "event_id", txn_id="merge-1"
+        )
+        if replay["version"] != info["version"]:
+            raise AssertionError("txn replay produced a new version")
+        # duplicate source keys must raise
+        try:
+            merge_snapshot(
+                spark, table, source.unionByName(updates), "event_id"
+            )
+        except ValueError:
+            pass
+        else:
+            raise AssertionError("duplicate-key source did not raise")
+
+    _ensure_fixture(fixture, _build)
+    from etl_gcp_function_tmabrasil_spark.queries._util import dsum
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import read_snapshot
+
+    return (
+        read_snapshot(spark, os.path.join(fixture, "table"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SNAPSHOT_MERGE_SQL = """
+WITH merged AS (
+  SELECT event_type,
+    CASE WHEN event_id % 12 = 1 THEN value + 100.0 ELSE value END AS value
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_rows,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM merged GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["sink_snapshot_merge"] = sink_snapshot_merge
+ORACLE["sink_snapshot_merge"] = _SNAPSHOT_MERGE_SQL

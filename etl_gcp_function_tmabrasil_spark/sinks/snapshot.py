@@ -1665,6 +1665,163 @@ def promote_staged(
     }
 
 
+def merge_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key: str | list[str],
+    commit_ts: float | None = None,
+    txn_id: str | int | None = None,
+    stats_cols: list[str] | None = None,
+    point_cols: list[str] | None = None,
+    bloom_bits: int = _BLOOM_BITS,
+    ndv_cols: list[str] | None = None,
+) -> dict:
+    """Keyed MERGE INTO as ONE copy-on-write snapshot commit — the
+    Delta ``MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE
+    SET * WHEN NOT MATCHED THEN INSERT *`` upsert, the flagship
+    lakehouse write verb: source rows whose key exists in the table
+    REPLACE the stored row; the rest INSERT.
+
+    Copy-on-write discipline (the 100 TB point): candidate files are
+    found RELATIONALLY — a semi-join of the table read (projected to
+    ``input_file_name``) against the source's distinct keys — so only
+    files that actually hold a matched key are rewritten (their
+    unmatched rows survive via an anti-join); every other file carries
+    forward byte-identical with its stats metadata. The source lands
+    as fresh files in the same commit. A selective merge therefore
+    touches O(matched files) + O(source), never the table.
+
+    Semantics guards: duplicate keys IN THE SOURCE raise (the Delta
+    ``MERGE`` multiple-match error — last-writer-wins would be
+    partition-order nondeterminism); the source schema must equal the
+    table schema exactly (UPDATE SET * / INSERT * contract).
+    ``txn_id`` gives idempotent replay like every other verb. Old
+    versions remain readable (time travel shows pre-merge data until
+    VACUUM). Rewritten files' integrity entries are dropped (fsck
+    degrades to existence-only for them, same as delete/replace).
+
+    Returns ``{"version", "files_rewritten", "files_kept",
+    "files_inserted", "rows_updated", "rows_inserted"}``.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot committed at {table_dir}")
+    prev = _load_manifest(table_dir, versions[-1])
+    txn = dict(prev.get("txn", {}))
+    if txn_id is not None and str(txn_id) in txn:
+        return {
+            "version": txn[str(txn_id)],
+            "files_rewritten": 0,
+            "files_kept": len(prev["files"]),
+            "files_inserted": 0,
+            "rows_updated": 0,
+            "rows_inserted": 0,
+        }
+    schema = StructType.fromJson(json.loads(prev["schema"]))
+    if _schema_signature(schema) != _schema_signature(source.schema):
+        raise ValueError(
+            f"merge_snapshot schema drift: table has "
+            f"{schema.simpleString()}, source has "
+            f"{source.schema.simpleString()}"
+        )
+    from pyspark.sql import functions as F
+
+    n_source = source.count()
+    n_keys = source.select(*keys).distinct().count()
+    if n_keys != n_source:
+        raise ValueError(
+            f"merge_snapshot: source has {n_source - n_keys} duplicate "
+            f"key rows on {keys} — a key matched by two source rows is "
+            "the Delta MERGE multiple-match error (resolve upstream)"
+        )
+    src_keys = source.select(*keys).distinct()
+    # broadcast the key set while it plausibly fits an executor; above
+    # that, let the planner shuffle both sides
+    bkeys = F.broadcast(src_keys) if n_keys <= 1_000_000 else src_keys
+    files = prev["files"]
+    abs_paths = [os.path.join(table_dir, f) for f in files]
+    target = spark.read.schema(schema).parquet(*abs_paths)
+    # candidate files: ONLY those holding a matched key (project the
+    # nondeterministic input_file_name BEFORE any aggregate — r6 lore)
+    hit_rows = target.select(
+        *keys, F.input_file_name().alias("_file")
+    ).join(bkeys, keys, "semi")
+    per_file = (
+        hit_rows.groupBy("_file").count().collect()
+    )
+    rewrite_rel = sorted(
+        _rel_of_input_file(r["_file"], table_dir) for r in per_file
+    )
+    rows_updated = int(sum(r["count"] for r in per_file))
+    kept = [f for f in files if f not in set(rewrite_rel)]
+    data_dir = os.path.join(table_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    new_files: list[str] = []
+    stats = {k: v for k, v in prev.get("stats", {}).items() if k in kept}
+    skipping = {
+        k: v for k, v in prev.get("skipping", {}).items() if k in kept
+    }
+    ndv = {k: v for k, v in prev.get("ndv", {}).items() if k in kept}
+    integ = {
+        k: v for k, v in prev.get("integrity", {}).items() if k in kept
+    }
+
+    def _land(df: DataFrame) -> None:
+        staging_name = f"commit-{uuid.uuid4().hex}"
+        staging = os.path.join(data_dir, staging_name)
+        df.write.parquet(staging)
+        rel_dir = os.path.join("data", staging_name)
+        landed = sorted(
+            os.path.join(rel_dir, f)
+            for f in os.listdir(staging)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        new_files.extend(landed)
+        if (stats_cols or point_cols or ndv_cols) and landed:
+            s2, k2, n2 = _collect_file_stats(
+                spark, staging, rel_dir,
+                list(stats_cols or []), list(point_cols or []),
+                bloom_bits, list(ndv_cols or []),
+            )
+            stats.update(s2)
+            skipping.update(k2)
+            ndv.update(n2)
+
+    if rewrite_rel:
+        survivors = (
+            spark.read.schema(schema)
+            .parquet(*(os.path.join(table_dir, f) for f in rewrite_rel))
+            .join(bkeys, keys, "anti")
+        )
+        _land(survivors)
+    _land(source)
+    version = versions[-1] + 1
+    if txn_id is not None:
+        txn[str(txn_id)] = version
+    _write_manifest(
+        table_dir,
+        version,
+        kept + new_files,
+        prev["schema"],
+        stats,
+        skipping,
+        ndv,
+        txn,
+        commit_ts,
+        integrity=integ,
+    )
+    return {
+        "version": version,
+        "files_rewritten": len(rewrite_rel),
+        "files_kept": len(kept),
+        "files_inserted": len(new_files),
+        "rows_updated": rows_updated,
+        "rows_inserted": int(n_source - rows_updated),
+    }
+
+
 def vacuum_snapshots(table_dir: str, retain_last: int = 1) -> dict:
     """Expire all but the newest ``retain_last`` versions and delete
     the data files no RETAINED manifest references — the Delta VACUUM /

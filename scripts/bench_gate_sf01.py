@@ -161,6 +161,9 @@ GATE_QUERIES = [
     # r14: four integrity-recorded commits, three planted faults, and
     # two fsck audits at fixture build; fsck re-runs per invocation
     "sink_snapshot_fsck",
+    # r14: copy-on-write keyed MERGE — 4 mod-keyed commits, one real
+    # merge (1 file rewritten of 4), txn replay + dup-key guard
+    "sink_snapshot_merge",
 ]
 
 

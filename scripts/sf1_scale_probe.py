@@ -330,6 +330,13 @@ PARITY = [
     "stats_group_sequential_peto",
     "model_eval_auc_binned",
     "model_calibration_isotonic",
+    # r14 wave 3: the copy-on-write MERGE gate rebuilt from 2M events
+    # (update slice confined to one of four mod-keyed files at any
+    # scale), the user-level SRM rollup at 10x distinct mass, and the
+    # prefix-dim fidelity cross join at 20k corpus vectors
+    "sink_snapshot_merge",
+    "ab_test_srm_check",
+    "embedding_matryoshka_fidelity",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.

@@ -418,3 +418,130 @@ def test_isotonic_minimax_equals_pav_sweep(spark):
         assert got[b].p_isotonic >= prev - 1e-9, "isotonic fit must be monotone"
         prev = got[b].p_isotonic
         assert got[b].n_units == per_bin[b][0]
+
+
+# --- merge_snapshot: copy-on-write keyed upsert -------------------------------
+
+
+def test_merge_snapshot_copy_on_write(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        _load_manifest,
+        commit_snapshot,
+        merge_snapshot,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    base = spark.range(0, 40).select(
+        "id", (F.col("id") * 10).alias("v")
+    )
+    for m in range(4):
+        commit_snapshot(base.filter(F.col("id") % 4 == m).coalesce(1), t)
+    files0 = list(_load_manifest(t, 4)["files"])
+    # updates confined to the id%4==1 file; inserts are new keys
+    source = spark.createDataFrame(
+        [(1, 999), (5, 999), (100, 1), (101, 2)], "id long, v long"
+    )
+    info = merge_snapshot(spark, t, source, "id", txn_id="m1")
+    assert info["rows_updated"] == 2 and info["rows_inserted"] == 2
+    assert info["files_rewritten"] == 1 and info["files_kept"] == 3
+    man = _load_manifest(t, info["version"])
+    assert len([f for f in files0 if f in set(man["files"])]) == 3
+    got = {r.id: r.v for r in read_snapshot(spark, t).collect()}
+    want = {i: i * 10 for i in range(40)}
+    want.update({1: 999, 5: 999, 100: 1, 101: 2})
+    assert got == want
+    # pre-merge version still readable (time travel)
+    assert read_snapshot(spark, t, version=4).count() == 40
+    # idempotent replay
+    again = merge_snapshot(spark, t, source, "id", txn_id="m1")
+    assert again["version"] == info["version"]
+    # duplicate source keys raise the multiple-match error
+    dup = source.unionByName(
+        spark.createDataFrame([(1, 7)], "id long, v long")
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_snapshot(spark, t, dup, "id")
+
+
+# --- ab_test_srm_check: chi-square recompute ----------------------------------
+
+
+def test_srm_check_matches_python(spark):
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        SRM_CHI2_CRIT,
+        ab_test_srm_check,
+    )
+
+    arms = defaultdict(lambda: [set(), set()])
+    for e in _events(spark):
+        arms[e.event_type][0 if e.user_id % 2 == 0 else 1].add(e.user_id)
+    got = {r.event_type: r for r in ab_test_srm_check(spark, SF_SMOKE).collect()}
+    assert set(got) == set(arms)
+    for et, (a, b) in arms.items():
+        r = got[et]
+        assert (r.n_users_a, r.n_users_b) == (len(a), len(b))
+        chi2 = (len(a) - len(b)) ** 2 / (len(a) + len(b))
+        assert r.chi2 == pytest.approx(chi2, abs=1e-6)
+        assert r.share_a == pytest.approx(len(a) / (len(a) + len(b)), abs=1e-6)
+        assert r.srm_detected == (round(chi2, 6) > SRM_CHI2_CRIT)
+
+
+# --- embedding_matryoshka_fidelity: numpy brute force -------------------------
+
+
+def test_matryoshka_fidelity_matches_numpy(spark):
+    import numpy as np
+
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+    from etl_gcp_function_tmabrasil_spark.queries.similarity import (
+        MRL_DIMS,
+        N_QUERIES,
+        embedding_matryoshka_fidelity,
+    )
+
+    rows = load_table(spark, SF_SMOKE, "embeddings").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    agree = {d: 0 for d in MRL_DIMS}
+    errs = {d: [] for d in MRL_DIMS}
+    for q in range(N_QUERIES):
+        top = {}
+        per_d = {}
+        for d in MRL_DIMS:
+            scored = [
+                (cos(vecs[q][:d], v[:d]), -vid, vid)
+                for vid, v in vecs.items()
+                if vid != q
+            ]
+            top[d] = max(scored)[2]
+            per_d[d] = {vid: c for c, _, vid in scored}
+        for d in MRL_DIMS:
+            if top[d] == top[MRL_DIMS[-1]]:
+                agree[d] += 1
+            errs[d].extend(
+                round(abs(per_d[d][vid] - per_d[MRL_DIMS[-1]][vid]), 6)
+                for vid in per_d[d]
+            )
+    got = {
+        r.dim: r
+        for r in embedding_matryoshka_fidelity(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(MRL_DIMS)
+    for d in MRL_DIMS:
+        r = got[d]
+        assert r.n_queries == N_QUERIES
+        assert r.top1_agreement == pytest.approx(
+            agree[d] / N_QUERIES, abs=2e-6
+        )
+        assert r.mean_abs_cos_err == pytest.approx(
+            sum(errs[d]) / len(errs[d]), abs=2e-6
+        )
+    # full width must agree with itself exactly, with zero error
+    assert got[MRL_DIMS[-1]].top1_agreement == 1.0
+    assert got[MRL_DIMS[-1]].mean_abs_cos_err == 0.0
