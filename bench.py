@@ -165,6 +165,7 @@ EXTENDED = [
     "model_calibration_isotonic",   # PAV calibration via minimax segments
     "ab_test_srm_check",            # sample-ratio-mismatch chi-square gate
     "embedding_matryoshka_fidelity",  # prefix-dim top-1 agreement + cos error
+    "attribution_position_based",   # U-shaped multi-touch credit paths
     # (sink_snapshot_merge is eager — 4 commits + a real merge at
     # fixture build -> scripts/bench_gate_sf01.py)
 ]

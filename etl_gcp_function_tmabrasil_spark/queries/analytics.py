@@ -5669,3 +5669,138 @@ FROM per ORDER BY event_type
 
 QUERIES["ab_test_srm_check"] = ab_test_srm_check
 ORACLE["ab_test_srm_check"] = _SRM_SQL
+
+
+# --- Position-based (U-shaped) multi-touch attribution (round 14) ------------
+
+
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — the
+    standard 40/20/40 rule (the Google Analytics / Adobe position-
+    based model): each 'purchase' distributes one unit of credit over
+    the user's preceding touches ('click'/'view') inside
+    ATTR_WINDOW_DAYS — 40% to the FIRST touch, 40% to the LAST, the
+    remaining 20% split evenly over the middle; one touch takes 100%,
+    exactly two take 50/50, and a touchless conversion credits
+    'direct'. The multi-touch counterpart of
+    :func:`attribution_last_touch` (one row of credit per conversion
+    there; a weighted path here).
+
+    Exactness: credits are per-touch closed forms of (rank, n) rounded
+    to 6 dp and summed in the decimal domain — order-independent and
+    engine-identical, ties on the total (ts, event_id) order.
+
+    Scale: the (touch, conversion) pair expansion is a user-keyed
+    range join — per-user touches x conversions inside the window, the
+    irreducible cost of path attribution (bounded by per-user activity
+    x window, never corpus x corpus); both rank windows run per
+    conversion key on that pair frame; the rollup is channel-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_id").alias("t_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    convs = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("c_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    pairs = convs.join(touches, "user_id").filter(
+        (
+            (F.col("t_ts") < F.col("c_ts"))
+            | (
+                (F.col("t_ts") == F.col("c_ts"))
+                & (F.col("t_id") < F.col("c_id"))
+            )
+        )
+        & (F.datediff(F.col("c_ts"), F.col("t_ts")) <= ATTR_WINDOW_DAYS)
+    )
+    wc = W.partitionBy("c_id").orderBy("t_ts", "t_id")
+    # two consumers (credit rows + the touchless anti-join) — persist
+    # so the user-keyed range join and its windows run once
+    ranked = managed_persist(
+        pairs.select(
+            "c_id",
+            "channel",
+            F.row_number().over(wc).alias("r"),
+            F.count(F.lit(1)).over(W.partitionBy("c_id")).alias("n"),
+        ),
+        "analytics.attr_pos_ranked",
+    )
+    r, n = F.col("r"), F.col("n")
+    credit = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when(r == 1, F.lit(0.4))
+        .when(r == n, F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - 2))
+    )
+    credited = ranked.select(
+        "channel",
+        F.round(credit, 6).cast("decimal(18,6)").alias("credit"),
+    )
+    direct = convs.join(
+        ranked.select(F.col("c_id").alias("tc_id")).distinct(),
+        convs.c_id == F.col("tc_id"),
+        "anti",
+    ).select(
+        F.lit("direct").alias("channel"),
+        F.lit(1.0).cast("decimal(18,6)").alias("credit"),
+    )
+    tot = W.partitionBy()
+    return (
+        credited.unionByName(direct)
+        .groupBy("channel")
+        .agg(F.sum("credit").cast("double").alias("credit"))
+        .select(
+            "channel",
+            F.round("credit", 6).alias("credit"),
+            F.round(
+                F.col("credit") / F.sum("credit").over(tot), 6
+            ).alias("share"),
+        )
+        .orderBy("channel")
+    )
+
+
+_ATTR_POS_SQL = f"""
+WITH touches AS (
+  SELECT user_id, event_id AS t_id, ts AS t_ts, event_type AS channel
+  FROM events WHERE event_type IN ('click', 'view')
+),
+convs AS (
+  SELECT user_id, event_id AS c_id, ts AS c_ts
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT c.c_id, t.channel,
+    ROW_NUMBER() OVER (PARTITION BY c.c_id ORDER BY t.t_ts, t.t_id) AS r,
+    COUNT(*) OVER (PARTITION BY c.c_id) AS n
+  FROM convs c JOIN touches t ON c.user_id = t.user_id
+  WHERE (t.t_ts < c.c_ts OR (t.t_ts = c.c_ts AND t.t_id < c.c_id))
+    AND datediff('day', t.t_ts, c.c_ts) <= {ATTR_WINDOW_DAYS}
+),
+credited AS (
+  SELECT channel,
+    CAST(ROUND(CASE WHEN n = 1 THEN 1.0
+                    WHEN n = 2 THEN 0.5
+                    WHEN r = 1 THEN 0.4
+                    WHEN r = n THEN 0.4
+                    ELSE 0.2 / (n - 2) END, 6) AS DECIMAL(18,6)) AS credit
+  FROM pairs
+  UNION ALL
+  SELECT 'direct', CAST(1.0 AS DECIMAL(18,6))
+  FROM convs c WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.c_id = c.c_id)
+)
+SELECT channel,
+  ROUND(CAST(SUM(credit) AS DOUBLE), 6) AS credit,
+  ROUND(CAST(SUM(credit) AS DOUBLE)
+        / SUM(CAST(SUM(credit) AS DOUBLE)) OVER (), 6) AS share
+FROM credited GROUP BY channel ORDER BY channel
+"""
+
+QUERIES["attribution_position_based"] = attribution_position_based
+ORACLE["attribution_position_based"] = _ATTR_POS_SQL

@@ -337,6 +337,10 @@ PARITY = [
     "sink_snapshot_merge",
     "ab_test_srm_check",
     "embedding_matryoshka_fidelity",
+    # r14: the U-shaped credit paths at 10x touch x conversion pair
+    # mass (per-user range join; duplicate-ts tie pressure exercises
+    # the total (ts, event_id) order)
+    "attribution_position_based",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.

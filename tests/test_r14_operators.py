@@ -545,3 +545,60 @@ def test_matryoshka_fidelity_matches_numpy(spark):
     # full width must agree with itself exactly, with zero error
     assert got[MRL_DIMS[-1]].top1_agreement == 1.0
     assert got[MRL_DIMS[-1]].mean_abs_cos_err == 0.0
+
+
+# --- attribution_position_based: literal path recompute -----------------------
+
+
+def test_position_attribution_matches_python(spark):
+    from etl_gcp_function_tmabrasil_spark.queries.analytics import (
+        ATTR_WINDOW_DAYS,
+        attribution_position_based,
+    )
+
+    evs = sorted(_events(spark), key=lambda e: (e.ts, e.event_id))
+    by_user = defaultdict(list)
+    for e in evs:
+        by_user[e.user_id].append(e)
+    credit = defaultdict(float)
+    for rows in by_user.values():
+        for c in rows:
+            if c.event_type != "purchase":
+                continue
+            path = [
+                t
+                for t in rows
+                if t.event_type in ("click", "view")
+                and (
+                    (t.ts, t.event_id) < (c.ts, c.event_id)
+                )
+                and (c.ts.date() - t.ts.date()).days <= ATTR_WINDOW_DAYS
+            ]
+            n = len(path)
+            if n == 0:
+                credit["direct"] += 1.0
+                continue
+            for i, t in enumerate(path, start=1):
+                if n == 1:
+                    w = 1.0
+                elif n == 2:
+                    w = 0.5
+                elif i in (1, n):
+                    w = 0.4
+                else:
+                    w = 0.2 / (n - 2)
+                credit[t.event_type] += round(w, 6)
+    total = sum(credit.values())
+    got = {
+        r.channel: r
+        for r in attribution_position_based(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(credit)
+    for ch, c in credit.items():
+        assert got[ch].credit == pytest.approx(c, abs=5e-6)
+        assert got[ch].share == pytest.approx(c / total, abs=5e-6)
+    # conservation: total credit equals the number of conversions
+    n_conv = sum(1 for e in evs if e.event_type == "purchase")
+    assert sum(r.credit for r in got.values()) == pytest.approx(
+        n_conv, abs=1e-3
+    )
