@@ -92,21 +92,21 @@ _MODULES = [
 _CHECK_FIRST = [
     # --- ROUND-14 WINDOW (computed PROGRAMMATICALLY from the merged
     # ledger, per the r13 rotation plan below — never hand-counted):
-    # the 11 round-14 registrations (stats_sequential_msprt,
+    # the 12 round-14 registrations (stats_sequential_msprt,
     # model_calibration_brier, ann_silhouette_cells,
     # sink_snapshot_fsck, the wave-2 trio stats_group_sequential_peto
     # / model_eval_auc_binned / model_calibration_isotonic, and the
     # wave-3 trio sink_snapshot_merge / ab_test_srm_check /
-    # embedding_matryoshka_fidelity, and attribution_position_based)
-    # at the top, then the 10 round-6
+    # embedding_matryoshka_fidelity, attribution_position_based, and
+    # stream_merge_snapshot_upsert) at the top, then the 10 round-6
     # rows the r13 registrations displaced, then the 30 oldest round-7
-    # rows in registry order — exactly 50 (the 7 r7 rows the wave-2/3
+    # rows in registry order — exactly 50 (the 8 r7 rows the late
     # registrations displaced — stream_cloudevent_source,
     # sink_cloudevent_writer, sink_bucketed_colocated_join,
     # scan_orc_roundtrip, scan_xml_roundtrip, sink_incremental_rollup,
-    # join_runtime_bloom_filter — keep their r7 evidence and rotate
-    # FIRST in r15). After r14 lands, max evidence age is r7 (21
-    # rows), trending down per the staleness contract. ---
+    # join_runtime_bloom_filter, join_dpp_partitioned — keep their r7
+    # evidence and rotate FIRST in r15). After r14 lands, max evidence
+    # age is r7 (22 rows), trending down per the staleness contract. ---
     "stats_sequential_msprt",
     "model_calibration_brier",
     "ann_silhouette_cells",
@@ -118,6 +118,7 @@ _CHECK_FIRST = [
     "ab_test_srm_check",
     "embedding_matryoshka_fidelity",
     "attribution_position_based",
+    "stream_merge_snapshot_upsert",
     "udf_grouped_zscore",
     "udf_grouped_agg_range",
     "sql_segment_status_rollup",
@@ -156,19 +157,18 @@ _CHECK_FIRST = [
     "sql_recursive_cte_index",
     "scan_binaryfile_source",
     "sink_zorder_layout",
-    "join_dpp_partitioned",
 ]
 
 # ROUND-15 ROTATION PLAN (for the next builder): FIRST run
 # scripts/merge_correctness_ledger.py (it picks up CORRECTNESS_r14.json).
 # Then the r15 window = any round-14 registrations without driver
 # evidence (top of the window), then the stalest ledger rows oldest
-# round first in registry order — after r14 lands that is the 21
-# remaining round-7 rows (the 7 displaced by the late r14 waves —
+# round first in registry order — after r14 lands that is the 22
+# remaining round-7 rows (the 8 displaced by the late r14 waves —
 # stream_cloudevent_source, sink_cloudevent_writer,
 # sink_bucketed_colocated_join, scan_orc_roundtrip, scan_xml_roundtrip,
-# sink_incremental_rollup, join_runtime_bloom_filter — first), then
-# the round-8 rows —
+# sink_incremental_rollup, join_runtime_bloom_filter,
+# join_dpp_partitioned — first), then the round-8 rows —
 # topped up to exactly 50 (compute programmatically from the ledger —
 # do NOT trust a hand count; the r11 close-out miscounted its own
 # registrations by two). ALSO at the r15 boundary: amend SURVEY §2.2
@@ -176,8 +176,8 @@ _CHECK_FIRST = [
 # model_calibration_brier, ann_silhouette_cells, sink_snapshot_fsck,
 # stats_group_sequential_peto, model_eval_auc_binned,
 # model_calibration_isotonic, sink_snapshot_merge, ab_test_srm_check,
-# embedding_matryoshka_fidelity, attribution_position_based + any
-# later ones — count
+# embedding_matryoshka_fidelity, attribution_position_based,
+# stream_merge_snapshot_upsert + any later ones — count
 # programmatically against the §2.2 query-name column).
 
 

@@ -2006,3 +2006,132 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["stream_scd2_asof_enrichment"] = stream_scd2_asof_enrichment
 ORACLE["stream_scd2_asof_enrichment"] = _SCD2_ASOF_SQL
+
+
+def stream_merge_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyed upsert into the snapshot table via the
+    copy-on-write MERGE verb (round 14) — the canonical Delta
+    "streaming MERGE" pattern (foreachBatch + MERGE INTO): each
+    micro-batch maintains a latest-event-per-user profile table by
+    (a) reducing the batch to one candidate row per user (argmax on
+    the total (ts, event_id) order), (b) reading the CURRENT stored
+    row for just those keys, (c) keeping the winner, and (d)
+    committing one ``merge_snapshot`` with the batch id as txn —
+    read-modify-write inside the batch, so the final table equals the
+    GLOBAL per-user argmax regardless of chunk delivery order, and
+    crash-replay of a committed batch is a manifest no-op (the same
+    txn guard the exactly-once gate proves; here it is hard-checked
+    by re-merging the last batch under its applied txn id).
+
+    Scale: each merge rewrites only the files holding that batch's
+    matched users (the merge verb's semi-join candidate detection);
+    the per-batch read-back is key-pruned by the same join. State
+    lives in the TABLE, not the stream — the pattern a 100 TB profile
+    store needs, where engine state cannot hold the key space.
+    """
+    from etl_gcp_function_tmabrasil_spark.queries._util import dsum
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        _load_manifest,
+        _manifests,
+        commit_snapshot,
+        merge_snapshot,
+        read_snapshot,
+    )
+
+    root = _root(sf_dir, "merge_upsert_stream")
+    chunks = _shared_chunks(sf_dir)
+    table = os.path.join(root, "table")
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        # deterministic per-user argmax on (ts, event_id): pack into a
+        # sortable struct, one grouped MAX, unpack
+        packed = F.struct(
+            F.col("ts"), F.col("event_id"), F.col("event_type"), F.col("value")
+        )
+        win = df.groupBy("user_id").agg(F.max(packed).alias("w"))
+        return win.select(
+            "user_id",
+            F.col("w.event_id").alias("event_id"),
+            F.col("w.ts").alias("ts"),
+            F.col("w.event_type").alias("event_type"),
+            F.col("w.value").alias("value"),
+        )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        cand = latest_per_user(batch_df.select(*cols))
+        if not _manifests(table):
+            commit_snapshot(
+                cand, table, txn_id=f"seed-{batch_id}"
+            )
+            return
+        cur = read_snapshot(spark, table).join(
+            F.broadcast(cand.select("user_id")), "user_id", "semi"
+        )
+        winners = latest_per_user(cand.unionByName(cur))
+        merge_snapshot(
+            spark, table, winners, "user_id", txn_id=f"b-{batch_id}"
+        )
+
+    _await(
+        _stream(spark, chunks)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", os.path.join(root, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    versions = _manifests(table)
+    man = _load_manifest(table, versions[-1])
+    txn = dict(man["txn"])
+    if not txn:
+        raise RuntimeError("no merge txns recorded")
+    # crash-replay: re-merge the LAST batch under its applied txn id —
+    # the manifest must not move
+    last_txn = max(txn, key=lambda k: txn[k])
+    replay_src = latest_per_user(
+        read_snapshot(spark, table).limit(50)
+    )
+    info = merge_snapshot(
+        spark, table, replay_src, "user_id", txn_id=last_txn
+    )
+    if info["version"] != txn[last_txn] or _manifests(table) != versions:
+        raise RuntimeError("replayed merge batch was not idempotent")
+    # the profile table must hold EXACTLY one row per user
+    dup = (
+        read_snapshot(spark, table)
+        .groupBy("user_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise RuntimeError("duplicate user rows after streaming merges")
+    return (
+        read_snapshot(spark, table)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            dsum("value", 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_MERGE_UPSERT_SQL = """
+WITH latest AS (
+  SELECT user_id, event_type, value
+  FROM (
+    SELECT user_id, event_type, value,
+      ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) t WHERE rn = 1
+)
+SELECT event_type, COUNT(*) AS n_users,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM latest GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["stream_merge_snapshot_upsert"] = stream_merge_snapshot_upsert
+ORACLE["stream_merge_snapshot_upsert"] = _MERGE_UPSERT_SQL

@@ -164,6 +164,9 @@ GATE_QUERIES = [
     # r14: copy-on-write keyed MERGE — 4 mod-keyed commits, one real
     # merge (1 file rewritten of 4), txn replay + dup-key guard
     "sink_snapshot_merge",
+    # r14: checkpointed availableNow run whose every micro-batch
+    # read-modify-writes the profile table through merge_snapshot
+    "stream_merge_snapshot_upsert",
 ]
 
 

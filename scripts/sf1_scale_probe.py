@@ -341,6 +341,10 @@ PARITY = [
     # mass (per-user range join; duplicate-ts tie pressure exercises
     # the total (ts, event_id) order)
     "attribution_position_based",
+    # r14: the streaming MERGE profile store replaying 2M events in
+    # micro-batches through read-modify-write merge_snapshot commits
+    # (150k-user key space lives in the TABLE, not engine state)
+    "stream_merge_snapshot_upsert",
 ]
 
 #: Timed headliners (warmup + 3, min/median) at sf0.1 AND sf1.

@@ -602,3 +602,30 @@ def test_position_attribution_matches_python(spark):
     assert sum(r.credit for r in got.values()) == pytest.approx(
         n_conv, abs=1e-3
     )
+
+
+# --- stream_merge_snapshot_upsert: final state == global per-user argmax -----
+
+
+def test_stream_merge_upsert_equals_global_argmax(spark, tmp_path):
+    from etl_gcp_function_tmabrasil_spark.queries.streaming_gate import (
+        stream_merge_snapshot_upsert,
+    )
+
+    latest = {}
+    for e in _events(spark):
+        k = (e.ts, e.event_id)
+        if e.user_id not in latest or k > latest[e.user_id][0]:
+            latest[e.user_id] = (k, e.event_type, round(e.value, 4))
+    want = defaultdict(lambda: [0, 0.0])
+    for (_, et, v) in latest.values():
+        want[et][0] += 1
+        want[et][1] += v
+    got = {
+        r.event_type: r
+        for r in stream_merge_snapshot_upsert(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for et, (n, sv) in want.items():
+        assert got[et].n_users == n
+        assert got[et].sum_value == pytest.approx(sv, abs=1e-6)
