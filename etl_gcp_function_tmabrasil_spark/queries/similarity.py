@@ -1903,19 +1903,37 @@ def _radius_parts(spark: SparkSession, sf_dir: str) -> dict:
     """Shared builder for the radius search and its prune probe:
     returns {assigned, radii, probes, result_frames...} so
     scripts/radius_prune_probe.py can measure the surviving
-    (query, cell) fraction with the EXACT plan the operator runs."""
-    emb = _with_norm(
-        load_table(spark, sf_dir, "embeddings", rebalance=True), "vec_id"
+    (query, cell) fraction with the EXACT plan the operator runs.
+
+    Construction width note (r14): every vector expression here is ONE
+    ``selectExpr``/``F.expr`` SQL string, never a PySpark Column lambda
+    — the ``F.zip_with``/``F.aggregate`` lambda builders cost dozens of
+    Py4J round trips EACH (profiled: 1,536 round trips / ~1.7 s of
+    construction for the lambda-built version, which put the query over
+    bench.py's eager-construction strike floor on a loaded session;
+    the same plan from SQL text parses in one JVM call per select —
+    the ann_lsh_multiband lesson applied to this family)."""
+    _cast = "transform(embedding, x -> cast(x as double))"
+    emb = (
+        load_table(spark, sf_dir, "embeddings", rebalance=True)
+        .selectExpr("vec_id", f"{_cast} as e")
+        .selectExpr(
+            "vec_id",
+            "e",
+            "sqrt(aggregate(e, cast(0.0 as double),"
+            " (s, x) -> s + x * x)) as nrm",
+        )
     )
-    cent = _with_norm(
-        load_table(spark, sf_dir, "embeddings").filter(
-            F.col("vec_id") < N_CELLS
-        ),
-        "vec_id",
-    ).select(
-        F.col("vec_id").alias("cell_id"),
-        F.col("e").alias("ce"),
-        F.col("nrm").alias("cnrm"),
+    cent = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_CELLS)
+        .selectExpr("vec_id as cell_id", f"{_cast} as ce")
+        .selectExpr(
+            "cell_id",
+            "ce",
+            "sqrt(aggregate(ce, cast(0.0 as double),"
+            " (s, x) -> s + x * x)) as cnrm",
+        )
     )
 
     def neg_cos(row_vec: str, row_nrm: str) -> str:
@@ -1937,44 +1955,44 @@ def _radius_parts(spark: SparkSession, sf_dir: str) -> dict:
     # whole cell_r and the prune then drops the entire cell (caught by
     # the brute-force oracle at sf0.001: cell 4's true neighbor
     # vanished)
-    cos_xc = _dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
-    member_d = assigned.join(F.broadcast(cent), "cell_id").select(
-        "cell_id",
-        "vec_id",
-        F.round(
-            F.sqrt(F.greatest(F.lit(2.0) - F.lit(2.0) * cos_xc, F.lit(0.0))),
-            6,
-        ).alias("d"),
+    def dist_expr(vec: str, nrm: str) -> str:
+        # d = sqrt(max(2 - 2*cos, 0)); the clamp stops a self-cosine
+        # floating to 1+eps from turning into a NaN
+        cos = (
+            f"aggregate(zip_with({vec}, ce, (x, y) -> x * y),"
+            f" cast(0.0 as double), (s, x) -> s + x) / ({nrm} * cnrm)"
+        )
+        return (
+            f"round(sqrt(greatest(2.0d - 2.0d * ({cos}), 0.0d)), 6)"
+        )
+
+    member_d = assigned.join(F.broadcast(cent), "cell_id").selectExpr(
+        "cell_id", "vec_id", f"{dist_expr('e', 'nrm')} as d"
     )
     radii = member_d.groupBy("cell_id").agg(F.max("d").alias("cell_r"))
-    q = _with_norm(
-        load_table(spark, sf_dir, "embeddings").filter(
-            F.col("vec_id") < N_QUERIES
-        ),
-        "vec_id",
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("nrm").alias("qnrm"),
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .selectExpr("vec_id as query_id", f"{_cast} as qe")
+        .selectExpr(
+            "query_id",
+            "qe",
+            "sqrt(aggregate(qe, cast(0.0 as double),"
+            " (s, x) -> s + x * x)) as qnrm",
+        )
     )
-    cos_qc = _dot(F.col("qe"), F.col("ce")) / (F.col("qnrm") * F.col("cnrm"))
     # size the ball from the ROUNDING-ADMITTED cosine threshold (the 4-dp
     # reported cosine keeps rows down to RADIUS_COS - 0.5e-4), so the
     # prune can never drop a cell holding an oracle-admitted neighbor
     ball_r = float((2.0 - 2.0 * (RADIUS_COS - _RADIUS_COS_ROUND)) ** 0.5)
     probes = (
         q.crossJoin(F.broadcast(cent))
-        .select(
+        .selectExpr(
             "query_id",
             "qe",
             "qnrm",
             "cell_id",
-            F.round(
-                F.sqrt(
-                    F.greatest(F.lit(2.0) - F.lit(2.0) * cos_qc, F.lit(0.0))
-                ),
-                6,
-            ).alias("dq"),
+            f"{dist_expr('qe', 'qnrm')} as dq",
         )
         .join(F.broadcast(radii), "cell_id")
         .filter(
@@ -2013,15 +2031,18 @@ def knn_radius_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     parts = _radius_parts(spark, sf_dir)
     assigned, probes = parts["assigned"], parts["probes"]
-    cos = _dot(F.col("qe"), F.col("e")) / (F.col("qnrm") * F.col("nrm"))
+    cos = (
+        "round(aggregate(zip_with(qe, e, (x, y) -> x * y),"
+        " cast(0.0 as double), (s, x) -> s + x) / (qnrm * nrm), 4)"
+    )
     return (
         F.broadcast(probes)
         .join(assigned, "cell_id")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
+        .selectExpr(
             "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cos, 4).alias("cosine"),
+            "vec_id as neighbor_id",
+            f"{cos} as cosine",
         )
         .filter(F.col("cosine") >= RADIUS_COS)
         .orderBy("query_id", "neighbor_id")

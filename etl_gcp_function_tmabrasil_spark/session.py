@@ -74,7 +74,16 @@ def get_spark(
         # query text plans as a shuffled join on the same code path.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] is a single JVM: driver heap == the whole engine's
+        # heap. 8g on a 32-core/128 GiB box left ~250 MB/task and, in
+        # 90-query bench sessions, drove ~10 s full-GC pauses that the
+        # eager-construction guard mistook for eager work (two r14
+        # close-out runs each lost one LAZY query to persistent
+        # construction stalls — knn_radius_cells then
+        # funnel_time_to_convert — neither reproducible standalone).
+        # 24g removes the stall class while staying far under the box;
+        # on a real cluster driver/executor memory are sized per-role.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # Warehouse for bucketed/managed tables (operators/bucketing.py).
         # Static conf — must be set at build time; defaults under /tmp so
         # local runs never litter the repo with spark-warehouse/.
