@@ -90,95 +90,79 @@ _MODULES = [
 # Everything else stays covered by tests/test_oracle_parity.py locally
 # (all registered queries, every session) and keeps its ledger row.
 _CHECK_FIRST = [
-    # --- ROUND-14 WINDOW (computed PROGRAMMATICALLY from the merged
-    # ledger, per the r13 rotation plan below — never hand-counted):
-    # the 12 round-14 registrations (stats_sequential_msprt,
-    # model_calibration_brier, ann_silhouette_cells,
-    # sink_snapshot_fsck, the wave-2 trio stats_group_sequential_peto
-    # / model_eval_auc_binned / model_calibration_isotonic, and the
-    # wave-3 trio sink_snapshot_merge / ab_test_srm_check /
-    # embedding_matryoshka_fidelity, attribution_position_based, and
-    # stream_merge_snapshot_upsert) at the top, then the 10 round-6
-    # rows the r13 registrations displaced, then the 30 oldest round-7
-    # rows in registry order — exactly 50 (the 8 r7 rows the late
-    # registrations displaced — stream_cloudevent_source,
-    # sink_cloudevent_writer, sink_bucketed_colocated_join,
-    # scan_orc_roundtrip, scan_xml_roundtrip, sink_incremental_rollup,
-    # join_runtime_bloom_filter, join_dpp_partitioned — keep their r7
-    # evidence and rotate FIRST in r15). After r14 lands, max evidence
-    # age is r7 (22 rows), trending down per the staleness contract. ---
-    "stats_sequential_msprt",
-    "model_calibration_brier",
-    "ann_silhouette_cells",
-    "sink_snapshot_fsck",
-    "stats_group_sequential_peto",
-    "model_eval_auc_binned",
-    "model_calibration_isotonic",
-    "sink_snapshot_merge",
-    "ab_test_srm_check",
-    "embedding_matryoshka_fidelity",
-    "attribution_position_based",
-    "stream_merge_snapshot_upsert",
-    "udf_grouped_zscore",
-    "udf_grouped_agg_range",
-    "sql_segment_status_rollup",
-    "sink_partitioned_roundtrip",
-    "scan_cloudevent_datasource",
-    "sink_compaction_roundtrip",
-    "scan_schema_evolution",
-    "stream_sliding_watermark",
-    "pipeline_curate_documents",
-    "sample_stratified_docs",
-    "agg_approx_percentile",
-    "window_global_rownum_scalable",
-    "distinct_count_full_rows",
-    "func_json_encode",
-    "agg_bitwise_stringagg",
-    "timeseries_ewma",
-    "json_variant_ops",
-    "text_length_histogram",
-    "dedup_exact_fingerprint",
-    "dedup_minhash_lsh",
-    "dedup_cluster_representative",
-    "dedup_corpus_lines",
-    "dedup_repeated_substrings",
-    "embedding_quantize_int8",
-    "knn_bruteforce_cosine",
-    "ann_lsh_cosine",
-    "ann_ivf_cosine",
-    "embedding_stats",
-    "embedding_dim_profile",
-    "kmeans_ivf_codebook",
-    "dedup_semantic_semdedup",
-    "dedup_minhash_mllib",
-    "ann_brp_mllib",
-    "udf_arrow_vector_norms",
-    "sql_lateral_topk",
-    "sql_recursive_cte_index",
-    "scan_binaryfile_source",
-    "sink_zorder_layout",
+    # --- ROUND-15 WINDOW (computed PROGRAMMATICALLY from the merged
+    # ledger after scripts/merge_correctness_ledger.py absorbed
+    # CORRECTNESS_r14.json — zero null-round rows, distribution
+    # r7:22 r8:50 r9:50 r11:50 r12:50 r13:50 r14:50): any round-15
+    # registrations at the top (added as they land, displacing from
+    # the bottom), then the 22 remaining round-7 rows (the 8 displaced
+    # by the late r14 waves first, per the r14 plan), then the oldest
+    # round-8 rows in registry order, topped up to exactly 50. After
+    # r15 lands, the r7 class is GONE; max evidence age is r8
+    # (22 rows + however many r15 registrations displace). ---
+    "stream_cloudevent_source",
+    "sink_cloudevent_writer",
+    "sink_bucketed_colocated_join",
+    "scan_orc_roundtrip",
+    "scan_xml_roundtrip",
+    "sink_incremental_rollup",
+    "join_runtime_bloom_filter",
+    "join_dpp_partitioned",
+    "stream_interval_join_outer",
+    "stream_interval_join_semi",
+    "stream_interval_join_full",
+    "stream_chained_window_distinct",
+    "stream_cdc_merge",
+    "stream_cdc_merge_partitioned",
+    "multimodal_decode_stats",
+    "multimodal_frame_sample",
+    "multimodal_embed_knn",
+    "multimodal_resize_stats",
+    "embedding_gram_matrix",
+    "split_group_integrity",
+    "sample_weighted_per_source",
+    "bigram_lm_interpolated",
+    "q11_important_part_value",
+    "q16_supplier_part_counts",
+    "join_broadcast_dims",
+    "join_asof_purchase",
+    "join_salted_hot_key",
+    "agg_hll_mergeable",
+    "agg_approx_distinct",
+    "agg_percentiles",
+    "agg_iqr_outliers",
+    "agg_salted_hot_key",
+    "window_range_frame",
+    "setop_union_intersect_except",
+    "window_cume_dist",
+    "profile_columns",
+    "json_tuple_explode_outer",
+    "resample_daily_locf",
+    "etl_xlsx_deadletter",
+    "text_token_count",
+    "text_quality_score",
+    "text_token_diversity",
+    "text_fingerprint",
+    "dedup_components",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "fuzzy_name_match",
+    "pagerank_dedup_graph",
+    "pack_token_budget",
+    "chunk_documents",
 ]
 
-# ROUND-15 ROTATION PLAN (for the next builder): FIRST run
-# scripts/merge_correctness_ledger.py (it picks up CORRECTNESS_r14.json).
-# Then the r15 window = any round-14 registrations without driver
+# ROUND-16 ROTATION PLAN (for the next builder): FIRST run
+# scripts/merge_correctness_ledger.py (it picks up CORRECTNESS_r15.json).
+# Then the r16 window = any round-15 registrations without driver
 # evidence (top of the window), then the stalest ledger rows oldest
-# round first in registry order — after r14 lands that is the 22
-# remaining round-7 rows (the 8 displaced by the late r14 waves —
-# stream_cloudevent_source, sink_cloudevent_writer,
-# sink_bucketed_colocated_join, scan_orc_roundtrip, scan_xml_roundtrip,
-# sink_incremental_rollup, join_runtime_bloom_filter,
-# join_dpp_partitioned — first), then the round-8 rows —
-# topped up to exactly 50 (compute programmatically from the ledger —
-# do NOT trust a hand count; the r11 close-out miscounted its own
-# registrations by two). ALSO at the r15 boundary: amend SURVEY §2.2
-# with the round-14 registrations (stats_sequential_msprt,
-# model_calibration_brier, ann_silhouette_cells, sink_snapshot_fsck,
-# stats_group_sequential_peto, model_eval_auc_binned,
-# model_calibration_isotonic, sink_snapshot_merge, ab_test_srm_check,
-# embedding_matryoshka_fidelity, attribution_position_based,
-# stream_merge_snapshot_upsert + any later ones — count
-# programmatically against the §2.2 query-name column).
+# round first in registry order — after r15 lands that is the
+# remaining round-8 rows, then round-9 — topped up to exactly 50
+# (compute programmatically from the ledger — do NOT trust a hand
+# count; the r11 close-out miscounted its own registrations by two).
+# ALSO at the r16 boundary: amend SURVEY §2.2 with the round-15
+# registrations — count programmatically against the §2.2
+# query-name column.
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

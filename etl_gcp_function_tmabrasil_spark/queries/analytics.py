@@ -5412,22 +5412,28 @@ def model_eval_auc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("pos") + F.sum("neg")).alias("n_units"),
         F.sum("pos").alias("n_pos"),
         F.sum("neg").alias("n_neg"),
-        F.round(
-            F.sum(
-                F.col("pos")
-                * (F.lit(2) * F.col("cumneg_below") + F.col("neg"))
-            ).cast("double")
-            / (F.lit(2.0) * F.sum("pos") * F.sum("neg")),
-            6,
+        F.when(
+            (F.sum("pos") > 0) & (F.sum("neg") > 0),
+            F.round(
+                F.sum(
+                    F.col("pos")
+                    * (F.lit(2) * F.col("cumneg_below") + F.col("neg"))
+                ).cast("double")
+                / (F.lit(2.0) * F.sum("pos") * F.sum("neg")),
+                6,
+            ),
         ).alias("auc"),
-        F.round(
-            F.sum(
-                F.col("pos")
-                * (F.lit(2) * F.col("cumneg_below") + F.col("neg"))
-            ).cast("double")
-            / (F.sum("pos") * F.sum("neg"))
-            - F.lit(1.0),
-            6,
+        F.when(
+            (F.sum("pos") > 0) & (F.sum("neg") > 0),
+            F.round(
+                F.sum(
+                    F.col("pos")
+                    * (F.lit(2) * F.col("cumneg_below") + F.col("neg"))
+                ).cast("double")
+                / (F.sum("pos") * F.sum("neg"))
+                - F.lit(1.0),
+                6,
+            ),
         ).alias("gini"),
     )
 
@@ -5449,10 +5455,12 @@ scored AS (
 )
 SELECT CAST(SUM(pos) + SUM(neg) AS BIGINT) AS n_units,
   CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg,
-  ROUND(CAST(SUM(pos * (2 * cumneg_below + neg)) AS DOUBLE)
-        / (2.0 * SUM(pos) * SUM(neg)), 6) AS auc,
-  ROUND(CAST(SUM(pos * (2 * cumneg_below + neg)) AS DOUBLE)
-        / (CAST(SUM(pos) AS DOUBLE) * SUM(neg)) - 1.0, 6) AS gini
+  CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0 THEN
+    ROUND(CAST(SUM(pos * (2 * cumneg_below + neg)) AS DOUBLE)
+          / (2.0 * SUM(pos) * SUM(neg)), 6) END AS auc,
+  CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0 THEN
+    ROUND(CAST(SUM(pos * (2 * cumneg_below + neg)) AS DOUBLE)
+          / (CAST(SUM(pos) AS DOUBLE) * SUM(neg)) - 1.0, 6) END AS gini
 FROM scored
 """
 
@@ -5789,7 +5797,7 @@ credited AS (
                     WHEN n = 2 THEN 0.5
                     WHEN r = 1 THEN 0.4
                     WHEN r = n THEN 0.4
-                    ELSE 0.2 / (n - 2) END, 6) AS DECIMAL(18,6)) AS credit
+                    ELSE CAST(0.2 AS DOUBLE) / (n - 2) END, 6) AS DECIMAL(18,6)) AS credit
   FROM pairs
   UNION ALL
   SELECT 'direct', CAST(1.0 AS DECIMAL(18,6))

@@ -1695,7 +1695,16 @@ def merge_snapshot(
     Semantics guards: duplicate keys IN THE SOURCE raise (the Delta
     ``MERGE`` multiple-match error — last-writer-wins would be
     partition-order nondeterminism); the source schema must equal the
-    table schema exactly (UPDATE SET * / INSERT * contract).
+    table schema exactly (UPDATE SET * / INSERT * contract). A
+    duplicate-key TARGET is legal (``commit_snapshot`` never enforced
+    uniqueness) and follows Delta ``UPDATE SET *`` row semantics:
+    EVERY stored row matching a source key is updated in place, so the
+    table's row count is preserved — the source row is replicated once
+    per matched stored row, never collapsing target duplicates.
+    Accounting is key-correct under duplicates: ``rows_updated``
+    counts matched TARGET rows; ``rows_inserted`` counts unmatched
+    SOURCE KEYS (not ``n_source - rows_updated``, which goes negative
+    when a key matches >1 stored row).
     ``txn_id`` gives idempotent replay like every other verb. Old
     versions remain readable (time travel shows pre-merge data until
     VACUUM). Rewritten files' integrity entries are dropped (fsck
@@ -1755,7 +1764,12 @@ def merge_snapshot(
         _rel_of_input_file(r["_file"], table_dir) for r in per_file
     )
     rows_updated = int(sum(r["count"] for r in per_file))
-    kept = [f for f in files if f not in set(rewrite_rel)]
+    # distinct matched keys — the accounting basis: a duplicate-key
+    # target means one source key updates MULTIPLE stored rows, so
+    # rows_inserted must count unmatched source KEYS
+    matched_keys = int(hit_rows.select(*keys).distinct().count())
+    rewrite_set = set(rewrite_rel)
+    kept = [f for f in files if f not in rewrite_set]
     data_dir = os.path.join(table_dir, "data")
     os.makedirs(data_dir, exist_ok=True)
     new_files: list[str] = []
@@ -1796,7 +1810,31 @@ def merge_snapshot(
             .join(bkeys, keys, "anti")
         )
         _land(survivors)
-    _land(source)
+    if rows_updated != matched_keys:
+        # duplicate-key target: Delta UPDATE SET * touches EVERY
+        # matched stored row — replicate each matched source row once
+        # per matched target row so the table's row count is preserved
+        match_counts = hit_rows.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("_match_n")
+        )
+        bmc = (
+            F.broadcast(match_counts)
+            if n_keys <= 1_000_000
+            else match_counts
+        )
+        to_land = (
+            source.join(bmc, keys, "left")
+            .withColumn(
+                "_rep",
+                F.explode(
+                    F.expr("sequence(1, coalesce(_match_n, 1L))")
+                ),
+            )
+            .select(*source.columns)
+        )
+    else:
+        to_land = source
+    _land(to_land)
     version = versions[-1] + 1
     if txn_id is not None:
         txn[str(txn_id)] = version
@@ -1818,7 +1856,7 @@ def merge_snapshot(
         "files_kept": len(kept),
         "files_inserted": len(new_files),
         "rows_updated": rows_updated,
-        "rows_inserted": int(n_source - rows_updated),
+        "rows_inserted": int(n_source - matched_keys),
     }
 
 

@@ -466,6 +466,49 @@ def test_merge_snapshot_copy_on_write(spark, tmp_path):
         merge_snapshot(spark, t, dup, "id")
 
 
+def test_merge_snapshot_duplicate_key_target(spark, tmp_path):
+    """Delta UPDATE SET * row semantics on a duplicate-key TARGET:
+    every matched stored row is updated (replicated source row), row
+    count is preserved, and the updated/inserted accounting is
+    key-correct (rows_inserted counts unmatched source KEYS — never
+    negative)."""
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        commit_snapshot,
+        merge_snapshot,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "dup_tbl")
+    # key 1 stored THREE times (twice in one file, once in another);
+    # key 2 stored once; key 3 untouched
+    commit_snapshot(
+        spark.createDataFrame(
+            [(1, 10), (1, 11), (2, 20)], "id long, v long"
+        ).coalesce(1),
+        t,
+    )
+    commit_snapshot(
+        spark.createDataFrame(
+            [(1, 12), (3, 30)], "id long, v long"
+        ).coalesce(1),
+        t,
+    )
+    source = spark.createDataFrame(
+        [(1, 999), (2, 888), (50, 500)], "id long, v long"
+    )
+    info = merge_snapshot(spark, t, source, "id")
+    # 4 matched stored rows (3×key1 + 1×key2); 1 unmatched source key
+    assert info["rows_updated"] == 4
+    assert info["rows_inserted"] == 1
+    got = sorted(
+        (r.id, r.v) for r in read_snapshot(spark, t).collect()
+    )
+    # row count preserved: 5 stored + 1 insert = 6
+    assert got == [
+        (1, 999), (1, 999), (1, 999), (2, 888), (3, 30), (50, 500)
+    ]
+
+
 # --- ab_test_srm_check: chi-square recompute ----------------------------------
 
 
