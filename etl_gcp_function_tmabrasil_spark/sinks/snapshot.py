@@ -555,9 +555,12 @@ def commit_snapshot(
     one distributed pass over the staging read. ``fsck_snapshot``
     later re-derives both and proves each still-referenced file is
     bit-equivalent to what the commit recorded. Append commits carry
-    prior integrity entries forward; rewriting verbs
-    (delete/replace/optimize) drop entries for the files they rewrite
-    — fsck degrades honestly to existence-only ("exists") there.
+    prior integrity entries forward; on an integrity-TRACKED table
+    (any prior entry in the manifest) the rewriting verbs
+    (delete/replace/merge/optimize) record fresh entries for the files
+    they write, so fsck keeps full ``ok`` coverage across churn. Only
+    files committed before tracking was enabled degrade to
+    existence-only ("exists").
 
     ``txn_id`` makes the commit IDEMPOTENT (Delta's txn/appId pattern):
     the manifest carries a cumulative ``txn -> version`` map, and a
@@ -661,13 +664,21 @@ def _collect_integrity(
         )
         .collect()
     )
-    return {
+    out = {
         _rel_of_input_file(r["f"], table_dir): {
             "rows": int(r["rows"]),
             "xxh": str(r["xxh"]),
         }
         for r in rows
     }
+    # an EMPTY part file contributes no grouped row — record it
+    # explicitly (rows=0, hash 0) so fsck keeps full coverage
+    rel_dir = os.path.relpath(staging, table_dir)
+    for f in os.listdir(staging):
+        if f.endswith(".parquet") and not f.startswith((".", "_")):
+            rel = os.path.join(rel_dir, f)
+            out.setdefault(rel, {"rows": 0, "xxh": "0"})
+    return out
 
 
 def fsck_snapshot(
@@ -688,8 +699,9 @@ def fsck_snapshot(
       it no longer parses;
     - ``ok`` — exists and both integrity checks pass;
     - ``exists`` — exists but the manifest carries no integrity record
-      for it (pre-integrity commits, rewritten files), so only
-      presence is provable.
+      for it (committed before tracking was enabled — on a tracked
+      table the rewriting verbs record fresh entries, so churned files
+      stay ``ok``), so only presence is provable.
 
     Plus every ``*.parquet`` under ``data/`` that NO retained manifest
     references is reported as ``orphan`` — structurally invisible to
@@ -965,6 +977,14 @@ def _rewrite_where(
         k: v for k, v in prev.get("ndv", {}).items()
         if k not in touched_rel
     }
+    # integrity-tracked table: kept files keep their entries; freshly
+    # rewritten files get NEW entries below so fsck stays full-coverage
+    # (`ok`, not `exists`) across churn
+    integ = {
+        k: v for k, v in prev.get("integrity", {}).items()
+        if k not in touched_rel
+    }
+    tracked = bool(prev.get("integrity"))
     kept = [f for f in prev["files"] if f not in touched_rel]
     new_files: list[str] = []
     if touched_rel:
@@ -1001,6 +1021,8 @@ def _rewrite_where(
             stats.update(s2)
             skipping.update(k2)
             ndv.update(n2)
+        if tracked and new_files:
+            integ.update(_collect_integrity(spark, staging, table_dir))
     return {
         "prev": prev,
         "schema": schema,
@@ -1012,6 +1034,8 @@ def _rewrite_where(
         "stats": stats,
         "skipping": skipping,
         "ndv": ndv,
+        "integrity": integ,
+        "tracked": tracked,
     }
 
 
@@ -1078,6 +1102,7 @@ def delete_where(
     _write_manifest(
         table_dir, version, rw["files"], rw["prev"]["schema"],
         rw["stats"], rw["skipping"], rw["ndv"], txn, commit_ts,
+        integrity=rw["integrity"],
     )
     return {
         "version": version,
@@ -1167,6 +1192,10 @@ def replace_where(
         rw["stats"].update(s2)
         rw["skipping"].update(k2)
         rw["ndv"].update(n2)
+    if rw["tracked"] and inserted:
+        rw["integrity"].update(
+            _collect_integrity(spark, staging, table_dir)
+        )
     txn = dict(rw["prev"].get("txn", {}))
     version = rw["prev"]["version"] + 1
     if txn_id is not None:
@@ -1174,7 +1203,7 @@ def replace_where(
     _write_manifest(
         table_dir, version, rw["files"] + inserted,
         rw["prev"]["schema"], rw["stats"], rw["skipping"], rw["ndv"],
-        txn, commit_ts,
+        txn, commit_ts, integrity=rw["integrity"],
     )
     return {
         "version": version,
@@ -1443,6 +1472,10 @@ def optimize_layout(
     from pyspark.sql import functions as F
 
     df = read_snapshot(spark, table_dir)
+    versions = _manifests(table_dir)
+    tracked = bool(
+        versions and _load_manifest(table_dir, versions[-1]).get("integrity")
+    )
     clustered = (
         df.withColumn("__cluster", F.expr(order_expr))
         .repartitionByRange(n_files, "__cluster")
@@ -1458,6 +1491,9 @@ def optimize_layout(
         bloom_bits=bloom_bits,
         ndv_cols=ndv_cols,
         commit_ts=commit_ts,
+        # an integrity-tracked table keeps full fsck coverage across a
+        # layout rewrite (the whole content lands as fresh files)
+        integrity=tracked,
     )
 
 
@@ -1707,8 +1743,10 @@ def merge_snapshot(
     when a key matches >1 stored row).
     ``txn_id`` gives idempotent replay like every other verb. Old
     versions remain readable (time travel shows pre-merge data until
-    VACUUM). Rewritten files' integrity entries are dropped (fsck
-    degrades to existence-only for them, same as delete/replace).
+    VACUUM). On an integrity-tracked table the merge records fresh
+    integrity entries for every file it writes (survivor rewrites and
+    the landed source), keeping fsck at full ``ok`` coverage — same as
+    delete/replace/optimize.
 
     Returns ``{"version", "files_rewritten", "files_kept",
     "files_inserted", "rows_updated", "rows_inserted"}``.
@@ -1781,6 +1819,7 @@ def merge_snapshot(
     integ = {
         k: v for k, v in prev.get("integrity", {}).items() if k in kept
     }
+    tracked = bool(prev.get("integrity"))
 
     def _land(df: DataFrame) -> None:
         staging_name = f"commit-{uuid.uuid4().hex}"
@@ -1802,6 +1841,8 @@ def merge_snapshot(
             stats.update(s2)
             skipping.update(k2)
             ndv.update(n2)
+        if tracked and landed:
+            integ.update(_collect_integrity(spark, staging, table_dir))
 
     if rewrite_rel:
         survivors = (

@@ -295,6 +295,59 @@ def test_fsck_attributes_each_fault(spark, tmp_path):
     assert {r["status"] for r in fsck_snapshot(spark, t2)} == {"exists"}
 
 
+def test_fsck_full_coverage_across_rewrites(spark, tmp_path):
+    """On an integrity-tracked table, every rewriting verb (merge,
+    delete, replace, optimize) records fresh integrity entries for the
+    files it writes — fsck reports `ok`, never `exists`, across
+    churn."""
+    from pyspark.sql import functions as F
+
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        commit_snapshot,
+        delete_where,
+        fsck_snapshot,
+        merge_snapshot,
+        optimize_layout,
+        replace_where,
+    )
+
+    t = str(tmp_path / "tracked")
+    base = spark.range(0, 40).select("id", (F.col("id") * 2).alias("v"))
+    for m in range(2):
+        commit_snapshot(
+            base.filter(F.col("id") % 2 == m).coalesce(1), t,
+            integrity=True,
+        )
+
+    def statuses():
+        return {r["status"] for r in fsck_snapshot(spark, t)}
+
+    merge_snapshot(
+        spark, t,
+        spark.createDataFrame([(1, 99), (100, 1)], "id long, v long"),
+        "id",
+    )
+    assert statuses() == {"ok"}, "post-merge files must keep integrity"
+    delete_where(spark, t, "id >= 30 AND id < 35")
+    assert statuses() == {"ok"}
+    replace_where(
+        spark,
+        spark.createDataFrame([(20, -1)], "id long, v long"),
+        t,
+        "id = 20",
+    )
+    assert statuses() == {"ok"}
+    optimize_layout(spark, t, "id", 2)
+    assert statuses() == {"ok"}
+    # content still correct after the churn
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import read_snapshot
+
+    got = {r.id: r.v for r in read_snapshot(spark, t).collect()}
+    want = {i: i * 2 for i in range(40) if not (30 <= i < 35)}
+    want.update({1: 99, 100: 1, 20: -1})
+    assert got == want
+
+
 # --- stats_group_sequential_peto: z trajectory + boundary recompute ----------
 
 
