@@ -168,6 +168,8 @@ EXTENDED = [
     "attribution_position_based",   # U-shaped multi-touch credit paths
     # (sink_snapshot_merge is eager — 4 commits + a real merge at
     # fixture build -> scripts/bench_gate_sf01.py)
+    # round-15 lazy registrations
+    "text_langid_hashed_ngram",     # trained hashed char-n-gram langid
 ]
 
 

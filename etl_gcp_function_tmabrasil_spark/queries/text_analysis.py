@@ -900,3 +900,225 @@ FROM scored ORDER BY doc_id
 
 QUERIES["text_readability"] = text_readability
 ORACLE["text_readability"] = _READABILITY_SQL
+
+
+# --- Trained language ID: hashed char-n-gram linear classifier (round 15) -----
+
+LANGID_B = 512  #: hashed feature buckets (2^k; fastText uses 2M at prod scale)
+LANGID_GRAM = 3  #: char n-gram width
+LANGID_HOLDOUT = 5  #: doc_id % HOLDOUT == 0 rows score; the rest train
+
+
+def text_langid_hashed_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained language identification — a hashed char-n-gram linear
+    classifier in the fastText mold (Joulin et al. 2016: bag of hashed
+    n-gram features, linear scores per label), with the weights fitted
+    as multinomial naive-Bayes log-likelihoods (McCallum & Nigam 1998)
+    so training is ONE deterministic counting pass instead of SGD.
+    This is the first gate of the CCNet pipeline: langid runs BEFORE
+    the per-language LM quality buckets (text_ccnet_quality_buckets
+    takes `lang` as given).
+
+    Train on the `lang`-labeled rows with doc_id % HOLDOUT != 0: count
+    char-3-gram occurrences per (lang, hash-bucket); weight w[l,b] =
+    ln((cnt+1)/(tot_l+B)) (Laplace), prior ln(n_l/n). Score held-out
+    docs: argmax_l prior_l + sum over the doc's gram occurrences of
+    w[l, bucket]. Report the confusion rollup (true_lang, pred_lang,
+    n_docs) — at most |langs|^2 rows.
+
+    Exactness across engines: the bucket hash is the md5-based hash60
+    mod B (literally shared with the oracle); every ln is rounded to
+    8 dp and carried as DECIMAL(12,8), per-doc sums are exact decimal
+    (n DECIMAL(10,0) x w — product precision 23 stays under Spark's
+    38 cap and forces DuckDB's INT128 path), and the argmax is a
+    row_number over (score DESC, lang ASC) — total order, no float
+    nondeterminism. NOTE the synthetic corpus assigns `lang` labels
+    independently of token content (per-lang distributions differ
+    only by sampling noise), so accuracy here sits near the class
+    prior — the same documented "untrained floor" caveat as
+    embedding_matryoshka_fidelity; the machinery, not the accuracy,
+    is what the oracle pins.
+
+    Scale: the gram explode is map-side; training state collapses to
+    the (langs x B) weight grid (2.5k rows — broadcast); scoring is
+    one (doc, bucket) partial-aggregable count joined to the
+    broadcast weights, one (doc, lang) rollup, a 5-row-per-doc
+    window, and a bounded confusion rollup. No corpus-sized shuffle
+    beyond the word-count shape at any corpus size.
+    """
+    from pyspark.sql import Window as W
+
+    from etl_gcp_function_tmabrasil_spark.queries._util import SPARK_HASH60
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim("text"), WS_CLASS, " "))
+    grams = docs.select(
+        "doc_id", "lang", norm.alias("t")
+    ).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                f"CASE WHEN length(t) >= {LANGID_GRAM} THEN "
+                f"transform(sequence(1, length(t) - {LANGID_GRAM - 1}),"
+                f" i -> substring(t, i, {LANGID_GRAM})) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    bucketed = grams.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"pmod({SPARK_HASH60.format(expr='g')}, {LANGID_B})"
+        ).alias("b"),
+    )
+    train = bucketed.filter(F.col("doc_id") % LANGID_HOLDOUT != 0)
+    cnt = train.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("c"))
+    grid = (
+        cnt.select("lang")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(LANGID_B).select(F.col("id").alias("b")))
+        )
+    )
+    tot = cnt.groupBy("lang").agg(F.sum("c").alias("tot"))
+    weights = (
+        grid.join(cnt, ["lang", "b"], "left")
+        .join(tot, "lang")
+        .select(
+            "lang",
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tot") + LANGID_B)
+                ),
+                8,
+            )
+            .cast("decimal(12,8)")
+            .alias("w"),
+        )
+    )
+    tdocs = docs.filter(F.col("doc_id") % LANGID_HOLDOUT != 0)
+    prior = (
+        tdocs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .crossJoin(
+            F.broadcast(tdocs.agg(F.count(F.lit(1)).alias("ndt")))
+        )
+        .select(
+            "lang",
+            F.round(F.log(F.col("nd").cast("double") / F.col("ndt")), 8)
+            .cast("decimal(12,8)")
+            .alias("p"),
+        )
+    )
+    tf = (
+        bucketed.filter(F.col("doc_id") % LANGID_HOLDOUT == 0)
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("decimal(10,0)").alias("n"))
+    )
+    scored = (
+        tf.join(F.broadcast(weights), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("n") * F.col("w")).alias("s"))
+        .join(F.broadcast(prior), "lang")
+        .select("doc_id", "lang", (F.col("s") + F.col("p")).alias("score"))
+    )
+    pred = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(
+                    F.col("score").desc(), F.col("lang")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"))
+    )
+    truth = docs.filter(F.col("doc_id") % LANGID_HOLDOUT == 0).select(
+        "doc_id", F.col("lang").alias("true_lang")
+    )
+    return (
+        truth.join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+def _langid_hashed_sql() -> str:
+    from etl_gcp_function_tmabrasil_spark.queries._util import SQL_HASH60
+
+    h = SQL_HASH60.format(expr="g")
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang,
+    LOWER(REGEXP_REPLACE(TRIM(text), '{WS_CLASS}', ' ', 'g')) AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang,
+    UNNEST(CASE WHEN len(t) >= {LANGID_GRAM}
+      THEN list_transform(generate_series(1, len(t) - {LANGID_GRAM - 1}),
+                          i -> substr(t, i, {LANGID_GRAM}))
+      ELSE [] END) AS g
+  FROM base
+),
+bucketed AS (
+  SELECT doc_id, lang, {h} % {LANGID_B} AS b FROM grams
+),
+cnt AS (
+  SELECT lang, b, COUNT(*) AS c FROM bucketed
+  WHERE doc_id % {LANGID_HOLDOUT} != 0 GROUP BY lang, b
+),
+tot AS (SELECT lang, SUM(c) AS tot FROM cnt GROUP BY lang),
+grid AS (
+  SELECT l.lang, gs.b
+  FROM (SELECT DISTINCT lang FROM cnt) l
+  CROSS JOIN (SELECT UNNEST(generate_series(0, {LANGID_B - 1})) AS b) gs
+),
+weights AS (
+  SELECT g.lang, g.b,
+    CAST(ROUND(ln((COALESCE(c.c, 0) + 1)::DOUBLE / (t.tot + {LANGID_B})), 8)
+         AS DECIMAL(12,8)) AS w
+  FROM grid g
+  LEFT JOIN cnt c ON g.lang = c.lang AND g.b = c.b
+  JOIN tot t ON g.lang = t.lang
+),
+prior AS (
+  SELECT lang,
+    CAST(ROUND(ln(nd::DOUBLE / SUM(nd) OVER ()), 8) AS DECIMAL(12,8)) AS p
+  FROM (SELECT lang, COUNT(*) AS nd FROM documents
+        WHERE doc_id % {LANGID_HOLDOUT} != 0 GROUP BY lang)
+),
+tf AS (
+  SELECT doc_id, b, CAST(COUNT(*) AS DECIMAL(10,0)) AS n FROM bucketed
+  WHERE doc_id % {LANGID_HOLDOUT} = 0 GROUP BY doc_id, b
+),
+scored AS (
+  SELECT tf.doc_id, w.lang, SUM(tf.n * w.w) + MIN(pr.p) AS score
+  FROM tf
+  JOIN weights w ON tf.b = w.b
+  JOIN prior pr ON w.lang = pr.lang
+  GROUP BY tf.doc_id, w.lang
+),
+pred AS (
+  SELECT doc_id, lang AS pred_lang,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang)
+      AS rn
+  FROM scored
+)
+SELECT d.lang AS true_lang, p.pred_lang, COUNT(*) AS n_docs
+FROM documents d
+JOIN pred p ON d.doc_id = p.doc_id AND p.rn = 1
+WHERE d.doc_id % {LANGID_HOLDOUT} = 0
+GROUP BY true_lang, pred_lang
+ORDER BY true_lang, pred_lang
+"""
+
+
+QUERIES["text_langid_hashed_ngram"] = text_langid_hashed_ngram
+ORACLE["text_langid_hashed_ngram"] = _langid_hashed_sql()
