@@ -101,6 +101,7 @@ _CHECK_FIRST = [
     # r15 lands, the r7 class is GONE; max evidence age is r8
     # (22 rows + however many r15 registrations displace). ---
     "text_langid_hashed_ngram",
+    "sink_snapshot_constraints",
     "stream_cloudevent_source",
     "sink_cloudevent_writer",
     "sink_bucketed_colocated_join",
@@ -149,7 +150,6 @@ _CHECK_FIRST = [
     "dedup_simhash_pairs",
     "fuzzy_name_match",
     "pagerank_dedup_graph",
-    "pack_token_budget",
 ]
 
 # ROUND-16 ROTATION PLAN (for the next builder): FIRST run

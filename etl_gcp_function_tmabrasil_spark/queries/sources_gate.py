@@ -3402,3 +3402,154 @@ FROM merged GROUP BY event_type ORDER BY event_type
 
 QUERIES["sink_snapshot_merge"] = sink_snapshot_merge
 ORACLE["sink_snapshot_merge"] = _SNAPSHOT_MERGE_SQL
+
+
+def sink_snapshot_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-time CHECK constraints / expectations (round 15) — Delta
+    ``ALTER TABLE ADD CONSTRAINT`` invariants plus DLT-style
+    expectation-with-drop, enforced relationally inside the snapshot
+    commit path (sinks/snapshot.set_constraints + _enforce_constraints).
+    Completes the write-time corner of the governance trio: WAP audits
+    BEFORE publish (sink_snapshot_wap), fsck audits AFTER the fact
+    (sink_snapshot_fsck), constraints guard the commit ITSELF.
+
+    Fixture hard-checks at build: (a) a ``fail`` constraint
+    (``value >= 0``) aborts a batch holding one planted negative row —
+    manifest version and row count bit-unchanged; (b) a ``quarantine``
+    constraint (``value < 100``) diverts exactly the violating slice of
+    the second batch to ``<table>/quarantine/`` with ``_violations``
+    tags while the clean remainder commits; (c) the committing
+    manifest's ``quality`` map records the exact violation count;
+    (d) declaring a ``fail`` constraint the EXISTING table already
+    violates is refused (Delta's validate-existing-data behavior).
+
+    The gate returns the per-type rollup of committed vs quarantined
+    rows; the oracle recomputes the split from the raw events table
+    with the same predicates.
+
+    Scale: the audit is ONE aggregate pass over the incoming batch
+    (every constraint counted simultaneously, map-side partial), the
+    quarantine split two filters of the same batch — never a table
+    scan; declaration cost is manifest metadata only.
+
+    Reference parity: main.py:13-16's accept/reject filter IS a
+    row-level expectation (dead-letter the rest); this verb lifts that
+    semantics into the table's own metadata.
+    """
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        commit_snapshot,
+        read_quarantine,
+        read_snapshot,
+        set_constraints,
+    )
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fixture = os.path.join(
+        _gate_root(), sf_name, "snapshot_constraints_table"
+    )
+
+    def _build(tmp: str) -> None:
+        from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+            ConstraintViolation,
+            _load_manifest,
+            _manifests,
+        )
+
+        table = os.path.join(tmp, "table")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        base = ev.filter(F.col("event_id") % 2 == 0)
+        commit_snapshot(base, table)
+        n_base = read_snapshot(spark, table).count()
+        set_constraints(
+            spark,
+            table,
+            {
+                "value_nonneg": "value >= 0",
+                "value_cap": {
+                    "expr": "value < 100",
+                    "action": "quarantine",
+                },
+            },
+        )
+        # (a) fail constraint aborts; table bit-unchanged
+        v_before = _manifests(table)[-1]
+        poisoned = base.limit(0).unionByName(
+            spark.createDataFrame(
+                [(-999, "bad", -1.0)],
+                "event_id long, event_type string, value double",
+            )
+        )
+        try:
+            commit_snapshot(poisoned, table)
+        except ConstraintViolation:
+            pass
+        else:
+            raise AssertionError("fail constraint did not abort")
+        if _manifests(table)[-1] != v_before:
+            raise AssertionError("aborted commit published a version")
+        if read_snapshot(spark, table).count() != n_base:
+            raise AssertionError("aborted commit changed the table")
+        # (b)+(c) quarantine split of the odd slice
+        batch = ev.filter(F.col("event_id") % 2 == 1)
+        n_bad = batch.filter(F.col("value") >= 100).count()
+        n_ok = batch.count() - n_bad
+        if not n_bad or not n_ok:
+            raise AssertionError("fixture slices must be non-empty")
+        commit_snapshot(batch, table)
+        man = _load_manifest(table, _manifests(table)[-1])
+        if man.get("quality", {}).get("value_cap") != n_bad:
+            raise AssertionError(f"quality counts off: {man.get('quality')}")
+        if read_snapshot(spark, table).count() != n_base + n_ok:
+            raise AssertionError("clean remainder did not commit")
+        if read_quarantine(spark, table).count() != n_bad:
+            raise AssertionError("quarantine volume off")
+        # (d) adding a violated fail constraint is refused
+        try:
+            set_constraints(spark, table, {"impossible": "value > 1e18"})
+        except ConstraintViolation:
+            pass
+        else:
+            raise AssertionError(
+                "validate_existing accepted a violated constraint"
+            )
+
+    _ensure_fixture(fixture, _build)
+    from etl_gcp_function_tmabrasil_spark.queries._util import dsum
+
+    table = os.path.join(fixture, "table")
+    union = read_snapshot(spark, table).select(
+        "event_type", "value", F.lit(0).alias("q")
+    ).unionByName(
+        read_quarantine(spark, table).select(
+            "event_type", "value", F.lit(1).alias("q")
+        )
+    )
+    return (
+        union.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("q") == 0, 1).otherwise(0)).alias("n_rows"),
+            dsum(F.when(F.col("q") == 0, F.col("value"))).alias("sum_value"),
+            F.sum("q").alias("n_quarantined"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SNAPSHOT_CONSTRAINTS_SQL = """
+WITH tagged AS (
+  SELECT event_type, value,
+    CASE WHEN event_id % 2 = 1 AND value >= 100 THEN 1 ELSE 0 END AS q
+  FROM events
+)
+SELECT event_type,
+  CAST(SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN q = 0 THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
+    AS sum_value,
+  CAST(SUM(q) AS BIGINT) AS n_quarantined
+FROM tagged GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["sink_snapshot_constraints"] = sink_snapshot_constraints
+ORACLE["sink_snapshot_constraints"] = _SNAPSHOT_CONSTRAINTS_SQL

@@ -575,6 +575,12 @@ def commit_snapshot(
     txn: dict[str, int] = dict(prev.get("txn", {})) if prev else {}
     if txn_id is not None and str(txn_id) in txn:
         return txn[str(txn_id)]  # already applied — idempotent no-op
+    quality: dict[str, int] = {}
+    quar_df: DataFrame | None = None
+    if prev and prev.get("constraints"):
+        df, quar_df, quality = _enforce_constraints(
+            df, prev["constraints"]
+        )
     data_dir = os.path.join(table_dir, "data")
     os.makedirs(data_dir, exist_ok=True)
     staging_name = f"commit-{uuid.uuid4().hex}"
@@ -625,6 +631,8 @@ def commit_snapshot(
     version = (versions[-1] + 1) if versions else 1
     if txn_id is not None:
         txn[str(txn_id)] = version
+    if quar_df is not None:
+        _land_quarantine(quar_df, table_dir)
     _write_manifest(
         table_dir,
         version,
@@ -636,6 +644,7 @@ def commit_snapshot(
         txn,
         commit_ts,
         integrity=integ,
+        quality=quality,
     )
     return version
 
@@ -858,10 +867,27 @@ def _write_manifest(
     txn: dict,
     commit_ts: float | None,
     integrity: dict | None = None,
+    constraints: dict | None = None,
+    quality: dict | None = None,
 ) -> None:
     """Compose and atomically publish ``manifest_v{version}.json`` —
-    the single commit point shared by every snapshot-mutating verb."""
+    the single commit point shared by every snapshot-mutating verb.
+
+    ``constraints`` (table-level CHECK declarations) default to
+    CARRY-FORWARD: when the caller passes ``None``, the previous
+    version's constraints are inherited unchanged, so every mutating
+    verb keeps the table's invariants alive without threading them
+    explicitly. ``set_constraints``/``drop_constraint`` pass an
+    explicit dict to change the set (an explicit ``{}`` clears it).
+    ``quality`` records THIS commit's per-constraint violation counts
+    (DLT-style expectation metrics) — per-manifest, never inherited."""
     tmp = os.path.join(table_dir, f".manifest_v{version}.json.tmp")
+    if constraints is None and version > 1:
+        prev_path = _manifest_path(table_dir, version - 1)
+        if os.path.exists(prev_path):
+            constraints = _load_manifest(table_dir, version - 1).get(
+                "constraints"
+            )
     payload = {
         "version": version,
         "files": files,
@@ -874,9 +900,217 @@ def _write_manifest(
     }
     if integrity:
         payload["integrity"] = integrity
+    if constraints:
+        payload["constraints"] = constraints
+    if quality:
+        payload["quality"] = quality
     with open(tmp, "w") as fh:
         json.dump(payload, fh)
     _publish_manifest(tmp, _manifest_path(table_dir, version))
+
+
+class ConstraintViolation(ValueError):
+    """A commit's data violated one or more ``fail``-action CHECK
+    constraints. ``counts`` maps constraint name -> violating-row
+    count for the offending batch; nothing was committed."""
+
+    def __init__(self, counts: dict[str, int]):
+        self.counts = counts
+        super().__init__(
+            "CHECK constraint violation(s), commit aborted: "
+            + ", ".join(f"{n}={c} rows" for n, c in sorted(counts.items()))
+        )
+
+
+def _enforce_constraints(
+    df: DataFrame, constraints: dict[str, dict]
+) -> tuple[DataFrame, DataFrame | None, dict[str, int]]:
+    """Validate an incoming batch against the table's CHECK
+    constraints — the write-time half of the governance trio (WAP
+    audits pre-publish, fsck audits after the fact, constraints guard
+    the commit itself). SQL CHECK semantics: a row violates only when
+    the predicate evaluates to FALSE — NULL satisfies, matching ANSI
+    CHECK and Delta's ADD CONSTRAINT.
+
+    ONE aggregate pass over the batch counts violations for every
+    constraint simultaneously (the audit scan is part of the write
+    job, exactly as in Delta). Any violated ``fail`` constraint
+    raises ``ConstraintViolation`` before a single file lands. Rows
+    violating only ``quarantine`` constraints are split out (DLT's
+    expectation-with-drop): the returned clean frame commits, the
+    quarantine frame — tagged with a ``_violations`` name array —
+    is landed under ``<table>/quarantine/`` by the caller.
+
+    Returns ``(clean_df, quarantine_df | None, counts)``.
+    """
+    from pyspark.sql import functions as F
+
+    if not constraints:
+        return df, None, {}
+    viol = {n: f"(({c['expr']})) IS FALSE" for n, c in constraints.items()}
+    counts_row = df.agg(
+        *[
+            F.sum(F.when(F.expr(v), 1).otherwise(0)).alias(n)
+            for n, v in viol.items()
+        ]
+    ).collect()[0]  # bounded: one row — one pass over the batch
+    counts = {n: int(counts_row[n] or 0) for n in viol}
+    failed = {
+        n: c
+        for n, c in counts.items()
+        if c > 0 and constraints[n].get("action", "fail") == "fail"
+    }
+    if failed:
+        raise ConstraintViolation(failed)
+    qnames = [
+        n
+        for n in constraints
+        if constraints[n].get("action", "fail") == "quarantine"
+        and counts[n] > 0
+    ]
+    if not qnames:
+        return df, None, counts
+    any_viol = " OR ".join(viol[n] for n in qnames)
+    clean = df.filter(f"NOT ({any_viol})")
+    quar = df.filter(any_viol).withColumn(
+        "_violations",
+        F.filter(
+            F.array(
+                *[
+                    F.when(F.expr(viol[n]), F.lit(n))
+                    for n in qnames
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    return clean, quar, counts
+
+
+def _land_quarantine(quar_df: DataFrame, table_dir: str) -> str:
+    """Land quarantined rows as one parquet batch under
+    ``<table>/quarantine/batch-<uuid>`` — outside the manifest's data
+    file namespace, so snapshot readers, fsck's orphan walk root
+    (``data/``), and VACUUM never see them."""
+    qdir = os.path.join(
+        table_dir, "quarantine", f"batch-{uuid.uuid4().hex}"
+    )
+    quar_df.write.parquet(qdir)
+    return qdir
+
+
+def read_quarantine(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Read every quarantined batch of the table (union of all
+    ``quarantine/batch-*`` landings, each row carrying the
+    ``_violations`` array naming the constraints it failed)."""
+    qroot = os.path.join(table_dir, "quarantine")
+    if not os.path.isdir(qroot):
+        raise FileNotFoundError(f"no quarantine at {table_dir}")
+    return (
+        spark.read.option("recursiveFileLookup", "true").parquet(qroot)
+    )
+
+
+def set_constraints(
+    spark: SparkSession,
+    table_dir: str,
+    constraints: dict[str, str | dict],
+    commit_ts: float | None = None,
+    validate_existing: bool = True,
+) -> int:
+    """Declare commit-time CHECK constraints on a snapshot table —
+    Delta's ``ALTER TABLE ADD CONSTRAINT`` / DLT expectations,
+    recorded in the manifest and enforced relationally by every
+    data-adding verb (``commit_snapshot``, ``merge_snapshot``,
+    ``replace_where``) from the next commit on.
+
+    ``constraints`` maps name -> SQL predicate string, or name ->
+    ``{"expr": predicate, "action": "fail" | "quarantine"}``:
+
+    - ``fail`` (default; Delta invariant): a batch containing any
+      violating row aborts with ``ConstraintViolation`` — the table
+      is bit-unchanged.
+    - ``quarantine`` (DLT expectation-with-drop): violating rows are
+      diverted to ``<table>/quarantine/`` with a ``_violations`` tag;
+      the clean remainder commits; per-constraint counts are recorded
+      in the committing manifest's ``quality`` map.
+
+    New declarations MERGE into the existing set and publish as a
+    metadata-only version (same files). ``validate_existing=True``
+    (Delta's behavior) scans the current snapshot once and refuses to
+    add a ``fail`` constraint the existing data already violates.
+    Returns the new version."""
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot committed at {table_dir}")
+    prev = _load_manifest(table_dir, versions[-1])
+    norm: dict[str, dict] = {}
+    for name, c in constraints.items():
+        if isinstance(c, str):
+            c = {"expr": c}
+        action = c.get("action", "fail")
+        if action not in ("fail", "quarantine"):
+            raise ValueError(
+                f"constraint {name!r}: unknown action {action!r} "
+                "(use 'fail' or 'quarantine')"
+            )
+        norm[name] = {"expr": c["expr"], "action": action}
+    merged = {**prev.get("constraints", {}), **norm}
+    new_fail = {
+        n: c for n, c in norm.items() if c["action"] == "fail"
+    }
+    if validate_existing and new_fail and prev["files"]:
+        schema = StructType.fromJson(json.loads(prev["schema"]))
+        existing = spark.read.schema(schema).parquet(
+            *(os.path.join(table_dir, f) for f in prev["files"])
+        )
+        _clean, _quar, _counts = _enforce_constraints(existing, new_fail)
+    version = versions[-1] + 1
+    _write_manifest(
+        table_dir,
+        version,
+        prev["files"],
+        prev["schema"],
+        prev.get("stats", {}),
+        prev.get("skipping", {}),
+        prev.get("ndv", {}),
+        dict(prev.get("txn", {})),
+        commit_ts,
+        integrity=prev.get("integrity"),
+        constraints=merged,
+    )
+    return version
+
+
+def drop_constraint(
+    table_dir: str, name: str, commit_ts: float | None = None
+) -> int:
+    """Remove a declared CHECK constraint (``ALTER TABLE DROP
+    CONSTRAINT``) as a metadata-only version. Raises ``KeyError`` if
+    the name is not declared."""
+    versions = _manifests(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no snapshot committed at {table_dir}")
+    prev = _load_manifest(table_dir, versions[-1])
+    current = dict(prev.get("constraints", {}))
+    if name not in current:
+        raise KeyError(f"constraint {name!r} is not declared")
+    del current[name]
+    version = versions[-1] + 1
+    _write_manifest(
+        table_dir,
+        version,
+        prev["files"],
+        prev["schema"],
+        prev.get("stats", {}),
+        prev.get("skipping", {}),
+        prev.get("ndv", {}),
+        dict(prev.get("txn", {})),
+        commit_ts,
+        integrity=prev.get("integrity"),
+        constraints=current,
+    )
+    return version
 
 
 def _rel_of_input_file(path: str, table_dir: str) -> str:
@@ -1172,6 +1406,12 @@ def replace_where(
             f"{rw['schema'].simpleString()}, insert has "
             f"{df.schema.simpleString()}"
         )
+    quality: dict[str, int] = {}
+    quar_df: DataFrame | None = None
+    if rw["prev"].get("constraints"):
+        df, quar_df, quality = _enforce_constraints(
+            df, rw["prev"]["constraints"]
+        )
     data_dir = os.path.join(table_dir, "data")
     os.makedirs(data_dir, exist_ok=True)
     staging_name = f"commit-{uuid.uuid4().hex}"
@@ -1200,10 +1440,12 @@ def replace_where(
     version = rw["prev"]["version"] + 1
     if txn_id is not None:
         txn[str(txn_id)] = version
+    if quar_df is not None:
+        _land_quarantine(quar_df, table_dir)
     _write_manifest(
         table_dir, version, rw["files"] + inserted,
         rw["prev"]["schema"], rw["stats"], rw["skipping"], rw["ndv"],
-        txn, commit_ts, integrity=rw["integrity"],
+        txn, commit_ts, integrity=rw["integrity"], quality=quality,
     )
     return {
         "version": version,
@@ -1775,6 +2017,12 @@ def merge_snapshot(
         )
     from pyspark.sql import functions as F
 
+    quality: dict[str, int] = {}
+    quar_df: DataFrame | None = None
+    if prev.get("constraints"):
+        source, quar_df, quality = _enforce_constraints(
+            source, prev["constraints"]
+        )
     n_source = source.count()
     n_keys = source.select(*keys).distinct().count()
     if n_keys != n_source:
@@ -1879,6 +2127,8 @@ def merge_snapshot(
     version = versions[-1] + 1
     if txn_id is not None:
         txn[str(txn_id)] = version
+    if quar_df is not None:
+        _land_quarantine(quar_df, table_dir)
     _write_manifest(
         table_dir,
         version,
@@ -1890,6 +2140,7 @@ def merge_snapshot(
         txn,
         commit_ts,
         integrity=integ,
+        quality=quality,
     )
     return {
         "version": version,

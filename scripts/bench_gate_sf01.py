@@ -167,6 +167,9 @@ GATE_QUERIES = [
     # r14: checkpointed availableNow run whose every micro-batch
     # read-modify-writes the profile table through merge_snapshot
     "stream_merge_snapshot_upsert",
+    # r15: commit-time CHECK constraints — aborted poisoned commit,
+    # quarantine split, validate-existing refusal at fixture build
+    "sink_snapshot_constraints",
 ]
 
 

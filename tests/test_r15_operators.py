@@ -93,3 +93,124 @@ def test_langid_hashed_ngram_brute_force(spark, sf_dir):
         for r in text_langid_hashed_ngram(spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --- snapshot commit-time CHECK constraints (round 15) -------------------------
+
+
+def test_constraints_fail_aborts_commit(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        ConstraintViolation,
+        _load_manifest,
+        _manifests,
+        commit_snapshot,
+        drop_constraint,
+        read_snapshot,
+        set_constraints,
+    )
+
+    t = str(tmp_path / "tbl")
+    base = spark.range(0, 20).select("id", (F.col("id") * 2).alias("v"))
+    commit_snapshot(base, t)
+    v = set_constraints(spark, t, {"v_nonneg": "v >= 0"})
+    assert _load_manifest(t, v)["constraints"] == {
+        "v_nonneg": {"expr": "v >= 0", "action": "fail"}
+    }
+    bad = spark.createDataFrame([(100, -1), (101, 5)], "id long, v long")
+    with pytest.raises(ConstraintViolation, match="v_nonneg=1"):
+        commit_snapshot(bad, t)
+    # nothing committed, table bit-unchanged
+    assert _manifests(t)[-1] == v
+    assert read_snapshot(spark, t).count() == 20
+    # NULL satisfies (ANSI CHECK): a NULL-v row commits fine
+    ok = spark.createDataFrame([(102, None)], "id long, v long")
+    v2 = commit_snapshot(ok, t)
+    assert read_snapshot(spark, t).count() == 21
+    # constraints carry forward through commits
+    assert _load_manifest(t, v2)["constraints"]["v_nonneg"]
+    # adding a fail constraint the EXISTING data violates is refused
+    with pytest.raises(ConstraintViolation):
+        set_constraints(spark, t, {"id_small": "id < 10"})
+    # drop, then the violating append goes through
+    drop_constraint(t, "v_nonneg")
+    commit_snapshot(bad, t)
+    assert read_snapshot(spark, t).count() == 23
+
+
+def test_constraints_quarantine_routes_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        _load_manifest,
+        _manifests,
+        commit_snapshot,
+        merge_snapshot,
+        read_quarantine,
+        read_snapshot,
+        set_constraints,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(
+        spark.range(0, 10).select("id", (F.col("id") * 2).alias("v")), t
+    )
+    set_constraints(
+        spark,
+        t,
+        {
+            "v_cap": {"expr": "v < 1000", "action": "quarantine"},
+            "id_pos": {"expr": "id >= 0", "action": "quarantine"},
+        },
+    )
+    batch = spark.createDataFrame(
+        [(50, 1), (51, 5000), (-1, 2), (-2, 9000)], "id long, v long"
+    )
+    commit_snapshot(batch, t)
+    # clean row committed; 3 violating rows diverted
+    got = {r.id for r in read_snapshot(spark, t).collect()}
+    assert 50 in got and 51 not in got and -1 not in got
+    man = _load_manifest(t, _manifests(t)[-1])
+    assert man["quality"] == {"v_cap": 2, "id_pos": 2}
+    q = read_quarantine(spark, t).collect()
+    assert len(q) == 3
+    tags = {r.id: sorted(r._violations) for r in q}
+    assert tags == {
+        51: ["v_cap"],
+        -1: ["id_pos"],
+        -2: ["id_pos", "v_cap"],
+    }
+    # merge_snapshot enforces too: quarantined source rows don't merge
+    src = spark.createDataFrame(
+        [(50, 7), (60, 8), (61, 7777)], "id long, v long"
+    )
+    info = merge_snapshot(spark, t, src, "id")
+    assert info["rows_updated"] == 1 and info["rows_inserted"] == 1
+    got = {r.id: r.v for r in read_snapshot(spark, t).collect()}
+    assert got[50] == 7 and got[60] == 8 and 61 not in got
+    assert len(read_quarantine(spark, t).collect()) == 4
+
+
+def test_constraints_replace_where_enforces(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_gcp_function_tmabrasil_spark.sinks.snapshot import (
+        ConstraintViolation,
+        commit_snapshot,
+        replace_where,
+        set_constraints,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(
+        spark.range(0, 10).select("id", (F.col("id") * 2).alias("v")), t
+    )
+    set_constraints(spark, t, {"v_nonneg": "v >= 0"})
+    with pytest.raises(ConstraintViolation):
+        replace_where(
+            spark,
+            spark.createDataFrame([(3, -5)], "id long, v long"),
+            t,
+            "id = 3",
+        )
