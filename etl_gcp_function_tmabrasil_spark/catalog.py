@@ -150,7 +150,7 @@ def load_table(
     spark: SparkSession,
     sf_dir: str,
     name: str,
-    rebalance: bool | None = None,
+    rebalance: bool | str | None = None,
 ) -> DataFrame:
     """Load one driver table. Plain parquet scan: vectorized read,
     predicate pushdown and column pruning all apply downstream.
@@ -168,6 +168,17 @@ def load_table(
     extra exchange costs more than it buys (notably when the table later
     feeds a BroadcastExchange), so small/medium tables never rebalance;
     compute-heavy queries may still pass ``rebalance=True`` explicitly.
+
+    ``rebalance="compute"`` is the variant for queries whose PER-ROW
+    work is amplified far beyond scan cost (explode×K + per-row md5,
+    per-char shingling, decimal ladders): it fires whenever the layout
+    offers fewer row-group split units than the cluster's cores, with
+    NO row-count minimum — a few-MB single-row-group table feeding a
+    64× explode of md5s otherwise serializes seconds of CPU behind a
+    one-task scan (guide §2: the cheap shuffle of the narrow input
+    buys the whole pre-shuffle pipeline its parallelism). At scale a
+    healthy layout (units >= cores) makes it a no-op, so the exchange
+    never coalesces a wide scan.
 
     The `events` table is written with parquet TIMESTAMP(NANOS), which
     Spark's reader rejects by default; we read nanos as int64 (legacy
@@ -212,6 +223,12 @@ def load_table(
         except Exception:
             rows, units = 0, par
         effective = rows >= _REBALANCE_MIN_ROWS and units < max(2, par // 2)
+    elif effective == "compute":
+        try:
+            _rows, units = _parquet_layout(path)
+        except Exception:
+            units = par
+        effective = units < par
     if effective:
         df = df.repartition(par)
     if stamp is not None:
@@ -224,6 +241,27 @@ def load_table(
             del per_session[k]
         per_session[key] = df
     return df
+
+
+def scan_spread_n(spark: SparkSession, sf_dir: str, name: str) -> int | None:
+    """Cores to spread a compute-amplified scan over, or ``None``.
+
+    Returns the cluster's core count when `name`'s parquet layout
+    offers fewer row-group split units than cores (the one-giant-row-
+    group pathology: the whole pre-shuffle pipeline — explode, md5,
+    window sort — would run in a handful of tasks); ``None`` when the
+    layout already feeds every core, so callers skip the repartition
+    entirely at healthy scale. Use for KEYED spreads where the chosen
+    key lets a downstream window/groupBy reuse the exchange
+    (``df.repartition(n, key)``); for plain round-robin spreads prefer
+    ``load_table(..., rebalance="compute")``.
+    """
+    par = spark.sparkContext.defaultParallelism
+    try:
+        _rows, units = _parquet_layout(table_path(sf_dir, name))
+    except Exception:
+        return None
+    return par if units < par else None
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:

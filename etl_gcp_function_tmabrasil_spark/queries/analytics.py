@@ -3728,7 +3728,12 @@ def stats_bootstrap_ci(
     """
     from etl_gcp_function_tmabrasil_spark.queries._util import SPARK_HASH60
 
-    ev = load_table(spark, sf_dir, "events").select(
+    # rebalance="compute": the ×64 replica explode turns every input row
+    # into 64 md5+ladder evaluations, so the whole pre-shuffle pipeline
+    # must not sit behind a one-row-group scan task (measured at sf0.1:
+    # 13.8 s single-task → ~1 s spread across the cores; no-op on
+    # healthy multi-row-group layouts).
+    ev = load_table(spark, sf_dir, "events", rebalance="compute").select(
         "event_type", "event_id", F.col("value").alias("v")
     )
     h = SPARK_HASH60.format(

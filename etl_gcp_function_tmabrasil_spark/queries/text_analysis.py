@@ -948,9 +948,15 @@ def text_langid_hashed_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    from etl_gcp_function_tmabrasil_spark.queries._util import SPARK_HASH60
+    from etl_gcp_function_tmabrasil_spark.queries._util import (
+        SPARK_HASH60,
+        managed_persist,
+    )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # rebalance="compute": the char-gram explode evaluates one md5 per
+    # text position — seconds of CPU that must not serialize behind the
+    # one-row-group scan task (no-op on healthy layouts).
+    docs = load_table(spark, sf_dir, "documents", rebalance="compute")
     norm = F.lower(F.regexp_replace(F.trim("text"), WS_CLASS, " "))
     grams = docs.select(
         "doc_id", "lang", norm.alias("t")
@@ -973,8 +979,19 @@ def text_langid_hashed_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"pmod({SPARK_HASH60.format(expr='g')}, {LANGID_B})"
         ).alias("b"),
     )
-    train = bucketed.filter(F.col("doc_id") % LANGID_HOLDOUT != 0)
-    cnt = train.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("c"))
+    # ONE shared gram-hash pass: the train-count and score-count
+    # subtrees below both consume `bucketed`, and without this rollup
+    # the corpus-wide explode+md5 executes twice per action (measured
+    # at sf0.1: 5.3 s → 2.5 s). The persisted frame is (doc, bucket)
+    # counts — word-count-shaped, far smaller than the gram stream.
+    dcount = managed_persist(
+        bucketed.groupBy("doc_id", "lang", "b").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+        "text_analysis.langid_dcount",
+    )
+    train = dcount.filter(F.col("doc_id") % LANGID_HOLDOUT != 0)
+    cnt = train.groupBy("lang", "b").agg(F.sum("n").alias("c"))
     grid = (
         cnt.select("lang")
         .distinct()
@@ -1015,9 +1032,9 @@ def text_langid_hashed_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tf = (
-        bucketed.filter(F.col("doc_id") % LANGID_HOLDOUT == 0)
+        dcount.filter(F.col("doc_id") % LANGID_HOLDOUT == 0)
         .groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).cast("decimal(10,0)").alias("n"))
+        .agg(F.sum("n").cast("decimal(10,0)").alias("n"))
     )
     scored = (
         tf.join(F.broadcast(weights), "b")
