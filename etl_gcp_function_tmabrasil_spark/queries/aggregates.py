@@ -1171,7 +1171,12 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    li = load_table(spark, sf_dir, "lineitem").select(
+    # compute spread (r15): this query scans lineitem three times (two
+    # value-count passes + the rank join-back, which probes a ~600k-row
+    # broadcast hash relation per row) — behind a one-row-group layout
+    # every pass runs single-task (measured at sf0.1: 5.7 s → ~2 s).
+    # No-op on healthy multi-row-group layouts.
+    li = load_table(spark, sf_dir, "lineitem", rebalance="compute").select(
         "l_returnflag",
         F.col("l_quantity").alias("x"),
         F.col("l_extendedprice").alias("y"),
@@ -1223,9 +1228,19 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # Join strategies pinned deliberately (r15, guide §3.1): the x rank
+    # map is value-count-sized (distinct quantities × flags — bounded at
+    # any scale) → broadcast; the y rank map is distinct-PRICES-sized,
+    # which grows with the corpus — broadcasting it means a driver
+    # collect + hash-relation build of a data-sized frame (measured
+    # ~1 s at sf0.1, impossible at 100 TB), so it joins as a shuffled
+    # hash join instead.
     ranked = (
-        li.join(rank2_map("x", 8.0), ["l_returnflag", "x"])
-        .join(rank2_map("y", 1000.0), ["l_returnflag", "y"])
+        li.join(F.broadcast(rank2_map("x", 8.0)), ["l_returnflag", "x"])
+        .join(
+            rank2_map("y", 1000.0).hint("shuffle_hash"),
+            ["l_returnflag", "y"],
+        )
         .select(
             "l_returnflag",
             F.col("r2_x").alias("rx"),

@@ -3627,15 +3627,26 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("first_purchase") > F.col("first_view"))
         )
     )
-    delays = firsts.select(
-        # DuckDB dayofweek is 0-based Sunday; Spark dayofweek 1-based
-        (F.dayofweek("first_view") - 1).alias("view_dow"),
-        (
-            F.floor(F.unix_micros("first_purchase") / 1_000_000)
-            - F.floor(F.unix_micros("first_view") / 1_000_000)
-        )
-        .cast("double")
-        .alias("delay_s"),
+    from etl_gcp_function_tmabrasil_spark.queries._util import managed_persist
+
+    # persisted (r15): banded_exact_quantiles re-scans its input for
+    # the pass-2 rank pick — by design at 100 TB when the input is a
+    # raw table scan, but HERE the input is the per-user first-touch
+    # aggregation, so the un-persisted form re-ran the whole events
+    # scan + user shuffle a second time (measured at sf0.1: 3.1 s →
+    # ~1 s). The cached frame is converters-sized (2 narrow columns).
+    delays = managed_persist(
+        firsts.select(
+            # DuckDB dayofweek is 0-based Sunday; Spark dayofweek 1-based
+            (F.dayofweek("first_view") - 1).alias("view_dow"),
+            (
+                F.floor(F.unix_micros("first_purchase") / 1_000_000)
+                - F.floor(F.unix_micros("first_view") / 1_000_000)
+            )
+            .cast("double")
+            .alias("delay_s"),
+        ),
+        "analytics.funnel_ttc_delays",
     )
     from etl_gcp_function_tmabrasil_spark.operators.quantiles import (
         banded_exact_quantiles,

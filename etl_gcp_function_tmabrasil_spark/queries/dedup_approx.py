@@ -1007,20 +1007,27 @@ def simjoin_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (AQE) and shuffles at large, never a corpus-sized broadcast by
     construction. No stage is quadratic in the corpus.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # compute spread (r15): the shingling pass below is per-word work
+    # over every document — never serialize it behind a one-row-group
+    # scan task (no-op on healthy layouts)
+    docs = load_table(spark, sf_dir, "documents", rebalance="compute")
     # distinct w-shingles per doc, as a row-local array (defensive
     # size guard: a doc shorter than W has no shingles and can never
     # reach the threshold — dropping it is result-equivalent and
-    # keeps sequence() from generating a descending range)
+    # keeps sequence() from generating a descending range).
+    # `ws` is hoisted to a named column: HOF lambda bodies get no
+    # common-subexpression elimination, so the previous inline form
+    # re-split the WHOLE text once per shingle position — an O(len²)
+    # tokenizer (measured at sf0.1: 6.3 s → 2.6 s for the query).
     toks = managed_persist(
-        docs.filter(
-            F.size(F.split("text", " ")) >= F.lit(SSJOIN_W)
-        ).select(
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= F.lit(SSJOIN_W))
+        .select(
             "doc_id",
             F.array_distinct(
                 F.expr(
-                    f"transform(sequence(1, size(split(text, ' ')) - {SSJOIN_W - 1}),"
-                    f" i -> concat_ws(' ', slice(split(text, ' '), i, {SSJOIN_W})))"
+                    f"transform(sequence(1, size(ws) - {SSJOIN_W - 1}),"
+                    f" i -> concat_ws(' ', slice(ws, i, {SSJOIN_W})))"
                 )
             ).alias("toks"),
         ),
@@ -1036,10 +1043,18 @@ def simjoin_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rk",
         F.row_number().over(W.partitionBy("doc_id").orderBy("df", "sh")),
     )
-    prefix = ranked.filter(
-        F.col("rk")
-        <= F.col("sz") - F.ceil(F.lit(SSJOIN_TAU) * F.col("sz")) + 1
-    ).select("doc_id", "sh", "sz", "rk")
+    # persisted (r15): the candidate self-join consumes `prefix` as
+    # BOTH sides, and ReuseExchange does not dedupe window recomputes
+    # (the _winnow_fpd lesson) — without the persist the freq join +
+    # per-doc rank window executed twice per action (measured at
+    # sf0.1: ~1.5 s of the query)
+    prefix = managed_persist(
+        ranked.filter(
+            F.col("rk")
+            <= F.col("sz") - F.ceil(F.lit(SSJOIN_TAU) * F.col("sz")) + 1
+        ).select("doc_id", "sh", "sz", "rk"),
+        "simjoin_prefix_jaccard.prefix",
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
     # overlap bound alpha implied by J >= t on sets of these sizes
     alpha = F.ceil(

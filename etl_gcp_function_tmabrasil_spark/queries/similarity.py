@@ -1543,74 +1543,101 @@ def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("eb"),
         F.col("nrm").alias("nb"),
     )
-    pairs = managed_persist(
-        a.join(
-            b,
-            (F.col("query_id") == F.col("qb"))
-            & (F.col("va") != F.col("vb")),
-        ).select(
-            "query_id",
-            "va",
-            "vb",
-            F.round(
-                _dot(F.col("ea"), F.col("eb"))
-                / (F.col("na") * F.col("nb")),
-                4,
-            )
-            .cast("decimal(8,4)")
-            .alias("sim"),
-        ),
-        "similarity.mmr_pairs",
-    )
-    lam, mu = F.expr(_MMR_LAM), F.expr(_MMR_MU)
-    warg = W.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("vec_id")
-    )
-    sel = (
-        pool.select(
-            "query_id", "vec_id", "rel", (lam * F.col("rel")).alias("score")
-        )
-        .withColumn("rn", F.row_number().over(warg))
-        .filter(F.col("rn") == 1)
-        .select("query_id", "vec_id", "rel", "score", F.lit(1).alias("step"))
-    )
-    for i in range(2, MMR_K + 1):
-        cand = pool.join(
-            sel.select("query_id", "vec_id"), ["query_id", "vec_id"],
-            "left_anti",
-        ).select("query_id", "vec_id", "rel")
-        msim = (
-            pairs.join(
-                sel.select(
-                    "query_id", F.col("vec_id").alias("vb")
-                ),
-                ["query_id", "vb"],
-            )
-            .groupBy("query_id", F.col("va").alias("vec_id"))
-            .agg(F.max("sim").alias("msim"))
-        )
-        step = (
-            cand.join(msim, ["query_id", "vec_id"])
-            .select(
-                "query_id",
-                "vec_id",
-                "rel",
-                (lam * F.col("rel") - mu * F.col("msim")).alias("score"),
-            )
-            .withColumn("rn", F.row_number().over(warg))
-            .filter(F.col("rn") == 1)
-            .select(
-                "query_id", "vec_id", "rel", "score", F.lit(i).alias("step")
-            )
-        )
-        sel = sel.unionByName(step)
-    return sel.select(
+    pairs = a.join(
+        b,
+        (F.col("query_id") == F.col("qb"))
+        & (F.col("va") != F.col("vb")),
+    ).select(
         "query_id",
-        "step",
-        F.col("vec_id").alias("selected_id"),
-        F.col("rel").cast("double").alias("rel_cosine"),
-        F.col("score").cast("double").alias("mmr_score"),
-    ).orderBy("query_id", "step")
+        "va",
+        "vb",
+        F.round(
+            _dot(F.col("ea"), F.col("eb"))
+            / (F.col("na") * F.col("nb")),
+            4,
+        )
+        .cast("decimal(8,4)")
+        .alias("sim"),
+    )
+    # Row-local greedy fold (r15): the previous unrolled join/window
+    # formulation re-derived every prior step inside each later step's
+    # lineage — 441 Exchange nodes for MMR_K=4 over frames of at most
+    # POOL² rows per query (measured 5.8 s of pure stage scheduling at
+    # sf0.1). The pool and its pairwise sims are BOUNDED per query
+    # (MMR_POOL / MMR_POOL² product constants), so the greedy argmax
+    # recurrence collapses to one aggregate() fold over a single row
+    # per query: two bounded rollups + one join + one explode, zero
+    # per-step shuffles. The decimal arithmetic (0.7·rel − 0.3·msim as
+    # exact DECIMALs, argmax ordered score DESC / vec_id ASC) is the
+    # SAME expression text the unrolled form and the oracle use, so
+    # every selected id and score is bit-identical.
+    poolarr = pool.groupBy("query_id").agg(
+        F.collect_list(F.struct("vec_id", "rel")).alias("cands")
+    )
+    pairsarr = pairs.groupBy("query_id").agg(
+        F.collect_list(F.struct("va", "vb", "sim")).alias("sims")
+    )
+    lam, mu = _MMR_LAM, _MMR_MU
+    best_t = "STRUCT<vec_id: BIGINT, rel: DECIMAL(8,4), score: DECIMAL(14,5)>"
+
+    def argmax(scored: str) -> str:
+        """Greedy per-step winner: max score, ties to the lower vec_id
+        — the same total order as the window/oracle formulation."""
+        return (
+            f"aggregate({scored}, CAST(NULL AS {best_t}), (b, c) -> "
+            "CASE WHEN b IS NULL OR c.score > b.score "
+            "OR (c.score = b.score AND c.vec_id < b.vec_id) "
+            "THEN c ELSE b END)"
+        )
+
+    scored1 = (
+        "transform(cands, c -> named_struct("
+        "'vec_id', c.vec_id, 'rel', c.rel, "
+        f"'score', CAST({lam} * c.rel AS DECIMAL(14,5))))"
+    )
+    # candidates not yet selected, scored lam*rel - mu*max_sim_to_
+    # selected; a candidate with no pair row to any selected id scores
+    # NULL and is filtered — the inner-join semantics of the unrolled
+    # form
+    scored_i = (
+        "filter(transform("
+        "filter(cands, c0 -> NOT array_contains("
+        "transform(acc, s0 -> s0.vec_id), c0.vec_id)), "
+        "c -> named_struct('vec_id', c.vec_id, 'rel', c.rel, "
+        f"'score', CAST({lam} * c.rel - {mu} * "
+        "array_max(transform(filter(sims, p -> p.va = c.vec_id "
+        "AND array_contains(transform(acc, s1 -> s1.vec_id), p.vb)), "
+        "p2 -> p2.sim)) AS DECIMAL(14,5)))), "
+        "sc -> sc.score IS NOT NULL)"
+    )
+    init = (
+        f"transform(filter(array({argmax(scored1)}), w -> w IS NOT NULL), "
+        "w -> named_struct('vec_id', w.vec_id, 'rel', w.rel, "
+        "'score', w.score, 'step', CAST(1 AS INT)))"
+    )
+    selected = (
+        f"aggregate(sequence(2, {MMR_K}), {init}, (acc, i) -> "
+        f"concat(acc, transform(filter(array({argmax(scored_i)}), "
+        "w -> w IS NOT NULL), "
+        "w -> named_struct('vec_id', w.vec_id, 'rel', w.rel, "
+        "'score', w.score, 'step', CAST(i AS INT)))))"
+    )
+    folded = poolarr.join(pairsarr, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("sims"), F.expr("array()")).alias("sims"),
+        "cands",
+    ).select("query_id", F.expr(selected).alias("sel"))
+    return (
+        folded.select("query_id", F.explode("sel").alias("s"))
+        .select(
+            "query_id",
+            F.col("s.step").alias("step"),
+            F.col("s.vec_id").alias("selected_id"),
+            F.col("s.rel").cast("double").alias("rel_cosine"),
+            F.col("s.score").cast("double").alias("mmr_score"),
+        )
+        .orderBy("query_id", "step")
+    )
 
 
 def _mmr_sql() -> str:

@@ -968,12 +968,19 @@ def text_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         banded_exact_quantiles,
     )
 
+    from etl_gcp_function_tmabrasil_spark.queries._util import managed_persist
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
     freqs = toks.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
     total = toks.agg(F.count(F.lit(1)).alias("n_total"))
     logp = F.round(F.log(F.col("tf").cast("double") / F.col("n_total")), 8)
-    scored = (
+    # persisted (r15): both the tercile-cutoff derivation and the
+    # bucket assignment below consume `scored`; without the persist the
+    # whole LM-score pass (token explode + freq join + per-doc rollup)
+    # executed twice per action (measured at sf0.1: 1.9 s → ~1.1 s).
+    # The cached frame is docs-sized (4 narrow columns).
+    scored = managed_persist(
         toks.join(freqs, "t")
         .crossJoin(F.broadcast(total))
         .select("doc_id", logp.alias("lp"))
@@ -988,7 +995,8 @@ def text_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("_sum_lp") / F.col("n_tokens")).cast("double"), 6
             ).alias("mean_logprob"),
         )
-        .join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+        .join(docs.select("doc_id", "lang", "n_chars"), "doc_id"),
+        "traindata2.ccnet_scored",
     )
     cuts = banded_exact_quantiles(
         scored,
@@ -1097,52 +1105,72 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate ||G x_{n-1}|| (the dominant-eigenvalue limit of the
     iteration, 6 dp).
     """
-    from etl_gcp_function_tmabrasil_spark.queries._util import managed_persist
-
     gut = embedding_gram_matrix(spark, sf_dir).select(
         "i", "j", F.col("gram").alias("v")
     )
-    g = managed_persist(
-        gut.unionByName(
-            gut.filter(F.col("i") < F.col("j")).select(
-                F.col("j").alias("i"), F.col("i").alias("j"), "v"
-            )
-        ),
-        "traindata2.pca_power.gram",
+    g = gut.unionByName(
+        gut.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "v"
+        )
     )
-    x = spark.range(1, _GRAM_DIM + 1).select(
-        F.col("id").cast("int").alias("j"), F.lit(0.125).alias("xv")
+    # Row-local power-iteration fold (r15): after the (one) corpus-
+    # sized gram accumulation the matrix is DIM×DIM — metadata-sized —
+    # yet the per-iteration join/agg/crossJoin formulation compiled to
+    # 262 Exchange nodes and re-derived every prior iteration inside
+    # each later one (measured 2.7–8 s of stage scheduling at sf0.1).
+    # Collapsing the iterations into ONE aggregate() fold over a single
+    # matrix row keeps the identical arithmetic — per-term round(·,12)
+    # accumulated in DECIMAL(38,12) (exact, order-free), norm the same
+    # way, components re-rounded to 9 dp — so every iterate is
+    # bit-identical to the unrolled form and the oracle's CTE chain.
+    rows = g.groupBy("i").agg(
+        F.expr("transform(array_sort(collect_list(struct(j, v))), r0 -> r0.v)")
+        .alias("row")
     )
-    nrm = None
-    for _ in range(PCA_ITERS):
-        y = (
-            g.join(F.broadcast(x), "j")
-            .groupBy("i")
-            .agg(
-                F.sum(
-                    F.round(F.col("v") * F.col("xv"), 12).cast(
-                        "decimal(38,12)"
-                    )
-                )
-                .cast("double")
-                .alias("y")
-            )
-        )
-        nrm = y.agg(
-            F.sqrt(
-                F.sum(
-                    F.round(F.col("y") * F.col("y"), 12).cast("decimal(38,12)")
-                ).cast("double")
-            ).alias("nrm")
-        )
-        x = y.crossJoin(F.broadcast(nrm)).select(
-            F.col("i").alias("j"),
-            F.round(F.col("y") / F.col("nrm"), 9).alias("xv"),
-        )
+    mat = rows.groupBy().agg(
+        F.expr("transform(array_sort(collect_list(struct(i, row))), m0 -> m0.row)")
+        .alias("mat")
+    )
+    # DECIMAL(30,12) accumulators (not 38): Spark decimal ADDITION at
+    # precision 38 reduces the result scale to 11 (precision-loss
+    # rule), which would drop the 12th decimal the arithmetic contract
+    # requires; at precision 30 the sum type is (31,12) — scale intact
+    # — and the re-cast to (30,12) is exact (1e18 of integer headroom
+    # vs values bounded by the gram magnitudes). The SUM aggregate in
+    # the unrolled form kept scale 12 at precision 38; values are
+    # identical in both formulations.
+    dec = "cast(0 as decimal(30,12))"
+    y_of = (
+        "transform(mat, row1 -> cast(aggregate("
+        "zip_with(row1, {xs}, (a0, b0) -> "
+        "cast(round(a0 * b0, 12) as decimal(30,12))), "
+        f"{dec}, (s0, t0) -> cast(s0 + t0 as decimal(30,12))) as double))"
+    )
+    nrm_of = (
+        "sqrt(cast(aggregate(transform({ys}, e0 -> "
+        "cast(round(e0 * e0, 12) as decimal(30,12))), "
+        f"{dec}, (s1, t1) -> cast(s1 + t1 as decimal(30,12))) as double))"
+    )
+    # one iteration: bind y once via a singleton-array transform (no
+    # SQL let-binding), then emit the normalized x and the norm
+    step = (
+        "element_at(transform(array({y}), yv -> named_struct("
+        "'x', transform(yv, e1 -> round(e1 / {nrm}, 9)), "
+        "'nrm', {nrm})), 1)"
+    ).format(y=y_of.format(xs="acc.x"), nrm=nrm_of.format(ys="yv"))
+    x0 = f"named_struct('x', array_repeat(cast(0.125 as double), {_GRAM_DIM}), 'nrm', cast(null as double))"
+    folded = mat.select(
+        F.expr(
+            f"aggregate(sequence(1, {PCA_ITERS}), {x0}, (acc, it) -> {step})"
+        ).alias("st")
+    )
     return (
-        x.select(F.col("j").alias("dim"), F.col("xv").alias("loading"))
-        .crossJoin(
-            F.broadcast(nrm.select(F.round("nrm", 6).alias("eigenvalue")))
+        folded.select(
+            F.posexplode(F.col("st.x")).alias("dim0", "loading"),
+            F.round(F.col("st.nrm"), 6).alias("eigenvalue"),
+        )
+        .select(
+            (F.col("dim0") + 1).alias("dim"), "loading", "eigenvalue"
         )
         .orderBy("dim")
     )
