@@ -8,9 +8,12 @@ linear-interpolated quantiles as `percentile`/DuckDB's quantile_cont
 with O(bands) memory:
 
 1. count rows per (group, value-band) — tiny partial+final agg;
-2. exclusive prefix over each group's band table gives band rank
-   offsets; each requested quantile p needs the values at 0-based
-   ranks floor/ceil((N-1)·p);
+2. gather each group's O(bands) band table into one row and fold it
+   row-locally: each requested quantile p needs the values at 0-based
+   ranks floor/ceil((N-1)·p), and one linear pass per needed rank
+   finds the containing band plus its exclusive cumulative offset
+   (O(bands × ranks), replacing the window/join/distinct orchestration
+   that cost four exchanges over bounded frames);
 3. re-scan ONLY the bands containing needed ranks (broadcast band
    list), rank within band by value: global rank = offset + rn − 1;
 4. interpolate per group from the picked values (double arithmetic
@@ -50,18 +53,23 @@ def banded_exact_quantiles(
         F.col(value_col).alias("v"),
         F.floor(F.col(value_col) / band_width).cast("long").alias("band"),
     )
-    # one scan of d yields band counts AND per-band min/max; totals
-    # (n_total, global min/max) then roll up from the band table — no
-    # second full-table scan, and the shared groupBy(g, band) exchange
-    # is computed once (ReusedExchange) for both consumers
+    # one scan of d yields band counts AND per-band min/max
     bc = d.groupBy("g", "band").agg(
         F.count(F.lit(1)).alias("n_band"),
         F.min("v").alias("bmin"),
         F.max("v").alias("bmax"),
     )
-    w_off = W.partitionBy("g").orderBy("band").rowsBetween(W.unboundedPreceding, -1)
-    bands = bc.withColumn("offset", F.coalesce(F.sum("n_band").over(w_off), F.lit(0)))
-    totals = bc.groupBy("g").agg(
+    # collapse the band-table orchestration (offsets window + totals
+    # rollup + needed-ranks explode + containing-band join + distinct —
+    # four exchanges and two broadcast builds over bounded frames in the
+    # r14 shape) into ONE row per group: the band list is O(bands) by
+    # construction, so gathering it and folding row-locally is exact
+    # and bounded (r15; measured at sf0.1: agg_robust_outliers, which
+    # runs this twice, 3.53 s -> 3.03 s min-of-4 head-to-head)
+    grp = bc.groupBy("g").agg(
+        F.array_sort(
+            F.collect_list(F.struct("band", "n_band", "bmin", "bmax"))
+        ).alias("bs"),
         F.sum("n_band").alias("n_total"),
         F.min("bmin").alias("min_v"),
         F.max("bmax").alias("max_v"),
@@ -70,27 +78,44 @@ def banded_exact_quantiles(
     for p in set(quantiles.values()):
         rp = (F.col("n_total") - 1) * F.lit(p)
         rank_exprs += [F.floor(rp).cast("long"), F.ceil(rp).cast("long")]
-    needed = totals.select(
-        "g", F.explode(F.array_distinct(F.array(*rank_exprs))).alias("rk_needed")
+    grp = grp.withColumn("rks", F.array_distinct(F.array(*rank_exprs)))
+    # per-rank linear fold: for each needed rank one O(bands) pass over
+    # the sorted band list records the band containing it and that
+    # band's exclusive cumulative offset — O(bands x ranks) total,
+    # never O(bands^2) (no array-accumulator append). Every new struct
+    # field reads only OLD accumulator fields (Spark aggregate()
+    # semantics, pinned in the round-9 fold probes), so the running
+    # count and the first-hit latch cannot race.
+    grp = grp.withColumn(
+        "tb",
+        F.expr(
+            "array_distinct(transform(rks, rk -> aggregate(bs,"
+            " named_struct('cum', cast(0 as bigint),"
+            "              'band', cast(null as bigint),"
+            "              'off', cast(null as bigint)),"
+            " (s, b) -> named_struct("
+            "   'cum', s.cum + b.n_band,"
+            "   'band', if(s.band is null and rk < s.cum + b.n_band, b.band, s.band),"
+            "   'off', if(s.band is null and rk < s.cum + b.n_band, s.cum, s.off)),"
+            " s -> named_struct('band', s.band, 'offset', s.off))))"
+        ),
     )
-    target_bands = (
-        bands.join(F.broadcast(needed), "g")
-        .filter(
-            (F.col("rk_needed") >= F.col("offset"))
-            & (F.col("rk_needed") < F.col("offset") + F.col("n_band"))
-        )
-        .select("g", "band", "offset")
-        .distinct()
+    target_bands = grp.select("g", "rks", F.explode("tb").alias("o")).select(
+        "g",
+        "rks",
+        F.col("o.band").alias("band"),
+        F.col("o.offset").alias("offset"),
     )
     w_in = W.partitionBy("g", "band").orderBy("v")
     ranked = d.join(F.broadcast(target_bands), ["g", "band"]).select(
-        "g", "v", (F.col("offset") + F.row_number().over(w_in) - 1).alias("rk")
+        "g",
+        "v",
+        "rks",
+        (F.col("offset") + F.row_number().over(w_in) - 1).alias("rk"),
     )
-    nd = needed.select(F.col("g").alias("ng"), "rk_needed")
-    picked = ranked.join(
-        F.broadcast(nd),
-        (F.col("g") == F.col("ng")) & (F.col("rk") == F.col("rk_needed")),
-    ).select("g", "rk", "v")
+    picked = ranked.filter(F.expr("array_contains(rks, rk)")).select(
+        "g", "rk", "v"
+    )
     gathered = picked.groupBy("g").agg(
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct("rk", "v")))
@@ -103,7 +128,7 @@ def banded_exact_quantiles(
         v_lo, v_hi = F.col("vals")[lo], F.col("vals")[hi]
         out_cols.append(F.round(v_lo + (rp - lo) * (v_hi - v_lo), round_to).alias(name))
     return (
-        totals.join(gathered, "g")
+        grp.join(gathered, "g")
         .select(
             F.col("g").alias(group_col),
             *out_cols,

@@ -768,7 +768,15 @@ def agg_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the long (col_a, col_b, corr) format.
     """
     cols = _CORR_COLS
-    li = load_table(spark, sf_dir, "lineitem").select(*cols)
+    # compute-spread: 14 exact-decimal(38,12) accumulators per row are
+    # compute-amplified far beyond scan cost, and the fixture layout is
+    # a handful of row groups — one/few tasks would run the whole
+    # partial agg serially (guide §2.2/§6.2; measured sf0.1 min-of-4:
+    # 1.46 s -> 0.86 s). Decimal sums are exact, so the round-robin
+    # re-association cannot move a digit; no-op on healthy layouts.
+    li = load_table(spark, sf_dir, "lineitem", rebalance="compute").select(
+        *cols
+    )
     d = {c: F.col(c).cast("decimal(18,6)") for c in cols}
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in cols:

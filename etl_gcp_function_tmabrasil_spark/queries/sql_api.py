@@ -127,6 +127,26 @@ FROM idx ORDER BY day
 
 _RECURSION_SQL = "WITH RECURSIVE " + _IDX_SQL
 
+#: Spark-side-only recursion text: same string with a BROADCAST hint on
+#: the day-rollup side of the per-level join. Each recursion level is a
+#: freshly planned query whose frontier (the UnionLoopRef) carries no
+#: stats; the hint pins the ONLY acceptable strategy — broadcast the
+#: bounded rollup (timeline-days rows), stream the 1-row frontier — so
+#: no stats estimate can ever flip it. Measured at sf0.1 (r15,
+#: alternating head-to-head, min-of-4): pinned form 4.17 s vs 4.25 s
+#: unpinned (the optimizer already picks this side locally — the hint
+#: is strategy insurance, not a local win) vs 9.3 s with the frontier
+#: side broadcast (the flip the hint forecloses — a per-level exchange
+#: job on the 1-row side while the rollup re-scans). The dominant cost
+#: is UnionLoopExec's per-level driver replanning (~0.14 s/level x 30
+#: levels), which no join choice removes — see the docstring's scale
+#: notes. The oracle text is unchanged — hints and partitioning cannot
+#: move a value.
+_RECURSION_BC_SQL = "WITH RECURSIVE " + _IDX_SQL.replace(
+    "SELECT {daily}.d, {daily}.r,",
+    "SELECT /*+ BROADCAST({daily}) */ {daily}.d, {daily}.r,",
+)
+
 _RECURSIVE_SQL = (
     "WITH RECURSIVE daily AS (" + _DAILY_SQL + "),\n" + _IDX_SQL.format(daily="daily")
 )
@@ -159,9 +179,16 @@ def sql_recursive_cte_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_gcp_function_tmabrasil_spark.queries._util import managed_persist
 
     register_views(spark, sf_dir, ["events"])
-    daily = managed_persist(spark.sql(_DAILY_SQL), f"recursive_daily:{sf_dir}")
+    # coalesce(1): the rollup is bounded to timeline-days rows at ANY
+    # scale factor (days, not data size), so a one-partition cached
+    # layout is scale-correct and lets every recursion level read it
+    # as a single task instead of scheduling shuffle-partition-many
+    # empty tasks per level.
+    daily = managed_persist(
+        spark.sql(_DAILY_SQL).coalesce(1), f"recursive_daily:{sf_dir}"
+    )
     daily.createOrReplaceTempView("recursive_daily_rates")
-    return spark.sql(_RECURSION_SQL.format(daily="recursive_daily_rates"))
+    return spark.sql(_RECURSION_BC_SQL.format(daily="recursive_daily_rates"))
 
 
 QUERIES = {
