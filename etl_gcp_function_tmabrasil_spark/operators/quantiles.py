@@ -137,3 +137,91 @@ def banded_exact_quantiles(
             F.col("max_v"),
         )
     )
+
+
+def banded_weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    band_width: float = 1000.0,
+) -> DataFrame:
+    """Exact WEIGHTED median per group with O(bands) state: the
+    smallest value v whose cumulative weight (value peers pooled)
+    reaches half the group total — identical to the single-window
+    formulation ``filter(2*cumw >= total).min(v)`` but without a
+    per-group sort over every row (r15; the agg_weighted_median
+    rewrite):
+
+    1. one scan sums weights per (group, value-band) — tiny agg;
+    2. the O(bands) band list gathers into one row per group and a
+       row-local fold finds the CROSSING band (first band whose
+       through-weight doubles to >= total) plus its exclusive weight
+       offset — every value below that band provably cannot cross;
+    3. re-scan ONLY the crossing band (broadcast), pool weights per
+       distinct value, one within-band running sum gives cumw =
+       offset + running, and min(v | 2*cumw >= total) is the answer.
+
+    All weight arithmetic stays in exact decimals (inputs are cast to
+    DECIMAL(18,2); the fold accumulates DECIMAL(28,2) — the widened
+    sum type), so band grouping cannot move the crossing by even one
+    peer group. Returns (group_col, weighted_median DOUBLE,
+    total_weight DOUBLE).
+    """
+    d = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).alias("v"),
+        F.col(weight_col).cast("decimal(18,2)").alias("w"),
+        F.floor(F.col(value_col) / band_width).cast("long").alias("band"),
+    )
+    bc = d.groupBy("g", "band").agg(F.sum("w").alias("wb"))
+    grp = bc.groupBy("g").agg(
+        F.array_sort(F.collect_list(F.struct("band", "wb"))).alias("bs"),
+        F.sum("wb").alias("total"),
+    )
+    # row-local crossing-band fold (same accumulator discipline as the
+    # rank fold above: every new field reads only OLD fields)
+    grp = grp.withColumn(
+        "tb",
+        F.expr(
+            "aggregate(bs,"
+            " named_struct('cum', cast(0 as decimal(28,2)),"
+            "              'band', cast(null as bigint),"
+            "              'off', cast(null as decimal(28,2))),"
+            " (s, b) -> named_struct("
+            "   'cum', cast(s.cum + b.wb as decimal(28,2)),"
+            "   'band', if(s.band is null and 2 * (s.cum + b.wb) >= total,"
+            "              b.band, s.band),"
+            "   'off', if(s.band is null and 2 * (s.cum + b.wb) >= total,"
+            "             s.cum, s.off)),"
+            " s -> named_struct('band', s.band, 'off', s.off))"
+        ),
+    )
+    target = grp.select(
+        "g",
+        "total",
+        F.col("tb.band").alias("band"),
+        F.col("tb.off").alias("off"),
+    )
+    inband = (
+        d.join(F.broadcast(target), ["g", "band"])
+        .groupBy("g", "v")
+        .agg(
+            F.sum("w").alias("wv"),
+            F.first("off").alias("off"),
+            F.first("total").alias("total"),
+        )
+    )
+    w_run = W.partitionBy("g").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    crossed = inband.select(
+        "g",
+        "v",
+        "total",
+        (F.col("off") + F.sum("wv").over(w_run)).alias("cumw"),
+    ).filter(F.col("cumw") * 2 >= F.col("total"))
+    return crossed.groupBy("g").agg(
+        F.min("v").cast("double").alias("weighted_median"),
+        F.max("total").cast("double").alias("total_weight"),
+    ).select(
+        F.col("g").alias(group_col), "weighted_median", "total_weight"
+    )

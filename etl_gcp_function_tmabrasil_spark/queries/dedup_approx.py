@@ -1039,20 +1039,44 @@ def simjoin_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode("toks").alias("sh"),
     )
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(freq, "sh").withColumn(
-        "rk",
-        F.row_number().over(W.partitionBy("doc_id").orderBy("df", "sh")),
-    )
-    # persisted (r15): the candidate self-join consumes `prefix` as
-    # BOTH sides, and ReuseExchange does not dedupe window recomputes
-    # (the _winnow_fpd lesson) — without the persist the freq join +
-    # per-doc rank window executed twice per action (measured at
-    # sf0.1: ~1.5 s of the query)
+    with_df = sh.join(freq, "sh")
+    # The rarest-first rank is per-DOC state bounded by document size,
+    # so it folds row-locally: gather each doc's (df, sh) list, sort,
+    # and emit only the prefix positions — replacing the r14
+    # row_number window (a full partition sort over every shingle
+    # occurrence) with one groupBy whose partial aggregation already
+    # collapses doc-contiguous rows map-side, and producing prefix
+    # rows directly instead of ranking everything and filtering after
+    # (r15, guide §2.3; measured sf0.1 interleaved min-of-4 on the
+    # full query: 4.17 s -> 3.88 s, results byte-identical). The
+    # sort key (df, sh) is
+    # duplicate-free per doc (shingles are array_distinct'd), so the
+    # order — and therefore rk — is deterministic and identical to
+    # the window's. df stays attached via the equi-join: vocabulary
+    # document frequency is corpus-sized at scale, so no per-shingle
+    # collect/broadcast is ever built.
     prefix = managed_persist(
-        ranked.filter(
-            F.col("rk")
-            <= F.col("sz") - F.ceil(F.lit(SSJOIN_TAU) * F.col("sz")) + 1
-        ).select("doc_id", "sh", "sz", "rk"),
+        with_df.groupBy("doc_id")
+        .agg(
+            F.first("sz").alias("sz"),
+            F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("fs"),
+        )
+        .select(
+            "doc_id",
+            "sz",
+            F.posexplode(
+                F.expr(
+                    f"slice(fs, 1, cast(sz - ceil({SSJOIN_TAU} * sz) + 1"
+                    " as int))"
+                )
+            ).alias("pos", "e"),
+        )
+        .select(
+            "doc_id",
+            F.col("e.sh").alias("sh"),
+            "sz",
+            (F.col("pos") + 1).alias("rk"),
+        ),
         "simjoin_prefix_jaccard.prefix",
     )
     a, b = prefix.alias("a"), prefix.alias("b")

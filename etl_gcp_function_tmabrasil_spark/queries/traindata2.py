@@ -1261,7 +1261,11 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from etl_gcp_function_tmabrasil_spark.queries._util import managed_persist
 
-    docs = load_table(spark, sf_dir, "documents")
+    # compute-spread: per-row work is explode(bigrams) + one md5 per
+    # bigram — amplified ~100x beyond scan cost, and the fixture is a
+    # single row group, so the whole feature pass would otherwise run
+    # on one task (guide §2.2/§6.2; no-op on healthy layouts)
+    docs = load_table(spark, sf_dir, "documents", rebalance="compute")
     h = SPARK_HASH60.format(expr="pair")
     feats = (
         docs.select(
@@ -1288,13 +1292,21 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = managed_persist(feats, "traindata2.dsir_feats")
     is_target = F.col("source") == "src0"
-    hist = feats.groupBy("b").agg(
-        F.sum(F.when(is_target, 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(is_target, 0).otherwise(1)).alias("cr"),
+    # hist is persisted (DSIR_BUCKETS rows) and totals roll up FROM it
+    # — the r14 shape aggregated the cached corpus-sized feats twice
+    # (hist + an independent totals pass); Σ_b ct = n_target exactly
+    # (every feature row lands in exactly one bucket), so this is one
+    # fewer corpus pass, not an approximation (r15, guide §2.4)
+    hist = managed_persist(
+        feats.groupBy("b").agg(
+            F.sum(F.when(is_target, 1).otherwise(0)).alias("ct"),
+            F.sum(F.when(is_target, 0).otherwise(1)).alias("cr"),
+        ),
+        "traindata2.dsir_hist",
     )
-    totals = feats.agg(
-        F.sum(F.when(is_target, 1).otherwise(0)).alias("nt"),
-        F.sum(F.when(is_target, 0).otherwise(1)).alias("nr"),
+    totals = hist.agg(
+        F.sum("ct").alias("nt"),
+        F.sum("cr").alias("nr"),
     )
     ratio = (
         spark.range(DSIR_BUCKETS)

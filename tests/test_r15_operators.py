@@ -214,3 +214,49 @@ def test_constraints_replace_where_enforces(spark, tmp_path):
             t,
             "id = 3",
         )
+
+
+def test_banded_weighted_median_brute_force(spark, sf_dir):
+    """banded_weighted_median must equal the literal definition: the
+    smallest value whose cumulative weight (value peers pooled, exact
+    decimal arithmetic) doubles to at least the group total — across
+    band boundaries, tied values, and an adversarial band width that
+    splits the data into many tiny bands."""
+    from decimal import Decimal
+
+    from etl_gcp_function_tmabrasil_spark.catalog import load_table
+    from etl_gcp_function_tmabrasil_spark.operators.quantiles import (
+        banded_weighted_median,
+    )
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").alias("w"),
+    )
+    rows = li.collect()  # bounded: sf0.001 fixture
+    by_g: dict[str, list] = {}
+    for r in rows:
+        by_g.setdefault(r.l_returnflag, []).append(
+            (r.price, Decimal(str(r.w)).quantize(Decimal("0.01")))
+        )
+    expected = {}
+    for g, vals in by_g.items():
+        vals.sort(key=lambda t: t[0])
+        total = sum(w for _, w in vals)
+        cum = Decimal(0)
+        med = None
+        for v, w in vals:
+            cum += w
+            if med is None and 2 * cum >= total:
+                med = v
+        expected[g] = (float(med), float(total))
+    for bw in (1000.0, 7.3):  # default and adversarial many-band split
+        got = {
+            r.l_returnflag: (r.weighted_median, r.total_weight)
+            for r in banded_weighted_median(
+                li, "l_returnflag", "price", "w", band_width=bw
+            ).collect()
+        }
+        assert got == expected, f"band_width={bw}: {got} != {expected}"
