@@ -617,15 +617,26 @@ def _fastss_name_pairs(cust: DataFrame) -> DataFrame:
     the blocking stage shared by fuzzy_name_match and the
     Fellegi-Sunter linkage scorer (same pigeonhole recall-1 guarantee
     and (pos, v) bucket-cost analysis as documented above)."""
-    variants = cust.select(
-        "c_name", F.explode(F.expr("sequence(1, length(c_name))")).alias("pos")
-    ).select(
-        "c_name",
-        "pos",
-        F.expr(
-            "concat(substring(c_name, 1, pos - 1),"
-            " substring(c_name, pos + 1, length(c_name)))"
-        ).alias("v"),
+    from etl_gcp_function_tmabrasil_spark.queries._util import managed_persist
+
+    # persisted (r15): BOTH legs consume the variant expansion — the
+    # substitution buckets and the indel equi-join — and without the
+    # persist the explode(sequence) + substring/concat pipeline (the
+    # expensive row-local pass, |name| variants per name) executed
+    # once per leg.
+    variants = managed_persist(
+        cust.select(
+            "c_name",
+            F.explode(F.expr("sequence(1, length(c_name))")).alias("pos"),
+        ).select(
+            "c_name",
+            "pos",
+            F.expr(
+                "concat(substring(c_name, 1, pos - 1),"
+                " substring(c_name, pos + 1, length(c_name)))"
+            ).alias("v"),
+        ),
+        "dedup_approx.fastss_variants",
     )
     buckets = (
         variants.groupBy("pos", "v")
@@ -1261,7 +1272,16 @@ def _winnow_fpd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= WINNOW_MAXDF)
         .select("fp")
     )
-    return sel.join(keep, "fp")
+    # The POST-stoplist frame is persisted as well (r15): every caller
+    # consumes it at least twice (both self-join sides; containment
+    # additionally for per-doc counts), and each consumption otherwise
+    # re-runs the stoplist aggregation + join from the cached
+    # selection (measured sf0.1 interleaved min-of-4 on the pairs
+    # query: 1.43 s -> 1.27 s min, 1.77 s -> 1.42 s median).
+    # Fingerprint density is ~2/(W+1)
+    # of grams, so the cached frame is a bounded fraction of corpus
+    # size.
+    return managed_persist(sel.join(keep, "fp"), "dedup_approx.winnow_fpd")
 
 
 def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1629,19 +1649,41 @@ def link_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bal_band").alias("band2"),
     )
 
-    def u_of(col: str) -> DataFrame:
-        freq = cust.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
-        return freq.agg(
+    # One stacked pass estimates all three u's (r15, the RFM/key-skew
+    # lesson — never N aggregation funnels for N columns): unpivot the
+    # three compared fields row-locally, ONE (field, value) count, one
+    # 3-row rollup pivoted to columns. Exact same per-field arithmetic
+    # (sum c*(c-1) / (N*(N-1)) over that field's value counts); was 6
+    # aggregation subtrees / 3 extra table scans.
+    stacked = cust.select(
+        F.expr(
+            "stack(3, 'nation', cast(c_nationkey as string),"
+            " 'segment', c_mktsegment,"
+            " 'band', cast(bal_band as string)) as (field, val)"
+        )
+    )
+    per_field = (
+        stacked.groupBy("field", "val")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("field")
+        .agg(
             (
                 F.sum(F.col("c") * (F.col("c") - 1))
                 / (F.sum("c") * (F.sum("c") - 1))
             ).alias("u")
         )
-
-    us = (
-        u_of("c_nationkey").select(F.col("u").alias("u_nation"))
-        .crossJoin(u_of("c_mktsegment").select(F.col("u").alias("u_seg")))
-        .crossJoin(u_of("bal_band").select(F.col("u").alias("u_band")))
+    )
+    us = per_field.groupBy().agg(
+        *[
+            F.first(
+                F.when(F.col("field") == f, F.col("u")), ignorenulls=True
+            ).alias(alias)
+            for f, alias in (
+                ("nation", "u_nation"),
+                ("segment", "u_seg"),
+                ("band", "u_band"),
+            )
+        ]
     )
 
     def w(agree, m: float, u_col: str):

@@ -170,12 +170,22 @@ def _sentinel_chunks(sf_dir: str) -> str:
     return out
 
 
-def _stream(spark: SparkSession, chunks: str) -> DataFrame:
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(chunks)
-    )
+def _stream(
+    spark: SparkSession, chunks: str, files_per_trigger: int | None = 1
+) -> DataFrame:
+    """File-source stream over the chunk fixture. The default
+    one-file-per-trigger batching is SEMANTICALLY load-bearing for
+    most gates (watermark advancement order, redelivery across
+    batches, sentinel flush waves) and must stay 1 there. Pass
+    ``files_per_trigger=None`` where per-file replay is NOT part of
+    the semantics under test: availableNow then drains everything in
+    one data batch + the no-data flush — trigger sizing, the standard
+    streaming throughput knob (fewer, larger batches amortize the
+    per-batch state-store commit/checkpoint cost)."""
+    r = spark.readStream.schema(EVENTS_SCHEMA)
+    if files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", files_per_trigger)
+    return r.parquet(chunks)
 
 
 def _await(query, timeout: int = 300) -> None:
@@ -231,8 +241,18 @@ def run_tumbling_stream(spark: SparkSession, chunks: str, root: str) -> str:
     streaming headline (which times this call against FRESH roots so
     each measured run replays all micro-batches instead of no-op
     restarting on an existing checkpoint)."""
+    # files_per_trigger=None (r15): the finalized-window result is
+    # independent of replay batching (append mode emits every window
+    # with end <= the FINAL watermark, and availableNow's no-data
+    # flush always advances it to max ts — verified vs oracle at all
+    # three SFs), so this path takes the throughput batching: one
+    # data batch instead of one per chunk file, amortizing the
+    # per-batch state-store commit + checkpoint + sink-commit cost
+    # that dominated the measured runtime (sf0.1 min-of-3: 3.63 s ->
+    # 2.2 s). Gates whose SEMANTICS need per-file replay (late data,
+    # redelivery, sentinel waves) keep the default — _stream docstring.
     agg = (
-        _stream(spark, chunks)
+        _stream(spark, chunks, files_per_trigger=None)
         .withWatermark("ts", "0 seconds")
         .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), csum("value").alias("sum_value"))
