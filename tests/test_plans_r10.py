@@ -49,10 +49,19 @@ def test_seq_pattern_single_user_shuffle(spark, sf_dir):
 
 
 def test_weighted_median_window_keyed_on_group(spark, sf_dir):
+    """r15: agg_weighted_median now goes through banded_weighted_median
+    (operators/quantiles.py) — the whole-table RANGE window over every
+    row is gone; what remains keyed-per-group is the crossing-band
+    running sum (the internal group alias is ``g``), and the band
+    tables stay O(bands). Pin the new shape's invariants."""
     df = agg_weighted_median(spark, sf_dir)
     plan = explain_str(df)
-    assert "hashpartitioning(l_returnflag" in plan
+    # the within-band window / aggs are keyed on the group alias, never
+    # a single global partition
+    assert "hashpartitioning(g#" in plan or "hashpartitioning(g," in plan
     assert "CartesianProduct" not in plan
+    # the crossing band joins back via broadcast, not a shuffled join
+    assert "BroadcastHashJoin" in plan
 
 
 def test_winsorize_window_keyed_on_group(spark, sf_dir):
