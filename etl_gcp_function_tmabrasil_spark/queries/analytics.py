@@ -656,7 +656,12 @@ def text_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the only window is a row_number over the vocabulary-sized
     df table; pair candidates are a doc_id-keyed self-join of the
     capped (doc, word) list — corpus-linear rows in, cap-bounded
-    fan-out per doc.
+    fan-out per doc. (r15 note: the layout-guarded compute spread was
+    measured here and REJECTED — interleaved A/B at sf0.1: plain
+    1.135/1.272 min/med vs spread 1.419/1.564. The dw subtree feeds
+    two consumers, so the round-robin exchange materializes twice and
+    costs more than the scan-stage parallelism buys; the heavy work
+    happens after the broadcast join, which is already parallel.)
     """
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))

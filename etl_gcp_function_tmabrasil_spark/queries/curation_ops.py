@@ -146,7 +146,11 @@ def vocab_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     Canonical word-count shape: explode -> groupBy(token). Catalyst
     plans partial aggregation before the exchange, so the shuffle
     carries one row per (task, distinct token), not the token stream;
-    df uses count(distinct doc_id) (two-phase distinct agg)."""
+    df uses count(distinct doc_id) (two-phase distinct agg). (r15
+    note: the layout-guarded compute spread was measured here and
+    REJECTED — clean-host close-out 0.297 s without vs ~0.65-0.83 s
+    with; like bpe_merge_pairs, the exchange of the raw text costs
+    more than the scan-stage parallelism buys.)"""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")

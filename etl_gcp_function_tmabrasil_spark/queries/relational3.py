@@ -1089,8 +1089,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each round is one frontier-shaped join (neighbor labels) +
     one keyed count + one per-node argmax window — Pregel's
-    message-combine step as DataFrame ops; per-round localCheckpoint
-    truncates the growing lineage. No stage is quadratic.
+    message-combine step as DataFrame ops. The FIXED 3-round unroll
+    keeps lineage bounded, so the whole query stays ONE LAZY plan
+    (r15; the pagerank_dedup_graph lesson): the per-round
+    localCheckpoint this used to carry materializes EAGERLY in
+    PySpark 4, serializing three rounds of driver-coordinated jobs at
+    construction time — measured 18.9 s warm in the gate bench vs
+    ~1.5 s for the lazy unroll. Unbounded-iteration loops (kcore,
+    BFS, components) still checkpoint per round — that is the correct
+    trade only when the round count is data-driven. Each round's
+    label frame feeds exactly one consumer (the next round), so only
+    the shared edge set is cached. No stage is quadratic.
     """
     from etl_gcp_function_tmabrasil_spark.queries._util import (
         managed_persist,
@@ -1122,7 +1131,6 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym.select(F.col("u").alias("n"))
         .distinct()
         .select("n", F.col("n").alias("label"))
-        .localCheckpoint()
     )
     w = Window.partitionBy("n").orderBy(F.desc("c"), F.asc("label"))
     for _ in range(LPA_ROUNDS):
@@ -1135,7 +1143,6 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             neigh.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("n", "label")
-            .localCheckpoint()
         )
     return (
         labels.groupBy("label")

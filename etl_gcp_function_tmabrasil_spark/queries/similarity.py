@@ -1801,7 +1801,18 @@ def ann_lsh_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _with_norm(
         load_table(spark, sf_dir, "embeddings", rebalance=True), "vec_id"
     )
-    b = _mb_bands(emb)
+    from etl_gcp_function_tmabrasil_spark.queries._util import managed_persist
+
+    # persist the banded frame (r15): 32 interpreted 64-dim dot
+    # products per row feed BOTH sides of the band self-join — the
+    # unpersisted plan computed the banding twice (8 embedding scans,
+    # zero ReusedExchange); cached it computes once and the self-join
+    # reads the (row × band)-sized table (guide §5: reused AND
+    # expensive to recompute)
+    b = managed_persist(
+        _mb_bands(emb).select("vec_id", "band", "bkt"),
+        "similarity.mb_bands",
+    )
     x, y = b.alias("x"), b.alias("y")
     cand = (
         x.join(

@@ -242,8 +242,15 @@ def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.1, and strictly worse at any scale.)"""
     # text IS NOT NULL: the oracle's unnest-CTE inner join drops
     # NULL-text docs (unnest of NULL is zero rows) where this projection
-    # would emit an all-NULL metrics row — filter so engines agree
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # would emit an all-NULL metrics row — filter so engines agree.
+    # rebalance="compute" (r15): per-row work here is an array_sort +
+    # interpreted aggregate() fold + bigram array_distinct per document
+    # — amplified far beyond scan cost, so the layout-guarded spread
+    # keeps it off a single task (no-op on healthy layouts; the filter
+    # still pushes through the exchange to the scan).
+    docs = load_table(spark, sf_dir, "documents", rebalance="compute").filter(
+        F.col("text").isNotNull()
+    )
     toks = F.split("text", " ")
     # bigrams/runs referenced twice so CollapseProject keeps the
     # interpreted HOFs materialized instead of inlining them per use.

@@ -59,7 +59,12 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-token doc), explode feeds a partial+final hash agg, and the top-N
     compiles to TakeOrderedAndProject (no global sort). One shuffle of
     (distinct pair, partial count) rows; at 100 TB the shuffle carries
-    vocabulary-sized data, not the token stream.
+    vocabulary-sized data, not the token stream. (r15 note: the
+    layout-guarded compute spread was measured here and REJECTED —
+    clean-host close-out 0.248 s without vs ~0.6-1.0 s with; the
+    zip_with+explode+partial-agg front is cheap enough per row that
+    the round-robin exchange of the raw text costs more than the
+    parallelism buys.)
     """
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("doc_id", F.split("text", " ").alias("toks"))

@@ -5,6 +5,8 @@ correct."""
 
 from __future__ import annotations
 
+import re
+
 from etl_gcp_function_tmabrasil_spark.plans.inspect import (
     count_exchanges,
     explain_str,
@@ -186,6 +188,9 @@ def test_bpe_pairs_topn_avoids_global_sort(spark, sf_dir):
     assert has_take_ordered(df), "BPE top-N did not compile to TakeOrderedAndProject"
     n = count_exchanges(df)
     assert n <= 1, f"BPE pair count pays {n} shuffles; expected the pair agg only"
+    # the keyed shuffle must carry pair keys, never the token stream
+    plan = explain_str(df)
+    assert len(re.findall(r"hashpartitioning\(pair", plan)) >= 1
 
 
 def test_gram_matrix_shuffles_partials_not_corpus(spark, sf_dir):
