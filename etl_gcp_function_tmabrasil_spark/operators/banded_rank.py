@@ -58,8 +58,8 @@ def banded_global_rank(
       vanishes from the output while still inflating every survivor's
       denominator — filter NULLs out (or band them explicitly) first.
     - ``df`` carries no column named ``rank_col``, ``total_col``, or
-      the internals ``_rn_in``/``_n_band``/``_offset``; collisions are
-      silently overwritten/shadowed.
+      the internals ``_rn_in``/``_n_band``/``_bs``/``_offmap``;
+      collisions are silently overwritten/shadowed.
 
     Returns all input columns plus ``rank_col`` and ``total_col``.
     """
@@ -67,23 +67,41 @@ def banded_global_rank(
     w_in = W.partitionBy(*group, band).orderBy(*order)
     ranked = df.withColumn("_rn_in", F.row_number().over(w_in))
     sub = df.groupBy(*group, band).agg(F.count(F.lit(1)).alias("_n_band"))
-    w_band = (W.partitionBy(*group) if group else W).orderBy(band).rowsBetween(
-        W.unboundedPreceding, -1
+    # Band-table orchestration folded row-locally (r15; the
+    # banded_exact_quantiles lesson): the old shape planned a window
+    # over the band table PLUS two broadcast builds (offsets, totals)
+    # over frames that are O(bands) by construction. Gather each
+    # group's band list into ONE row, compute the exclusive prefix sum
+    # with an aggregate() fold, and ship offsets back as a single
+    # broadcast band→offset MAP per group — one aggregation and one
+    # broadcast build instead of one window, two aggregations and two
+    # broadcast builds. Bit-identical: the fold walks the same sorted
+    # band order the window did.
+    grouped = (
+        sub.groupBy(*group)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(band).alias("b"), "_n_band"))
+            ).alias("_bs"),
+            F.sum("_n_band").alias(total_col),
+        )
+        .select(
+            *group,
+            total_col,
+            F.expr(
+                "map_from_entries(zip_with(_bs,"
+                " slice(aggregate(_bs, array(cast(0 as bigint)),"
+                "   (a, x) -> array_append(a, element_at(a, -1) + x._n_band)),"
+                "   1, size(_bs)),"
+                " (x, o) -> struct(x.b as key, o as value)))"
+            ).alias("_offmap"),
+        )
     )
-    offsets = sub.select(
-        *group,
-        band,
-        F.coalesce(F.sum("_n_band").over(w_band), F.lit(0)).alias("_offset"),
-    )
-    totals = (
-        sub.groupBy(*group).agg(F.sum("_n_band").alias(total_col))
+    out = (
+        ranked.join(F.broadcast(grouped), group)
         if group
-        else sub.agg(F.sum("_n_band").alias(total_col))
+        else ranked.crossJoin(F.broadcast(grouped))
     )
-    out = ranked.join(F.broadcast(offsets), group + [band])
-    out = out.join(F.broadcast(totals), group) if group else out.join(
-        F.broadcast(totals)
-    )
-    return out.withColumn(rank_col, F.col("_offset") + F.col("_rn_in")).drop(
-        "_rn_in", "_offset"
-    )
+    return out.withColumn(
+        rank_col, F.element_at("_offmap", F.col(band)) + F.col("_rn_in")
+    ).drop("_rn_in", "_offmap", "_bs")

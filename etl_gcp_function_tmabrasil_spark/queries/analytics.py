@@ -2876,6 +2876,11 @@ ORACLE["agg_weighted_median"] = _WMEDIAN_SQL
 # --- Quantile normalization profile (round 10) ---------------------------
 
 QNORM_BINS = 20  #: equal-depth bins per source distribution
+#: price-band width for the banded-rank ntile (r15): o_totalprice spans
+#: ~0.9k–600k, so ~10k-wide bands give ~60 parallel rank tasks per
+#: source; the band table (sources × bands rows) stays metadata-sized
+#: at any scale and the width only moves parallelism, never the result.
+QNORM_BAND_WIDTH = 10_000.0
 
 
 def quantile_normalize_profile(
@@ -2890,25 +2895,57 @@ def quantile_normalize_profile(
     what a pipeline applies to make scores from different graders /
     feeds comparable before mixing.
 
-    Determinism: ntile runs over the TOTAL order (price, o_orderkey)
-    — ordered on price alone, equal prices would be framed
+    Determinism: the bin comes from the TOTAL order (price,
+    o_orderkey) — ordered on price alone, equal prices would be framed
     arbitrarily and bin populations could differ between engines (the
     gaps-and-islands tie lesson). Means are decimal sums divided
     once.
 
-    Scale: one window sort per source + two vocabulary-sized rollups;
-    the profile is (sources x bins) rows — metadata-sized.
+    Scale (r15 rewrite): a bare per-source ntile window moves every
+    row of a source through ONE task — with |sources| = 5 the whole
+    table sorts on ≤5 tasks at any scale. The banded-rank machinery
+    (operators/banded_rank.py, the window_ntile pattern) computes the
+    IDENTICAL bin: within-(source, price-band) row_number (parallelism
+    = sources × bands), exclusive prefix over the tiny band table,
+    global rank = offset + within-band rn, and exact NTILE arithmetic
+    from (rank, n_total). Measured at sf0.1: 1.253/1.364 min/med →
+    see plans/r15/quantile_normalize_profile_{before,after}.txt
+    (Window over hashpartitioning(grp) → banded two-pass). Means are
+    unchanged decimal sums.
     """
+    from etl_gcp_function_tmabrasil_spark.operators.banded_rank import (
+        banded_global_rank,
+    )
+
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("grp"),
         F.col("o_totalprice").alias("price"),
         "o_orderkey",
     )
-    binned = orders.withColumn(
-        "bin",
-        F.ntile(QNORM_BINS).over(
-            W.partitionBy("grp").orderBy("price", "o_orderkey")
-        ),
+    d = orders.withColumn(
+        "bkt", F.floor(F.col("price") / QNORM_BAND_WIDTH).cast("long")
+    )
+    ranked = banded_global_rank(
+        d, "bkt", [F.asc("price"), F.asc("o_orderkey")], group=["grp"]
+    )
+    # exact NTILE(b) arithmetic from 1-based rank r and group total N:
+    # q = N div b, m = N mod b — the first m tiles hold q+1 rows
+    r = F.col("r")
+    q_expr = f"(n_total div {QNORM_BINS})"
+    m = F.col("n_total") % QNORM_BINS
+    big = (F.expr(q_expr) + 1) * m
+    bin_col = F.when(
+        r <= big, F.expr(f"(r - 1) div ({q_expr} + 1)") + 1
+    ).otherwise(
+        m
+        + F.expr(
+            f"(r - 1 - ({q_expr} + 1) * (n_total % {QNORM_BINS}))"
+            f" div {q_expr}"
+        )
+        + 1
+    )
+    binned = ranked.select(
+        "grp", "price", bin_col.cast("int").alias("bin")
     )
     per_src = binned.groupBy("grp", "bin").agg(
         (
