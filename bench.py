@@ -128,9 +128,10 @@ EXTENDED = [
     "funnel_time_to_convert",       # two-stage funnel delay quantiles
     "multimodal_phash_dedup",       # dHash buckets over decoded media
     "stats_bootstrap_ci",           # one-pass Poisson bootstrap CIs
-    # round-12 lazy registrations (graph_label_propagation,
-    # ann_ivfpq_rerank, sink_snapshot_clone, and the update-mode
-    # stream are eager -> scripts/bench_gate_sf01.py)
+    # round-12 lazy registrations (ann_ivfpq_rerank,
+    # sink_snapshot_clone, and the update-mode stream are eager ->
+    # scripts/bench_gate_sf01.py; graph_label_propagation was eager
+    # then, became a lazy EXTENDED entry in r15 — see below)
     "dedup_sorted_neighborhood",    # banded-rank SNM window pairs
     "link_fellegi_sunter",          # FS weights over FastSS blocks
     "ann_lsh_multiband",            # 4x8-bit OR'd LSH tables
@@ -305,7 +306,80 @@ def _bench_streaming(spark, sf_dir: str) -> tuple[float, float]:
     return round(min(samples), 3), round(sorted(samples)[len(samples) // 2], 3)
 
 
+#: Scale-probe query set (r16, opt-in): the heaviest compute-amplified
+#: bench entries whose work parallelizes across cores — chosen so that
+#: at the probe scale (sf1, 10× sf0.1) per-query fixed overhead (job
+#: scheduling, codegen, Py4J) no longer dominates and the 8-vs-32-core
+#: ratio can actually expose a serial operator. The r15 PERF scaling
+#: block measured every sf0.1 headline ratio ≈ 1 for exactly that
+#: overhead reason.
+SCALE_PROBE = [
+    "simjoin_prefix_jaccard",       # md5/shingle explode + candidate join
+    "text_langid_hashed_ngram",     # per-char md5 gram hashing
+    "dedup_winnowing_containment",  # per-position md5 fingerprinting
+    "agg_spearman_corr",            # 3 amplified lineitem passes
+    "stats_bootstrap_ci",           # ×64 Poisson-replicate explode
+]
+
+
+def _scale_probe_main(spark) -> None:
+    """Opt-in scale-probe mode (``SPARK_GRAFT_SCALE_PROBE=1``): time
+    SCALE_PROBE against the 10×-sf0.1 fixture (generated once under
+    /tmp by scripts/sf1_scale_probe.py's translator) with the same
+    warmup+min-of-N machinery, and print ONE dedicated compact JSON
+    line. The default bench path — and therefore the driver's stdout
+    contract line, which is at capture-window capacity — is byte-
+    identical when the env var is unset. The driver (or the judge) runs
+    this mode at two core counts; the per-query ratio between the two
+    artifacts is the scaling measurement the sf0.1 leg cannot provide.
+    """
+    import importlib.util
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "sf1_scale_probe", os.path.join(here, "scripts", "sf1_scale_probe.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from etl_gcp_function_tmabrasil_spark.catalog import TABLES
+
+    if not all(
+        os.path.exists(os.path.join(mod.SF1, f"{t}.parquet")) for t in TABLES
+    ):
+        mod.generate()
+    queries = all_queries()
+    spark.range(1_000_000).selectExpr("sum(id) as s").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    timings: dict[str, float | None] = {}
+    medians: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
+    for name in SCALE_PROBE:
+        timings[name], medians[name] = _time_query_isolated(
+            spark, queries[name], name, mod.SF1, errors
+        )
+    total = round(sum(v for v in timings.values() if v is not None), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": "sf1_probe",
+                "cpus": spark.sparkContext.defaultParallelism,
+            },
+            separators=(",", ":"),
+        )
+    )
+
+
 def main() -> None:
+    if os.environ.get("SPARK_GRAFT_SCALE_PROBE") == "1":
+        spark = get_spark(app_name="bench_scale_probe")
+        _scale_probe_main(spark)
+        spark.stop()
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -53,10 +53,13 @@ def banded_global_rank(
     documents for its band table):
 
     - ``band`` and the ``order`` keys are NON-NULL. A NULL band row
-      would be counted into ``total_col`` by the band aggregate but
-      dropped by the offsets equi-join (NULL never equals NULL), so it
-      vanishes from the output while still inflating every survivor's
-      denominator — filter NULLs out (or band them explicitly) first.
+      would be counted into ``total_col`` by the band aggregate and
+      then poison the map-based offset fold: ``map_from_entries``
+      rejects a NULL key at runtime (Spark 4 raises
+      NULL_MAP_KEY/ANSI error) or, where the band list drops it, the
+      row's ``element_at`` lookup yields a NULL rank while still
+      inflating every survivor's denominator — filter NULLs out (or
+      band them explicitly) first.
     - ``df`` carries no column named ``rank_col``, ``total_col``, or
       the internals ``_rn_in``/``_n_band``/``_bs``/``_offmap``;
       collisions are silently overwritten/shadowed.

@@ -127,21 +127,12 @@ FROM idx ORDER BY day
 
 _RECURSION_SQL = "WITH RECURSIVE " + _IDX_SQL
 
-#: Spark-side-only recursion text: same string with a BROADCAST hint on
-#: the day-rollup side of the per-level join. Each recursion level is a
-#: freshly planned query whose frontier (the UnionLoopRef) carries no
-#: stats; the hint pins the ONLY acceptable strategy — broadcast the
-#: bounded rollup (timeline-days rows), stream the 1-row frontier — so
-#: no stats estimate can ever flip it. Measured at sf0.1 (r15,
-#: alternating head-to-head, min-of-4): pinned form 4.17 s vs 4.25 s
-#: unpinned (the optimizer already picks this side locally — the hint
-#: is strategy insurance, not a local win) vs 9.3 s with the frontier
-#: side broadcast (the flip the hint forecloses — a per-level exchange
-#: job on the 1-row side while the rollup re-scans). The dominant cost
-#: is UnionLoopExec's per-level driver replanning (~0.14 s/level x 30
-#: levels), which no join choice removes — see the docstring's scale
-#: notes. The oracle text is unchanged — hints and partitioning cannot
-#: move a value.
+#: Spark-side recursion text with a BROADCAST hint pinning the rollup
+#: side of the per-level join (r15: 4.17 s pinned vs 9.3 s with the
+#: frontier side broadcast). KEPT — no longer the query path, but the
+#: r16 equivalence test executes it against the fold below, so the
+#: WITH RECURSIVE surface stays exercised, and the level-cost
+#: experiment (OPTIMIZATION_r16.md) runs through it.
 _RECURSION_BC_SQL = "WITH RECURSIVE " + _IDX_SQL.replace(
     "SELECT {daily}.d, {daily}.r,",
     "SELECT /*+ BROADCAST({daily}) */ {daily}.d, {daily}.r,",
@@ -151,44 +142,88 @@ _RECURSIVE_SQL = (
     "WITH RECURSIVE daily AS (" + _DAILY_SQL + "),\n" + _IDX_SQL.format(daily="daily")
 )
 
+#: Row-local fold form of the SAME recurrence (r16). The recursion's
+#: state space is bounded by construction — the frontier is one row
+#: per level and depth = timeline days, never data size — so the whole
+#: chain is a sequential scalar recurrence over the O(days) day
+#: rollup: exactly the shape the repo already folds row-locally
+#: (knn_mmr_rerank, banded_rank; guide §1.2 "change the algorithm").
+#: Gather the rollup into ONE sorted array and fold it with the SAME
+#: per-step arithmetic the recursive member applies:
+#:   - anchor: the first (= MIN d) element seeds
+#:     g = CAST(ROUND(1.0 + r, 8) AS DOUBLE);
+#:   - step:   append only when d extends the chain by exactly
+#:     INTERVAL '1' DAY (the recursive member's join condition), with
+#:     g = CAST(ROUND(g_prev * (1.0 + r), 8) AS DOUBLE).
+#: Gap-stop semantics need no "stopped" flag: days are sorted and
+#: distinct, so once one day fails the +1-DAY test every later day is
+#: strictly greater and can never equal last_d + 1 DAY either — the
+#: chain freezes, exactly like an empty recursion frontier. Bit
+#: identity: same ROUND(double, 8) calls in the same order, same
+#: interval arithmetic, same final projection/sort — proven by the
+#: r16 equivalence test (fold ≡ executed WITH RECURSIVE, sf0.001 +
+#: sf0.01) and the shared-verbatim DuckDB oracle at all three SFs.
+#: Measured (sf0.1, isolated noop A/B, same session): recursion
+#: 6.03 s min (4.67 s in the r16 baseline bench) → fold 0.29 s min;
+#: the removed cost is UnionLoopExec's per-level driver replanning +
+#: job scheduling, measured LINEAR in depth (depth 5/10/20/30 →
+#: 1.37/1.93/3.29/4.59 s, ~0.13 s/level — the level-count experiment
+#: in OPTIMIZATION_r16.md).
+_FOLD_CHAIN_SQL = """
+WITH daily AS ({daily}),
+gathered AS (
+  SELECT array_sort(collect_list(struct(d, r))) AS days FROM daily
+),
+chain AS (
+  SELECT aggregate(
+    days,
+    CAST(array() AS ARRAY<STRUCT<d: TIMESTAMP, r: DOUBLE, g: DOUBLE>>),
+    (acc, x) -> CASE
+      WHEN size(acc) = 0 THEN
+        array(named_struct('d', x.d, 'r', x.r,
+                           'g', CAST(ROUND(1.0 + x.r, 8) AS DOUBLE)))
+      WHEN element_at(acc, -1).d + INTERVAL '1' DAY = x.d THEN
+        concat(acc, array(named_struct('d', x.d, 'r', x.r,
+          'g', CAST(ROUND(element_at(acc, -1).g * (1.0 + x.r), 8)
+                    AS DOUBLE))))
+      ELSE acc
+    END
+  ) AS idx
+  FROM gathered
+)
+SELECT CAST(CAST(e.d AS DATE) AS STRING) AS day, e.r AS daily_rate,
+  e.g AS growth_index
+FROM chain LATERAL VIEW explode(idx) t AS e
+ORDER BY day
+"""
+
 
 def sql_recursive_cte_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RECURSIVE CTE (Spark 4's WITH RECURSIVE): a daily compounded
-    growth index over the events timeline — index_d = index_{d-1} ×
-    (1 + rate_d), a genuinely ITERATIVE linear recurrence no
-    window/aggregate closed form expresses without the
-    numerically-dead prefix-product trick (timeseries_ewma documents
-    the same boundary for the per-key case; this is the global-chain
-    case through the SQL surface). Both engines walk the identical
-    30-level recursion with each step's product ROUNDED to 8 dp (the
-    PageRank trick), so the chain is bit-identical; the recursion
-    text is shared, with the day-rate rollup materialized first on
-    the Spark side (see the note above _DAILY_SQL — Spark inlines a
-    non-recursive CTE into every recursion level, re-aggregating the
-    fact table depth× in the one-text form).
+    """Daily compounded growth index over the events timeline —
+    index_d = index_{d-1} × (1 + rate_d), a genuinely ITERATIVE linear
+    recurrence with each step's product ROUNDED to 8 dp (the PageRank
+    trick), so the chain is bit-identical across engines. The ORACLE
+    expresses it as WITH RECURSIVE (one dialect-neutral text, DuckDB
+    walks the identical 30-level recursion); the Spark side computes
+    the SAME chain as a row-local `aggregate()` fold over the day
+    rollup (see _FOLD_CHAIN_SQL — the r16 rewrite; the executed
+    recursive-CTE form is kept in _RECURSION_BC_SQL and pinned
+    equivalent by tests/test_recursive_fold.py).
 
-    Scale notes: each recursion level is one join of the
-    single-row-per-day frontier against the PERSISTED day rollup —
-    recursion depth = timeline days, NOT data size; the events scan
-    and the per-day aggregation happen exactly once. Spark's
-    recursion guard (`spark.sql.cteRecursionLevelLimit`, default 100)
-    bounds runaway chains; level-sequential scheduling (~0.13 s/level
-    here) is the fixed cost of true recursion — use the closed-form
-    `sequence()` spine (resample_daily_locf) when no real recurrence
-    is involved."""
-    from etl_gcp_function_tmabrasil_spark.queries._util import managed_persist
-
+    Why the fold is the scale-correct shape: recursion depth here is
+    timeline DAYS, never data size — the recursive member joins a
+    one-row frontier to the bounded day rollup, so Spark's
+    UnionLoopExec pays per-level driver replanning + job scheduling
+    (~0.14 s/level measured, linear in depth) to move O(days) total
+    rows. The fold does the identical sequential arithmetic inside
+    one task over one O(days) array: the events scan and the per-day
+    aggregation happen exactly once either way, and the single-task
+    state is O(days) — the same boundedness argument the coalesce(1)
+    rollup already relied on. Use true recursion when the frontier is
+    data-sized; use the closed-form `sequence()` spine
+    (resample_daily_locf) when no real recurrence is involved."""
     register_views(spark, sf_dir, ["events"])
-    # coalesce(1): the rollup is bounded to timeline-days rows at ANY
-    # scale factor (days, not data size), so a one-partition cached
-    # layout is scale-correct and lets every recursion level read it
-    # as a single task instead of scheduling shuffle-partition-many
-    # empty tasks per level.
-    daily = managed_persist(
-        spark.sql(_DAILY_SQL).coalesce(1), f"recursive_daily:{sf_dir}"
-    )
-    daily.createOrReplaceTempView("recursive_daily_rates")
-    return spark.sql(_RECURSION_BC_SQL.format(daily="recursive_daily_rates"))
+    return spark.sql(_FOLD_CHAIN_SQL.format(daily=_DAILY_SQL))
 
 
 QUERIES = {

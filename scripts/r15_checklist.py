@@ -78,18 +78,21 @@ FAST = "fast — noise floor, left alone (see legend)"
 
 
 def main() -> None:
-    r14 = json.load(open(os.path.join(REPO, "BENCH_LOCAL.json")))
-    # after the close-out this file IS the r15 record; keep the r14
-    # numbers from git if needed
+    # current = the working tree's BENCH_LOCAL.json (the r15 close-out
+    # record once the round closes); the r14 baseline numbers come from
+    # the pre-optimization rev (overridable: first CLI arg).
     import subprocess
+    import sys
 
-    old = json.loads(
+    baseline_rev = sys.argv[1] if len(sys.argv) > 1 else "015f703"
+    current = json.load(open(os.path.join(REPO, "BENCH_LOCAL.json")))
+    r14_doc = json.loads(
         subprocess.check_output(
-            ["git", "-C", REPO, "show", "015f703:BENCH_LOCAL.json"]
+            ["git", "-C", REPO, "show", f"{baseline_rev}:BENCH_LOCAL.json"]
         )
     )
-    q14 = {**old.get("queries", {}), **old.get("queries_extended", {})}
-    q15 = {**r14.get("queries", {}), **r14.get("queries_extended", {})}
+    q14 = {**r14_doc.get("queries", {}), **r14_doc.get("queries_extended", {})}
+    q15 = {**current.get("queries", {}), **current.get("queries_extended", {})}
     names = bench.HEADLINE + ["stream_tumbling_e2e"] + bench.EXTENDED
     print("| query | r14 close-out (s) | r15 close-out (s) | r15 disposition |")
     print("|---|---|---|---|")

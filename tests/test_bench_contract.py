@@ -99,6 +99,26 @@ def test_construction_floor_is_absolute():
     assert bench._CONSTRUCT_FLOOR_S >= 2.5
 
 
+def test_scale_probe_line_fits_and_set_is_benched():
+    """The r16 opt-in scale-probe mode prints its own dedicated compact
+    line; it must fit the driver tail window at worst case, and its
+    query set must be real bench entries (so sf0.1 numbers exist to
+    sanity-check the probe against)."""
+    line = json.dumps(
+        {
+            "metric": "scale_probe_total_time",
+            "value": 49999.995,
+            "unit": "sec",
+            "queries": {n: 9999.999 for n in bench.SCALE_PROBE},
+            "sf": "sf1_probe",
+            "cpus": 32,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line.encode()) <= DRIVER_TAIL_BYTES - HEADROOM
+    assert set(bench.SCALE_PROBE) <= set(bench.HEADLINE) | set(bench.EXTENDED)
+
+
 def test_extended_list_registered_and_disjoint():
     """EXTENDED entries must be real registered queries, disjoint from
     HEADLINE (they exist precisely because HEADLINE is at stdout
