@@ -1180,12 +1180,19 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    # compute spread (r15): this query scans lineitem three times (two
-    # value-count passes + the rank join-back, which probes a ~600k-row
-    # broadcast hash relation per row) — behind a one-row-group layout
-    # every pass runs single-task (measured at sf0.1: 5.7 s → ~2 s).
-    # No-op on healthy multi-row-group layouts.
-    li = load_table(spark, sf_dir, "lineitem", rebalance="compute").select(
+    # NO compute spread (r16, reversing the r15 call with measurements):
+    # the r15 spread predated the banded-window rewrite — with the rank
+    # join-backs now broadcast-attached, every pass's per-row work is
+    # trivial and the round-robin exchange itself became the dominant
+    # cost (measured sf0.1: raw scan 0.10 s vs spread 0.57 s; x
+    # value-count 0.17 raw vs 0.84 spread — scripts/r16_subplan_probe).
+    # Parallelism for the one per-row-heavy stage (the broadcast-map
+    # probes) comes from the window's own (flag, band) exchange instead:
+    # the broadcast joins moved BELOW the window (see ranked), so the
+    # probes run on band-spread partitions at any layout, and the two
+    # value-count passes are plain partial aggs a single scan task
+    # handles cheaply.
+    li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_quantity").alias("x"),
         F.col("l_extendedprice").alias("y"),
@@ -1250,9 +1257,6 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(bands) band table (r15, guide §2.4; measured sf0.1
     # interleaved min-of-4: 3.27 s -> 2.56 s, 22 -> 17 static
     # Exchange nodes, the shuffled-hash build gone).
-    ranked_x = li.join(
-        F.broadcast(rank2_map("x", 8.0)), ["l_returnflag", "x"]
-    ).select("l_returnflag", F.col("r2_x").alias("rx"), "y")
     y_band = F.floor(F.col("y") / 1000.0).cast("long").alias("band")
     bc_y = li.select("l_returnflag", y_band).groupBy(
         "l_returnflag", "band"
@@ -1269,13 +1273,27 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt_le = F.count(F.lit(1)).over(
         w_in.rangeBetween(W.unboundedPreceding, W.currentRow)
     )
+    # The window runs FIRST, directly over the scan: its (flag, band)
+    # exchange is the only row-sized shuffle AND the parallelism spread
+    # for everything downstream; both broadcast attaches (x-rank map,
+    # band offsets) probe per row below it, on band-spread partitions
+    # (r16 — previously the x-map join sat above the window on the scan
+    # task). Broadcast joins preserve row values, so ry/rx are
+    # bit-identical to the pre-move form.
     ranked = (
-        ranked_x.select("l_returnflag", "rx", "y", y_band)
-        .join(F.broadcast(offsets), ["l_returnflag", "band"])
+        li.select("l_returnflag", "x", "y", y_band)
         .select(
             "l_returnflag",
-            "rx",
-            (F.lit(2) * F.col("off") + F.rank().over(w_in) + cnt_le)
+            "x",
+            "band",
+            (F.rank().over(w_in) + cnt_le).alias("rnk_le"),
+        )
+        .join(F.broadcast(offsets), ["l_returnflag", "band"])
+        .join(F.broadcast(rank2_map("x", 8.0)), ["l_returnflag", "x"])
+        .select(
+            "l_returnflag",
+            F.col("r2_x").alias("rx"),
+            (F.lit(2) * F.col("off") + F.col("rnk_le"))
             .cast("decimal(19,0)")
             .alias("ry"),
         )

@@ -1017,6 +1017,21 @@ def simjoin_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id — a plain equi-join Catalyst broadcasts at small scale
     (AQE) and shuffles at large, never a corpus-sized broadcast by
     construction. No stage is quadratic in the corpus.
+
+    r16 examined-and-REJECTED (measured): carrying token identity as
+    xxhash64 int64 through the candidate front (explode/df/join/fold/
+    self-join on 8-byte keys instead of ~20-char strings; exact — a
+    collision can only widen the candidate set). Interleaved
+    same-session A/B at sf0.1 (min/med of 5): strings 3.72/3.78 s vs
+    hashed 3.93/4.04 s — the extra per-token xxhash64 transform costs
+    more than the narrower keys save at this vocabulary (27k values,
+    short shingle strings). Sub-plan profile for the next attempt:
+    candidate front ≈ 1.2 s, string-exact verify of ~204k candidate
+    pairs ≈ 2.3 s (array_intersect over the full token arrays);
+    hashing the VERIFY arrays is off the table — the oracle
+    intersects true strings, so a verify-side collision would be a
+    parity break, unlike the candidate side where collisions only add
+    pairs that verification removes.
     """
     # compute spread (r15): the shingling pass below is per-word work
     # over every document — never serialize it behind a one-row-group

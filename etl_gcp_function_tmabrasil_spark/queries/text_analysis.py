@@ -953,8 +953,6 @@ def text_langid_hashed_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, and a bounded confusion rollup. No corpus-sized shuffle
     beyond the word-count shape at any corpus size.
     """
-    from pyspark.sql import Window as W
-
     from etl_gcp_function_tmabrasil_spark.queries._util import (
         SPARK_HASH60,
         managed_persist,
@@ -962,8 +960,15 @@ def text_langid_hashed_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # rebalance="compute": the char-gram explode evaluates one md5 per
     # text position — seconds of CPU that must not serialize behind the
-    # one-row-group scan task (no-op on healthy layouts).
+    # one-row-group scan task (no-op on healthy layouts). ONLY the gram
+    # pass reads this spread frame: the prior/truth legs project
+    # (doc_id, lang) with zero per-row work, and the round-robin
+    # exchange itself costs ~0.5 s per pass at sf0.1 (r16 subplan
+    # probe) — they read the plain scan below instead.
     docs = load_table(spark, sf_dir, "documents", rebalance="compute")
+    docs_thin = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
     norm = F.lower(F.regexp_replace(F.trim("text"), WS_CLASS, " "))
     grams = docs.select(
         "doc_id", "lang", norm.alias("t")
@@ -986,36 +991,63 @@ def text_langid_hashed_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"pmod({SPARK_HASH60.format(expr='g')}, {LANGID_B})"
         ).alias("b"),
     )
-    # ONE shared gram-hash pass: the train-count and score-count
-    # subtrees below both consume `bucketed`, and without this rollup
-    # the corpus-wide explode+md5 executes twice per action (measured
-    # at sf0.1: 5.3 s → 2.5 s). The persisted frame is (doc, bucket)
-    # counts — word-count-shaped, far smaller than the gram stream.
-    dcount = managed_persist(
-        bucketed.groupBy("doc_id", "lang", "b").agg(
-            F.count(F.lit(1)).alias("n")
-        ),
-        "text_analysis.langid_dcount",
-    )
-    train = dcount.filter(F.col("doc_id") % LANGID_HOLDOUT != 0)
-    cnt = train.groupBy("lang", "b").agg(F.sum("n").alias("c"))
-    grid = (
-        cnt.select("lang")
-        .distinct()
-        .crossJoin(
-            F.broadcast(spark.range(LANGID_B).select(F.col("id").alias("b")))
+    # ONE shared gram-hash pass (r15), aggregated STRAIGHT to each
+    # consumer's final keys (r16): train rows roll up to (lang, bucket)
+    # and held-out rows to (doc, bucket) in the SAME aggregation via
+    # row-dependent grouping keys, so the persisted frame shrinks from
+    # the 618k-row (doc, lang, bucket) intermediate to the 126k rows
+    # the two consumers actually read (langs × B train cells + held-out
+    # doc cells), and the train side's re-aggregation disappears.
+    # Without the persist the corpus-wide explode+md5 would execute
+    # once per consumer (measured r15: 5.3 s → 2.5 s).
+    is_score = F.col("doc_id") % LANGID_HOLDOUT == 0
+    counts = managed_persist(
+        bucketed.select(
+            is_score.alias("sc"),
+            F.when(is_score, F.col("doc_id")).alias("k_doc"),
+            F.when(~is_score, F.col("lang")).alias("k_lang"),
+            "b",
         )
+        .groupBy("sc", "k_doc", "k_lang", "b")
+        .agg(F.count(F.lit(1)).alias("n")),
+        "text_analysis.langid_counts",
     )
-    tot = cnt.groupBy("lang").agg(F.sum("c").alias("tot"))
+    cnt = counts.filter(~F.col("sc")).select(
+        F.col("k_lang").alias("lang"), "b", F.col("n").alias("c")
+    )
+    # Weight grid folded row-locally per lang (r16, the banded-rank
+    # lesson): the old shape planned a distinct + crossJoin + left join
+    # + totals join over frames that are O(langs × B) by construction
+    # (~0.6 s of exchanges and broadcast builds at sf0.1). One
+    # aggregation gathers each lang's bucket counts into a map, and a
+    # sequence() explode emits the full B-bucket row set with
+    # count-0 Laplace cells filled by the map lookup's NULL.
     weights = (
-        grid.join(cnt, ["lang", "b"], "left")
-        .join(tot, "lang")
+        cnt.groupBy("lang")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("b", "c"))
+            ).alias("cm"),
+            F.sum("c").alias("tot"),
+        )
+        .select(
+            "lang",
+            # long sequence so the map lookup's key type matches the
+            # pmod-typed map keys with no coercion
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.lit(LANGID_B - 1).cast("long")
+                )
+            ).alias("b"),
+            "cm",
+            "tot",
+        )
         .select(
             "lang",
             "b",
             F.round(
                 F.log(
-                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    (F.coalesce(F.expr("cm[b]"), F.lit(0)) + 1).cast("double")
                     / (F.col("tot") + LANGID_B)
                 ),
                 8,
@@ -1024,7 +1056,7 @@ def text_langid_hashed_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w"),
         )
     )
-    tdocs = docs.filter(F.col("doc_id") % LANGID_HOLDOUT != 0)
+    tdocs = docs_thin.filter(F.col("doc_id") % LANGID_HOLDOUT != 0)
     prior = (
         tdocs.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("nd"))
@@ -1038,10 +1070,10 @@ def text_langid_hashed_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p"),
         )
     )
-    tf = (
-        dcount.filter(F.col("doc_id") % LANGID_HOLDOUT == 0)
-        .groupBy("doc_id", "b")
-        .agg(F.sum("n").cast("decimal(10,0)").alias("n"))
+    tf = counts.filter(F.col("sc")).select(
+        F.col("k_doc").alias("doc_id"),
+        "b",
+        F.col("n").cast("decimal(10,0)").alias("n"),
     )
     scored = (
         tf.join(F.broadcast(weights), "b")
@@ -1050,19 +1082,22 @@ def text_langid_hashed_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(prior), "lang")
         .select("doc_id", "lang", (F.col("s") + F.col("p")).alias("score"))
     )
+    # argmax as ONE hash aggregation instead of an exchange + sort +
+    # row_number window (r16): min of the (-score, lang) struct is
+    # exactly rn=1 under ORDER BY score DESC, lang ASC — decimal
+    # negation is exact, struct comparison is lexicographic, and the
+    # lang tiebreak keeps the argmax total. Partial aggregation
+    # collapses the 5-rows-per-doc input map-side.
     pred = (
-        scored.withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("doc_id").orderBy(
-                    F.col("score").desc(), F.col("lang")
-                )
-            ),
+        scored.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("score")).alias("ns"), F.col("lang"))
+            ).alias("best")
         )
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("lang").alias("pred_lang"))
+        .select("doc_id", F.col("best.lang").alias("pred_lang"))
     )
-    truth = docs.filter(F.col("doc_id") % LANGID_HOLDOUT == 0).select(
+    truth = docs_thin.filter(F.col("doc_id") % LANGID_HOLDOUT == 0).select(
         "doc_id", F.col("lang").alias("true_lang")
     )
     return (
