@@ -488,6 +488,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
+        # the changed flag rides the SAME left join that computes the
+        # new label (r16): new < old ⟺ nbr_min < old, so the old
+        # shape's extra new⋈old probe join per round was redundant —
+        # the convergence test is now a filter over the already-
+        # checkpointed frame (NULL nbr_min ⇒ NULL flag ⇒ filtered out,
+        # exactly the no-neighbor no-change case)
         new_labels = (
             labels.join(nbr, labels.id == nbr.src, "left")
             .select(
@@ -495,17 +501,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
                     "label"
                 ),
+                (F.col("nbr_min") < F.col("label")).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").limit(1).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     if changed != 0:

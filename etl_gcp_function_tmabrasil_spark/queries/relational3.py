@@ -885,7 +885,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        alive = deg.filter(F.col("deg") >= KCORE_K).select("n")
+        # materialize `alive` once per round (r16): it feeds the count
+        # action AND both semi-join probe sides — uncheckpointed, the
+        # degree rollup re-executed for each consumer (2-3 computations
+        # per round; the broadcast builds do not share exchanges)
+        alive = deg.filter(F.col("deg") >= KCORE_K).select("n").localCheckpoint()
         n_alive = alive.count()
         if n_alive == prev_n:
             break
@@ -1014,9 +1018,13 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if nxt.isEmpty():
             break
-        dist = dist.unionAll(
-            nxt.select("n", F.lit(h).alias("hops"))
-        ).localCheckpoint()
+        # NO checkpoint on dist (r16): it is a union of ALREADY-
+        # checkpointed legs (seeds + each round's nxt), so its lineage
+        # is one flat union node per round — re-materializing the
+        # accumulated distance table every round bought nothing and
+        # cost one driver-coordinated job per hop. Bounded: the union
+        # is at most BFS_MAX_HOPS + 1 legs wide.
+        dist = dist.unionAll(nxt.select("n", F.lit(h).alias("hops")))
         frontier = nxt
     full = nodes.join(dist, "n", "left").select(
         "n", F.coalesce("hops", F.lit(-1)).alias("hops")

@@ -574,7 +574,9 @@ def kmeans_ivf_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True).select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
     )
-    cent, assigned = kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    cent, assigned = kmeans_fit(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS, share_key=f"emb:{sf_dir}"
+    )
     sizes = assigned.groupBy("cell_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.round(
@@ -695,7 +697,10 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True).select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
     )
-    return semdedup_drop_set(emb)
+    # share_key: declared to use "the SAME trainer as kmeans_ivf_codebook"
+    # (same emb projection, k, iters), so the two gates train ONCE per
+    # session (r16, trainer memo in operators/kmeans.py)
+    return semdedup_drop_set(emb, share_key=f"emb:{sf_dir}")
 
 
 def semdedup_drop_set(
@@ -703,6 +708,7 @@ def semdedup_drop_set(
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
     theta: float = SEMDEDUP_COS_MIN,
+    share_key: str | None = None,
 ) -> DataFrame:
     """The SemDeDup core over (vec_id, e: array<double>): cluster with
     kmeans_fit, then report every vector with a lower-id cluster-mate
@@ -712,7 +718,7 @@ def semdedup_drop_set(
     with it the per-cell pair count, stays bounded as N grows)."""
     from etl_gcp_function_tmabrasil_spark.operators.kmeans import kmeans_fit
 
-    _, assigned = kmeans_fit(emb, k=k, iters=iters)
+    _, assigned = kmeans_fit(emb, k=k, iters=iters, share_key=share_key)
     m = emb.join(assigned.select("vec_id", "cell_id"), "vec_id").select(
         "vec_id", "cell_id", "e", _norm(F.col("e")).alias("nrm")
     )
@@ -799,10 +805,14 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True).select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
     )
-    return pq_topk(emb)
+    return pq_topk(emb, share_key=f"pq:{sf_dir}")
 
 
-def pq_topk(emb: DataFrame, rerank_pool: int | None = None) -> DataFrame:
+def pq_topk(
+    emb: DataFrame,
+    rerank_pool: int | None = None,
+    share_key: str | None = None,
+) -> DataFrame:
     """The PQ train/encode/ADC pipeline over (vec_id, e: array<double>)
     — factored out so tests can run it on planted fixtures (an exact
     copy of a query must rank #1: its codes are the query's argmin
@@ -827,7 +837,12 @@ def pq_topk(emb: DataFrame, rerank_pool: int | None = None) -> DataFrame:
         sub = emb.select(
             "vec_id", F.slice("e", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("e")
         )
-        cent, _ = kmeans_fit(sub, k=PQ_K, iters=PQ_ITERS)
+        cent, _ = kmeans_fit(
+            sub,
+            k=PQ_K,
+            iters=PQ_ITERS,
+            share_key=f"{share_key}:sub{m}" if share_key else None,
+        )
         code_frames.append(
             kmeans_assign(sub, cent).select(
                 "vec_id", F.lit(m).alias("sub"), F.col("cell_id").alias("code")
@@ -1005,7 +1020,7 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True).select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
     )
-    return pq_topk(emb, rerank_pool=PQ_RERANK_POOL)
+    return pq_topk(emb, rerank_pool=PQ_RERANK_POOL, share_key=f"pq:{sf_dir}")
 
 
 def _pq_rerank_sql() -> str:
@@ -1216,6 +1231,7 @@ def ann_ivfpq(
             sub.filter(F.col("vec_id") >= IVFPQ_CELLS),
             k=PQ_K,
             iters=PQ_ITERS,
+            share_key=f"ivfpq:{sf_dir}:sub{m}",
         )
         code_frames.append(
             kmeans_assign(sub, cent).select(

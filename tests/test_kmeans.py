@@ -114,3 +114,29 @@ def test_semdedup_drops_planted_duplicates_and_keeps_cell_minima(spark, sf_dir):
     for r in rows:
         assert r.vec_id != cell_min[r.cell_id], f"cell minimum dropped: {r}"
         assert r.max_cosine >= SEMDEDUP_COS_MIN and r.n_dup_mates >= 1, r
+
+
+def test_kmeans_fit_share_key_memoizes_and_is_result_identical(spark):
+    """The r16 trainer memo: same (share_key, k, iters) returns the
+    SAME frames (one training per session); no key trains
+    independently; and the shared result is bit-identical to an
+    unshared training — sharing must be result-invisible."""
+    from etl_gcp_function_tmabrasil_spark.operators import kmeans as km
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float((3 * i) % 5), float(i % 11)])
+         for i in range(1, 61)],
+        "vec_id long, e array<double>",
+    )
+    km._FIT_MEMO.clear()
+    c1, a1 = km.kmeans_fit(emb, k=4, iters=2, share_key="t")
+    c2, a2 = km.kmeans_fit(emb, k=4, iters=2, share_key="t")
+    assert c1 is c2 and a1 is a2  # memo hit: the identical objects
+    c3, a3 = km.kmeans_fit(emb, k=4, iters=2)  # no key: fresh training
+    assert c3 is not c1
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a3.collect()))
+    assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c3.collect()))
+    # a different key never aliases
+    c4, _ = km.kmeans_fit(emb, k=4, iters=2, share_key="u")
+    assert c4 is not c1
+    km._FIT_MEMO.clear()
